@@ -1,0 +1,49 @@
+"""Fixture geometries + SQL containment for the oracle.
+
+Geometries are query constants (GeoJSON in the reference's process graphs,
+``openeo_odc_driver.py:628-707``). The engine tests containment with a
+general ray-casting pandas UDF (operators/filters.py); the DuckDB oracle
+has no spatial extension here, so oracle SQL uses **convex half-plane
+tests** — the fixture polygons are convex (CCW) with vertices at .5
+offsets so no pixel center (multiples of 10) sits on an edge, making both
+containment tests agree exactly.
+"""
+
+from __future__ import annotations
+
+# FIXTURES.md A4: 2 disjoint interior polygons, 1 edge-overlapping, 1 outside
+# CCW order (y up). Grid extent: x ∈ [0,150], y ∈ [0,150].
+FIXTURE_POLYGONS: list[list[tuple[float, float]]] = [
+    # P0: rectangle fully inside
+    [(15.5, 35.5), (85.5, 35.5), (85.5, 95.5), (15.5, 95.5)],
+    # P1: rectangle fully inside, disjoint from P0
+    [(100.5, 10.5), (140.5, 10.5), (140.5, 60.5), (100.5, 60.5)],
+    # P2: triangle overlapping the top edge of the extent
+    [(5.5, 110.5), (75.5, 110.5), (5.5, 165.5)],
+    # P3: rectangle fully outside the extent
+    [(200.5, 200.5), (250.5, 200.5), (250.5, 250.5), (200.5, 250.5)],
+]
+
+
+def convex_contains_sql(poly: list[tuple[float, float]], xcol: str = "x", ycol: str = "y") -> str:
+    """AND of edge cross-products ≥ 0 for a CCW convex polygon."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * ({ycol} - {y1!r}) - "
+            f"({y2!r} - {y1!r}) * ({xcol} - {x1!r}) >= 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def geom_id_case_sql(polys=None, xcol: str = "x", ycol: str = "y") -> str:
+    """First-match geom_id CASE expression (mirrors the UDF's first-wins)."""
+    polys = polys if polys is not None else FIXTURE_POLYGONS
+    whens = " ".join(
+        f"WHEN {convex_contains_sql(p, xcol, ycol)} THEN {i}"
+        for i, p in enumerate(polys)
+    )
+    return f"CASE {whens} END"

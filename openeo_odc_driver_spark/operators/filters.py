@@ -1,0 +1,117 @@
+"""Filter operators: band / temporal / bbox / spatial predicates.
+
+These are pure `.where()` predicates, so Catalyst pushes them into the
+parquet scan (PushedFilters) — at 100 TB they become partition pruning on
+`time` and row-group min/max pruning on x/y. Mirrors
+``openeo_odc_driver.py:686-707,1021-1078``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
+
+
+def filter_bands(cube: Cube, bands: Sequence[str]) -> Cube:
+    """Keep listed bands (openeo_odc_driver.py:1031-1034). Band *order* is
+    metadata in long format — recorded on the schema, no sort needed."""
+    bands = tuple(bands)
+    out = cube.df.where(F.col(BAND).isin(list(bands)))
+    return Cube(out, cube.schema.with_bands(bands))
+
+
+def filter_temporal(cube: Cube, start: str, end: str) -> Cube:
+    """Half-open [start, end) — the reference subtracts 1 ms from the end
+    (``load_odc_collection.py:78-79``); `<` on the raw end is equivalent
+    and sargable."""
+    out = cube.df.where(
+        (F.col(TIME) >= F.lit(start).cast("timestamp"))
+        & (F.col(TIME) < F.lit(end).cast("timestamp"))
+    )
+    return cube.with_df(out)
+
+
+def filter_bbox(
+    cube: Cube,
+    west: float,
+    east: float,
+    south: float,
+    north: float,
+) -> Cube:
+    """Spatial slice on cube coordinates (openeo_odc_driver.py:1036-1078).
+
+    CRS handling note: the reference reprojects the 4 bbox corners from the
+    request CRS to the cube CRS driver-side (pyproj) then slices; the
+    corner transform is a query-constant computation, so here the bbox is
+    taken already in cube coordinates (the synthetic fixtures carry a
+    projected grid). The y-descending storage needs no special casing for
+    a `between` predicate (the reference retries flipped slice bounds,
+    ``openeo_odc_driver.py:1076-1078``).
+    """
+    out = cube.df.where(
+        F.col(X).between(float(west), float(east))
+        & F.col(Y).between(float(south), float(north))
+    )
+    return cube.with_df(out)
+
+
+# --- spatial (polygon) filtering -------------------------------------------
+#
+# Geometries are query constants (GeoJSON in the process graph,
+# openeo_odc_driver.py:686-707). Polygons are broadcast as a tiny DataFrame
+# and pixels are tested point-in-polygon. Two containment paths:
+#  - general polygons: pure-numpy ray casting pandas UDF (no shapely in the
+#    image) — vectorized over Arrow batches;
+#  - the bbox prefilter is always applied first so the scan prunes.
+
+def _ray_cast_contains(xs, ys, poly: list[tuple[float, float]]):
+    """Vectorized even-odd ray casting; numpy only."""
+    import numpy as np
+
+    xs = np.asarray(xs, dtype="float64")
+    ys = np.asarray(ys, dtype="float64")
+    inside = np.zeros(xs.shape, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cond = (ys < y1) != (ys < y2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (ys - y1) / (y2 - y1) * (x2 - x1)
+        inside ^= cond & (xs < xint)
+    return inside
+
+
+def polygon_contains_udf(polygons: list[list[tuple[float, float]]]):
+    """Pandas UDF: (x, y) -> geom_id of first containing polygon, else NULL.
+
+    Polygon list is captured in the closure (small, query constant —
+    shipped once per task like a broadcast var).
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def contains(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.full(len(xs), -1, dtype="int32")
+        for gid in range(len(polygons) - 1, -1, -1):
+            hit = _ray_cast_contains(xs.values, ys.values, polygons[gid])
+            out[hit] = gid
+        return pd.Series(out).where(lambda s: s >= 0)
+
+    return contains
+
+
+def filter_spatial(cube: Cube, polygons: list[list[tuple[float, float]]]) -> Cube:
+    """Clip to polygons (drop pixels outside all), openeo_odc_driver.py:686-707."""
+    xs = [p[0] for poly in polygons for p in poly]
+    ys = [p[1] for poly in polygons for p in poly]
+    pre = filter_bbox(cube, min(xs), max(xs), min(ys), max(ys))
+    contains = polygon_contains_udf(polygons)
+    out = pre.df.where(contains(F.col(X), F.col(Y)).isNotNull())
+    return cube.with_df(out)

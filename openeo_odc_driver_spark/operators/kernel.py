@@ -1,0 +1,179 @@
+"""`apply_kernel` — 2-D spatial convolution per (band, time)
+(openeo_odc_driver.py:1385-1418).
+
+Two physical strategies:
+
+- :func:`apply_kernel` (default): **shift-and-sum join**. Explode the
+  kernel's (dy, dx, w) triples (a tiny literal array), shift each pixel's
+  index by the offset, and group back on the shifted key summing
+  ``w * value``. Entirely JVM-side expressions + one shuffle; works for
+  the small kernels typical of openEO (3×3 … 7×7). Border mode
+  ``constant 0`` ≙ zero padding (missing neighbors contribute 0, and the
+  divisor stays the full kernel sum).
+- :func:`apply_kernel_tiled`: `applyInPandas` per spatial tile with a halo
+  — the scale path for big kernels, where the join fan-out (k² rows per
+  pixel) would dominate. Tiles carry `halo = kernel_radius` ghost pixels,
+  numpy does the stencil per tile. Preferred at 100 TB for k ≥ 7.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
+
+
+def apply_kernel(
+    cube: Cube,
+    kernel: Sequence[Sequence[float]],
+    factor: float = 1.0,
+    border: str | int = 0,
+) -> Cube:
+    if border not in (0, "0", "constant"):
+        raise NotImplementedError("only constant-0 border (reference default)")
+    grid = cube.schema.grid
+    if grid is None:
+        raise ValueError("apply_kernel needs a GridSpec")
+    kh = len(kernel)
+    kw = len(kernel[0])
+    ry, rx = kh // 2, kw // 2
+    triples = [
+        (dy - ry, dx - rx, float(kernel[dy][dx]))
+        for dy in range(kh)
+        for dx in range(kw)
+        if kernel[dy][dx] != 0
+    ]
+    offsets = F.array(
+        *[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"), F.lit(w).alias("w"))
+          for dy, dx, w in triples]
+    )
+    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    group = [d for d in cube.key_dims if d not in (X, Y)]
+    contrib = (
+        cube.df.where(F.col(VALUE).isNotNull())
+        .withColumn("_xi", x_idx)
+        .withColumn("_yi", y_idx)
+        .select(*group, "_xi", "_yi", VALUE, F.explode(offsets).alias("_o"))
+        # the value at (yi, xi) contributes w[dy,dx] to center (yi+dy, xi+dx)
+        .select(
+            *group,
+            (F.col("_yi") + F.col("_o.dy")).alias("_cy"),
+            (F.col("_xi") + F.col("_o.dx")).alias("_cx"),
+            (F.col(VALUE) * F.col("_o.w")).alias("_wv"),
+        )
+        .groupBy(*group, "_cy", "_cx")
+        .agg(F.sum("_wv").alias("_conv"))
+    )
+    # keep only centers that exist in the input grid (inner join back)
+    base = (
+        cube.df.withColumn("_cx", x_idx).withColumn("_cy", y_idx)
+    )
+    out = (
+        base.join(contrib, [*group, "_cy", "_cx"], "left")
+        .withColumn(
+            VALUE,
+            F.when(
+                F.col(VALUE).isNotNull(),
+                F.coalesce(F.col("_conv"), F.lit(0.0)) * F.lit(float(factor)),
+            ),
+        )
+        .drop("_cy", "_cx", "_conv")
+        .select(*cube.key_dims, VALUE)
+    )
+    return cube.with_df(out)
+
+
+def apply_kernel_tiled(
+    cube: Cube,
+    kernel: Sequence[Sequence[float]],
+    factor: float = 1.0,
+    tile: int = 256,
+) -> Cube:
+    """Halo-exchange stencil: duplicate each pixel into the (≤4) tiles whose
+    halo covers it, then convolve per tile in numpy via applyInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    grid = cube.schema.grid
+    if grid is None:
+        raise ValueError("apply_kernel_tiled needs a GridSpec")
+    k = np.asarray(kernel, dtype="float64")
+    ry, rx = k.shape[0] // 2, k.shape[1] // 2
+    halo = max(ry, rx)
+    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    group = [d for d in cube.key_dims if d not in (X, Y)]
+
+    # a pixel belongs to its own tile plus any neighbor tile whose halo
+    # region it falls into: generate candidate tile ids via explode
+    cand = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    df = (
+        cube.df.withColumn("_xi", x_idx)
+        .withColumn("_yi", y_idx)
+        .select("*", F.explode(cand).alias("_dtx"))
+        .select("*", F.explode(cand).alias("_dty"))
+        .withColumn("_tx", F.floor(F.col("_xi") / tile) + F.col("_dtx"))
+        .withColumn("_ty", F.floor(F.col("_yi") / tile) + F.col("_dty"))
+        .where(
+            (F.col("_xi") >= F.col("_tx") * tile - halo)
+            & (F.col("_xi") < (F.col("_tx") + 1) * tile + halo)
+            & (F.col("_yi") >= F.col("_ty") * tile - halo)
+            & (F.col("_yi") < (F.col("_ty") + 1) * tile + halo)
+        )
+        .drop("_dtx", "_dty")
+    )
+
+    schema_fields = ", ".join(
+        [f"{d} {'string' if d == BAND else 'timestamp' if d == TIME else 'double'}"
+         for d in group]
+        + ["y double", "x double", "value double"]
+    )
+    x0, y0, resx, resy = grid.x0, grid.y0, grid.resx, grid.resy
+
+    def conv_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["_tx"].iloc[0])
+        ty = int(pdf["_ty"].iloc[0])
+        xi0, yi0 = tx * tile - halo, ty * tile - halo
+        w = tile + 2 * halo
+        arr = np.full((w, w), np.nan)
+        lx = (pdf["_xi"] - xi0).to_numpy()
+        ly = (pdf["_yi"] - yi0).to_numpy()
+        arr[ly, lx] = pdf["value"].to_numpy()
+        filled = np.nan_to_num(arr, nan=0.0)
+        out = np.zeros_like(filled)
+        for dy in range(k.shape[0]):
+            for dx in range(k.shape[1]):
+                wgt = k[dy, dx]
+                if wgt == 0:
+                    continue
+                sy, sx = dy - ry, dx - rx
+                src = np.roll(np.roll(filled, -sy, axis=0), -sx, axis=1)
+                # zero out wrapped edges
+                if sy > 0:
+                    src[-sy:, :] = 0
+                elif sy < 0:
+                    src[:-sy, :] = 0
+                if sx > 0:
+                    src[:, -sx:] = 0
+                elif sx < 0:
+                    src[:, :-sx] = 0
+                out += wgt * src
+            # note: convolution kernel index (dy,dx) maps offset (dy-ry,dx-rx)
+        out = np.where(np.isnan(arr), np.nan, out * factor)
+        core = pdf[
+            (pdf["_xi"] >= tx * tile)
+            & (pdf["_xi"] < (tx + 1) * tile)
+            & (pdf["_yi"] >= ty * tile)
+            & (pdf["_yi"] < (ty + 1) * tile)
+        ]
+        res = core[group].copy() if group else pd.DataFrame(index=core.index)
+        res["y"] = y0 - resy * core["_yi"]
+        res["x"] = x0 + resx * core["_xi"]
+        res["value"] = out[(core["_yi"] - yi0).to_numpy(), (core["_xi"] - xi0).to_numpy()]
+        return res
+
+    out = df.groupBy(*group, "_tx", "_ty").applyInPandas(conv_tile, schema_fields)
+    return cube.with_df(out.select(*cube.key_dims, VALUE))

@@ -1,0 +1,87 @@
+"""Cube alignment: temporal as-of join and spatial grid snapping.
+
+``resample_cube_temporal`` (openeo_odc_driver.py:360-380) is a
+nearest-neighbor **as-of join** on time; ``resample_cube_spatial``
+(:342-358) regrids source coordinates onto the target cube's grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..core.cube import TIME, VALUE, X, Y, Cube, GridSpec
+
+
+def resample_cube_temporal(source: Cube, target: Cube) -> Cube:
+    """For each target timestamp pick the nearest source time slice and
+    relabel it with the target time (openeo_odc_driver.py:360-380).
+
+    Plan: the distinct time axes are tiny relative to the data (O(10³))
+    — build the target→nearest-source mapping with a broadcast cross
+    join + rank, then broadcast-equi-join it back onto the source rows.
+    Data-side cost: one broadcast hash join, no shuffle of the big side.
+    Tie-break: earlier source time (deterministic in both engines).
+    """
+    src_times = source.df.select(TIME).distinct().withColumnRenamed(TIME, "_src_t")
+    tgt_times = target.df.select(TIME).distinct().withColumnRenamed(TIME, "_tgt_t")
+    pairs = tgt_times.crossJoin(F.broadcast(src_times))
+    w = Window.partitionBy("_tgt_t").orderBy(
+        F.abs(F.unix_micros("_tgt_t") - F.unix_micros("_src_t")), F.col("_src_t")
+    )
+    mapping = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_src_t", "_tgt_t")
+    )
+    out = (
+        source.df.join(
+            F.broadcast(mapping), source.df[TIME] == mapping["_src_t"], "inner"
+        )
+        .drop(TIME, "_src_t")
+        .withColumnRenamed("_tgt_t", TIME)
+        .select(*source.key_dims, VALUE)
+    )
+    return source.with_df(out)
+
+
+def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> Cube:
+    """Regrid source onto the target grid (openeo_odc_driver.py:342-358).
+
+    `near`: snap each source pixel to the nearest target cell center, then
+    keep one value per cell (the minimum-distance source pixel; ties by
+    coordinate order). Pure expressions + one groupBy — no join against the
+    target data at all, only its GridSpec. Bilinear would need a 4-neighbor
+    weighted blend (deferred; reference default is nearest).
+    """
+    if method not in ("near", "nearest"):
+        raise NotImplementedError("only nearest-neighbor regridding")
+    grid = target.schema.grid
+    if grid is None:
+        raise ValueError("target cube lacks a GridSpec")
+    snap_x = F.lit(grid.x0) + F.lit(grid.resx) * F.round(
+        (F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)
+    )
+    snap_y = F.lit(grid.y0) - F.lit(grid.resy) * F.round(
+        (F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)
+    )
+    dist = (F.col(X) - snap_x) * (F.col(X) - snap_x) + (
+        F.col(Y) - snap_y
+    ) * (F.col(Y) - snap_y)
+    df = (
+        source.df.withColumn("_tx", snap_x)
+        .withColumn("_ty", snap_y)
+        .withColumn("_d", dist)
+    )
+    group = [d for d in source.key_dims if d not in (X, Y)]
+    w = Window.partitionBy(*group, "_tx", "_ty").orderBy("_d", X, Y)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop(X, Y, "_d", "_rn")
+        .withColumnRenamed("_tx", X)
+        .withColumnRenamed("_ty", Y)
+        .select(*source.key_dims, VALUE)
+    )
+    from dataclasses import replace
+
+    return Cube(out, replace(source.schema, grid=grid))

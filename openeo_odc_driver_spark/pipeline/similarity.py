@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed ANN
+(random-hyperplane signs) that prunes the candidate set before the exact
+rerank — the classic two-stage retrieve/rerank shape that holds at 100 TB
+(bucket join instead of full cross join).
+
+All arithmetic is fold-based ``aggregate(zip_with(...))`` on JVM-side
+lambda expressions — no Python in the hot path; element order is the array
+order in both Spark and DuckDB so doubles match bit-for-bit
+(scratch/parity_probe2.py: dot_fold EXACT MATCH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> F.Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: queries × corpus, rank per query.
+
+    Plan: the query side is broadcast (top-k serving workloads have small
+    query batches); the corpus side streams — no shuffle of the corpus,
+    then a per-query top-k via window over the (small) query-key partitions.
+    Deterministic tie-break on vec_id.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr("q_emb", "embedding").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplane(dim: int, j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no RNG at plan time —
+    reproducible across runs/engines)."""
+    return [(((j * 1009 + i * 9176) * 31 + 17) % 1997) / 998.5 - 1.0 for i in range(dim)]
+
+
+def lsh_bucket_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket = sign-bit signature; candidates
+    share the bucket; exact cosine rerank within.
+
+    Scale: corpus bucketing is one pass (n_planes fold expressions); the
+    join is an equi-join on bucket id (2^n_planes buckets), so candidate
+    count ≈ corpus/2^n_planes per query instead of the whole corpus.
+    Recall < 1 by construction — multi-probe (flipping one bit) would
+    raise it; kept single-probe for clarity.
+    """
+    def bucket_col(emb: str) -> F.Column:
+        bits = []
+        for j in range(n_planes):
+            plane = _hyperplane(dim, j)
+            arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in plane)})"
+            d = F.expr(
+                f"aggregate(zip_with({emb}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+
+    corpus = embeddings.withColumn("bucket", bucket_col("embedding"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).withColumn("bucket", bucket_col("q_emb"))
+    cand = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr("q_emb", "embedding").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Text analysis operators over the `documents` table: language ID,
+quality scoring, token counting, fingerprinting. All pure JVM expressions
+(regex/string built-ins) — zero Python in the row path, so they pipeline
+inside whole-stage codegen with the scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import md5_int_expr
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "a", "of", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate (≈ chars/4,
+    the standard tokens≈bytes/4 heuristic) — both pure expressions."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features with a
+    composite score — the C4/Gopher-style filter shape."""
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    n_chars = F.length("text")
+    # punctuation count = length minus length with punctuation removed
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    stop_arr = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t.isin(stop_arr))
+    )
+    mean_word_len = (n_chars - toks + 1) / F.nullif(toks.cast("double"), F.lit(0.0))
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        (n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0))).alias("punct_ratio"),
+        (stop_hits / F.nullif(toks.cast("double"), F.lit(0.0))).alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+    score = (
+        F.when(F.col("n_tokens") >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * F.least(F.col("stopword_ratio") * 4 + F.lit(0.2), F.lit(1.0))
+    )
+    return out.withColumn("quality", score)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: score each language by stopword hits in
+    the token stream, pick the argmax (ties → lexicographic language code;
+    no hits → 'und')."""
+    toks = F.split(F.trim("text"), r"\s+")
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).alias(f"s_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier lang wins ties → apply in reverse
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum hash over all character
+    `gram`-grams (one representative per document — robust to small edits,
+    used for fast near-dup blocking)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {gram - 1}, 1)),"
+        f" i -> substring(text, i, {gram}))"
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    return (
+        g.withColumn("h", F.expr(md5_int_expr("g")))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )

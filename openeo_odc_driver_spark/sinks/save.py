@@ -1,0 +1,128 @@
+"""`save_result` sinks (openeo_odc_driver.py:1611-1832).
+
+Canonical distributed sink: parquet (≙ the reference's NetCDF role). JSON
+reproduces the reference's dim-dependent shape rules (:1783-1827). GTiff /
+PNG preserve the reference's validation semantics (4-D squeeze rules,
+bool→uint8, y-flip) and materialize the pixel grid with numpy, but the
+actual image encode is stubbed — GDAL/PIL aren't in this container; the
+array + metadata are written as .npy + .json so the pipeline is testable
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
+
+
+def save_parquet(cube: Cube, path: str, partition_by_time: bool = True) -> str:
+    """Distributed sink. Partitioning by month keeps file counts sane and
+    gives downstream scans partition pruning on time."""
+    df = cube.df
+    if partition_by_time and TIME in cube.schema.dims:
+        df = df.withColumn("_month", F.date_format(TIME, "yyyy-MM"))
+        df.write.mode("overwrite").partitionBy("_month").parquet(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def save_json(cube: Cube, path: str) -> str:
+    """Dim-dependent JSON shapes (openeo_odc_driver.py:1783-1827):
+    0-d → scalar; with band dim → {band: [values]}; else flat records."""
+    rows = cube.df.collect()
+    dims = cube.schema.dims
+    if not dims:
+        payload = rows[0][VALUE] if rows else None
+    elif dims == (BAND,):
+        payload = {}
+        for r in rows:
+            payload.setdefault(r[BAND], []).append(r[VALUE])
+    else:
+        payload = [r.asDict() for r in rows]
+        for rec in payload:
+            for k, v in rec.items():
+                if hasattr(v, "isoformat"):
+                    rec[k] = v.isoformat()
+    with open(path, "w") as f:
+        json.dump(payload, f, default=str)
+    return path
+
+
+def _to_grid(cube: Cube) -> tuple[np.ndarray, dict]:
+    """Collect a (bands, y, x) numpy grid (driver-side; images are small —
+    the reference collects through xarray the same way)."""
+    pdf = cube.df.toPandas()
+    bands = list(cube.schema.bands) or sorted(pdf[BAND].unique()) if BAND in pdf else ["value"]
+    ys = np.sort(pdf[Y].unique())[::-1]  # y stored descending
+    xs = np.sort(pdf[X].unique())
+    yi = {v: i for i, v in enumerate(ys)}
+    xi = {v: i for i, v in enumerate(xs)}
+    arr = np.full((len(bands), len(ys), len(xs)), np.nan)
+    bidx = {b: i for i, b in enumerate(bands)}
+    for _, r in pdf.iterrows():
+        b = r[BAND] if BAND in pdf.columns else "value"
+        arr[bidx[b], yi[r[Y]], xi[r[X]]] = r[VALUE]
+    meta = {"bands": bands, "ys": ys.tolist(), "xs": xs.tolist(), "crs": cube.schema.crs}
+    return arr, meta
+
+
+def save_gtiff(cube: Cube, path: str) -> str:
+    """GTiff semantics (openeo_odc_driver.py:1679-1724): 4-D cubes must
+    squeeze — drop band dim if 1 band, else drop time if 1 step, else
+    error. The raster grid and CRS metadata are materialized; the actual
+    GeoTIFF encode needs GDAL/rasterio (not in this container) and is
+    stubbed as .npy + sidecar JSON."""
+    dims = set(cube.schema.dims)
+    c = cube
+    if BAND in dims and TIME in dims:
+        nb = len(cube.schema.bands)
+        if nb == 1:
+            from ..operators.dimops import drop_dimension
+
+            c = drop_dimension(cube, "bands")
+        else:
+            nt = cube.df.select(TIME).distinct().count()
+            if nt == 1:
+                from ..operators.dimops import drop_dimension
+
+                c = drop_dimension(cube, "time")
+            else:
+                raise ValueError(
+                    "GTiff supports at most 3 dimensions: reduce bands or time first"
+                )  # ≙ openeo_odc_driver.py:1693-1703
+    arr, meta = _to_grid(c)
+    np.save(path + ".npy", arr)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path + ".npy"
+
+
+def save_png(cube: Cube, path: str) -> str:
+    """PNG semantics (openeo_odc_driver.py:1616-1677): fillna(0), uint8
+    clip. Encode stubbed (no PIL/cv2): uint8 array written as .npy."""
+    arr, meta = _to_grid(cube)
+    arr8 = np.clip(np.nan_to_num(arr, nan=0.0), 0, 255).astype(np.uint8)
+    np.save(path + ".npy", arr8)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path + ".npy"
+
+
+def save_result(cube: Cube, path: str, fmt: str = "PARQUET") -> str:
+    fmt = fmt.upper()
+    if fmt in ("PARQUET", "NETCDF"):  # parquet is our canonical NetCDF
+        return save_parquet(cube, path)
+    if fmt == "JSON":
+        return save_json(cube, path)
+    if fmt in ("GTIFF", "GTIFF_"):
+        return save_gtiff(cube, path)
+    if fmt == "PNG":
+        return save_png(cube, path)
+    raise ValueError(f"unsupported format {fmt}")

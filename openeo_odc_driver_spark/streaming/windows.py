@@ -1,0 +1,81 @@
+"""Structured Streaming equivalents of the batch calendar aggregations.
+
+The reference is strictly batch (SURVEY §2.11); these extend the engine to
+streams: tumbling/sliding windows ≙ `aggregate_temporal_period`, with
+watermarks for late data. The `events` fixture drives the tests — a parquet
+directory read as a stream, run to completion with a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window: count + sum per (window, event_type).
+    The watermark bounds state for late data; in batch-over-stream tests it
+    has no effect on results (all data arrives in one epoch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    builder=tumbling_counts,
+    name: str = "stream_out",
+) -> DataFrame:
+    """Drive the events parquet through a real streaming query (one epoch)
+    and return the materialized result. Uses the same ns→µs conversion as
+    the batch loader."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(f"{sf_dir}")
+    )
+    # the sf dir holds all tables; keep only events columns by reading the
+    # single file via glob instead
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        builder(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
