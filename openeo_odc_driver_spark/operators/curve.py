@@ -27,8 +27,11 @@ from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import numpy as np
+# module-scope import: pandas-UDF string annotations resolve against module
+# globals under `from __future__ import annotations`
+import pandas as pd
 
-from pyspark.sql import functions as F
+from pyspark.sql import Column, functions as F
 
 from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
 
@@ -43,13 +46,18 @@ class ModelExpr:
     args: tuple = ()
 
     def __call__(self, t: np.ndarray, p: np.ndarray) -> np.ndarray:
-        """Evaluate at times t (1-D) with params p (1-D, len n_params)."""
+        """Evaluate at times t (1-D, n rows) with params p — either 1-D
+        (shared across rows) or 2-D (n, n_params) for per-row params
+        (the vectorized predict path)."""
         a = self.args
         if self.op == "const":
             return np.full_like(np.asarray(t, dtype="float64"), a[0], dtype="float64")
         if self.op == "t":
             return np.asarray(t, dtype="float64")
         if self.op == "param":
+            p = np.asarray(p, dtype="float64")
+            if p.ndim == 2:
+                return p[:, a[0]]
             return np.full_like(np.asarray(t, dtype="float64"), p[a[0]], dtype="float64")
         if self.op == "add":
             return a[0](t, p) + a[1](t, p)
@@ -194,8 +202,6 @@ def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
     bases = _basis_functions(model)
     t0 = cube.df.agg(F.min(TIME)).collect()[0][0]  # one tiny metadata action
 
-    import pandas as pd
-
     def fit_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         tsec0 = pd.Timestamp(t0).value / 1e9
@@ -220,12 +226,65 @@ def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
     return Cube(out, replace(cube.schema.drop(TIME), grid=grid))
 
 
+def fit_curve_linear(cube: Cube) -> Cube:
+    """``fit_curve`` specialised to the 2-param linear model ``a0 + a1·t``
+    as a **pure aggregation** — no UDF, no Python in the row path.
+
+    Closed-form least squares from the sufficient statistics
+    (n, Σt, Σv, Σtv, Σt²):
+
+        a1 = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²),   a0 = (Σv − a1·Σt)/n
+
+    t is days since the cube's min time, computed *inside the plan* via a
+    broadcast scalar aggregate (no driver action). Pixels with < 4 finite
+    samples get [0, 0] — the reference's sparse-pixel guard
+    (openeo_odc_driver.py:1531-1536) scaled to n_params=2.
+
+    Scale: two aggregations (one global min — tiny; one per-pixel) — the
+    per-pixel groupBy is the same single shuffle any reducer costs, and
+    Catalyst fuses the coefficient arithmetic into the agg's output stage.
+    """
+    t0 = cube.df.agg(F.min(TIME).alias("_t0"))
+    df = cube.df.join(F.broadcast(t0)).withColumn(
+        "_t",
+        (F.unix_micros(F.col(TIME)) - F.unix_micros(F.col("_t0")))
+        / F.lit(86400.0 * 1e6),
+    )
+    v = F.col(VALUE)
+    agg = (
+        df.groupBy(BAND, Y, X)
+        .agg(
+            F.count(v).alias("_n"),
+            F.sum(F.when(v.isNotNull(), F.col("_t"))).alias("_st"),
+            F.sum(v).alias("_sv"),
+            F.sum(F.col("_t") * v).alias("_stv"),
+            F.sum(F.when(v.isNotNull(), F.col("_t") * F.col("_t"))).alias("_stt"),
+        )
+    )
+    n = F.col("_n")
+    denom = n * F.col("_stt") - F.col("_st") * F.col("_st")
+    a1 = (n * F.col("_stv") - F.col("_st") * F.col("_sv")) / denom
+    a0 = (F.col("_sv") - a1 * F.col("_st")) / n
+    ok = (n >= 4) & (denom != 0)
+    out = agg.select(
+        BAND,
+        Y,
+        X,
+        F.array(
+            F.when(ok, a0).otherwise(F.lit(0.0)),
+            F.when(ok, a1).otherwise(F.lit(0.0)),
+        ).alias("params"),
+    )
+    from dataclasses import replace
+
+    return Cube(out, replace(cube.schema.drop(TIME), grid=cube.schema.grid))
+
+
 def predict_curve(params: Cube, model: ModelExpr, times: Cube | Sequence) -> Cube:
     """Evaluate the fitted model at the target cube's timestamps
     (openeo_odc_driver.py:1557-1596): broadcast-join params onto the time
-    axis and evaluate via a vectorized pandas UDF."""
-    import pandas as pd
-
+    axis and evaluate via a vectorized pandas UDF (one numpy evaluation of
+    the model AST per Arrow batch — no per-row Python loop)."""
     if isinstance(times, Cube):
         t_df = times.df.select(TIME).distinct()
         t0 = times.df.agg(F.min(TIME)).collect()[0][0]
@@ -236,10 +295,8 @@ def predict_curve(params: Cube, model: ModelExpr, times: Cube | Sequence) -> Cub
     @F.pandas_udf("double")
     def eval_model(ts: pd.Series, ps: pd.Series) -> pd.Series:
         t = (ts.astype("int64").to_numpy() / 1e9 - tsec0) / 86400.0
-        out = np.empty(len(t))
-        for i in range(len(t)):
-            out[i] = model(np.array([t[i]]), np.asarray(ps.iloc[i], dtype="float64"))[0]
-        return pd.Series(out)
+        P = np.stack([np.asarray(v, dtype="float64") for v in ps])
+        return pd.Series(model(t, P))
 
     out = (
         params.df.crossJoin(F.broadcast(t_df))

@@ -50,9 +50,14 @@ def rename_labels(
 ) -> Cube:
     """Rename (and implicitly select) band labels
     (openeo_odc_driver.py:1080-1121). Length mismatch → LabelMismatch
-    (:1115). Implemented as a literal map lookup — no join, no shuffle."""
+    (:1115). Implemented as a literal map lookup — no join, no shuffle.
+    The time variant (:1100-1121) lives in :func:`rename_labels_time`."""
+    from ..core.cube import canonical_dim
+
+    if canonical_dim(dimension) == TIME:
+        return rename_labels_time(cube, target)
     if dimension not in ("bands", "band", "variable"):
-        raise NotImplementedError("rename_labels: only band dimension")
+        raise NotImplementedError("rename_labels: only band/time dimensions")
     source = list(source) if source is not None else list(cube.schema.bands)
     target = list(target)
     if len(source) != len(target):
@@ -65,6 +70,40 @@ def rename_labels(
         .withColumn(BAND, mapping[F.col(BAND)])
     )
     return Cube(out, cube.schema.with_bands(tuple(target)))
+
+
+def rename_labels_time(cube: Cube, target: Sequence[str]) -> Cube:
+    """Time variant of rename_labels (openeo_odc_driver.py:1100-1121):
+    replace the i-th distinct time label (ascending) with ``target[i]``.
+    Length mismatch → LabelMismatch (:1115).
+
+    Plan: rank the distinct time axis (tiny — O(10³) rows), zip it with the
+    target literals, and broadcast-join the mapping back — no shuffle of
+    the data side."""
+    from pyspark.sql import Window
+
+    n = cube.df.select(TIME).distinct().count()  # metadata-scale action
+    if n != len(target):
+        raise ValueError(f"LabelMismatch: {n} time labels vs {len(target)} targets")
+    w = Window.orderBy(TIME)
+    mapping = (
+        cube.df.select(TIME).distinct()
+        .withColumn("_i", F.row_number().over(w) - 1)
+        .withColumn(
+            "_new_t",
+            F.element_at(
+                F.array(*[F.lit(str(t)) for t in target]), F.col("_i") + 1
+            ).cast("timestamp"),
+        )
+        .select(TIME, "_new_t")
+    )
+    out = (
+        cube.df.join(F.broadcast(mapping), TIME)
+        .drop(TIME)
+        .withColumnRenamed("_new_t", TIME)
+        .select(*cube.key_dims, VALUE)
+    )
+    return cube.with_df(out)
 
 
 def drop_dimension(cube: Cube, dimension: str) -> Cube:

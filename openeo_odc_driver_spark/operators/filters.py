@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
+# pandas must be importable at module scope: the pandas-UDF type hints below
+# are strings (future annotations) that PySpark resolves against this
+# module's globals — a factory-local import raises UNSUPPORTED_SIGNATURE.
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
@@ -91,7 +95,6 @@ def polygon_contains_udf(polygons: list[list[tuple[float, float]]]):
     Polygon list is captured in the closure (small, query constant —
     shipped once per task like a broadcast var).
     """
-    import pandas as pd
     from pyspark.sql.types import IntegerType
 
     @F.pandas_udf(IntegerType())

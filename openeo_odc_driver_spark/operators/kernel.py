@@ -14,6 +14,12 @@ Two physical strategies:
   — the scale path for big kernels, where the join fan-out (k² rows per
   pixel) would dominate. Tiles carry `halo = kernel_radius` ghost pixels,
   numpy does the stencil per tile. Preferred at 100 TB for k ≥ 7.
+
+Intentional divergence from the reference: nodata (NULL) *center* pixels
+stay NULL here, while the reference ``fillna``s the cube before convolving
+(openeo_odc_driver.py:1408-1412) so NaN centers receive convolved values —
+we treat nodata as nodata rather than resurrecting masked pixels; NULL
+*neighbors* contribute 0 in both paths (≙ the reference's fill_value=0).
 """
 
 from __future__ import annotations
@@ -150,18 +156,20 @@ def apply_kernel_tiled(
                 if wgt == 0:
                     continue
                 sy, sx = dy - ry, dx - rx
-                src = np.roll(np.roll(filled, -sy, axis=0), -sx, axis=1)
+                # true convolution: out[c] += w[o] * in[c − o], matching the
+                # shift-and-sum join path and scipy.ndimage.convolve — roll
+                # by +s so src[c] = in[c − s]
+                src = np.roll(np.roll(filled, sy, axis=0), sx, axis=1)
                 # zero out wrapped edges
                 if sy > 0:
-                    src[-sy:, :] = 0
+                    src[:sy, :] = 0
                 elif sy < 0:
-                    src[:-sy, :] = 0
+                    src[sy:, :] = 0
                 if sx > 0:
-                    src[:, -sx:] = 0
+                    src[:, :sx] = 0
                 elif sx < 0:
-                    src[:, :-sx] = 0
+                    src[:, sx:] = 0
                 out += wgt * src
-            # note: convolution kernel index (dy,dx) maps offset (dy-ry,dx-rx)
         out = np.where(np.isnan(arr), np.nan, out * factor)
         core = pdf[
             (pdf["_xi"] >= tx * tile)

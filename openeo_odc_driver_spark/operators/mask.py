@@ -21,11 +21,21 @@ from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
 
 
 def mask(data: Cube, mask_cube: Cube, replacement: Optional[float] = None) -> Cube:
-    keys = [d for d in data.key_dims if d != BAND and d in mask_cube.schema.dims]
-    m = (
-        mask_cube.df.groupBy(*keys)
-        .agg(F.min(VALUE).alias("_m"))  # band-drop, :1344-1345
+    """Single-band masks drop their band dim and broadcast over data bands
+    (the reference only min-reduces when the mask has exactly one band,
+    :1344-1345); multi-band masks align per band — band joins the key."""
+    mask_is_multiband = (
+        BAND in mask_cube.schema.dims and len(mask_cube.schema.bands) > 1
     )
+    if mask_is_multiband:
+        keys = [d for d in data.key_dims if d in mask_cube.schema.dims]
+        m = mask_cube.df.select(*keys, F.col(VALUE).alias("_m"))
+    else:
+        keys = [d for d in data.key_dims if d != BAND and d in mask_cube.schema.dims]
+        m = (
+            mask_cube.df.groupBy(*keys)
+            .agg(F.min(VALUE).alias("_m"))  # band-drop, :1344-1345
+        )
     repl = F.lit(None) if replacement is None else F.lit(float(replacement))
     out = (
         data.df.join(m, keys, "left")

@@ -126,22 +126,33 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 12, threshold: float = 0.4, max_docs: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.4,
+    candidates: DataFrame | None = None,
+    lsh_candidate_threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard, **gated on LSH candidates** — the verify stage
+    of the two-stage dedup (candidates default to
+    :func:`minhash_lsh_pairs` at a permissive threshold).
 
-    Scale: this is the *verify* stage — on a real corpus it runs only on
-    LSH candidates; standalone it self-joins on the exploded shingle
-    (shuffle on shingle hash), aggregates intersection counts, and joins
-    per-doc distinct-shingle counts to form |A∩B| / (|A|+|B|−|A∩B|).
+    Scale: the exact |A∩B| is computed only for candidate pairs by joining
+    the exploded shingle sets through the candidate list (shuffle keys:
+    doc_id — high cardinality), never by self-joining the full shingle
+    table: a raw shingle self-join goes quadratic on boilerplate-heavy
+    shingles (stopword runs) at 100 TB.
     """
+    if candidates is None:
+        candidates = minhash_lsh_pairs(docs, lsh_candidate_threshold).select(
+            "doc_a", "doc_b"
+        )
     sh = docs.select("doc_id", F.explode(_shingles()).alias("sh")).dropDuplicates()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
+    b_sh = sh.withColumnRenamed("doc_id", "doc_b")
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        candidates.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
@@ -182,18 +193,23 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 28) -> DataFrame:
 
 
 def embedding_cosine_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8
 ) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ threshold, blocked by `label`
-    (≙ a cluster/bucket column) so the pairwise join never goes quadratic
-    over the corpus — at scale the blocking key is an LSH/IVF bucket id
-    (see similarity.lsh_bucket_ann)."""
-    from .similarity import cosine_expr
+    """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
+    **LSH bucket id** (random-hyperplane signs, shared with
+    similarity.lsh_bucket_ann) — a computed high-cardinality key, so the
+    pairwise join stays within buckets and never goes quadratic over the
+    corpus; a semantic column like `label` would miss cross-label dups and
+    go quadratic on hot labels. Bucket boundaries can split true dup pairs
+    (single-probe recall tradeoff, same as the ANN path)."""
+    from .similarity import cosine_expr, lsh_bucket_col
 
-    e = embeddings.select("vec_id", "label", "embedding")
+    e = embeddings.select(
+        "vec_id", "embedding", lsh_bucket_col("embedding", n_planes).alias("bucket")
+    )
     pairs = (
         e.alias("a")
-        .join(e.alias("b"), "label")
+        .join(e.alias("b"), "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),

@@ -68,6 +68,40 @@ def _hyperplane(dim: int, j: int) -> list[float]:
     return [(((j * 1009 + i * 9176) * 31 + 17) % 1997) / 998.5 - 1.0 for i in range(dim)]
 
 
+def lsh_bucket_col(emb: str, n_planes: int = 8, dim: int = 64) -> F.Column:
+    """Random-hyperplane sign-bit bucket id (0 .. 2^n_planes − 1) as a pure
+    fold expression — the shared blocking key for ANN search and embedding
+    near-dup blocking. Deterministic across engines (same fold order)."""
+    bits = []
+    for j in range(n_planes):
+        plane = _hyperplane(dim, j)
+        arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in plane)})"
+        d = F.expr(
+            f"aggregate(zip_with({emb}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_sql(emb: str = "embedding", n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`lsh_bucket_col` (list_sum over the same
+    per-element products — validated exact, scratch/parity_probe2.py)."""
+    terms = []
+    for j in range(n_planes):
+        plane = _hyperplane(dim, j)
+        arr = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST({emb}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -84,25 +118,12 @@ def lsh_bucket_ann(
     Recall < 1 by construction — multi-probe (flipping one bit) would
     raise it; kept single-probe for clarity.
     """
-    def bucket_col(emb: str) -> F.Column:
-        bits = []
-        for j in range(n_planes):
-            plane = _hyperplane(dim, j)
-            arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in plane)})"
-            d = F.expr(
-                f"aggregate(zip_with({emb}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
-                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            bits.append(F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("int")
-
-    corpus = embeddings.withColumn("bucket", bucket_col("embedding"))
+    corpus = embeddings.withColumn(
+        "bucket", lsh_bucket_col("embedding", n_planes, dim)
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).withColumn("bucket", bucket_col("q_emb"))
+    ).withColumn("bucket", lsh_bucket_col("q_emb", n_planes, dim))
     cand = corpus.join(F.broadcast(q), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     )

@@ -55,21 +55,42 @@ def save_json(cube: Cube, path: str) -> str:
     return path
 
 
+MAX_COLLECT_ROWS = 50_000_000  # driver-side grid guard (~400 MB of doubles)
+
+
 def _to_grid(cube: Cube) -> tuple[np.ndarray, dict]:
     """Collect a (bands, y, x) numpy grid (driver-side; images are small —
-    the reference collects through xarray the same way)."""
-    pdf = cube.df.toPandas()
-    bands = list(cube.schema.bands) or sorted(pdf[BAND].unique()) if BAND in pdf else ["value"]
-    ys = np.sort(pdf[Y].unique())[::-1]  # y stored descending
-    xs = np.sort(pdf[X].unique())
+    the reference collects through xarray the same way). A cube that still
+    carries a multi-step time axis (and no band axis) maps **time onto the
+    band axis** of the output, like the reference's GeoTIFF writer
+    (openeo_odc_driver.py:1693-1703); band+time together must be squeezed
+    by the caller first."""
+    pdf = cube.df.limit(MAX_COLLECT_ROWS + 1).toPandas()
+    if len(pdf) > MAX_COLLECT_ROWS:
+        raise ValueError(f"grid sink exceeds {MAX_COLLECT_ROWS} pixels; reduce first")
+    pdf = pdf.apply(lambda c: c.astype("float64") if c.dtype == object and c.name in (X, Y, VALUE) else c)
+    if BAND in pdf.columns:
+        axis_col, axis_vals = BAND, list(cube.schema.bands) or sorted(pdf[BAND].unique())
+    elif TIME in pdf.columns:
+        axis_vals = sorted(pdf[TIME].unique())
+        axis_col = TIME
+    else:
+        axis_col, axis_vals = None, ["value"]
+    ys = np.sort(pdf[Y].unique().astype("float64"))[::-1]  # y stored descending
+    xs = np.sort(pdf[X].unique().astype("float64"))
     yi = {v: i for i, v in enumerate(ys)}
     xi = {v: i for i, v in enumerate(xs)}
-    arr = np.full((len(bands), len(ys), len(xs)), np.nan)
-    bidx = {b: i for i, b in enumerate(bands)}
+    arr = np.full((len(axis_vals), len(ys), len(xs)), np.nan)
+    bidx = {b: i for i, b in enumerate(axis_vals)}
     for _, r in pdf.iterrows():
-        b = r[BAND] if BAND in pdf.columns else "value"
-        arr[bidx[b], yi[r[Y]], xi[r[X]]] = r[VALUE]
-    meta = {"bands": bands, "ys": ys.tolist(), "xs": xs.tolist(), "crs": cube.schema.crs}
+        b = r[axis_col] if axis_col else "value"
+        arr[bidx[b], yi[float(r[Y])], xi[float(r[X])]] = r[VALUE]
+    meta = {
+        "bands": [str(v) for v in axis_vals],
+        "ys": [float(v) for v in ys],
+        "xs": [float(v) for v in xs],
+        "crs": cube.schema.crs,
+    }
     return arr, meta
 
 

@@ -67,7 +67,14 @@ def _band_case(bands: tuple[str, ...], var: str = "b") -> str:
 
 
 def _value_sql(s: CubeSpec) -> str:
-    val = f"((b*{s.va} + ti*{s.vb} + yi*{s.vc} + xi*{s.vd}) % {s.vm}) / 8.0 - {s.vs}"
+    # CAST(... AS DOUBLE) in both dialects: Spark would otherwise emit
+    # DECIMAL for `x / 8.0` (bigint ÷ decimal literal). The dyadic values
+    # (k/8) are exact in both decimal and double, so the cast is lossless
+    # and both engines agree bit-for-bit.
+    val = (
+        f"CAST(((b*{s.va} + ti*{s.vb} + yi*{s.vc} + xi*{s.vd}) % {s.vm})"
+        f" / 8.0 - {s.vs} AS DOUBLE)"
+    )
     if s.vm == 2:  # mask cube: 0/1, no /8 scaling
         val = f"CAST((b*{s.va} + ti*{s.vb} + yi*{s.vc} + xi*{s.vd}) % 2 AS DOUBLE)"
     null_cond = f"(b*{s.na} + ti*{s.nb} + yi*{s.nc} + xi*{s.nd}) % {s.nm} = 0"
@@ -98,7 +105,8 @@ def cube_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb") -> str:
         )
     return (
         f"SELECT {_band_case(spec.bands)} AS band, {time_expr} AS time, "
-        f"150.0 - 10.0*yi AS y, 10.0*xi AS x, {_value_sql(spec)} AS value "
+        f"CAST(150.0 - 10.0*yi AS DOUBLE) AS y, "
+        f"CAST(10.0*xi AS DOUBLE) AS x, {_value_sql(spec)} AS value "
         f"FROM {from_clause}"
     )
 
@@ -121,13 +129,33 @@ def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
 LINEITEM_CUBE_SQL = """
 SELECT
   CASE l_linenumber % 3 WHEN 0 THEN 'B04' WHEN 1 THEN 'B08' ELSE 'SCL' END AS band,
-  date_trunc('month', l_shipdate) AS time,
-  150.0 - CAST(l_partkey % 16 AS DOUBLE) * 10.0 AS y,
-  CAST(l_suppkey % 16 AS DOUBLE) * 10.0 AS x,
+  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
+  CAST(150.0 - CAST(l_partkey % 16 AS DOUBLE) * 10.0 AS DOUBLE) AS y,
+  CAST(CAST(l_suppkey % 16 AS DOUBLE) * 10.0 AS DOUBLE) AS x,
   avg(l_quantity) AS value
 FROM lineitem
 GROUP BY 1, 2, 3, 4
 """
+
+
+def load_result(spark: SparkSession, path: str, schema: CubeSchema | None = None) -> Cube:
+    """Re-load a previous job's saved result as a cube
+    (openeo_odc_driver.py:1598-1609; parquet is our canonical NetCDF).
+    Partition columns written by save_parquet (`_month`) are dropped —
+    they are layout, not cube dimensions."""
+    df = spark.read.parquet(path)
+    if "_month" in df.columns:
+        df = df.drop("_month")
+    dims = tuple(d for d in ALL_DIMS if d in df.columns)
+    bands = schema.bands if schema else ()
+    if not bands and "band" in df.columns:
+        bands = tuple(
+            r[0] for r in df.select("band").distinct().orderBy("band").collect()
+        )
+    base = schema or CubeSchema(dims=dims, bands=bands)
+    from dataclasses import replace
+
+    return Cube(df.select(*dims, "value"), replace(base, dims=dims, bands=bands))
 
 
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> Cube:

@@ -53,12 +53,8 @@ def run_stream_to_memory(
     and return the materialized result. Uses the same ns→µs conversion as
     the batch loader."""
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(f"{sf_dir}")
-    )
-    # the sf dir holds all tables; keep only events columns by reading the
-    # single file via glob instead
+    # the sf dir holds all tables; the glob filter narrows the stream to
+    # the events file
     stream = (
         spark.readStream.schema(batch.schema)
         .format("parquet")
