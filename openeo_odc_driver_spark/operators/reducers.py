@@ -52,9 +52,12 @@ def variance_expr(col: str = VALUE) -> Column:
 
 
 def product_expr(col: str = VALUE) -> Column:
-    """Product aggregate via fold; skips NULLs like DuckDB product()."""
+    """Product aggregate via fold over the **sorted** value list; skips
+    NULLs. Sorting makes the fold order deterministic — collect_list order
+    follows partition order, which would make long products (whose rounding
+    is order-sensitive for non-dyadic inputs) unstable across runs."""
     return F.expr(
-        f"aggregate(collect_list({col}), CAST(1.0 AS DOUBLE), (a, v) -> a * v)"
+        f"aggregate(array_sort(collect_list({col})), CAST(1.0 AS DOUBLE), (a, v) -> a * v)"
     )
 
 

@@ -58,11 +58,13 @@ def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> C
     grid = target.schema.grid
     if grid is None:
         raise ValueError("target cube lacks a GridSpec")
-    snap_x = F.lit(grid.x0) + F.lit(grid.resx) * F.round(
-        (F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)
+    # floor(v + 0.5) instead of round(): engines disagree on round-half
+    # modes (HALF_UP vs half-to-even); floor+0.5 is identical everywhere
+    snap_x = F.lit(grid.x0) + F.lit(grid.resx) * F.floor(
+        (F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx) + F.lit(0.5)
     )
-    snap_y = F.lit(grid.y0) - F.lit(grid.resy) * F.round(
-        (F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)
+    snap_y = F.lit(grid.y0) - F.lit(grid.resy) * F.floor(
+        (F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy) + F.lit(0.5)
     )
     dist = (F.col(X) - snap_x) * (F.col(X) - snap_x) + (
         F.col(Y) - snap_y

@@ -27,8 +27,14 @@ SHINGLE_LEN = 12  # character shingles
 
 def md5_int_expr(col: str) -> str:
     """60-bit-safe 28-bit integer hash, identical SQL in Spark & DuckDB
-    modulo the hex-parse idiom (Spark: conv; DuckDB: '0x' cast)."""
+    modulo the hex-parse idiom (Spark: conv; DuckDB: '0x' cast —
+    :func:`md5_int_duck`). Validated exact: scratch/parity_probe2.py."""
     return f"CAST(conv(substring(md5({col}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def md5_int_duck(col: str) -> str:
+    """DuckDB twin of :func:`md5_int_expr`."""
+    return f"CAST(('0x' || substring(md5({col}), 1, 7)) AS BIGINT)"
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

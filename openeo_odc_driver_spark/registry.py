@@ -1,0 +1,897 @@
+"""Query registry: every implemented operator exposed as a
+``(spark_callable, oracle_sql)`` pair for the driver's correctness gate.
+
+Each entry runs the operator through the engine (Spark) and, when the
+semantics are ANSI-SQL-expressible, carries a DuckDB twin built to be
+**bit-identical**: identical expression structure (so IEEE rounding
+matches), dyadic-rational synthetic inputs (so sums/means are exact in
+any aggregation order), and validated dialect idioms
+(scratch/parity_probe*.py). Ops whose output is not SQL-expressible
+(generic curve fitting, streaming) register without an oracle — the
+driver records a rows-only check for those.
+
+Naming: every computed column is aliased identically in the Spark plan
+and the oracle SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .core.cube import BAND, TIME, VALUE, X, Y, Cube, CubeSchema, GridSpec
+from .functions.geometry import FIXTURE_POLYGONS, geom_id_case_sql
+from .functions.pivot import bands_wide
+from .operators import math as om
+from .operators.aggregates import (
+    aggregate_spatial,
+    aggregate_spatial_window,
+    aggregate_temporal_period,
+    anomaly,
+    climatological_normal,
+)
+from .operators.curve import fit_curve, fit_curve_linear, harmonic_model, linear_model, predict_curve
+from .operators.dimops import (
+    add_dimension,
+    array_element,
+    array_interpolate_linear,
+    drop_dimension,
+    rename_labels,
+)
+from .operators.filters import filter_bands, filter_bbox, filter_spatial, filter_temporal
+from .operators.kernel import apply_kernel, apply_kernel_tiled
+from .operators.mask import mask
+from .operators.merge import merge_cubes
+from .operators.reducers import quantiles, reduce_dimension
+from .operators.resample import resample_cube_spatial, resample_cube_temporal
+from .operators.udf import run_udf, run_udf_grouped
+from .sources.synthetic import (
+    DEFAULT_SPEC,
+    LINEITEM_CUBE_SQL,
+    MASK_SPEC,
+    SPEC_B_BANDS,
+    SPEC_B_TIMES,
+    SPEC_C,
+    CubeSpec,
+    cube_sql,
+    lineitem_cube,
+    load_result,
+    synthetic_cube,
+)
+from .sources.tables import load_table
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: Dict[str, str] = {}
+
+# DuckDB CTE text for each synthetic cube spec
+CUBE_D = cube_sql(DEFAULT_SPEC, "duckdb")
+CUBE_B_BANDS_D = cube_sql(SPEC_B_BANDS, "duckdb")
+CUBE_B_TIMES_D = cube_sql(SPEC_B_TIMES, "duckdb")
+CUBE_C_D = cube_sql(SPEC_C, "duckdb")
+CUBE_MASK_D = cube_sql(MASK_SPEC, "duckdb")
+
+GRID_IDX_D = (
+    "SELECT band, time, y, x, value, "
+    "CAST((150.0 - y) / 10.0 AS BIGINT) AS yi, "
+    "CAST((x - 0.0) / 10.0 AS BIGINT) AS xi FROM cube"
+)
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session confs the oracle parity depends on — set defensively at
+    query time because the driver owns the SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
+
+
+def q(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sources / scans (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+@q("load_collection_lineitem", f"WITH lineitem_cube AS ({LINEITEM_CUBE_SQL}) SELECT * FROM lineitem_cube")
+def _load_collection(spark, sf_dir):
+    """load_collection ≙ parquet scan + cube adapter (openeo_odc_driver.py:128-221)."""
+    return lineitem_cube(spark, sf_dir).df
+
+
+@q("synthetic_cube", CUBE_D)
+def _synth(spark, sf_dir):
+    return synthetic_cube(spark).df
+
+
+@q("load_result_roundtrip", CUBE_D)
+def _load_result(spark, sf_dir):
+    """save_result(parquet) → load_result round trip (openeo_odc_driver.py:1598-1609)."""
+    from .sinks.save import save_parquet
+
+    path = "/tmp/spark_graft_results/load_result_rt"
+    save_parquet(synthetic_cube(spark), path)
+    return load_result(spark, path).df.select(BAND, TIME, Y, X, VALUE)
+
+
+# ---------------------------------------------------------------------------
+# Filters (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q("filter_bands", f"WITH cube AS ({CUBE_D}) SELECT * FROM cube WHERE band IN ('B08', 'B04')")
+def _filter_bands(spark, sf_dir):
+    return filter_bands(synthetic_cube(spark), ["B08", "B04"]).df
+
+
+@q(
+    "filter_temporal",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    "WHERE time >= TIMESTAMP '2021-06-01' AND time < TIMESTAMP '2022-03-01'",
+)
+def _filter_temporal(spark, sf_dir):
+    return filter_temporal(synthetic_cube(spark), "2021-06-01", "2022-03-01").df
+
+
+@q(
+    "filter_bbox",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    "WHERE x BETWEEN 20.0 AND 90.0 AND y BETWEEN 30.0 AND 120.0",
+)
+def _filter_bbox(spark, sf_dir):
+    return filter_bbox(synthetic_cube(spark), 20.0, 90.0, 30.0, 120.0).df
+
+
+@q(
+    "filter_spatial",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube WHERE {geom_id_case_sql()} IS NOT NULL",
+)
+def _filter_spatial(spark, sf_dir):
+    return filter_spatial(synthetic_cube(spark), FIXTURE_POLYGONS).df
+
+
+_MASK_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), mc AS ({CUBE_MASK_D}), "
+    "m AS (SELECT time, y, x, min(value) AS mv FROM mc GROUP BY 1, 2, 3) "
+    "SELECT c.band, c.time, c.y, c.x, "
+    "CASE WHEN m.mv = 0 AND m.mv IS NOT NULL THEN c.value ELSE {repl} END AS value "
+    "FROM cube c LEFT JOIN m ON c.time = m.time AND c.y = m.y AND c.x = m.x"
+)
+
+
+@q("mask_nodata", _MASK_ORACLE.format(repl="NULL"))
+def _mask_nodata(spark, sf_dir):
+    return mask(synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC)).df
+
+
+@q("mask_replacement", _MASK_ORACLE.format(repl="-999.0"))
+def _mask_repl(spark, sf_dir):
+    return mask(
+        synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC), replacement=-999.0
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# Element-wise math / comparison / logic (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+# (name, column builder over `value`, identical-structure DuckDB expression)
+_MATH_OPS = [
+    ("add", lambda v: om.add_cols(v, 2.5), "value + 2.5"),
+    ("subtract", lambda v: om.subtract_cols(v, 1.25), "value - 1.25"),
+    ("multiply", lambda v: om.multiply_cols(v, 3.0), "value * 3.0"),
+    ("divide", lambda v: om.divide_cols(v, 4.0), "value / 4.0"),
+    ("sqrt", lambda v: om.sqrt_cols(om.absolute_cols(v)), "sqrt(abs(value))"),
+    ("power", lambda v: om.power_cols(v, 2.0), "power(value, 2.0)"),
+    ("absolute", lambda v: om.absolute_cols(v), "abs(value)"),
+    # Transcendentals are quantized to 7 decimals on BOTH sides: JVM libm
+    # (Math.log/Math.sin) and glibc differ by 1 ulp on ~2-10% of inputs;
+    # round(x, 7) yields bit-identical doubles in both engines (decimal
+    # quantization is exact in IEEE; boundary-straddle risk ~1e-9/row).
+    (
+        "ln",
+        lambda v: F.round(om.ln_cols(om.add_cols(om.absolute_cols(v), 1.0)), 7),
+        "round(ln(abs(value) + 1.0), 7)",
+    ),
+    (
+        "log",  # base-10 log as ln(x)/ln(base) — the reference's formula
+        lambda v: F.round(
+            om.log_cols(om.add_cols(om.absolute_cols(v), 1.0), 10.0), 7
+        ),
+        "round(ln(abs(value) + 1.0) / ln(10.0), 7)",
+    ),
+    ("sin", lambda v: F.round(om.sin_cols(v), 7), "round(sin(value), 7)"),
+    ("cos", lambda v: F.round(om.cos_cols(v), 7), "round(cos(value), 7)"),
+    ("pi_multiply", lambda v: om.multiply_cols(v, om.pi_col()), "value * pi()"),
+    ("lt", lambda v: om.lt_cols(v, 0.5), "value < 0.5"),
+    ("lte", lambda v: om.lte_cols(v, 0.5), "value <= 0.5"),
+    ("gt", lambda v: om.gt_cols(v, 0.5), "value > 0.5"),
+    ("gte", lambda v: om.gte_cols(v, 0.5), "value >= 0.5"),
+    ("eq", lambda v: om.eq_cols(v, 0.0), "value = 0.0"),
+    ("neq", lambda v: om.neq_cols(v, 0.0), "value != 0.0"),
+    ("not", lambda v: om.not_cols(om.gt_cols(v, 0.0)), "NOT (value > 0.0)"),
+    (
+        "and",
+        lambda v: om.and_cols(om.gt_cols(v, 0.0), om.lt_cols(v, 3.0)),
+        "(value > 0.0) AND (value < 3.0)",
+    ),
+    (
+        "or",
+        lambda v: om.or_cols(om.lt_cols(v, -3.0), om.gt_cols(v, 3.0)),
+        "(value < -3.0) OR (value > 3.0)",
+    ),
+    (
+        "clip",
+        lambda v: om.clip_cols(v, -2.0, 3.0),
+        "least(greatest(value, -2.0), 3.0)",
+    ),
+    (
+        "linear_scale_range",
+        lambda v: om.linear_scale_range_cols(v, -6.0, 6.125, 0.0, 100.0),
+        "(least(greatest(value, -6.0), 6.125) - (-6.0)) * 100.0 / 12.125 + 0.0",
+    ),
+    (
+        "if",
+        lambda v: om.if_cols(om.gt_cols(v, 0.0), v, -1.0),
+        "CASE WHEN (value > 0.0) IS NULL THEN NULL "
+        "WHEN value > 0.0 THEN value ELSE -1.0 END",
+    ),
+]
+
+
+def _register_math():
+    for name, builder, duck in _MATH_OPS:
+        oracle = f"WITH cube AS ({CUBE_D}) SELECT band, time, y, x, {duck} AS value FROM cube"
+
+        def fn(spark, sf_dir, _b=builder):
+            return om.apply_unary(synthetic_cube(spark), _b).df
+
+        q(name, oracle)(fn)
+
+
+_register_math()
+
+
+@q(
+    "add_cubes",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_C_D}) "
+    "SELECT c1.band, c1.time, c1.y, c1.x, c1.value + c2.value AS value "
+    "FROM c1 JOIN c2 ON c1.band = c2.band AND c1.time = c2.time "
+    "AND c1.y = c2.y AND c1.x = c2.x",
+)
+def _add_cubes(spark, sf_dir):
+    """cube ⊗ cube alignment: equi-join on the grid key (SURVEY §1.4)."""
+    return om.binary_cubes(
+        synthetic_cube(spark), synthetic_cube(spark, SPEC_C), om.add_cols
+    ).df
+
+
+@q(
+    "normalized_difference",
+    f"WITH cube AS ({CUBE_D}), "
+    "b08 AS (SELECT time, y, x, value FROM cube WHERE band = 'B08'), "
+    "b04 AS (SELECT time, y, x, value FROM cube WHERE band = 'B04') "
+    "SELECT b08.time, b08.y, b08.x, "
+    "(b08.value - b04.value) / nullif(b08.value + b04.value, 0.0) AS value "
+    "FROM b08 JOIN b04 ON b08.time = b04.time AND b08.y = b04.y AND b08.x = b04.x",
+)
+def _ndiff(spark, sf_dir):
+    c = synthetic_cube(spark)
+    return om.binary_cubes(
+        array_element(c, label="B08"),
+        array_element(c, label="B04"),
+        om.normalized_difference_cols,
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# Array-dimension ops (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@q(
+    "array_element_label",
+    f"WITH cube AS ({CUBE_D}) SELECT time, y, x, value FROM cube WHERE band = 'B08'",
+)
+def _array_element_label(spark, sf_dir):
+    return array_element(synthetic_cube(spark), label="B08").df
+
+
+@q(
+    "array_element_index",
+    f"WITH cube AS ({CUBE_D}) SELECT time, y, x, value FROM cube WHERE band = 'B08'",
+)
+def _array_element_index(spark, sf_dir):
+    return array_element(synthetic_cube(spark), index=1).df
+
+
+@q(
+    "add_dimension",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT 'NDVI' AS band, time, y, x, value FROM cube WHERE band = 'B08'",
+)
+def _add_dimension(spark, sf_dir):
+    return add_dimension(array_element(synthetic_cube(spark), label="B08"), "NDVI").df
+
+
+@q(
+    "rename_labels_bands",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT CASE band WHEN 'B04' THEN 'red' WHEN 'B08' THEN 'nir' END AS band, "
+    "time, y, x, value FROM cube WHERE band IN ('B04', 'B08')",
+)
+def _rename_labels(spark, sf_dir):
+    return rename_labels(
+        synthetic_cube(spark), "bands", ["red", "nir"], source=["B04", "B08"]
+    ).df
+
+
+_RL_TIME_TARGETS = [
+    f"2000-{m:02d}-01 00:00:00" for m in range(1, 13)
+] + [f"2001-{m:02d}-01 00:00:00" for m in range(1, 13)]
+_RL_TIME_LIST_D = "[" + ", ".join(f"'{t}'" for t in _RL_TIME_TARGETS) + "]"
+
+
+@q(
+    "rename_labels_time",
+    f"WITH cube AS ({CUBE_D}), "
+    "m AS (SELECT time, row_number() OVER (ORDER BY time) - 1 AS i "
+    "FROM (SELECT DISTINCT time FROM cube)) "
+    f"SELECT c.band, CAST({_RL_TIME_LIST_D}[m.i + 1] AS TIMESTAMP) AS time, "
+    "c.y, c.x, c.value FROM cube c JOIN m ON c.time = m.time",
+)
+def _rename_labels_time(spark, sf_dir):
+    return rename_labels(synthetic_cube(spark), "time", _RL_TIME_TARGETS).df
+
+
+@q(
+    "drop_dimension",
+    f"WITH cube AS ({CUBE_D}) SELECT time, y, x, value FROM cube WHERE band = 'B04'",
+)
+def _drop_dimension(spark, sf_dir):
+    return drop_dimension(filter_bands(synthetic_cube(spark), ["B04"]), "bands").df
+
+
+@q(
+    "array_interpolate_linear",
+    f"WITH cube AS ({CUBE_D}), w AS ("
+    "SELECT band, time, y, x, value, CAST(epoch_us(time) AS DOUBLE) AS c, "
+    "last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS) OVER fwd AS pv, "
+    "last_value(CASE WHEN value IS NOT NULL THEN CAST(epoch_us(time) AS DOUBLE) END IGNORE NULLS) OVER fwd AS pc, "
+    "last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS) OVER bwd AS nv, "
+    "last_value(CASE WHEN value IS NOT NULL THEN CAST(epoch_us(time) AS DOUBLE) END IGNORE NULLS) OVER bwd AS nc "
+    "FROM cube WINDOW "
+    "fwd AS (PARTITION BY band, y, x ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "bwd AS (PARTITION BY band, y, x ORDER BY time DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "SELECT band, time, y, x, "
+    "CASE WHEN value IS NOT NULL THEN value "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + ((c - pc) / (nc - pc)) * (nv - pv) "
+    "END AS value FROM w",
+)
+def _interp(spark, sf_dir):
+    return array_interpolate_linear(synthetic_cube(spark), "time").df
+
+
+# ---------------------------------------------------------------------------
+# Reducers (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+_SD_D = (
+    "CASE WHEN count(value) > 1 THEN "
+    "sqrt((sum(value * value) - sum(value) * sum(value) / count(value)) "
+    "/ (count(value) - 1)) END"
+)
+_VAR_D = (
+    "CASE WHEN count(value) > 1 THEN "
+    "(sum(value * value) - sum(value) * sum(value) / count(value)) "
+    "/ (count(value) - 1) END"
+)
+_PROD_D = (
+    "list_reduce(list_prepend(CAST(1.0 AS DOUBLE), "
+    "list_sort(list(value) FILTER (WHERE value IS NOT NULL))), (a, v) -> a * v)"
+)
+
+REDUCER_DUCK = {
+    "max": "max(value)",
+    "min": "min(value)",
+    "mean": "avg(value)",
+    "sum": "sum(value)",
+    "median": "quantile_cont(value, 0.5)",
+    "count": "count(value)",
+    "sd": _SD_D,
+    "variance": _VAR_D,
+    "product": _PROD_D,
+}
+
+
+def _register_reducers():
+    for red, duck in REDUCER_DUCK.items():
+        oracle = (
+            f"WITH cube AS ({CUBE_D}) "
+            f"SELECT band, y, x, {duck} AS value FROM cube GROUP BY band, y, x"
+        )
+
+        def fn(spark, sf_dir, _r=red):
+            return reduce_dimension(synthetic_cube(spark), "time", _r).df
+
+        q(f"reduce_time_{red}", oracle)(fn)
+
+    oracle_b = (
+        f"WITH cube AS ({CUBE_D}) "
+        "SELECT time, y, x, avg(value) AS value FROM cube GROUP BY time, y, x"
+    )
+
+    def fn_b(spark, sf_dir):
+        return reduce_dimension(synthetic_cube(spark), "bands", "mean").df
+
+    q("reduce_bands_mean", oracle_b)(fn_b)
+
+
+_register_reducers()
+
+_QPROBS = [0.25, 0.5, 0.75]
+_QPROBS_D = "[" + ", ".join(str(p) for p in _QPROBS) + "]"
+
+
+@q(
+    "quantiles",
+    f"WITH cube AS ({CUBE_D}), g AS ("
+    f"SELECT band, y, x, quantile_cont(value, {_QPROBS_D}) AS qs, "
+    f"{_QPROBS_D} AS ps FROM cube GROUP BY band, y, x) "
+    "SELECT band, y, x, qs[i] AS value, ps[i] AS prob "
+    f"FROM g, range(1, {len(_QPROBS) + 1}) r(i)",
+)
+def _quantiles(spark, sf_dir):
+    return quantiles(synthetic_cube(spark), "time", probabilities=_QPROBS).df
+
+
+@q(
+    "quantiles_q",
+    f"WITH cube AS ({CUBE_D}), g AS ("
+    "SELECT band, y, x, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs, "
+    "[0.25, 0.5, 0.75] AS ps FROM cube GROUP BY band, y, x) "
+    "SELECT band, y, x, qs[i] AS value, ps[i] AS prob FROM g, range(1, 4) r(i)",
+)
+def _quantiles_q(spark, sf_dir):
+    return quantiles(synthetic_cube(spark), "time", q=4).df
+
+
+# ---------------------------------------------------------------------------
+# Grouped / windowed aggregations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@q(
+    "aggregate_temporal_period_month",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, CAST(date_trunc('month', time) AS TIMESTAMP) AS time, "
+    "avg(value) AS value FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _atp_month(spark, sf_dir):
+    return aggregate_temporal_period(synthetic_cube(spark), "month", "mean").df
+
+
+@q(
+    "aggregate_temporal_period_season",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "
+    "max(value) AS value FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _atp_season(spark, sf_dir):
+    return aggregate_temporal_period(synthetic_cube(spark), "season", "max").df
+
+
+@q(
+    "aggregate_spatial_window",
+    f"WITH cube AS ({CUBE_D}), idx AS ({GRID_IDX_D}) "
+    "SELECT band, time, avg(y) AS y, avg(x) AS x, avg(value) AS value "
+    "FROM idx GROUP BY band, time, floor(yi / 4), floor(xi / 4)",
+)
+def _asw(spark, sf_dir):
+    return aggregate_spatial_window(synthetic_cube(spark), [4, 4], "mean").df
+
+
+@q(
+    "aggregate_spatial_window_trim",
+    f"WITH cube AS ({CUBE_D}), idx AS ({GRID_IDX_D}) "
+    "SELECT band, time, avg(y) AS y, avg(x) AS x, sum(value) AS value "
+    "FROM idx GROUP BY band, time, floor(yi / 5), floor(xi / 5) "
+    "HAVING count(*) = 25",
+)
+def _asw_trim(spark, sf_dir):
+    return aggregate_spatial_window(
+        synthetic_cube(spark), [5, 5], "sum", boundary="trim"
+    ).df
+
+
+@q(
+    "climatological_normal",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, CAST(month(time) AS INT) AS month, avg(value) AS value "
+    "FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _clim(spark, sf_dir):
+    return climatological_normal(synthetic_cube(spark)).df
+
+
+@q(
+    "anomaly",
+    f"WITH cube AS ({CUBE_D}), "
+    "norm AS (SELECT band, y, x, month(time) AS m, avg(value) AS nval "
+    "FROM cube GROUP BY 1, 2, 3, 4) "
+    "SELECT c.band, c.time, c.y, c.x, c.value - n.nval AS value "
+    "FROM cube c LEFT JOIN norm n ON c.band = n.band AND c.y = n.y "
+    "AND c.x = n.x AND month(c.time) = n.m",
+)
+def _anomaly(spark, sf_dir):
+    c = synthetic_cube(spark)
+    return anomaly(c, climatological_normal(c)).df
+
+
+_ZONAL_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), "
+    f"tagged AS (SELECT {geom_id_case_sql()} AS geom_id, band, time, value "
+    "FROM cube) "
+    "SELECT geom_id, band, time, {red} AS value FROM tagged "
+    "WHERE geom_id IS NOT NULL GROUP BY geom_id, band, time"
+)
+
+
+@q("aggregate_spatial_mean", _ZONAL_ORACLE.format(red="avg(value)"))
+def _zonal_mean(spark, sf_dir):
+    return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "mean").df
+
+
+@q("aggregate_spatial_median", _ZONAL_ORACLE.format(red="quantile_cont(value, 0.5)"))
+def _zonal_median(spark, sf_dir):
+    return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "median").df
+
+
+# 5-point Laplacian-ish kernel with dyadic weights (exact contributions)
+_KERNEL = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
+_KERNEL_FACTOR = 2.0
+_KERNEL_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), idx AS ({GRID_IDX_D}), "
+    "offs(dy, dx, w) AS (VALUES (-1, 0, 0.25), (0, -1, 0.25), (0, 0, -1.0), "
+    "(0, 1, 0.25), (1, 0, 0.25)), "
+    "contrib AS (SELECT band, time, yi + dy AS cy, xi + dx AS cx, "
+    "sum(value * w) AS conv FROM idx, offs WHERE value IS NOT NULL "
+    "GROUP BY 1, 2, 3, 4) "
+    "SELECT i.band, i.time, i.y, i.x, "
+    "CASE WHEN i.value IS NOT NULL THEN coalesce(c.conv, 0.0) * 2.0 END AS value "
+    "FROM idx i LEFT JOIN contrib c ON i.band = c.band AND i.time = c.time "
+    "AND i.yi = c.cy AND i.xi = c.cx"
+)
+
+
+@q("apply_kernel", _KERNEL_ORACLE)
+def _apply_kernel(spark, sf_dir):
+    return apply_kernel(synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR).df
+
+
+@q("apply_kernel_tiled", _KERNEL_ORACLE)
+def _apply_kernel_tiled(spark, sf_dir):
+    """Same semantics through the halo-tile strategy — parity between both
+    physical plans is itself part of the check."""
+    return apply_kernel_tiled(
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# Merge / resample (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "merge_cubes_bands",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_B_BANDS_D}) "
+    "SELECT * FROM c1 UNION ALL SELECT * FROM c2",
+)
+def _merge_bands(spark, sf_dir):
+    return merge_cubes(synthetic_cube(spark), synthetic_cube(spark, SPEC_B_BANDS)).df
+
+
+@q(
+    "merge_cubes_time",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_B_TIMES_D}) "
+    "SELECT * FROM c1 UNION ALL SELECT * FROM c2",
+)
+def _merge_time(spark, sf_dir):
+    return merge_cubes(
+        synthetic_cube(spark),
+        synthetic_cube(spark, SPEC_B_TIMES),
+        assume_disjoint=True,
+    ).df
+
+
+@q(
+    "merge_cubes_resolver",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_C_D}) "
+    "SELECT coalesce(c1.band, c2.band) AS band, "
+    "coalesce(c1.time, c2.time) AS time, "
+    "coalesce(c1.y, c2.y) AS y, coalesce(c1.x, c2.x) AS x, "
+    "CASE WHEN c1.value IS NULL THEN c2.value "
+    "WHEN c2.value IS NULL THEN c1.value "
+    "ELSE (c1.value + c2.value) / 2.0 END AS value "
+    "FROM c1 FULL OUTER JOIN c2 ON c1.band = c2.band AND c1.time = c2.time "
+    "AND c1.y = c2.y AND c1.x = c2.x",
+)
+def _merge_resolver(spark, sf_dir):
+    def resolver(v1: Column, v2: Column) -> Column:
+        return (
+            F.when(v1.isNull(), v2)
+            .when(v2.isNull(), v1)
+            .otherwise((v1 + v2) / F.lit(2.0))
+        )
+
+    return merge_cubes(
+        synthetic_cube(spark), synthetic_cube(spark, SPEC_C), overlap_resolver=resolver
+    ).df
+
+
+@q(
+    "resample_cube_temporal",
+    f"WITH src AS ({CUBE_D}), tgt AS ({CUBE_B_TIMES_D}), "
+    "st AS (SELECT DISTINCT time AS src_t FROM src), "
+    "tt AS (SELECT DISTINCT time AS tgt_t FROM tgt), "
+    "m AS (SELECT src_t, tgt_t FROM ("
+    "SELECT src_t, tgt_t, row_number() OVER (PARTITION BY tgt_t "
+    "ORDER BY abs(epoch_us(tgt_t) - epoch_us(src_t)), src_t) AS rn "
+    "FROM tt CROSS JOIN st) WHERE rn = 1) "
+    "SELECT s.band, m.tgt_t AS time, s.y, s.x, s.value "
+    "FROM src s JOIN m ON s.time = m.src_t",
+)
+def _resample_temporal(spark, sf_dir):
+    return resample_cube_temporal(
+        synthetic_cube(spark), synthetic_cube(spark, SPEC_B_TIMES)
+    ).df
+
+
+_COARSE_GRID = GridSpec(x0=0.0, y0=150.0, resx=20.0, resy=20.0)
+
+
+@q(
+    "resample_cube_spatial",
+    f"WITH cube AS ({CUBE_D}), snapped AS ("
+    "SELECT band, time, y, x, value, "
+    "0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5) AS sx, "
+    "150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5) AS sy, "
+    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) * (x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) "
+    "+ (y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) * (y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) AS d "
+    "FROM cube), r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY band, time, sx, sy ORDER BY d, x, y) AS rn FROM snapped) "
+    "SELECT band, time, sy AS y, sx AS x, value FROM r WHERE rn = 1",
+)
+def _resample_spatial(spark, sf_dir):
+    target = Cube(
+        synthetic_cube(spark).df,
+        CubeSchema(bands=DEFAULT_SPEC.bands, crs="EPSG:32632", grid=_COARSE_GRID),
+    )
+    return resample_cube_spatial(synthetic_cube(spark), target).df
+
+
+# ---------------------------------------------------------------------------
+# Curve fitting / UDF (SURVEY §2.9-2.10)
+# ---------------------------------------------------------------------------
+
+_FIT_STATS_D = (
+    f"WITH cube AS ({CUBE_D}), t0 AS (SELECT min(time) AS mt FROM cube), "
+    "td AS (SELECT band, y, x, value, "
+    "(epoch_us(time) - epoch_us(t0.mt)) / 86400000000.0 AS t FROM cube, t0), "
+    "s AS (SELECT band, y, x, count(value) AS n, "
+    "sum(CASE WHEN value IS NOT NULL THEN t END) AS st, sum(value) AS sv, "
+    "sum(t * value) AS stv, "
+    "sum(CASE WHEN value IS NOT NULL THEN t * t END) AS stt "
+    "FROM td GROUP BY band, y, x), "
+    "c AS (SELECT band, y, x, n, (n * stt - st * st) AS denom, "
+    "(n * stv - st * sv) / (n * stt - st * st) AS a1, st, sv FROM s) "
+    "SELECT band, y, x, "
+    "CASE WHEN n >= 4 AND denom != 0 THEN (sv - a1 * st) / n ELSE 0.0 END AS a0, "
+    "CASE WHEN n >= 4 AND denom != 0 THEN a1 ELSE 0.0 END AS a1 FROM c"
+)
+
+
+@q("fit_curve_linear", _FIT_STATS_D)
+def _fit_linear(spark, sf_dir):
+    p = fit_curve_linear(synthetic_cube(spark))
+    return p.df.select(
+        BAND,
+        Y,
+        X,
+        F.element_at("params", 1).alias("a0"),
+        F.element_at("params", 2).alias("a1"),
+    )
+
+
+@q(
+    "predict_curve_linear",
+    f"WITH params AS ({_FIT_STATS_D}), cube AS ({CUBE_D}), "
+    "tt AS (SELECT DISTINCT time FROM cube), "
+    "t0 AS (SELECT min(time) AS mt FROM cube) "
+    "SELECT p.band, tt.time, p.y, p.x, "
+    "p.a0 + p.a1 * ((epoch_us(tt.time) - epoch_us(t0.mt)) / 86400.0 / 1000000.0) AS value "
+    "FROM params p CROSS JOIN tt CROSS JOIN t0",
+)
+def _predict_linear(spark, sf_dir):
+    c = synthetic_cube(spark)
+    return predict_curve(fit_curve_linear(c), linear_model(), c).df
+
+
+@q("fit_curve_harmonic")  # no SQL twin: iterative nonlinear fit → rows-only check
+def _fit_harmonic(spark, sf_dir):
+    return fit_curve(synthetic_cube(spark), harmonic_model(), tile=16).df.select(
+        BAND, Y, X, F.element_at("params", 1).alias("a0")
+    )
+
+
+@q(
+    "run_udf",
+    f"WITH cube AS ({CUBE_D}) SELECT band, time, y, x, value * 2.0 AS value FROM cube",
+)
+def _run_udf(spark, sf_dir):
+    def udf(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] * 2.0
+        return pdf
+
+    return run_udf(synthetic_cube(spark), udf).df
+
+
+@q(
+    "run_udf_grouped",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, time, y, x, "
+    "value - min(value) OVER (PARTITION BY band, y, x) AS value FROM cube",
+)
+def _run_udf_grouped(spark, sf_dir):
+    def udf(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] - pdf["value"].min()
+        return pdf
+
+    return run_udf_grouped(synthetic_cube(spark), udf, [BAND, Y, X]).df
+
+
+# ---------------------------------------------------------------------------
+# Flagship + relational (bench headliners)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = (
+    f"WITH cube AS ({LINEITEM_CUBE_SQL}), wide AS ("
+    "SELECT time, y, x, max(CASE WHEN band = 'B04' THEN value END) AS b04, "
+    "max(CASE WHEN band = 'B08' THEN value END) AS b08 "
+    "FROM cube GROUP BY time, y, x) "
+    "SELECT y, x, quantile_cont((b08 - b04) / nullif(b08 + b04, 0.0), 0.5) "
+    "AS ndvi_median FROM wide GROUP BY y, x"
+)
+
+
+def flagship_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden query shape (NDVI_Bolzano_median.json):
+    load → per-pixel band arithmetic → median over time."""
+    _prep(spark)
+    cube = lineitem_cube(spark, sf_dir)
+    wide = bands_wide(cube, ["B04", "B08"])
+    ndvi = wide.withColumn(
+        "ndvi", om.normalized_difference_cols(F.col("B08"), F.col("B04"))
+    )
+    return ndvi.groupBy(Y, X).agg(
+        F.expr("percentile(ndvi, 0.5D)").alias("ndvi_median")
+    )
+
+
+QUERIES["flagship_ndvi"] = flagship_ndvi
+ORACLE["flagship_ndvi"] = _FLAGSHIP_ORACLE
+
+
+@q(
+    "tpch_q1",
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents, "
+    "sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) "
+    "AS sum_disc_cents, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def _tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape. Money sums go through round-to-cents BIGINT so the
+    aggregate is order-independent (raw double sums are not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+            ).alias("sum_base_cents"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+                    + 0.5
+                ).cast("bigint")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "orders_per_nation",
+    "SELECT n.n_name, count(*) AS n_orders, "
+    "sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def _orders_per_nation(spark, sf_dir):
+    """Star join: fact (orders) × dims (customer, nation) — the dims are
+    broadcast (Catalyst auto-broadcasts under the 10 MB default; at 100 TB
+    the explicit hint keeps it deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+
+
+@q(
+    "orders_topk_per_customer",
+    "SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM ("
+    "SELECT o_custkey, o_orderkey, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def _orders_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "events_hourly",
+    "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, "
+    "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+    "FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events) "
+    "GROUP BY 1, 2",
+)
+def _events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# pipeline-operator registrations (side-effect import, keeps this module
+# focused on the reference's cube surface)
+from . import registry_pipeline  # noqa: E402,F401

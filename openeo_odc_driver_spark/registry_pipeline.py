@@ -1,0 +1,354 @@
+"""Registry entries for the training-data-pipeline operators
+(dedup / similarity / text / multimodal / streaming) over the
+``documents`` and ``embeddings`` fixture tables.
+
+All oracle SQL reproduces the md5-based hash math bit-for-bit
+(pipeline/dedup.py docstring; validated scratch/parity_probe2.py).
+Imported by :mod:`registry` for its side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline import dedup as pdedup
+from .pipeline import similarity as psim
+from .pipeline import text as ptext
+from .pipeline.dedup import (
+    LSH_BANDS,
+    MH_AS,
+    MH_BS,
+    MH_PRIME,
+    MINHASH_K,
+    SHINGLE_LEN,
+    md5_int_duck,
+)
+from .pipeline.similarity import lsh_bucket_sql
+from .registry import ORACLE, QUERIES, q
+from .sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- shared DuckDB fragments ------------------------------------------------
+
+_SHINGLES_D = (
+    "list_distinct(list_transform("
+    f"generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)), "
+    f"i -> substring(text, i, {SHINGLE_LEN})))"
+)
+
+_MH_MINS_D = ", ".join(
+    f"min((h * {a} + {b}) % {MH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(zip(MH_AS, MH_BS))
+)
+
+# doc_id → mh0..mh11 signature CTE
+_SIG_CTE = (
+    f"sh AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh FROM documents), "
+    f"hh AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MH_MINS_D} FROM hh GROUP BY doc_id)"
+)
+
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+
+def _band_key_d(b: int) -> str:
+    parts = ", ".join(
+        f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return f"concat_ws('_', '{b}', {parts})"
+
+
+_BANDED_CTE = "banded AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {_band_key_d(b)} AS band_key FROM sig"
+    for b in range(LSH_BANDS)
+) + ")"
+
+_CAND_CTE = (
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM banded a JOIN banded b ON a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id)"
+)
+
+_EST_EXPR = (
+    "("
+    + " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    + f") / {float(MINHASH_K)}"
+)
+
+
+def _duck_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, b)}) / "
+        f"nullif(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}), 0.0)"
+    )
+
+
+# --- dedup ------------------------------------------------------------------
+
+@q(
+    "exact_dedup",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+    "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def _exact_dedup(spark, sf_dir):
+    return pdedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@q(
+    "minhash_signatures",
+    f"WITH {_SIG_CTE} SELECT * FROM sig",
+)
+def _minhash_signatures(spark, sf_dir):
+    sig = pdedup.minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(MINHASH_K)],
+    )
+
+
+@q(
+    "minhash_lsh_pairs",
+    f"WITH {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE} "
+    f"SELECT doc_a, doc_b, est_jaccard FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS est_jaccard "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est_jaccard >= 0.5",
+)
+def _minhash_lsh_pairs(spark, sf_dir):
+    return pdedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"WITH {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
+    f"lsh AS (SELECT doc_a, doc_b FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS est_jaccard "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est_jaccard >= 0.2), "
+    "shd AS (SELECT DISTINCT doc_id, sh FROM sh), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id), "
+    "inter AS (SELECT l.doc_a, l.doc_b, count(*) AS n_inter "
+    "FROM lsh l JOIN shd a ON a.doc_id = l.doc_a "
+    "JOIN shd b ON b.doc_id = l.doc_b AND b.sh = a.sh GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, jaccard FROM ("
+    "SELECT i.doc_a, i.doc_b, "
+    "i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard "
+    "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+    "JOIN sizes sb ON sb.doc_id = i.doc_b) WHERE jaccard >= 0.4",
+)
+def _ngram_jaccard(spark, sf_dir):
+    return pdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+_SIMHASH_BITS = 28
+_VOTES_D = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_FP_D = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+
+
+@q(
+    "simhash_fingerprints",
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+    f"hh AS (SELECT doc_id, {md5_int_duck('tok')} AS h FROM tok), "
+    f"v AS (SELECT doc_id, {_VOTES_D} FROM hh GROUP BY doc_id) "
+    f"SELECT doc_id, CAST({_FP_D} AS BIGINT) AS simhash FROM v",
+)
+def _simhash(spark, sf_dir):
+    return pdedup.simhash_fingerprints(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+# fixture embeddings have no true near-dups (max in-bucket cosine ≈ 0.45);
+# 0.3 exercises the full pipeline with a non-trivial result set
+_EMB_DUP_THRESHOLD = 0.3
+
+
+@q(
+    "embedding_cosine_dup_pairs",
+    f"WITH e AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding')} AS bucket "
+    "FROM embeddings) "
+    "SELECT vec_a, vec_b, cosine FROM ("
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    f"{_duck_cosine('a.embedding', 'b.embedding')} AS cosine "
+    "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+    f"WHERE cosine >= {_EMB_DUP_THRESHOLD}",
+)
+def _emb_dups(spark, sf_dir):
+    return pdedup.embedding_cosine_dup_pairs(
+        _embs(spark, sf_dir), threshold=_EMB_DUP_THRESHOLD
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+_TOPK_TAIL = (
+    "SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn "
+    "FROM scored) WHERE rn <= 5"
+)
+
+
+@q(
+    "brute_force_topk",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    f"{_duck_cosine('q.q_emb', 'e.embedding')} AS cosine "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id) "
+    + _TOPK_TAIL,
+)
+def _brute_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return psim.brute_force_topk(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@q(
+    "lsh_bucket_ann",
+    f"WITH c AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding')} AS bucket "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, "
+    f"{lsh_bucket_sql('embedding')} AS bucket FROM embeddings WHERE vec_id < 8), "
+    "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cosine('q.q_emb', 'c.embedding')} AS cosine "
+    "FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id) "
+    + _TOPK_TAIL,
+)
+def _lsh_ann(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return psim.lsh_bucket_ann(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+# --- text analysis ----------------------------------------------------------
+
+_NTOK_D = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)"
+
+
+@q(
+    "token_count",
+    f"SELECT doc_id, {_NTOK_D} AS n_tokens, "
+    "length(text) / 4.0 AS est_bpe_tokens FROM documents",
+)
+def _token_count(spark, sf_dir):
+    return ptext.token_count(_docs(spark, sf_dir))
+
+
+_STOP_ALL = "[" + ", ".join(
+    f"'{w}'" for ws in ptext.STOPWORDS.values() for w in ws
+) + "]"
+_PUNCT_D = (
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT)"
+)
+_STOPHITS_D = (
+    "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    f"t -> list_contains({_STOP_ALL}, t))) AS INT)"
+)
+
+
+@q(
+    "quality_score",
+    "SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len, "
+    "(CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END * (1.0 - punct_ratio)) "
+    "* least(stopword_ratio * 4 + 0.2, 1.0) AS quality FROM ("
+    f"SELECT doc_id, CAST(length(text) AS INT) AS n_chars, {_NTOK_D} AS n_tokens, "
+    f"{_PUNCT_D} / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio, "
+    f"{_STOPHITS_D} / nullif(CAST({_NTOK_D} AS DOUBLE), 0.0) AS stopword_ratio, "
+    f"(length(text) - {_NTOK_D} + 1) / nullif(CAST({_NTOK_D} AS DOUBLE), 0.0) "
+    "AS mean_word_len FROM documents)",
+)
+def _quality(spark, sf_dir):
+    return ptext.quality_score(_docs(spark, sf_dir))
+
+
+_LANGS = sorted(ptext.STOPWORDS)
+
+
+def _lang_score_d(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in ptext.STOPWORDS[lang]) + "]"
+    return (
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> list_contains({lst}, t))) AS INT) AS s_{lang}"
+    )
+
+
+_LANG_PRED_D = "CASE " + " ".join(
+    f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANGS
+) + " ELSE 'und' END"
+
+
+@q(
+    "lang_id",
+    "SELECT doc_id, lang_true, "
+    + _LANG_PRED_D
+    + " AS lang_pred FROM (SELECT doc_id, lang AS lang_true, "
+    + ", ".join(f"s_{lang}" for lang in _LANGS)
+    + ", greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ") AS best "
+    + "FROM (SELECT doc_id, lang, "
+    + ", ".join(_lang_score_d(lang) for lang in _LANGS)
+    + " FROM documents))",
+)
+def _lang_id(spark, sf_dir):
+    return ptext.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_true", "lang_pred"
+    )
+
+
+@q(
+    "doc_fingerprint",
+    "WITH g AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(length(text) - 7, 1)), "
+    "i -> substring(text, i, 8))) AS g FROM documents) "
+    f"SELECT doc_id, min({md5_int_duck('g')}) AS fingerprint FROM g GROUP BY doc_id",
+)
+def _fingerprint(spark, sf_dir):
+    return ptext.doc_fingerprint(_docs(spark, sf_dir), gram=8)
+
+
+# --- multimodal (stubbed decode; real Spark plumbing) -----------------------
+
+@q("multimodal_decode")  # no SQL twin: binary payloads + pandas-UDF decode
+def _multimodal(spark, sf_dir):
+    from .pipeline.multimodal import attach_fake_images, decode_image
+
+    docs = _docs(spark, sf_dir).limit(256)
+    return decode_image(attach_fake_images(docs), fake=True)
+
+
+# --- streaming --------------------------------------------------------------
+
+@q(
+    "streaming_tumbling_hourly",
+    "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+    "event_type, count(*) AS n "
+    "FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events) "
+    "GROUP BY 1, 2",
+)
+def _stream_tumbling(spark, sf_dir):
+    """A real Structured Streaming query (parquet stream → tumbling window
+    → memory sink), compared against the batch oracle — counts only, sums
+    of arbitrary doubles are not order-stable across engines."""
+    from .streaming.windows import run_stream_to_memory, tumbling_counts
+
+    out = run_stream_to_memory(spark, sf_dir, tumbling_counts, name="reg_tumbling")
+    return out.select("window_start", "event_type", "n")

@@ -57,6 +57,8 @@ DEFAULT_SPEC = CubeSpec()
 SPEC_B_BANDS = CubeSpec(bands=("B11", "B12"), va=11, vb=5, vc=23, vd=3, nm=29)
 # same bands, +3 day offset — resample_cube_temporal / overlap-resolver tests
 SPEC_B_TIMES = CubeSpec(day_offset=3, va=3, vb=17, vc=7, vd=29, nm=31)
+# same bands & times, different values — binary cube ops / overlap resolver
+SPEC_C = CubeSpec(va=11, vb=5, vc=23, vd=3, nm=29)
 # 1-band boolean-ish mask cube (FIXTURES.md A3): value in {0,1,NULL}
 MASK_SPEC = CubeSpec(bands=("mask",), vm=2, vs=0.0, nm=17)
 
