@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect) except inherently driver-side results (topk etc.) which
+are tiny.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: flagship cube query, relational, dedup, similarity, text,
+# streaming — the SF-scaled surfaces of the engine
+BENCH_QUERIES = [
+    "flagship_ndvi",
+    "tpch_q1",
+    "orders_per_nation",
+    "orders_topk_per_customer",
+    "events_hourly",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "quality_score",
+    "brute_force_topk",
+    "lsh_bucket_ann",
+    "embedding_cosine_dup_pairs",
+    "reduce_time_median",
+    "apply_kernel",
+    "streaming_tumbling_hourly",
+]
+
+
+def main() -> None:
+    from openeo_odc_driver_spark.registry import QUERIES
+    from openeo_odc_driver_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # one tiny warmup action so JVM/codegen startup isn't billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    sf = None
+    for tok in SF_DIR.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

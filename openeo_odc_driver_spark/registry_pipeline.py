@@ -224,12 +224,17 @@ def _brute_topk(spark, sf_dir):
     return psim.brute_force_topk(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+_PROBE_MASKS = "[" + ", ".join(str(m) for m in [0] + [2 ** j for j in range(8)]) + "]"
+
+
 @q(
     "lsh_bucket_ann",
     f"WITH c AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding')} AS bucket "
     "FROM embeddings), "
-    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, "
-    f"{lsh_bucket_sql('embedding')} AS bucket FROM embeddings WHERE vec_id < 8), "
+    "q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, "
+    f"{lsh_bucket_sql('embedding')} AS b0 FROM embeddings WHERE vec_id < 8), "
+    f"q AS (SELECT query_id, q_emb, xor(b0, m) AS bucket "
+    f"FROM q0, unnest({_PROBE_MASKS}) t(m)), "
     "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
     f"{_duck_cosine('q.q_emb', 'c.embedding')} AS cosine "
     "FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id) "

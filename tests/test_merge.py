@@ -1,0 +1,70 @@
+"""merge_cubes decision table (ref openeo_odc_driver.py:1134-1291)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_odc_driver_spark.operators.merge import merge_cubes
+from openeo_odc_driver_spark.sources.synthetic import (
+    CubeSpec,
+    SPEC_B_BANDS,
+    SPEC_B_TIMES,
+    SPEC_C,
+    synthetic_cube,
+)
+
+SMALL = CubeSpec(n_times=4, ny=4, nx=4)
+SMALL_B_BANDS = CubeSpec(bands=("B11", "B12"), n_times=4, ny=4, nx=4, va=11)
+SMALL_B_TIMES = CubeSpec(n_times=4, ny=4, nx=4, day_offset=3, va=3)
+SMALL_C = CubeSpec(n_times=4, ny=4, nx=4, va=11, vb=5, nm=29)
+
+
+def test_case1_disjoint_bands_concat(spark):
+    c1 = synthetic_cube(spark, SMALL)
+    c2 = synthetic_cube(spark, SMALL_B_BANDS)
+    out = merge_cubes(c1, c2)
+    assert out.df.count() == c1.df.count() + c2.df.count()
+    assert out.schema.bands == ("B04", "B08", "SCL", "B11", "B12")
+    # no shuffle: union plan
+    assert "Union" in out.df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_case2_disjoint_times_concat(spark):
+    c1 = synthetic_cube(spark, SMALL)
+    c2 = synthetic_cube(spark, SMALL_B_TIMES)
+    out = merge_cubes(c1, c2)  # exercises the key-overlap probe
+    assert out.df.count() == c1.df.count() + c2.df.count()
+
+
+def test_case3_overlap_needs_resolver(spark):
+    c1 = synthetic_cube(spark, SMALL)
+    c2 = synthetic_cube(spark, SMALL_C)
+    with pytest.raises(ValueError, match="overlap_resolver"):
+        merge_cubes(c1, c2)
+    out = merge_cubes(
+        c1, c2, overlap_resolver=lambda a, b: F.coalesce(a, b)
+    )
+    # full outer on identical key sets keeps the grid size
+    assert out.df.count() == c1.df.count()
+
+
+def test_case4_partial_band_overlap_unsupported(spark):
+    c1 = synthetic_cube(spark, SMALL)
+    c2 = synthetic_cube(spark, CubeSpec(bands=("B04", "B11"), n_times=4, ny=4, nx=4))
+    with pytest.raises(ValueError, match="partially"):
+        merge_cubes(c1, c2)
+
+
+def test_case5_resolver_sees_null_partner(spark):
+    """Where only one side has a key, the resolver gets a NULL partner."""
+    c1 = synthetic_cube(spark, SMALL)
+    c2_df = synthetic_cube(spark, SMALL_C).df.where(F.col("x") < 20.0)
+    from openeo_odc_driver_spark.core.cube import Cube
+
+    c2 = Cube(c2_df, synthetic_cube(spark, SMALL_C).schema)
+    out = merge_cubes(
+        c1,
+        c2,
+        overlap_resolver=lambda a, b: F.when(b.isNull(), F.lit(-777.0)).otherwise(b),
+    )
+    rows = out.df.where(F.col("x") >= 20.0).select("value").distinct().collect()
+    assert {r.value for r in rows} == {-777.0}

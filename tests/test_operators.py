@@ -1,0 +1,110 @@
+"""Filter / mask / dimop semantics from the reference's decision tables."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_odc_driver_spark.core.cube import Cube
+from openeo_odc_driver_spark.operators.dimops import (
+    array_element,
+    array_interpolate_linear,
+    rename_labels,
+)
+from openeo_odc_driver_spark.operators.filters import filter_temporal
+from openeo_odc_driver_spark.operators.mask import mask
+from openeo_odc_driver_spark.operators.math import apply_unary, divide_cols, if_cols
+from openeo_odc_driver_spark.sources.synthetic import CubeSpec, synthetic_cube
+
+SMALL = CubeSpec(n_times=6, ny=4, nx=4)
+
+
+def test_filter_temporal_end_exclusive(spark):
+    """ref load_odc_collection.py:78-79: end date minus 1 ms ⇒ half-open."""
+    c = synthetic_cube(spark, SMALL)
+    out = filter_temporal(c, "2021-01-01", "2021-03-01")
+    times = {r.time for r in out.df.select("time").distinct().collect()}
+    assert times == {
+        datetime.datetime(2021, 1, 1),
+        datetime.datetime(2021, 2, 1),
+    }  # 2021-03-01 excluded
+
+
+def test_mask_nan_semantics(spark):
+    """ref openeo_odc_driver.py:1339-1352: NULL mask pixels mask data out
+    (np.logical_not(nan) is falsy); mask==1 masks; mask==0 keeps."""
+    mask_spec = CubeSpec(bands=("mask",), n_times=6, ny=4, nx=4, vm=2, vs=0.0)
+    c = synthetic_cube(spark, SMALL)
+    m = synthetic_cube(spark, mask_spec)
+    out = mask(c, m, replacement=-9.0)
+    joined = (
+        out.df.withColumnRenamed("value", "masked")
+        .join(m.df.select("time", "y", "x", F.col("value").alias("mv")), ["time", "y", "x"])
+        .join(c.df.select("band", "time", "y", "x", F.col("value").alias("orig")),
+              ["band", "time", "y", "x"])
+    )
+    bad = joined.where(
+        (
+            (F.col("mv") == 0)
+            & F.col("mv").isNotNull()
+            & ~(
+                (F.col("masked") == F.col("orig"))
+                | (F.col("masked").isNull() & F.col("orig").isNull())
+            )
+        )
+        | ((F.col("mv").isNull() | (F.col("mv") != 0)) & (F.col("masked") != -9.0))
+    ).count()
+    assert bad == 0
+
+
+def test_if_null_condition_poisons(spark):
+    """ref openeo_odc_driver.py:1294-1316: NaN condition → NaN result."""
+    c = synthetic_cube(spark, SMALL)
+    out = apply_unary(c, lambda v: if_cols(v > 0, 1.0, 0.0))
+    n_null_in = c.df.where(F.col("value").isNull()).count()
+    n_null_out = out.df.where(F.col("value").isNull()).count()
+    assert n_null_in == n_null_out > 0
+
+
+def test_divide_by_scalar_zero_raises(spark):
+    with pytest.raises(ZeroDivisionError):
+        divide_cols(F.col("value"), 0)
+
+
+def test_array_element_bad_index(spark):
+    c = synthetic_cube(spark, SMALL)
+    with pytest.raises(ValueError, match="ArrayElementNotAvailable"):
+        array_element(c, index=7)
+
+
+def test_rename_labels_length_mismatch(spark):
+    c = synthetic_cube(spark, SMALL)
+    with pytest.raises(ValueError, match="LabelMismatch"):
+        rename_labels(c, "bands", ["a", "b"], source=["B04"])
+    with pytest.raises(ValueError, match="LabelMismatch"):
+        rename_labels(c, "time", ["2000-01-01"])  # 6 times vs 1 target
+
+
+def test_interpolate_interior_only(spark):
+    """xarray interpolate_na default: ends stay NULL, interior gaps fill
+    linearly (ref openeo_odc_driver.py:1326-1337)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "band": ["B"] * 5,
+            "time": pd.to_datetime(
+                ["2021-01-01", "2021-01-02", "2021-01-03", "2021-01-04", "2021-01-05"]
+            ),
+            "y": [0.0] * 5,
+            "x": [0.0] * 5,
+            "value": [None, 1.0, None, 3.0, None],
+        }
+    )
+    cube = Cube(spark.createDataFrame(pdf))
+    out = array_interpolate_linear(cube, "time")
+    vals = {
+        r.time.day: r.value for r in out.df.orderBy("time").collect()
+    }
+    assert vals[1] is None and vals[5] is None  # ends not extrapolated
+    assert vals[3] == pytest.approx(2.0)  # midpoint of 1.0 and 3.0

@@ -1,0 +1,92 @@
+"""Dedup / similarity / text operators: planted-duplicate recovery and
+recall sanity (SURVEY.md north-star extensions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_odc_driver_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from openeo_odc_driver_spark.pipeline.similarity import brute_force_topk, lsh_bucket_ann
+from openeo_odc_driver_spark.pipeline.text import lang_id, quality_score, token_count
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "where tall trees grow and rivers flow quietly under the morning sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),  # exact dup of 0
+        (2, BASE.replace("quick", "swift"), "en", "s", len(BASE)),  # near dup
+        (3, "der hund läuft und die katze ist das tier", "de", "s", 42),
+        (4, "completely different text about spark query engines and columnar formats", "en", "s", 73),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_groups_identical(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+
+
+def test_lsh_finds_planted_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (0, 1) in pairs  # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most shingles
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_on_lsh_candidates(spark, docs):
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)  # identical docs
+    near = out.get((0, 2)) or out.get((1, 2))
+    assert near is not None and 0.3 <= near < 1.0
+
+
+def test_simhash_near_dups_close_in_hamming(spark, docs):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    ham = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[4]).count("1")
+    assert ham < ham_far
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """Single-probe LSH ANN: whatever it returns must agree with brute
+    force cosines, and recall@5 should be well above random."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_bucket_ann(emb, q, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    n_corpus = emb.count()
+    assert recall > 0.2  # single-probe; >> random (5/n)
+    assert recall > 25 / n_corpus
+
+
+def test_text_ops(spark, docs):
+    tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    assert tc[0] == len(BASE.split())
+    qs = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in qs.values())
+    li = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert li[0] == "en" and li[3] == "de"
