@@ -1,0 +1,325 @@
+"""openEO process-graph planner: JSON graph → one lazy Spark plan.
+
+The reference interprets graphs node-at-a-time into a results dict
+(``ProcessOpeneoGraph.process_node``, openeo_odc_driver.py:122-1840,
+topo-sorted at :90). Here each node builds a *lazy* DataFrame/Column —
+the whole graph collapses into a single Catalyst plan and Spark executes
+the fused DAG at ``save_result`` (SURVEY §3.1 "Spark equivalent").
+
+Node resolution is recursive with memoization (`from_node` edges), which
+is the topological order without materializing it. Reducer sub-graphs
+(`from_parameter`) compile in one of two modes, mirroring the reference's
+split (:594-618 vs :710-850):
+
+- **band reducer with an arithmetic sub-graph** (the NDVI shape): bands
+  pivot wide (one conditional-agg shuffle) and the sub-graph compiles to
+  a single Column expression — `array_element(label)` becomes the pivoted
+  band column; whole-stage codegen fuses the arithmetic into the pivot.
+- **named reducer over any dimension**: dispatches to
+  ``reducers.reduce_dimension`` (groupBy-agg).
+
+Optimizer pre-pass: ``resample_spatial`` nodes push their target
+resolution into the upstream ``load_collection`` scan and become no-ops,
+mirroring the reference's only rewrite rule (:175-202, 223-225).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..core.cube import BAND, TIME, VALUE, X, Y, Cube, GridSpec, canonical_dim
+from ..functions.pivot import bands_wide
+from ..operators import math as om
+from ..operators.aggregates import aggregate_spatial, aggregate_temporal_period
+from ..operators.dimops import add_dimension, rename_labels
+from ..operators.filters import filter_bands, filter_bbox, filter_temporal
+from ..operators.kernel import apply_kernel
+from ..operators.mask import mask as mask_op
+from ..operators.merge import merge_cubes
+from ..operators.reducers import REDUCERS, reduce_dimension
+from ..operators.resample import resample_cube_spatial, resample_cube_temporal
+from .catalog import load_collection_cube
+
+# element-wise process_id → Column builder (SURVEY §2.4)
+_BINARY = {
+    "add": om.add_cols,
+    "subtract": om.subtract_cols,
+    "multiply": om.multiply_cols,
+    "divide": om.divide_cols,
+    "power": om.power_cols,
+    "log": om.log_cols,
+    "lt": om.lt_cols,
+    "lte": om.lte_cols,
+    "gt": om.gt_cols,
+    "gte": om.gte_cols,
+    "eq": om.eq_cols,
+    "neq": om.neq_cols,
+    "and": om.and_cols,
+    "or": om.or_cols,
+    "normalized_difference": om.normalized_difference_cols,
+}
+_UNARY = {
+    "not": om.not_cols,
+    "sqrt": om.sqrt_cols,
+    "absolute": om.absolute_cols,
+    "ln": om.ln_cols,
+    "sin": om.sin_cols,
+    "cos": om.cos_cols,
+}
+
+
+class ProcessGraph:
+    """Executable plan for one openEO process graph."""
+
+    def __init__(self, graph: dict, sf_dir: Optional[str] = None,
+                 save_dir: str = "/tmp/spark_graft_results"):
+        self.nodes: Dict[str, dict] = dict(graph["process_graph"]
+                                           if "process_graph" in graph else graph)
+        self.sf_dir = sf_dir
+        self.save_dir = save_dir
+        self.result_node = next(
+            (nid for nid, n in self.nodes.items() if n.get("result")), None
+        )
+        if self.result_node is None:
+            raise ValueError("process graph has no result node")
+        self._pushdown_resample()
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "ProcessGraph":
+        with open(path) as f:
+            return cls(json.load(f), **kw)
+
+    # --- optimizer pre-pass -------------------------------------------------
+
+    def _pushdown_resample(self) -> None:
+        """Fold resample_spatial into the upstream load_collection scan
+        (ref openeo_odc_driver.py:175-202): the load gains a
+        `_target_resolution` option and the node becomes identity."""
+        for nid, node in self.nodes.items():
+            if node["process_id"] != "resample_spatial":
+                continue
+            cur = node["arguments"].get("data", {}).get("from_node")
+            while cur is not None:
+                up = self.nodes[cur]
+                if up["process_id"] == "load_collection":
+                    up["arguments"]["_target_resolution"] = node["arguments"].get(
+                        "resolution"
+                    )
+                    up["arguments"]["_resample_method"] = node["arguments"].get(
+                        "method", "near"
+                    )
+                    node["_noop"] = True
+                    break
+                cur = up["arguments"].get("data", {}).get("from_node")
+
+    # --- execution ----------------------------------------------------------
+
+    def execute(self, spark: SparkSession):
+        """Build the full lazy plan; runs the terminal save_result (if any)
+        and returns the result cube."""
+        self._memo: Dict[str, Any] = {}
+        self._spark = spark
+        return self._node(self.result_node)
+
+    def _node(self, nid: str):
+        if nid in self._memo:
+            return self._memo[nid]
+        node = self.nodes[nid]
+        out = self._dispatch(node["process_id"], node.get("arguments", {}), node)
+        self._memo[nid] = out
+        return out
+
+    def _resolve(self, v: Any):
+        """Resolve an argument: from_node edge, scalar, or passthrough."""
+        if isinstance(v, dict) and "from_node" in v:
+            return self._node(v["from_node"])
+        return v
+
+    def _dispatch(self, pid: str, args: dict, node: dict):
+        spark = self._spark
+        if node.get("_noop") or pid == "resample_spatial":
+            return self._resolve(args["data"])
+
+        if pid == "load_collection":
+            cube = load_collection_cube(spark, args["id"], self.sf_dir)
+            te = args.get("temporal_extent")
+            if te:
+                cube = filter_temporal(cube, str(te[0])[:19], str(te[1])[:19])
+            se = args.get("spatial_extent")
+            if se:
+                cube = filter_bbox(
+                    cube, se["west"], se["east"], se["south"], se["north"]
+                )
+            bands = args.get("bands")
+            if bands:
+                cube = filter_bands(cube, bands)
+            res = args.get("_target_resolution")
+            if res:
+                from dataclasses import replace
+
+                g = cube.schema.grid
+                target = Cube(
+                    cube.df,
+                    replace(cube.schema,
+                            grid=GridSpec(g.x0, g.y0, float(res), float(res))),
+                )
+                cube = resample_cube_spatial(cube, target,
+                                             args.get("_resample_method", "near"))
+            return cube
+
+        if pid == "save_result":
+            from ..sinks.save import save_result
+
+            cube = self._resolve(args["data"])
+            fmt = args.get("format", "PARQUET")
+            import os
+
+            os.makedirs(self.save_dir, exist_ok=True)
+            save_result(cube, f"{self.save_dir}/{self.result_node}", fmt)
+            return cube
+
+        if pid == "reduce_dimension":
+            cube: Cube = self._resolve(args["data"])
+            dim = canonical_dim(args["dimension"])
+            child = args["reducer"]["process_graph"]
+            named = _single_named_reducer(child)
+            if named is not None:
+                return reduce_dimension(cube, dim, named)
+            if dim == BAND:
+                return _reduce_bands_expression(cube, child)
+            raise NotImplementedError(
+                f"expression reducer over {dim!r} (only bands supported)"
+            )
+
+        if pid == "apply":
+            cube = self._resolve(args["data"])
+            child = args["process"]["process_graph"]
+            expr = _compile_expr(child, {"x": F.col(VALUE), "data": F.col(VALUE)})
+            return cube.with_df(cube.df.withColumn(VALUE, expr))
+
+        if pid == "filter_bands":
+            return filter_bands(self._resolve(args["data"]), args["bands"])
+        if pid == "filter_temporal":
+            ext = args.get("extent") or [args.get("start"), args.get("end")]
+            return filter_temporal(self._resolve(args["data"]),
+                                   str(ext[0])[:19], str(ext[1])[:19])
+        if pid == "filter_bbox":
+            e = args.get("extent", args)
+            return filter_bbox(self._resolve(args["data"]),
+                               e["west"], e["east"], e["south"], e["north"])
+        if pid == "mask":
+            return mask_op(self._resolve(args["data"]),
+                           self._resolve(args["mask"]),
+                           args.get("replacement"))
+        if pid == "merge_cubes":
+            return merge_cubes(self._resolve(args["cube1"]),
+                               self._resolve(args["cube2"]))
+        if pid == "aggregate_temporal_period":
+            child = args["reducer"]["process_graph"]
+            named = _single_named_reducer(child)
+            return aggregate_temporal_period(self._resolve(args["data"]),
+                                             args["period"], named)
+        if pid == "apply_kernel":
+            return apply_kernel(self._resolve(args["data"]), args["kernel"],
+                                factor=args.get("factor", 1.0))
+        if pid == "resample_cube_temporal":
+            return resample_cube_temporal(self._resolve(args["data"]),
+                                          self._resolve(args["target"]))
+        if pid == "add_dimension":
+            return add_dimension(self._resolve(args["data"]),
+                                 args.get("label", args.get("name", "band")))
+        if pid == "rename_labels":
+            return rename_labels(self._resolve(args["data"]), args["dimension"],
+                                 args["target"], args.get("source"))
+
+        raise NotImplementedError(f"process_id {pid!r} not supported by planner")
+
+
+def _single_named_reducer(child: dict) -> Optional[str]:
+    """A sub-graph that is exactly one named reducer node over
+    from_parameter data → its name (ref tag-string folding,
+    openeo_odc_driver.py:535,558,723,751,780,809,837)."""
+    if len(child) != 1:
+        return None
+    node = next(iter(child.values()))
+    pid = node["process_id"]
+    return pid if pid in REDUCERS else None
+
+
+def _reduce_bands_expression(cube: Cube, child: dict) -> Cube:
+    """Compile an arithmetic band-reducer sub-graph over the wide pivot."""
+    wide = bands_wide(cube)
+    group = [d for d in cube.key_dims if d != BAND]
+
+    def band_col(args: dict) -> Column:
+        label = args.get("label")
+        if label is None:
+            label = cube.schema.bands[int(args["index"])]
+        return F.col(label)
+
+    expr = _compile_expr(child, {"data": band_col})
+    out = wide.select(*group, expr.alias(VALUE))
+    return Cube(out, cube.schema.drop(BAND).with_bands(()))
+
+
+def _compile_expr(child: dict, params: Dict[str, Any]) -> Column:
+    """Compile a scalar sub-graph into one Column expression (replaces the
+    reference's Python-string codegen + exec, openeo_odc_driver.py:228-278,
+    1530 — expressions stay JVM-side, Catalyst folds constants)."""
+    memo: Dict[str, Column] = {}
+    result_id = next(
+        (nid for nid, n in child.items() if n.get("result")), None
+    ) or next(reversed(child))
+
+    def resolve(v: Any, node_args: dict) -> Any:
+        if isinstance(v, dict) and "from_node" in v:
+            return build(v["from_node"])
+        if isinstance(v, dict) and "from_parameter" in v:
+            p = params[v["from_parameter"]]
+            if callable(p) and not isinstance(p, Column):
+                return p(node_args)
+            return p
+        return v
+
+    def build(nid: str) -> Column:
+        if nid in memo:
+            return memo[nid]
+        node = child[nid]
+        pid = node["process_id"]
+        args = node.get("arguments", {})
+        if pid == "array_element":
+            p = params["data"]
+            col = p(args) if callable(p) and not isinstance(p, Column) else p
+        elif pid in _BINARY:
+            x, y = (args.get("x"), args.get("y"))
+            if pid == "power":
+                x, y = args.get("base"), args.get("p")
+            if pid == "log":
+                x, y = args.get("x"), args.get("base", 10.0)
+            col = _BINARY[pid](resolve(x, args), resolve(y, args))
+        elif pid in _UNARY:
+            col = _UNARY[pid](resolve(args.get("x", args.get("data")), args))
+        elif pid == "pi":
+            col = om.pi_col()
+        elif pid == "clip":
+            col = om.clip_cols(resolve(args.get("x"), args),
+                               args.get("min", 0.0), args.get("max", 1.0))
+        elif pid == "linear_scale_range":
+            col = om.linear_scale_range_cols(
+                resolve(args.get("x"), args),
+                args["inputMin"], args["inputMax"],
+                args.get("outputMin", 0.0), args.get("outputMax", 1.0),
+            )
+        elif pid == "if":
+            col = om.if_cols(resolve(args.get("value"), args),
+                             resolve(args.get("accept"), args),
+                             resolve(args.get("reject"), args))
+        else:
+            raise NotImplementedError(f"expression op {pid!r}")
+        memo[nid] = col
+        return col
+
+    return build(result_id)

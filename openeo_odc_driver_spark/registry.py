@@ -892,6 +892,82 @@ def _events_hourly(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Process-graph planner (SURVEY §3.1 / M1): full JSON graph → one Spark plan
+# ---------------------------------------------------------------------------
+
+_PG_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__))),
+    "tests", "process_graphs",
+)
+
+
+def _s2_duck() -> str:
+    from .plans.catalog import collection_duck_sql
+
+    return collection_duck_sql("s2_l2a")
+
+
+_PG_NDVI_ORACLE_TMPL = (
+    "WITH cube AS ({s2}), f AS (SELECT * FROM cube "
+    "WHERE time >= TIMESTAMP '2022-06-01 00:00:00' "
+    "AND time < TIMESTAMP '2022-06-30 23:59:59' "
+    "AND x BETWEEN 11.283402372420943 AND 11.40672146557741 "
+    "AND y BETWEEN 46.45584062149402 AND 46.52154308303503 "
+    "AND band IN ('B04', 'B08')), "
+    "wide AS (SELECT time, y, x, "
+    "max(CASE WHEN band = 'B04' THEN value END) AS b04, "
+    "max(CASE WHEN band = 'B08' THEN value END) AS b08 FROM f GROUP BY 1, 2, 3) "
+    "SELECT y, x, quantile_cont((b08 - b04) / (b08 + b04), 0.5) AS value "
+    "FROM wide GROUP BY y, x"
+)
+
+
+def _pg_ndvi(spark, sf_dir):
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(f"{_PG_DIR}/ndvi_median.json",
+                                save_dir="/tmp/spark_graft_results/pg_ndvi")
+    return pg.execute(spark).df
+
+
+def _pg_pushdown(spark, sf_dir):
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(f"{_PG_DIR}/resample_pushdown.json",
+                                save_dir="/tmp/spark_graft_results/pg_push")
+    return pg.execute(spark).df
+
+
+_SNAP20 = (
+    "SELECT band, time, y, x, value, "
+    "0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5) AS sx, "
+    "150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5) AS sy, "
+    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) * "
+    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) "
+    "+ (y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) * "
+    "(y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) AS d FROM cube"
+)
+
+_PG_PUSHDOWN_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), snapped AS ({_SNAP20}), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY band, time, sx, sy ORDER BY d, x, y) AS rn FROM snapped), "
+    "coarse AS (SELECT band, time, sy AS y, sx AS x, value FROM r WHERE rn = 1) "
+    "SELECT band, y, x, quantile_cont(value, 0.5) AS value "
+    "FROM coarse GROUP BY band, y, x"
+)
+
+
+def _register_planner():
+    q("process_graph_ndvi", _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi)
+    q("process_graph_resample_pushdown", _PG_PUSHDOWN_ORACLE)(_pg_pushdown)
+
+
+_register_planner()
+
+
 # pipeline-operator registrations (side-effect import, keeps this module
 # focused on the reference's cube surface)
 from . import registry_pipeline  # noqa: E402,F401

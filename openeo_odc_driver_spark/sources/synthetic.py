@@ -37,6 +37,14 @@ class CubeSpec:
     nx: int = 16
     t0: str = "2021-01-01 00:00:00"
     day_offset: int = 0  # shift all timestamps by N days (as-of join tests)
+    time_unit: str = "MONTH"  # MONTH or DAY stepping of ti
+    # grid geometry: x = x0 + resx*xi (ascending), y = y0 - resy*yi
+    # (descending). Defaults give the 0..150 metric grid; dyadic degree
+    # values give exact doubles for 4326 fixture collections.
+    x0: float = 0.0
+    y0: float = 150.0
+    resx: float = 10.0
+    resy: float = 10.0
     # value = ((b*va + ti*vb + yi*vc + xi*vd) % vm) / 8 - vs
     va: int = 7
     vb: int = 13
@@ -85,10 +93,11 @@ def _value_sql(s: CubeSpec) -> str:
 
 def cube_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb") -> str:
     """The cube as a SELECT, in either dialect. Bit-identical outputs."""
+    unit = spec.time_unit.upper()
     if dialect == "spark":
         time_expr = (
             f"timestampadd(DAY, {spec.day_offset}, "
-            f"timestampadd(MONTH, CAST(ti AS INT), TIMESTAMP '{spec.t0}'))"
+            f"timestampadd({unit}, CAST(ti AS INT), TIMESTAMP '{spec.t0}'))"
         )
         from_clause = (
             f"range({len(spec.bands)}) tb(b), range({spec.n_times}) tt(ti), "
@@ -96,7 +105,7 @@ def cube_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb") -> str:
         )
     else:
         time_expr = (
-            f"TIMESTAMP '{spec.t0}' + INTERVAL (ti) MONTH"
+            f"TIMESTAMP '{spec.t0}' + INTERVAL (ti) {unit}"
             f" + INTERVAL ({spec.day_offset}) DAY"
         )
         from_clause = (
@@ -107,8 +116,9 @@ def cube_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb") -> str:
         )
     return (
         f"SELECT {_band_case(spec.bands)} AS band, {time_expr} AS time, "
-        f"CAST(150.0 - 10.0*yi AS DOUBLE) AS y, "
-        f"CAST(10.0*xi AS DOUBLE) AS x, {_value_sql(spec)} AS value "
+        f"CAST({spec.y0!r} - {spec.resy!r}*yi AS DOUBLE) AS y, "
+        f"CAST({spec.x0!r} + {spec.resx!r}*xi AS DOUBLE) AS x, "
+        f"{_value_sql(spec)} AS value "
         f"FROM {from_clause}"
     )
 
@@ -118,8 +128,8 @@ def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
     schema = CubeSchema(
         dims=ALL_DIMS,
         bands=spec.bands,
-        crs="EPSG:32632",
-        grid=GridSpec(x0=0.0, y0=150.0, resx=10.0, resy=10.0),
+        crs="EPSG:32632" if spec.resx >= 1 else "EPSG:4326",
+        grid=GridSpec(x0=spec.x0, y0=spec.y0, resx=spec.resx, resy=spec.resy),
     )
     return Cube(df, schema)
 
