@@ -1,0 +1,89 @@
+"""Driver-side coordinate transforms for query constants.
+
+The reference reprojects bbox corners / geometry vertices from the
+request CRS (default EPSG:4326) to the cube CRS with pyproj
+(openeo_odc_driver.py:1036-1078, :643-652). pyproj is not in this
+container; bbox corners are **query constants**, so a plain-Python
+transverse-Mercator forward (Snyder 1987, eqs. 8-9..8-13, WGS84) is all
+that's needed — the data path never reprojects per pixel. Accuracy is
+sub-centimeter over a UTM zone, and both the engine and the oracle use
+this same function so the constants are identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+_A = 6378137.0  # WGS84 semi-major
+_F = 1 / 298.257223563
+_E2 = _F * (2 - _F)
+_EP2 = _E2 / (1 - _E2)
+_K0 = 0.9996
+
+
+def utm_zone_from_epsg(epsg: str | int) -> tuple[int, bool]:
+    """EPSG:326xx → (zone, north=True); EPSG:327xx → south."""
+    code = int(str(epsg).split(":")[-1])
+    if 32601 <= code <= 32660:
+        return code - 32600, True
+    if 32701 <= code <= 32760:
+        return code - 32700, False
+    raise ValueError(f"not a UTM EPSG code: {epsg}")
+
+
+def wgs84_to_utm(lon: float, lat: float, epsg: str | int) -> tuple[float, float]:
+    """Forward transverse Mercator (Snyder 8-9..8-13)."""
+    zone, north = utm_zone_from_epsg(epsg)
+    lam0 = math.radians(zone * 6 - 183)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    sin_p, cos_p, tan_p = math.sin(phi), math.cos(phi), math.tan(phi)
+    n = _A / math.sqrt(1 - _E2 * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = _EP2 * cos_p * cos_p
+    a_ = (lam - lam0) * cos_p
+    e4, e6 = _E2 * _E2, _E2 * _E2 * _E2
+    m = _A * (
+        (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * _E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+        - (35 * e6 / 3072) * math.sin(6 * phi)
+    )
+    easting = (
+        _K0
+        * n
+        * (
+            a_
+            + (1 - t + c) * a_**3 / 6
+            + (5 - 18 * t + t * t + 72 * c - 58 * _EP2) * a_**5 / 120
+        )
+        + 500000.0
+    )
+    northing = _K0 * (
+        m
+        + n
+        * tan_p
+        * (
+            a_**2 / 2
+            + (5 - t + 9 * c + 4 * c * c) * a_**4 / 24
+            + (61 - 58 * t + t * t + 600 * c - 330 * _EP2) * a_**6 / 720
+        )
+    )
+    if not north:
+        northing += 10000000.0
+    return easting, northing
+
+
+def bbox_to_cube_crs(
+    west: float, east: float, south: float, north: float, cube_crs: str
+) -> tuple[float, float, float, float]:
+    """Reproject the 4 bbox corners and take the envelope — exactly the
+    reference's corner-transform-then-slice (openeo_odc_driver.py:1040-1060)."""
+    corners = [
+        wgs84_to_utm(lon, lat, cube_crs)
+        for lon in (west, east)
+        for lat in (south, north)
+    ]
+    xs = [p[0] for p in corners]
+    ys = [p[1] for p in corners]
+    return min(xs), max(xs), min(ys), max(ys)

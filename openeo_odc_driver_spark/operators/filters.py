@@ -44,17 +44,27 @@ def filter_bbox(
     east: float,
     south: float,
     north: float,
+    crs: str | None = None,
 ) -> Cube:
     """Spatial slice on cube coordinates (openeo_odc_driver.py:1036-1078).
 
-    CRS handling note: the reference reprojects the 4 bbox corners from the
-    request CRS to the cube CRS driver-side (pyproj) then slices; the
-    corner transform is a query-constant computation, so here the bbox is
-    taken already in cube coordinates (the synthetic fixtures carry a
-    projected grid). The y-descending storage needs no special casing for
-    a `between` predicate (the reference retries flipped slice bounds,
-    ``openeo_odc_driver.py:1076-1078``).
+    With ``crs="EPSG:4326"`` and a projected cube, the 4 bbox corners are
+    reprojected **driver-side** to the cube CRS and the envelope is
+    sliced — exactly the reference's corner transform
+    (openeo_odc_driver.py:1040-1060); the data path stays a sargable
+    `between` either way (pushed to the parquet scan at scale). The
+    y-descending storage needs no special casing for a `between`
+    predicate (the reference retries flipped slice bounds, :1076-1078).
     """
+    if crs is not None and str(crs).endswith("4326") and cube.schema.crs not in (
+        None,
+        "EPSG:4326",
+    ):
+        from ..functions.proj import bbox_to_cube_crs
+
+        west, east, south, north = bbox_to_cube_crs(
+            west, east, south, north, cube.schema.crs
+        )
     out = cube.df.where(
         F.col(X).between(float(west), float(east))
         & F.col(Y).between(float(south), float(north))

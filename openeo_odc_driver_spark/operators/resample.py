@@ -47,14 +47,18 @@ def resample_cube_temporal(source: Cube, target: Cube) -> Cube:
 def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> Cube:
     """Regrid source onto the target grid (openeo_odc_driver.py:342-358).
 
-    `near`: snap each source pixel to the nearest target cell center, then
-    keep one value per cell (the minimum-distance source pixel; ties by
-    coordinate order). Pure expressions + one groupBy — no join against the
-    target data at all, only its GridSpec. Bilinear would need a 4-neighbor
-    weighted blend (deferred; reference default is nearest).
+    `near` (reference default): snap each source pixel to the nearest
+    target cell center, then keep one value per cell (the minimum-distance
+    source pixel; ties by coordinate order). Pure expressions + one
+    groupBy — no join against the target data at all, only its GridSpec.
+
+    `bilinear`: 4-neighbor weighted blend — see
+    :func:`resample_cube_spatial_bilinear`.
     """
+    if method in ("bilinear",):
+        return resample_cube_spatial_bilinear(source, target)
     if method not in ("near", "nearest"):
-        raise NotImplementedError("only nearest-neighbor regridding")
+        raise NotImplementedError("only near/bilinear regridding")
     grid = target.schema.grid
     if grid is None:
         raise ValueError("target cube lacks a GridSpec")
@@ -87,3 +91,68 @@ def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> C
     from dataclasses import replace
 
     return Cube(out, replace(source.schema, grid=grid))
+
+
+def resample_cube_spatial_bilinear(source: Cube, target: Cube) -> Cube:
+    """Bilinear regrid (ref openeo_odc_driver.py:342-358, method other than
+    nearest): each target cell blends its 4 surrounding source pixels with
+    (1−wx)(1−wy)-style weights.
+
+    Plan: the target's distinct cell axis (tiny) explodes into 4 weighted
+    source-pixel references, which **broadcast-join** the source on its
+    coordinates — the big side never shuffles; one groupBy on the target
+    key finishes. NULL neighbors are renormalized out (sum w·v / sum of
+    weights over non-null neighbors) — GDAL-style nodata handling rather
+    than NULL poisoning; divergence from strict bilinear documented here.
+    """
+    sg = source.schema.grid
+    if sg is None or target.schema.grid is None:
+        raise ValueError("bilinear resample needs GridSpecs on both cubes")
+    t_cells = target.df.select(
+        F.col(Y).alias("_ty"), F.col(X).alias("_tx")
+    ).distinct()
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    fx = (F.col("_tx") - F.lit(sg.x0)) / F.lit(sg.resx)
+    fy = (F.lit(sg.y0) - F.col("_ty")) / F.lit(sg.resy)
+    nb = (
+        t_cells.select("_ty", "_tx", F.explode(offs).alias("_o"))
+        .withColumn("_xlo", F.floor(fx))
+        .withColumn("_ylo", F.floor(fy))
+        .withColumn("_wx", fx - F.floor(fx))
+        .withColumn("_wy", fy - F.floor(fy))
+        .select(
+            "_ty",
+            "_tx",
+            (F.lit(sg.x0) + F.lit(sg.resx) * (F.col("_xlo") + F.col("_o.dx"))).alias(X),
+            (F.lit(sg.y0) - F.lit(sg.resy) * (F.col("_ylo") + F.col("_o.dy"))).alias(Y),
+            (
+                F.when(F.col("_o.dx") == 0, 1.0 - F.col("_wx")).otherwise(F.col("_wx"))
+                * F.when(F.col("_o.dy") == 0, 1.0 - F.col("_wy")).otherwise(F.col("_wy"))
+            ).alias("_w"),
+        )
+    )
+    group = [d for d in source.key_dims if d not in (X, Y)]
+    joined = source.df.join(F.broadcast(nb), [Y, X])
+    v = F.col(VALUE)
+    out = (
+        joined.groupBy(*group, "_ty", "_tx")
+        .agg(
+            (
+                F.sum(F.col("_w") * v)
+                / F.sum(F.when(v.isNotNull(), F.col("_w")))
+            ).alias(VALUE)
+        )
+        .withColumnRenamed("_ty", Y)
+        .withColumnRenamed("_tx", X)
+        .select(*source.key_dims, VALUE)
+    )
+    from dataclasses import replace
+
+    return Cube(out, replace(source.schema, grid=target.schema.grid))
+

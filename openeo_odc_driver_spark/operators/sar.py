@@ -1,0 +1,230 @@
+"""SAR2Cube operators: radar_mask and geocode
+(openeo_odc_driver.py:1426-1504, sar2cube/geocode.py:22-197).
+
+``radar_mask`` computes layover / foreshortening / shadow masks from DEM
+and LIA bands. The reference materializes the DEM as a numpy array and
+does sliced finite differences; here the 3×3 stencil is **two window
+passes** (lead over x within a row, then lead over y within a column —
+the second pass also shifts the first pass's column, so the four corner
+samples dem[y..y+2, x..x+2] meet on one row with no self-join and no
+Python. Grid constants (tan heading, daz, drg) are driver-side query
+constants.
+
+Angle outputs are quantized to 9 decimals before thresholding: atan is
+libm (1-ulp engine differences) and a mask bit must not depend on the
+17th digit.
+
+``geocode`` resamples an irregularly-gridded cube (per-pixel LON/LAT
+layer bands, SAR geometry) onto a regular target grid. The reference
+uses per-chunk Delaunay triangulation + linear interpolation (scipy);
+scipy is not in this container, so the shipped mode is
+**nearest-sample binning** (snap each sample's lon/lat to the target
+cell, keep the minimum-distance sample) — the same retrieve shape at
+scale (one groupBy, no pairwise work); `method="linear"` marks where
+the scipy call goes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window, functions as F
+
+from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
+
+MASK_BANDS = ("layover", "foreshortening", "shadow")
+
+
+def radar_mask(
+    cube: Cube,
+    foreshortening_th: float,
+    layover_th: float,
+    orbit_direction: str = "ASC",
+) -> Cube:
+    """Layover/foreshortening/shadow masks (openeo_odc_driver.py:1426-1504).
+
+    Requires bands DEM and LIA. Returns a 3-band {0,1} cube named
+    ``layover/foreshortening/shadow`` (the reference numbers them 1/2/3);
+    border pixels (first row/col, last two rows/cols) are 0 as in the
+    reference's zero-initialized output.
+    """
+    grid = cube.schema.grid
+    if grid is None:
+        raise ValueError("radar_mask needs a GridSpec")
+    heading = math.radians(-12.5 if orbit_direction == "ASC" else 12.5)
+    dx = grid.resx
+    dy = -grid.resy  # reference takes y[1]-y[0] on descending coords
+    dx_p = dx * math.tan(heading)
+    dy_p = dy * math.tan(heading)
+    daz = 2 * math.sqrt(dy_p ** 2 + dy ** 2)
+    drg = 2 * math.sqrt(dx_p ** 2 + dx ** 2)
+    rg_sign = -1.0 if heading >= 0 else 1.0
+
+    group = [d for d in cube.key_dims if d not in (BAND, X, Y)]
+    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    dem = (
+        cube.df.where(F.col(BAND) == "DEM")
+        .select(*group, x_idx.alias("_xi"), y_idx.alias("_yi"), Y, X, VALUE)
+    )
+    # pass 1: east neighbors within a row
+    wx = Window.partitionBy(*group, "_yi").orderBy("_xi")
+    dem = dem.withColumn("_e2", F.lead(VALUE, 2).over(wx))
+    # pass 2: south neighbors within a column (also shifts _e2 → corner)
+    wy = Window.partitionBy(*group, "_xi").orderBy("_yi")
+    dem = dem.withColumn("_s2", F.lead(VALUE, 2).over(wy)).withColumn(
+        "_se2", F.lead("_e2", 2).over(wy)
+    )
+    # range-direction height increment (reference h_rg_0/h_rg_2)
+    d00, d02, d20, d22 = F.col(VALUE), F.col("_e2"), F.col("_s2"), F.col("_se2")
+    h_rg_0 = d00 + (d20 - d00) / F.lit(2 * dy) * F.lit(dy - dy_p)
+    h_rg_2 = d02 + (d22 - d02) / F.lit(2 * dy) * F.lit(dy + dy_p)
+    inc_h_rg = h_rg_2 - h_rg_0
+    f_deg = F.round(
+        F.degrees(F.atan(inc_h_rg / F.lit(drg))) * F.lit(rg_sign), 9
+    )
+    # stencil at (yi, xi) describes output pixel (yi+1, xi+1); the
+    # reference never uses the last row/col (slices stop at L-2), so
+    # stencils needing them are dropped. Scene extent is a broadcast
+    # scalar agg — a whole-scene window partition would serialize the
+    # scene through one task at scale.
+    extent = cube.df.where(F.col(BAND) == "DEM").agg(
+        F.max(x_idx).alias("_nxm"), F.max(y_idx).alias("_nym")
+    )
+    slopes = (
+        dem.withColumn("_fdeg", f_deg)
+        .join(F.broadcast(extent))
+        .where(
+            (F.col("_xi") + 2 < F.col("_nxm"))
+            & (F.col("_yi") + 2 < F.col("_nym"))
+            & F.col("_fdeg").isNotNull()
+        )
+        .select(
+            *group,
+            (F.col("_yi") + 1).alias("_cyi"),
+            (F.col("_xi") + 1).alias("_cxi"),
+            "_fdeg",
+        )
+    )
+    # scalar mean incidence angle (nanmean over the LIA band)
+    lia_mean = (
+        cube.df.where(F.col(BAND) == "LIA").agg(F.avg(VALUE).alias("_lia"))
+    )
+    s = slopes.join(F.broadcast(lia_mean))
+    fdeg, lia = F.col("_fdeg"), F.col("_lia")
+    fs = F.when((fdeg > 0) & (fdeg < lia), fdeg).otherwise(F.lit(0.0)) / lia
+    lo = F.when((fdeg > 0) & (fdeg > lia), fdeg).otherwise(F.lit(0.0)) / lia
+    masks = s.select(
+        *group,
+        "_cyi",
+        "_cxi",
+        F.when(lo > layover_th, 1.0).otherwise(0.0).alias("layover"),
+        F.when(fs > foreshortening_th, 1.0).otherwise(0.0).alias("foreshortening"),
+        F.when((fdeg < 0) & (F.abs(fdeg) > 90 - lia), 1.0)
+        .otherwise(0.0)
+        .alias("shadow"),
+    )
+    # left-join back onto the full DEM grid so borders come out 0
+    base = cube.df.where(F.col(BAND) == "DEM").select(
+        *group, y_idx.alias("_cyi"), x_idx.alias("_cxi"), Y, X
+    )
+    joined = base.join(masks, [*group, "_cyi", "_cxi"], "left")
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.coalesce(F.col(b), F.lit(0.0)).alias("value"),
+                )
+                for b in MASK_BANDS
+            ]
+        )
+    ).alias("_m")
+    out = joined.select(*group, Y, X, stack).select(
+        F.col("_m.band").alias(BAND), *group, Y, X, F.col("_m.value").alias(VALUE)
+    )
+    from dataclasses import replace
+
+    return Cube(
+        out.select(*[d for d in (BAND, *group, Y, X)], VALUE),
+        replace(cube.schema, bands=MASK_BANDS),
+    )
+
+
+def geocode(
+    cube: Cube,
+    target_resx: float,
+    target_resy: float,
+    method: str = "near",
+) -> Cube:
+    """Irregular → regular grid resampling (sar2cube/geocode.py:22-197).
+
+    The cube's LON/LAT layer bands give each sample's true position
+    (SAR range/azimuth geometry); data bands are re-binned onto a
+    regular lon/lat grid anchored at the minimum observed corner.
+    ``near``: per target cell keep the minimum-distance sample — one
+    pivot + one window, no Python. ``linear`` (reference's Delaunay
+    path) needs scipy and raises here, marking the stub boundary.
+    """
+    if method == "linear":
+        raise NotImplementedError(
+            "linear geocoding needs scipy.spatial.Delaunay (not in this "
+            "container); use method='near'"
+        )
+    data_bands = [b for b in cube.schema.bands if b not in ("LON", "LAT")]
+    group = [d for d in cube.key_dims if d not in (BAND, X, Y)]
+    # pivot LON/LAT + data bands side by side per source pixel
+    aggs = [
+        F.max(F.when(F.col(BAND) == b, F.col(VALUE))).alias(b)
+        for b in ("LON", "LAT", *data_bands)
+    ]
+    wide = cube.df.groupBy(*group, Y, X).agg(*aggs).where(
+        F.col("LON").isNotNull() & F.col("LAT").isNotNull()
+    )
+    # grid anchor: minimum lon / maximum lat over the scene (driver-free:
+    # scalar agg broadcast into the plan)
+    anchor = wide.agg(
+        F.min("LON").alias("_lon0"), F.max("LAT").alias("_lat0")
+    )
+    w = wide.join(F.broadcast(anchor))
+    txi = F.floor((F.col("LON") - F.col("_lon0")) / F.lit(target_resx) + F.lit(0.5))
+    tyi = F.floor((F.col("_lat0") - F.col("LAT")) / F.lit(target_resy) + F.lit(0.5))
+    tx = F.col("_lon0") + F.lit(target_resx) * txi
+    ty = F.col("_lat0") - F.lit(target_resy) * tyi
+    dist = (F.col("LON") - tx) * (F.col("LON") - tx) + (
+        F.col("LAT") - ty
+    ) * (F.col("LAT") - ty)
+    snapped = w.select(
+        *group, *data_bands, tx.alias("_tx"), ty.alias("_ty"), dist.alias("_d"),
+        Y, X,
+    )
+    win = Window.partitionBy(*group, "_tx", "_ty").orderBy("_d", X, Y)
+    best = (
+        snapped.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+    )
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.col(b).alias("value"))
+                for b in data_bands
+            ]
+        )
+    ).alias("_m")
+    out = best.select(*group, "_ty", "_tx", stack).select(
+        F.col("_m.band").alias(BAND),
+        *group,
+        F.col("_ty").alias(Y),
+        F.col("_tx").alias(X),
+        F.col("_m.value").alias(VALUE),
+    )
+    from dataclasses import replace
+
+    return Cube(
+        out,
+        replace(
+            cube.schema,
+            bands=tuple(data_bands),
+            grid=None,  # anchored dynamically; GridSpec unknown statically
+        ),
+    )

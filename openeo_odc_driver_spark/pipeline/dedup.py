@@ -208,10 +208,13 @@ def embedding_cosine_dup_pairs(
     corpus; a semantic column like `label` would miss cross-label dups and
     go quadratic on hot labels. Bucket boundaries can split true dup pairs
     (single-probe recall tradeoff, same as the ANN path)."""
-    from .similarity import cosine_expr, lsh_bucket_col
+    from .similarity import dot_expr, lsh_bucket_col, norm_expr
 
     e = embeddings.select(
-        "vec_id", "embedding", lsh_bucket_col("embedding", n_planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket_col("embedding", n_planes).alias("bucket"),
+        norm_expr("embedding").alias("norm"),  # once per vector, not per pair
     )
     pairs = (
         e.alias("a")
@@ -220,7 +223,10 @@ def embedding_cosine_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+            (
+                dot_expr("a.embedding", "b.embedding")
+                / F.nullif(F.col("a.norm") * F.col("b.norm"), F.lit(0.0))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

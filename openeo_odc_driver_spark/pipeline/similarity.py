@@ -40,17 +40,26 @@ def brute_force_topk(
     query batches); the corpus side streams — no shuffle of the corpus,
     then a per-query top-k via window over the (small) query-key partitions.
     Deterministic tie-break on vec_id.
+
+    Norms are computed **once per vector**, not once per pair — the
+    higher-order fold expressions are interpreted (not codegen'd), so at
+    k queries this cuts fold work ~(2k+1)× on the corpus side. sqrt(aa)
+    then multiply is bit-identical to the per-pair formulation.
     """
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = embeddings.crossJoin(F.broadcast(q)).where(
+    ).withColumn("q_norm", norm_expr("q_emb"))
+    corpus = embeddings.withColumn("c_norm", norm_expr("embedding"))
+    scored = corpus.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
     scored = scored.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("q_emb", "embedding").alias("cosine"),
+        (
+            dot_expr("q_emb", "embedding")
+            / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -124,14 +133,16 @@ def lsh_bucket_ann(
     """
     corpus = embeddings.withColumn(
         "bucket", lsh_bucket_col("embedding", n_planes, dim)
-    )
+    ).withColumn("c_norm", norm_expr("embedding"))
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).withColumn("_b0", lsh_bucket_col("q_emb", n_planes, dim))
+    ).withColumn("_b0", lsh_bucket_col("q_emb", n_planes, dim)).withColumn(
+        "q_norm", norm_expr("q_emb")
+    )
     masks = [0] + ([2 ** j for j in range(n_planes)] if multiprobe else [])
     probes = F.array(*[F.expr(f"_b0 ^ {m}") for m in masks])
     q = q.select(
-        "query_id", "q_emb", F.explode(probes).alias("bucket")
+        "query_id", "q_emb", "q_norm", F.explode(probes).alias("bucket")
     )
     cand = corpus.join(F.broadcast(q), "bucket").where(
         F.col("vec_id") != F.col("query_id")
@@ -139,7 +150,10 @@ def lsh_bucket_ann(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("q_emb", "embedding").alias("cosine"),
+        (
+            dot_expr("q_emb", "embedding")
+            / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -149,9 +149,19 @@ class ProcessGraph:
             if te:
                 cube = filter_temporal(cube, str(te[0])[:19], str(te[1])[:19])
             se = args.get("spatial_extent")
-            if se:
+            if se and se.get("type") == "Polygon":
+                # polygon-masked load (ref load_odc_collection.py:190-226):
+                # bbox prefilter + point-in-polygon, fused into the scan
+                from ..operators.filters import filter_spatial
+
+                ring = [tuple(p) for p in se["coordinates"][0]]
+                if len(ring) > 1 and ring[0] == ring[-1]:
+                    ring = ring[:-1]  # GeoJSON closes the ring; ray-cast doesn't
+                cube = filter_spatial(cube, [ring])
+            elif se:
                 cube = filter_bbox(
-                    cube, se["west"], se["east"], se["south"], se["north"]
+                    cube, se["west"], se["east"], se["south"], se["north"],
+                    crs=se.get("crs"),
                 )
             bands = args.get("bands")
             if bands:

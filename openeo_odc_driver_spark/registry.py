@@ -680,6 +680,35 @@ def _resample_spatial(spark, sf_dir):
     return resample_cube_spatial(synthetic_cube(spark), target).df
 
 
+_BILINEAR_TGT_SPEC = CubeSpec(resx=15.0, resy=15.0, nx=10, ny=10)
+
+
+@q(
+    "resample_cube_spatial_bilinear",
+    f"WITH cube AS ({CUBE_D}), "
+    f"tcube AS ({cube_sql(_BILINEAR_TGT_SPEC, 'duckdb')}), "
+    "tc AS (SELECT DISTINCT y AS ty, x AS tx FROM tcube), "
+    "nb AS (SELECT ty, tx, "
+    "0.0 + 10.0 * (floor((tx - 0.0) / 10.0) + dx) AS sx, "
+    "150.0 - 10.0 * (floor((150.0 - ty) / 10.0) + dy) AS sy, "
+    "(CASE WHEN dx = 0 THEN 1.0 - ((tx - 0.0) / 10.0 - floor((tx - 0.0) / 10.0)) "
+    "ELSE (tx - 0.0) / 10.0 - floor((tx - 0.0) / 10.0) END) * "
+    "(CASE WHEN dy = 0 THEN 1.0 - ((150.0 - ty) / 10.0 - floor((150.0 - ty) / 10.0)) "
+    "ELSE (150.0 - ty) / 10.0 - floor((150.0 - ty) / 10.0) END) AS w "
+    "FROM tc, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(dy, dx)) "
+    "SELECT c.band, c.time, nb.ty AS y, nb.tx AS x, "
+    "sum(nb.w * c.value) / sum(CASE WHEN c.value IS NOT NULL THEN nb.w END) AS value "
+    "FROM cube c JOIN nb ON c.x = nb.sx AND c.y = nb.sy "
+    "GROUP BY c.band, c.time, nb.ty, nb.tx",
+)
+def _resample_bilinear(spark, sf_dir):
+    return resample_cube_spatial(
+        synthetic_cube(spark),
+        synthetic_cube(spark, _BILINEAR_TGT_SPEC),
+        method="bilinear",
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Curve fitting / UDF (SURVEY §2.9-2.10)
 # ---------------------------------------------------------------------------
@@ -763,6 +792,99 @@ def _run_udf_grouped(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SAR2Cube ops (SURVEY §2.9): radar_mask + geocode
+# ---------------------------------------------------------------------------
+
+_SAR_SPEC = CubeSpec(bands=("DEM", "LIA"), n_times=1, vs=0.0)
+_GEO_SPEC = CubeSpec(bands=("LON", "LAT", "SIG"), n_times=1)
+
+
+def _radar_mask_oracle() -> str:
+    heading = math.radians(-12.5)  # ASC
+    dx, dy = 10.0, -10.0
+    dx_p, dy_p = dx * math.tan(heading), dy * math.tan(heading)
+    drg = 2 * math.sqrt(dx_p ** 2 + dx ** 2)
+    rg_sign = 1.0
+    sar = cube_sql(_SAR_SPEC, "duckdb")
+    return (
+        f"WITH cube AS ({sar}), "
+        "dem AS (SELECT time, y, x, value, "
+        "CAST((x - 0.0) / 10.0 AS BIGINT) AS xi, "
+        "CAST((150.0 - y) / 10.0 AS BIGINT) AS yi FROM cube WHERE band = 'DEM'), "
+        "lia AS (SELECT avg(value) AS lia FROM cube WHERE band = 'LIA'), "
+        "ext AS (SELECT max(xi) AS nxm, max(yi) AS nym FROM dem), "
+        "p1 AS (SELECT *, lead(value, 2) OVER "
+        "(PARTITION BY time, yi ORDER BY xi) AS e2 FROM dem), "
+        "p2 AS (SELECT *, lead(value, 2) OVER "
+        "(PARTITION BY time, xi ORDER BY yi) AS s2, "
+        "lead(e2, 2) OVER (PARTITION BY time, xi ORDER BY yi) AS se2 FROM p1), "
+        "slope AS (SELECT time, yi + 1 AS cyi, xi + 1 AS cxi, "
+        "round(degrees(atan((("
+        f"e2 + (se2 - e2) / {2 * dy!r} * {dy + dy_p!r}) - ("
+        f"value + (s2 - value) / {2 * dy!r} * {dy - dy_p!r})) / {drg!r})) "
+        f"* {rg_sign!r}, 9) AS fdeg "
+        "FROM p2, ext WHERE xi + 2 < nxm AND yi + 2 < nym), "
+        "m AS (SELECT time, cyi, cxi, "
+        "CASE WHEN (CASE WHEN fdeg > 0 AND fdeg > lia THEN fdeg ELSE 0.0 END) "
+        "/ lia > 0.5 THEN 1.0 ELSE 0.0 END AS layover, "
+        "CASE WHEN (CASE WHEN fdeg > 0 AND fdeg < lia THEN fdeg ELSE 0.0 END) "
+        "/ lia > 0.3 THEN 1.0 ELSE 0.0 END AS foreshortening, "
+        "CASE WHEN fdeg < 0 AND abs(fdeg) > 90 - lia THEN 1.0 ELSE 0.0 END "
+        "AS shadow FROM slope, lia WHERE fdeg IS NOT NULL) "
+        "SELECT b.band, d.time, d.y, d.x, coalesce(CASE b.band "
+        "WHEN 'layover' THEN m.layover "
+        "WHEN 'foreshortening' THEN m.foreshortening "
+        "ELSE m.shadow END, 0.0) AS value "
+        "FROM dem d CROSS JOIN (VALUES ('layover'), ('foreshortening'), "
+        "('shadow')) b(band) "
+        "LEFT JOIN m ON m.time = d.time AND m.cyi = d.yi AND m.cxi = d.xi"
+    )
+
+
+@q("radar_mask", _radar_mask_oracle())
+def _radar_mask(spark, sf_dir):
+    from .operators.sar import radar_mask
+
+    return radar_mask(
+        synthetic_cube(spark, _SAR_SPEC),
+        foreshortening_th=0.3,
+        layover_th=0.5,
+        orbit_direction="ASC",
+    ).df
+
+
+@q(
+    "geocode_nearest",
+    f"WITH cube AS ({cube_sql(_GEO_SPEC, 'duckdb')}), "
+    "wide AS (SELECT time, y, x, "
+    "max(CASE WHEN band = 'LON' THEN value END) AS lon, "
+    "max(CASE WHEN band = 'LAT' THEN value END) AS lat, "
+    "max(CASE WHEN band = 'SIG' THEN value END) AS sig "
+    "FROM cube GROUP BY 1, 2, 3), "
+    "w AS (SELECT * FROM wide WHERE lon IS NOT NULL AND lat IS NOT NULL), "
+    "anchor AS (SELECT min(lon) AS lon0, max(lat) AS lat0 FROM w), "
+    "sn AS (SELECT w.time, w.sig, w.x, w.y, "
+    "lon0 + 1.0 * floor((lon - lon0) / 1.0 + 0.5) AS tx, "
+    "lat0 - 1.0 * floor((lat0 - lat) / 1.0 + 0.5) AS ty, "
+    "(lon - (lon0 + 1.0 * floor((lon - lon0) / 1.0 + 0.5))) * "
+    "(lon - (lon0 + 1.0 * floor((lon - lon0) / 1.0 + 0.5))) + "
+    "(lat - (lat0 - 1.0 * floor((lat0 - lat) / 1.0 + 0.5))) * "
+    "(lat - (lat0 - 1.0 * floor((lat0 - lat) / 1.0 + 0.5))) AS d "
+    "FROM w, anchor), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY time, tx, ty "
+    "ORDER BY d, x, y) AS rn FROM sn) "
+    "SELECT 'SIG' AS band, time, ty AS y, tx AS x, sig AS value "
+    "FROM r WHERE rn = 1",
+)
+def _geocode(spark, sf_dir):
+    from .operators.sar import geocode
+
+    return geocode(
+        synthetic_cube(spark, _GEO_SPEC), target_resx=1.0, target_resy=1.0
+    ).df
+
+
+# ---------------------------------------------------------------------------
 # Flagship + relational (bench headliners)
 # ---------------------------------------------------------------------------
 
@@ -778,10 +900,33 @@ _FLAGSHIP_ORACLE = (
 
 def flagship_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's golden query shape (NDVI_Bolzano_median.json):
-    load → per-pixel band arithmetic → median over time."""
+    load → per-pixel band arithmetic → median over time.
+
+    Plan note: the cube aggregation (avg per band-pixel) and the band
+    pivot fuse into ONE aggregation — `avg(qty) FILTER (band = b)` over
+    (time, y, x) is bit-identical to pivoting the per-band cube (the
+    pivot's max ranges over a single row). Two shuffles total (fused
+    agg + median), not three; at 100 TB that's a full pass over the
+    fact table saved."""
     _prep(spark)
-    cube = lineitem_cube(spark, sf_dir)
-    wide = bands_wide(cube, ["B04", "B08"])
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.expr(
+        "CASE l_linenumber % 3 WHEN 0 THEN 'B04' WHEN 1 THEN 'B08' ELSE 'SCL' END"
+    )
+    wide = (
+        li.select(
+            band.alias("band"),
+            F.expr("CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)").alias(TIME),
+            F.expr("CAST(150.0 - CAST(l_partkey % 16 AS DOUBLE) * 10.0 AS DOUBLE)").alias(Y),
+            F.expr("CAST(CAST(l_suppkey % 16 AS DOUBLE) * 10.0 AS DOUBLE)").alias(X),
+            "l_quantity",
+        )
+        .groupBy(TIME, Y, X)
+        .agg(
+            F.avg(F.when(F.col("band") == "B04", F.col("l_quantity"))).alias("B04"),
+            F.avg(F.when(F.col("band") == "B08", F.col("l_quantity"))).alias("B08"),
+        )
+    )
     ndvi = wide.withColumn(
         "ndvi", om.normalized_difference_cols(F.col("B08"), F.col("B04"))
     )
@@ -890,6 +1035,82 @@ def _events_hourly(spark, sf_dir):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# load_collection facets: decode, polygon load, CRS bbox (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+@q("load_collection_decode", CUBE_D)
+def _load_decode(spark, sf_dir):
+    """Scale/offset/nodata decode at scan (load_odc_collection.py:107-126):
+    raw DN cube → nullif(nodata) → value*scale + offset. Decoding 1/8, -6
+    reproduces the standard synthetic cube bit-exactly, so the oracle is
+    the plain cube SQL."""
+    from .sources.synthetic import decode_scan, raw_dn_sql
+
+    raw = spark.sql(raw_dn_sql(DEFAULT_SPEC, "spark"))
+    return decode_scan(raw, scale=0.125, offset=-6.0, nodata=255)
+
+
+@q(
+    "load_collection_polygon",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    f"WHERE {geom_id_case_sql([FIXTURE_POLYGONS[0]])} IS NOT NULL",
+)
+def _load_polygon(spark, sf_dir):
+    """Polygon-masked load through the planner
+    (load_odc_collection.py:190-226): GeoJSON Polygon as spatial_extent."""
+    from .plans.graph import ProcessGraph
+
+    ring = [list(p) for p in FIXTURE_POLYGONS[0]] + [list(FIXTURE_POLYGONS[0][0])]
+    graph = {
+        "process_graph": {
+            "l": {
+                "process_id": "load_collection",
+                "arguments": {
+                    "id": "synthetic",
+                    "spatial_extent": {"type": "Polygon", "coordinates": [ring]},
+                },
+                "result": True,
+            }
+        }
+    }
+    return ProcessGraph(graph).execute(spark).df
+
+
+# UTM-anchored collection for CRS bbox slicing: grid computed from the
+# Bolzano envelope at import (same proj function the engine uses, so the
+# oracle constants match bit-for-bit)
+def _utm_fixture():
+    from .functions.proj import bbox_to_cube_crs
+
+    w, e, s, n = 11.283402372420943, 11.40672146557741, 46.45584062149402, 46.52154308303503
+    x_min, x_max, y_min, y_max = bbox_to_cube_crs(w, e, s, n, "EPSG:32632")
+    spec = CubeSpec(
+        x0=float(math.floor(x_min - 3000)),
+        y0=float(math.ceil(y_max + 3000)),
+        resx=1000.0,
+        resy=1000.0,
+    )
+    return spec, (w, e, s, n), (x_min, x_max, y_min, y_max)
+
+
+_UTM_SPEC, _LL_BBOX, _UTM_BBOX = _utm_fixture()
+
+
+@q(
+    "filter_bbox_crs",
+    f"WITH cube AS ({cube_sql(_UTM_SPEC, 'duckdb')}) SELECT * FROM cube "
+    f"WHERE x BETWEEN {_UTM_BBOX[0]!r} AND {_UTM_BBOX[1]!r} "
+    f"AND y BETWEEN {_UTM_BBOX[2]!r} AND {_UTM_BBOX[3]!r}",
+)
+def _filter_bbox_crs(spark, sf_dir):
+    """4326 bbox against a projected cube: corners reprojected driver-side
+    (openeo_odc_driver.py:1036-1078), slice stays sargable."""
+    cube = synthetic_cube(spark, _UTM_SPEC)
+    w, e, s, n = _LL_BBOX
+    return filter_bbox(cube, w, e, s, n, crs="EPSG:4326").df
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,188 @@
+"""HTTP service layer ≙ the reference's Flask backend
+(`odc_backend.py:43-161`): POST /graph executes a process graph with an
+md5 whole-query result cache, a job registry with cancellation, and STAC
+collection metadata endpoints.
+
+Execution maps to Spark idioms:
+
+- result cache: md5(stringified graph) → artifact path (CSV-backed like
+  the reference's jobs_cache.csv, odc_backend.py:62-85); hit ⇒ the
+  artifact is copied to the new job folder and execution is skipped.
+- job registry + DELETE /stop_job: the reference kills the worker PID
+  (odc_backend.py:105-120); one SparkSession serves all jobs here, so a
+  job runs under a Spark job group and cancellation is
+  ``cancelJobGroup`` — the executor-side tasks abort, the session
+  survives.
+- GET /collections[/id]: STAC-shaped metadata (cube:dimensions with
+  temporal/x/y/bands extents, odc_backend.py:244-305) derived from the
+  fixture catalog.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import json
+import os
+import shutil
+import threading
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from .plans.catalog import COLLECTION_SPECS
+from .plans.graph import ProcessGraph
+
+
+def _graph_md5(payload: dict) -> str:
+    return hashlib.md5(
+        json.dumps(payload.get("process_graph", payload), sort_keys=True).encode()
+    ).hexdigest()
+
+
+class JobStore:
+    """CSV-backed cache + registry (mirrors jobs_cache.csv / jobs_log.csv)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.cache_csv = os.path.join(root, "jobs_cache.csv")
+        self.log_csv = os.path.join(root, "jobs_log.csv")
+        self._lock = threading.Lock()
+
+    def cache_lookup(self, md5: str) -> Optional[str]:
+        if not os.path.exists(self.cache_csv):
+            return None
+        with open(self.cache_csv) as f:
+            for row in csv.reader(f):
+                if row and row[0] == md5 and os.path.exists(row[1]):
+                    return row[1]
+        return None
+
+    def cache_put(self, md5: str, artifact: str) -> None:
+        with self._lock, open(self.cache_csv, "a", newline="") as f:
+            csv.writer(f).writerow([md5, artifact])
+
+    def log_job(self, job_id: str, group: str) -> None:
+        with self._lock, open(self.log_csv, "a", newline="") as f:
+            csv.writer(f).writerow([job_id, group])
+
+    def group_for(self, job_id: str) -> Optional[str]:
+        if not os.path.exists(self.log_csv):
+            return None
+        with open(self.log_csv) as f:
+            for row in csv.reader(f):
+                if row and row[0] == job_id:
+                    return row[1]
+        return None
+
+
+def collection_stac(cid: str) -> dict:
+    """STAC item with cube:dimensions (≙ odc_backend.py:244-305)."""
+    spec = COLLECTION_SPECS[cid]
+    x_min = spec.x0
+    x_max = spec.x0 + spec.resx * (spec.nx - 1)
+    y_max = spec.y0
+    y_min = spec.y0 - spec.resy * (spec.ny - 1)
+    return {
+        "stac_version": "1.0.0",
+        "id": cid,
+        "description": f"synthetic fixture collection {cid}",
+        "license": "CC0-1.0",
+        "extent": {
+            "spatial": {"bbox": [[x_min, y_min, x_max, y_max]]},
+            "temporal": {"interval": [[spec.t0, None]]},
+        },
+        "cube:dimensions": {
+            "t": {"type": "temporal", "extent": [spec.t0, None],
+                  "step": spec.time_unit.lower()},
+            "x": {"type": "spatial", "axis": "x", "extent": [x_min, x_max],
+                  "step": spec.resx},
+            "y": {"type": "spatial", "axis": "y", "extent": [y_min, y_max],
+                  "step": spec.resy},
+            "bands": {"type": "bands", "values": list(spec.bands)},
+        },
+        "links": [],
+    }
+
+
+def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
+               sf_dir: Optional[str] = None):
+    from flask import Flask, jsonify, request
+
+    app = Flask("openeo_odc_driver_spark")
+    store = JobStore(work_dir)
+
+    @app.post("/graph")
+    def run_graph():
+        payload = request.get_json(force=True)
+        job_id = payload.get("id") or hashlib.md5(
+            os.urandom(16)
+        ).hexdigest()[:12]
+        md5 = _graph_md5(payload)
+        job_dir = os.path.join(store.root, "jobs", job_id)
+        os.makedirs(job_dir, exist_ok=True)
+
+        cached = store.cache_lookup(md5)
+        if cached:  # cache hit: copy artifact, skip execution (:62-85)
+            dest = os.path.join(job_dir, os.path.basename(cached))
+            if os.path.isdir(cached):
+                shutil.copytree(cached, dest, dirs_exist_ok=True)
+            else:
+                shutil.copy(cached, dest)
+            return jsonify({"job_id": job_id, "output": dest, "cached": True})
+
+        group = f"openeo-{job_id}"
+        store.log_job(job_id, group)
+        spark.sparkContext.setJobGroup(group, f"process graph {job_id}",
+                                       interruptOnCancel=True)
+        try:
+            pg = ProcessGraph(payload, sf_dir=sf_dir, save_dir=job_dir)
+            pg.execute(spark)
+        except Exception as e:  # openEO error shape
+            return jsonify({"id": job_id, "code": type(e).__name__,
+                            "message": str(e)}), 400
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        artifact = os.path.join(job_dir, pg.result_node)
+        for ext in ("", ".npy", ".json"):
+            if os.path.exists(artifact + ext):
+                artifact = artifact + ext
+                break
+        store.cache_put(md5, artifact)
+        return jsonify({"job_id": job_id, "output": artifact, "cached": False})
+
+    @app.delete("/stop_job")
+    def stop_job():
+        payload = request.get_json(force=True)
+        group = store.group_for(payload.get("id", ""))
+        if group is None:
+            return jsonify({"code": "JobNotFound"}), 404
+        spark.sparkContext.cancelJobGroup(group)
+        return jsonify({"stopped": payload["id"]})
+
+    @app.get("/collections")
+    def collections():
+        return jsonify(
+            {"collections": [collection_stac(c) for c in COLLECTION_SPECS],
+             "links": []}
+        )
+
+    @app.get("/collections/<cid>")
+    def collection(cid: str):
+        if cid not in COLLECTION_SPECS:
+            return jsonify({"code": "CollectionNotFound"}), 404
+        return jsonify(collection_stac(cid))
+
+    return app
+
+
+def main() -> None:  # pragma: no cover
+    from .session import get_spark
+
+    app = create_app(get_spark("openeo-service"))
+    app.run(host="127.0.0.1", port=int(os.environ.get("PORT", "8085")))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

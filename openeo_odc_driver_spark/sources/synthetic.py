@@ -123,6 +123,36 @@ def cube_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb") -> str:
     )
 
 
+def raw_dn_sql(spec: CubeSpec = DEFAULT_SPEC, dialect: str = "duckdb",
+               nodata: int = 255) -> str:
+    """The cube as **raw digital numbers**: integer DN in 0..vm-1 with a
+    nodata sentinel where the decoded cube has NULL — the storage shape
+    `load_collection` decodes via scale/offset/nodata
+    (load_odc_collection.py:107-126). ``decode_scan(raw, 1/8, -vs,
+    nodata)`` reproduces :func:`cube_sql` bit-exactly (k*0.125 == k/8)."""
+    base = cube_sql(spec, dialect)
+    dn = f"(b*{spec.va} + ti*{spec.vb} + yi*{spec.vc} + xi*{spec.vd}) % {spec.vm}"
+    null_cond = f"(b*{spec.na} + ti*{spec.nb} + yi*{spec.nc} + xi*{spec.nd}) % {spec.nm} = 0"
+    raw_val = f"CAST(CASE WHEN {null_cond} THEN {nodata} ELSE {dn} END AS BIGINT)"
+    # swap the decoded value expression for the raw DN one
+    head, _, tail = base.partition("CASE WHEN")
+    _, _, rest = tail.partition(" AS value FROM ")
+    return f"{head}{raw_val} AS value FROM {rest}"
+
+
+def decode_scan(df: DataFrame, scale: float, offset: float, nodata: int) -> DataFrame:
+    """Band decode at scan: nodata → NULL, then value*scale + offset —
+    pure expressions fused into the scan stage (≙ the reference's
+    per-measurement decode, load_odc_collection.py:107-126)."""
+    from pyspark.sql import functions as F
+
+    v = F.col("value")
+    decoded = F.when(v == nodata, F.lit(None)).otherwise(
+        v.cast("double") * F.lit(float(scale)) + F.lit(float(offset))
+    )
+    return df.withColumn("value", decoded)
+
+
 def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
     df = spark.sql(cube_sql(spec, dialect="spark"))
     schema = CubeSchema(

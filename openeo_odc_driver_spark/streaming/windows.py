@@ -53,6 +53,13 @@ def run_stream_to_memory(
     and return the materialized result. Uses the same ns→µs conversion as
     the batch loader."""
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Stateful aggregation creates one state-store instance per shuffle
+    # partition; 32 RocksDB/HDFS-backed stores for one small batch is pure
+    # overhead locally, and the partition count is baked into the
+    # checkpoint. 8 is plenty for fixture-scale windows — a real
+    # deployment sizes this to the key cardinality at stream start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     # the sf dir holds all tables; the glob filter narrows the stream to
     # the events file
     stream = (
@@ -74,4 +81,5 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
