@@ -44,8 +44,10 @@ def main() -> None:
     from openeo_odc_driver_spark.session import get_spark
 
     spark = get_spark("bench")
-    # one tiny warmup action so JVM/codegen startup isn't billed to q1
+    # warm up the JVM, codegen, and the parquet reader path so one-time
+    # class-loading isn't billed to whichever query runs first
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").limit(1).count()
 
     sf = None
     for tok in SF_DIR.rstrip("/").split("/"):

@@ -58,35 +58,51 @@ def apply_kernel(
     x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
     y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
     group = [d for d in cube.key_dims if d not in (X, Y)]
-    contrib = (
-        cube.df.where(F.col(VALUE).isNotNull())
-        .withColumn("_xi", x_idx)
+    # Single-pass formulation: each pixel explodes into its k² weighted
+    # contributions PLUS one center-marker row, and one aggregation keyed
+    # on the receiving cell does everything — the conv sum, "is this a
+    # real grid cell", and the null-center mask. One scan + one shuffle;
+    # the naive contrib-then-join-back shape costs a second scan of the
+    # cube and a second shuffle for the join.
+    marker = F.struct(
+        F.lit(0).alias("dy"), F.lit(0).alias("dx"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    contribs_and_marker = F.concat(
+        F.when(F.col(VALUE).isNotNull(), offsets).otherwise(F.array()),
+        F.array(marker),
+    )
+    agg = (
+        cube.df.withColumn("_xi", x_idx)
         .withColumn("_yi", y_idx)
-        .select(*group, "_xi", "_yi", VALUE, F.explode(offsets).alias("_o"))
-        # the value at (yi, xi) contributes w[dy,dx] to center (yi+dy, xi+dx)
+        .select(*group, "_xi", "_yi", VALUE,
+                F.explode(contribs_and_marker).alias("_o"))
         .select(
             *group,
             (F.col("_yi") + F.col("_o.dy")).alias("_cy"),
             (F.col("_xi") + F.col("_o.dx")).alias("_cx"),
+            F.col("_o.w").isNull().alias("_is_center"),
             (F.col(VALUE) * F.col("_o.w")).alias("_wv"),
+            VALUE,
         )
         .groupBy(*group, "_cy", "_cx")
-        .agg(F.sum("_wv").alias("_conv"))
-    )
-    # keep only centers that exist in the input grid (inner join back)
-    base = (
-        cube.df.withColumn("_cx", x_idx).withColumn("_cy", y_idx)
+        .agg(
+            F.sum("_wv").alias("_conv"),
+            F.max(F.when(F.col("_is_center"), 1).otherwise(0)).alias("_has_c"),
+            F.max(F.when(F.col("_is_center"), F.col(VALUE))).alias("_cv"),
+        )
     )
     out = (
-        base.join(contrib, [*group, "_cy", "_cx"], "left")
-        .withColumn(
-            VALUE,
+        agg.where(F.col("_has_c") == 1)
+        .select(
+            *group,
+            (F.lit(grid.y0) - F.lit(grid.resy) * F.col("_cy")).alias(Y),
+            (F.lit(grid.x0) + F.lit(grid.resx) * F.col("_cx")).alias(X),
             F.when(
-                F.col(VALUE).isNotNull(),
+                F.col("_cv").isNotNull(),
                 F.coalesce(F.col("_conv"), F.lit(0.0)) * F.lit(float(factor)),
-            ),
+            ).alias(VALUE),
         )
-        .drop("_cy", "_cx", "_conv")
         .select(*cube.key_dims, VALUE)
     )
     return cube.with_df(out)

@@ -93,7 +93,10 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     self-join touches only true near-dup buckets; skewed giant buckets
     (boilerplate docs) are handled by AQE skew-join splitting.
     """
-    sig = minhash_signatures(docs)
+    # the signature table is tiny relative to the corpus (K ints per doc)
+    # but expensive to compute (explode + md5 per shingle); persist it so
+    # the self-join's two sides don't each recompute the whole pipeline
+    sig = minhash_signatures(docs).persist()
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[

@@ -19,12 +19,22 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs that parse
+# identically in Java regex (Spark) and RE2 (DuckDB): letter runs, single
+# digits, non-space punctuation
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace tokens plus a BPE-ish subword estimate (≈ chars/4,
-    the standard tokens≈bytes/4 heuristic) — both pure expressions."""
+    """Whitespace tokens, a BPE-ish regex piece count (letters/digit/punct
+    pre-tokenization), and the bytes/4 estimate — all pure expressions,
+    codegen-fused with the scan."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), F.lit(0))
+        ).alias("n_bpe_pieces"),
         (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
     )
 

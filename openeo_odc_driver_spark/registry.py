@@ -83,10 +83,16 @@ def _prep(spark: SparkSession) -> None:
     """Session confs the oracle parity depends on — set defensively at
     query time because the driver owns the SparkSession."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-    except Exception:
-        pass
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        # events.parquet stores TIMESTAMP(NANOS): unreadable without this
+        # (PARQUET_TYPE_ILLEGAL); runtime-settable, verified
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
 
 def q(name: str, oracle: Optional[str] = None):

@@ -253,6 +253,8 @@ _NTOK_D = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)"
 @q(
     "token_count",
     f"SELECT doc_id, {_NTOK_D} AS n_tokens, "
+    f"CAST(len(regexp_extract_all(text, '{ptext.BPE_SPLIT_RE}')) AS INT) "
+    "AS n_bpe_pieces, "
     "length(text) / 4.0 AS est_bpe_tokens FROM documents",
 )
 def _token_count(spark, sf_dir):
