@@ -359,3 +359,43 @@ def _stream_tumbling(spark, sf_dir):
 
     out = run_stream_to_memory(spark, sf_dir, tumbling_counts, name="reg_tumbling")
     return out.select("window_start", "event_type", "n")
+
+
+@q(
+    "streaming_session_windows",
+    "WITH e AS (SELECT user_id, ts "
+    "FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)), "
+    "s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+    "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "user_id, count(*) AS n_events FROM g GROUP BY user_id, sid",
+)
+def _stream_sessions(spark, sf_dir):
+    """Session windows through a real stream; the batch oracle is the
+    classic gaps-and-islands formulation (new session when the gap to the
+    previous event ≥ 30 min; window end = last event + gap)."""
+    from .streaming.windows import run_stream_to_memory, session_counts
+
+    return run_stream_to_memory(
+        spark, sf_dir, session_counts, name="reg_sessions"
+    ).select("session_start", "session_end", "user_id", "n_events")
+
+
+@q(
+    "stateful_running_max",
+    "SELECT event_type, max(value) AS max_value, count(*) AS n_seen "
+    "FROM events GROUP BY event_type",
+)
+def _stateful_max(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): with
+    the fixture arriving as one micro-batch, the emitted update rows are
+    the final per-key state — checkable against the batch aggregate."""
+    from .streaming.windows import run_stream_to_memory, stateful_running_max
+
+    return run_stream_to_memory(
+        spark, sf_dir, stateful_running_max, name="reg_statemax",
+        output_mode="update",
+    ).select("event_type", "max_value", "n_seen")

@@ -36,6 +36,8 @@ def get_spark(app_name: str = "openeo-odc-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table layouts (co-located joins) land here, not in cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

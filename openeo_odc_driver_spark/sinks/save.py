@@ -125,10 +125,38 @@ def save_gtiff(cube: Cube, path: str) -> str:
     return path + ".npy"
 
 
-def save_png(cube: Cube, path: str) -> str:
+def _nearest_resize(arr: np.ndarray, size: int) -> np.ndarray:
+    """Longest-side resize, nearest neighbor (the reference uses cv2,
+    openeo_odc_driver.py:1660-1670; cv2 isn't in this container and
+    nearest is sufficient for the preview-image role)."""
+    _, h, w = arr.shape
+    scale = size / max(h, w)
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    yi = np.minimum((np.arange(nh) / scale).astype(int), h - 1)
+    xi = np.minimum((np.arange(nw) / scale).astype(int), w - 1)
+    return arr[:, yi[:, None], xi[None, :]]
+
+
+def save_png(
+    cube: Cube,
+    path: str,
+    red: str | None = None,
+    green: str | None = None,
+    blue: str | None = None,
+    gray: str | None = None,
+    size: int | None = None,
+) -> str:
     """PNG semantics (openeo_odc_driver.py:1616-1677): fillna(0), uint8
-    clip. Encode stubbed (no PIL/cv2): uint8 array written as .npy."""
+    clip, optional RGB(+gray) band compositing by label, longest-side
+    resize. Encode stubbed (no PIL/cv2): uint8 array written as .npy."""
     arr, meta = _to_grid(cube)
+    if red is not None and green is not None and blue is not None:
+        order = [red, green, blue] + ([gray] if gray else [])
+        idx = [meta["bands"].index(b) for b in order]
+        arr = arr[idx]
+        meta["bands"] = order
+    if size is not None:
+        arr = _nearest_resize(arr, int(size))
     arr8 = np.clip(np.nan_to_num(arr, nan=0.0), 0, 255).astype(np.uint8)
     np.save(path + ".npy", arr8)
     with open(path + ".json", "w") as f:

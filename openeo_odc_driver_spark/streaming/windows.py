@@ -43,11 +43,66 @@ def sliding_avg(
     )
 
 
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events closer than `gap` merge into one
+    session (`F.session_window` — state-backed in streaming mode; in batch
+    mode it is the classic gaps-and-islands computation, which is what the
+    DuckDB oracle expresses with lag + a cumulative gap counter)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stateful_running_max(
+    events: DataFrame,
+    out_name: str = "running_max_out",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type, maintain the running maximum `value` seen and emit one row
+    per micro-batch update — the extension point the reference lacks
+    entirely (its UDF surface is batch-only, SURVEY §2.11)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, max_value double, n_seen long"
+    state_schema = "max_value double, n_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+            n += len(pdf)
+        state.update((mx, n))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "max_value": [mx], "n_seen": [n]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
     builder=tumbling_counts,
     name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive the events parquet through a real streaming query (one epoch)
     and return the materialized result. Uses the same ns→µs conversion as
@@ -72,7 +127,7 @@ def run_stream_to_memory(
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         builder(stream)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
