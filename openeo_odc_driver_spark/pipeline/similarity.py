@@ -111,6 +111,79 @@ def lsh_bucket_sql(emb: str = "embedding", n_planes: int = 8, dim: int = 64) -> 
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def ivf_flat_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into inverted lists by nearest
+    centroid; queries probe the ``nprobe`` nearest lists and rerank
+    exactly within them.
+
+    Centroids are a **deterministic sample** (the lowest `n_centroids`
+    vec_ids) rather than k-means means: averaging float sums is not
+    order-stable across engines, sampling is — and at 100 TB the sampled
+    "pseudo-centroids" play the same role (a real deployment would plug
+    trained centroids in as a literal table, which this plan shape
+    accepts unchanged).
+
+    Plan: centroid table broadcasts everywhere; list assignment is one
+    pass over the corpus (n_centroids fold-dots per vector + one
+    row_number); the probe join is an equi-join on cluster id. Corpus
+    never self-joins, never shuffles beyond the final rerank window.
+    """
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("c_norm", norm_expr("c_emb"))
+
+    def assign(df: DataFrame, id_col: str, emb_col: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_cs",
+            dot_expr(emb_col, "c_emb")
+            / F.nullif(norm_expr(emb_col) * F.col("c_norm"), F.lit(0.0)),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_cs").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .drop("_cs", "_rn", "c_emb", "c_norm")
+        )
+
+    corpus = assign(
+        embeddings.withColumn("e_norm", norm_expr("embedding")),
+        "vec_id", "embedding", 1,
+    )
+    q = assign(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ).withColumn("q_norm", norm_expr("q_emb")),
+        "query_id", "q_emb", nprobe,
+    )
+    cand = corpus.join(F.broadcast(q), "cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_expr("q_emb", "embedding")
+            / F.nullif(F.col("q_norm") * F.col("e_norm"), F.lit(0.0))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -245,6 +245,42 @@ def _lsh_ann(spark, sf_dir):
     return psim.lsh_bucket_ann(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+_IVF_NC, _IVF_NPROBE = 16, 4
+
+
+@q(
+    "ivf_flat_ann",
+    "WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb "
+    f"FROM embeddings WHERE vec_id < {_IVF_NC}), "
+    "ca AS (SELECT vec_id, embedding, cent_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) "
+    "AS rn FROM (SELECT e.vec_id, e.embedding, ct.cent_id, "
+    f"({_duck_dot('e.embedding', 'ct.c_emb')}) / "
+    f"nullif(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+    "FROM embeddings e CROSS JOIN cents ct)) WHERE rn = 1), "
+    "qa AS (SELECT query_id, q_emb, cent_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cent_id) "
+    "AS rn FROM (SELECT qq.vec_id AS query_id, qq.embedding AS q_emb, ct.cent_id, "
+    f"({_duck_dot('qq.embedding', 'ct.c_emb')}) / "
+    f"nullif(sqrt({_duck_dot('qq.embedding', 'qq.embedding')}) * "
+    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+    "FROM embeddings qq CROSS JOIN cents ct WHERE qq.vec_id < 8)) "
+    f"WHERE rn <= {_IVF_NPROBE}), "
+    "scored AS (SELECT qa.query_id, ca.vec_id AS neighbor_id, "
+    f"{_duck_cosine('qa.q_emb', 'ca.embedding')} AS cosine "
+    "FROM ca JOIN qa ON ca.cent_id = qa.cent_id "
+    "WHERE ca.vec_id != qa.query_id) "
+    + _TOPK_TAIL,
+)
+def _ivf_ann(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return psim.ivf_flat_ann(
+        e, e.where(F.col("vec_id") < 8), k=5,
+        n_centroids=_IVF_NC, nprobe=_IVF_NPROBE,
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 _NTOK_D = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)"

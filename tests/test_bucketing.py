@@ -15,8 +15,15 @@ from pyspark.sql import functions as F
 def bucketed(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # DROP TABLE only clears the session-scoped catalog entry; a previous
+    # session's warehouse directory would still collide (LOCATION_ALREADY_
+    # EXISTS), so clear the locations too
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS od_b")
+    for t in ("li_b", "od_b"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
     (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
        .sortBy("l_orderkey").saveAsTable("li_b"))
     (od.write.mode("overwrite").bucketBy(8, "o_orderkey")

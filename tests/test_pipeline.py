@@ -11,7 +11,11 @@ from openeo_odc_driver_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from openeo_odc_driver_spark.pipeline.similarity import brute_force_topk, lsh_bucket_ann
+from openeo_odc_driver_spark.pipeline.similarity import (
+    brute_force_topk,
+    ivf_flat_ann,
+    lsh_bucket_ann,
+)
 from openeo_odc_driver_spark.pipeline.text import lang_id, quality_score, token_count
 
 
@@ -81,6 +85,17 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     n_corpus = emb.count()
     assert recall > 0.2  # single-probe; >> random (5/n)
     assert recall > 25 / n_corpus
+
+
+def test_ivf_recall_and_probe_bound(spark, sf_dir):
+    """IVF with nprobe=4 of 16 lists scans ~1/4 of the corpus yet should
+    beat that fraction in recall (neighbors concentrate in near lists)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_flat_ann(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3  # > the 0.25 scan fraction
 
 
 def test_text_ops(spark, docs):
