@@ -204,6 +204,26 @@ class ProcessGraph:
                 f"expression reducer over {dim!r} (only bands supported)"
             )
 
+        if pid == "apply_dimension":
+            # the reference only wires quantiles under apply_dimension
+            # (openeo_odc_driver.py:852-855)
+            cube = self._resolve(args["data"])
+            dim = args.get("dimension", "time")
+            child = args["process"]["process_graph"]
+            node_c = next(iter(child.values()))
+            if len(child) == 1 and node_c["process_id"] == "quantiles":
+                from ..operators.reducers import quantiles
+
+                ca = node_c.get("arguments", {})
+                return quantiles(
+                    cube, dim,
+                    probabilities=ca.get("probabilities"), q=ca.get("q"),
+                )
+            raise NotImplementedError(
+                "apply_dimension supports a single quantiles child (as the "
+                "reference does)"
+            )
+
         if pid == "apply":
             cube = self._resolve(args["data"])
             child = args["process"]["process_graph"]

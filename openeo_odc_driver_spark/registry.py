@@ -1187,9 +1187,40 @@ _PG_PUSHDOWN_ORACLE = (
 )
 
 
+_PG_MASKED_SEASONAL_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), "
+    "sclm AS (SELECT time, y, x, "
+    "CASE WHEN (value > 4.0) IS NULL THEN NULL "
+    "WHEN value > 4.0 THEN 1.0 ELSE 0.0 END AS mv "
+    "FROM cube WHERE band = 'SCL'), "
+    "masked AS (SELECT c.band, c.time, c.y, c.x, "
+    "CASE WHEN m.mv = 0 AND m.mv IS NOT NULL THEN c.value END AS value "
+    "FROM cube c LEFT JOIN sclm m ON c.time = m.time AND c.y = m.y "
+    "AND c.x = m.x), "
+    "seas AS (SELECT band, y, x, "
+    "CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "
+    "avg(value) AS value FROM masked GROUP BY 1, 2, 3, 4) "
+    "SELECT band, y, x, time, least(greatest(value, -5.0), 5.0) AS value "
+    "FROM seas"
+)
+
+
+def _pg_masked_seasonal(spark, sf_dir):
+    """Wider planner coverage in one graph: band-expression mask build →
+    mask → calendar resample → apply(clip) → save."""
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(f"{_PG_DIR}/masked_seasonal.json",
+                                save_dir="/tmp/spark_graft_results/pg_seasonal")
+    return pg.execute(spark).df
+
+
 def _register_planner():
     q("process_graph_ndvi", _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi)
     q("process_graph_resample_pushdown", _PG_PUSHDOWN_ORACLE)(_pg_pushdown)
+    q("process_graph_masked_seasonal", _PG_MASKED_SEASONAL_ORACLE)(
+        _pg_masked_seasonal
+    )
 
 
 _register_planner()

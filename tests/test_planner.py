@@ -54,6 +54,38 @@ def test_resample_pushdown_rewrites_scan(spark, tmp_path):
     assert cube.df.count() == 3 * 9 * 9
 
 
+def test_apply_dimension_quantiles(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "qs": {
+                "process_id": "apply_dimension",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "dimension": "t",
+                    "process": {
+                        "process_graph": {
+                            "z": {
+                                "process_id": "quantiles",
+                                "arguments": {
+                                    "data": {"from_parameter": "data"},
+                                    "probabilities": [0.25, 0.75],
+                                },
+                                "result": True,
+                            }
+                        }
+                    },
+                },
+                "result": True,
+            },
+        }
+    }
+    cube = ProcessGraph(graph).execute(spark)
+    assert "prob" in cube.df.columns
+    probs = {r.prob for r in cube.df.select("prob").distinct().collect()}
+    assert probs == {0.25, 0.75}
+
+
 def test_planner_rejects_unknown_process(spark):
     with pytest.raises(NotImplementedError):
         ProcessGraph(
