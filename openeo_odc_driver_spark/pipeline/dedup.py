@@ -49,6 +49,19 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """The operational form of exact dedup: return the surviving documents
+    (lowest doc_id per content hash). One hash-aggregate + a semi-join on
+    the winner ids — no full-row shuffle of the corpus text twice at
+    scale; the winner set is small and broadcastable when dup-heavy."""
+    winners = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(winners, "doc_id", "left_semi")
+
+
 def _shingles(col: str = "text") -> F.Column:
     """Distinct character shingles (positions stride 1) via sequence+transform
     — JVM-side, no Python."""
@@ -199,6 +212,48 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 28) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, bits: int = 28, bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of `bands`
+    fingerprint chunks (pigeonhole: hamming ≤ bands−1 guarantees a shared
+    chunk; larger radii trade recall), verified by exact hamming distance
+    (bit_count of xor).
+
+    Scale: the chunk key is high-cardinality, so the self-join stays
+    within chunk buckets — same never-all-pairs shape as MinHash LSH.
+    """
+    fp = simhash_fingerprints(docs, bits=bits)
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                F.shiftright(F.col("simhash"), b * chunk)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(keys).alias("band_key"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
 
 
 def embedding_cosine_dup_pairs(

@@ -112,6 +112,30 @@ def _exact_dedup(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_first",
+    "SELECT d.* FROM documents d JOIN ("
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    ") w ON d.doc_id = w.doc_id",
+)
+def _dedup_keep_first(spark, sf_dir):
+    return pdedup.dedup_keep_first(_docs(spark, sf_dir))
+
+
+@q(
+    "frame_sample",
+    "SELECT doc_id, CAST(unnest(range(0, 100, 10)) AS INT) AS frame_idx "
+    "FROM documents WHERE doc_id < 32",
+)
+def _frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal): one row per sampled
+    frame index — the decode itself is the documented stub boundary."""
+    from .pipeline.multimodal import frame_sample
+
+    return frame_sample(_docs(spark, sf_dir).where(F.col("doc_id") < 32),
+                        every_n=10, n_frames=100)
+
+
+@q(
     "minhash_signatures",
     f"WITH {_SIG_CTE} SELECT * FROM sig",
 )
@@ -181,6 +205,35 @@ def _simhash(spark, sf_dir):
 
 # fixture embeddings have no true near-dups (max in-bucket cosine ≈ 0.45);
 # 0.3 exercises the full pipeline with a non-trivial result set
+_SH_CHUNK = _SIMHASH_BITS // 4
+_SH_MASK = (1 << _SH_CHUNK) - 1
+
+
+@q(
+    "simhash_near_dup_pairs",
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+    f"hh AS (SELECT doc_id, {md5_int_duck('tok')} AS h FROM tok), "
+    f"v AS (SELECT doc_id, {_VOTES_D} FROM hh GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_FP_D} AS BIGINT) AS simhash FROM v), "
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, simhash, concat_ws('_', '{b}', "
+        f"CAST((simhash >> {b * _SH_CHUNK}) & {_SH_MASK} AS VARCHAR)) "
+        "AS band_key FROM fp"
+        for b in range(4)
+    )
+    + ") "
+    "SELECT doc_a, doc_b, hamming FROM ("
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+    "FROM banded a JOIN banded b ON a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id) WHERE hamming <= 6",
+)
+def _simhash_pairs(spark, sf_dir):
+    return pdedup.simhash_near_dup_pairs(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
 _EMB_DUP_THRESHOLD = 0.3
 
 
