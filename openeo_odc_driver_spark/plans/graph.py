@@ -35,7 +35,12 @@ from ..functions.pivot import bands_wide
 from ..operators import math as om
 from ..operators.aggregates import aggregate_spatial, aggregate_temporal_period
 from ..operators.dimops import add_dimension, rename_labels
-from ..operators.filters import filter_bands, filter_bbox, filter_temporal
+from ..operators.filters import (
+    filter_bands,
+    filter_bbox,
+    filter_spatial,
+    filter_temporal,
+)
 from ..operators.kernel import apply_kernel
 from ..operators.mask import mask as mask_op
 from ..operators.merge import merge_cubes
@@ -244,6 +249,53 @@ class ProcessGraph:
             return mask_op(self._resolve(args["data"]),
                            self._resolve(args["mask"]),
                            args.get("replacement"))
+        if pid == "filter_spatial":
+            return filter_spatial(
+                self._resolve(args["data"]),
+                _geojson_polygons(args["geometries"]),
+            )
+        if pid == "aggregate_spatial":
+            child = args["reducer"]["process_graph"]
+            named = _single_named_reducer(child)
+            return aggregate_spatial(
+                self._resolve(args["data"]),
+                _geojson_polygons(args["geometries"]),
+                named,
+            )
+        if pid == "load_result":
+            from ..sources.synthetic import load_result as load_result_src
+
+            import os
+
+            path = args.get("path") or os.path.join(
+                os.path.dirname(self.save_dir.rstrip("/")), str(args["id"])
+            )
+            return load_result_src(spark, path)
+        if pid == "climatological_normal":
+            from ..operators.aggregates import climatological_normal
+
+            return climatological_normal(
+                self._resolve(args["data"]),
+                args.get("frequency", "monthly"),
+            )
+        if pid == "anomaly":
+            from ..operators.aggregates import anomaly
+
+            return anomaly(self._resolve(args["data"]),
+                           self._resolve(args["normals"]))
+        if pid == "resample_cube_spatial":
+            return resample_cube_spatial(
+                self._resolve(args["data"]),
+                self._resolve(args["target"]),
+                args.get("method", "near"),
+            )
+        if pid == "array_interpolate_linear":
+            from ..operators.dimops import array_interpolate_linear
+
+            # parent's dimension (reference reads node.parent_process)
+            return array_interpolate_linear(
+                self._resolve(args["data"]), args.get("dimension", "time")
+            )
         if pid == "merge_cubes":
             return merge_cubes(self._resolve(args["cube1"]),
                                self._resolve(args["cube2"]))
@@ -266,6 +318,30 @@ class ProcessGraph:
                                  args["target"], args.get("source"))
 
         raise NotImplementedError(f"process_id {pid!r} not supported by planner")
+
+
+def _geojson_polygons(gj: dict) -> list:
+    """GeoJSON Polygon / MultiPolygon / FeatureCollection → list of rings
+    (reference: geopandas materialization, openeo_odc_driver.py:641-652)."""
+    t = gj.get("type")
+    if t == "Polygon":
+        rings = [gj["coordinates"][0]]
+    elif t == "MultiPolygon":
+        rings = [poly[0] for poly in gj["coordinates"]]
+    elif t == "FeatureCollection":
+        rings = []
+        for feat in gj["features"]:
+            rings.extend(_geojson_polygons(feat["geometry"]))
+        return rings
+    else:
+        raise ValueError(f"unsupported geometry type {t!r}")
+    out = []
+    for ring in rings:
+        pts = [tuple(p) for p in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]  # GeoJSON closes rings; the ray-cast doesn't
+        out.append(pts)
+    return out
 
 
 def _single_named_reducer(child: dict) -> Optional[str]:

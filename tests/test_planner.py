@@ -86,6 +86,78 @@ def test_apply_dimension_quantiles(spark):
     assert probs == {0.25, 0.75}
 
 
+def test_zonal_stats_through_planner(spark):
+    """aggregate_spatial with a GeoJSON FeatureCollection argument."""
+    from openeo_odc_driver_spark.functions.geometry import FIXTURE_POLYGONS
+
+    def close(ring):
+        return [list(p) for p in ring] + [list(ring[0])]
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {
+                "type": "Polygon", "coordinates": [close(FIXTURE_POLYGONS[0])]}},
+            {"type": "Feature", "geometry": {
+                "type": "Polygon", "coordinates": [close(FIXTURE_POLYGONS[1])]}},
+        ],
+    }
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "z": {
+                "process_id": "aggregate_spatial",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "geometries": fc,
+                    "reducer": {"process_graph": {"m": {
+                        "process_id": "mean",
+                        "arguments": {"data": {"from_parameter": "data"}},
+                        "result": True}}},
+                },
+                "result": True,
+            },
+        }
+    }
+    cube = ProcessGraph(graph).execute(spark)
+    geoms = {r.geom_id for r in cube.df.select("geom_id").distinct().collect()}
+    assert geoms == {0, 1}
+
+
+def test_load_result_node(spark, tmp_path):
+    """save in one graph, load_result in the next (odc_backend job chain)."""
+    jobs_root = tmp_path / "jobs"
+    g1 = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "s": {"process_id": "save_result",
+                  "arguments": {"data": {"from_node": "l"}, "format": "PARQUET"},
+                  "result": True},
+        }
+    }
+    ProcessGraph(g1, save_dir=str(jobs_root / "job1")).execute(spark)
+    g2 = {
+        "process_graph": {
+            "lr": {"process_id": "load_result",
+                   "arguments": {"path": str(jobs_root / "job1" / "s")}},
+            "r": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "lr"},
+                    "dimension": "t",
+                    "reducer": {"process_graph": {"m": {
+                        "process_id": "max",
+                        "arguments": {"data": {"from_parameter": "data"}},
+                        "result": True}}},
+                },
+                "result": True,
+            },
+        }
+    }
+    cube = ProcessGraph(g2).execute(spark)
+    assert cube.df.count() == 3 * 16 * 16
+
+
 def test_planner_rejects_unknown_process(spark):
     with pytest.raises(NotImplementedError):
         ProcessGraph(
