@@ -10,6 +10,68 @@ from openeo_odc_driver_spark.streaming.windows import (
 )
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real late-data semantics: batch 1 advances event time to 12:00;
+    a watermark of 10 minutes finalizes windows older than 11:50, so a
+    batch-2 row stamped 09:05 must NOT update the 09:00 window in append
+    mode — the reference has no streaming story at all (SURVEY §2.11)."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write_file(name, rows):
+        pd.DataFrame(rows, columns=["ts", "k", "v"]).astype(
+            {"ts": "datetime64[us]"}
+        ).to_parquet(src / name)
+
+    write_file("b1.parquet", [
+        ("2024-01-01 09:01:00", "a", 1.0),
+        ("2024-01-01 12:00:00", "a", 1.0),  # advances the watermark
+    ])
+    schema = "ts timestamp, k string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time row and one LATE row for the 09:00 window
+        write_file("b2.parquet", [
+            ("2024-01-01 09:05:00", "a", 1.0),  # late: watermark is 11:50
+            ("2024-01-01 12:30:00", "a", 1.0),
+        ])
+        q.processAllAvailable()
+        # advance watermark past 13:00 so the 12:00 window finalizes
+        write_file("b3.parquet", [("2024-01-01 15:00:00", "a", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (str(r.ws), r.n) for r in spark.table("wm_test").collect()
+    }
+    # 09:00 window emitted with ONLY the on-time row (late 09:05 dropped);
+    # 12:00 window has both its rows
+    assert ("2024-01-01 09:00:00", 1) in out
+    assert ("2024-01-01 12:00:00", 2) in out
+    assert not any(ws == "2024-01-01 09:00:00" and n != 1 for ws, n in out)
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream_out = run_stream_to_memory(
         spark, sf_dir, tumbling_counts, name="t_stream_eq"
