@@ -474,6 +474,23 @@ def _stream_sessions(spark, sf_dir):
 
 
 @q(
+    "streaming_dedup",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
+    "FROM documents GROUP BY md5(text)",
+)
+def _streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (applyInPandasWithState): with the fixture
+    arriving as one micro-batch the survivors equal batch exact dedup —
+    the multi-batch drop behavior is asserted in tests/test_streaming.py."""
+    from .streaming.windows import run_stream_to_memory, stateful_stream_dedup
+
+    return run_stream_to_memory(
+        spark, sf_dir, stateful_stream_dedup, name="reg_sdedup",
+        output_mode="append", table="documents",
+    ).select("content_hash", "doc_id")
+
+
+@q(
     "stateful_running_max",
     "SELECT event_type, max(value) AS max_value, count(*) AS n_seen "
     "FROM events GROUP BY event_type",

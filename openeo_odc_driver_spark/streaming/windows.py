@@ -97,17 +97,57 @@ def stateful_running_max(
     )
 
 
+def stateful_stream_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the canonical training-data ingestion
+    operator: the first document seen per content hash passes, later
+    copies are dropped, across micro-batches (state = one counter per
+    hash). Within a batch the winner is the minimum doc_id
+    (deterministic under any partition order).
+
+    Scale: state is one small entry per distinct hash; the hash groupBy
+    is the same single-shuffle shape as batch exact_dedup.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs.withColumn("content_hash", F.md5("text"))
+    out_schema = "content_hash string, doc_id long"
+    state_schema = "n_seen long"
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        best = None
+        total = 0
+        for pdf in pdfs:
+            total += len(pdf)
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        if n == 0 and best is not None:
+            yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [best]})
+        state.update((n + total,))
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
     builder=tumbling_counts,
     name: str = "stream_out",
     output_mode: str = "complete",
+    table: str = "events",
 ) -> DataFrame:
-    """Drive the events parquet through a real streaming query (one epoch)
+    """Drive a fixture parquet through a real streaming query (one epoch)
     and return the materialized result. Uses the same ns→µs conversion as
-    the batch loader."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    the batch loader for the events table."""
+    batch = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # Stateful aggregation creates one state-store instance per shuffle
     # partition; 32 RocksDB/HDFS-backed stores for one small batch is pure
     # overhead locally, and the partition count is baked into the
@@ -120,7 +160,7 @@ def run_stream_to_memory(
     stream = (
         spark.readStream.schema(batch.schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .load(sf_dir)
     )
     if dict(batch.dtypes).get("ts") == "bigint":

@@ -72,6 +72,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert not any(ws == "2024-01-01 09:00:00" and n != 1 for ws, n in out)
 
 
+def test_streaming_dedup_drops_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch is dropped — state
+    remembers content hashes across batches."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.streaming.windows import stateful_stream_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+
+    write("b1.parquet", [(1, "alpha"), (2, "beta")])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sd_test")
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", [(3, "alpha"), (4, "gamma")])  # 3 is a dup
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    survivors = {r.doc_id for r in spark.table("sd_test").collect()}
+    assert survivors == {1, 2, 4}  # doc 3's content already seen in batch 1
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream_out = run_stream_to_memory(
         spark, sf_dir, tumbling_counts, name="t_stream_eq"
