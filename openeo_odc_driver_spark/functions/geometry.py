@@ -25,6 +25,62 @@ FIXTURE_POLYGONS: list[list[tuple[float, float]]] = [
 ]
 
 
+def is_convex(poly: list[tuple[float, float]]) -> bool:
+    """True when all edge cross-products share a sign (CCW or CW)."""
+    n = len(poly)
+    if n < 3:
+        return False
+    signs = set()
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        x3, y3 = poly[(i + 2) % n]
+        cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+        if cross != 0:
+            signs.add(cross > 0)
+    return len(signs) == 1
+
+
+def convex_contains_col(poly: list[tuple[float, float]], xcol: str = "x", ycol: str = "y"):
+    """Containment for a convex polygon as a pure Column expression — the
+    JVM fast path (AND of half-plane sign tests, whole-stage codegen'd,
+    pushdown-friendly); mirrors :func:`convex_contains_sql` exactly.
+    CW rings are reversed to CCW first."""
+    from pyspark.sql import functions as F
+
+    pts = list(poly)
+    # orient CCW (shoelace)
+    area2 = sum(
+        pts[i][0] * pts[(i + 1) % len(pts)][1]
+        - pts[(i + 1) % len(pts)][0] * pts[i][1]
+        for i in range(len(pts))
+    )
+    if area2 < 0:
+        pts = pts[::-1]
+    cond = None
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        edge = (
+            (F.lit(x2) - F.lit(x1)) * (F.col(ycol) - F.lit(y1))
+            - (F.lit(y2) - F.lit(y1)) * (F.col(xcol) - F.lit(x1))
+            >= 0
+        )
+        cond = edge if cond is None else (cond & edge)
+    return cond
+
+
+def geom_id_col(polys: list[list[tuple[float, float]]], xcol: str = "x", ycol: str = "y"):
+    """First-match geom_id as a Column (requires every polygon convex)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(None).cast("int")
+    for i in range(len(polys) - 1, -1, -1):
+        expr = F.when(convex_contains_col(polys[i], xcol, ycol), F.lit(i)).otherwise(expr)
+    return expr
+
+
 def convex_contains_sql(poly: list[tuple[float, float]], xcol: str = "x", ycol: str = "y") -> str:
     """AND of edge cross-products ≥ 0 for a CCW convex polygon."""
     terms = []

@@ -132,14 +132,20 @@ def aggregate_spatial(
     over (x, y), keyed by geometry index on a new `geom_id` column
     (≙ the reference's `result` dimension, :679-684).
 
-    Plan shape: pixel scan → pandas-UDF containment tag (geometries are
-    query constants, closure-shipped) → groupBy(geom_id, band, time). No
-    join at all; one shuffle for the final agg.
+    Plan shape: pixel scan → containment tag → groupBy(geom_id, band,
+    time). No join at all; one shuffle for the final agg. Convex
+    geometries tag via pure half-plane Column expressions (codegen'd
+    with the scan); concave fall back to the ray-cast pandas UDF.
     """
-    contains = polygon_contains_udf(polygons)
+    from ..functions.geometry import geom_id_col, is_convex
+
     group = [d for d in cube.key_dims if d not in (X, Y)]
+    if all(is_convex(p) for p in polygons):
+        tag = geom_id_col(polygons, X, Y)
+    else:
+        tag = polygon_contains_udf(polygons)(F.col(X), F.col(Y))
     out = (
-        cube.df.withColumn("geom_id", contains(F.col(X), F.col(Y)))
+        cube.df.withColumn("geom_id", tag)
         .where(F.col("geom_id").isNotNull())
         .groupBy("geom_id", *group)
         .agg(REDUCERS[reducer]().alias(VALUE))

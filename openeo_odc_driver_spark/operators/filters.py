@@ -121,10 +121,21 @@ def polygon_contains_udf(polygons: list[list[tuple[float, float]]]):
 
 
 def filter_spatial(cube: Cube, polygons: list[list[tuple[float, float]]]) -> Cube:
-    """Clip to polygons (drop pixels outside all), openeo_odc_driver.py:686-707."""
+    """Clip to polygons (drop pixels outside all), openeo_odc_driver.py:686-707.
+
+    Convex polygons (the overwhelmingly common case) take a **pure
+    Catalyst path**: containment = AND of half-plane sign tests, fused
+    into whole-stage codegen with the scan — zero Python in the row
+    path. Concave polygons fall back to the vectorized ray-cast
+    pandas UDF. Both behind the same bbox prefilter so the scan prunes."""
+    from ..functions.geometry import geom_id_col, is_convex
+
     xs = [p[0] for poly in polygons for p in poly]
     ys = [p[1] for poly in polygons for p in poly]
     pre = filter_bbox(cube, min(xs), max(xs), min(ys), max(ys))
-    contains = polygon_contains_udf(polygons)
-    out = pre.df.where(contains(F.col(X), F.col(Y)).isNotNull())
+    if all(is_convex(p) for p in polygons):
+        out = pre.df.where(geom_id_col(polygons, X, Y).isNotNull())
+    else:
+        contains = polygon_contains_udf(polygons)
+        out = pre.df.where(contains(F.col(X), F.col(Y)).isNotNull())
     return cube.with_df(out)

@@ -60,3 +60,30 @@ def test_zonal_respects_geometry(spark):
     geoms = {r.geom_id for r in out.df.select("geom_id").distinct().collect()}
     assert 3 not in geoms  # P3 lies outside the grid extent
     assert {0, 1, 2} <= geoms
+
+
+def test_concave_polygon_falls_back_to_raycast(spark):
+    """An L-shaped (concave) polygon must route through the ray-cast UDF
+    and exclude the notch that its convex hull would include."""
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.functions.geometry import is_convex
+    from openeo_odc_driver_spark.operators.filters import filter_spatial
+
+    # L-shape: notch removes the upper-right quadrant [75,145]x[75,145]
+    ell = [
+        (5.5, 5.5), (145.5, 5.5), (145.5, 75.5),
+        (75.5, 75.5), (75.5, 145.5), (5.5, 145.5),
+    ]
+    assert not is_convex(ell)
+    c = synthetic_cube(spark, CubeSpec(n_times=1, ny=16, nx=16))
+    out = filter_spatial(c, [ell])
+    pts = {(r.x, r.y) for r in out.df.select("x", "y").distinct().collect()}
+    assert (50.0, 50.0) in pts  # inside the L
+    assert (100.0, 100.0) not in pts  # inside the notch → excluded
+    # convex fast path stays pure-JVM: no pandas UDF in the plan
+    conv_plan = (
+        filter_spatial(c, [FIXTURE_POLYGONS[0]]).df._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in conv_plan and "BatchEvalPython" not in conv_plan
