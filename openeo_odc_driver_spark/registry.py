@@ -1226,6 +1226,27 @@ def _register_planner():
 _register_planner()
 
 
+@q(
+    "events_json_extract",
+    "SELECT event_type, count(*) AS n, "
+    "min(CAST(props ->> '$.k' AS BIGINT)) AS min_k, "
+    "max(CAST(props ->> '$.k' AS BIGINT)) AS max_k, "
+    "sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k "
+    "FROM events GROUP BY event_type",
+)
+def _events_json(spark, sf_dir):
+    """Semi-structured path: JSON extraction from the events `props`
+    column (get_json_object ↔ DuckDB `->>`); integer sums stay exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
 # pipeline-operator registrations (side-effect import, keeps this module
 # focused on the reference's cube surface)
 from . import registry_pipeline  # noqa: E402,F401
