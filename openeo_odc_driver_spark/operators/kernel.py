@@ -113,12 +113,24 @@ def apply_kernel_tiled(
     kernel: Sequence[Sequence[float]],
     factor: float = 1.0,
     tile: int = 256,
+    border: str = "constant",
 ) -> Cube:
     """Halo-exchange stencil: duplicate each pixel into the (≤4) tiles whose
-    halo covers it, then convolve per tile in numpy via applyInPandas."""
+    halo covers it, then convolve per tile in numpy via applyInPandas.
+
+    Border modes at the **scene** edge (the reference maps openEO modes to
+    scipy, openeo_odc_driver.py:1405): ``constant`` (0), ``replicate``
+    (clamp), ``reflect`` (edge-inclusive mirror), ``reflect_pixel``
+    (edge-exclusive mirror). Scene extent arrives as a broadcast scalar
+    agg — no driver action, and the remap happens on local tile indices
+    (the needed source rows are always inside the tile+halo window).
+    ``wrap`` needs the opposite scene edge, which breaks tile locality —
+    explicitly unsupported."""
     import numpy as np
     import pandas as pd
 
+    if border not in ("constant", 0, "0", "replicate", "reflect", "reflect_pixel"):
+        raise NotImplementedError(f"border mode {border!r} (wrap breaks tile locality)")
     grid = cube.schema.grid
     if grid is None:
         raise ValueError("apply_kernel_tiled needs a GridSpec")
@@ -147,6 +159,11 @@ def apply_kernel_tiled(
         )
         .drop("_dtx", "_dty")
     )
+    if border not in ("constant", 0, "0"):
+        extent = cube.df.agg(
+            F.max(x_idx).alias("_nxm"), F.max(y_idx).alias("_nym")
+        )
+        df = df.join(F.broadcast(extent))
 
     schema_fields = ", ".join(
         [f"{d} {'string' if d == BAND else 'timestamp' if d == TIME else 'double'}"
@@ -165,6 +182,25 @@ def apply_kernel_tiled(
         ly = (pdf["_yi"] - yi0).to_numpy()
         arr[ly, lx] = pdf["value"].to_numpy()
         filled = np.nan_to_num(arr, nan=0.0)
+        if border not in ("constant", 0, "0"):
+            # remap out-of-scene halo cells per the border mode (the
+            # mapped source row/col is always inside this tile's window)
+            nym, nxm = int(pdf["_nym"].iloc[0]), int(pdf["_nxm"].iloc[0])
+
+            def remap(g, m_idx):
+                if border == "replicate":
+                    g = np.clip(g, 0, m_idx)
+                elif border == "reflect":
+                    g = np.where(g < 0, -g - 1, g)
+                    g = np.where(g > m_idx, 2 * m_idx + 1 - g, g)
+                else:  # reflect_pixel
+                    g = np.where(g < 0, -g, g)
+                    g = np.where(g > m_idx, 2 * m_idx - g, g)
+                return g
+
+            rows = np.clip(remap(yi0 + np.arange(w), nym) - yi0, 0, w - 1)
+            cols = np.clip(remap(xi0 + np.arange(w), nxm) - xi0, 0, w - 1)
+            filled = filled[rows[:, None], cols[None, :]]
         out = np.zeros_like(filled)
         for dy in range(k.shape[0]):
             for dx in range(k.shape[1]):

@@ -85,6 +85,64 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(decode_batch, out_schema)
 
 
+AUDIO_META_SCHEMA = "sample_rate int, n_samples int, channels int, format string"
+
+
+def attach_fake_audio(docs: DataFrame, sample_rate: int = 16000,
+                      n_samples: int = 4096) -> DataFrame:
+    """Fixture adapter: deterministic binary 'audio' column + typed
+    metadata (same content-addressed scheme as the image path)."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("audio"),
+        F.struct(
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(n_samples).alias("n_samples"),
+            F.lit(1).alias("channels"),
+            F.lit("fake-pcm").alias("format"),
+        ).alias("audio_meta"),
+    )
+
+
+def decode_audio(df: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → waveform features via mapInPandas (Arrow batches): RMS,
+    peak, zero-crossing rate, duration. Real decoders (soundfile/librosa)
+    are not in the image — `fake=False` raises, marking the library
+    boundary; the fake decoder synthesizes a deterministic waveform from
+    the payload hash so batch shapes and schemas are real."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa (not in this "
+            "container); use fake=True for the deterministic test decoder"
+        )
+
+    out_schema = (
+        "doc_id long, duration_s double, rms double, peak double, "
+        "zero_crossing_rate double"
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sr = int(r["audio_meta"]["sample_rate"])
+                n = int(r["audio_meta"]["n_samples"])
+                seed = int.from_bytes(bytes(r["audio"])[:8], "big") % (2 ** 32)
+                wave = np.random.default_rng(seed).normal(0.0, 0.25, size=n)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(wave)))))
+                rows.append(
+                    (r["doc_id"], n / sr, float(np.sqrt(np.mean(wave ** 2))),
+                     float(np.abs(wave).max()), zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_s", "rms", "peak",
+                         "zero_crossing_rate"],
+            )
+
+    return df.mapInPandas(decode_batch, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, n_frames: int = 100) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
     The decode itself is the same stub boundary as decode_image."""

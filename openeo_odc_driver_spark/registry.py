@@ -443,6 +443,28 @@ def _register_reducers():
 
     q("reduce_bands_mean", oracle_b)(fn_b)
 
+    # spatial-dimension reducers (the reference reduces over x/y too,
+    # openeo_odc_driver.py:728-733)
+    oracle_x = (
+        f"WITH cube AS ({CUBE_D}) "
+        "SELECT band, time, y, sum(value) AS value FROM cube GROUP BY band, time, y"
+    )
+
+    def fn_x(spark, sf_dir):
+        return reduce_dimension(synthetic_cube(spark), "x", "sum").df
+
+    q("reduce_x_sum", oracle_x)(fn_x)
+
+    oracle_y = (
+        f"WITH cube AS ({CUBE_D}) "
+        "SELECT band, time, x, max(value) AS value FROM cube GROUP BY band, time, x"
+    )
+
+    def fn_y(spark, sf_dir):
+        return reduce_dimension(synthetic_cube(spark), "y", "max").df
+
+    q("reduce_y_max", oracle_y)(fn_y)
+
 
 _register_reducers()
 
@@ -591,6 +613,48 @@ def _apply_kernel_tiled(spark, sf_dir):
     physical plans is itself part of the check."""
     return apply_kernel_tiled(
         synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8
+    ).df
+
+
+# border-mode oracles: per-center source index remapped into the scene
+# (replicate = clamp, reflect = edge-inclusive mirror over 0..15)
+_BORDER_MAP = {
+    "replicate": "least(greatest({g}, 0), 15)",
+    "reflect": "(CASE WHEN {g} < 0 THEN -({g}) - 1 "
+    "WHEN {g} > 15 THEN 31 - ({g}) ELSE {g} END)",
+}
+
+
+def _kernel_border_oracle(mode: str) -> str:
+    my = _BORDER_MAP[mode].format(g="(i.yi - o.dy)")
+    mx = _BORDER_MAP[mode].format(g="(i.xi - o.dx)")
+    return (
+        f"WITH cube AS ({CUBE_D}), idx AS ({GRID_IDX_D}), "
+        "offs(dy, dx, w) AS (VALUES (-1, 0, 0.25), (0, -1, 0.25), (0, 0, -1.0), "
+        "(0, 1, 0.25), (1, 0, 0.25)) "
+        "SELECT i.band, i.time, i.y, i.x, "
+        "CASE WHEN i.value IS NOT NULL THEN sum(coalesce(s.value, 0.0) * o.w) "
+        "* 2.0 END AS value "
+        "FROM idx i CROSS JOIN offs o "
+        f"JOIN idx s ON s.band = i.band AND s.time = i.time "
+        f"AND s.yi = {my} AND s.xi = {mx} "
+        "GROUP BY i.band, i.time, i.y, i.x, i.value"
+    )
+
+
+@q("apply_kernel_replicate", _kernel_border_oracle("replicate"))
+def _apply_kernel_replicate(spark, sf_dir):
+    return apply_kernel_tiled(
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8,
+        border="replicate",
+    ).df
+
+
+@q("apply_kernel_reflect", _kernel_border_oracle("reflect"))
+def _apply_kernel_reflect(spark, sf_dir):
+    return apply_kernel_tiled(
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8,
+        border="reflect",
     ).df
 
 

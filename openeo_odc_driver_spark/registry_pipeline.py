@@ -431,6 +431,14 @@ def _multimodal(spark, sf_dir):
     return decode_image(attach_fake_images(docs), fake=True)
 
 
+@q("multimodal_audio_decode")  # no SQL twin: binary audio + pandas-UDF decode
+def _multimodal_audio(spark, sf_dir):
+    from .pipeline.multimodal import attach_fake_audio, decode_audio
+
+    docs = _docs(spark, sf_dir).limit(256)
+    return decode_audio(attach_fake_audio(docs), fake=True)
+
+
 # --- streaming --------------------------------------------------------------
 
 @q(
