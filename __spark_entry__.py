@@ -49,8 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (bit-exact by
     construction; see registry docstrings). Keys absent here
-    (fit_curve_harmonic, multimodal_decode) are non-SQL-expressible and
-    get the driver's rows-only check."""
+    (fit_curve_harmonic, multimodal_decode, multimodal_audio_decode) are
+    non-SQL-expressible and get the driver's rows-only check."""
     from openeo_odc_driver_spark.registry import ORACLE
 
     return dict(ORACLE)

@@ -10,7 +10,11 @@ def test_every_oracle_has_a_query():
 
 def test_known_rows_only_set():
     rows_only = set(QUERIES) - set(ORACLE)
-    assert rows_only == {"fit_curve_harmonic", "multimodal_decode"}
+    assert rows_only == {
+        "fit_curve_harmonic",
+        "multimodal_decode",
+        "multimodal_audio_decode",
+    }
 
 
 def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
