@@ -134,6 +134,55 @@ def pi_col() -> Column:
     return F.lit(math.pi)
 
 
+# --- openEO processes beyond the reference's dispatch (the spec defines
+# them; the reference never wired them — a migrating user gets them here) --
+
+def floor_cols(x: Operand) -> Column:
+    return F.floor(_c(x)).cast("double")
+
+
+def ceil_cols(x: Operand) -> Column:
+    return F.ceil(_c(x)).cast("double")
+
+
+def round_cols(x: Operand, p: int = 0) -> Column:
+    # openEO round = half-to-even; Spark bround is exactly that
+    return F.bround(_c(x), int(p))
+
+
+def int_cols(x: Operand) -> Column:
+    """Truncate toward zero (openEO `int`)."""
+    v = _c(x)
+    return F.when(v < 0, -F.floor(-v)).otherwise(F.floor(v)).cast("double")
+
+
+def exp_cols(x: Operand) -> Column:
+    return F.exp(_c(x))
+
+
+def mod_cols(x: Operand, y: Operand) -> Column:
+    """openEO mod: sign follows the divisor (Python %), not the dividend
+    (SQL %): mod(x,y) = x − y·floor(x/y)."""
+    xv, yv = _c(x), _c(y)
+    return xv - yv * F.floor(xv / yv)
+
+
+def tan_cols(x: Operand) -> Column:
+    return F.tan(_c(x))
+
+
+def arctan_cols(x: Operand) -> Column:
+    return F.atan(_c(x))
+
+
+def between_cols(x: Operand, lo: Operand, hi: Operand) -> Column:
+    return _c(x).between(_c(lo), _c(hi))
+
+
+def is_nodata_cols(x: Operand) -> Column:
+    return _c(x).isNull()
+
+
 def clip_cols(x: Operand, lo: Operand = 0.0, hi: Operand = 1.0) -> Column:
     # clamp to [min(def 0), max] (openeo_odc_driver.py:1000-1019)
     return F.least(F.greatest(_c(x), _c(lo)), _c(hi))

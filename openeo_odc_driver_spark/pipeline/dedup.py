@@ -257,7 +257,10 @@ def simhash_near_dup_pairs(
 
 
 def embedding_cosine_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    salt: int = 1,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
     **LSH bucket id** (random-hyperplane signs, shared with
@@ -265,7 +268,14 @@ def embedding_cosine_dup_pairs(
     pairwise join stays within buckets and never goes quadratic over the
     corpus; a semantic column like `label` would miss cross-label dups and
     go quadratic on hot labels. Bucket boundaries can split true dup pairs
-    (single-probe recall tradeoff, same as the ANN path)."""
+    (single-probe recall tradeoff, same as the ANN path).
+
+    ``salt > 1`` splits hot buckets for skew: the left side is salted by
+    ``vec_id % salt`` and the right side replicated across all salts, so
+    every within-bucket pair survives exactly once while a hot bucket's
+    work spreads over `salt` tasks. Results are identical to unsalted
+    (asserted in tests); at 100 TB this is the lever when a boilerplate
+    cluster concentrates one task."""
     from .similarity import dot_expr, lsh_bucket_col, norm_expr
 
     e = embeddings.select(
@@ -274,9 +284,17 @@ def embedding_cosine_dup_pairs(
         lsh_bucket_col("embedding", n_planes).alias("bucket"),
         norm_expr("embedding").alias("norm"),  # once per vector, not per pair
     )
+    left = e.alias("a")
+    right = e.alias("b")
+    keys = ["bucket"]
+    if salt > 1:
+        left = left.withColumn("_salt", F.col("vec_id") % salt)
+        right = right.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        keys = ["bucket", "_salt"]
     pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "bucket")
+        left.join(right, keys)
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),

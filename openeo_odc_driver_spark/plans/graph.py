@@ -73,7 +73,15 @@ _UNARY = {
     "ln": om.ln_cols,
     "sin": om.sin_cols,
     "cos": om.cos_cols,
+    "floor": om.floor_cols,
+    "ceil": om.ceil_cols,
+    "int": om.int_cols,
+    "exp": om.exp_cols,
+    "tan": om.tan_cols,
+    "arctan": om.arctan_cols,
+    "is_nodata": om.is_nodata_cols,
 }
+_BINARY["mod"] = om.mod_cols
 
 
 class ProcessGraph:

@@ -254,6 +254,29 @@ _MATH_OPS = [
         "CASE WHEN (value > 0.0) IS NULL THEN NULL "
         "WHEN value > 0.0 THEN value ELSE -1.0 END",
     ),
+    # openEO spec processes beyond the reference's dispatch
+    ("floor", lambda v: om.floor_cols(v), "CAST(floor(value) AS DOUBLE)"),
+    ("ceil", lambda v: om.ceil_cols(v), "CAST(ceil(value) AS DOUBLE)"),
+    ("round", lambda v: om.round_cols(v, 0), "round_even(value, 0)"),
+    ("int", lambda v: om.int_cols(v), "CAST(trunc(value) AS DOUBLE)"),
+    (
+        "exp",
+        lambda v: F.round(om.exp_cols(v), 7),  # libm quantization (see above)
+        "round(exp(value), 7)",
+    ),
+    (
+        "mod",
+        lambda v: om.mod_cols(v, 2.5),
+        "value - 2.5 * floor(value / 2.5)",
+    ),
+    ("tan", lambda v: F.round(om.tan_cols(v), 7), "round(tan(value), 7)"),
+    ("arctan", lambda v: F.round(om.arctan_cols(v), 7), "round(atan(value), 7)"),
+    (
+        "between",
+        lambda v: om.between_cols(v, -2.0, 3.0),
+        "value BETWEEN -2.0 AND 3.0",
+    ),
+    ("is_nodata", lambda v: om.is_nodata_cols(v), "value IS NULL"),
 ]
 
 

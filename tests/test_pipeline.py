@@ -87,6 +87,23 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall > 25 / n_corpus
 
 
+def test_salted_embedding_dedup_identical(spark, sf_dir):
+    """Skew salting must not change results — every within-bucket pair
+    survives exactly once."""
+    from openeo_odc_driver_spark.pipeline.dedup import embedding_cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plain = {
+        (r.vec_a, r.vec_b) for r in
+        embedding_cosine_dup_pairs(emb, threshold=0.2).collect()
+    }
+    salted = {
+        (r.vec_a, r.vec_b) for r in
+        embedding_cosine_dup_pairs(emb, threshold=0.2, salt=4).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
 def test_ivf_recall_and_probe_bound(spark, sf_dir):
     """IVF with nprobe=4 of 16 lists scans ~1/4 of the corpus yet should
     beat that fraction in recall (neighbors concentrate in near lists)."""
