@@ -57,6 +57,13 @@ def test_collections_stac_shape(client):
     assert r404.status_code == 404
 
 
+def test_processes_discovery(client):
+    r = client.get("/processes")
+    ids = {p["id"] for p in r.get_json()["processes"]}
+    assert {"load_collection", "reduce_dimension", "median", "mod",
+            "resample_spatial"} <= ids
+
+
 def test_stop_unknown_job_404(client):
     r = client.delete("/stop_job", json={"id": "ghost"})
     assert r.status_code == 404
