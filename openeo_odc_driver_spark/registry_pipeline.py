@@ -439,6 +439,51 @@ def _multimodal_audio(spark, sf_dir):
     return decode_audio(attach_fake_audio(docs), fake=True)
 
 
+# --- composed pipeline ------------------------------------------------------
+
+_Q_CUT = 0.5
+
+
+@q(
+    "pipeline_quality_dedup_stats",
+    "WITH q AS (SELECT doc_id, "
+    "(CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END * (1.0 - punct_ratio)) "
+    "* least(stopword_ratio * 4 + 0.2, 1.0) AS quality FROM ("
+    f"SELECT doc_id, {_NTOK_D} AS n_tokens, "
+    f"{_PUNCT_D} / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio, "
+    f"{_STOPHITS_D} / nullif(CAST({_NTOK_D} AS DOUBLE), 0.0) AS stopword_ratio "
+    "FROM documents)), "
+    f"kept AS (SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id "
+    f"AND q.quality > {_Q_CUT}), "
+    "winners AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), "
+    "surv AS (SELECT k.* FROM kept k JOIN winners w ON k.doc_id = w.doc_id) "
+    f"SELECT lang, count(*) AS n_docs, sum(CAST({_NTOK_D} AS BIGINT)) "
+    "AS total_tokens FROM surv GROUP BY lang",
+)
+def _pipeline_e2e(spark, sf_dir):
+    """The training-data pipeline composed in ONE lazy plan: quality
+    filter → exact dedup (keep first) → per-language token stats — the
+    operators are designed to chain, and Catalyst plans the whole chain
+    (no materialization between stages)."""
+    docs = _docs(spark, sf_dir)
+    quality = ptext.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(
+        quality.where(F.col("quality") > _Q_CUT).select("doc_id"), "doc_id"
+    )
+    survivors = pdedup.dedup_keep_first(kept)
+    toks = ptext.token_count(survivors).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    return (
+        survivors.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 # --- streaming --------------------------------------------------------------
 
 @q(
