@@ -608,6 +608,18 @@ def _zonal_median(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "median").df
 
 
+@q("aggregate_spatial_sd", _ZONAL_ORACLE.format(red=_SD_D))
+def _zonal_sd(spark, sf_dir):
+    """Zonal sd closes the reference's reducer set for aggregate_spatial
+    ({mean,min,max,median,product,sum,sd,variance}, :663-678)."""
+    return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "sd").df
+
+
+@q("aggregate_spatial_variance", _ZONAL_ORACLE.format(red=_VAR_D))
+def _zonal_variance(spark, sf_dir):
+    return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "variance").df
+
+
 # 5-point Laplacian-ish kernel with dyadic weights (exact contributions)
 _KERNEL = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
 _KERNEL_FACTOR = 2.0
