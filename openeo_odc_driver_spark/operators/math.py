@@ -142,18 +142,22 @@ def floor_cols(x: Operand) -> Column:
 
 
 def ceil_cols(x: Operand) -> Column:
-    return F.ceil(_c(x)).cast("double")
+    # `+ 0.0` canonicalizes IEEE signed zero (-0.0 → +0.0) so results are
+    # bit-identical across engines that differ on the sign of zero.
+    return F.ceil(_c(x)).cast("double") + F.lit(0.0)
 
 
 def round_cols(x: Operand, p: int = 0) -> Column:
-    # openEO round = half-to-even; Spark bround is exactly that
-    return F.bround(_c(x), int(p))
+    # openEO round = half-to-even; Spark bround is exactly that.
+    # `+ 0.0` canonicalizes signed zero (see ceil_cols).
+    return F.bround(_c(x), int(p)) + F.lit(0.0)
 
 
 def int_cols(x: Operand) -> Column:
-    """Truncate toward zero (openEO `int`)."""
+    """Truncate toward zero (openEO `int`). `+ 0.0` canonicalizes -0.0."""
     v = _c(x)
-    return F.when(v < 0, -F.floor(-v)).otherwise(F.floor(v)).cast("double")
+    return (F.when(v < 0, -F.floor(-v)).otherwise(F.floor(v)).cast("double")
+            + F.lit(0.0))
 
 
 def exp_cols(x: Operand) -> Column:

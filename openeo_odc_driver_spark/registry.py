@@ -256,9 +256,9 @@ _MATH_OPS = [
     ),
     # openEO spec processes beyond the reference's dispatch
     ("floor", lambda v: om.floor_cols(v), "CAST(floor(value) AS DOUBLE)"),
-    ("ceil", lambda v: om.ceil_cols(v), "CAST(ceil(value) AS DOUBLE)"),
-    ("round", lambda v: om.round_cols(v, 0), "round_even(value, 0)"),
-    ("int", lambda v: om.int_cols(v), "CAST(trunc(value) AS DOUBLE)"),
+    ("ceil", lambda v: om.ceil_cols(v), "CAST(ceil(value) AS DOUBLE) + 0.0"),
+    ("round", lambda v: om.round_cols(v, 0), "round_even(value, 0) + 0.0"),
+    ("int", lambda v: om.int_cols(v), "CAST(trunc(value) AS DOUBLE) + 0.0"),
     (
         "exp",
         lambda v: F.round(om.exp_cols(v), 7),  # libm quantization (see above)

@@ -43,6 +43,21 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
         return problems
     s = normalize(sdf)
     d = normalize(ddf)
+    # Bitwise check on float columns: the driver hashes raw values, so
+    # -0.0 vs +0.0 (invisible to ==) must be flagged here too.
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            av = a.to_numpy(dtype="float64").view("int64")
+            bv = b.to_numpy(dtype="float64").view("int64")
+            if not (av == bv).all():
+                i = int(np.argmax(av != bv))
+                problems.append(
+                    f"bitwise diff col={c} row={i}: "
+                    f"spark={a.iloc[i]!r} duck={b.iloc[i]!r} "
+                    f"(bits {av[i]:#x} vs {bv[i]:#x})")
+    if problems:
+        return problems
     try:
         pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
     except AssertionError as e:
