@@ -82,15 +82,29 @@ class CubeSchema:
     bands: tuple[str, ...] = ()
     crs: Optional[str] = None
     grid: Optional[GridSpec] = None
+    # Closed [lo, hi] superset bound on the cube's `time` values (datetime
+    # pair), or None when unknown. Plan-time metadata: lets merge_cubes
+    # prove time-disjointness WITHOUT running a probe job (the reference
+    # reads in-memory xarray coords for the same decision,
+    # openeo_odc_driver.py:1177). Invariant: the true time values always
+    # lie inside the bound — operators that rewrite `time` must clear or
+    # recompute it; a too-wide bound only costs a fallback probe, a
+    # too-narrow one would corrupt merge results.
+    time_extent: Optional[tuple] = None
 
     def has(self, dim: str) -> bool:
         return dim in self.dims
 
     def drop(self, dim: str) -> "CubeSchema":
-        return replace(self, dims=tuple(d for d in self.dims if d != dim))
+        dims = tuple(d for d in self.dims if d != dim)
+        ext = None if dim == TIME else self.time_extent
+        return replace(self, dims=dims, time_extent=ext)
 
     def with_bands(self, bands: tuple[str, ...]) -> "CubeSchema":
         return replace(self, bands=bands)
+
+    def with_time_extent(self, extent: Optional[tuple]) -> "CubeSchema":
+        return replace(self, time_extent=extent)
 
 
 @dataclass

@@ -44,7 +44,9 @@ def aggregate_temporal_period(cube: Cube, period: str, reducer: str) -> Cube:
         .groupBy(*group, TIME)
         .agg(REDUCERS[reducer]().alias(VALUE))
     )
-    return cube.with_df(out)
+    # date_trunc moves labels to period starts, which can precede the old
+    # extent lo — drop the plan-time bound rather than keep a stale one.
+    return Cube(out, cube.schema.with_time_extent(None))
 
 
 def aggregate_spatial_window(

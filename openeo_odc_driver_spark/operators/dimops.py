@@ -103,7 +103,8 @@ def rename_labels_time(cube: Cube, target: Sequence[str]) -> Cube:
         .withColumnRenamed("_new_t", TIME)
         .select(*cube.key_dims, VALUE)
     )
-    return cube.with_df(out)
+    # labels are caller-supplied, arbitrary — the old extent bound is void
+    return Cube(out, cube.schema.with_time_extent(None))
 
 
 def drop_dimension(cube: Cube, dimension: str) -> Cube:

@@ -30,12 +30,22 @@ def filter_bands(cube: Cube, bands: Sequence[str]) -> Cube:
 def filter_temporal(cube: Cube, start: str, end: str) -> Cube:
     """Half-open [start, end) — the reference subtracts 1 ms from the end
     (``load_odc_collection.py:78-79``); `<` on the raw end is equivalent
-    and sargable."""
+    and sargable. The schema's plan-time ``time_extent`` bound is
+    intersected with the filter window (closed hi = end − 1 µs, the last
+    representable pre-end microsecond), so two temporally filtered cubes
+    can be merged disjointness-proven with zero probe jobs."""
+    from datetime import datetime, timedelta
+
     out = cube.df.where(
         (F.col(TIME) >= F.lit(start).cast("timestamp"))
         & (F.col(TIME) < F.lit(end).cast("timestamp"))
     )
-    return cube.with_df(out)
+    lo = datetime.fromisoformat(str(start))
+    hi = datetime.fromisoformat(str(end)) - timedelta(microseconds=1)
+    if cube.schema.time_extent is not None:
+        olo, ohi = cube.schema.time_extent
+        lo, hi = max(lo, olo), min(hi, ohi)
+    return Cube(out, cube.schema.with_time_extent((lo, hi)))
 
 
 def filter_bbox(

@@ -15,9 +15,13 @@ Decision table (encoded in tests/test_merge.py):
 5. x,y-only cubes always need a resolver (:1260-1264).
 
 Band disjointness is schema metadata (no job); time disjointness the
-reference learns from in-memory coords — here a caller can assert it via
-``assume_disjoint=True`` (plan-only, no action), else a cheap key-overlap
-probe runs (an O(distinct-times) action on two aggregated scans).
+reference learns from in-memory coords. Here, in priority order:
+``assume_disjoint=True`` (caller assertion), the schemas' plan-time
+``time_extent`` bounds (populated at load / filter_temporal — comparing
+two [lo, hi] pairs costs nothing), and only when both extents overlap or
+are unknown, a key-overlap probe (an O(distinct-times) action on two
+aggregated scans). At 100 TB the extent path means merge_cubes builds
+its plan with ZERO jobs in the common case.
 """
 
 from __future__ import annotations
@@ -36,9 +40,15 @@ def merge_cubes(
     assume_disjoint: bool = False,
 ) -> Cube:
     b1, b2 = set(cube1.schema.bands), set(cube2.schema.bands)
+    e1, e2 = cube1.schema.time_extent, cube2.schema.time_extent
+    merged_extent = (
+        (min(e1[0], e2[0]), max(e1[1], e2[1]))
+        if e1 is not None and e2 is not None
+        else None
+    )
     schema = cube1.schema.with_bands(
         tuple(dict.fromkeys((*cube1.schema.bands, *cube2.schema.bands)))
-    )
+    ).with_time_extent(merged_extent)
     if set(cube1.schema.dims) != set(cube2.schema.dims):
         raise ValueError("merge_cubes: dimension mismatch")
 
@@ -71,6 +81,13 @@ def merge_cubes(
 def _times_disjoint(cube1: Cube, cube2: Cube) -> bool:
     if TIME not in cube1.schema.dims:
         return False
+    # Plan-time fast path: non-overlapping extent bounds prove
+    # disjointness without running a job. (A too-wide bound merely falls
+    # through to the probe; extents are maintained as supersets, so a
+    # "disjoint" answer here is always sound.)
+    e1, e2 = cube1.schema.time_extent, cube2.schema.time_extent
+    if e1 is not None and e2 is not None and (e1[1] < e2[0] or e2[1] < e1[0]):
+        return True
     t1 = cube1.df.select(TIME).distinct()
     t2 = cube2.df.select(TIME).distinct()
     return t1.join(t2, TIME, "inner").limit(1).count() == 0

@@ -41,7 +41,8 @@ def resample_cube_temporal(source: Cube, target: Cube) -> Cube:
         .withColumnRenamed("_tgt_t", TIME)
         .select(*source.key_dims, VALUE)
     )
-    return source.with_df(out)
+    # output time labels are the target's axis — inherit ITS extent bound
+    return Cube(out, source.schema.with_time_extent(target.schema.time_extent))
 
 
 def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> Cube:

@@ -153,6 +153,23 @@ def decode_scan(df: DataFrame, scale: float, offset: float, nodata: int) -> Data
     return df.withColumn("value", decoded)
 
 
+def spec_time_extent(spec: CubeSpec) -> tuple:
+    """Exact closed [first, last] time bound implied by the spec — the
+    plan-time metadata merge_cubes uses to prove disjointness without a
+    probe job (see CubeSchema.time_extent)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime.fromisoformat(spec.t0)
+    n = spec.n_times - 1
+    if spec.time_unit.upper() == "MONTH":
+        m = t0.month - 1 + n
+        last = t0.replace(year=t0.year + m // 12, month=m % 12 + 1)
+    else:
+        last = t0 + timedelta(days=n)
+    off = timedelta(days=spec.day_offset)
+    return (t0 + off, last + off)
+
+
 def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
     df = spark.sql(cube_sql(spec, dialect="spark"))
     schema = CubeSchema(
@@ -160,6 +177,7 @@ def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
         bands=spec.bands,
         crs="EPSG:32632" if spec.resx >= 1 else "EPSG:4326",
         grid=GridSpec(x0=spec.x0, y0=spec.y0, resx=spec.resx, resy=spec.resy),
+        time_extent=spec_time_extent(spec),
     )
     return Cube(df, schema)
 

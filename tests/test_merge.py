@@ -68,3 +68,44 @@ def test_case5_resolver_sees_null_partner(spark):
     )
     rows = out.df.where(F.col("x") >= 20.0).select("value").distinct().collect()
     assert {r.value for r in rows} == {-777.0}
+
+
+def test_case2_extent_proven_disjoint_runs_no_probe_job(spark, monkeypatch):
+    """Two temporally filtered cubes with non-overlapping windows merge
+    via the plan-time extent bound — building the plan runs ZERO jobs
+    (the r2 verdict flagged the eager probe as a 100 TB scale-killer)."""
+    from pyspark.sql import DataFrame
+
+    from openeo_odc_driver_spark.operators.filters import filter_temporal
+
+    base = synthetic_cube(spark, SMALL)
+    c1 = filter_temporal(base, "2021-01-01", "2021-03-01")
+    c2 = filter_temporal(base, "2021-03-01", "2021-06-01")
+    assert c1.schema.time_extent[1] < c2.schema.time_extent[0]
+
+    def _no_jobs(self, *a, **k):  # the probe's only action is count()
+        raise AssertionError("merge_cubes ran a job while planning")
+
+    monkeypatch.setattr(DataFrame, "count", _no_jobs)
+    out = merge_cubes(c1, c2)
+    monkeypatch.undo()
+    assert out.df.count() == c1.df.count() + c2.df.count()
+    lo, hi = out.schema.time_extent
+    assert lo == c1.schema.time_extent[0] and hi == c2.schema.time_extent[1]
+
+
+def test_time_extent_cleared_by_time_rewriting_ops(spark):
+    """Ops that rewrite `time` must not carry a stale (possibly too
+    narrow) extent bound forward — soundness of the merge fast path."""
+    from openeo_odc_driver_spark.operators.aggregates import (
+        aggregate_temporal_period,
+    )
+    from openeo_odc_driver_spark.operators.dimops import rename_labels_time
+
+    c = synthetic_cube(spark, SMALL)
+    assert c.schema.time_extent is not None
+    assert aggregate_temporal_period(c, "season", "mean").schema.time_extent is None
+    relabeled = rename_labels_time(
+        c, [f"1999-0{i+1}-01" for i in range(4)]
+    )
+    assert relabeled.schema.time_extent is None
