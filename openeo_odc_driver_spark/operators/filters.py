@@ -66,10 +66,16 @@ def filter_bbox(
     y-descending storage needs no special casing for a `between`
     predicate (the reference retries flipped slice bounds, :1076-1078).
     """
-    if crs is not None and str(crs).endswith("4326") and cube.schema.crs not in (
-        None,
-        "EPSG:4326",
-    ):
+    if crs is not None and str(crs) not in ("EPSG:4326", "4326", "epsg:4326"):
+        # exact-match the code: a suffix test would silently accept e.g.
+        # EPSG:3857 (or EPSG:54326) and slice in the wrong coordinates
+        if str(crs) != str(cube.schema.crs):
+            raise NotImplementedError(
+                f"filter_bbox: request CRS {crs!r} != cube CRS "
+                f"{cube.schema.crs!r}; only EPSG:4326 requests are "
+                "reprojected (functions/proj.py)"
+            )
+    elif crs is not None and cube.schema.crs not in (None, "EPSG:4326"):
         from ..functions.proj import bbox_to_cube_crs
 
         west, east, south, north = bbox_to_cube_crs(

@@ -89,8 +89,13 @@ class ProcessGraph:
 
     def __init__(self, graph: dict, sf_dir: Optional[str] = None,
                  save_dir: str = "/tmp/spark_graft_results"):
-        self.nodes: Dict[str, dict] = dict(graph["process_graph"]
-                                           if "process_graph" in graph else graph)
+        import copy
+
+        # Deep copy: the optimizer pre-pass annotates node dicts
+        # (_target_resolution/_noop); the caller's payload must not see it.
+        self.nodes: Dict[str, dict] = copy.deepcopy(
+            graph["process_graph"] if "process_graph" in graph else graph
+        )
         self.sf_dir = sf_dir
         self.save_dir = save_dir
         self.result_node = next(
@@ -108,25 +113,26 @@ class ProcessGraph:
     # --- optimizer pre-pass -------------------------------------------------
 
     def _pushdown_resample(self) -> None:
-        """Fold resample_spatial into the upstream load_collection scan
-        (ref openeo_odc_driver.py:175-202): the load gains a
-        `_target_resolution` option and the node becomes identity."""
+        """Fold resample_spatial into the load_collection scan it DIRECTLY
+        follows (ref openeo_odc_driver.py:175-202 applies the rewrite only
+        for adjacent nodes): the load gains a `_target_resolution` option
+        and the node becomes identity. A resample with other operators in
+        between is NOT folded — coarsening before, e.g., an apply_kernel
+        would change its result — it executes as an explicit regrid node
+        instead (see `_dispatch`)."""
         for nid, node in self.nodes.items():
             if node["process_id"] != "resample_spatial":
                 continue
             cur = node["arguments"].get("data", {}).get("from_node")
-            while cur is not None:
+            if cur is not None and self.nodes[cur]["process_id"] == "load_collection":
                 up = self.nodes[cur]
-                if up["process_id"] == "load_collection":
-                    up["arguments"]["_target_resolution"] = node["arguments"].get(
-                        "resolution"
-                    )
-                    up["arguments"]["_resample_method"] = node["arguments"].get(
-                        "method", "near"
-                    )
-                    node["_noop"] = True
-                    break
-                cur = up["arguments"].get("data", {}).get("from_node")
+                up["arguments"]["_target_resolution"] = node["arguments"].get(
+                    "resolution"
+                )
+                up["arguments"]["_resample_method"] = node["arguments"].get(
+                    "method", "near"
+                )
+                node["_noop"] = True
 
     # --- execution ----------------------------------------------------------
 
@@ -153,8 +159,28 @@ class ProcessGraph:
 
     def _dispatch(self, pid: str, args: dict, node: dict):
         spark = self._spark
-        if node.get("_noop") or pid == "resample_spatial":
+        if node.get("_noop"):
             return self._resolve(args["data"])
+
+        if pid == "resample_spatial":
+            # not folded into a scan (something sits between it and the
+            # load) — run as an explicit regrid at this plan position
+            from dataclasses import replace
+
+            cube: Cube = self._resolve(args["data"])
+            res = args.get("resolution")
+            if not res:
+                return cube
+            g = cube.schema.grid
+            if g is None:
+                raise ValueError("resample_spatial: cube lacks a GridSpec")
+            target = Cube(
+                cube.df,
+                replace(cube.schema,
+                        grid=GridSpec(g.x0, g.y0, float(res), float(res))),
+            )
+            return resample_cube_spatial(cube, target,
+                                         args.get("method", "near"))
 
         if pid == "load_collection":
             cube = load_collection_cube(spark, args["id"], self.sf_dir)

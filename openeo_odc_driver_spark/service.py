@@ -145,10 +145,15 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
         finally:
             spark.sparkContext.setJobGroup("", "")
         artifact = os.path.join(job_dir, pg.result_node)
-        for ext in ("", ".npy", ".json"):
+        for ext in ("", ".npy", ".json", ".png"):
             if os.path.exists(artifact + ext):
                 artifact = artifact + ext
                 break
+        if not os.path.exists(artifact):
+            # graph had no save_result terminal: nothing was written —
+            # don't record a phantom path in the cache (ADVICE r2)
+            return jsonify({"job_id": job_id, "output": None,
+                            "cached": False})
         store.cache_put(md5, artifact)
         return jsonify({"job_id": job_id, "output": artifact, "cached": False})
 

@@ -108,3 +108,20 @@ def test_interpolate_interior_only(spark):
     }
     assert vals[1] is None and vals[5] is None  # ends not extrapolated
     assert vals[3] == pytest.approx(2.0)  # midpoint of 1.0 and 3.0
+
+
+def test_filter_bbox_foreign_crs_raises(spark):
+    """ADVICE r2: a non-4326 request CRS that differs from the cube CRS
+    must raise, not silently slice in raw cube coordinates."""
+    from openeo_odc_driver_spark.operators.filters import filter_bbox
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    cube = synthetic_cube(spark)  # EPSG:32632
+    with pytest.raises(NotImplementedError, match="3857"):
+        filter_bbox(cube, 0, 10, 0, 10, crs="EPSG:3857")
+    # EPSG:54326 must not be mistaken for 4326 (old suffix match did)
+    with pytest.raises(NotImplementedError, match="54326"):
+        filter_bbox(cube, 0, 10, 0, 10, crs="EPSG:54326")
+    # matching CRS passes through untransformed
+    out = filter_bbox(cube, 0.0, 150.0, 0.0, 150.0, crs="EPSG:32632")
+    assert out.df.count() == cube.df.count()

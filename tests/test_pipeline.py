@@ -122,3 +122,16 @@ def test_text_ops(spark, docs):
     assert all(0.0 <= v <= 1.0 for v in qs.values())
     li = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
     assert li[0] == "en" and li[3] == "de"
+
+
+def test_minhash_persist_handle_released(spark):
+    """ADVICE r2: repeated minhash_lsh_pairs calls must not accumulate
+    cached blocks in a shared session."""
+    from openeo_odc_driver_spark.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dedup.minhash_lsh_pairs(docs).count()
+    dedup.minhash_lsh_pairs(docs).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
+    dedup.release_cached_signatures()
+    assert len(dedup._PERSISTED) == 0

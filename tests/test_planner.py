@@ -167,3 +167,66 @@ def test_planner_rejects_unknown_process(spark):
                 }
             }
         ).execute(spark)
+
+
+def test_resample_pushdown_only_when_adjacent(spark):
+    """ADVICE r2: a resample_spatial with another operator between it and
+    the load must NOT be folded into the scan (coarsening before e.g. a
+    kernel changes results) — it executes as an explicit regrid instead.
+    Also: constructing a ProcessGraph must not mutate the caller's dict."""
+    import copy
+    import json
+
+    with open(f"{HERE}/process_graphs/resample_pushdown.json") as f:
+        adjacent = json.load(f)
+
+    # non-adjacent variant: load → reduce(median over t) → resample
+    graph = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_collection",
+                "arguments": {"id": "synthetic", "bands": ["B04"]},
+            },
+            "med": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "load"},
+                    "dimension": "t",
+                    "reducer": {
+                        "process_graph": {
+                            "m": {
+                                "process_id": "median",
+                                "arguments": {"data": {"from_parameter": "data"}},
+                                "result": True,
+                            }
+                        }
+                    },
+                },
+            },
+            "coarsen": {
+                "process_id": "resample_spatial",
+                "arguments": {
+                    "data": {"from_node": "med"},
+                    "resolution": 20.0,
+                    "method": "near",
+                },
+                "result": True,
+            },
+        }
+    }
+    snapshot = copy.deepcopy(graph)
+    pg = ProcessGraph(graph)
+    assert graph == snapshot, "planner mutated the caller's graph"
+    assert "_noop" not in pg.nodes["coarsen"]
+    assert "_target_resolution" not in pg.nodes["load"]["arguments"]
+    out = pg.execute(spark)
+    # 16x16 @10m grid coarsened to 20m AFTER the reduce: 8-ish cells/axis
+    xs = {r.x for r in out.df.select("x").distinct().collect()}
+    assert all(x % 20.0 == 0.0 for x in xs)
+
+    # adjacent fixture still folds
+    snapshot2 = copy.deepcopy(adjacent)
+    pg2 = ProcessGraph(adjacent)
+    assert adjacent == snapshot2
+    assert pg2.nodes["coarsen"].get("_noop") is True
+    assert pg2.nodes["load"]["arguments"]["_target_resolution"] == 20.0
