@@ -35,8 +35,14 @@ def save_parquet(cube: Cube, path: str, partition_by_time: bool = True) -> str:
 
 def save_json(cube: Cube, path: str) -> str:
     """Dim-dependent JSON shapes (openeo_odc_driver.py:1783-1827):
-    0-d → scalar; with band dim → {band: [values]}; else flat records."""
-    rows = cube.df.collect()
+    0-d → scalar; with band dim → {band: [values]}; else flat records.
+    Driver-side collect is capped like the grid sinks — an unreduced cube
+    must fail loudly, not OOM the driver."""
+    rows = cube.df.limit(MAX_COLLECT_ROWS + 1).collect()
+    if len(rows) > MAX_COLLECT_ROWS:
+        raise ValueError(
+            f"JSON sink exceeds {MAX_COLLECT_ROWS} rows; reduce first"
+        )
     dims = cube.schema.dims
     if not dims:
         payload = rows[0][VALUE] if rows else None
@@ -78,13 +84,19 @@ def _to_grid(cube: Cube) -> tuple[np.ndarray, dict]:
         axis_col, axis_vals = None, ["value"]
     ys = np.sort(pdf[Y].unique().astype("float64"))[::-1]  # y stored descending
     xs = np.sort(pdf[X].unique().astype("float64"))
-    yi = {v: i for i, v in enumerate(ys)}
-    xi = {v: i for i, v in enumerate(xs)}
     arr = np.full((len(axis_vals), len(ys), len(xs)), np.nan)
-    bidx = {b: i for i, b in enumerate(axis_vals)}
-    for _, r in pdf.iterrows():
-        b = r[axis_col] if axis_col else "value"
-        arr[bidx[b], yi[float(r[Y])], xi[float(r[X])]] = r[VALUE]
+    # vectorized scatter: searchsorted index lookups + one fancy-indexed
+    # assignment (the old iterrows fill was ~100× more Python per pixel)
+    yv = pdf[Y].to_numpy(dtype="float64")
+    xv = pdf[X].to_numpy(dtype="float64")
+    y_pos = np.searchsorted(-ys, -yv)  # ys descending → search on negated
+    x_pos = np.searchsorted(xs, xv)
+    if axis_col is not None:
+        bidx = {b: i for i, b in enumerate(axis_vals)}
+        b_pos = pdf[axis_col].map(bidx).to_numpy(dtype="int64")
+    else:
+        b_pos = np.zeros(len(pdf), dtype="int64")
+    arr[b_pos, y_pos, x_pos] = pdf[VALUE].to_numpy(dtype="float64")
     meta = {
         "bands": [str(v) for v in axis_vals],
         "ys": [float(v) for v in ys],

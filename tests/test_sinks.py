@@ -50,3 +50,13 @@ def test_json_band_dict_shape(spark, tmp_path):
     p = save_json(r, str(tmp_path / "o.json"))
     payload = json.load(open(p))
     assert set(payload) == {"B04", "B08", "SCL"}
+
+
+def test_json_sink_capped(spark, tmp_path, monkeypatch):
+    """An unreduced cube must raise at the JSON sink, not OOM the driver."""
+    import openeo_odc_driver_spark.sinks.save as sv
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    monkeypatch.setattr(sv, "MAX_COLLECT_ROWS", 100)
+    with pytest.raises(ValueError, match="reduce first"):
+        sv.save_json(synthetic_cube(spark), str(tmp_path / "big.json"))
