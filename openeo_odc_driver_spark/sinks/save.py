@@ -1,12 +1,12 @@
 """`save_result` sinks (openeo_odc_driver.py:1611-1832).
 
 Canonical distributed sink: parquet (≙ the reference's NetCDF role). JSON
-reproduces the reference's dim-dependent shape rules (:1783-1827). GTiff /
-PNG preserve the reference's validation semantics (4-D squeeze rules,
-bool→uint8, y-flip) and materialize the pixel grid with numpy, but the
-actual image encode is stubbed — GDAL/PIL aren't in this container; the
-array + metadata are written as .npy + .json so the pipeline is testable
-end-to-end.
+reproduces the reference's dim-dependent shape rules (:1783-1827). PNG
+emits real PNG bytes through the pure-stdlib encoder in sinks/png.py
+(grayscale/RGB/RGBA, round-trip tested). GTiff preserves the reference's
+validation semantics (4-D squeeze rules, y-flip) and materializes the
+pixel grid, but the GeoTIFF encode itself needs GDAL — not in this
+container — so it writes .npy + sidecar JSON and says so in the metadata.
 """
 
 from __future__ import annotations
@@ -160,7 +160,11 @@ def save_png(
 ) -> str:
     """PNG semantics (openeo_odc_driver.py:1616-1677): fillna(0), uint8
     clip, optional RGB(+gray) band compositing by label, longest-side
-    resize. Encode stubbed (no PIL/cv2): uint8 array written as .npy."""
+    resize. Real PNG bytes via the stdlib encoder (sinks/png.py) — 1
+    band → grayscale, 3 → RGB, 4 → RGBA; other band counts error like
+    the reference's cv2 writer would."""
+    from .png import encode_png
+
     arr, meta = _to_grid(cube)
     if red is not None and green is not None and blue is not None:
         order = [red, green, blue] + ([gray] if gray else [])
@@ -170,10 +174,11 @@ def save_png(
     if size is not None:
         arr = _nearest_resize(arr, int(size))
     arr8 = np.clip(np.nan_to_num(arr, nan=0.0), 0, 255).astype(np.uint8)
-    np.save(path + ".npy", arr8)
+    with open(path + ".png", "wb") as f:
+        f.write(encode_png(arr8))
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
-    return path + ".npy"
+    return path + ".png"
 
 
 def save_result(cube: Cube, path: str, fmt: str = "PARQUET") -> str:

@@ -19,7 +19,11 @@ def test_png_rgb_compositing_and_resize(spark, tmp_path):
     p = save_png(
         one_t, str(tmp_path / "img"), red="B08", green="B04", blue="SCL", size=8
     )
-    arr = np.load(p)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"  # real PNG magic
+    from openeo_odc_driver_spark.sinks.png import decode_png
+
+    arr = decode_png(data)
     meta = json.load(open(str(tmp_path / "img") + ".json"))
     assert meta["bands"] == ["B08", "B04", "SCL"]  # composited order
     assert arr.shape == (3, 8, 8)  # longest side resized 4→8
@@ -60,3 +64,27 @@ def test_json_sink_capped(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sv, "MAX_COLLECT_ROWS", 100)
     with pytest.raises(ValueError, match="reduce first"):
         sv.save_json(synthetic_cube(spark), str(tmp_path / "big.json"))
+
+
+def test_png_roundtrip_bitexact(spark, tmp_path):
+    """Encode→decode round-trip reproduces the exact uint8 pixels, and the
+    composited PNG values match the cube values driver-side."""
+    from openeo_odc_driver_spark.sinks.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        a = rng.integers(0, 256, size=(ch, 5, 9), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+    with pytest.raises(ValueError, match="channels"):
+        encode_png(rng.integers(0, 256, size=(2, 4, 4), dtype=np.uint8))
+
+    from openeo_odc_driver_spark.operators.filters import filter_temporal
+    from openeo_odc_driver_spark.sinks.save import _to_grid
+
+    cube = filter_temporal(
+        synthetic_cube(spark, SMALL), "2021-01-01", "2021-02-01"
+    )
+    p = save_png(cube, str(tmp_path / "gray3"))
+    grid, _ = _to_grid(cube)
+    expect = np.clip(np.nan_to_num(grid, nan=0.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_png(open(p, "rb").read()), expect)
