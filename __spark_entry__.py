@@ -66,13 +66,13 @@ _GATE_PRIORITY = [
     "process_graph_ndvi", "process_graph_masked_seasonal",
     # relational / events
     "tpch_q1", "orders_per_nation", "orders_topk_per_customer",
-    "events_hourly", "events_json_extract",
+    "events_hourly",
     # LLM-data pipeline: dedup family
     "exact_dedup", "dedup_keep_first", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_fingerprints",
     "simhash_near_dup_pairs", "embedding_cosine_dup_pairs",
-    # similarity search
-    "brute_force_topk", "lsh_bucket_ann", "ivf_flat_ann",
+    # similarity search (+ the gated recall@k regression check)
+    "brute_force_topk", "lsh_bucket_ann", "ivf_flat_ann", "ann_recall",
     # text analysis + composed pipeline
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
     "pipeline_quality_dedup_stats",
@@ -80,6 +80,7 @@ _GATE_PRIORITY = [
     "streaming_tumbling_hourly", "streaming_session_windows",
     "streaming_dedup", "stateful_running_max",
     # second representatives / load variants (just past the r02 window size)
+    "events_json_extract",
     "reduce_time_product", "apply_kernel_reflect", "merge_cubes_bands",
     "process_graph_resample_pushdown", "load_collection_decode",
     "load_collection_polygon", "filter_bbox_crs", "frame_sample",

@@ -334,6 +334,46 @@ def _ivf_ann(spark, sf_dir):
     )
 
 
+@q(
+    "ann_recall",
+    # Recall@5 of each ANN method vs the exact brute-force ground truth,
+    # as a GATED query (VERDICT r2 item 7): the oracle is the expected
+    # constant on the sf0.01 fixture (corpus pinned to vec_id < 500 =
+    # the whole sf0.01 embeddings table; deterministic plans, no RNG) —
+    # a refactor that silently tanks candidate generation breaks this
+    # row's hash match. ivf: nprobe/n_centroids = 4/16 lists probed →
+    # 0.925; lsh: 9 of 2^8 buckets probed (1-bit multiprobe) → 0.1 on
+    # these near-random fixture vectors — the documented tradeoff.
+    "SELECT method, hits, total, "
+    "CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall "
+    "FROM (VALUES ('ivf', CAST(37 AS BIGINT), CAST(40 AS BIGINT)), "
+    "('lsh', CAST(4 AS BIGINT), CAST(40 AS BIGINT))) t(method, hits, total)",
+)
+def _ann_recall(spark, sf_dir):
+    e = _embs(spark, sf_dir).where(F.col("vec_id") < 500)
+    qs = e.where(F.col("vec_id") < 8)
+    gt = psim.brute_force_topk(e, qs, k=5).select("query_id", "neighbor_id")
+    total = gt.groupBy().agg(F.count("*").alias("total"))
+
+    def _row(name: str, ann):
+        hits = (
+            gt.join(ann.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"])
+            .groupBy()
+            .agg(F.count("*").alias("hits"))
+        )
+        return hits.crossJoin(total).select(
+            F.lit(name).alias("method"), "hits", "total",
+            (F.col("hits").cast("double") / F.col("total").cast("double")
+             ).alias("recall"),
+        )
+
+    return _row(
+        "ivf",
+        psim.ivf_flat_ann(e, qs, k=5, n_centroids=_IVF_NC, nprobe=_IVF_NPROBE),
+    ).unionByName(_row("lsh", psim.lsh_bucket_ann(e, qs, k=5)))
+
+
 # --- text analysis ----------------------------------------------------------
 
 _NTOK_D = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)"
