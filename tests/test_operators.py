@@ -125,3 +125,52 @@ def test_filter_bbox_foreign_crs_raises(spark):
     # matching CRS passes through untransformed
     out = filter_bbox(cube, 0.0, 150.0, 0.0, 150.0, crs="EPSG:32632")
     assert out.df.count() == cube.df.count()
+
+
+def test_interpolate_edge_runs_and_coordinate_weighting(spark):
+    """VERDICT r2 item 8 — edge semantics vs the reference's xarray
+    interpolate_na default (openeo_odc_driver.py:1326-1337):
+    leading/trailing NaN RUNS stay NaN (no extrapolation), interior fill
+    weights by the actual time coordinate (uneven month lengths), and an
+    all-NaN series stays all-NaN."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "band": ["B"] * 7 + ["C"] * 3,
+            "time": list(
+                pd.to_datetime(
+                    [
+                        "2021-01-01", "2021-02-01", "2021-03-01",
+                        "2021-04-01", "2021-05-01", "2021-06-01",
+                        "2021-07-01",
+                    ]
+                )
+            )
+            + list(pd.to_datetime(["2021-01-01", "2021-02-01", "2021-03-01"])),
+            "y": [0.0] * 10,
+            "x": [0.0] * 10,
+            # B: Jan/Feb leading run, anchors Mar(=2) and May(=8) with the
+            #    Apr interior gap, Jun/Jul trailing run
+            "value": [None, None, 2.0, None, 8.0, None, None] + [None] * 3,
+        }
+    )
+    cube = Cube(spark.createDataFrame(pdf))
+    out = array_interpolate_linear(cube, "t")  # dim alias resolves
+    got = {
+        (r.band, r.time.month): r.value
+        for r in out.df.collect()
+    }
+    # leading + trailing runs unfilled
+    assert got[("B", 1)] is None and got[("B", 2)] is None
+    assert got[("B", 6)] is None and got[("B", 7)] is None
+    # interior: coordinate-weighted, NOT index-weighted — Mar 1→May 1 is
+    # 61 days; Apr 1 sits 31/61 along (xarray use_coordinate=True does
+    # exactly this; index weighting would give the 0.5 midpoint 5.0)
+    assert got[("B", 4)] == pytest.approx(2.0 + 6.0 * 31 / 61)
+    assert got[("B", 4)] != pytest.approx(5.0)
+    # anchors untouched
+    assert got[("B", 3)] == 2.0
+    assert got[("B", 5)] == 8.0
+    # all-NaN series stays all-NaN
+    assert all(got[("C", m)] is None for m in (1, 2, 3))
