@@ -81,7 +81,8 @@ _GATE_PRIORITY = [
     "streaming_dedup", "stateful_running_max",
     # second representatives / load variants (just past the r02 window size)
     "events_json_extract",
-    "reduce_time_product", "apply_kernel_reflect", "merge_cubes_bands",
+    "reduce_time_product", "apply_kernel_reflect", "apply_kernel_wrap",
+    "merge_cubes_bands",
     "process_graph_resample_pushdown", "load_collection_decode",
     "load_collection_polygon", "filter_bbox_crs", "frame_sample",
     "resample_cube_spatial", "merge_cubes_time", "run_udf",

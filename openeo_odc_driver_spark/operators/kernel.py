@@ -37,8 +37,18 @@ def apply_kernel(
     factor: float = 1.0,
     border: str | int = 0,
 ) -> Cube:
-    if border not in (0, "0", "constant"):
-        raise NotImplementedError("only constant-0 border (reference default)")
+    """Shift-and-sum convolution. Borders: ``constant`` 0 (reference
+    default) and ``wrap`` (periodic — the mode the reference hands to
+    scipy at openeo_odc_driver.py:1405). Wrap falls out of the join
+    formulation naturally: the receiving cell index is taken modulo the
+    scene dims, so edge pixels receive contributions from the opposite
+    edge; scene dims come from a broadcast one-row aggregate (no driver
+    action). Replicate/reflect borders live on the tiled path."""
+    if border not in (0, "0", "constant", "wrap"):
+        raise NotImplementedError(
+            "shift-and-sum supports constant-0 and wrap borders; use "
+            "apply_kernel_tiled for replicate/reflect"
+        )
     grid = cube.schema.grid
     if grid is None:
         raise ValueError("apply_kernel needs a GridSpec")
@@ -72,15 +82,27 @@ def apply_kernel(
         F.when(F.col(VALUE).isNotNull(), offsets).otherwise(F.array()),
         F.array(marker),
     )
+    base = cube.df.withColumn("_xi", x_idx).withColumn("_yi", y_idx)
+    extra: list = []
+    if border == "wrap":
+        extent = base.agg(
+            (F.max("_yi") + 1).alias("_nh"), (F.max("_xi") + 1).alias("_nw")
+        )
+        base = base.join(F.broadcast(extent))
+        extra = ["_nh", "_nw"]
+        cy = F.pmod(F.col("_yi") + F.col("_o.dy"), F.col("_nh"))
+        cx = F.pmod(F.col("_xi") + F.col("_o.dx"), F.col("_nw"))
+    else:
+        cy = F.col("_yi") + F.col("_o.dy")
+        cx = F.col("_xi") + F.col("_o.dx")
     agg = (
-        cube.df.withColumn("_xi", x_idx)
-        .withColumn("_yi", y_idx)
-        .select(*group, "_xi", "_yi", VALUE,
+        base
+        .select(*group, "_xi", "_yi", *extra, VALUE,
                 F.explode(contribs_and_marker).alias("_o"))
         .select(
             *group,
-            (F.col("_yi") + F.col("_o.dy")).alias("_cy"),
-            (F.col("_xi") + F.col("_o.dx")).alias("_cx"),
+            cy.alias("_cy"),
+            cx.alias("_cx"),
             F.col("_o.w").isNull().alias("_is_center"),
             (F.col(VALUE) * F.col("_o.w")).alias("_wv"),
             VALUE,

@@ -645,9 +645,12 @@ def _apply_kernel(spark, sf_dir):
 @q("apply_kernel_tiled", _KERNEL_ORACLE)
 def _apply_kernel_tiled(spark, sf_dir):
     """Same semantics through the halo-tile strategy — parity between both
-    physical plans is itself part of the check."""
+    physical plans is itself part of the check. tile=16 here: one tile
+    per (band,time) at fixture scale keeps the pandas-group count (and
+    Arrow round-trip overhead) proportionate; real scenes use the default
+    256 (tests cover tile=4/8 cross-tile halos)."""
     return apply_kernel_tiled(
-        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=16
     ).df
 
 
@@ -657,6 +660,8 @@ _BORDER_MAP = {
     "replicate": "least(greatest({g}, 0), 15)",
     "reflect": "(CASE WHEN {g} < 0 THEN -({g}) - 1 "
     "WHEN {g} > 15 THEN 31 - ({g}) ELSE {g} END)",
+    # periodic: double-mod because SQL % keeps the dividend's sign
+    "wrap": "((({g}) % 16) + 16) % 16",
 }
 
 
@@ -680,7 +685,7 @@ def _kernel_border_oracle(mode: str) -> str:
 @q("apply_kernel_replicate", _kernel_border_oracle("replicate"))
 def _apply_kernel_replicate(spark, sf_dir):
     return apply_kernel_tiled(
-        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8,
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=16,
         border="replicate",
     ).df
 
@@ -688,8 +693,19 @@ def _apply_kernel_replicate(spark, sf_dir):
 @q("apply_kernel_reflect", _kernel_border_oracle("reflect"))
 def _apply_kernel_reflect(spark, sf_dir):
     return apply_kernel_tiled(
-        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=8,
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, tile=16,
         border="reflect",
+    ).df
+
+
+@q("apply_kernel_wrap", _kernel_border_oracle("wrap"))
+def _apply_kernel_wrap(spark, sf_dir):
+    """Periodic border on the shift-and-sum path (r2 missing-list item 5;
+    ref maps `wrap` to scipy, openeo_odc_driver.py:1405): the receiving
+    cell is taken modulo the scene dims — no tile-locality problem, no
+    extra pass."""
+    return apply_kernel(
+        synthetic_cube(spark), _KERNEL, factor=_KERNEL_FACTOR, border="wrap"
     ).df
 
 

@@ -123,3 +123,42 @@ def test_predict_roundtrip(spark):
         .where(F.abs(F.col("orig") - F.col("value")) > 1e-9)
     )
     assert j.count() == 0
+
+
+def test_kernel_wrap_border_matches_numpy(spark):
+    """`wrap` (periodic) border on the shift-and-sum path — closes the
+    r2 missing-list item 5 (ref maps wrap to scipy at
+    openeo_odc_driver.py:1405). Checked cell-by-cell against a numpy
+    periodic convolution with the same NULL semantics (NULL centers stay
+    NULL, NULL neighbors contribute 0)."""
+    one_t = CubeSpec(n_times=1, ny=6, nx=6)
+    c = synthetic_cube(spark, one_t)
+    out = apply_kernel(c, ASYM, border="wrap")
+
+    pdf = c.df.toPandas()
+    grids = {}
+    for b in ("B04", "B08", "SCL"):
+        g = np.full((6, 6), np.nan)
+        sub = pdf[pdf["band"] == b]
+        g[((150.0 - sub["y"]) / 10).astype(int),
+          (sub["x"] / 10).astype(int)] = sub["value"]
+        k = np.asarray(ASYM)
+        filled = np.nan_to_num(g, nan=0.0)
+        exp = np.zeros_like(filled)
+        for dy in range(3):
+            for dx in range(3):
+                if k[dy, dx] == 0:
+                    continue
+                # out[c] += w[o] * in[(c - o) mod N] — true convolution
+                exp += k[dy, dx] * np.roll(
+                    np.roll(filled, dy - 1, axis=0), dx - 1, axis=1
+                )
+        grids[b] = np.where(np.isnan(g), np.nan, exp)
+
+    for r in out.df.collect():
+        e = grids[r.band][int((150.0 - r.y) / 10), int(r.x / 10)]
+        if r.value is None:
+            assert np.isnan(e)
+        else:
+            assert r.value == pytest.approx(e, abs=1e-12)
+    assert out.df.count() == 3 * 36  # every cell present (wrap loses none)
