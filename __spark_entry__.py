@@ -80,7 +80,7 @@ _GATE_PRIORITY = [
     "streaming_tumbling_hourly", "streaming_session_windows",
     "streaming_dedup", "stateful_running_max",
     # second representatives / load variants (just past the r02 window size)
-    "events_json_extract",
+    "geocode_linear", "events_json_extract",
     "reduce_time_product", "apply_kernel_reflect", "apply_kernel_wrap",
     "merge_cubes_bands",
     "process_graph_resample_pushdown", "load_collection_decode",

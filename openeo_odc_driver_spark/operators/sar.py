@@ -151,26 +151,79 @@ def radar_mask(
     )
 
 
+def convex_hull(pts):
+    """Andrew's monotone chain: CCW hull vertices of an (n,2) float64
+    array. Pure numpy — the piece of scipy.spatial this module needs,
+    reimplemented from the textbook algorithm."""
+    import numpy as np
+
+    pts = np.unique(np.asarray(pts, dtype="float64"), axis=0)  # lex-sorted
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def points_in_hull(px, py, hull):
+    """Vectorized membership test (boundary counts as inside): a point is
+    inside a CCW convex polygon iff it is left-of-or-on every edge."""
+    import numpy as np
+
+    px = np.asarray(px, dtype="float64")
+    py = np.asarray(py, dtype="float64")
+    if len(hull) < 3:
+        return np.zeros(px.shape, dtype=bool)
+    inside = np.ones(px.shape, dtype=bool)
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        inside &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+    return inside
+
+
 def geocode(
     cube: Cube,
     target_resx: float,
     target_resy: float,
     method: str = "near",
+    tile: int = 64,
 ) -> Cube:
     """Irregular → regular grid resampling (sar2cube/geocode.py:22-197).
 
     The cube's LON/LAT layer bands give each sample's true position
     (SAR range/azimuth geometry); data bands are re-binned onto a
     regular lon/lat grid anchored at the minimum observed corner.
+
     ``near``: per target cell keep the minimum-distance sample — one
-    pivot + one window, no Python. ``linear`` (reference's Delaunay
-    path) needs scipy and raises here, marking the stub boundary.
+    pivot + one window, no Python.
+
+    ``linear``: what the reference's "linear" chunked path ACTUALLY
+    computes (geocode.py:79-81,103): nearest-neighbor VALUES, masked to
+    the convex hull of the chunk's samples (`LinearNDInterpolator` is
+    run over zeros purely as a hull/NaN mask — 0 inside, NaN outside).
+    Reproduced here without scipy: per target tile (+ the reference's
+    8-cell halo offset, geocode.py:39) collect candidate samples via the
+    same candidate-explode used by apply_kernel_tiled, then numpy does
+    monotone-chain hull + vectorized point-in-hull + blockwise nearest
+    inside an applyInPandas group. Every hull-interior cell gets the
+    nearest sample's value — including cells no sample snapped into,
+    which the `near` path leaves empty.
     """
-    if method == "linear":
-        raise NotImplementedError(
-            "linear geocoding needs scipy.spatial.Delaunay (not in this "
-            "container); use method='near'"
-        )
     data_bands = [b for b in cube.schema.bands if b not in ("LON", "LAT")]
     group = [d for d in cube.key_dims if d not in (BAND, X, Y)]
     # pivot LON/LAT + data bands side by side per source pixel
@@ -187,6 +240,12 @@ def geocode(
         F.min("LON").alias("_lon0"), F.max("LAT").alias("_lat0")
     )
     w = wide.join(F.broadcast(anchor))
+    if method == "linear":
+        return _geocode_linear(
+            cube, w, group, data_bands, target_resx, target_resy, tile
+        )
+    if method not in ("near", "nearest"):
+        raise NotImplementedError(f"geocode method {method!r}")
     txi = F.floor((F.col("LON") - F.col("_lon0")) / F.lit(target_resx) + F.lit(0.5))
     tyi = F.floor((F.col("_lat0") - F.col("LAT")) / F.lit(target_resy) + F.lit(0.5))
     tx = F.col("_lon0") + F.lit(target_resx) * txi
@@ -227,4 +286,106 @@ def geocode(
             bands=tuple(data_bands),
             grid=None,  # anchored dynamically; GridSpec unknown statically
         ),
+    )
+
+
+# halo in target cells around each tile when collecting candidate samples —
+# the reference's `offset = resolution*8` (sar2cube/geocode.py:39)
+GEOCODE_HALO_CELLS = 8
+
+
+def _geocode_linear(
+    cube: Cube,
+    w,  # wide samples joined with the broadcast anchor (_lon0/_lat0)
+    group: list,
+    data_bands: list,
+    resx: float,
+    resy: float,
+    tile: int,
+) -> Cube:
+    """Hull-masked nearest re-gridding — the reference's chunked "linear"
+    geocode without scipy (see :func:`geocode`). One shuffle to the tile
+    groups; all geometry runs vectorized in numpy per tile."""
+    import numpy as np
+    import pandas as pd
+
+    halo = GEOCODE_HALO_CELLS
+    # fractional cell coordinates of each sample (NOT snapped — hull
+    # geometry uses true positions)
+    fx = (F.col("LON") - F.col("_lon0")) / F.lit(resx)
+    fy = (F.col("_lat0") - F.col("LAT")) / F.lit(resy)
+    cand = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    df = (
+        w.withColumn("_fx", fx)
+        .withColumn("_fy", fy)
+        .select("*", F.explode(cand).alias("_dtx"))
+        .select("*", F.explode(cand).alias("_dty"))
+        .withColumn("_ttx", F.floor(F.col("_fx") / tile) + F.col("_dtx"))
+        .withColumn("_tty", F.floor(F.col("_fy") / tile) + F.col("_dty"))
+        .where(
+            (F.col("_fx") >= F.col("_ttx") * tile - halo)
+            & (F.col("_fx") < (F.col("_ttx") + 1) * tile + halo)
+            & (F.col("_fy") >= F.col("_tty") * tile - halo)
+            & (F.col("_fy") < (F.col("_tty") + 1) * tile + halo)
+        )
+        .drop("_dtx", "_dty")
+    )
+    schema_fields = ", ".join(
+        ["band string"]
+        + [f"{d} {'timestamp' if d == TIME else 'double'}" for d in group]
+        + ["y double", "x double", "value double"]
+    )
+    bands = list(data_bands)
+
+    def interp_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            columns=["band", *group, "y", "x", "value"]
+        )
+        ttx, tty = int(key[-2]), int(key[-1])
+        lon0 = float(pdf["_lon0"].iloc[0])
+        lat0 = float(pdf["_lat0"].iloc[0])
+        pts = pdf[["LON", "LAT"]].to_numpy(dtype="float64")
+        hull = convex_hull(pts)
+        if len(hull) < 3:
+            return empty
+        # this tile's cell centers
+        cxs = lon0 + resx * np.arange(ttx * tile, (ttx + 1) * tile)
+        cys = lat0 - resy * np.arange(tty * tile, (tty + 1) * tile)
+        CX, CY = np.meshgrid(cxs, cys)
+        cx, cy = CX.ravel(), CY.ravel()
+        keep = points_in_hull(cx, cy, hull)
+        if not keep.any():
+            return empty
+        cx, cy = cx[keep], cy[keep]
+        # deterministic nearest: sort samples by (x, y) so argmin's
+        # first-occurrence tie-break == ORDER BY dist, x, y
+        order = np.lexsort((pdf["y"].to_numpy(), pdf["x"].to_numpy()))
+        sx = pts[order, 0]
+        sy = pts[order, 1]
+        nearest = np.empty(len(cx), dtype="int64")
+        for s in range(0, len(cx), 1024):  # bound the distance matrix
+            e = min(s + 1024, len(cx))
+            d = (cx[s:e, None] - sx[None, :]) ** 2 + (
+                cy[s:e, None] - sy[None, :]
+            ) ** 2
+            nearest[s:e] = np.argmin(d, axis=1)
+        out = []
+        src = pdf.iloc[order].reset_index(drop=True)
+        for b in bands:
+            part = pd.DataFrame({"band": b, "y": cy, "x": cx,
+                                 "value": src[b].to_numpy()[nearest]})
+            for i, g in enumerate(group):
+                part[g] = pdf[g].iloc[0]
+            out.append(part)
+        res = pd.concat(out, ignore_index=True)
+        return res[["band", *group, "y", "x", "value"]]
+
+    out = df.groupBy(*group, "_ttx", "_tty").applyInPandas(
+        interp_tile, schema_fields
+    )
+    from dataclasses import replace
+
+    return Cube(
+        out.select(BAND, *group, Y, X, VALUE),
+        replace(cube.schema, bands=tuple(data_bands), grid=None),
     )

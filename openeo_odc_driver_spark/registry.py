@@ -1005,6 +1005,53 @@ def _geocode(spark, sf_dir):
     ).df
 
 
+# CCW hull edges of the _GEO_SPEC sample scatter, precomputed with the
+# same monotone-chain code the operator runs (operators/sar.py:convex_hull)
+# — all dyadic values, so the SQL cross-product membership test below is
+# exact in IEEE double on both engines.
+_GEO_HULL_EDGES = (
+    "(-6.0, -5.125, 5.25, -6.0), (5.25, -6.0, 6.0, -5.25), "
+    "(6.0, -5.25, 5.125, 6.0), (5.125, 6.0, -6.0, -5.125)"
+)
+
+
+@q(
+    "geocode_linear",
+    f"WITH cube AS ({cube_sql(_GEO_SPEC, 'duckdb')}), "
+    "wide AS (SELECT time, y, x, "
+    "max(CASE WHEN band = 'LON' THEN value END) AS lon, "
+    "max(CASE WHEN band = 'LAT' THEN value END) AS lat, "
+    "max(CASE WHEN band = 'SIG' THEN value END) AS sig "
+    "FROM cube GROUP BY 1, 2, 3), "
+    "w AS (SELECT * FROM wide WHERE lon IS NOT NULL AND lat IS NOT NULL), "
+    "anchor AS (SELECT min(lon) AS lon0, max(lat) AS lat0 FROM w), "
+    "cells AS (SELECT lon0 + 1.0 * tx.i AS cx, lat0 - 1.0 * ty.i AS cy "
+    "FROM anchor, generate_series(0, 63) tx(i), generate_series(0, 63) ty(i)), "
+    f"hull(hx1, hy1, hx2, hy2) AS (VALUES {_GEO_HULL_EDGES}), "
+    "inside AS (SELECT c.* FROM cells c WHERE NOT EXISTS ("
+    "SELECT 1 FROM hull h WHERE "
+    "(h.hx2 - h.hx1) * (c.cy - h.hy1) - (h.hy2 - h.hy1) * (c.cx - h.hx1) < 0)), "
+    "near AS (SELECT w.time, i.cx, i.cy, w.sig, row_number() OVER ("
+    "PARTITION BY w.time, i.cx, i.cy ORDER BY "
+    "(w.lon - i.cx) * (w.lon - i.cx) + (w.lat - i.cy) * (w.lat - i.cy), "
+    "w.x, w.y) AS rn FROM inside i CROSS JOIN w) "
+    "SELECT 'SIG' AS band, time, cy AS y, cx AS x, sig AS value "
+    "FROM near WHERE rn = 1",
+)
+def _geocode_linear_q(spark, sf_dir):
+    """Hull-masked nearest re-gridding = the reference's chunked "linear"
+    geocode semantics (sar2cube/geocode.py:79-81,103), scipy-free — closes
+    r2 missing-list item 4. The oracle rebuilds the same hull-membership +
+    nearest-sample decision in SQL, with the hull edges embedded as exact
+    dyadic literals."""
+    from .operators.sar import geocode
+
+    return geocode(
+        synthetic_cube(spark, _GEO_SPEC), target_resx=1.0, target_resy=1.0,
+        method="linear",
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Flagship + relational (bench headliners)
 # ---------------------------------------------------------------------------
