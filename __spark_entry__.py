@@ -49,11 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # flagship + fixed-defect rows first
     "flagship_ndvi", "ceil", "round", "int",
-    # §2.6 reducers
-    "reduce_time_median", "quantiles", "reduce_time_sd",
-    # §2.7 aggregates
+    # §2.6 reducers (median+quantiles cover the percentile and agg paths;
+    # sd/product re-verify in the long tail)
+    "reduce_time_median", "quantiles",
+    # §2.7 aggregates (anomaly joins climatological_normal internally)
     "aggregate_temporal_period_season", "aggregate_spatial_median",
-    "aggregate_spatial_window", "climatological_normal", "anomaly",
+    "aggregate_spatial_window", "anomaly",
     # kernel / merge / resample
     "apply_kernel", "merge_cubes_resolver",
     "resample_cube_temporal", "resample_cube_spatial_bilinear",
@@ -71,6 +72,7 @@ _GATE_PRIORITY = [
     "exact_dedup", "dedup_keep_first", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_fingerprints",
     "simhash_near_dup_pairs", "embedding_cosine_dup_pairs",
+    "near_dup_clusters", "near_dup_keep_representative",
     # similarity search (+ the gated recall@k regression check)
     "brute_force_topk", "lsh_bucket_ann", "ivf_flat_ann", "ann_recall",
     # text analysis + composed pipeline

@@ -41,14 +41,18 @@ def md5_int_duck(col: str) -> str:
 _PERSISTED: list = []
 
 
-def _track_persisted(df: DataFrame) -> DataFrame:
+def _track_persisted(df: DataFrame, release_previous: bool = True) -> DataFrame:
     """Persist ``df``, releasing the previously tracked handle FIRST:
-    callers never own the handle, and a shared session holds ≤1 cached
-    signature table regardless of how many dedup queries it has run.
-    Order matters — Spark's CacheManager dedupes identical plans into one
-    entry, so unpersisting the old handle after persisting an identical
-    new one would evict the fresh cache too."""
-    release_cached_signatures()
+    callers never own the handle, and a shared session holds only the
+    handles of the most recent dedup call regardless of how many dedup
+    queries it has run.  Order matters — Spark's CacheManager dedupes
+    identical plans into one entry, so unpersisting the old handle after
+    persisting an identical new one would evict the fresh cache too.
+    ``release_previous=False`` stacks a second handle for the SAME call
+    (e.g. near_dup_clusters caches the edge list derived from the still-
+    cached signature table); the next call's first track frees both."""
+    if release_previous:
+        release_cached_signatures()
     df = df.persist()
     _PERSISTED.append(df)
     return df
@@ -61,6 +65,34 @@ def release_cached_signatures() -> None:
             _PERSISTED.pop().unpersist(blocking=False)
         except Exception:
             pass
+
+
+class _CheckpointHandle:
+    """unpersist()-shaped wrapper around a localCheckpoint'ed RDD id, so
+    checkpointed rounds share the _PERSISTED release path."""
+
+    def __init__(self, sc, rdd_id: int):
+        self._sc = sc
+        self._rdd_id = rdd_id
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._sc._jsc.sc().unpersistRDD(self._rdd_id, blocking)
+
+
+def _local_checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint ``df`` and track the materialized RDD for
+    deterministic release.  Lazy checkpoints would defer work, but their
+    persisted RDDs surface only at first action — unreleasable from
+    here; eager + id-diff keeps a long-lived session leak-free."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before = {jid for jid in jmap.keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    jmap = sc._jsc.getPersistentRDDs()
+    for jid in jmap.keySet().toArray():
+        if jid not in before:
+            _PERSISTED.append(_CheckpointHandle(sc, jid))
+    return out
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -357,3 +389,109 @@ def embedding_cosine_dup_pairs(
         .where(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    rounds: int = 4,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH pair
+    graph, labeled by the component's minimum doc_id — the step a real
+    training pipeline runs after pair generation ("keep one document per
+    dup cluster"). Returns (doc_id, cluster_id) for every document that
+    appears in at least one near-dup pair.
+
+    Plan: min-label propagation with POINTER JUMPING — each round a
+    vertex takes the min of (its label, its neighbors' labels, its
+    label's label).  The pointer-jump term makes convergence O(log d)
+    in the component diameter d — round 1 covers distance 1, later
+    rounds double — so ``rounds`` covers d ≤ 2^(rounds-1); default 4 → 8, far
+    beyond any plausible near-dup chain (they are overwhelmingly
+    cliques or short chains).  This is the same doubling idea as the
+    Hash-to-Min / two-phase CC algorithms used on MapReduce-scale
+    graphs.
+
+    Scale notes: iterative graph algorithms are the one place where
+    per-round materialization is the *correct* Spark design (GraphX /
+    GraphFrames checkpoint each iteration too) — a naively lazy loop
+    references the previous round's plan 3× per round, exploding the
+    plan tree exponentially and recomputing LSH candidate generation
+    at every leaf.  We therefore cache the (small) edge list and
+    EAGERLY localCheckpoint each round's label table: lineage stays
+    linear and — unlike lazy checkpoints, whose persisted RDDs are
+    invisible to any handle we could track — the checkpointed RDD ids
+    are captured right after materialization and released by
+    :func:`release_cached_signatures` / the next dedup call, so a
+    long-lived session never accumulates them.  The edge table is the
+    DUP-PAIR graph, orders of magnitude smaller than the corpus, so
+    per-round shuffles are cheap.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold)
+    edges = _track_persisted(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+        release_previous=False,
+    )
+    labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("cluster_id")
+    )
+    for _ in range(rounds - 1):
+        labels = _local_checkpoint_tracked(labels)
+        # neighbor propagation: min label over my neighbors
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("_nl").alias("_nbest"))
+        )
+        # pointer jump: label(label(v)) — hop straight to my label's label
+        jump = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_jbest")
+        )
+        labels = (
+            labels.join(neigh, "doc_id", "left")
+            .join(jump, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("_nbest", F.col("cluster_id")),
+                    F.coalesce("_jbest", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+    return labels
+
+
+def near_dup_keep_representative(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    rounds: int = 4,
+) -> DataFrame:
+    """The operational form of near-dedup: the corpus with every near-dup
+    cluster collapsed to its minimum-doc_id representative — what a
+    training pipeline actually ships downstream.
+
+    Plan: near_dup_clusters labels only documents that appear in a dup
+    pair (≪ corpus); a left join + filter keeps (a) every unlabeled
+    document and (b) labeled documents that ARE their cluster's label.
+    At 100 TB the label table is small enough to broadcast, so the
+    corpus is never shuffled — one broadcast hash join over the scan.
+    """
+    clusters = near_dup_clusters(docs, jaccard_threshold, rounds=rounds)
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .drop("cluster_id")
+    )

@@ -160,6 +160,46 @@ def _minhash_lsh_pairs(spark, sf_dir):
 
 
 @q(
+    "near_dup_clusters",
+    # exact connected components via a recursive reachability CTE —
+    # tractable at fixture scale; cluster_id = min doc_id reachable
+    f"WITH RECURSIVE {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
+    f"pairs AS (SELECT doc_a, doc_b FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS ej "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE ej >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(v, l) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v) "
+    "SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v",
+)
+def _near_dup_clusters(spark, sf_dir):
+    return pdedup.near_dup_clusters(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@q(
+    "near_dup_keep_representative",
+    f"WITH RECURSIVE {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
+    f"pairs AS (SELECT doc_a, doc_b FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS ej "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE ej >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(v, l) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v), "
+    "clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v) "
+    "SELECT d.* FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id "
+    "WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id",
+)
+def _near_dup_keep_representative(spark, sf_dir):
+    return pdedup.near_dup_keep_representative(
+        _docs(spark, sf_dir), jaccard_threshold=0.5
+    )
+
+
+@q(
     "ngram_jaccard_pairs",
     f"WITH {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
     f"lsh AS (SELECT doc_a, doc_b FROM ("

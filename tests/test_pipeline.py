@@ -8,6 +8,7 @@ from openeo_odc_driver_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
@@ -62,6 +63,38 @@ def test_ngram_jaccard_exact_on_lsh_candidates(spark, docs):
     assert out[(0, 1)] == pytest.approx(1.0)  # identical docs
     near = out.get((0, 2)) or out.get((1, 2))
     assert near is not None and 0.3 <= near < 1.0
+
+
+def test_near_dup_clusters_planted(spark, docs):
+    """LSH-driven clustering on the planted corpus: docs 0/1/2 form one
+    near-dup component labeled by its min doc_id; 3 and 4 never appear."""
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, 0.5).collect()}
+    assert out.get(0) == 0 and out.get(1) == 0
+    assert out.get(2, 0) == 0  # near dup may pair with 0 or 1 — same cluster
+    assert 3 not in out and 4 not in out
+
+
+def test_near_dup_clusters_chain_pointer_jump(spark):
+    """Pointer jumping: rounds=r covers component diameter 2^(r-1).
+    A 9-node chain (diameter 8) converges at the default rounds=4; a
+    20-node chain needs rounds=6 and converges there."""
+    def chain_pairs(n):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+
+    out = near_dup_clusters(None, pairs=chain_pairs(9)).collect()
+    assert {r.cluster_id for r in out} == {0} and len(out) == 9
+
+    out = near_dup_clusters(None, pairs=chain_pairs(20), rounds=6).collect()
+    assert {r.cluster_id for r in out} == {0} and len(out) == 20
+
+    # two separate components keep separate labels
+    two = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(None, pairs=two).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 def test_simhash_near_dups_close_in_hamming(spark, docs):
