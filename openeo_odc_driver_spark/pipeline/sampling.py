@@ -1,0 +1,69 @@
+"""Deterministic sampling / sharding for training-data pipelines.
+
+Random sampling via ``rand()`` is irreproducible across retries and
+engines; these operators derive uniform variates from md5 of stable keys
+instead, so a sample is a pure function of (corpus, salt) — re-runnable,
+auditable, and bit-identical in the DuckDB oracle. All pure JVM
+expressions, codegen-fused with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import md5_int_expr
+
+# md5_int_expr yields a uniform 28-bit integer (7 hex chars)
+_HASH_SPACE = float(16**7)
+
+
+def _uniform(key_sql: str, salt: str) -> F.Column:
+    """U(0,1) variate from md5(salt || key) — deterministic, engine-portable."""
+    return F.expr(md5_int_expr(f"concat('{salt}', {key_sql})")) / F.lit(_HASH_SPACE)
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "seed0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a document iff its
+    uniform variate falls under its language's target rate — the
+    data-mixing step that up/down-weights languages or sources in a
+    training corpus.
+
+    One filter over the scan: no shuffle, no state, and the decision for
+    a given (doc_id, salt) never changes across runs or engines. At
+    100 TB this runs at scan speed and composes with any downstream op.
+    """
+    rate = F.lit(float(default_rate))
+    for lang, p in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(float(p))).otherwise(rate)
+    return docs.where(_uniform("CAST(doc_id AS STRING)", salt) < rate)
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = 8, salt: str = "seed0"
+) -> DataFrame:
+    """Deterministic global shuffle, expressed as (shard, position):
+    documents are hash-assigned to ``n_shards`` shards and given a
+    stable pseudo-random position within their shard — how a training
+    job materializes shuffled epochs without a global sort.
+
+    The within-shard ``row_number`` is the ONLY wide op and partitions
+    by shard — at scale each shard orders independently (one shuffle,
+    bounded by shard size), never a single global ordering task.
+    Position ties are impossible: the sort key is (variate, doc_id).
+    """
+    u = _uniform("CAST(doc_id AS STRING)", salt)
+    with_shard = docs.select(
+        "doc_id",
+        F.pmod(F.expr(md5_int_expr(f"concat('{salt}_shard', CAST(doc_id AS STRING))")),
+               F.lit(n_shards)).cast("int").alias("shard"),
+        u.alias("_u"),
+    )
+    w = Window.partitionBy("shard").orderBy("_u", "doc_id")
+    return with_shard.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )

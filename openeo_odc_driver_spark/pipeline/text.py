@@ -99,3 +99,41 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("h").alias("fingerprint"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the step a
+    training pipeline runs between cleaning and tokenization so long
+    documents become model-sized sequences.
+
+    Chunks start every ``stride`` tokens; a final ALIGNED chunk starting
+    at ``n_tokens - window + 1`` is always included so trailing tokens
+    are never dropped (documents shorter than ``window`` yield exactly
+    one chunk). Pure JVM expressions: split → start sequence →
+    slice/array_join under one explode; the only shuffle-free wide op is
+    the explode itself, which preserves the scan partitioning — no data
+    movement at any scale.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    last = F.greatest(n - F.lit(window) + 1, F.lit(1))
+    starts = F.array_union(
+        F.sequence(F.lit(1), last, F.lit(stride)), F.array(last)
+    )
+    with_toks = docs.select("doc_id", toks.alias("_toks"), starts.alias("_starts"))
+    return with_toks.select(
+        "doc_id",
+        F.explode("_starts").alias("chunk_start"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.size(F.slice("_toks", F.col("chunk_start"), window)).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice("_toks", F.col("chunk_start"), window), " "
+        ).alias("chunk_text"),
+    )

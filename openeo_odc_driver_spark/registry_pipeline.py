@@ -638,3 +638,60 @@ def _stateful_max(spark, sf_dir):
         spark, sf_dir, stateful_running_max, name="reg_statemax",
         output_mode="update",
     ).select("event_type", "max_value", "n_seen")
+
+
+# --- chunking / sampling / sharding ----------------------------------------
+
+_TOKS_D = "regexp_split_to_array(trim(text), '\\s+')"
+_U_D = (
+    "CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), 1, 7))"
+    " AS BIGINT) / 268435456.0"
+)
+
+@q(
+    "chunk_documents",
+    f"WITH t AS (SELECT doc_id, {_TOKS_D} AS toks, "
+    f"greatest(len({_TOKS_D}) - 63, 1) AS last FROM documents), "
+    "st AS (SELECT doc_id, toks, "
+    "unnest(list_distinct(list_concat(generate_series(1, last, 48), [last]))) "
+    "AS chunk_start FROM t) "
+    "SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start, "
+    "CAST(len(list_slice(toks, chunk_start, chunk_start + 63)) AS INT) "
+    "AS n_chunk_tokens, "
+    "array_to_string(list_slice(toks, chunk_start, chunk_start + 63), ' ') "
+    "AS chunk_text FROM st",
+)
+def _chunk_documents(spark, sf_dir):
+    return ptext.chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
+
+
+@q(
+    "sample_stratified",
+    f"SELECT * FROM documents WHERE {_U_D} < "
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25 "
+    "ELSE 0.1 END",
+)
+def _sample_stratified(spark, sf_dir):
+    from .pipeline.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "de": 1.0, "es": 0.25},
+        default_rate=0.1,
+        salt="seed0",
+    )
+
+
+@q(
+    "shuffle_shards",
+    "SELECT doc_id, shard, CAST(row_number() OVER ("
+    "PARTITION BY shard ORDER BY u, doc_id) AS INT) AS position FROM ("
+    "SELECT doc_id, CAST(CAST(('0x' || substring(md5(concat('seed0_shard', "
+    "CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 8 AS INT) AS shard, "
+    "CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), 1, 7))"
+    " AS BIGINT) / 268435456.0 AS u FROM documents)",
+)
+def _shuffle_shards(spark, sf_dir):
+    from .pipeline.sampling import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=8, salt="seed0")

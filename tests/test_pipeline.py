@@ -168,3 +168,65 @@ def test_minhash_persist_handle_released(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
     dedup.release_cached_signatures()
     assert len(dedup._PERSISTED) == 0
+
+
+def test_chunk_documents_coverage(spark):
+    """Overlapping windows with an aligned tail: every token appears in
+    some chunk, full windows where possible, one chunk for short docs."""
+    from openeo_odc_driver_spark.pipeline.text import chunk_documents
+
+    text100 = " ".join(f"t{i}" for i in range(1, 101))
+    df = spark.createDataFrame(
+        [(1, text100), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1 and 37 (aligned tail), both full windows
+    starts = sorted(r.chunk_start for r in by_doc[1])
+    assert starts == [1, 37]
+    assert all(r.n_chunk_tokens == 64 for r in by_doc[1])
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(1, 101))
+    # short doc: exactly one chunk, whole text
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0].chunk_text == "a b c" and by_doc[2][0].n_chunk_tokens == 3
+
+
+def test_sample_stratified_deterministic_and_monotone(spark, sf_dir):
+    from openeo_odc_driver_spark.pipeline.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_en = docs.where("lang = 'en'").count()
+    a = sample_stratified(docs, {"en": 1.0}, default_rate=0.0).collect()
+    assert len(a) == n_en and all(r.lang == "en" for r in a)
+    assert sample_stratified(docs, {"en": 0.0}, default_rate=0.0).count() == 0
+    # deterministic: identical result on re-run; subsample nests in sample
+    h = sample_stratified(docs, {"en": 0.5}, default_rate=0.1)
+    ids1 = {r.doc_id for r in h.collect()}
+    ids2 = {r.doc_id for r in h.collect()}
+    assert ids1 == ids2
+    ids_small = {r.doc_id for r in
+                 sample_stratified(docs, {"en": 0.25}, default_rate=0.05).collect()}
+    assert ids_small <= ids1
+
+
+def test_shuffle_shards_contiguous_positions(spark, sf_dir):
+    from openeo_odc_driver_spark.pipeline.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic
+    again = {(r.doc_id, r.shard, r.position) for r in
+             shuffle_shards(docs, n_shards=4).collect()}
+    assert again == {(r.doc_id, r.shard, r.position) for r in out}
