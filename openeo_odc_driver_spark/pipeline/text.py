@@ -137,3 +137,37 @@ def chunk_documents(
             F.slice("_toks", F.col("chunk_start"), window), " "
         ).alias("chunk_text"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (smoothed:
+    idf = ln((N+1)/(df+1)) + 1) — the classic corpus-statistics join a
+    data pipeline uses for topic tagging and boilerplate detection.
+
+    Plan shape at scale: one explode + (doc,term) aggregation for TF
+    [shuffle 1], a term-level rollup for DF that is tiny and broadcast
+    back [no corpus shuffle], the corpus size as a 1-row broadcast
+    cross-join, then the per-doc top-k window [shuffle 2, partitioned by
+    doc_id — never global]. No Python anywhere.
+    """
+    term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    tf = (
+        docs.select("doc_id", term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -695,3 +695,107 @@ def _shuffle_shards(spark, sf_dir):
     from .pipeline.sampling import shuffle_shards
 
     return shuffle_shards(_docs(spark, sf_dir), n_shards=8, salt="seed0")
+
+
+@q(
+    "streaming_sliding_counts",
+    "WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, event_type, value "
+    "FROM events), "
+    "w AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+    "event_type, value FROM e "
+    "UNION ALL SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), "
+    "event_type, value FROM e) "
+    "SELECT window_start, event_type, count(*) AS n, max(value) AS max_value "
+    "FROM w GROUP BY 1, 2",
+)
+def _stream_sliding(spark, sf_dir):
+    """Sliding windows through a real stream; the batch oracle lands each
+    event in both of its hourly-aligned 2h windows."""
+    from .streaming.windows import run_stream_to_memory, sliding_counts
+
+    return run_stream_to_memory(
+        spark, sf_dir, sliding_counts, name="reg_sliding"
+    ).select("window_start", "event_type", "n", "max_value")
+
+
+@q(
+    "tfidf_top_terms",
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+    "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+    "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "scored AS (SELECT t.doc_id, t.term, t.tf, "
+    "t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score "
+    "FROM tf t CROSS JOIN nd JOIN dfreq d ON d.term = t.term) "
+    "SELECT doc_id, term, tf, score, rank FROM ("
+    "SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, term) AS INT) AS rank FROM scored) WHERE rank <= 3",
+)
+def _tfidf_top_terms(spark, sf_dir):
+    return ptext.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_CHUNKS_FROM_SAMPLED = (
+    "ch0 AS (SELECT doc_id, lang, "
+    + _TOKS_D.replace("trim(text)", "trim(s.text)").replace("(text", "(s.text")
+    + " AS toks FROM sampled s), "
+    "ch1 AS (SELECT doc_id, lang, toks, greatest(len(toks) - 63, 1) AS last "
+    "FROM ch0), "
+    "chunks AS (SELECT doc_id, lang, "
+    "len(list_slice(toks, CAST(cs AS BIGINT), CAST(cs AS BIGINT) + 63)) "
+    "AS n_chunk_tokens FROM (SELECT doc_id, lang, toks, "
+    "unnest(list_distinct(list_concat(generate_series(1, last, 48), [last]))) "
+    "AS cs FROM ch1))"
+)
+
+@q(
+    "pipeline_neardedup_sample_chunk_stats",
+    f"WITH RECURSIVE {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
+    f"pairs AS (SELECT doc_a, doc_b FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS ej "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE ej >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(v, l) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v), "
+    "clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v), "
+    "surv AS (SELECT d.* FROM documents d LEFT JOIN clusters c "
+    "ON d.doc_id = c.doc_id "
+    "WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id), "
+    f"sampled AS (SELECT * FROM surv WHERE "
+    "CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), 1, 7))"
+    " AS BIGINT) / 268435456.0 < "
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25 "
+    "ELSE 0.1 END), "
+    f"{_CHUNKS_FROM_SAMPLED} "
+    "SELECT lang, count(*) AS n_chunks, "
+    "sum(CAST(n_chunk_tokens AS BIGINT)) AS total_chunk_tokens "
+    "FROM chunks GROUP BY lang",
+)
+def _pipeline_neardedup_e2e(spark, sf_dir):
+    """The FULL training-data flow composed end-to-end: near-dup collapse
+    (LSH → connected components → representative per cluster) →
+    deterministic stratified sampling → overlapping token-window chunking
+    → per-language chunk/token stats. Everything after the (necessarily
+    iterative) CC label table chains lazily — sampling and chunking are
+    pure expressions over the survivor scan, and the final rollup is one
+    aggregation. Integer token sums keep the oracle exact."""
+    from .pipeline.sampling import sample_stratified
+
+    docs = _docs(spark, sf_dir)
+    survivors = pdedup.near_dup_keep_representative(docs, jaccard_threshold=0.5)
+    sampled = sample_stratified(
+        survivors, rates={"en": 0.5, "de": 1.0, "es": 0.25},
+        default_rate=0.1, salt="seed0",
+    )
+    chunks = ptext.chunk_documents(sampled, window=64, stride=48)
+    with_lang = chunks.join(
+        F.broadcast(sampled.select("doc_id", "lang")), "doc_id"
+    )
+    return with_lang.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("n_chunk_tokens").cast("bigint")).alias("total_chunk_tokens"),
+    )

@@ -178,3 +178,24 @@ def run_stream_to_memory(
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time window (slide < duration → each event lands in
+    window/slide overlapping windows): count + max per (window,
+    event_type). Count/max are order-insensitive, so the batch oracle
+    (each event duplicated into its hourly-aligned windows) is exact —
+    unlike sums of arbitrary doubles."""
+    return (
+        events.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "max_value",
+        )
+    )

@@ -230,3 +230,19 @@ def test_shuffle_shards_contiguous_positions(spark, sf_dir):
     again = {(r.doc_id, r.shard, r.position) for r in
              shuffle_shards(docs, n_shards=4).collect()}
     assert again == {(r.doc_id, r.shard, r.position) for r in out}
+
+
+def test_tfidf_planted_distinctive_term(spark):
+    """A term unique to one doc must outrank corpus-wide terms there."""
+    from openeo_odc_driver_spark.pipeline.text import tfidf_top_terms
+
+    rows = [
+        (1, "common words everywhere plus zyzzyva zyzzyva zyzzyva"),
+        (2, "common words everywhere plus filler filler"),
+        (3, "common words everywhere plus other other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    assert top1[1] == "zyzzyva" and top1[2] == "filler" and top1[3] == "other"
+    assert all(r.rank <= 2 for r in out)

@@ -122,3 +122,29 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     assert stream_out.count() == batch.count()
     assert stream_out.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream_out).count() == 0
+
+
+def test_sliding_stream_each_event_in_two_windows(spark, sf_dir):
+    """2h window / 1h slide: every event contributes to exactly two
+    windows, so total count across windows = 2 × events."""
+    from openeo_odc_driver_spark.streaming.windows import sliding_counts
+
+    out = run_stream_to_memory(
+        spark, sf_dir, sliding_counts, name="t_sliding_eq"
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * n_events
+    # slide=1h → window starts are hourly-aligned (gaps between distinct
+    # starts are whole hours; sparse event types may skip hours)
+    starts = [
+        r.window_start
+        for r in out.where("event_type = (SELECT min(event_type) FROM t_sliding_eq)")
+        .orderBy("window_start")
+        .collect()
+    ]
+    assert len(starts) >= 2
+    assert all(
+        ((b - a).total_seconds() % 3600.0) == 0.0
+        for a, b in zip(starts, starts[1:])
+    )
