@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "reduce_time_median",
     "apply_kernel",
     "streaming_tumbling_hourly",
+    "tfidf_top_terms",
+    "chunk_documents",
 ]
 
 
