@@ -82,7 +82,8 @@ _GATE_PRIORITY = [
     "streaming_tumbling_hourly", "streaming_session_windows",
     "streaming_dedup", "stateful_running_max",
     # second representatives / load variants (just past the r02 window size)
-    "tfidf_top_terms", "streaming_sliding_counts",
+    "tfidf_top_terms", "streaming_sliding_counts", "streaming_static_enrich",
+    "pq_encode", "pq_ann",
     "chunk_documents", "sample_stratified", "shuffle_shards",
     "geocode_linear", "events_json_extract",
     "reduce_time_product", "apply_kernel_reflect", "apply_kernel_wrap",

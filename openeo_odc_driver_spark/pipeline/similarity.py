@@ -236,3 +236,124 @@ def lsh_bucket_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- product quantization ---------------------------------------------------
+
+PQ_M = 8          # subspaces (64-dim → 8 dims each)
+PQ_K = 16         # codes per subspace
+PQ_SCALE = 1 << 20  # dyadic grid for order-independent ADC sums
+
+
+def _sub_l2_expr(a: str, b: str, s: str, sub_dim: int = 8) -> F.Column:
+    """Squared L2 between the ``s``-th sub-slices of two vectors, as a
+    fixed-order fold — bit-identical across engines."""
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, {s} * {sub_dim} + 1, {sub_dim}),"
+        f" slice({b}, {s} * {sub_dim} + 1, {sub_dim}),"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """Deterministic pseudo-codebook: the first PQ_K corpus vectors donate
+    their sub-slices (same rationale as ivf_flat_ann's pseudo-centroids —
+    k-means means are not order-stable across engines; trained codebooks
+    plug into the same plan as a literal table)."""
+    return embeddings.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
+    )
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization encode: each vector → PQ_M codes of
+    log2(PQ_K) bits (64 floats → 8 nibbles, a 64× memory cut) — the
+    compression path that makes billion-vector ANN fit a cluster's RAM.
+
+    Plan: corpus × broadcast codebook × subspace index, squared-L2 per
+    sub-slice as a fixed-order fold, argmin per (vector, subspace) via
+    row_number (ties → lowest code, deterministic). One corpus pass, one
+    window partitioned by vector — no corpus self-join, no Python.
+    """
+    cb = _pq_codebook(embeddings)
+    sub = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "embedding",
+            "c_emb",
+        )
+        .withColumn("dist", _sub_l2_expr("embedding", "c_emb", "s"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    return (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("s").cast("int").alias("s"), "code")
+    )
+
+
+def pq_ann(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN by asymmetric distance computation over PQ codes: the query
+    keeps full precision, the corpus is its codes; distance ≈ Σ_s
+    d(query_sub_s, codebook[code_s]).
+
+    The per-subspace distances are snapped to a dyadic 2^-20 grid and
+    summed as BIGINTs — addition of doubles is not associativity-safe
+    across engines, integer sums are — then ranked (sum, neighbor_id),
+    fully deterministic.
+
+    Plan at scale: the corpus is touched ONCE to encode (or pre-encoded
+    offline); the ADC lookup table is queries × PQ_M × PQ_K rows —
+    broadcast — and the join key is (s, code): the corpus codes stream
+    through a broadcast hash join, then one aggregation per (query,
+    vector) and the per-query top-k window. The full-precision corpus
+    vectors are never read at query time.
+    """
+    codes = pq_encode(embeddings)
+    cb = _pq_codebook(embeddings)
+    lut = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "q_emb",
+            "c_emb",
+        )
+        .withColumn(
+            "dq",
+            F.floor(
+                _sub_l2_expr("q_emb", "c_emb", "s") * F.lit(float(PQ_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select("query_id", F.col("s").cast("int").alias("s"), "code", "dq")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("approx_dq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dq", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.col("approx_dq") / F.lit(float(PQ_SCALE))).alias("approx_dist"),
+        )
+    )

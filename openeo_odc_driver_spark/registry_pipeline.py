@@ -382,12 +382,14 @@ def _ivf_ann(spark, sf_dir):
     # the whole sf0.01 embeddings table; deterministic plans, no RNG) —
     # a refactor that silently tanks candidate generation breaks this
     # row's hash match. ivf: nprobe/n_centroids = 4/16 lists probed →
-    # 0.925; lsh: 9 of 2^8 buckets probed (1-bit multiprobe) → 0.1 on
-    # these near-random fixture vectors — the documented tradeoff.
+    # 0.925; lsh: 9 of 2^8 buckets probed (1-bit multiprobe) → 0.1; pq:
+    # 8×16-code ADC → 0.15 — on near-random fixture vectors the coarse
+    # quantizers retain little signal, the documented tradeoff.
     "SELECT method, hits, total, "
     "CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall "
     "FROM (VALUES ('ivf', CAST(37 AS BIGINT), CAST(40 AS BIGINT)), "
-    "('lsh', CAST(4 AS BIGINT), CAST(40 AS BIGINT))) t(method, hits, total)",
+    "('lsh', CAST(4 AS BIGINT), CAST(40 AS BIGINT)), "
+    "('pq', CAST(6 AS BIGINT), CAST(40 AS BIGINT))) t(method, hits, total)",
 )
 def _ann_recall(spark, sf_dir):
     e = _embs(spark, sf_dir).where(F.col("vec_id") < 500)
@@ -408,10 +410,14 @@ def _ann_recall(spark, sf_dir):
              ).alias("recall"),
         )
 
-    return _row(
-        "ivf",
-        psim.ivf_flat_ann(e, qs, k=5, n_centroids=_IVF_NC, nprobe=_IVF_NPROBE),
-    ).unionByName(_row("lsh", psim.lsh_bucket_ann(e, qs, k=5)))
+    return (
+        _row(
+            "ivf",
+            psim.ivf_flat_ann(e, qs, k=5, n_centroids=_IVF_NC, nprobe=_IVF_NPROBE),
+        )
+        .unionByName(_row("lsh", psim.lsh_bucket_ann(e, qs, k=5)))
+        .unionByName(_row("pq", psim.pq_ann(e, qs, k=5)))
+    )
 
 
 # --- text analysis ----------------------------------------------------------
@@ -799,3 +805,83 @@ def _pipeline_neardedup_e2e(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("n_chunk_tokens").cast("bigint")).alias("total_chunk_tokens"),
     )
+
+
+@q(
+    "streaming_static_enrich",
+    "WITH d AS (SELECT event_type, max(value) AS type_max FROM events "
+    "GROUP BY event_type) "
+    "SELECT e.event_id, e.event_type, e.value, d.type_max, "
+    "e.value / d.type_max AS value_frac_of_max "
+    "FROM events e JOIN d ON d.event_type = e.event_type",
+)
+def _stream_static_enrich(spark, sf_dir):
+    """Events stream joined to a STATIC per-type stats table (computed
+    batch-side). Division of two identically-derived doubles is
+    order-stable, so the oracle is exact."""
+    from .streaming.windows import run_stream_to_memory, stream_static_enrich
+    from .sources.tables import load_table
+
+    dims = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("value").alias("type_max"))
+    )
+    return run_stream_to_memory(
+        spark, sf_dir,
+        lambda s: stream_static_enrich(s, dims),
+        name="reg_enrich", output_mode="append",
+    )
+
+
+# --- product quantization ---------------------------------------------------
+
+_PQ_SUBL2 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(CAST({a}[s * 8 + i] AS DOUBLE) - CAST({b}[s * 8 + i] AS DOUBLE)) * "
+    "(CAST({a}[s * 8 + i] AS DOUBLE) - CAST({b}[s * 8 + i] AS DOUBLE))))"
+)
+
+_PQ_CODES_CTE = (
+    "cb AS (SELECT vec_id AS code, embedding AS c_emb FROM embeddings "
+    "WHERE vec_id < 16), "
+    "ss AS (SELECT unnest(range(0, 8)) AS s), "
+    "sub AS (SELECT e.vec_id, cb.code, ss.s, "
+    + _PQ_SUBL2.format(a="e.embedding", b="cb.c_emb")
+    + " AS dist FROM embeddings e CROSS JOIN cb CROSS JOIN ss), "
+    "codes AS (SELECT vec_id, CAST(s AS INT) AS s, code FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) "
+    "AS rn FROM sub) WHERE rn = 1)"
+)
+
+
+@q(
+    "pq_encode",
+    f"WITH {_PQ_CODES_CTE} SELECT * FROM codes",
+)
+def _pq_encode(spark, sf_dir):
+    return psim.pq_encode(_embs(spark, sf_dir))
+
+
+@q(
+    "pq_ann",
+    f"WITH {_PQ_CODES_CTE}, "
+    "qq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "
+    "WHERE vec_id < 8), "
+    "lut AS (SELECT qq.query_id, cb.code, ss.s, "
+    "CAST(floor("
+    + _PQ_SUBL2.format(a="qq.q_emb", b="cb.c_emb")
+    + " * 1048576.0 + 0.5) AS BIGINT) AS dq "
+    "FROM qq CROSS JOIN cb CROSS JOIN ss), "
+    "scored AS (SELECT l.query_id, c.vec_id AS neighbor_id, "
+    "sum(l.dq) AS approx_dq FROM codes c "
+    "JOIN lut l ON l.s = c.s AND l.code = c.code "
+    "WHERE c.vec_id != l.query_id GROUP BY 1, 2) "
+    "SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, "
+    "approx_dq / 1048576.0 AS approx_dist FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY approx_dq, neighbor_id) AS rn FROM scored) WHERE rn <= 5",
+)
+def _pq_ann(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return psim.pq_ann(e, e.where(F.col("vec_id") < 8), k=5)

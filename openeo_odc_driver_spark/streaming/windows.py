@@ -199,3 +199,25 @@ def sliding_counts(
             "max_value",
         )
     )
+
+
+def stream_static_enrich(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Stream–static join: enrich each streamed event with a static
+    reference table (here per-type stats) — the lookup/enrichment shape
+    every ingestion pipeline needs.  The static side is broadcast to the
+    stream's micro-batches; no state, no watermark required.
+
+    Scale: the static side is re-planned per micro-batch by Structured
+    Streaming, so a small dim broadcasts and a large one hash-joins —
+    both without stream-side state growth.
+    """
+    return (
+        events.join(F.broadcast(dims), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "type_max",
+            (F.col("value") / F.col("type_max")).alias("value_frac_of_max"),
+        )
+    )

@@ -246,3 +246,27 @@ def test_tfidf_planted_distinctive_term(spark):
     top1 = {r.doc_id: r.term for r in out if r.rank == 1}
     assert top1[1] == "zyzzyva" and top1[2] == "filler" and top1[3] == "other"
     assert all(r.rank <= 2 for r in out)
+
+
+def test_pq_codes_and_recall(spark, sf_dir):
+    """PQ: codes are valid (PQ_M per vector, in [0, PQ_K)); ADC ANN beats
+    random recall against brute-force ground truth."""
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_ann,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    codes = pq_encode(emb).collect()
+    assert len(codes) == n * PQ_M
+    assert all(0 <= r.code < PQ_K and 0 <= r.s < PQ_M for r in codes)
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in pq_ann(emb, q, k=5).collect()}
+    assert all(qid != nid for qid, nid in approx)  # self excluded
+    recall = len(exact & approx) / len(exact)
+    assert recall > 25 / n  # well above random-5-of-n

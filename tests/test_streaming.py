@@ -148,3 +148,46 @@ def test_sliding_stream_each_event_in_two_windows(spark, sf_dir):
         ((b - a).total_seconds() % 3600.0) == 0.0
         for a, b in zip(starts, starts[1:])
     )
+
+
+def test_stream_static_enrich_across_batches(spark, tmp_path):
+    """The static side joins identically in every micro-batch."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.streaming.windows import stream_static_enrich
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "event_type", "value"]
+        ).to_parquet(src / name)
+
+    write("b1.parquet", [(1, "click", 2.0), (2, "view", 4.0)])
+    dims = spark.createDataFrame(
+        [("click", 10.0), ("view", 8.0)], "event_type string, type_max double"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_static_enrich(stream, dims)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", [(3, "click", 5.0)])  # second micro-batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.event_id: (r.type_max, r.value_frac_of_max)
+           for r in spark.table("enrich_test").collect()}
+    assert out == {1: (10.0, 0.2), 2: (8.0, 0.5), 3: (10.0, 0.5)}
