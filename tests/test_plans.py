@@ -1,0 +1,76 @@
+"""Physical-plan regression gates for the scale claims in PLANS.md.
+
+Each assertion pins a property a 100 TB deployment depends on — filter
+pushdown reaching the scan, small sides broadcasting, exchange counts not
+regressing. A refactor that silently turns a broadcast join into a
+sort-merge join or un-pushes a predicate fails here, not in production.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap kind
+    # whose presence the broadcast assertions check separately)
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def test_tpch_q1_pushdown_and_single_shuffle(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    assert _exchanges(plan) <= 1  # one aggregation shuffle, nothing else
+
+
+def test_orders_per_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "orders_per_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles for joins
+
+
+def test_exact_dedup_single_aggregate(spark):
+    plan = _plan(spark, "exact_dedup")
+    assert _exchanges(plan) <= 1
+
+
+def test_sample_stratified_fused_with_scan(spark):
+    plan = _plan(spark, "sample_stratified")
+    assert _exchanges(plan) == 0  # pure filter over the scan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    plan = _plan(spark, "chunk_documents")
+    assert _exchanges(plan) == 0  # explode preserves scan partitioning
+
+
+def test_shuffle_shards_exactly_one_exchange(spark):
+    plan = _plan(spark, "shuffle_shards")
+    assert _exchanges(plan) == 1  # the per-shard window, nothing global
+
+
+def test_brute_force_topk_broadcasts_query_side(spark):
+    plan = _plan(spark, "brute_force_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side must not shuffle before the join
+    assert plan.index("Broadcast") < len(plan)
+
+
+def test_pq_ann_codes_join_is_broadcast(spark):
+    plan = _plan(spark, "pq_ann")
+    # the ADC lookup table joins broadcast; corpus codes stream through
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_documents_scan(spark):
+    plan = _plan(spark, "frame_sample")
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters:")[1][:120]
