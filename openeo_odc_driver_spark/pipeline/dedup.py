@@ -79,20 +79,35 @@ class _CheckpointHandle:
         self._sc._jsc.sc().unpersistRDD(self._rdd_id, blocking)
 
 
-def _local_checkpoint_tracked(df: DataFrame) -> DataFrame:
-    """Eagerly localCheckpoint ``df`` and track the materialized RDD for
-    deterministic release.  Lazy checkpoints would defer work, but their
-    persisted RDDs surface only at first action — unreleasable from
-    here; eager + id-diff keeps a long-lived session leak-free."""
+def _local_checkpoint_tracked(
+    df: DataFrame, supersedes: list | None = None
+) -> tuple[DataFrame, list]:
+    """Eagerly localCheckpoint ``df``, track the materialized RDD for
+    deterministic release, and — once the new checkpoint exists — free
+    the ``supersedes`` handles (the previous iteration, no longer
+    reachable from any live plan).  Lazy checkpoints would defer work,
+    but their persisted RDDs surface only at first action — unreleasable
+    from here; eager + id-diff keeps a long-lived session leak-free.
+    Returns (checkpointed df, its new handles)."""
     sc = df.sparkSession.sparkContext
     jmap = sc._jsc.getPersistentRDDs()
     before = {jid for jid in jmap.keySet().toArray()}
     out = df.localCheckpoint(eager=True)
     jmap = sc._jsc.getPersistentRDDs()
+    new_handles = []
     for jid in jmap.keySet().toArray():
         if jid not in before:
-            _PERSISTED.append(_CheckpointHandle(sc, jid))
-    return out
+            h = _CheckpointHandle(sc, jid)
+            _PERSISTED.append(h)
+            new_handles.append(h)
+    for h in supersedes or []:
+        try:
+            h.unpersist(blocking=False)
+        except Exception:
+            pass
+        if h in _PERSISTED:
+            _PERSISTED.remove(h)
+    return out, new_handles
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -422,26 +437,40 @@ def near_dup_clusters(
     EAGERLY localCheckpoint each round's label table: lineage stays
     linear and — unlike lazy checkpoints, whose persisted RDDs are
     invisible to any handle we could track — the checkpointed RDD ids
-    are captured right after materialization and released by
-    :func:`release_cached_signatures` / the next dedup call, so a
-    long-lived session never accumulates them.  The edge table is the
-    DUP-PAIR graph, orders of magnitude smaller than the corpus, so
-    per-round shuffles are cheap.
+    are captured right after materialization; each round's checkpoint
+    frees the previous round's (unreachable) one, so a call holds at
+    most one round checkpoint at a time.
+
+    LIFETIME CONTRACT: the returned DataFrame is backed by this call's
+    checkpoint and is valid until the NEXT dedup-pipeline call in the
+    same session (or an explicit :func:`release_cached_signatures`),
+    which frees it.  Unlike a persist()-backed cache, a destroyed
+    checkpoint cannot silently recompute — evaluate, persist, or write
+    out results you need to keep before issuing another dedup query.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, jaccard_threshold)
+        release_edges_first = False
+    else:
+        # no minhash_lsh_pairs call to release the previous query's
+        # handles — do it here so the session still holds only the most
+        # recent call's state (see lifetime contract above)
+        release_edges_first = True
     edges = _track_persisted(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         ),
-        release_previous=False,
+        release_previous=release_edges_first,
     )
     labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.least(F.min("dst"), F.first("src")).alias("cluster_id")
     )
+    prev_handles: list = []
     for _ in range(rounds - 1):
-        labels = _local_checkpoint_tracked(labels)
+        labels, prev_handles = _local_checkpoint_tracked(
+            labels, supersedes=prev_handles
+        )
         # neighbor propagation: min label over my neighbors
         neigh = (
             edges.join(

@@ -11,15 +11,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import md5_int_expr
-
-# md5_int_expr yields a uniform 28-bit integer (7 hex chars)
+# the 7-hex-char md5 prefix yields a uniform 28-bit integer
 _HASH_SPACE = float(16**7)
 
 
-def _uniform(key_sql: str, salt: str) -> F.Column:
-    """U(0,1) variate from md5(salt || key) — deterministic, engine-portable."""
-    return F.expr(md5_int_expr(f"concat('{salt}', {key_sql})")) / F.lit(_HASH_SPACE)
+def _uniform(key: F.Column, salt: str) -> F.Column:
+    """U(0,1) variate from md5(salt || key) — deterministic,
+    engine-portable. Built from Column ops (not interpolated SQL) so an
+    arbitrary ``salt`` string can never break or mangle the expression."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 7), 16, 10
+    ).cast("bigint")
+    return h / F.lit(_HASH_SPACE)
 
 
 def sample_stratified(
@@ -40,7 +43,7 @@ def sample_stratified(
     rate = F.lit(float(default_rate))
     for lang, p in sorted(rates.items()):
         rate = F.when(F.col("lang") == lang, F.lit(float(p))).otherwise(rate)
-    return docs.where(_uniform("CAST(doc_id AS STRING)", salt) < rate)
+    return docs.where(_uniform(F.col("doc_id").cast("string"), salt) < rate)
 
 
 def shuffle_shards(
@@ -56,11 +59,24 @@ def shuffle_shards(
     bounded by shard size), never a single global ordering task.
     Position ties are impossible: the sort key is (variate, doc_id).
     """
-    u = _uniform("CAST(doc_id AS STRING)", salt)
+    u = _uniform(F.col("doc_id").cast("string"), salt)
     with_shard = docs.select(
         "doc_id",
-        F.pmod(F.expr(md5_int_expr(f"concat('{salt}_shard', CAST(doc_id AS STRING))")),
-               F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}_shard"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1, 7,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
         u.alias("_u"),
     )
     w = Window.partitionBy("shard").orderBy("_u", "doc_id")

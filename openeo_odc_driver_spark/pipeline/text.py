@@ -102,7 +102,10 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
 
 
 def chunk_documents(
-    docs: DataFrame, window: int = 64, stride: int = 48
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the step a
     training pipeline runs between cleaning and tokenization so long
@@ -111,24 +114,31 @@ def chunk_documents(
     Chunks start every ``stride`` tokens; a final ALIGNED chunk starting
     at ``n_tokens - window + 1`` is always included so trailing tokens
     are never dropped (documents shorter than ``window`` yield exactly
-    one chunk). Pure JVM expressions: split → start sequence →
+    one chunk). ``carry`` names extra input columns to keep on every
+    chunk row (e.g. ``["lang"]``) so downstream rollups need no join
+    back to the corpus. Pure JVM expressions: split → start sequence →
     slice/array_join under one explode; the only shuffle-free wide op is
     the explode itself, which preserves the scan partitioning — no data
     movement at any scale.
     """
+    carry = carry or []
     toks = F.split(F.trim("text"), r"\s+")
     n = F.size(toks)
     last = F.greatest(n - F.lit(window) + 1, F.lit(1))
     starts = F.array_union(
         F.sequence(F.lit(1), last, F.lit(stride)), F.array(last)
     )
-    with_toks = docs.select("doc_id", toks.alias("_toks"), starts.alias("_starts"))
+    with_toks = docs.select(
+        "doc_id", *carry, toks.alias("_toks"), starts.alias("_starts")
+    )
     return with_toks.select(
         "doc_id",
+        *carry,
         F.explode("_starts").alias("chunk_start"),
         F.col("_toks"),
     ).select(
         "doc_id",
+        *carry,
         "chunk_start",
         F.size(F.slice("_toks", F.col("chunk_start"), window)).alias(
             "n_chunk_tokens"
@@ -159,10 +169,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    # ln differs by 1 ulp between JVM and glibc libm on ~8% of df values;
+    # quantize the score to 7 decimals on both engines (registry.py idiom)
+    # so ranking and the oracle hash are bit-stable, not fixture-lucky
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("score"))
+        .select(
+            "doc_id", "term", "tf", F.round(F.col("tf") * idf, 7).alias("score")
+        )
     )
     from pyspark.sql import Window
 

@@ -159,28 +159,11 @@ def _minhash_lsh_pairs(spark, sf_dir):
     return pdedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
-@q(
-    "near_dup_clusters",
-    # exact connected components via a recursive reachability CTE —
-    # tractable at fixture scale; cluster_id = min doc_id reachable
-    f"WITH RECURSIVE {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
-    f"pairs AS (SELECT doc_a, doc_b FROM ("
-    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS ej "
-    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
-    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE ej >= 0.5), "
-    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
-    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
-    "reach(v, l) AS (SELECT src, src FROM edges "
-    "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v) "
-    "SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v",
-)
-def _near_dup_clusters(spark, sf_dir):
-    return pdedup.near_dup_clusters(_docs(spark, sf_dir), jaccard_threshold=0.5)
-
-
-@q(
-    "near_dup_keep_representative",
-    f"WITH RECURSIVE {_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
+# exact connected components over the LSH dup-pair graph via a recursive
+# reachability CTE — tractable at fixture scale; cluster_id = min doc_id
+# reachable. Shared by all three near-dedup oracles (one definition to fix).
+_CC_CTES = (
+    f"{_SIG_CTE}, {_BANDED_CTE}, {_CAND_CTE}, "
     f"pairs AS (SELECT doc_a, doc_b FROM ("
     f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS ej "
     "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
@@ -189,9 +172,26 @@ def _near_dup_clusters(spark, sf_dir):
     "UNION ALL SELECT doc_b, doc_a FROM pairs), "
     "reach(v, l) AS (SELECT src, src FROM edges "
     "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v), "
-    "clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v) "
+    "clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)"
+)
+
+_KEEP_REPRESENTATIVE_SQL = (
     "SELECT d.* FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id "
-    "WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id",
+    "WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id"
+)
+
+
+@q(
+    "near_dup_clusters",
+    f"WITH RECURSIVE {_CC_CTES} SELECT * FROM clusters",
+)
+def _near_dup_clusters(spark, sf_dir):
+    return pdedup.near_dup_clusters(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@q(
+    "near_dup_keep_representative",
+    f"WITH RECURSIVE {_CC_CTES} {_KEEP_REPRESENTATIVE_SQL}",
 )
 def _near_dup_keep_representative(spark, sf_dir):
     return pdedup.near_dup_keep_representative(
@@ -648,7 +648,11 @@ def _stateful_max(spark, sf_dir):
 
 # --- chunking / sampling / sharding ----------------------------------------
 
-_TOKS_D = "regexp_split_to_array(trim(text), '\\s+')"
+def _toks_d(col: str = "text") -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+_TOKS_D = _toks_d()
 _U_D = (
     "CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), 1, 7))"
     " AS BIGINT) / 268435456.0"
@@ -733,7 +737,7 @@ def _stream_sliding(spark, sf_dir):
     "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
     "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
     "scored AS (SELECT t.doc_id, t.term, t.tf, "
-    "t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score "
+    "round(t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 7) AS score "
     "FROM tf t CROSS JOIN nd JOIN dfreq d ON d.term = t.term) "
     "SELECT doc_id, term, tf, score, rank FROM ("
     "SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
@@ -745,7 +749,7 @@ def _tfidf_top_terms(spark, sf_dir):
 
 _CHUNKS_FROM_SAMPLED = (
     "ch0 AS (SELECT doc_id, lang, "
-    + _TOKS_D.replace("trim(text)", "trim(s.text)").replace("(text", "(s.text")
+    + _toks_d("s.text")
     + " AS toks FROM sampled s), "
     "ch1 AS (SELECT doc_id, lang, toks, greatest(len(toks) - 63, 1) AS last "
     "FROM ch0), "
@@ -797,11 +801,9 @@ def _pipeline_neardedup_e2e(spark, sf_dir):
         survivors, rates={"en": 0.5, "de": 1.0, "es": 0.25},
         default_rate=0.1, salt="seed0",
     )
-    chunks = ptext.chunk_documents(sampled, window=64, stride=48)
-    with_lang = chunks.join(
-        F.broadcast(sampled.select("doc_id", "lang")), "doc_id"
-    )
-    return with_lang.groupBy("lang").agg(
+    # lang rides through the chunk explode — ONE corpus scan, no re-join
+    chunks = ptext.chunk_documents(sampled, window=64, stride=48, carry=["lang"])
+    return chunks.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("n_chunk_tokens").cast("bigint")).alias("total_chunk_tokens"),
     )
