@@ -84,6 +84,7 @@ _GATE_PRIORITY = [
     # second representatives / load variants (just past the r02 window size)
     "tfidf_top_terms", "streaming_sliding_counts", "streaming_static_enrich",
     "pq_encode", "pq_ann",
+    "decontaminate_exact", "decontaminate_ngram",
     "chunk_documents", "sample_stratified", "shuffle_shards",
     "geocode_linear", "events_json_extract",
     "reduce_time_product", "apply_kernel_reflect", "apply_kernel_wrap",

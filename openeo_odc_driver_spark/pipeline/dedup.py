@@ -524,3 +524,56 @@ def near_dup_keep_representative(
         )
         .drop("cluster_id")
     )
+
+
+def decontaminate_exact(docs: DataFrame, reference: DataFrame) -> DataFrame:
+    """Benchmark decontamination, exact form: drop corpus documents whose
+    full text appears in a reference/eval set — the step every training
+    pipeline runs so the model is not graded on memorized test data.
+
+    Plan: the reference hash set (eval suites are tiny relative to the
+    corpus) broadcasts into a left-anti join against the corpus scan —
+    one pass, no corpus shuffle, composes with any downstream op.
+    """
+    ref_hashes = reference.select(F.md5("text").alias("_h")).distinct()
+    return docs.join(
+        F.broadcast(ref_hashes), F.md5(docs["text"]) == F.col("_h"), "left_anti"
+    )
+
+
+def _token_ngram_hashes(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, md5 of each n-token gram); docs shorter than n tokens
+    produce no grams. Pure expressions under one explode."""
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {n - 1}),"
+            f" i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("gh"))
+
+
+def decontaminate_ngram(
+    docs: DataFrame, reference: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark decontamination, n-gram form (the GPT-3-style rule):
+    drop corpus documents sharing ANY ``n``-token gram with the
+    reference set — catches partial/quoted contamination that exact
+    hashing misses.
+
+    Plan at scale: reference grams (small side) deduplicate and
+    broadcast; corpus grams stream through the broadcast join; the
+    contaminated-doc id set is a distinct aggregation far smaller than
+    the corpus and anti-joins back against the scan. The corpus is
+    read twice (gram pass + output pass) but never shuffled.
+    """
+    ref_grams = _token_ngram_hashes(reference, n).select("gh").distinct()
+    contaminated = (
+        _token_ngram_hashes(docs, n)
+        .join(F.broadcast(ref_grams), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")

@@ -887,3 +887,44 @@ def _pq_encode(spark, sf_dir):
 def _pq_ann(spark, sf_dir):
     e = _embs(spark, sf_dir)
     return psim.pq_ann(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+# corpus = doc_id % 10 != 0; reference/eval set = doc_id % 10 = 0
+
+@q(
+    "decontaminate_exact",
+    "SELECT d.* FROM documents d WHERE d.doc_id % 10 != 0 AND NOT EXISTS ("
+    "SELECT 1 FROM documents r WHERE r.doc_id % 10 = 0 "
+    "AND md5(r.text) = md5(d.text))",
+)
+def _decontaminate_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return pdedup.decontaminate_exact(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+
+
+@q(
+    "decontaminate_ngram",
+    f"WITH toks AS (SELECT doc_id, {_toks_d()} AS t FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(t) - 12, 0)), "
+    "i -> md5(array_to_string(t[i:i+12], ' ')))) AS gh FROM toks), "
+    "refg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0), "
+    "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN refg USING (gh) "
+    "WHERE g.doc_id % 10 != 0) "
+    "SELECT d.* FROM documents d WHERE d.doc_id % 10 != 0 "
+    "AND d.doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def _decontaminate_ngram(spark, sf_dir):
+    """13-token-gram decontamination (the GPT-3-style rule) of the 90%
+    corpus slice against the 10% reference slice."""
+    docs = _docs(spark, sf_dir)
+    return pdedup.decontaminate_ngram(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=13,
+    )

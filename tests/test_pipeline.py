@@ -270,3 +270,30 @@ def test_pq_codes_and_recall(spark, sf_dir):
     assert all(qid != nid for qid, nid in approx)  # self excluded
     recall = len(exact & approx) / len(exact)
     assert recall > 25 / n  # well above random-5-of-n
+
+
+def test_decontamination_exact_and_ngram(spark):
+    """Exact removes verbatim copies of reference docs; the 13-gram rule
+    additionally catches documents QUOTING a reference passage."""
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        decontaminate_exact,
+        decontaminate_ngram,
+    )
+
+    ref_text = " ".join(f"bench{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally clean document with its own words " * 3),
+            (2, ref_text),                                   # verbatim copy
+            (3, "prefix words then " + ref_text + " then suffix"),  # quotes it
+            (4, "short doc under thirteen tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+
+    exact_ids = {r.doc_id for r in decontaminate_exact(corpus, reference).collect()}
+    assert exact_ids == {1, 3, 4}  # only the verbatim copy dropped
+
+    ngram_ids = {r.doc_id for r in decontaminate_ngram(corpus, reference, n=13).collect()}
+    assert ngram_ids == {1, 4}  # the quoting doc is dropped too
