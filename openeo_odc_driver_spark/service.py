@@ -145,7 +145,7 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
         finally:
             spark.sparkContext.setJobGroup("", "")
         artifact = os.path.join(job_dir, pg.result_node)
-        for ext in ("", ".npy", ".json", ".png"):
+        for ext in ("", ".tif", ".npy", ".json", ".png"):
             if os.path.exists(artifact + ext):
                 artifact = artifact + ext
                 break

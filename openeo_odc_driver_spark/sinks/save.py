@@ -1,12 +1,10 @@
 """`save_result` sinks (openeo_odc_driver.py:1611-1832).
 
 Canonical distributed sink: parquet (≙ the reference's NetCDF role). JSON
-reproduces the reference's dim-dependent shape rules (:1783-1827). PNG
-emits real PNG bytes through the pure-stdlib encoder in sinks/png.py
-(grayscale/RGB/RGBA, round-trip tested). GTiff preserves the reference's
-validation semantics (4-D squeeze rules, y-flip) and materializes the
-pixel grid, but the GeoTIFF encode itself needs GDAL — not in this
-container — so it writes .npy + sidecar JSON and says so in the metadata.
+reproduces the reference's dim-dependent shape rules (:1783-1827). PNG and
+GeoTIFF emit real bytes through pure-stdlib encoders (sinks/png.py,
+sinks/gtiff.py — no PIL/GDAL in this container), both round-trip tested;
+only the preview-resize cv2 path is approximated (nearest-neighbor).
 """
 
 from __future__ import annotations
@@ -109,9 +107,10 @@ def _to_grid(cube: Cube) -> tuple[np.ndarray, dict]:
 def save_gtiff(cube: Cube, path: str) -> str:
     """GTiff semantics (openeo_odc_driver.py:1679-1724): 4-D cubes must
     squeeze — drop band dim if 1 band, else drop time if 1 step, else
-    error. The raster grid and CRS metadata are materialized; the actual
-    GeoTIFF encode needs GDAL/rasterio (not in this container) and is
-    stubbed as .npy + sidecar JSON."""
+    error. Emits REAL GeoTIFF bytes via the pure-stdlib encoder
+    (sinks/gtiff.py: uncompressed float32 + ModelPixelScale/Tiepoint/
+    GeoKeyDirectory tags) — the same capability-boundary move as the
+    PNG encoder; a sidecar JSON keeps the full axis metadata."""
     dims = set(cube.schema.dims)
     c = cube
     if BAND in dims and TIME in dims:
@@ -131,10 +130,31 @@ def save_gtiff(cube: Cube, path: str) -> str:
                     "GTiff supports at most 3 dimensions: reduce bands or time first"
                 )  # ≙ openeo_odc_driver.py:1693-1703
     arr, meta = _to_grid(c)
-    np.save(path + ".npy", arr)
+    from .gtiff import encode_gtiff
+
+    ys, xs = meta["ys"], meta["xs"]
+    x_res = abs(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+    y_res = abs(ys[1] - ys[0]) if len(ys) > 1 else 1.0
+    crs = str(meta.get("crs") or "")
+    projected = not crs.endswith("4326")
+    try:
+        epsg = int(crs.rsplit(":", 1)[-1])
+    except ValueError:
+        epsg = 0
+    tif = encode_gtiff(
+        arr,
+        pixel_scale=(x_res, y_res),
+        # GeoTIFF anchors the upper-left pixel corner; ys is descending
+        origin=(xs[0] - x_res / 2, ys[0] + y_res / 2),
+        epsg=epsg,
+        projected=projected,
+    )
+    out = path if path.endswith(".tif") else path + ".tif"
+    with open(out, "wb") as f:
+        f.write(tif)
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
-    return path + ".npy"
+    return out
 
 
 def _nearest_resize(arr: np.ndarray, size: int) -> np.ndarray:

@@ -25,8 +25,8 @@ def test_own_ndvi_graph_end_to_end(spark, tmp_path):
     assert len(rows) == 256  # one NDVI median per pixel
     vals = [r.value for r in rows if r.value is not None]
     assert vals and all(-1.0 <= v <= 1.0 for v in vals)
-    # GTiff sink materialized (stub .npy + metadata sidecar)
-    assert (tmp_path / "save.npy").exists()
+    # GTiff sink materialized (real .tif + metadata sidecar)
+    assert (tmp_path / "save.tif").exists()
 
 
 @pytest.mark.skipif(not os.path.exists(REF_GRAPH), reason="reference not mounted")

@@ -88,3 +88,24 @@ def test_png_roundtrip_bitexact(spark, tmp_path):
     grid, _ = _to_grid(cube)
     expect = np.clip(np.nan_to_num(grid, nan=0.0), 0, 255).astype(np.uint8)
     assert np.array_equal(decode_png(open(p, "rb").read()), expect)
+
+
+def test_gtiff_roundtrip_real_bytes(spark, tmp_path):
+    """save_gtiff emits a parseable little-endian TIFF whose samples,
+    pixel scale, tiepoint, and EPSG key survive a round trip."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.sinks.gtiff import decode_gtiff, encode_gtiff
+
+    rng = np.arange(24, dtype="float32").reshape(2, 3, 4) / 3.0
+    data = encode_gtiff(
+        rng, pixel_scale=(10.0, 10.0), origin=(500000.0, 5200000.0),
+        epsg=32632, projected=True,
+    )
+    assert data[:4] == b"II\x2a\x00"  # real TIFF magic
+    arr, meta = decode_gtiff(data)
+    np.testing.assert_array_equal(arr, rng)
+    assert meta["pixel_scale"][:2] == [10.0, 10.0]
+    assert meta["tiepoint"][3:5] == [500000.0, 5200000.0]
+    assert 32632 in meta["geo_keys"] and meta["sample_format"] == [3, 3]
+    assert meta["bits"] == [32, 32]
