@@ -40,59 +40,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs queries in registration order under a
-# bounded window (round 2 verified exactly the first 50). Order the dict so
-# the window covers one representative of EVERY operator family (reducers,
-# aggregates, kernel, merge, resample, curve fit, UDF, SAR, planner,
-# relational, the full dedup/ANN/text pipeline, streaming) plus the three
-# queries whose r02 rows failed (ceil/round/int, signed-zero fix), before
-# the scalar-math long tail that r02 already verified green.
+# bounded window (rounds 2 and 3 each verified exactly the first 50).
+# Round-3 gate state: 45 of its 50 rows green; `tpch_q1`,
+# `orders_per_nation`, `pipeline_quality_dedup_stats` failed hash (DuckDB
+# HUGEINT→float64 oracle dtype, fixed by CAST ... AS BIGINT) and the two
+# streaming queries crashed (TIMESTAMP_NTZ watermark, fixed in
+# run_stream_to_memory). Round-4 order: those 5 fixes first to prove them,
+# then every query never yet covered by a driver window (47 minus the two
+# rows-only multimodal decodes, which sit at positions 51-52), then the
+# already-green rows.
 _GATE_PRIORITY = [
-    # flagship + fixed-defect rows first
+    # r03 failures, fixed this round — re-verify first
+    "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
+    "streaming_tumbling_hourly", "streaming_session_windows",
+    # never driver-verified: remaining streaming + pipeline extensions
+    "tfidf_top_terms", "streaming_sliding_counts", "streaming_static_enrich",
+    "pq_encode", "pq_ann", "decontaminate_exact", "decontaminate_ngram",
+    "chunk_documents", "sample_stratified", "shuffle_shards",
+    "pipeline_neardedup_sample_chunk_stats",
+    # never driver-verified: cube operator variants
+    "geocode_linear", "events_json_extract",
+    "reduce_time_product", "reduce_time_max", "reduce_time_min",
+    "reduce_time_mean", "reduce_time_sum", "reduce_time_count",
+    "reduce_time_sd", "reduce_time_variance", "reduce_bands_mean",
+    "reduce_x_sum", "reduce_y_max", "quantiles_q",
+    "aggregate_temporal_period_month", "aggregate_spatial_window_trim",
+    "climatological_normal", "aggregate_spatial_mean",
+    "aggregate_spatial_sd", "aggregate_spatial_variance",
+    "apply_kernel_tiled", "apply_kernel_replicate",
+    "apply_kernel_reflect", "apply_kernel_wrap",
+    "merge_cubes_bands", "merge_cubes_time",
+    "process_graph_resample_pushdown", "load_collection_decode",
+    "load_collection_polygon", "filter_bbox_crs", "frame_sample",
+    "resample_cube_spatial", "run_udf", "fit_curve_harmonic",
+    # rows-only checks — cheapest signal, first to yield the window
+    "multimodal_decode", "multimodal_audio_decode",
+    # green in r03's window — keep near the front of the remainder so a
+    # larger future window re-verifies families in priority order
     "flagship_ndvi", "ceil", "round", "int",
-    # §2.6 reducers (median+quantiles cover the percentile and agg paths;
-    # sd/product re-verify in the long tail)
     "reduce_time_median", "quantiles",
-    # §2.7 aggregates (anomaly joins climatological_normal internally)
     "aggregate_temporal_period_season", "aggregate_spatial_median",
     "aggregate_spatial_window", "anomaly",
-    # kernel / merge / resample
     "apply_kernel", "merge_cubes_resolver",
     "resample_cube_temporal", "resample_cube_spatial_bilinear",
-    # §2.9 curve fit / UDF / SAR
     "fit_curve_linear", "predict_curve_linear", "run_udf_grouped",
     "radar_mask", "geocode_nearest",
-    # dim ops untested in r02
     "drop_dimension", "array_interpolate_linear",
-    # process-graph planner E2E
     "process_graph_ndvi", "process_graph_masked_seasonal",
-    # relational / events
-    "tpch_q1", "orders_per_nation", "orders_topk_per_customer",
-    "events_hourly",
-    # LLM-data pipeline: dedup family
+    "orders_topk_per_customer", "events_hourly",
     "exact_dedup", "dedup_keep_first", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_fingerprints",
     "simhash_near_dup_pairs", "embedding_cosine_dup_pairs",
     "near_dup_clusters", "near_dup_keep_representative",
-    # similarity search (+ the gated recall@k regression check)
     "brute_force_topk", "lsh_bucket_ann", "ivf_flat_ann", "ann_recall",
-    # text analysis + composed pipeline
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "pipeline_quality_dedup_stats",
-    # structured streaming
-    "streaming_tumbling_hourly", "streaming_session_windows",
     "streaming_dedup", "stateful_running_max",
-    # second representatives / load variants (just past the r02 window size)
-    "tfidf_top_terms", "streaming_sliding_counts", "streaming_static_enrich",
-    "pq_encode", "pq_ann",
-    "decontaminate_exact", "decontaminate_ngram",
-    "chunk_documents", "sample_stratified", "shuffle_shards",
-    "geocode_linear", "events_json_extract",
-    "reduce_time_product", "apply_kernel_reflect", "apply_kernel_wrap",
-    "merge_cubes_bands",
-    "process_graph_resample_pushdown", "load_collection_decode",
-    "load_collection_polygon", "filter_bbox_crs", "frame_sample",
-    "resample_cube_spatial", "merge_cubes_time", "run_udf",
-    "fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
 ]
 
 

@@ -88,14 +88,23 @@ def main() -> None:
                 pass
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         runs = []
-        for _ in range(3):  # best-of-3: GC/scheduling noise dominates
-            t0 = time.time()  # single-run numbers on a shared local JVM
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+        # a single broken query must not zero the whole bench (BENCH_r03
+        # died wholesale on one streaming AnalysisException): isolate
+        # per-query, report the error, keep the JSON line parsable
+        try:
+            for _ in range(3):  # best-of-3: GC/scheduling noise dominates
+                t0 = time.time()  # single-run numbers on a shared local JVM
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(min(runs), 3)
         print(
             f"[bench] {name}: " + " ".join(f"{r:.3f}" for r in runs),
@@ -103,17 +112,16 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -1110,9 +1110,10 @@ ORACLE["flagship_ndvi"] = _FLAGSHIP_ORACLE
 @q(
     "tpch_q1",
     "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents, "
-    "sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) "
-    "AS sum_disc_cents, count(*) AS count_order "
+    "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS sum_base_cents, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS sum_disc_cents, count(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
     "GROUP BY l_returnflag, l_linestatus",
 )
@@ -1142,7 +1143,8 @@ def _tpch_q1(spark, sf_dir):
 @q(
     "orders_per_nation",
     "SELECT n.n_name, count(*) AS n_orders, "
-    "sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents "
+    "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
 )
@@ -1393,7 +1395,7 @@ _register_planner()
     "SELECT event_type, count(*) AS n, "
     "min(CAST(props ->> '$.k' AS BIGINT)) AS min_k, "
     "max(CAST(props ->> '$.k' AS BIGINT)) AS max_k, "
-    "sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k "
+    "CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k "
     "FROM events GROUP BY event_type",
 )
 def _events_json(spark, sf_dir):

@@ -543,8 +543,8 @@ _Q_CUT = 0.5
     f"AND q.quality > {_Q_CUT}), "
     "winners AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), "
     "surv AS (SELECT k.* FROM kept k JOIN winners w ON k.doc_id = w.doc_id) "
-    f"SELECT lang, count(*) AS n_docs, sum(CAST({_NTOK_D} AS BIGINT)) "
-    "AS total_tokens FROM surv GROUP BY lang",
+    f"SELECT lang, count(*) AS n_docs, CAST(sum(CAST({_NTOK_D} AS BIGINT)) "
+    "AS BIGINT) AS total_tokens FROM surv GROUP BY lang",
 )
 def _pipeline_e2e(spark, sf_dir):
     """The training-data pipeline composed in ONE lazy plan: quality
@@ -782,7 +782,7 @@ _CHUNKS_FROM_SAMPLED = (
     "ELSE 0.1 END), "
     f"{_CHUNKS_FROM_SAMPLED} "
     "SELECT lang, count(*) AS n_chunks, "
-    "sum(CAST(n_chunk_tokens AS BIGINT)) AS total_chunk_tokens "
+    "CAST(sum(CAST(n_chunk_tokens AS BIGINT)) AS BIGINT) AS total_chunk_tokens "
     "FROM chunks GROUP BY lang",
 )
 def _pipeline_neardedup_e2e(spark, sf_dir):

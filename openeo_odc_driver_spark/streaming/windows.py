@@ -147,6 +147,8 @@ def run_stream_to_memory(
     """Drive a fixture parquet through a real streaming query (one epoch)
     and return the materialized result. Uses the same ns→µs conversion as
     the batch loader for the events table."""
+    from pyspark.sql.types import TimestampType
+
     batch = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # Stateful aggregation creates one state-store instance per shuffle
     # partition; 32 RocksDB/HDFS-backed stores for one small batch is pure
@@ -154,7 +156,16 @@ def run_stream_to_memory(
     # checkpoint. 8 is plenty for fixture-scale windows — a real
     # deployment sizes this to the key cardinality at stream start.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # The fixture stores naive wall-clock timestamps (parquet
+    # isAdjustedToUTC=0 → TIMESTAMP_NTZ in Spark 4), but event-time
+    # watermarks require TIMESTAMP (with local time zone). Pin the session
+    # to UTC for the duration of the run so NTZ→LTZ→NTZ is the identity on
+    # wall-clock values regardless of the host zone, cast event time up for
+    # the stateful engine, and cast result timestamps back to NTZ so the
+    # materialized table is zone-independent (matching the naive oracle).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the sf dir holds all tables; the glob filter narrows the stream to
     # the events file
     stream = (
@@ -165,9 +176,19 @@ def run_stream_to_memory(
     )
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = builder(stream)
+    out = out.select(
+        *[
+            F.col(f.name).cast("timestamp_ntz").alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in out.schema.fields
+        ]
+    )
     q = (
-        builder(stream)
-        .writeStream.outputMode(output_mode)
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -177,6 +198,7 @@ def run_stream_to_memory(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return spark.table(name)
 
 

@@ -41,6 +41,25 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    # Dtype-KIND check BEFORE normalize: the driver's hash is
+    # dtype-sensitive (int 6 vs float 6.0 hash differently). DuckDB
+    # sum(BIGINT) → HUGEINT → pandas float64 is the classic trap; oracle
+    # SQL must CAST such aggregates back to BIGINT. normalize() would
+    # erase exactly this difference, so flag it first.
+    for c in sorted(sdf.columns):
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if ks in "iu" and kd in "iu":
+            continue
+        if str(sdf[c].dtype).startswith("datetime64") and str(
+            ddf[c].dtype
+        ).startswith("datetime64"):
+            continue
+        if ks != kd:
+            problems.append(
+                f"dtype-kind diff col={c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+            )
+    if problems:
+        return problems
     s = normalize(sdf)
     d = normalize(ddf)
     # Bitwise check on float columns: the driver hashes raw values, so
