@@ -75,6 +75,11 @@ _GATE_PRIORITY = [
     "resample_cube_spatial", "run_udf", "fit_curve_harmonic",
     # rows-only checks — cheapest signal, first to yield the window
     "multimodal_decode", "multimodal_audio_decode",
+    # new in round 4 (corpus layout census, sketch-accuracy gates,
+    # repetition/PII quality passes) — verified by the local gate; first
+    # in line for the next window
+    "corpus_shard_layout", "corpus_stats_sketch",
+    "repetition_scores", "pii_scan",
     # green in r03's window — keep near the front of the remainder so a
     # larger future window re-verifies families in priority order
     "flagship_ndvi", "ceil", "round", "int",

@@ -46,6 +46,26 @@ def sample_stratified(
     return docs.where(_uniform(F.col("doc_id").cast("string"), salt) < rate)
 
 
+def shard_col(
+    key: F.Column, n_shards: int = 8, salt: str = "seed0"
+) -> F.Column:
+    """Stable shard id in [0, n_shards): 28-bit md5 of (salt, key) mod N.
+    The single engine-wide definition of "which shard does this document
+    live in" — shared by :func:`shuffle_shards` (the query) and
+    :func:`..sinks.corpus.write_training_corpus` (the materialized
+    layout), so the written dataset agrees with the query's assignment."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}_shard"), key.cast("string"))),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
 def shuffle_shards(
     docs: DataFrame, n_shards: int = 8, salt: str = "seed0"
 ) -> DataFrame:
@@ -62,21 +82,7 @@ def shuffle_shards(
     u = _uniform(F.col("doc_id").cast("string"), salt)
     with_shard = docs.select(
         "doc_id",
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{salt}_shard"),
-                            F.col("doc_id").cast("string"),
-                        )
-                    ),
-                    1, 7,
-                ),
-                16, 10,
-            ).cast("bigint"),
-            F.lit(n_shards),
-        ).cast("int").alias("shard"),
+        shard_col(F.col("doc_id"), n_shards, salt).alias("shard"),
         u.alias("_u"),
     )
     w = Window.partitionBy("shard").orderBy("_u", "doc_id")

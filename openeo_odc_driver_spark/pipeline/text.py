@@ -186,3 +186,70 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def repetition_scores(docs: DataFrame, gram: int = 10) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of a document made of
+    duplicate lines and duplicate word ``gram``-grams — boilerplate and
+    template spam score high and get filtered before training.
+
+    dup_line_frac   = 1 − distinct(lines)/count(lines)
+    dup_ngram_frac  = 1 − distinct(grams)/count(grams)
+
+    Pure expressions: split → array_distinct → size arithmetic, no
+    explode, no shuffle — per-document scalars computed inline with the
+    scan (the filter itself is then a `where` on the output).
+    """
+    lines = F.split("text", r"\n")
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+'))"
+        f" - {gram - 1}, 1)),"
+        f" i -> array_join(slice(split(trim(text), '\\\\s+'), i, {gram}), ' '))"
+    )
+    n_lines = F.size(lines)
+    n_grams = F.size(grams)
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines))
+            / F.nullif(n_lines.cast("double"), F.lit(0.0))
+        ).alias("dup_line_frac"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams))
+            / F.nullif(n_grams.cast("double"), F.lit(0.0))
+        ).alias("dup_ngram_frac"),
+    )
+
+
+# deliberately simple patterns that parse identically in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII pattern census (emails / phone shapes / IPv4) —
+    the redaction-triage pass a corpus runs before release. Counts only;
+    actual redaction is a regexp_replace with the same patterns.
+
+    One pass of JVM `regexp_count` per pattern, codegen-fused — no UDFs,
+    no shuffle. Patterns go through Column literals (not interpolated SQL
+    text) so backslashes survive un-mangled."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii)

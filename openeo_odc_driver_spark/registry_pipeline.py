@@ -928,3 +928,104 @@ def _decontaminate_ngram(spark, sf_dir):
         docs.where(F.col("doc_id") % 10 == 0),
         n=13,
     )
+
+
+# --- corpus layout + sketch statistics --------------------------------------
+
+_SHARD_D = (
+    "CAST(CAST(('0x' || substring(md5('seed0_shard' || CAST(doc_id AS VARCHAR)),"
+    " 1, 7)) AS BIGINT) % 4 AS INT)"
+)
+
+
+@q(
+    "corpus_shard_layout",
+    f"SELECT lang, {_SHARD_D} AS shard, count(*) AS n_docs, "
+    "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+    "FROM documents GROUP BY lang, shard",
+)
+def _corpus_shard_layout(spark, sf_dir):
+    """Per-(partition, shard) layout census of the training-corpus writer
+    (sinks/corpus.py): the exact shard assignment the materialized
+    dataset uses, computed as a query so the driver gate pins it. One
+    hash-aggregate; the shard id is the shared md5 construction of
+    pipeline/sampling.shard_col (doc_id is non-negative, so Spark pmod
+    and DuckDB % agree)."""
+    from .pipeline.sampling import shard_col
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", shard_col(F.col("doc_id"), 4).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@q(
+    "corpus_stats_sketch",
+    "SELECT lang, count(*) AS n_docs, "
+    "count(DISTINCT source) AS n_sources, TRUE AS hll_ok, "
+    "quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50_len, "
+    "TRUE AS pctl_ok FROM documents GROUP BY lang",
+)
+def _corpus_stats_sketch(spark, sf_dir):
+    """Sketch-vs-exact corpus report (pipeline/stats.py): HLL++ distinct
+    sources and quantile-sketch median length, each gated inside its
+    error envelope next to the exact value — the ann_recall pattern for
+    sketches. The oracle asserts the exact columns and TRUE for the
+    gates; a refactor that degrades sketch accuracy fails the hash."""
+    from .pipeline.stats import corpus_stats_sketch
+
+    return corpus_stats_sketch(_docs(spark, sf_dir))
+
+
+# --- repetition + PII quality passes ----------------------------------------
+
+_REP_GRAM = 10
+_REP_GRAMS_D = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS_D}) - {_REP_GRAM - 1},"
+    f" 1)), i -> array_to_string(({_TOKS_D})[i:i+{_REP_GRAM - 1}], ' '))"
+)
+_REP_LINES_D = "string_split(text, chr(10))"
+
+
+@q(
+    "repetition_scores",
+    "SELECT doc_id, "
+    f"CAST(len({_REP_LINES_D}) AS INT) AS n_lines, "
+    f"1.0 - len(list_distinct({_REP_LINES_D})) / "
+    f"nullif(CAST(len({_REP_LINES_D}) AS DOUBLE), 0.0) AS dup_line_frac, "
+    f"{_NTOK_D} AS n_tokens, "
+    f"1.0 - len(list_distinct({_REP_GRAMS_D})) / "
+    f"nullif(CAST(len({_REP_GRAMS_D}) AS DOUBLE), 0.0) AS dup_ngram_frac "
+    "FROM documents",
+)
+def _repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate-line / duplicate-10-gram
+    fractions) — boilerplate detection before training."""
+    return ptext.repetition_scores(_docs(spark, sf_dir), gram=_REP_GRAM)
+
+
+def _pii_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in ptext.PII_PATTERNS.items()
+    )
+    any_pii = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in ptext.PII_PATTERNS.values()
+    )
+    return (
+        f"SELECT doc_id, {cols}, ({any_pii}) AS has_pii FROM documents"
+    )
+
+
+@q("pii_scan", _pii_oracle())
+def _pii_scan(spark, sf_dir):
+    """PII pattern census (emails / phone shapes / IPv4) — the
+    redaction-triage pass; patterns restricted to the Java-regex ∩ RE2
+    common dialect so the oracle is exact."""
+    return ptext.pii_scan(_docs(spark, sf_dir))

@@ -1,0 +1,80 @@
+"""Training-corpus writer: deterministic sharded layout + agreement with
+the shuffle_shards / corpus_shard_layout query-side assignment."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from openeo_odc_driver_spark.pipeline.sampling import shard_col, shuffle_shards
+from openeo_odc_driver_spark.sinks.corpus import (
+    read_training_corpus,
+    write_training_corpus,
+)
+from openeo_odc_driver_spark.sources.tables import load_table
+
+N_SHARDS = 4
+
+
+def test_layout_one_file_per_partition_shard(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_training_corpus(docs, out, partition_col="lang", n_shards=N_SHARDS)
+
+    lang_dirs = sorted(glob.glob(os.path.join(out, "lang=*")))
+    assert lang_dirs, "no hive partition directories written"
+    expected = {
+        (r["lang"], r["shard"])
+        for r in docs.select(
+            "lang", shard_col(F.col("doc_id"), N_SHARDS).alias("shard")
+        )
+        .distinct()
+        .collect()
+    }
+    seen = set()
+    for ld in lang_dirs:
+        lang = os.path.basename(ld).split("=", 1)[1]
+        for sd in sorted(glob.glob(os.path.join(ld, "shard=*"))):
+            shard = int(os.path.basename(sd).split("=", 1)[1])
+            files = glob.glob(os.path.join(sd, "*.parquet"))
+            assert len(files) == 1, f"{sd}: {len(files)} files, want exactly 1"
+            seen.add((lang, shard))
+    assert seen == expected
+
+
+def test_roundtrip_and_shard_agreement(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_training_corpus(docs, out, partition_col="lang", n_shards=N_SHARDS)
+
+    back = read_training_corpus(spark, out)
+    assert back.count() == docs.count()
+    # no document lost or duplicated
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # the materialized shard column equals the query-side assignment
+    # (same md5 construction, same salt) for every document
+    q = shuffle_shards(docs, n_shards=N_SHARDS).select("doc_id", "shard")
+    diff = (
+        back.select("doc_id", F.col("shard").alias("w_shard"))
+        .join(q, "doc_id")
+        .where(F.col("w_shard") != F.col("shard"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_rewrite_is_stable(spark, sf_dir, tmp_path):
+    """Same input → same per-file row sets (layout is a pure function of
+    the data, not of task scheduling)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_corpus(docs, a, n_shards=2)
+    write_training_corpus(docs, b, n_shards=2)
+    fa = read_training_corpus(spark, a).groupBy("lang", "shard").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    fb = read_training_corpus(spark, b).groupBy("lang", "shard").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
