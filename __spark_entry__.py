@@ -80,6 +80,7 @@ _GATE_PRIORITY = [
     # in line for the next window
     "corpus_shard_layout", "corpus_stats_sketch",
     "repetition_scores", "pii_scan",
+    "vocab_top_terms", "pack_sequences",
     # green in r03's window — keep near the front of the remainder so a
     # larger future window re-verifies families in priority order
     "flagship_ndvi", "ceil", "round", "int",

@@ -89,3 +89,43 @@ def shuffle_shards(
     return with_shard.select(
         "doc_id", "shard", F.row_number().over(w).alias("position")
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    salt: str = "seed0",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign token chunks to
+    fixed-capacity training bins — the sample-packing step that turns a
+    cleaned, chunked corpus into dense model batches.
+
+    Chunks are processed in deterministic order (doc_id, chunk_start)
+    WITHIN a shard; a chunk's bin is the exclusive prefix-sum of tokens
+    divided by ``capacity`` (contiguous fill — a bin may spill by less
+    than one chunk, the standard streaming-packing tradeoff; no
+    cross-chunk splitting).
+
+    Scale: packing is a running sum, which is inherently sequential — so
+    it runs per shard (the same md5 shards as the corpus layout), never
+    globally: one shuffle on shard, each shard's window bounded by shard
+    size. A global ORDER BY would serialize the corpus through one task.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_shard = chunks.select(
+        "doc_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        shard_col(F.col("doc_id"), n_shards, salt).alias("shard"),
+    )
+    prefix = F.coalesce(
+        F.sum("n_chunk_tokens").over(w), F.lit(0).cast("bigint")
+    )
+    return with_shard.withColumn(
+        "bin_id", F.floor(prefix / F.lit(capacity)).cast("int")
+    )

@@ -253,3 +253,22 @@ def pii_scan(docs: DataFrame) -> DataFrame:
         c = F.col(f"n_{name}") > 0
         any_pii = c if any_pii is None else (any_pii | c)
     return out.withColumn("has_pii", any_pii)
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Global corpus vocabulary: the top-k terms by document-wide count
+    (the frequency table a tokenizer build starts from).
+
+    Plan: explode tokens → one hash-aggregate on term → TakeOrdered for
+    the global top-k (Spark computes per-partition top-k heaps and merges
+    on the driver — no single-partition global sort, unlike a
+    row_number() over an unpartitioned window). Deterministic tie-break
+    on the term itself.
+    """
+    term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    counts = (
+        docs.select(term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)

@@ -1029,3 +1029,54 @@ def _pii_scan(spark, sf_dir):
     redaction-triage pass; patterns restricted to the Java-regex ∩ RE2
     common dialect so the oracle is exact."""
     return ptext.pii_scan(_docs(spark, sf_dir))
+
+
+# --- vocabulary + sequence packing ------------------------------------------
+
+@q(
+    "vocab_top_terms",
+    "SELECT term, count(*) AS n FROM ("
+    f"SELECT unnest({_toks_d('lower(text)')}) AS term FROM documents) "
+    "GROUP BY term ORDER BY n DESC, term LIMIT 100",
+)
+def _vocab_top_terms(spark, sf_dir):
+    """Global top-100 vocabulary by corpus frequency — the frequency
+    table a tokenizer build starts from. TakeOrdered top-k, never a
+    single-partition global sort."""
+    return ptext.vocab_top_terms(_docs(spark, sf_dir), k=100)
+
+
+_PACK_SHARD_D = (
+    "CAST(CAST(('0x' || substring(md5('seed0_shard' || CAST(doc_id AS VARCHAR)),"
+    " 1, 7)) AS BIGINT) % 8 AS INT)"
+)
+
+
+@q(
+    "pack_sequences",
+    f"WITH t AS (SELECT doc_id, {_TOKS_D} AS toks, "
+    f"greatest(len({_TOKS_D}) - 63, 1) AS last FROM documents), "
+    "st AS (SELECT doc_id, toks, "
+    "unnest(list_distinct(list_concat(generate_series(1, last, 48), [last]))) "
+    "AS chunk_start FROM t), "
+    "chunks AS (SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start, "
+    "CAST(len(list_slice(toks, chunk_start, chunk_start + 63)) AS INT) "
+    "AS n_chunk_tokens FROM st), "
+    f"sh AS (SELECT *, {_PACK_SHARD_D} AS shard FROM chunks) "
+    "SELECT doc_id, chunk_start, n_chunk_tokens, shard, "
+    "CAST(floor(coalesce(sum(n_chunk_tokens) OVER ("
+    "PARTITION BY shard ORDER BY doc_id, chunk_start "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS INT) "
+    "AS bin_id FROM sh",
+)
+def _pack_sequences(spark, sf_dir):
+    """Sample packing: chunk the corpus, then greedily fill 256-token
+    training bins per md5 shard (running sums are sequential, so packing
+    is sharded — never a global ORDER BY)."""
+    from .pipeline.sampling import pack_sequences
+
+    chunks = ptext.chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
+    return pack_sequences(
+        chunks.select("doc_id", "chunk_start", "n_chunk_tokens"),
+        capacity=256, n_shards=8,
+    )
