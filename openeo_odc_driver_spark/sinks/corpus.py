@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..pipeline.sampling import shard_col
+
 
 def write_training_corpus(
     docs: DataFrame,
@@ -46,8 +48,6 @@ def write_training_corpus(
     shuffle_shards query computes, so queries and materialized layout
     agree document-for-document.
     """
-    from ..pipeline.sampling import shard_col
-
     with_shard = docs.withColumn("shard", shard_col(F.col(key), n_shards, salt))
     (
         with_shard.repartition(F.col(partition_col), F.col("shard"))
@@ -64,3 +64,48 @@ def read_training_corpus(
 ) -> DataFrame:
     """Read a sharded corpus back; partition columns come from the paths."""
     return spark.read.parquet(path)
+
+
+def stream_corpus_ingest(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "lang",
+    n_shards: int = 4,
+    key: str = "doc_id",
+    salt: str = "seed0",
+    query_name: str = "corpus_ingest",
+):
+    """Continuous corpus materialization: every micro-batch of cleaned
+    documents lands in the SAME hive-partitioned shard layout as the
+    batch writer (``foreachBatch`` + append), so a consumer reads one
+    dataset regardless of whether it was built batch or streaming.
+
+    Per batch: one repartition on (partition, shard) → at most one new
+    file per (partition, shard) directory per micro-batch — file growth
+    is O(batches × layout), never O(input tasks). The checkpoint makes
+    restarts resume from the last committed offset; parquet-append via
+    foreachBatch is at-least-once on mid-batch crash (an idempotent
+    overwrite-by-batch-partition needs a table format with replaceWhere
+    semantics, out of scope here and said so).
+
+    Returns the started StreamingQuery; callers own stop().
+    """
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_shard = batch_df.withColumn(
+            "shard", shard_col(F.col(key), n_shards, salt)
+        )
+        (
+            with_shard.repartition(F.col(partition_col), F.col("shard"))
+            .sortWithinPartitions(key)
+            .write.mode("append")
+            .partitionBy(partition_col, "shard")
+            .parquet(path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

@@ -78,3 +78,50 @@ def test_rewrite_is_stable(spark, sf_dir, tmp_path):
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+
+
+def test_stream_ingest_cross_batch(spark, tmp_path):
+    """Two micro-batches land in the same sharded layout; the reader sees
+    the union exactly once and shard ids agree with the batch writer."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+            src / name
+        )
+
+    from openeo_odc_driver_spark.sinks.corpus import (
+        read_training_corpus,
+        stream_corpus_ingest,
+    )
+
+    write("b1.parquet", [(1, "alpha beta", "en"), (2, "gamma", "de")])
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(
+        str(src)
+    )
+    q = stream_corpus_ingest(stream, out, chk, n_shards=2, query_name="ci_test")
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", [(3, "delta", "en"), (4, "epsilon zeta", "fr")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = read_training_corpus(spark, out)
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == [1, 2, 3, 4]
+
+    expected = {
+        r.doc_id: r.shard
+        for r in spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+        )
+        .select("doc_id", shard_col(F.col("doc_id"), 2).alias("shard"))
+        .collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expected

@@ -75,3 +75,48 @@ def test_pq_ann_codes_join_is_broadcast(spark):
 def test_filter_pushdown_reaches_documents_scan(spark):
     plan = _plan(spark, "frame_sample")
     assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters:")[1][:120]
+
+
+def test_repetition_scores_fused_with_scan(spark):
+    plan = _plan(spark, "repetition_scores")
+    assert _exchanges(plan) == 0  # per-doc scalars, no explode, no shuffle
+
+
+def test_pii_scan_fused_with_scan(spark):
+    plan = _plan(spark, "pii_scan")
+    assert _exchanges(plan) == 0
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    plan = _plan(spark, "pack_sequences")
+    # one exchange for the per-shard packing window; a global-sort
+    # formulation would show rangepartitioning + SinglePartition here
+    assert _exchanges(plan) == 1
+    assert "rangepartitioning(doc_id" not in plan
+
+
+def test_vocab_top_terms_no_global_sort_exchange(spark):
+    plan = _plan(spark, "vocab_top_terms")
+    # TakeOrderedAndProject replaces a global Sort + SinglePartition
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_stats_sketch_aggregate_shape(spark):
+    # The gated fixture query carries the EXACT branches (countDistinct
+    # expands to a two-phase (lang, source) aggregate → 2 exchanges);
+    # the production path is sketch-only and must stay a single
+    # partial+final aggregate pair — sketches merge map-side.
+    plan = _plan(spark, "corpus_stats_sketch")
+    assert _exchanges(plan) <= 2
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sketch_only = docs.groupBy("lang").agg(
+        F.approx_count_distinct("source", 0.05).alias("n_sources_approx"),
+        F.percentile_approx(F.length("text"), F.lit(0.5), F.lit(1000)).alias(
+            "p50_len_approx"
+        ),
+    )
+    p = sketch_only._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(p) == 1
