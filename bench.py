@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "streaming_tumbling_hourly",
     "tfidf_top_terms",
     "chunk_documents",
+    "repetition_scores",
+    "pack_sequences",
+    "corpus_stats_sketch",
 ]
 
 
