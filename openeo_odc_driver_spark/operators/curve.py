@@ -206,6 +206,11 @@ def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
         rows = []
         tsec0 = pd.Timestamp(t0).value / 1e9
         for (b, yy, xx), g in pdf.groupby(["band", "y", "x"], sort=False):
+            # Row order within a shuffled group is not stable across runs;
+            # lstsq/Gauss-Newton float sums are order-sensitive at the ULP
+            # level, so sort by time to make coefficients bit-deterministic
+            # (the fixed-expected-value oracle depends on this).
+            g = g.sort_values("time")
             t = (g["time"].astype("int64").to_numpy() / 1e9 - tsec0) / 86400.0
             v = g["value"].to_numpy(dtype="float64")
             coef = _fit_pixel(t, np.where(np.isnan(v), np.nan, v), model, bases)

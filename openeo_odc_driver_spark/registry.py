@@ -877,10 +877,24 @@ def _predict_linear(spark, sf_dir):
     return predict_curve(fit_curve_linear(c), linear_model(), c).df
 
 
-@q("fit_curve_harmonic")  # no SQL twin: iterative nonlinear fit → rows-only check
+from .fixtures import values_oracle_sql
+
+
+@q("fit_curve_harmonic", values_oracle_sql("fit_curve_harmonic"))
 def _fit_harmonic(spark, sf_dir):
-    return fit_curve(synthetic_cube(spark), harmonic_model(), tile=16).df.select(
-        BAND, Y, X, F.element_at("params", 1).alias("a0")
+    """No SQL twin exists for the damped Gauss-Newton fit, so the oracle is
+    the fixed expected output on the deterministic synthetic cube (captured
+    by scratch/gen_fixed_oracles.py, quantized to 7 decimals — the
+    ann_recall pattern). Bit-determinism: fit_tile sorts each pixel group
+    by time before the float reductions."""
+    p = fit_curve(synthetic_cube(spark), harmonic_model(), tile=16)
+    return p.df.select(
+        BAND,
+        Y,
+        X,
+        F.round(F.element_at("params", 1), 7).alias("a0"),
+        F.round(F.element_at("params", 2), 7).alias("a1"),
+        F.round(F.element_at("params", 3), 7).alias("a2"),
     )
 
 

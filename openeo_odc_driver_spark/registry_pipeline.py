@@ -24,6 +24,7 @@ from .pipeline.dedup import (
     md5_int_duck,
 )
 from .pipeline.similarity import lsh_bucket_sql
+from .fixtures import values_oracle_sql
 from .registry import ORACLE, QUERIES, q
 from .sources.tables import load_table
 
@@ -509,20 +510,38 @@ def _fingerprint(spark, sf_dir):
 
 # --- multimodal (stubbed decode; real Spark plumbing) -----------------------
 
-@q("multimodal_decode")  # no SQL twin: binary payloads + pandas-UDF decode
+@q("multimodal_decode", values_oracle_sql("multimodal_decode"))
 def _multimodal(spark, sf_dir):
+    """Pandas-UDF image decode (deterministic content-addressed fake —
+    no codec libs in the container). Oracle = fixed expected values on the
+    sf0.01 fixture (scratch/gen_fixed_oracles.py); `doc_id < 128` instead
+    of `limit` so the row set is deterministic."""
     from .pipeline.multimodal import attach_fake_images, decode_image
 
-    docs = _docs(spark, sf_dir).limit(256)
-    return decode_image(attach_fake_images(docs), fake=True)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
+    out = decode_image(attach_fake_images(docs), fake=True)
+    return out.select(
+        "doc_id", "width", "height",
+        *[F.round(c, 7).alias(c)
+          for c in ("mean_r", "mean_g", "mean_b", "brightness")],
+    )
 
 
-@q("multimodal_audio_decode")  # no SQL twin: binary audio + pandas-UDF decode
+@q("multimodal_audio_decode", values_oracle_sql("multimodal_audio_decode"))
 def _multimodal_audio(spark, sf_dir):
-    from .pipeline.multimodal import attach_fake_audio, decode_audio
+    """REAL stdlib-WAV round-trip: attach_wav_audio synthesizes RIFF/WAV
+    PCM16 payloads, decode_audio(fake=False) parses them with the stdlib
+    `wave` module. Oracle = fixed expected feature values (deterministic
+    seed-by-doc_id synth)."""
+    from .pipeline.multimodal import attach_wav_audio, decode_audio
 
-    docs = _docs(spark, sf_dir).limit(256)
-    return decode_audio(attach_fake_audio(docs), fake=True)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
+    out = decode_audio(attach_wav_audio(docs), fake=False)
+    return out.select(
+        "doc_id",
+        *[F.round(c, 7).alias(c)
+          for c in ("duration_s", "rms", "peak", "zero_crossing_rate")],
+    )
 
 
 # --- composed pipeline ------------------------------------------------------

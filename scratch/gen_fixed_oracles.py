@@ -1,0 +1,68 @@
+"""Capture fixed-expected-value oracle fixtures for the non-SQL queries.
+
+Runs fit_curve_harmonic / multimodal_decode / multimodal_audio_decode at
+sf0.01, verifies each is bit-stable across TWO runs with different shuffle
+partitioning (the determinism the literal oracle depends on), and writes
+``openeo_odc_driver_spark/fixtures/<name>.json``.
+
+Usage: python scratch/gen_fixed_oracles.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SPARK_TYPES = {
+    "bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+    "string": "VARCHAR", "boolean": "BOOLEAN",
+}
+
+NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from openeo_odc_driver_spark.session import get_spark
+    from openeo_odc_driver_spark.registry import QUERIES
+
+    out_dir = "/root/repo/openeo_odc_driver_spark/fixtures"
+    spark = get_spark("gen-fixed-oracles", cpus="16")
+
+    rc = 0
+    for name in NAMES:
+        df = QUERIES[name](spark, args.sf)
+        cols = [
+            {"name": f.name, "type": SPARK_TYPES[f.dataType.simpleString()]}
+            for f in df.schema.fields
+        ]
+        runs = []
+        for shuffle_parts in ("32", "7"):  # determinism probe: two layouts
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+            pdf = QUERIES[name](spark, args.sf).toPandas()
+            pdf = pdf.sort_values([c["name"] for c in cols]).reset_index(drop=True)
+            runs.append(pdf)
+        if not runs[0].equals(runs[1]):
+            print(f"FAIL {name}: output differs across partitionings", file=sys.stderr)
+            rc = 1
+            continue
+        rows = [
+            [None if v != v else v for v in rec]  # NaN → null marker (none expected)
+            for rec in runs[0].itertuples(index=False, name=None)
+        ]
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as fh:
+            json.dump({"columns": cols, "rows": rows}, fh)
+        print(f"ok {name}: {len(rows)} rows, {len(cols)} cols")
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
