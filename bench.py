@@ -121,6 +121,15 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # n_ok makes a partial total visibly partial (a query that errors
+        # is dropped from `value`, which would otherwise silently shrink
+        # the cross-round comparison)
+        "n_ok": len(times),
+        "n_queries": len(BENCH_QUERIES),
+        # host contention is the dominant noise on single-task
+        # fixture-scale stages (measured: repetition_scores 0.9s at load
+        # 0.4 vs 2.0s at load 3.8, see PLANS.md) — stamp it for forensics
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     if errors:
         payload["errors"] = errors
