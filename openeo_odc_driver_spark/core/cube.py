@@ -91,6 +91,17 @@ class CubeSchema:
     # recompute it; a too-wide bound only costs a fallback probe, a
     # too-narrow one would corrupt merge results.
     time_extent: Optional[tuple] = None
+    # The exact ascending tuple of distinct `time` values, or None when
+    # unknown. Strictly stronger plan-time metadata than time_extent:
+    # zeroes the residual metadata actions in rename_labels_time
+    # (distinct().count()), fit_curve/predict_curve (min(TIME) collect +
+    # distinct() subquery), and lets merge_cubes decide overlap *exactly*
+    # even when extents overlap. Same invariant discipline as
+    # time_extent: operators that rewrite `time` must recompute or clear
+    # it; sources populate it when the axis is statically known (synthetic
+    # specs, aggregate_temporal_period outputs could — a loaded parquet
+    # cube leaves it None and every consumer falls back to a probe).
+    time_axis: Optional[tuple] = None
 
     def has(self, dim: str) -> bool:
         return dim in self.dims
@@ -98,13 +109,26 @@ class CubeSchema:
     def drop(self, dim: str) -> "CubeSchema":
         dims = tuple(d for d in self.dims if d != dim)
         ext = None if dim == TIME else self.time_extent
-        return replace(self, dims=dims, time_extent=ext)
+        ax = None if dim == TIME else self.time_axis
+        return replace(self, dims=dims, time_extent=ext, time_axis=ax)
 
     def with_bands(self, bands: tuple[str, ...]) -> "CubeSchema":
         return replace(self, bands=bands)
 
     def with_time_extent(self, extent: Optional[tuple]) -> "CubeSchema":
-        return replace(self, time_extent=extent)
+        """Voiding the extent (None) also voids the axis: every site that
+        clears the bound does so because it rewrote `time`."""
+        ax = self.time_axis if extent is not None else None
+        return replace(self, time_extent=extent, time_axis=ax)
+
+    def with_time_axis(self, axis: Optional[tuple]) -> "CubeSchema":
+        """Set the exact time axis; a non-empty axis implies the exact
+        extent bound (min, max)."""
+        if axis is None:
+            return replace(self, time_axis=None)
+        axis = tuple(sorted(axis))
+        ext = (axis[0], axis[-1]) if axis else self.time_extent
+        return replace(self, time_axis=axis, time_extent=ext)
 
 
 @dataclass

@@ -45,8 +45,37 @@ def aggregate_temporal_period(cube: Cube, period: str, reducer: str) -> Cube:
         .agg(REDUCERS[reducer]().alias(VALUE))
     )
     # date_trunc moves labels to period starts, which can precede the old
-    # extent lo — drop the plan-time bound rather than keep a stale one.
-    return Cube(out, cube.schema.with_time_extent(None))
+    # extent lo — drop the stale bound; when the exact input axis is
+    # known, the output axis is exactly its truncation image (every input
+    # label maps to a period start, every period start has an input).
+    schema = cube.schema.with_time_extent(None)
+    if cube.schema.time_axis is not None:
+        schema = schema.with_time_axis(
+            tuple(sorted({_py_trunc(_PERIODS[period], t)
+                          for t in cube.schema.time_axis}))
+        )
+    return Cube(out, schema)
+
+
+def _py_trunc(unit: str, t):
+    """Python twin of Spark's date_trunc for the units _PERIODS emits —
+    used only for plan-time time_axis metadata."""
+    from datetime import timedelta
+
+    if unit == "hour":
+        return t.replace(minute=0, second=0, microsecond=0)
+    z = t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return z
+    if unit == "week":  # Spark date_trunc('week') → Monday
+        return z - timedelta(days=z.weekday())
+    if unit == "month":
+        return z.replace(day=1)
+    if unit == "quarter":
+        return z.replace(month=((z.month - 1) // 3) * 3 + 1, day=1)
+    if unit == "year":
+        return z.replace(month=1, day=1)
+    raise ValueError(unit)
 
 
 def aggregate_spatial_window(

@@ -200,7 +200,10 @@ def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
     grid = cube.schema.grid
     n = model.n_params
     bases = _basis_functions(model)
-    t0 = cube.df.agg(F.min(TIME)).collect()[0][0]  # one tiny metadata action
+    if cube.schema.time_axis:
+        t0 = cube.schema.time_axis[0]  # plan-time metadata: zero jobs
+    else:
+        t0 = cube.df.agg(F.min(TIME)).collect()[0][0]  # one tiny metadata action
 
     def fit_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -291,8 +294,17 @@ def predict_curve(params: Cube, model: ModelExpr, times: Cube | Sequence) -> Cub
     axis and evaluate via a vectorized pandas UDF (one numpy evaluation of
     the model AST per Arrow batch — no per-row Python loop)."""
     if isinstance(times, Cube):
-        t_df = times.df.select(TIME).distinct()
-        t0 = times.df.agg(F.min(TIME)).collect()[0][0]
+        if times.schema.time_axis:
+            # plan-time metadata: the time axis is a literal local
+            # relation (no distinct() subquery, no min() collect)
+            axis = list(times.schema.time_axis)
+            t_df = times.df.sparkSession.createDataFrame(
+                [(t,) for t in axis], f"{TIME} timestamp"
+            )
+            t0 = axis[0]
+        else:
+            t_df = times.df.select(TIME).distinct()
+            t0 = times.df.agg(F.min(TIME)).collect()[0][0]
     else:
         raise NotImplementedError("pass a Cube for the target time axis")
     tsec0 = pd.Timestamp(t0).value / 1e9

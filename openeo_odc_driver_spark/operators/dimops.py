@@ -77,9 +77,36 @@ def rename_labels_time(cube: Cube, target: Sequence[str]) -> Cube:
     replace the i-th distinct time label (ascending) with ``target[i]``.
     Length mismatch → LabelMismatch (:1115).
 
-    Plan: rank the distinct time axis (tiny — O(10³) rows), zip it with the
-    target literals, and broadcast-join the mapping back — no shuffle of
-    the data side."""
+    Plan: when the schema carries the exact time axis (time_axis
+    metadata), the mapping is a pure ``create_map`` literal expression —
+    zero jobs, zero joins, fused into whatever stage reads the cube.
+    Unknown axis → fall back to ranking the distinct time axis (tiny —
+    O(10³) rows) and broadcast-joining it back; either way the data side
+    never shuffles."""
+    from datetime import datetime
+
+    axis = cube.schema.time_axis
+    if axis is not None:
+        if len(axis) != len(target):
+            raise ValueError(
+                f"LabelMismatch: {len(axis)} time labels vs {len(target)} targets"
+            )
+        mapping = F.create_map(
+            *[
+                lit
+                for old, new in zip(axis, target)
+                for lit in (
+                    F.lit(str(old)).cast("timestamp"),
+                    F.lit(str(new)).cast("timestamp"),
+                )
+            ]
+        )
+        out = cube.df.withColumn(TIME, mapping[F.col(TIME)]).select(
+            *cube.key_dims, VALUE
+        )
+        new_axis = tuple(datetime.fromisoformat(str(t)) for t in target)
+        return Cube(out, cube.schema.with_time_extent(None).with_time_axis(new_axis))
+
     from pyspark.sql import Window
 
     n = cube.df.select(TIME).distinct().count()  # metadata-scale action

@@ -45,7 +45,13 @@ def filter_temporal(cube: Cube, start: str, end: str) -> Cube:
     if cube.schema.time_extent is not None:
         olo, ohi = cube.schema.time_extent
         lo, hi = max(lo, olo), min(hi, ohi)
-    return Cube(out, cube.schema.with_time_extent((lo, hi)))
+    schema = cube.schema.with_time_extent((lo, hi))
+    if cube.schema.time_axis is not None:
+        # known axis filters exactly (half-open [start, end))
+        schema = schema.with_time_axis(
+            tuple(t for t in cube.schema.time_axis if lo <= t <= hi)
+        )
+    return Cube(out, schema)
 
 
 def filter_bbox(

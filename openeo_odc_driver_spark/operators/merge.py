@@ -46,9 +46,19 @@ def merge_cubes(
         if e1 is not None and e2 is not None
         else None
     )
-    schema = cube1.schema.with_bands(
-        tuple(dict.fromkeys((*cube1.schema.bands, *cube2.schema.bands)))
-    ).with_time_extent(merged_extent)
+    a1, a2 = cube1.schema.time_axis, cube2.schema.time_axis
+    merged_axis = (
+        tuple(sorted(set(a1) | set(a2)))
+        if a1 is not None and a2 is not None
+        else None
+    )
+    schema = (
+        cube1.schema.with_bands(
+            tuple(dict.fromkeys((*cube1.schema.bands, *cube2.schema.bands)))
+        )
+        .with_time_extent(merged_extent)
+        .with_time_axis(merged_axis)
+    )
     if set(cube1.schema.dims) != set(cube2.schema.dims):
         raise ValueError("merge_cubes: dimension mismatch")
 
@@ -88,6 +98,11 @@ def _times_disjoint(cube1: Cube, cube2: Cube) -> bool:
     e1, e2 = cube1.schema.time_extent, cube2.schema.time_extent
     if e1 is not None and e2 is not None and (e1[1] < e2[0] or e2[1] < e1[0]):
         return True
+    # Exact plan-time decision when both axes are known — resolves even
+    # the interleaved-but-disjoint case (overlapping extents) with no job.
+    a1, a2 = cube1.schema.time_axis, cube2.schema.time_axis
+    if a1 is not None and a2 is not None:
+        return not (set(a1) & set(a2))
     t1 = cube1.df.select(TIME).distinct()
     t2 = cube2.df.select(TIME).distinct()
     return t1.join(t2, TIME, "inner").limit(1).count() == 0

@@ -41,8 +41,13 @@ def resample_cube_temporal(source: Cube, target: Cube) -> Cube:
         .withColumnRenamed("_tgt_t", TIME)
         .select(*source.key_dims, VALUE)
     )
-    # output time labels are the target's axis — inherit ITS extent bound
-    return Cube(out, source.schema.with_time_extent(target.schema.time_extent))
+    # output time labels are the target's axis — inherit ITS extent + axis
+    return Cube(
+        out,
+        source.schema.with_time_extent(target.schema.time_extent).with_time_axis(
+            target.schema.time_axis
+        ),
+    )
 
 
 def resample_cube_spatial(source: Cube, target: Cube, method: str = "near") -> Cube:

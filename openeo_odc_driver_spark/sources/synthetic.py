@@ -153,21 +153,32 @@ def decode_scan(df: DataFrame, scale: float, offset: float, nodata: int) -> Data
     return df.withColumn("value", decoded)
 
 
+def spec_times(spec: CubeSpec) -> tuple:
+    """The exact ascending time axis implied by the spec — plan-time
+    metadata (CubeSchema.time_axis) that zeroes every metadata-scale
+    action downstream (merge probes, rename_labels_time distinct-count,
+    fit/predict_curve min(TIME) collects)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime.fromisoformat(spec.t0)
+    off = timedelta(days=spec.day_offset)
+    out = []
+    for i in range(spec.n_times):
+        if spec.time_unit.upper() == "MONTH":
+            m = t0.month - 1 + i
+            t = t0.replace(year=t0.year + m // 12, month=m % 12 + 1)
+        else:
+            t = t0 + timedelta(days=i)
+        out.append(t + off)
+    return tuple(out)
+
+
 def spec_time_extent(spec: CubeSpec) -> tuple:
     """Exact closed [first, last] time bound implied by the spec — the
     plan-time metadata merge_cubes uses to prove disjointness without a
     probe job (see CubeSchema.time_extent)."""
-    from datetime import datetime, timedelta
-
-    t0 = datetime.fromisoformat(spec.t0)
-    n = spec.n_times - 1
-    if spec.time_unit.upper() == "MONTH":
-        m = t0.month - 1 + n
-        last = t0.replace(year=t0.year + m // 12, month=m % 12 + 1)
-    else:
-        last = t0 + timedelta(days=n)
-    off = timedelta(days=spec.day_offset)
-    return (t0 + off, last + off)
+    ts = spec_times(spec)
+    return (ts[0], ts[-1])
 
 
 def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
@@ -178,6 +189,7 @@ def synthetic_cube(spark: SparkSession, spec: CubeSpec = DEFAULT_SPEC) -> Cube:
         crs="EPSG:32632" if spec.resx >= 1 else "EPSG:4326",
         grid=GridSpec(x0=spec.x0, y0=spec.y0, resx=spec.resx, resy=spec.resy),
         time_extent=spec_time_extent(spec),
+        time_axis=spec_times(spec),
     )
     return Cube(df, schema)
 

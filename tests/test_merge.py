@@ -94,18 +94,34 @@ def test_case2_extent_proven_disjoint_runs_no_probe_job(spark, monkeypatch):
     assert lo == c1.schema.time_extent[0] and hi == c2.schema.time_extent[1]
 
 
-def test_time_extent_cleared_by_time_rewriting_ops(spark):
+def test_time_extent_sound_after_time_rewriting_ops(spark):
     """Ops that rewrite `time` must not carry a stale (possibly too
-    narrow) extent bound forward — soundness of the merge fast path."""
+    narrow) extent bound forward — soundness of the merge fast path.
+    Since round 5 they *recompute* the exact bound from the plan-time
+    time_axis when it is known (stronger than clearing); soundness means
+    the carried bound, when present, contains every actual time value."""
     from openeo_odc_driver_spark.operators.aggregates import (
         aggregate_temporal_period,
     )
     from openeo_odc_driver_spark.operators.dimops import rename_labels_time
 
+    def _assert_sound(cube):
+        ext = cube.schema.time_extent
+        if ext is None:
+            return
+        lo = cube.df.agg(F.min("time")).collect()[0][0]
+        hi = cube.df.agg(F.max("time")).collect()[0][0]
+        assert ext[0] <= lo and hi <= ext[1]
+
     c = synthetic_cube(spark, SMALL)
     assert c.schema.time_extent is not None
-    assert aggregate_temporal_period(c, "season", "mean").schema.time_extent is None
-    relabeled = rename_labels_time(
-        c, [f"1999-0{i+1}-01" for i in range(4)]
-    )
-    assert relabeled.schema.time_extent is None
+    _assert_sound(aggregate_temporal_period(c, "season", "mean"))
+    _assert_sound(rename_labels_time(c, [f"1999-0{i+1}-01" for i in range(4)]))
+    # a cube with UNKNOWN axis must still clear the bound on rewrite
+    from dataclasses import replace as _replace
+
+    from openeo_odc_driver_spark.core.cube import Cube
+
+    blind = Cube(c.df, _replace(c.schema, time_axis=None))
+    assert aggregate_temporal_period(blind, "season", "mean").schema.time_extent is None
+    assert rename_labels_time(blind, [f"1999-0{i+1}-01" for i in range(4)]).schema.time_extent is None
