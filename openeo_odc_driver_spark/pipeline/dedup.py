@@ -14,7 +14,7 @@ verify within buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # MinHash parameters (shared with the oracle SQL builder)
 MINHASH_K = 12
@@ -573,6 +573,104 @@ def decontaminate_ngram(
     contaminated = (
         _token_ngram_hashes(docs, n)
         .join(F.broadcast(ref_grams), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """C4/CCNet-style paragraph-level exact dedup census: split each
+    document on newlines, keep only the globally FIRST occurrence of
+    every distinct (trimmed, non-empty) paragraph — boilerplate lines
+    (nav bars, cookie banners, license headers) dedup away corpus-wide
+    even when the containing documents differ.
+
+    Returns per-document stats ``(doc_id, n_paras, n_kept, kept_chars)``
+    — the census the filtering `where` acts on; reconstruction is
+    ``array_join(collect_list(para) over kept order by idx)``.
+
+    Plan: posexplode paragraphs → row_number window partitioned by the
+    paragraph hash (first occurrence = (doc_id, idx) order) → per-doc
+    aggregation. Two shuffles, both on paragraph/doc keys — the corpus
+    text itself shuffles once as paragraphs (unavoidable for a global
+    first-wins rule; at 100 TB the hash partitioning spreads uniformly
+    and AQE coalesces the tail).
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\n")).alias("idx", "para"),
+    ).withColumn("para", F.trim("para")).where(F.col("para") != "")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
+    flagged = paras.withColumn("_rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("_rn") == 1, F.length("para")).otherwise(0)
+            ).cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+BLOOM_M = 1 << 16  # bit-space size
+BLOOM_K = 3        # hash functions
+
+
+def _bloom_positions(gh: F.Column) -> list:
+    """K bit positions for a gram hash — the engine-portable md5 idiom
+    (same construction as :func:`md5_int_expr`, salted per hash fn)."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}_"), gh)), 1, 7),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(BLOOM_M),
+        )
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_decontaminate(
+    docs: DataFrame, reference: DataFrame, n: int = 8
+) -> DataFrame:
+    """Decontamination with a **Bloom-filter pre-filter**: the reference
+    n-gram set is compressed to its set bit positions (≤ BLOOM_M rows —
+    bounded regardless of eval-suite size), corpus grams are screened
+    against the bit set, and only screened candidates pay the exact
+    verification join. False positives are removed by the exact stage,
+    false negatives are impossible (every true gram sets its bits), so
+    the output is IDENTICAL to :func:`decontaminate_ngram` — the Bloom
+    layer is purely a scale optimization, which is what lets the oracle
+    pin it with the exact formulation.
+
+    Scale: the broadcast side shrinks from O(|eval grams|) to
+    min(K·|eval grams|, BLOOM_M) ints; the corpus-side screen is a
+    broadcast semi-join per hash fn (no shuffle of the corpus); only the
+    (tiny) candidate gram stream reaches the exact join. This is the
+    relational transcription of a Bloom filter — Spark's builtin
+    bloom_filter_agg is not SQL-exposed, and this form keeps the DuckDB
+    twin expressible.
+    """
+    ref_grams = _token_ngram_hashes(reference, n).select("gh").distinct()
+    bit_set = (
+        ref_grams.select(F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("pos"))
+        .distinct()
+    )
+    corpus_grams = _token_ngram_hashes(docs, n)
+    screened = corpus_grams
+    for j, pos in enumerate(_bloom_positions(F.col("gh"))):
+        screened = screened.join(
+            F.broadcast(bit_set.withColumnRenamed("pos", f"_p{j}")),
+            pos == F.col(f"_p{j}"),
+            "left_semi",
+        )
+    contaminated = (
+        screened.join(F.broadcast(ref_grams), "gh")
         .select("doc_id")
         .distinct()
     )

@@ -357,3 +357,74 @@ def pq_ann(
             (F.col("approx_dq") / F.lit(float(PQ_SCALE))).alias("approx_dist"),
         )
     )
+
+
+def semantic_dedup_clusters(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication census: partition vectors by
+    nearest pseudo-centroid, then inside each cluster drop any vector
+    that has a LOWER-id neighbor above the cosine threshold ("min-id
+    wins" — the deterministic, join-expressible special case of the
+    paper's cluster-local dedup; no iterative connected components).
+
+    Returns ``(cluster_id, n_members, n_dropped, n_kept)`` per cluster —
+    the census a keep-list filter acts on.
+
+    Plan: centroid assignment is the ivf_flat_ann machinery (broadcast
+    centroids, one pass, one row_number); the dedup test is a self
+    equi-join ON cluster id only — pairwise work is O(Σ cluster²), never
+    corpus², and a 100 TB run bounds cluster sizes by raising
+    n_centroids (the paper uses ~100k clusters for ~5B embeddings).
+    Skewed clusters split under AQE; the join is shuffle-partitioned by
+    cluster id.
+    """
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("c_norm", norm_expr("c_emb"))
+    scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
+        F.broadcast(cents)
+    ).withColumn(
+        "_cs",
+        dot_expr("embedding", "c_emb")
+        / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
+    members = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "e_norm", F.col("cent_id").alias("cluster_id"))
+    )
+    a = members.select(
+        "cluster_id", F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"), F.col("e_norm").alias("norm_a"),
+    )
+    b = members.select(
+        "cluster_id", F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"), F.col("e_norm").alias("norm_b"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .withColumn(
+            "_cos",
+            dot_expr("emb_a", "emb_b")
+            / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0)),
+        )
+        .where(F.col("_cos") >= F.lit(float(threshold)))
+        .select("cluster_id", F.col("vid_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        members.join(dropped.withColumn("_d", F.lit(1)), ["cluster_id", "vec_id"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("_d") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+        )
+    )

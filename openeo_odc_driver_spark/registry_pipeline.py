@@ -1099,3 +1099,164 @@ def _pack_sequences(spark, sf_dir):
         chunks.select("doc_id", "chunk_start", "n_chunk_tokens"),
         capacity=256, n_shards=8,
     )
+
+
+# --- round-5 ops: paragraph dedup, bloom decontamination, semantic dedup,
+# --- streaming corpus ingest (exactly-once) ---------------------------------
+
+@q(
+    "paragraph_dedup",
+    # The fixture documents are single-line bags of words, so the gate
+    # derives a lined corpus in-query (every 8 tokens → one line, same
+    # construction both engines) — sf0.01 yields 175 cross-document
+    # duplicate lines over 53 docs, so the first-wins census genuinely
+    # discriminates.
+    f"WITH toks AS (SELECT doc_id, {_toks_d()} AS t FROM documents), "
+    "p AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, len(t), 8), i -> struct_pack(idx := i, "
+    "para := array_to_string(t[i:i+7], ' ')))) AS u FROM toks), "
+    "pp AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM p "
+    "WHERE u.para != ''), "
+    "r AS (SELECT doc_id, para, row_number() OVER ("
+    "PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM pp) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) "
+    "AS kept_chars FROM r GROUP BY doc_id",
+)
+def _paragraph_dedup(spark, sf_dir):
+    """C4-style global paragraph dedup census (pipeline/dedup.py:
+    paragraph_dedup): first occurrence wins, per-doc kept/total stats.
+    The lined fixture is built in-plan (8-token lines joined by \\n)."""
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, size(_toks), 8),"
+                " i -> array_join(slice(_toks, i, 8), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return pdedup.paragraph_dedup(lined)
+
+
+_BLOOM_N = 8
+
+
+@q(
+    "bloom_decontaminate",
+    # The oracle is the EXACT 8-gram decontamination: the Bloom screen is
+    # a pure pre-filter (no false negatives; false positives removed by
+    # the exact verify stage), so any deviation — a bit-position bug
+    # dropping true grams, a short-circuited verify keeping bad docs —
+    # breaks this row.
+    f"WITH toks AS (SELECT doc_id, {_toks_d()} AS t FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    f"generate_series(1, greatest(len(t) - {_BLOOM_N - 1}, 0)), "
+    f"i -> md5(array_to_string(t[i:i+{_BLOOM_N - 1}], ' ')))) AS gh FROM toks), "
+    "refg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0), "
+    "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN refg USING (gh) "
+    "WHERE g.doc_id % 10 != 0) "
+    "SELECT d.* FROM documents d WHERE d.doc_id % 10 != 0 "
+    "AND d.doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def _bloom_decontaminate(spark, sf_dir):
+    """8-gram decontamination through the Bloom pre-filter
+    (pipeline/dedup.py: bloom_decontaminate) — identical output to the
+    exact rule, broadcast side compressed to bit positions."""
+    docs = _docs(spark, sf_dir)
+    return pdedup.bloom_decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=_BLOOM_N,
+    )
+
+
+_SEM_NC = 16
+# below the fixture's intra-cluster cosine ceiling (max 0.4928 at sf0.01)
+# so the dedup rule genuinely trips — a 0-drop census would gate nothing
+_SEM_TAU = 0.45
+
+
+@q(
+    "semantic_dedup_clusters",
+    "WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb "
+    f"FROM embeddings WHERE vec_id < {_SEM_NC}), "
+    "scored AS (SELECT e.vec_id, e.embedding, ct.cent_id, "
+    f"({_duck_dot('e.embedding', 'ct.c_emb')}) / "
+    f"nullif(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+    "FROM embeddings e CROSS JOIN cents ct), "
+    "m AS (SELECT vec_id, embedding, cent_id AS cluster_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY cs DESC, cent_id) AS rn FROM scored) WHERE rn = 1), "
+    "drp AS (SELECT DISTINCT b.cluster_id, b.vec_id FROM m a JOIN m b "
+    "ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id "
+    f"WHERE ({_duck_cosine('a.embedding', 'b.embedding')}) >= {_SEM_TAU} ) "
+    "SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+    "CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dropped, "
+    "CAST(sum(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept FROM m LEFT JOIN drp "
+    "ON m.cluster_id = drp.cluster_id AND m.vec_id = drp.vec_id "
+    "GROUP BY m.cluster_id",
+)
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-local semantic dedup census
+    (pipeline/similarity.py: semantic_dedup_clusters)."""
+    return psim.semantic_dedup_clusters(
+        _embs(spark, sf_dir), n_centroids=_SEM_NC, threshold=_SEM_TAU
+    )
+
+
+@q(
+    "streaming_corpus_ingest_stats",
+    # The materialized streaming layout must agree document-for-document
+    # with the batch shard assignment — same census oracle as
+    # corpus_shard_layout.
+    f"SELECT lang, {_SHARD_D} AS shard, count(*) AS n_docs, "
+    "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+    "FROM documents GROUP BY lang, shard",
+)
+def _streaming_corpus_ingest_stats(spark, sf_dir):
+    """Drive the EXACTLY-ONCE streaming corpus sink end-to-end
+    (sinks/corpus.py: stream_corpus_ingest — batch-scoped overwrite +
+    _SUCCESS manifest) over the documents fixture, then census the
+    materialized layout. A duplicate or lost document anywhere in the
+    ingest path shifts a count and fails the hash."""
+    import shutil
+    import tempfile
+
+    from .sinks.corpus import read_training_corpus, stream_corpus_ingest
+
+    schema = _docs(spark, sf_dir).schema
+    work = tempfile.mkdtemp(prefix="ingest_gate_")
+    out, chk = f"{work}/corpus", f"{work}/chk"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    qy = stream_corpus_ingest(stream, out, chk, n_shards=4,
+                              query_name="ingest_gate")
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    census = (
+        read_training_corpus(spark, out)
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    # materialize before the temp layout is removed
+    rows = census.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, census.schema)

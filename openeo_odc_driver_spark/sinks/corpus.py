@@ -62,8 +62,45 @@ def write_training_corpus(
 def read_training_corpus(
     spark: SparkSession, path: str, partition_col: str = "lang"
 ) -> DataFrame:
-    """Read a sharded corpus back; partition columns come from the paths."""
-    return spark.read.parquet(path)
+    """Read a sharded corpus back; partition columns come from the paths.
+
+    Handles both layouts this module writes:
+
+    - batch (:func:`write_training_corpus`): ``path/<part>=X/shard=S/``
+    - streaming (:func:`stream_corpus_ingest`): ``path/batch=<id>/...``
+      — only batch directories carrying the ``_SUCCESS`` commit marker
+      are read (the exactly-once filter: a crashed mid-write attempt
+      leaves no marker, so partial files are invisible to readers), and
+      the provenance ``batch`` column is dropped so both layouts read
+      back with the same schema.
+
+    ``partition_col`` is validated against the discovered partition
+    columns — a corpus written with a different layout fails loudly here
+    instead of silently pruning nothing.
+    """
+    import os
+
+    entries = sorted(os.listdir(path)) if os.path.isdir(path) else []
+    batch_dirs = [e for e in entries if e.startswith("batch=")]
+    if batch_dirs:
+        committed = [
+            os.path.join(path, d)
+            for d in batch_dirs
+            if os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        ]
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {path}")
+        df = (
+            spark.read.option("basePath", path).parquet(*committed).drop("batch")
+        )
+    else:
+        df = spark.read.parquet(path)
+    if partition_col not in df.columns:
+        raise ValueError(
+            f"corpus at {path} has no partition column {partition_col!r}; "
+            f"columns: {df.columns}"
+        )
+    return df
 
 
 def stream_corpus_ingest(
@@ -78,16 +115,28 @@ def stream_corpus_ingest(
 ):
     """Continuous corpus materialization: every micro-batch of cleaned
     documents lands in the SAME hive-partitioned shard layout as the
-    batch writer (``foreachBatch`` + append), so a consumer reads one
+    batch writer, under a per-batch subdirectory
+    (``path/batch=<id>/<part>=X/shard=S/``), so a consumer reads one
     dataset regardless of whether it was built batch or streaming.
 
-    Per batch: one repartition on (partition, shard) → at most one new
-    file per (partition, shard) directory per micro-batch — file growth
-    is O(batches × layout), never O(input tasks). The checkpoint makes
-    restarts resume from the last committed offset; parquet-append via
-    foreachBatch is at-least-once on mid-batch crash (an idempotent
-    overwrite-by-batch-partition needs a table format with replaceWhere
-    semantics, out of scope here and said so).
+    **Exactly-once**, via batch-scoped overwrite + commit markers:
+
+    - each micro-batch writes ``mode("overwrite")`` into its OWN
+      ``batch=<id>`` directory — a replay after a mid-write crash
+      clobbers the partial attempt instead of appending next to it;
+    - the committer's ``_SUCCESS`` marker is the batch manifest:
+      :func:`read_training_corpus` reads only marked directories, so a
+      half-written batch is invisible;
+    - a crash between ``_SUCCESS`` and the checkpoint commit replays the
+      batch with identical content (offsets are recorded before
+      execution and the shard assignment is deterministic), overwriting
+      byte-equivalent data — idempotent, not duplicated.
+
+    Per batch: one repartition on (partition, shard) → exactly one file
+    per (partition, shard) leaf per micro-batch — file growth is
+    O(batches × layout), never O(input tasks); a long-running ingest
+    compacts by rewriting old ``batch=`` dirs through
+    :func:`write_training_corpus`, a metadata-only reader swap.
 
     Returns the started StreamingQuery; callers own stop().
     """
@@ -98,9 +147,9 @@ def stream_corpus_ingest(
         (
             with_shard.repartition(F.col(partition_col), F.col("shard"))
             .sortWithinPartitions(key)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy(partition_col, "shard")
-            .parquet(path)
+            .parquet(f"{path}/batch={batch_id}")
         )
 
     return (

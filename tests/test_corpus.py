@@ -4,6 +4,7 @@ the shuffle_shards / corpus_shard_layout query-side assignment."""
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from openeo_odc_driver_spark.pipeline.sampling import shard_col, shuffle_shards
@@ -125,3 +126,102 @@ def test_stream_ingest_cross_batch(spark, tmp_path):
     }
     got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
     assert got == expected
+
+
+def test_stream_ingest_crash_replay_is_exactly_once(spark, tmp_path):
+    """Simulated mid-batch crash: the checkpoint commit for the last batch
+    is removed (crash before offset commit) and its output dir is left
+    with partial garbage (no _SUCCESS, a duplicated data file). The reader
+    must not see the uncommitted batch, and the restarted stream must
+    replay it into a clean overwrite — no duplicates, no loss."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.sinks.corpus import (
+        read_training_corpus,
+        stream_corpus_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(src / name)
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string"
+        ).parquet(str(src))
+        return stream_corpus_ingest(stream, out, chk, n_shards=2,
+                                    query_name="ci_crash_test")
+
+    write("b1.parquet", [(1, "alpha", "en"), (2, "beta", "de")])
+    q = start()
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", [(3, "gamma", "en"), (4, "delta", "fr")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # --- simulate the crash: batch 1 executed but never committed -------
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch="))
+    assert len(batches) == 2
+    last = os.path.join(out, batches[-1])
+    os.remove(os.path.join(last, "_SUCCESS"))           # no commit marker
+    for root, _, files in os.walk(last):                # plant partial dupes
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(root, f),
+                            os.path.join(root, "part-dup-" + f))
+    commits = os.path.join(chk, "commits")
+    last_commit = max(f for f in os.listdir(commits) if not f.startswith("."))
+    os.remove(os.path.join(commits, last_commit))
+    crc = os.path.join(commits, f".{last_commit}.crc")
+    if os.path.exists(crc):  # local-FS checksum sibling would poison re-create
+        os.remove(crc)
+
+    # reader sees only the committed batch — no partial rows
+    mid = read_training_corpus(spark, out)
+    assert sorted(r.doc_id for r in mid.select("doc_id").collect()) == [1, 2]
+
+    # --- restart: the engine replays batch 1, overwriting the garbage ---
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = read_training_corpus(spark, out)
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == [1, 2, 3, 4]
+    assert os.path.exists(os.path.join(last, "_SUCCESS"))
+    # the planted duplicate files are gone (overwrite, not append)
+    leftover = [
+        f for root, _, files in os.walk(last) for f in files
+        if f.startswith("part-dup-")
+    ]
+    assert leftover == []
+
+
+def test_read_training_corpus_validates_partition_col(spark, tmp_path):
+    import pandas as pd
+
+    from openeo_odc_driver_spark.sinks.corpus import (
+        read_training_corpus,
+        write_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", "en"), (2, "b", "de")], columns=["doc_id", "text", "lang"]
+        )
+    )
+    out = str(tmp_path / "c")
+    write_training_corpus(docs, out, n_shards=2)
+    assert read_training_corpus(spark, out, "lang").count() == 2
+    with pytest.raises(ValueError, match="no partition column"):
+        read_training_corpus(spark, out, "source")
