@@ -37,18 +37,29 @@ def apply_kernel(
     factor: float = 1.0,
     border: str | int = 0,
 ) -> Cube:
-    """Shift-and-sum convolution. Borders: ``constant`` 0 (reference
-    default) and ``wrap`` (periodic — the mode the reference hands to
-    scipy at openeo_odc_driver.py:1405). Wrap falls out of the join
-    formulation naturally: the receiving cell index is taken modulo the
-    scene dims, so edge pixels receive contributions from the opposite
-    edge; scene dims come from a broadcast one-row aggregate (no driver
-    action). Replicate/reflect borders live on the tiled path."""
+    """Shift-and-sum convolution (openeo_odc_driver.py:1385-1418 maps
+    openEO border modes to scipy's).
+
+    Borders:
+
+    - ``constant`` 0 (reference default) and ``wrap`` (periodic) use the
+      single-shuffle SCATTER form: each pixel explodes into its k²
+      weighted contributions and one aggregation on the receiving cell
+      does everything. Wrap falls out naturally — the receiving index is
+      taken modulo the scene dims (broadcast one-row aggregate, no
+      driver action).
+    - ``replicate`` / ``reflect`` / ``reflect_pixel`` use the GATHER
+      form (:func:`_apply_kernel_gather`): these modes give edge source
+      pixels target-dependent multiplicity, which a scatter can't
+      express relationally — each target instead explodes its k² source
+      indices through the same remap as the tiled path and equi-joins
+      the cube back. Two shuffles instead of one; identical semantics to
+      ``apply_kernel_tiled`` (cross-parity tested).
+    """
+    if border in ("replicate", "reflect", "reflect_pixel"):
+        return _apply_kernel_gather(cube, kernel, factor, border)
     if border not in (0, "0", "constant", "wrap"):
-        raise NotImplementedError(
-            "shift-and-sum supports constant-0 and wrap borders; use "
-            "apply_kernel_tiled for replicate/reflect"
-        )
+        raise NotImplementedError(f"unknown border mode {border!r}")
     grid = cube.schema.grid
     if grid is None:
         raise ValueError("apply_kernel needs a GridSpec")
@@ -123,6 +134,98 @@ def apply_kernel(
             F.when(
                 F.col("_cv").isNotNull(),
                 F.coalesce(F.col("_conv"), F.lit(0.0)) * F.lit(float(factor)),
+            ).alias(VALUE),
+        )
+        .select(*cube.key_dims, VALUE)
+    )
+    return cube.with_df(out)
+
+
+def _remap_idx(idx: F.Column, m: F.Column, border: str) -> F.Column:
+    """Out-of-scene index remap, the Catalyst twin of the tiled path's
+    numpy ``remap`` (same three modes, same arithmetic)."""
+    if border == "replicate":
+        return F.greatest(F.lit(0).cast("long"), F.least(idx, m))
+    if border == "reflect":  # edge-inclusive mirror
+        return (
+            F.when(idx < 0, -idx - 1)
+            .when(idx > m, 2 * m + 1 - idx)
+            .otherwise(idx)
+        )
+    # reflect_pixel: edge-exclusive mirror
+    return F.when(idx < 0, -idx).when(idx > m, 2 * m - idx).otherwise(idx)
+
+
+def _apply_kernel_gather(
+    cube: Cube,
+    kernel: Sequence[Sequence[float]],
+    factor: float,
+    border: str,
+) -> Cube:
+    """Gather-join convolution for the clamp/mirror border modes: each
+    target pixel explodes its k² (remapped) source indices and the cube
+    joins back on the source key. One explode + one equi-join shuffle +
+    one aggregation; NULL/absent sources contribute 0 and NULL centers
+    stay NULL (same contract as the scatter and tiled paths)."""
+    grid = cube.schema.grid
+    if grid is None:
+        raise ValueError("apply_kernel needs a GridSpec")
+    kh, kw = len(kernel), len(kernel[0])
+    ry, rx = kh // 2, kw // 2
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dy - ry).alias("dy"),
+                F.lit(dx - rx).alias("dx"),
+                F.lit(float(kernel[dy][dx])).alias("w"),
+            )
+            for dy in range(kh)
+            for dx in range(kw)
+            if kernel[dy][dx] != 0
+        ]
+    )
+    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    group = [d for d in cube.key_dims if d not in (X, Y)]
+    base = cube.df.withColumn("_xi", x_idx).withColumn("_yi", y_idx)
+    extent = base.agg(F.max("_yi").alias("_nym"), F.max("_xi").alias("_nxm"))
+    targets = (
+        base.join(F.broadcast(extent))
+        .select(*group, "_yi", "_xi", VALUE, F.explode(offsets).alias("_o"),
+                "_nym", "_nxm")
+        .select(
+            *group,
+            "_yi",
+            "_xi",
+            VALUE,
+            F.col("_o.w").alias("_w"),
+            # true convolution gathers from t - d (the kernel flip the
+            # ADVICE-r1 cross-correlation bug was about)
+            _remap_idx(F.col("_yi") - F.col("_o.dy"), F.col("_nym"), border)
+            .alias("_sy"),
+            _remap_idx(F.col("_xi") - F.col("_o.dx"), F.col("_nxm"), border)
+            .alias("_sx"),
+        )
+    )
+    sources = base.select(
+        *group,
+        F.col("_yi").alias("_sy"),
+        F.col("_xi").alias("_sx"),
+        F.col(VALUE).alias("_sv"),
+    )
+    out = (
+        targets.join(sources, [*group, "_sy", "_sx"], "left")
+        .groupBy(*group, "_yi", "_xi", VALUE)
+        .agg(
+            F.sum(F.col("_w") * F.coalesce(F.col("_sv"), F.lit(0.0))).alias("_conv")
+        )
+        .select(
+            *group,
+            (F.lit(grid.y0) - F.lit(grid.resy) * F.col("_yi")).alias(Y),
+            (F.lit(grid.x0) + F.lit(grid.resx) * F.col("_xi")).alias(X),
+            F.when(
+                F.col(VALUE).isNotNull(),
+                F.col("_conv") * F.lit(float(factor)),
             ).alias(VALUE),
         )
         .select(*cube.key_dims, VALUE)

@@ -111,7 +111,20 @@ def pack_sequences(
     it runs per shard (the same md5 shards as the corpus layout), never
     globally: one shuffle on shard, each shard's window bounded by shard
     size. A global ORDER BY would serialize the corpus through one task.
+
+    Shard-count contract: bin ids are a pure function of
+    ``(chunk set, n_shards, salt, capacity)`` — stable across executor
+    counts, partitionings, and re-runs (pinned by
+    tests/test_plans.py::test_pack_sequences_deterministic_across_layouts),
+    but NOT across different ``n_shards``/``salt`` (changing either
+    reshuffles membership and renumbers bins — version them with the
+    dataset, the way the corpus writer versions its layout). Size
+    ``n_shards`` ≥ corpus_tokens / (capacity × ~10⁶) so each shard's
+    sequential window stays executor-sized; at 100 TB that is O(10⁴)
+    shards, far above the guard below.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id", "chunk_start")

@@ -199,6 +199,48 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
             }
         )
 
+    @app.get("/registry")
+    def registry():
+        """Engine introspection beyond the openEO surface: every
+        registered gate query, whether it carries a DuckDB oracle, and
+        its status in the most recent driver correctness report found
+        next to the package (CORRECTNESS_r*.json) — the live view of
+        'which operators are verified, and how'."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        from .registry import ORACLE, QUERIES
+
+        repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        reports = sorted(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")))
+        latest: dict = {}
+        if reports:
+            with open(reports[-1]) as fh:
+                latest = _json.load(fh)
+        entries = []
+        for name in QUERIES:
+            row = latest.get(name)
+            if row is None:
+                status = "unchecked"
+            elif row.get("err"):
+                status = f"error: {row['err']}"
+            elif row.get("hash_match"):
+                status = "verified"
+            else:
+                status = "mismatch"
+            entries.append(
+                {"id": name, "oracle": name in ORACLE, "status": status}
+            )
+        return jsonify(
+            {
+                "queries": entries,
+                "report": _os.path.basename(reports[-1]) if reports else None,
+                "n_verified": sum(e["status"] == "verified" for e in entries),
+                "n_total": len(entries),
+            }
+        )
+
     @app.get("/collections")
     def collections():
         return jsonify(

@@ -136,6 +136,32 @@ def stateful_stream_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _assert_no_nested_ltz(schema) -> None:
+    """Fail fast if any TIMESTAMP (with local time zone) survives below
+    the top level — nested LTZ would make materialized results depend on
+    the host zone (ADVICE r4)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
+
+    def walk(dt, path):
+        if isinstance(dt, TimestampType):
+            raise AssertionError(
+                f"nested TIMESTAMP_LTZ at {path}: flatten window structs "
+                "before run_stream_to_memory casts the output back to NTZ"
+            )
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, f"{path}[]")
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, f"{path}<key>")
+            walk(dt.valueType, f"{path}<value>")
+
+    for f in schema.fields:
+        if not isinstance(f.dataType, TimestampType):  # top level is cast
+            walk(f.dataType, f.name)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
@@ -187,6 +213,11 @@ def run_stream_to_memory(
             for f in out.schema.fields
         ]
     )
+    # The cast-back only rewrites TOP-LEVEL timestamp fields; a builder
+    # that returns an un-flattened window struct would smuggle LTZ
+    # timestamps through and produce zone-dependent results. All current
+    # builders flatten — enforce it so a future one can't regress.
+    _assert_no_nested_ltz(out.schema)
     q = (
         out.writeStream.outputMode(output_mode)
         .format("memory")

@@ -162,3 +162,22 @@ def test_kernel_wrap_border_matches_numpy(spark):
         else:
             assert r.value == pytest.approx(e, abs=1e-12)
     assert out.df.count() == 3 * 36  # every cell present (wrap loses none)
+
+
+@pytest.mark.parametrize("border", ["replicate", "reflect", "reflect_pixel"])
+def test_gather_border_modes_match_tiled_path(spark, border):
+    """The round-5 gather-join shift-and-sum borders must agree with the
+    tiled numpy remap exactly (same clamp/mirror arithmetic)."""
+    c = synthetic_cube(spark, SMALL)
+    a = apply_kernel(c, ASYM, border=border).df.withColumnRenamed("value", "va")
+    b = apply_kernel_tiled(c, ASYM, tile=4, border=border).df.withColumnRenamed(
+        "value", "vb"
+    )
+    j = a.join(b, ["band", "time", "y", "x"], "full_outer")
+    bad = j.where(
+        ~(
+            (F.col("va").isNull() & F.col("vb").isNull())
+            | (F.abs(F.col("va") - F.col("vb")) < 1e-12)
+        )
+    ).count()
+    assert bad == 0

@@ -120,3 +120,41 @@ def test_corpus_stats_sketch_aggregate_shape(spark):
     )
     p = sketch_only._jdf.queryExecution().executedPlan().toString()
     assert _exchanges(p) == 1
+
+
+def test_pack_sequences_deterministic_across_layouts(spark):
+    """Bin assignment is a pure function of (chunk set, n_shards, salt,
+    capacity): identical under different shuffle-partition counts and
+    input partitionings (the executor-count proxy local mode can vary)."""
+    from openeo_odc_driver_spark.pipeline.sampling import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(d, c * 48, 40 + (d * 7 + c) % 25) for d in range(60) for c in range(4)],
+        "doc_id long, chunk_start long, n_chunk_tokens int",
+    )
+
+    def run(df, parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            rows = pack_sequences(df, capacity=256, n_shards=8).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return sorted((r.doc_id, r.chunk_start, r.shard, r.bin_id) for r in rows)
+
+    a = run(chunks, "4")
+    b = run(chunks.repartition(13), "17")
+    c = run(chunks.coalesce(1), "1")
+    assert a == b == c
+
+
+def test_pack_sequences_rejects_degenerate_shards(spark):
+    import pytest as _pytest
+
+    from openeo_odc_driver_spark.pipeline.sampling import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10)], "doc_id long, chunk_start long, n_chunk_tokens int"
+    )
+    with _pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(chunks, n_shards=0)

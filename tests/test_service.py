@@ -67,3 +67,17 @@ def test_processes_discovery(client):
 def test_stop_unknown_job_404(client):
     r = client.delete("/stop_job", json={"id": "ghost"})
     assert r.status_code == 404
+
+
+def test_registry_endpoint_reports_verification_status(client):
+    r = client.get("/registry")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["n_total"] >= 150
+    ids = {e["id"] for e in body["queries"]}
+    assert {"tpch_q1", "fit_curve_harmonic", "paragraph_dedup"} <= ids
+    # every query carries an oracle since round 5
+    assert all(e["oracle"] for e in body["queries"])
+    # the shipped CORRECTNESS_r04 report marks its green rows verified
+    by_id = {e["id"]: e["status"] for e in body["queries"]}
+    assert by_id["tpch_q1"] == "verified"
