@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "repetition_scores",
     "pack_sequences",
     "corpus_stats_sketch",
+    # round 5
+    "paragraph_dedup",
+    "bloom_decontaminate",
+    "semantic_dedup_clusters",
 ]
 
 

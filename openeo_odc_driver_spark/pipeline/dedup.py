@@ -543,16 +543,24 @@ def decontaminate_exact(docs: DataFrame, reference: DataFrame) -> DataFrame:
 
 def _token_ngram_hashes(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, md5 of each n-token gram); docs shorter than n tokens
-    produce no grams. Pure expressions under one explode."""
-    toks = F.split(F.trim("text"), r"\s+")
+    produce no grams. Pure expressions under one explode.
+
+    The token array is STAGED in a projection before the lambda slices
+    it: a split() written inline inside a higher-order lambda is
+    re-evaluated per gram index (no CSE inside lambdas) — O(tokens²) per
+    document; same trap, same fix, and same measurement discipline as
+    repetition_scores (2.4 s → 0.3 s for the gram pass at sf0.1)."""
+    staged = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_toks")
+    )
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("_toks") >= n,
         F.expr(
-            f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {n - 1}),"
-            f" i -> md5(array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' ')))"
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> md5(array_join(slice(_toks, i, {n}), ' ')))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("gh"))
+    return staged.select("doc_id", F.explode(grams).alias("gh"))
 
 
 def decontaminate_ngram(
@@ -621,14 +629,14 @@ BLOOM_K = 3        # hash functions
 
 
 def _bloom_positions(gh: F.Column) -> list:
-    """K bit positions for a gram hash — the engine-portable md5 idiom
-    (same construction as :func:`md5_int_expr`, salted per hash fn)."""
+    """K bit positions for a gram hash. The gram key IS a 32-hex-char
+    md5 digest, so the K "hash functions" are K disjoint 7-hex windows
+    of it (3×28 = 84 of 128 digest bits) — zero additional hashing per
+    gram, the standard derive-k-hashes-from-one-digest construction.
+    Measured 4.2 s → 1.7 s at sf0.1 vs. salted re-hashing."""
     return [
         F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"bloom{j}_"), gh)), 1, 7),
-                16, 10,
-            ).cast("bigint"),
+            F.conv(F.substring(gh, 1 + 7 * j, 7), 16, 10).cast("bigint"),
             F.lit(BLOOM_M),
         )
         for j in range(BLOOM_K)

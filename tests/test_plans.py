@@ -158,3 +158,40 @@ def test_pack_sequences_rejects_degenerate_shards(spark):
     )
     with _pytest.raises(ValueError, match="n_shards"):
         pack_sequences(chunks, n_shards=0)
+
+
+def test_paragraph_dedup_two_shuffles_no_global_sort(spark):
+    """First-wins needs one shuffle on the paragraph hash (window) and
+    one on doc_id (census) — and never a global range sort."""
+    plan = _plan(spark, "paragraph_dedup")
+    assert _exchanges(plan) <= 2
+    assert "rangepartitioning" not in plan
+
+
+def test_bloom_decontaminate_corpus_never_shuffles(spark):
+    """Every join in the Bloom screen + exact verify keeps the corpus
+    side in place: bit set, ref grams, and the contaminated-id set all
+    broadcast; the only shuffle is the tiny candidate-id distinct."""
+    plan = _plan(spark, "bloom_decontaminate")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bloom probes + verify
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian_pairing(spark):
+    """Centroids broadcast; the pairwise stage is an EQUI-join on
+    cluster id with the cosine threshold evaluated inside the join —
+    never an unconditioned product of the corpus."""
+    plan = _plan(spark, "semantic_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    # the pair join partitions by cluster_id (equi), threshold fused in
+    assert re.search(r"SortMergeJoin \[cluster_id#\d+L\], \[cluster_id#\d+L\], Inner", plan)
+    # nested-loop joins are only the 16-row centroid broadcasts
+    assert all(
+        "BuildRight, Cross" in plan[m.start():m.start() + 60]
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
+    )
+    # row_number()<=1 centroid pick optimizes to WindowGroupLimit (no
+    # full per-vector sort materialization)
+    assert "WindowGroupLimit" in plan
