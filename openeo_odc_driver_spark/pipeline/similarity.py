@@ -117,6 +117,7 @@ def ivf_flat_ann(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into inverted lists by nearest
     centroid; queries probe the ``nprobe`` nearest lists and rerank
@@ -133,10 +134,17 @@ def ivf_flat_ann(
     pass over the corpus (n_centroids fold-dots per vector + one
     row_number); the probe join is an equi-join on cluster id. Corpus
     never self-joins, never shuffles beyond the final rerank window.
+
+    Pass ``centroids`` — ``(cent_id, c_emb)``, e.g. reshaped from
+    :func:`kmeans_train` via :func:`centroids_from_kmeans` — to replace
+    the deterministic pseudo-centroids with trained ones; the plan shape
+    is identical.
     """
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    ).withColumn("c_norm", norm_expr("c_emb"))
+    if centroids is None:
+        centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    cents = centroids.withColumn("c_norm", norm_expr("c_emb"))
 
     def assign(df: DataFrame, id_col: str, emb_col: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -363,6 +371,7 @@ def semantic_dedup_clusters(
     embeddings: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.95,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication census: partition vectors by
     nearest pseudo-centroid, then inside each cluster drop any vector
@@ -381,9 +390,11 @@ def semantic_dedup_clusters(
     Skewed clusters split under AQE; the join is shuffle-partitioned by
     cluster id.
     """
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    ).withColumn("c_norm", norm_expr("c_emb"))
+    if centroids is None:
+        centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    cents = centroids.withColumn("c_norm", norm_expr("c_emb"))
     scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
         F.broadcast(cents)
     ).withColumn(
@@ -426,5 +437,124 @@ def semantic_dedup_clusters(
             .cast("bigint").alias("n_dropped"),
             F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
             .cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    quant: int = 6,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training — the real-centroid
+    path that :func:`ivf_flat_ann` / :func:`semantic_dedup_clusters`
+    plug in at scale instead of their deterministic pseudo-centroids.
+
+    Deterministic by construction, so the gate can pin exact expected
+    values: init = the lowest-``k`` vec_ids; assignment by cosine
+    (scale-invariant, so un-normalized dim means work as centroids);
+    after every iteration each centroid coordinate is ROUNDED to
+    ``quant`` decimals — float dim-means are summation-order-sensitive
+    at the 1e-13 level across partitionings, and quantization absorbs
+    that before it can flip an assignment (bit-stability across shuffle
+    layouts is checked by scratch/gen_fixed_oracles.py).
+
+    Returns ``(cent_id, n_members, dim, coord)`` — one row per centroid
+    coordinate, sizes repeated per dim.
+
+    Plan per iteration: centroids broadcast as a literal table (k×dim
+    doubles), one pass assigns via the fold-dot cosine, posexplode +
+    partial-aggregated per-(centroid, dim) means — the only shuffle is
+    k×dim-sized after map-side combine. The per-iteration driver
+    round-trip is k×dim floats (the standard iterative-ML pattern;
+    convergence control needs the driver). Empty clusters keep their
+    previous centroid.
+    """
+    spark = embeddings.sparkSession
+    dim = len(
+        embeddings.where(F.col("vec_id") < 1).select("embedding").first()[0]
+    )
+    init = (
+        embeddings.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [
+        [round(float(v), quant) for v in r[0]] for r in init
+    ]
+
+    def cents_df():
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id int, c_emb array<double>",
+        ).withColumn("c_norm", norm_expr("c_emb"))
+
+    assigned = None
+    for _ in range(iters):
+        scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
+            F.broadcast(cents_df())
+        ).withColumn(
+            "_cs",
+            dot_expr("embedding", "c_emb")
+            / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("_cs").desc(), F.col("cent_id")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "embedding", "cent_id")
+        )
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cent_id", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(vec) for c, vec in enumerate(cents)}  # keep empties
+        for r in means:
+            new.setdefault(r.cent_id, [0.0] * dim)
+        for r in means:
+            new[r.cent_id][r.dim] = round(float(r.m), quant)
+        cents = [new[i] for i in range(k)]
+
+    sizes = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    out = spark.createDataFrame(
+        [(i, d, cents[i][d]) for i in range(k) for d in range(dim)],
+        "cent_id int, dim int, coord double",
+    )
+    return (
+        out.join(F.broadcast(sizes), "cent_id", "left")
+        .select(
+            "cent_id",
+            F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+            "dim",
+            "coord",
+        )
+    )
+
+
+def centroids_from_kmeans(trained: DataFrame) -> DataFrame:
+    """Reshape :func:`kmeans_train` output ``(cent_id, n_members, dim,
+    coord)`` into the ``(cent_id, c_emb)`` table :func:`ivf_flat_ann` /
+    :func:`semantic_dedup_clusters` accept — sort-by-dim array_agg, one
+    tiny aggregation."""
+    return (
+        trained.groupBy("cent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "coord"))
+            ).alias("_dc")
+        )
+        .select(
+            "cent_id",
+            F.expr("transform(_dc, s -> s.coord)").alias("c_emb"),
         )
     )

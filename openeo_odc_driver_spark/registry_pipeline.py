@@ -1260,3 +1260,13 @@ def _streaming_corpus_ingest_stats(spark, sf_dir):
     rows = census.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, census.schema)
+
+
+@q("kmeans_train", values_oracle_sql("kmeans_train"))
+def _kmeans_train(spark, sf_dir):
+    """Spherical k-means training (pipeline/similarity.py: kmeans_train)
+    — iterative, so no SQL twin exists; the oracle is the fixed expected
+    centroid table on the sf0.01 fixture (quantized coordinates make the
+    3-iteration Lloyd run bit-stable across partitionings; captured by
+    scratch/gen_fixed_oracles.py)."""
+    return psim.kmeans_train(_embs(spark, sf_dir), k=16, iters=3)

@@ -22,7 +22,8 @@ SPARK_TYPES = {
     "string": "VARCHAR", "boolean": "BOOLEAN",
 }
 
-NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode"]
+NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
+         "kmeans_train"]
 
 
 def main() -> int:

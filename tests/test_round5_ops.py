@@ -81,3 +81,63 @@ def test_semantic_dedup_drops_near_duplicate_in_cluster(spark):
     assert len(out) == 1
     row = out[0]
     assert (row.n_members, row.n_dropped, row.n_kept) == (3, 1, 2)
+
+
+def test_kmeans_train_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.similarity import kmeans_train
+
+    rng = np.random.default_rng(11)
+    anchors = np.eye(3, 8)  # 3 orthogonal anchor directions in 8-d
+    rows = []
+    for i in range(60):
+        a = anchors[i % 3]
+        v = a + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = kmeans_train(embs, k=3, iters=4).collect()
+    sizes = {r.cent_id: r.n_members for r in out}  # one entry per centroid
+    # all 60 vectors assigned, and the planted 20/20/20 split recovered
+    assert sum(sizes.values()) == 60
+    assert sorted(sizes.values()) == [20, 20, 20]
+    # each trained centroid aligns with exactly one anchor
+    cents = {}
+    for r in out:
+        cents.setdefault(r.cent_id, [0.0] * 8)[r.dim] = r.coord
+    aligned = set()
+    for c in cents.values():
+        v = np.asarray(c)
+        aligned.add(int(np.argmax(anchors @ v / np.linalg.norm(v))))
+    assert aligned == {0, 1, 2}
+
+
+def test_trained_centroids_plug_into_ivf_and_semantic(spark):
+    """kmeans_train output reshapes into the centroid slot of both
+    consumers — the 'real deployment plugs trained centroids in' path."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        centroids_from_kmeans,
+        ivf_flat_ann,
+        kmeans_train,
+        semantic_dedup_clusters,
+    )
+
+    rng = np.random.default_rng(5)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = centroids_from_kmeans(kmeans_train(embs, k=4, iters=2))
+    assert cents.count() == 4
+    assert len(cents.first().c_emb) == 8
+
+    qs = embs.where(F.col("vec_id") < 3)
+    ann = ivf_flat_ann(embs, qs, k=3, nprobe=2, centroids=cents)
+    assert ann.groupBy("query_id").count().count() == 3
+
+    census = semantic_dedup_clusters(embs, threshold=0.99, centroids=cents)
+    rows = census.collect()
+    assert sum(r.n_members for r in rows) == 40
