@@ -58,7 +58,7 @@ _GATE_PRIORITY = [
     "fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
     # new in round 5
     "paragraph_dedup", "bloom_decontaminate", "semantic_dedup_clusters",
-    "streaming_corpus_ingest_stats", "kmeans_train",
+    "streaming_corpus_ingest_stats", "kmeans_train", "unigram_logprob",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "bloom_decontaminate",
     "semantic_dedup_clusters",
+    "unigram_logprob",
 ]
 
 

@@ -280,3 +280,60 @@ def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+
+
+LOGPROB_FP = 1_000_000  # fixed-point scale for order-free logprob sums
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality proxy: each document scored by
+    the mean log-probability of its tokens under the CORPUS'S OWN
+    unigram model — boilerplate and in-distribution text score high,
+    junk/outlier text scores low. The cheap stand-in for the KenLM
+    perplexity filter a production corpus pipeline runs.
+
+    Parity discipline (the money-sum idiom): each token's log-prob is
+    quantized to fixed-point BIGINT micro-units BEFORE summing, so the
+    per-document sum is exact integer arithmetic — independent of
+    aggregation order across engines and partitionings. ln() differs by
+    1 ulp between libm implementations; quantization happens right at
+    the ln() output where that ulp cannot span a .5 boundary except on
+    a measure-zero knife edge.
+
+    Plan: one token aggregate builds the model (term → count), a scalar
+    subquery provides the total, the model broadcasts back onto the
+    exploded token stream, and one per-doc aggregate of integer sums
+    finishes — two shuffles total, corpus text itself never shuffles
+    (only (doc_id, token) pairs).
+    """
+    term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    toks = docs.select("doc_id", term)
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = model.agg(F.sum("n_term").alias("n_total"))
+    lp_fp = F.round(
+        F.log(F.col("n_term").cast("double") / F.col("n_total").cast("double"))
+        * F.lit(LOGPROB_FP)
+    ).cast("bigint")
+    scored = (
+        toks.join(F.broadcast(model), "term")
+        .join(F.broadcast(total))
+        .select("doc_id", lp_fp.alias("_lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").alias("sum_logprob_fp"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "sum_logprob_fp",
+            # mean in integer micro-units: floor of an identical double
+            # is engine-exact, where round-at-7-decimals sat on a .5
+            # knife edge (measured: one fixture doc flipped)
+            F.floor(
+                F.col("sum_logprob_fp").cast("double") / F.col("n_tokens")
+            ).cast("bigint").alias("mean_logprob_micro"),
+        )
+    )

@@ -1270,3 +1270,27 @@ def _kmeans_train(spark, sf_dir):
     3-iteration Lloyd run bit-stable across partitionings; captured by
     scratch/gen_fixed_oracles.py)."""
     return psim.kmeans_train(_embs(spark, sf_dir), k=16, iters=3)
+
+
+@q(
+    "unigram_logprob",
+    # the same fixed-point construction, term-for-term: ln() quantized to
+    # integer micro-units before any summation (order-free BIGINT sums)
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "lower(trim(text)), '\\s+')) AS term FROM documents), "
+    "model AS (SELECT term, count(*) AS n_term FROM toks GROUP BY term), "
+    "tot AS (SELECT sum(n_term) AS n_total FROM model), "
+    "scored AS (SELECT t.doc_id, CAST(round(ln("
+    "CAST(m.n_term AS DOUBLE) / CAST(tt.n_total AS DOUBLE)) * 1000000) "
+    "AS BIGINT) AS lp FROM toks t JOIN model m ON t.term = m.term "
+    "CROSS JOIN tot tt) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(lp) AS BIGINT) AS sum_logprob_fp, "
+    "CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_logprob_micro "
+    "FROM scored GROUP BY doc_id",
+)
+def _unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy (pipeline/text.py:
+    unigram_logprob): per-doc mean token log-prob under the corpus's own
+    unigram model, fixed-point sums for engine-exact parity."""
+    return ptext.unigram_logprob(_docs(spark, sf_dir))

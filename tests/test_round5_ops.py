@@ -141,3 +141,21 @@ def test_trained_centroids_plug_into_ivf_and_semantic(spark):
     census = semantic_dedup_clusters(embs, threshold=0.99, centroids=cents)
     rows = census.collect()
     assert sum(r.n_members for r in rows) == 40
+
+
+def test_unigram_logprob_discriminates_junk(spark):
+    from openeo_odc_driver_spark.pipeline.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox naps under the lazy dog"),
+            (3, "zxqj vvkpt qqrmb zzzyx wwkkj"),  # out-of-distribution junk
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # junk tokens are singletons -> much lower mean logprob
+    assert out[3].mean_logprob_micro < out[1].mean_logprob_micro
+    assert out[3].mean_logprob_micro < out[2].mean_logprob_micro
+    assert out[1].n_tokens == 9
