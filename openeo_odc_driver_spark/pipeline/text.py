@@ -300,23 +300,30 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     the ln() output where that ulp cannot span a .5 boundary except on
     a measure-zero knife edge.
 
-    Plan: one token aggregate builds the model (term → count), a scalar
-    subquery provides the total, the model broadcasts back onto the
-    exploded token stream, and one per-doc aggregate of integer sums
-    finishes — two shuffles total, corpus text itself never shuffles
-    (only (doc_id, token) pairs).
+    Plan: one token aggregate builds the model (term → count); the total
+    is an UNPARTITIONED window over the vocab-sized model (a scalar
+    subquery would re-execute the whole model subtree — Catalyst does
+    not reuse subplans — costing a second corpus token aggregation; the
+    window's SinglePartition exchange moves only the vocabulary). The
+    model broadcasts back onto the exploded token stream and one
+    per-doc aggregate of integer sums finishes. The corpus token stream
+    reaches the join with zero shuffles.
     """
+    from pyspark.sql import Window
+
     term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
     toks = docs.select("doc_id", term)
-    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
-    total = model.agg(F.sum("n_term").alias("n_total"))
+    model = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .withColumn("n_total", F.sum("n_term").over(Window.partitionBy()))
+    )
     lp_fp = F.round(
         F.log(F.col("n_term").cast("double") / F.col("n_total").cast("double"))
         * F.lit(LOGPROB_FP)
     ).cast("bigint")
     scored = (
         toks.join(F.broadcast(model), "term")
-        .join(F.broadcast(total))
         .select("doc_id", lp_fp.alias("_lp"))
     )
     return (

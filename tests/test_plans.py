@@ -195,3 +195,18 @@ def test_semantic_dedup_no_cartesian_pairing(spark):
     # row_number()<=1 centroid pick optimizes to WindowGroupLimit (no
     # full per-vector sort materialization)
     assert "WindowGroupLimit" in plan
+
+
+def test_unigram_logprob_model_broadcasts_corpus_stays(spark):
+    """The unigram model (with its window-computed total) broadcasts
+    back onto the token stream — the (doc_id, token) side never
+    sort-merge-joins, and the shuffles are the model term-aggregate, the
+    vocab-sized SinglePartition total window, and the per-doc census.
+    The corpus token stream reaches the join with zero exchanges."""
+    plan = _plan(spark, "unigram_logprob")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # model join, exactly once
+    assert _exchanges(plan) <= 3
+    # the model term-aggregate must not be duplicated (the scalar-
+    # subquery formulation re-executed the corpus token aggregation)
+    assert plan.count("partial_count(1)") <= 2  # model build + doc census
