@@ -18,6 +18,14 @@ Fixture format (``fixtures/<name>.json``)::
 Floats survive the JSON round-trip exactly (shortest-repr serialization on
 both ends), and ``repr()`` formatting below round-trips to the identical
 IEEE-754 double when DuckDB parses the literal.
+
+Fixture-content dependency: ``multimodal_*`` and ``kmeans_train`` derive
+from the driver-generated sf0.01 tables, which have been content-stable
+across rounds (``ann_recall`` has pinned fixture-derived constants since
+round 3). If the test-data generator ever changes seeds, re-run
+``python scratch/gen_fixed_oracles.py`` — it re-captures and re-checks
+bit-stability in one step. ``fit_curve_harmonic`` uses the in-query
+synthetic cube and is fixture-independent.
 """
 
 from __future__ import annotations

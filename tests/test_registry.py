@@ -29,3 +29,22 @@ def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
     sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
     ddf = ddf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(sdf, ddf, check_dtype=False, check_exact=True)
+
+
+def test_gate_window_leads_with_unverified_queries():
+    """The driver verifies the FIRST ~50 queries() entries per round; the
+    15 queries without a green driver row (6 round-4 ops, 3 former
+    no-oracle, 6 round-5 additions) must stay at the head so the next
+    window reaches them — a priority-list edit that demotes one fails
+    here, not in the round report."""
+    import __spark_entry__ as E
+
+    head = list(E.queries())[:15]
+    expected = {
+        "corpus_shard_layout", "corpus_stats_sketch", "repetition_scores",
+        "pii_scan", "vocab_top_terms", "pack_sequences",
+        "fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
+        "paragraph_dedup", "bloom_decontaminate", "semantic_dedup_clusters",
+        "streaming_corpus_ingest_stats", "kmeans_train", "unigram_logprob",
+    }
+    assert set(head) == expected
