@@ -159,7 +159,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     :func:`_shingles` would be pure overhead here: measured 50s → 4s cold
     at sf0.1). The oracle twin computes the same mins over the distinct
     set — identical results by construction.
+
+    Map-side parallelism: shingle hashing is CPU-bound (hundreds of md5s
+    per document) and the signature agg shuffles anyway, so when the
+    source scan has far fewer partitions than the cluster has cores
+    (fixture scale: one 580 KB row-group → 1 task doing ~1.45M md5s) a
+    repartition of the RAW TEXT — tiny relative to the hash work —
+    unlocks the cores before the heavy projection. At 100 TB inputs
+    arrive in thousands of row groups and the branch is a no-op.
+    Signature values are unchanged (min over a set is order-free).
+    Measured: signatures 2.7 s → 0.4 s warm at sf0.1 on local[32].
     """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     sh = (
         docs.select(
             "doc_id",
