@@ -59,6 +59,8 @@ _GATE_PRIORITY = [
     # new in round 5
     "paragraph_dedup", "bloom_decontaminate", "semantic_dedup_clusters",
     "streaming_corpus_ingest_stats", "kmeans_train", "unigram_logprob",
+    "tokenize_to_ids", "intra_doc_dedup", "bpe_pair_counts",
+    "bpe_learn_merges", "embedding_int8_quantize", "ivf_pq_ann",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

@@ -367,6 +367,167 @@ def pq_ann(
     )
 
 
+def embedding_int8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding column
+    — the 4× memory cut a serving/ANN tier applies before indexing
+    (q = floor(127·v/scale_d + 0.5), scale_d = max |v| over the corpus
+    in dimension d; dequant = q·scale_d/127).
+
+    Returns ``(vec_id, dim, q, scale)`` — exploded form so the oracle
+    compares scalars; re-assembly to arrays is a sort-by-dim
+    ``collect_list`` when materializing.
+
+    Plan at scale: one posexplode pass (preserves scan partitioning) →
+    a 1-row-per-dimension aggregate (map-side partial combine, the
+    shuffle moves dims × partitions rows only) → the dim-sized scale
+    table broadcasts back onto the exploded stream — the corpus itself
+    never shuffles. Determinism: max of identical doubles is exact;
+    127·v/s and floor are the same IEEE-754 ops on both engines (the
+    pq_ann dyadic idiom).
+    """
+    vals = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    scales = vals.groupBy("dim").agg(F.max(F.abs("v")).alias("scale"))
+    q = F.floor(
+        F.col("v") * F.lit(127.0) / F.nullif(F.col("scale"), F.lit(0.0))
+        + F.lit(0.5)
+    ).cast("int")
+    return vals.join(F.broadcast(scales), "dim").select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.coalesce(q, F.lit(0)).alias("q"),
+        "scale",
+    )
+
+
+def ivf_pq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ shape, no-residual variant): the
+    corpus is partitioned into inverted lists by nearest centroid AND
+    compressed to PQ codes; a query probes its ``nprobe`` nearest lists
+    and scores candidates by ADC lookup over the codes — full-precision
+    corpus vectors are never touched at query time. This is the
+    composition that serves billion-vector search from RAM: IVF bounds
+    the candidate set, PQ bounds the bytes per candidate.
+
+    Determinism: the same dyadic-grid BIGINT ADC sums as :func:`pq_ann`
+    (order-free integer arithmetic), rank ties → neighbor_id.
+
+    Plan at scale (offline): ONE corpus pass assigns lists (broadcast
+    centroids + per-vector window), then encodes codes carrying the
+    list id — codes+list is the serving table (M small ints + one int
+    per vector). (Query time): probes and the ADC LUT are
+    queries×nprobe / queries×M×PQ_K rows — both broadcast; corpus codes
+    stream through two broadcast hash joins, then one partial-aggregated
+    sum per (query, candidate) and the per-query top-k window. The only
+    shuffle is candidate-sized (× nprobe/n_centroids of the corpus),
+    never corpus-sized.
+    """
+    if centroids is None:
+        centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    cents = centroids.withColumn("c_norm", norm_expr("c_emb"))
+
+    # corpus: nearest list per vector (one pass), then PQ-encode carrying
+    # the list id — no corpus-side join between assignment and codes
+    scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
+        F.broadcast(cents)
+    ).withColumn(
+        "_cs",
+        dot_expr("embedding", "c_emb")
+        / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
+    )
+    cb = _pq_codebook(embeddings)
+    sub = (
+        assigned.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "list_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "embedding",
+            "c_emb",
+        )
+        .withColumn("dist", _sub_l2_expr("embedding", "c_emb", "s"))
+    )
+    w2 = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    codes = (
+        sub.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "list_id", F.col("s").cast("int").alias("s"), "code")
+    )
+
+    # queries: nprobe nearest lists + the ADC lookup table, both broadcast
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qscored = q.withColumn("q_norm", norm_expr("q_emb")).crossJoin(
+        F.broadcast(cents)
+    ).withColumn(
+        "_cs",
+        dot_expr("q_emb", "c_emb")
+        / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(w3))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("list_id"))
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "q_emb",
+            "c_emb",
+        )
+        .withColumn(
+            "dq",
+            F.floor(
+                _sub_l2_expr("q_emb", "c_emb", "s") * F.lit(float(PQ_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select("query_id", F.col("s").cast("int").alias("s"), "code", "dq")
+    )
+
+    cand = codes.join(F.broadcast(probes), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored2 = (
+        cand.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("approx_dq"))
+    )
+    w4 = Window.partitionBy("query_id").orderBy("approx_dq", "neighbor_id")
+    return (
+        scored2.withColumn("rank", F.row_number().over(w4))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.col("approx_dq") / F.lit(float(PQ_SCALE))).alias("approx_dist"),
+        )
+    )
+
+
 def semantic_dedup_clusters(
     embeddings: DataFrame,
     n_centroids: int = 16,

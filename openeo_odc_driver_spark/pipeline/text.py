@@ -282,6 +282,207 @@ def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
 
 
+def vocab_with_ids(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Assign dense integer ids to the top-``k`` vocabulary terms
+    (id 0 = most frequent; ties → lexicographic, matching
+    :func:`vocab_top_terms`). The id table is ``k`` rows — the
+    row_number window runs on a single already-tiny partition, never on
+    corpus data."""
+    from pyspark.sql import Window
+
+    v = vocab_top_terms(docs, k)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return v.select(
+        "term", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def tokenize_to_ids(
+    docs: DataFrame, vocab: DataFrame, oov_id: int
+) -> DataFrame:
+    """Map the token stream to integer ids against a vocabulary table —
+    the tokenization step between corpus cleaning and sequence packing.
+    Out-of-vocabulary tokens get ``oov_id`` (the UNK id a real tokenizer
+    reserves).
+
+    Plan at scale: posexplode preserves scan partitioning (no shuffle);
+    the vocabulary joins as a BROADCAST hash join (a tokenizer vocab is
+    ≤ a few hundred thousand rows — always executor-memory-sized), so
+    the corpus token stream reaches the output with ZERO shuffles. This
+    is the plan a 100 TB tokenization run needs: scan → explode →
+    broadcast-join → write, one pass, no data movement.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "term"
+        ),
+    ).select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "term")
+    return toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        "term",
+        F.coalesce("token_id", F.lit(oov_id)).cast("int").alias("token_id"),
+    )
+
+
+def intra_doc_dedup(docs: DataFrame) -> DataFrame:
+    """WITHIN-document repeated-line removal (the Gopher/C4 cleanup that
+    strips navigation boilerplate repeated inside one page): keep each
+    distinct line's FIRST occurrence, preserve order, reassemble.
+
+    Returns ``(doc_id, n_lines, n_kept, dedup_text)``.
+
+    Pure expressions — ``array_position`` finds the first index of each
+    line, so ``filter(sequence(..), i -> array_position(lines, lines[i]) = i)``
+    is the order-preserving first-occurrence mask; no explode, no
+    shuffle, no Python. Runs at scan speed fused with the parquet read
+    at any scale (contrast :func:`..dedup.paragraph_dedup`, which
+    dedups ACROSS documents and must shuffle paragraphs once).
+    """
+    staged = docs.select("doc_id", F.split("text", r"\n").alias("_ls"))
+    keep = F.expr(
+        "filter(sequence(1, size(_ls)),"
+        " i -> array_position(_ls, element_at(_ls, i)) = i)"
+    )
+    kept = F.expr("transform(_keep, i -> element_at(_ls, i))")
+    return (
+        staged.select("doc_id", "_ls", keep.alias("_keep"))
+        .select(
+            "doc_id",
+            F.size("_ls").cast("bigint").alias("n_lines"),
+            F.size("_keep").cast("bigint").alias("n_kept"),
+            F.array_join(kept, "\n").alias("dedup_text"),
+        )
+    )
+
+
+def bpe_word_counts(docs: DataFrame) -> DataFrame:
+    """The word-frequency table BPE tokenizer training runs on: one
+    corpus-wide aggregation, after which every training iteration
+    touches only the (vocabulary-sized) word table — exactly how
+    production BPE trainers decouple corpus scale from training cost."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+
+
+_CHARS_EXPR = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Adjacent symbol-pair counts over the word-frequency table — the
+    first BPE training iteration's statistics (characters as initial
+    symbols). Top-``k`` by (count desc, pair asc), fully deterministic.
+
+    Plan: one corpus aggregation (word counts), then the pair census
+    runs on the vocab table only: explode pairs → hash-aggregate →
+    TakeOrdered top-k (per-partition heaps, no global sort). Integer
+    counts — bit-exact on any engine, any partitioning.
+    """
+    words = bpe_word_counts(docs).where(F.length("word") >= 2)
+    staged = words.select("n_word", F.expr(_CHARS_EXPR).alias("_sy"))
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(_sy) - 1, 1)),"
+        " i -> struct(element_at(_sy, i) AS l, try_element_at(_sy, i + 1) AS r))"
+    )
+    p = staged.select("n_word", F.explode(pairs).alias("p"))
+    return (
+        p.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("n_word").alias("n"))
+        .orderBy(F.desc("n"), "left_sym", "right_sym")
+        .limit(k)
+    )
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """BPE merge-rule learning: ``n_merges`` rounds of count-the-pairs →
+    take the argmax → apply the merge left-to-right (standard greedy
+    non-overlapping semantics via a fold that inspects the accumulator's
+    last symbol). Returns the merge table ``(merge_rank, left_sym,
+    right_sym, n)`` — the artifact a tokenizer ships.
+
+    Deterministic by construction: integer pair counts, (n desc, pair
+    asc) tie-break — no floats anywhere, so the result is identical on
+    any engine/partitioning and the oracle can be a plain SQL twin of
+    the count (for rank 0) or a literal table (for the full loop; this
+    registry uses the n-round literal, captured like kmeans_train).
+
+    Scale: the corpus is read ONCE (word counts); each round is one
+    explode + hash-aggregate over the VOCABULARY table (a few million
+    rows at web scale, never corpus-sized) plus a 1-row driver argmax —
+    the same iterative-ML driver round-trip pattern as kmeans_train.
+    The symbol arrays re-fold per round; lineage is truncated by
+    persisting each round's vocab (vocab-sized, executor-memory-safe).
+    """
+    spark = docs.sparkSession
+    cur = (
+        bpe_word_counts(docs)
+        .select("n_word", F.expr(_CHARS_EXPR).alias("syms"))
+        .persist()
+    )
+    handles = [cur]
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            pairs = F.expr(
+                "transform(sequence(1, greatest(size(syms) - 1, 1)),"
+                " i -> struct(element_at(syms, i) AS l,"
+                " try_element_at(syms, i + 1) AS r))"
+            )
+            top = (
+                cur.where(F.size("syms") >= 2)
+                .select("n_word", F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n_word").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] is None:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((rank, l, r, n))
+            # left-to-right greedy merge: fold each word's symbols,
+            # joining (l, r) when the accumulator ends in l — F.get /
+            # try_element_at keep out-of-range touches NULL-safe.
+            # Column-built lambdas (not interpolated SQL) so arbitrary
+            # corpus symbols can never mangle the expression.
+            def _merge_step(_l: str, _r: str):
+                def step(acc, x):
+                    return F.when(
+                        (F.size(acc) > 0)
+                        & (F.get(acc, F.size(acc) - 1) == F.lit(_l))
+                        & (x == F.lit(_r)),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(_l + _r)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x)))
+
+                return step
+
+            merged = F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                _merge_step(l, r),
+            )
+            cur = cur.select("n_word", merged.alias("syms")).persist()
+            handles.append(cur)
+        return spark.createDataFrame(
+            merges, "merge_rank int, left_sym string, right_sym string, n bigint"
+        )
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 LOGPROB_FP = 1_000_000  # fixed-point scale for order-free logprob sums
 
 

@@ -1294,3 +1294,188 @@ def _unigram_logprob(spark, sf_dir):
     unigram_logprob): per-doc mean token log-prob under the corpus's own
     unigram model, fixed-point sums for engine-exact parity."""
     return ptext.unigram_logprob(_docs(spark, sf_dir))
+
+
+# --- round-5b ops: tokenization to ids, intra-doc dedup, BPE training,
+# --- int8 quantization, IVF-PQ ANN ------------------------------------------
+
+_VOCAB_K = 20  # < the fixture's 31 distinct terms, so the OOV path is live
+
+
+@q(
+    "tokenize_to_ids",
+    # vocab ids from the FULL corpus; the id-mapped token stream gated on
+    # a 1-in-7 document sample (bounded gate size, full-rate plan)
+    f"WITH t AS (SELECT doc_id, {_TOKS_D.replace('text', 'lower(text)')} AS toks "
+    "FROM documents), "
+    "allt AS (SELECT unnest(toks) AS term FROM t), "
+    "v AS (SELECT term, count(*) AS n FROM allt GROUP BY term "
+    f"ORDER BY n DESC, term LIMIT {_VOCAB_K}), "
+    "vid AS (SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) - 1 "
+    "AS INT) AS token_id FROM v), "
+    "tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, "
+    "unnest(toks) AS term FROM t WHERE doc_id % 7 = 0) "
+    "SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS pos, tk.term, "
+    f"CAST(coalesce(vid.token_id, {_VOCAB_K}) AS INT) AS token_id "
+    "FROM tk LEFT JOIN vid USING (term)",
+)
+def _tokenize_to_ids(spark, sf_dir):
+    """Vocabulary-id tokenization (pipeline/text.py: tokenize_to_ids):
+    top-20 vocab built corpus-wide, token stream broadcast-joined to ids
+    (OOV → id 20). Zero corpus shuffles — scan → explode →
+    broadcast-join."""
+    docs = _docs(spark, sf_dir)
+    vocab = ptext.vocab_with_ids(docs, k=_VOCAB_K)
+    return ptext.tokenize_to_ids(
+        docs.where(F.col("doc_id") % 7 == 0), vocab, oov_id=_VOCAB_K
+    )
+
+
+@q(
+    "intra_doc_dedup",
+    # lined corpus derived in-query (2-token lines: the fixture has 250
+    # genuine WITHIN-document duplicate lines at this width, so the
+    # first-occurrence mask actually discriminates)
+    f"WITH toks AS (SELECT doc_id, {_TOKS_D} AS t FROM documents), "
+    "l AS (SELECT doc_id, list_transform(generate_series(1, len(t), 2), "
+    "i -> array_to_string(t[i:i+1], ' ')) AS ls FROM toks), "
+    "k AS (SELECT doc_id, ls, list_filter(range(1, len(ls) + 1), "
+    "i -> list_position(ls, ls[i]) = i) AS keep FROM l) "
+    "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+    "CAST(len(keep) AS BIGINT) AS n_kept, "
+    "array_to_string(list_transform(keep, i -> ls[i]), chr(10)) "
+    "AS dedup_text FROM k",
+)
+def _intra_doc_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (pipeline/text.py:
+    intra_doc_dedup) — first occurrence wins, order preserved, zero
+    shuffles. The lined fixture is built in-plan (2-token lines)."""
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, size(_toks), 2),"
+                " i -> array_join(slice(_toks, i, 2), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return ptext.intra_doc_dedup(lined)
+
+
+@q(
+    "bpe_pair_counts",
+    f"WITH t AS (SELECT doc_id, {_TOKS_D.replace('text', 'lower(text)')} AS toks "
+    "FROM documents), "
+    "w AS (SELECT term AS word, count(*) AS n_word FROM "
+    "(SELECT unnest(toks) AS term FROM t) GROUP BY term), "
+    "s AS (SELECT word, n_word, list_transform(range(1, length(word) + 1), "
+    "i -> word[i:i]) AS sy FROM w WHERE length(word) >= 2), "
+    "p AS (SELECT n_word, unnest(list_transform(range(1, len(sy)), "
+    "i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u FROM s) "
+    "SELECT u.l AS left_sym, u.r AS right_sym, "
+    "CAST(sum(n_word) AS BIGINT) AS n FROM p GROUP BY 1, 2 "
+    "ORDER BY n DESC, left_sym, right_sym LIMIT 50",
+)
+def _bpe_pair_counts(spark, sf_dir):
+    """BPE training statistics (pipeline/text.py: bpe_pair_counts):
+    adjacent character-pair counts over the word-frequency table, top-50.
+    One corpus aggregation; every later pass is vocab-sized."""
+    return ptext.bpe_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+@q("bpe_learn_merges", values_oracle_sql("bpe_learn_merges"))
+def _bpe_learn_merges(spark, sf_dir):
+    """Eight rounds of BPE merge learning (pipeline/text.py:
+    bpe_learn_merges) — iterative count→argmax→fold-merge, so no SQL
+    twin exists; integer counts make the merge table exactly
+    deterministic and the oracle is the fixed expected table on the
+    sf0.01 fixture (captured by scratch/gen_fixed_oracles.py)."""
+    return ptext.bpe_learn_merges(_docs(spark, sf_dir), n_merges=8)
+
+
+@q(
+    "embedding_int8_quantize",
+    "WITH vals AS (SELECT vec_id, "
+    "CAST(unnest(range(0, len(embedding))) AS INT) AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+    "sc AS (SELECT dim, max(abs(v)) AS scale FROM vals GROUP BY dim) "
+    "SELECT vec_id, vals.dim, "
+    "CAST(coalesce(floor(v * 127.0 / nullif(scale, 0.0) + 0.5), 0) AS INT) "
+    "AS q, scale FROM vals JOIN sc ON vals.dim = sc.dim",
+)
+def _embedding_int8_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization
+    (pipeline/similarity.py: embedding_int8_quantize): corpus-wide
+    per-dim max-abs scales broadcast back onto the exploded stream —
+    the corpus itself never shuffles."""
+    return psim.embedding_int8_quantize(_embs(spark, sf_dir))
+
+
+_IVFPQ_NC = 16
+_IVFPQ_NPROBE = 4
+
+_IVFPQ_ASSIGN_CTE = (
+    "cents AS (SELECT vec_id AS cent_id, embedding AS c_emb "
+    f"FROM embeddings WHERE vec_id < {_IVFPQ_NC}), "
+    "asc_ AS (SELECT e.vec_id, e.embedding, ct.cent_id, "
+    f"({_duck_dot('e.embedding', 'ct.c_emb')}) / "
+    f"nullif(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+    "FROM embeddings e CROSS JOIN cents ct), "
+    "assigned AS (SELECT vec_id, embedding, cent_id AS list_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY cs DESC, cent_id) AS rn FROM asc_) WHERE rn = 1)"
+)
+
+
+@q(
+    "ivf_pq_ann",
+    f"WITH {_IVFPQ_ASSIGN_CTE}, "
+    "cb AS (SELECT vec_id AS code, embedding AS c_emb FROM embeddings "
+    "WHERE vec_id < 16), "
+    "ss AS (SELECT unnest(range(0, 8)) AS s), "
+    "sub AS (SELECT a.vec_id, a.list_id, cb.code, ss.s, "
+    + _PQ_SUBL2.format(a="a.embedding", b="cb.c_emb")
+    + " AS dist FROM assigned a CROSS JOIN cb CROSS JOIN ss), "
+    "codes AS (SELECT vec_id, list_id, CAST(s AS INT) AS s, code FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) "
+    "AS rn FROM sub) WHERE rn = 1), "
+    "qq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "
+    "WHERE vec_id < 8), "
+    "qs AS (SELECT qq.query_id, ct.cent_id, "
+    f"({_duck_dot('qq.q_emb', 'ct.c_emb')}) / "
+    f"nullif(sqrt({_duck_dot('qq.q_emb', 'qq.q_emb')}) * "
+    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+    "FROM qq CROSS JOIN cents ct), "
+    "probes AS (SELECT query_id, cent_id AS list_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cs DESC, cent_id) AS rn FROM qs) "
+    f"WHERE rn <= {_IVFPQ_NPROBE}), "
+    "lut AS (SELECT qq.query_id, cb.code, CAST(ss.s AS INT) AS s, "
+    "CAST(floor("
+    + _PQ_SUBL2.format(a="qq.q_emb", b="cb.c_emb")
+    + " * 1048576.0 + 0.5) AS BIGINT) AS dq "
+    "FROM qq CROSS JOIN cb CROSS JOIN ss), "
+    "scored AS (SELECT p.query_id, c.vec_id AS neighbor_id, "
+    "sum(l.dq) AS approx_dq FROM codes c "
+    "JOIN probes p ON p.list_id = c.list_id AND c.vec_id != p.query_id "
+    "JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code = c.code "
+    "GROUP BY 1, 2) "
+    "SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, "
+    "approx_dq / 1048576.0 AS approx_dist FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY approx_dq, neighbor_id) AS rn FROM scored) WHERE rn <= 5",
+)
+def _ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ ANN (pipeline/similarity.py: ivf_pq_ann): inverted-list
+    probing bounds the candidate set, PQ ADC bounds bytes per candidate
+    — the FAISS IVFPQ (no-residual) serving shape. Codes carry their
+    list id from a single offline corpus pass."""
+    e = _embs(spark, sf_dir)
+    return psim.ivf_pq_ann(
+        e, e.where(F.col("vec_id") < 8), k=5,
+        n_centroids=_IVFPQ_NC, nprobe=_IVFPQ_NPROBE,
+    )

@@ -210,3 +210,53 @@ def test_unigram_logprob_model_broadcasts_corpus_stays(spark):
     # the model term-aggregate must not be duplicated (the scalar-
     # subquery formulation re-executed the corpus token aggregation)
     assert plan.count("partial_count(1)") <= 2  # model build + doc census
+
+
+def test_tokenize_to_ids_corpus_never_shuffles(spark):
+    """The vocab-id mapping must be a BROADCAST join onto the exploded
+    token stream — the corpus reaches the output with zero shuffles; the
+    only exchanges build the (tiny) vocab-id table itself (term
+    aggregate + the k-row id window)."""
+    plan = _plan(spark, "tokenize_to_ids")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert _exchanges(plan) <= 3  # vocab agg + TakeOrdered pieces only
+
+
+def test_intra_doc_dedup_zero_exchanges(spark):
+    """First-occurrence masking is per-row array arithmetic — fused with
+    the scan, no shuffle at any scale."""
+    plan = _plan(spark, "intra_doc_dedup")
+    assert _exchanges(plan) == 0
+
+
+def test_bpe_pair_counts_vocab_sized_aggregates(spark):
+    """Two hash aggregates (corpus→word counts, words→pair counts) and a
+    TakeOrdered top-k — never a global range sort."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert _exchanges(plan) <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_int8_quantize_scales_broadcast_corpus_stays(spark):
+    """The per-dim scale table (dim-sized) broadcasts back; the exploded
+    corpus stream itself never shuffles — its only exchange is the
+    dim-sized aggregate building the scales."""
+    plan = _plan(spark, "embedding_int8_quantize")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert _exchanges(plan) <= 1  # the scale aggregate
+
+
+def test_ivf_pq_ann_no_cartesian_candidates(spark):
+    """Candidate generation is equi-joins only: codes x probes on
+    list_id and codes x LUT on (query_id, s, code), both broadcast; the
+    only nested-loop joins are the tiny centroid/codebook broadcasts."""
+    plan = _plan(spark, "ivf_pq_ann")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probes + LUT onto codes
+    assert all(
+        "BuildRight, Cross" in plan[m.start():m.start() + 60]
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
+    )

@@ -1,0 +1,167 @@
+"""Round-5b ops: vocabulary-id tokenization, within-doc line dedup,
+BPE tokenizer training, int8 embedding quantization, IVF-PQ ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_odc_driver_spark.pipeline.similarity import (
+    embedding_int8_quantize,
+    ivf_pq_ann,
+)
+from openeo_odc_driver_spark.pipeline.text import (
+    bpe_learn_merges,
+    bpe_pair_counts,
+    intra_doc_dedup,
+    tokenize_to_ids,
+    vocab_with_ids,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_ids_are_frequency_ranked(spark):
+    docs = _docs(spark, [(1, "b b b a a c"), (2, "a b")])
+    vocab = {r.term: r.token_id for r in vocab_with_ids(docs, k=2).collect()}
+    # b appears 4x -> id 0; a appears 3x -> id 1; c falls outside k=2
+    assert vocab == {"b": 0, "a": 1}
+
+
+def test_tokenize_to_ids_maps_and_oovs(spark):
+    docs = _docs(spark, [(1, "b a c b")])
+    vocab = vocab_with_ids(docs, k=2)
+    out = sorted(
+        tokenize_to_ids(docs, vocab, oov_id=2).collect(),
+        key=lambda r: r.pos,
+    )
+    assert [(r.pos, r.term, r.token_id) for r in out] == [
+        (1, "b", 0), (2, "a", 1), (3, "c", 2), (4, "b", 0),
+    ]
+
+
+def test_intra_doc_dedup_keeps_first_occurrence_in_order(spark):
+    docs = _docs(spark, [
+        (1, "nav bar\ncontent one\nnav bar\ncontent two\ncontent one"),
+        (2, "only line"),
+    ])
+    out = {r.doc_id: r for r in intra_doc_dedup(docs).collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (5, 3)
+    assert out[1].dedup_text == "nav bar\ncontent one\ncontent two"
+    assert (out[2].n_lines, out[2].n_kept) == (1, 1)
+    assert out[2].dedup_text == "only line"
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # "ab" x3, "abc" x1 -> (a,b): 4, (b,c): 1; 1-char words contribute none
+    docs = _docs(spark, [(1, "ab ab abc x"), (2, "ab")])
+    out = {(r.left_sym, r.right_sym): r.n for r in bpe_pair_counts(docs, k=10).collect()}
+    assert out == {("a", "b"): 4, ("b", "c"): 1}
+
+
+def test_bpe_learn_merges_greedy_leftmost(spark):
+    # classic toy: low x2, lower x1
+    docs = _docs(spark, [(1, "low low lower")])
+    out = [(r.merge_rank, r.left_sym, r.right_sym, r.n)
+           for r in bpe_learn_merges(docs, n_merges=4).collect()]
+    # (l,o) and (o,w) tie at 3; lexicographic tie-break picks (l,o);
+    # then (lo,w)=3; then (e,r) vs (low,e) tie at 1 -> (e,r); then (low,er)
+    assert out == [
+        (0, "l", "o", 3),
+        (1, "lo", "w", 3),
+        (2, "e", "r", 1),
+        (3, "low", "er", 1),
+    ]
+
+
+def test_bpe_merge_is_nonoverlapping_leftmost(spark):
+    # "aaa": pairs (a,a)x2 -> merge leaves [aa, a], NOT [aa, aa]
+    docs = _docs(spark, [(1, "aaa")])
+    out = [(r.merge_rank, r.left_sym, r.right_sym, r.n)
+           for r in bpe_learn_merges(docs, n_merges=2).collect()]
+    assert out[0] == (0, "a", "a", 2)
+    # second round sees [aa, a] -> pair (aa, a) once
+    assert out[1] == (1, "aa", "a", 1)
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    docs = _docs(spark, [(1, "ab")])
+    out = bpe_learn_merges(docs, n_merges=5).collect()
+    assert len(out) == 1  # (a,b) merges; the single symbol 'ab' has no pairs
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_int8_quantize_scales_and_clamps(spark):
+    e = _embs(spark, [
+        (0, [2.0, -4.0]),
+        (1, [-1.0, 2.0]),
+        (2, [0.5, 0.0]),
+    ])
+    out = {(r.vec_id, r.dim): (r.q, r.scale)
+           for r in embedding_int8_quantize(e).collect()}
+    # dim 0 scale = 2.0: 2.0 -> 127, -1.0 -> floor(-63.5+0.5) = -63, 0.5 -> 32
+    assert out[(0, 0)] == (127, 2.0)
+    assert out[(1, 0)] == (-63, 2.0)
+    assert out[(2, 0)] == (32, 2.0)
+    # dim 1 scale = 4.0: -4.0 -> -127, 2.0 -> 64, 0.0 -> 0
+    assert out[(0, 1)] == (-127, 4.0)
+    assert out[(1, 1)] == (64, 4.0)
+    assert out[(2, 1)] == (0, 4.0)
+
+
+def test_int8_quantize_zero_dimension_yields_zero(spark):
+    e = _embs(spark, [(0, [0.0]), (1, [0.0])])
+    out = embedding_int8_quantize(e).collect()
+    assert all(r.q == 0 for r in out)
+
+
+def _clustered_vectors(spark, per_cluster=12, dim=64):
+    """Two well-separated clusters: cluster A concentrated on the first
+    32 dims, cluster B on the last 32 — PQ sub-distances separate them
+    in every subspace."""
+    rows = []
+    for i in range(per_cluster):
+        a = [10.0 + ((i * 7 + d) % 5) * 0.1 if d < dim // 2 else 0.1
+             for d in range(dim)]
+        b = [0.1 if d < dim // 2 else 10.0 + ((i * 11 + d) % 5) * 0.1
+             for d in range(dim)]
+        rows.append((2 * i, a))      # even ids: cluster A
+        rows.append((2 * i + 1, b))  # odd ids: cluster B
+    return _embs(spark, rows)
+
+
+def test_ivf_pq_ann_finds_same_cluster_neighbors(spark):
+    e = _clustered_vectors(spark)
+    qs = e.where(F.col("vec_id").isin(0, 1))
+    out = ivf_pq_ann(e, qs, k=5, n_centroids=4, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # every returned neighbor is from the query's own cluster
+        assert all(r.neighbor_id % 2 == qid % 2 for r in rows)
+        # ranks are 1..5 ordered by nondecreasing approx distance
+        rows.sort(key=lambda r: r.rank)
+        dists = [r.approx_dist for r in rows]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
+
+
+def test_ivf_pq_agrees_with_pq_on_probed_lists(spark):
+    """With nprobe = n_centroids (probe everything), IVF-PQ reduces to
+    plain PQ ADC — the two must return identical neighbor sets."""
+    from openeo_odc_driver_spark.pipeline.similarity import pq_ann
+
+    e = _clustered_vectors(spark)
+    qs = e.where(F.col("vec_id").isin(0, 1))
+    full = ivf_pq_ann(e, qs, k=5, n_centroids=4, nprobe=4).collect()
+    plain = pq_ann(e, qs, k=5).collect()
+    key = lambda rows: {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.approx_dist, 9))
+        for r in rows
+    }
+    assert key(full) == key(plain)
