@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     "semantic_dedup_clusters",
     "unigram_logprob",
+    "tokenize_to_ids",
+    "intra_doc_dedup",
+    "ivf_pq_ann",
+    "dsir_importance_weights",
+    "bigram_logprob",
+    "pack_token_ids",
 ]
 
 

@@ -91,6 +91,70 @@ def shuffle_shards(
     )
 
 
+def pack_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    oov_id: int,
+    seq_len: int = 64,
+    n_shards: int = 8,
+    salt: str = "seed0",
+) -> DataFrame:
+    """The full tokenize→pack path: map documents to token ids
+    (:func:`..text.tokenize_to_ids`), append an EOS id per document,
+    concatenate documents WITHIN each md5 shard (doc_id order), and
+    slice the shard's id stream into dense fixed-``seq_len`` training
+    sequences — the exact tensor layout a trainer consumes. EOS id =
+    ``oov_id + 1``.
+
+    Returns exploded ``(shard, seq_id, pos_in_seq, token_id)``; the
+    final (ragged) tail sequence of each shard is kept.
+
+    Plan at scale: tokenization is the zero-shuffle broadcast-join pass;
+    assembling per-doc id arrays is ONE shuffle — of INT IDS, ~4 bytes
+    per token, not text; the shard-local prefix-sum window is the second
+    (shard-bounded, never global — the pack_sequences scaling argument,
+    including the n_shards ≥ f(corpus) sizing contract). The final
+    explode is pipelined. Two integer-stream shuffles total.
+    """
+    from .text import tokenize_to_ids
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    eos_id = oov_id + 1
+    toks = tokenize_to_ids(docs, vocab, oov_id)
+    ids = toks.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, token_id))),"
+            " s -> s.token_id)"
+        ).alias("_ids")
+    ).select(
+        "doc_id",
+        F.concat(F.col("_ids"), F.array(F.lit(eos_id))).alias("ids"),
+    )
+    with_shard = ids.select(
+        "doc_id",
+        shard_col(F.col("doc_id"), n_shards, salt).alias("shard"),
+        "ids",
+        F.size("ids").cast("bigint").alias("_n"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("_n").over(w), F.lit(0).cast("bigint"))
+    tok = with_shard.withColumn("_off", off).select(
+        "shard", "_off", F.posexplode("ids").alias("_i", "token_id")
+    )
+    gpos = F.col("_off") + F.col("_i")
+    return tok.select(
+        "shard",
+        F.floor(gpos / F.lit(seq_len)).cast("bigint").alias("seq_id"),
+        F.pmod(gpos, F.lit(seq_len)).cast("bigint").alias("pos_in_seq"),
+        F.col("token_id").cast("int").alias("token_id"),
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     capacity: int = 256,

@@ -282,6 +282,162 @@ def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
 
 
+def dsir_importance_weights(
+    corpus: DataFrame, target: DataFrame
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw-corpus document by log p_target(doc)/p_raw(doc) under
+    add-1-smoothed unigram bag-of-words models — documents distributed
+    like the target domain get high weights, and the selection step
+    resamples the corpus by weight.
+
+    Returns ``(doc_id, n_tokens, logweight_fp)`` with the log-weight in
+    fixed-point micro-units (the unigram_logprob money-sum idiom: each
+    token's delta is quantized to BIGINT BEFORE summing, so the per-doc
+    sum is order-free exact integer arithmetic).
+
+    Plan at scale: BOTH models come out of one aggregation over the
+    tagged union of the two token streams (one map-side-combined
+    shuffle, no model-model join); vocab size and both totals come from
+    an unpartitioned window over the MODEL (vocab-sized — never the
+    corpus; a scalar subquery would re-execute the token aggregation,
+    Catalyst does not reuse subplans). The model broadcasts back onto
+    the corpus token stream, which reaches the per-doc aggregate with
+    ZERO shuffles.
+    """
+    from pyspark.sql import Window
+
+    term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    toks_c = corpus.select("doc_id", term)
+    toks_t = target.select(term)
+    # both models in ONE aggregation over a tagged union — a full-outer
+    # join of two separately-aggregated models would sort-merge (Spark
+    # cannot broadcast a full outer); the union form is a single
+    # map-side-combined shuffle and no join at all
+    tagged = toks_c.select(
+        "term", F.lit(1).alias("_r"), F.lit(0).alias("_t")
+    ).unionByName(toks_t.select("term", F.lit(0).alias("_r"), F.lit(1).alias("_t")))
+    w = Window.partitionBy()
+    model = (
+        tagged.groupBy("term")
+        .agg(F.sum("_r").alias("n_raw"), F.sum("_t").alias("n_tgt"))
+        .withColumn("v", F.count(F.lit(1)).over(w))
+        .withColumn("tot_r", F.sum("n_raw").over(w))
+        .withColumn("tot_t", F.sum("n_tgt").over(w))
+    )
+    delta_fp = F.round(
+        (
+            F.log(
+                (F.col("n_tgt") + F.lit(1)).cast("double")
+                / (F.col("tot_t") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("n_raw") + F.lit(1)).cast("double")
+                / (F.col("tot_r") + F.col("v")).cast("double")
+            )
+        )
+        * F.lit(LOGPROB_FP)
+    ).cast("bigint")
+    scored = toks_c.join(F.broadcast(model), "term").select(
+        "doc_id", delta_fp.alias("_d")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("_d").alias("logweight_fp"),
+    )
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram ML estimate
+# written as its own literal, NOT computed as 1.0 - BIGRAM_LAMBDA: the
+# IEEE result of 1.0 - 0.7 (0.30000000000000004) is a DIFFERENT double
+# from the literal 0.3 the oracle SQL parses — parity demands the same
+# bits on both engines
+BIGRAM_UNI_W = 0.3
+
+
+def bigram_logprob(docs: DataFrame, top_m: int = 50_000) -> DataFrame:
+    """Interpolated-bigram LM quality proxy — the step up from
+    :func:`unigram_logprob` toward the KenLM filter: each document
+    scored by its mean token log-prob under the corpus's own bigram
+    model, p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/N (first token:
+    unigram only). The bigram model is PRUNED to the ``top_m`` most
+    frequent bigrams (count desc, pair asc — deterministic), which is
+    both the standard production practice and what keeps the model
+    broadcast-able at 100 TB; pruned-away bigrams back off to the
+    unigram term (λ·0 + (1−λ)·p_uni).
+
+    Fixed-point parity: per-token log-probs quantized to BIGINT
+    micro-units before summing (order-free exact integer aggregation).
+
+    Plan: one pass builds (prev, cur) pairs INSIDE the token array (no
+    self-join of the token stream for adjacency); two vocab-sized model
+    aggregates; unigram totals by an unpartitioned window over the
+    model; bigram pruning by TakeOrdered. Both models broadcast back —
+    the corpus pair stream reaches the per-doc aggregate with zero
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("_toks")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(_toks)), i -> struct("
+        "CASE WHEN i = 1 THEN NULL ELSE element_at(_toks, i - 1) END AS a,"
+        " element_at(_toks, i) AS b))"
+    )
+    stream = staged.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    uni = (
+        stream.groupBy(F.col("b").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .withColumn("n_total", F.sum("n_term").over(Window.partitionBy()))
+    )
+    bi = (
+        stream.where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.desc("n_ab"), "a", "b")
+        .limit(top_m)
+    )
+    lam = F.lit(float(BIGRAM_LAMBDA))
+    p_uni = F.col("n_term").cast("double") / F.col("n_total").cast("double")
+    p_bi = F.coalesce(
+        F.col("n_ab").cast("double") / F.col("n_prev").cast("double"),
+        F.lit(0.0),
+    )
+    lp = F.when(F.col("a").isNull(), F.log(p_uni)).otherwise(
+        F.log(lam * p_bi + F.lit(float(BIGRAM_UNI_W)) * p_uni)
+    )
+    lp_fp = F.round(lp * F.lit(LOGPROB_FP)).cast("bigint")
+    prev_counts = uni.select(
+        F.col("term").alias("a"), F.col("n_term").alias("n_prev")
+    )
+    scored = (
+        stream.join(F.broadcast(uni), stream["b"] == uni["term"])
+        .join(F.broadcast(bi), ["a", "b"], "left")
+        .join(F.broadcast(prev_counts), "a", "left")
+        .select("doc_id", lp_fp.alias("_lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_lp").alias("sum_logprob_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob_fp",
+            F.floor(
+                F.col("sum_logprob_fp").cast("double") / F.col("n_tokens")
+            ).cast("bigint").alias("mean_logprob_micro"),
+        )
+    )
+
+
 def vocab_with_ids(docs: DataFrame, k: int = 100) -> DataFrame:
     """Assign dense integer ids to the top-``k`` vocabulary terms
     (id 0 = most frequent; ties → lexicographic, matching

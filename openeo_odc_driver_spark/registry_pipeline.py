@@ -1414,6 +1414,117 @@ def _embedding_int8_quantize(spark, sf_dir):
     return psim.embedding_int8_quantize(_embs(spark, sf_dir))
 
 
+@q(
+    "dsir_importance_weights",
+    # target = the eval split (doc_id % 10 = 0), raw = the rest — the
+    # decontamination split reused; add-1-smoothed unigram models
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "lower(trim(text)), '\\s+')) AS term FROM documents), "
+    "tc AS (SELECT * FROM toks WHERE doc_id % 10 != 0), "
+    "tt AS (SELECT * FROM toks WHERE doc_id % 10 = 0), "
+    "mr AS (SELECT term, count(*) AS n_raw FROM tc GROUP BY term), "
+    "mt AS (SELECT term, count(*) AS n_tgt FROM tt GROUP BY term), "
+    "model AS (SELECT coalesce(mr.term, mt.term) AS term, "
+    "coalesce(n_raw, 0) AS n_raw, coalesce(n_tgt, 0) AS n_tgt "
+    "FROM mr FULL OUTER JOIN mt ON mr.term = mt.term), "
+    "m2 AS (SELECT *, count(*) OVER () AS v, sum(n_raw) OVER () AS tot_r, "
+    "sum(n_tgt) OVER () AS tot_t FROM model), "
+    "scored AS (SELECT tc.doc_id, CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) "
+    "/ CAST(tot_t + v AS DOUBLE)) - ln(CAST(n_raw + 1 AS DOUBLE) "
+    "/ CAST(tot_r + v AS DOUBLE))) * 1000000) AS BIGINT) AS d "
+    "FROM tc JOIN m2 ON tc.term = m2.term) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(d) AS BIGINT) AS logweight_fp FROM scored GROUP BY doc_id",
+)
+def _dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (pipeline/text.py:
+    dsir_importance_weights): log p_target/p_raw per corpus document
+    under add-1 unigram models, fixed-point BIGINT sums; models
+    broadcast, corpus token stream never shuffles."""
+    docs = _docs(spark, sf_dir)
+    return ptext.dsir_importance_weights(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+
+
+@q(
+    "bigram_logprob",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+    "'\\s+') AS tk FROM documents), "
+    "s AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1), "
+    "i -> struct_pack(a := CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END, "
+    "b := tk[i]))) AS u FROM t), "
+    "st AS (SELECT doc_id, u.a AS a, u.b AS b FROM s), "
+    "uni AS (SELECT b AS term, count(*) AS n_term FROM st GROUP BY b), "
+    "uni2 AS (SELECT *, sum(n_term) OVER () AS n_total FROM uni), "
+    "bi AS (SELECT a, b, count(*) AS n_ab FROM st WHERE a IS NOT NULL "
+    "GROUP BY a, b ORDER BY n_ab DESC, a, b LIMIT 50000), "
+    "scored AS (SELECT st.doc_id, CAST(round((CASE WHEN st.a IS NULL THEN "
+    "ln(CAST(u.n_term AS DOUBLE) / CAST(u.n_total AS DOUBLE)) ELSE "
+    "ln(0.7 * coalesce(CAST(bi.n_ab AS DOUBLE) / CAST(p.n_term AS DOUBLE), "
+    "0.0) + 0.3 * CAST(u.n_term AS DOUBLE) / CAST(u.n_total AS DOUBLE)) "
+    "END) * 1000000) AS BIGINT) AS lp FROM st "
+    "JOIN uni2 u ON st.b = u.term "
+    "LEFT JOIN bi ON st.a = bi.a AND st.b = bi.b "
+    "LEFT JOIN uni p ON st.a = p.term) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(lp) AS BIGINT) AS sum_logprob_fp, "
+    "CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) "
+    "AS mean_logprob_micro FROM scored GROUP BY doc_id",
+)
+def _bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram LM quality proxy (pipeline/text.py:
+    bigram_logprob): λ·bigram-ML + (1−λ)·unigram, top-50k pruned bigram
+    model, fixed-point sums — the KenLM-shaped step past
+    unigram_logprob."""
+    return ptext.bigram_logprob(_docs(spark, sf_dir))
+
+
+@q(
+    "pack_token_ids",
+    # vocab ids from the FULL corpus; packed stream gated on the same
+    # 1-in-7 sample as tokenize_to_ids; EOS id 21 = oov_id + 1
+    f"WITH t AS (SELECT doc_id, {_TOKS_D.replace('text', 'lower(text)')} AS toks "
+    "FROM documents), "
+    "allt AS (SELECT unnest(toks) AS term FROM t), "
+    "v AS (SELECT term, count(*) AS n FROM allt GROUP BY term "
+    f"ORDER BY n DESC, term LIMIT {_VOCAB_K}), "
+    "vid AS (SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) - 1 "
+    "AS INT) AS token_id FROM v), "
+    "tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, "
+    "unnest(toks) AS term FROM t WHERE doc_id % 7 = 0), "
+    "idt AS (SELECT tk.doc_id, tk.pos, "
+    f"coalesce(vid.token_id, {_VOCAB_K}) AS tid "
+    "FROM tk LEFT JOIN vid USING (term)), "
+    "ids AS (SELECT doc_id, list_append(list(tid ORDER BY pos), "
+    f"{_VOCAB_K + 1}) AS ids FROM idt GROUP BY doc_id), "
+    f"sh AS (SELECT doc_id, {_PACK_SHARD_D} AS shard, ids, "
+    "CAST(len(ids) AS BIGINT) AS n FROM ids), "
+    "off AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard "
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS o FROM sh), "
+    "tok AS (SELECT shard, o + CAST(unnest(range(0, len(ids))) AS BIGINT) "
+    "AS gpos, unnest(ids) AS tid FROM off) "
+    "SELECT CAST(shard AS INT) AS shard, "
+    "CAST(floor(gpos / 64) AS BIGINT) AS seq_id, "
+    "CAST(gpos % 64 AS BIGINT) AS pos_in_seq, CAST(tid AS INT) AS token_id "
+    "FROM tok",
+)
+def _pack_token_ids(spark, sf_dir):
+    """Tokenize→pack composition (pipeline/sampling.py: pack_token_ids):
+    vocab-id tokenization, per-doc EOS, shard-local concatenation into
+    dense 64-token training sequences. Two integer-stream shuffles."""
+    from .pipeline.sampling import pack_token_ids
+
+    docs = _docs(spark, sf_dir)
+    vocab = ptext.vocab_with_ids(docs, k=_VOCAB_K)
+    return pack_token_ids(
+        docs.where(F.col("doc_id") % 7 == 0), vocab,
+        oov_id=_VOCAB_K, seq_len=64, n_shards=8,
+    )
+
+
 _IVFPQ_NC = 16
 _IVFPQ_NPROBE = 4
 

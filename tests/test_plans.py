@@ -260,3 +260,35 @@ def test_ivf_pq_ann_no_cartesian_candidates(spark):
         "BuildRight, Cross" in plan[m.start():m.start() + 60]
         for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
     )
+
+
+def test_dsir_models_broadcast_corpus_stays(spark):
+    """Both unigram models come out of ONE aggregation over the tagged
+    union (no model-model full-outer sort-merge join); the model
+    broadcasts back onto the raw-corpus token stream."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # scoring join only
+    # model agg + vocab-sized window + per-doc census
+    assert _exchanges(plan) <= 3
+
+
+def test_bigram_logprob_models_broadcast(spark):
+    """Adjacency comes from the token ARRAY (no token-stream self-join);
+    unigram + pruned-bigram + prev-count models all broadcast back."""
+    plan = _plan(spark, "bigram_logprob")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3  # uni + bi + prev
+    assert "TakeOrderedAndProject" in plan  # the top-m pruning
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_token_ids_two_integer_shuffles(spark):
+    """Tokenization is broadcast-join (zero corpus shuffles); the only
+    exchanges beyond the tiny vocab build are the per-doc id assembly
+    and the per-shard packing window — both moving int ids, never text;
+    never a global range sort."""
+    plan = _plan(spark, "pack_token_ids")
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert _exchanges(plan) <= 5  # vocab agg + id window + doc agg + shard window

@@ -165,3 +165,95 @@ def test_ivf_pq_agrees_with_pq_on_probed_lists(spark):
         for r in rows
     }
     assert key(full) == key(plain)
+
+
+# --- dsir / bigram / pack_token_ids -----------------------------------------
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from openeo_odc_driver_spark.pipeline.text import dsir_importance_weights
+
+    target = _docs(spark, [(100, "wiki science physics"), (101, "wiki math")])
+    corpus = _docs(spark, [
+        (1, "wiki science math"),      # target-like
+        (2, "spam casino pills buy"),  # not
+    ])
+    out = {r.doc_id: r for r in dsir_importance_weights(corpus, target).collect()}
+    # per-token mean so length doesn't confound the comparison
+    assert out[1].logweight_fp / out[1].n_tokens > out[2].logweight_fp / out[2].n_tokens
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 4
+
+
+def test_bigram_logprob_scores_likely_transitions_higher(spark):
+    from openeo_odc_driver_spark.pipeline.text import bigram_logprob
+
+    # "a b" dominates; doc 3 uses the rare transition "b a"
+    docs = _docs(spark, [
+        (1, "a b a b a b"),
+        (2, "a b a b"),
+        (3, "b a"),
+    ])
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert out[1].mean_logprob_micro > out[3].mean_logprob_micro
+    assert out[1].n_tokens == 6
+
+
+def test_bigram_backoff_when_model_pruned(spark):
+    from openeo_odc_driver_spark.pipeline.text import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b c a b"), (2, "c c")])
+    # top_m=1 keeps only the most frequent bigram; everything else backs
+    # off to the unigram term — must still produce finite scores
+    out = bigram_logprob(docs, top_m=1).collect()
+    assert len(out) == 2
+    assert all(r.sum_logprob_fp < 0 for r in out)
+
+
+def test_pack_token_ids_layout(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import pack_token_ids
+    from openeo_odc_driver_spark.pipeline.text import vocab_with_ids
+
+    docs = _docs(spark, [(i, "a b c d") for i in range(6)])
+    vocab = vocab_with_ids(docs, k=3)
+    out = pack_token_ids(docs, vocab, oov_id=3, seq_len=5, n_shards=2).collect()
+    # 6 docs x (4 tokens + EOS) = 30 token rows total
+    assert len(out) == 30
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r.seq_id, r.pos_in_seq))
+        # positions are a dense 0..n-1 stream sliced into seq_len windows
+        gpos = [r.seq_id * 5 + r.pos_in_seq for r in rows]
+        assert gpos == list(range(len(rows)))
+        # every doc contributes exactly one EOS (id 4)
+        assert sum(1 for r in rows if r.token_id == 4) == len(rows) // 5
+    # all sequences except possibly each shard's tail are full
+    from collections import Counter
+
+    for shard, rows in by_shard.items():
+        sizes = Counter(r.seq_id for r in rows)
+        tail = max(sizes)
+        assert all(v == 5 for s, v in sizes.items() if s != tail)
+
+
+def test_pack_token_ids_deterministic_across_layouts(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import pack_token_ids
+    from openeo_odc_driver_spark.pipeline.text import vocab_with_ids
+
+    docs = _docs(spark, [(i, "w x y z" * (1 + i % 3)) for i in range(10)])
+    vocab = vocab_with_ids(docs, k=4)
+
+    def run():
+        return sorted(
+            (r.shard, r.seq_id, r.pos_in_seq, r.token_id)
+            for r in pack_token_ids(docs, vocab, oov_id=4,
+                                    seq_len=7, n_shards=3).collect()
+        )
+
+    first = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        assert run() == first
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
