@@ -257,3 +257,62 @@ def test_pack_token_ids_deterministic_across_layouts(spark):
         assert run() == first
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def _py_bpe(words, n_merges):
+    """Pure-Python reference BPE trainer (standard greedy leftmost
+    non-overlapping merge) to pin the Spark fold's semantics against."""
+    syms = {w: [c for c in w] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, l, r, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_fold_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(2):
+        vocab = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        ]
+        counts = {w: rng.randint(1, 9) for w in set(vocab)}
+        text = " ".join(w for w, c in sorted(counts.items()) for _ in range(c))
+        docs = _docs(spark, [(1, text)])
+        got = [(r.merge_rank, r.left_sym, r.right_sym, r.n)
+               for r in bpe_learn_merges(docs, n_merges=5).collect()]
+        assert got == _py_bpe(counts, 5), f"trial {trial}: {counts}"
+
+
+def test_int8_dequant_error_bound(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-50, 50) for _ in range(8)]) for i in range(20)]
+    e = _embs(spark, rows)
+    orig = {(i): v for i, v in rows}
+    for r in embedding_int8_quantize(e).collect():
+        v = orig[r.vec_id][r.dim]
+        dequant = r.q * r.scale / 127.0
+        # half-step quantization error bound (float32 storage adds eps)
+        assert abs(dequant - v) <= r.scale / 127.0 * 0.5 + 1e-2
