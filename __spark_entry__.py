@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "tokenize_to_ids", "intra_doc_dedup", "bpe_pair_counts",
     "bpe_learn_merges", "embedding_int8_quantize", "ivf_pq_ann",
     "dsir_importance_weights", "bigram_logprob", "pack_token_ids",
+    "exact_substring_dedup",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

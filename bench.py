@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "bigram_logprob",
     "pack_token_ids",
+    "exact_substring_dedup",
 ]
 
 

@@ -696,3 +696,82 @@ def bloom_decontaminate(
         .distinct()
     )
     return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def exact_substring_dedup(docs: DataFrame, gram: int = 50) -> DataFrame:
+    """Repeated-substring removal (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr rule,
+    MapReduce form): any token span of length ``gram`` that appears more
+    than once ANYWHERE in the corpus is removed from every document —
+    memorization-prone boilerplate is cut at the substring level, not
+    the document level.
+
+    Returns ``(doc_id, n_tokens, n_dropped, kept_text)``: a token is
+    dropped iff some duplicated ``gram``-gram covers it.
+
+    Plan at scale (the distributed alternative to the paper's
+    single-node suffix array): [1] grams explode fused with the scan —
+    what shuffles afterwards is the 16-byte md5 digest per position,
+    never gram text; [2] one hash-aggregate finds duplicated digests;
+    [3] the gram stream joins back (equi on digest, AQE-skewable — a
+    boilerplate digest with millions of hits is exactly the skew-join
+    case); [4] per-doc duplicate-start lists aggregate on doc_id;
+    [5] one join back to the corpus on doc_id. Two corpus-scale
+    shuffles (digests, doc join) plus the digest-keyed dup join — each
+    hash-partitioned, nothing global. The per-doc coverage mask is
+    O(n_tokens × n_dup_starts) inside one lambda; dup starts per doc
+    are bounded by doc length, and heavily-duplicated docs are exactly
+    the ones about to shrink.
+    """
+    staged = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_toks")
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs explicitly
+    pos_grams = F.when(
+        F.size("_toks") >= gram,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {gram - 1}),"
+            f" i -> struct(i AS p,"
+            f" md5(array_join(slice(_toks, i, {gram}), ' ')) AS h))"
+        ),
+    ).otherwise(
+        F.expr("CAST(array() AS array<struct<p: int, h: string>>)")
+    )
+    g = staged.select("doc_id", F.explode(pos_grams).alias("g")).select(
+        "doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h")
+    )
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") > 1
+    ).select("h")
+    starts = (
+        g.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("_starts"))
+    )
+    masked = staged.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "_toks",
+        F.coalesce("_starts", F.expr("CAST(array() AS array<int>)")).alias(
+            "_starts"
+        ),
+    )
+    kept = F.expr(
+        f"filter(sequence(1, size(_toks)),"
+        f" i -> size(filter(_starts, s -> s >= i - {gram - 1} AND s <= i)) = 0)"
+    )
+    # stage the kept-index array so the transform doesn't re-evaluate the
+    # coverage filter per element (no CSE inside lambdas — the
+    # repetition_scores staging discipline)
+    return (
+        masked.select("doc_id", "_toks", kept.alias("_kept"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            (F.size("_toks") - F.size("_kept")).cast("bigint").alias(
+                "n_dropped"
+            ),
+            F.array_join(
+                F.expr("transform(_kept, i -> element_at(_toks, i))"), " "
+            ).alias("kept_text"),
+        )
+    )

@@ -1414,6 +1414,37 @@ def _embedding_int8_quantize(spark, sf_dir):
     return psim.embedding_int8_quantize(_embs(spark, sf_dir))
 
 
+_ESD_G = 6  # the fixture has 2195 duplicated 6-gram positions over 47 docs
+
+
+@q(
+    "exact_substring_dedup",
+    f"WITH toks AS (SELECT doc_id, {_TOKS_D} AS t FROM documents), "
+    "g AS (SELECT doc_id, CAST(unnest(generate_series(1, "
+    f"greatest(len(t) - {_ESD_G - 1}, 0))) AS INT) AS p, "
+    f"unnest(list_transform(generate_series(1, greatest(len(t) - {_ESD_G - 1}, 0)), "
+    f"i -> md5(array_to_string(t[i:i+{_ESD_G - 1}], ' ')))) AS h FROM toks), "
+    "dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1), "
+    "st AS (SELECT g.doc_id, list(g.p) AS starts FROM g JOIN dup USING (h) "
+    "GROUP BY g.doc_id), "
+    "m AS (SELECT toks.doc_id, t, coalesce(starts, []) AS starts "
+    "FROM toks LEFT JOIN st ON toks.doc_id = st.doc_id), "
+    "k AS (SELECT doc_id, t, list_filter(range(1, len(t) + 1), "
+    f"i -> len(list_filter(starts, s -> s >= i - {_ESD_G - 1} AND s <= i)) = 0) "
+    "AS kept FROM m) "
+    "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+    "CAST(len(t) - len(kept) AS BIGINT) AS n_dropped, "
+    "coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '') "
+    "AS kept_text FROM k",
+)
+def _exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr repeated-substring removal (pipeline/dedup.py:
+    exact_substring_dedup, Lee et al. 2022 shape): every corpus-wide
+    duplicated 6-token span is cut from every document. Digest-keyed
+    shuffles only; gram text never moves."""
+    return pdedup.exact_substring_dedup(_docs(spark, sf_dir), gram=_ESD_G)
+
+
 @q(
     "dsir_importance_weights",
     # target = the eval split (doc_id % 10 = 0), raw = the rest — the

@@ -292,3 +292,14 @@ def test_pack_token_ids_two_integer_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
     assert _exchanges(plan) <= 5  # vocab agg + id window + doc agg + shard window
+
+
+def test_exact_substring_dedup_digest_keyed_shuffles(spark):
+    """Gram text never shuffles — positions move as (doc_id, p, md5);
+    the dup-digest aggregate, the digest join-back, the per-doc start
+    list, and the doc join are all hash-keyed; never a global sort or
+    cartesian product."""
+    plan = _plan(spark, "exact_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert _exchanges(plan) <= 5

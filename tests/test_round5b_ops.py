@@ -316,3 +316,37 @@ def test_int8_dequant_error_bound(spark):
         dequant = r.q * r.scale / 127.0
         # half-step quantization error bound (float32 storage adds eps)
         assert abs(dequant - v) <= r.scale / 127.0 * 0.5 + 1e-2
+
+
+def test_exact_substring_dedup_cuts_shared_spans(spark):
+    from openeo_odc_driver_spark.pipeline.dedup import exact_substring_dedup
+
+    shared = "one two three four"
+    docs = _docs(spark, [
+        (1, f"intro {shared} tail one"),
+        (2, f"{shared} something else entirely here"),
+        (3, "no duplicated span in this document at all"),
+    ])
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, gram=4).collect()}
+    # the shared 4-gram is cut from BOTH docs (no first-winner exemption)
+    assert out[1].n_dropped == 4 and out[1].kept_text == "intro tail one"
+    assert out[2].n_dropped == 4
+    assert out[2].kept_text == "something else entirely here"
+    assert out[3].n_dropped == 0
+    assert out[3].kept_text == "no duplicated span in this document at all"
+
+
+def test_exact_substring_dedup_overlapping_spans_union(spark):
+    from openeo_odc_driver_spark.pipeline.dedup import exact_substring_dedup
+
+    # "a b c d e" repeated: every 3-gram inside it duplicates; the
+    # coverage union removes the whole run, and short docs are untouched
+    docs = _docs(spark, [
+        (1, "x a b c d e y"),
+        (2, "z a b c d e w"),
+        (3, "tiny"),
+    ])
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, gram=3).collect()}
+    assert out[1].kept_text == "x y" and out[1].n_dropped == 5
+    assert out[2].kept_text == "z w" and out[2].n_dropped == 5
+    assert (out[3].n_tokens, out[3].n_dropped) == (1, 0)
