@@ -63,6 +63,11 @@ _GATE_PRIORITY = [
     "bpe_learn_merges", "embedding_int8_quantize", "ivf_pq_ann",
     "dsir_importance_weights", "bigram_logprob", "pack_token_ids",
     "exact_substring_dedup",
+    # round-5c additions
+    "domain_stats", "priority_sample", "temperature_sample_langs",
+    "count_min_heavy_grams", "minhash_dedup_incremental",
+    "quality_classifier_train", "quality_classifier_score",
+    "zorder_bucket_stats",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

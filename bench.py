@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "pack_token_ids",
     "exact_substring_dedup",
+    # round 5c
+    "domain_stats",
+    "priority_sample",
+    "temperature_sample_langs",
+    "count_min_heavy_grams",
+    "minhash_dedup_incremental",
+    "quality_classifier_score",
 ]
 
 

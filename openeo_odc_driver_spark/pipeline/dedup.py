@@ -775,3 +775,71 @@ def exact_substring_dedup(docs: DataFrame, gram: int = 50) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+
+
+def _band_keys_col() -> F.Column:
+    """The LSH_BANDS band keys of a `sig` column — shared by the batch
+    self-join (:func:`minhash_lsh_pairs`) and the incremental join
+    (:func:`minhash_dedup_incremental`), so both paths agree on what
+    'candidate' means."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                  for r in range(rows_per_band)],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup: flag documents of an INCOMING batch that
+    near-duplicate the EXISTING corpus — the ingest-time shape of minhash
+    dedup, where the corpus grows daily and re-deduplicating 100 TB per
+    batch is not an option.
+
+    Returns ``(new_doc, dup_of, est_jaccard)`` pairs (a new doc can match
+    several existing docs; downstream keeps ``min(dup_of)`` or drops on
+    any match).
+
+    Scale contract: the existing side's SIGNATURES are a materialized
+    asset (K ints/doc — ~100 GB for a 10⁹-doc corpus, vs the 100 TB
+    text), appended to on every ingest; only the new batch is shingled
+    and hashed. Here both signature tables derive from the fixture split
+    so the oracle can reproduce them, but the join topology is the
+    production one: banded equi-join new→existing (never new→new,
+    never existing→existing), AQE skew handling on hot buckets.
+    """
+    sig_new = minhash_signatures(new_docs)
+    sig_old = minhash_signatures(existing_docs)
+    banded_new = sig_new.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sig").alias("sig_a"),
+        F.explode(_band_keys_col()).alias("band_key"),
+    )
+    banded_old = sig_old.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("sig_b"),
+        F.explode(_band_keys_col()).alias("band_key"),
+    )
+    cand = (
+        banded_new.join(banded_old, "band_key")
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(MINHASH_K))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_doc", "dup_of", "est_jaccard")
+    )

@@ -206,3 +206,71 @@ def pack_sequences(
     return with_shard.withColumn(
         "bin_id", F.floor(prefix / F.lit(capacity)).cast("int")
     )
+
+
+def priority_sample(docs: DataFrame, k: int = 50, salt: str = "seed0") -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    without-replacement sample of ``k`` documents where document i gets
+    priority q_i = w_i / u_i (w = n_chars, u = the deterministic
+    md5-uniform) and the k highest priorities win — the
+    unbiased-subset-sum estimator a mixing pipeline uses to audit
+    "what's in this corpus" without scanning it twice.
+
+    Engine-portability: u is an exact dyadic rational (28-bit integer /
+    2^28) and q is one IEEE division — no transcendentals, so Spark and
+    any oracle produce bit-identical priorities. Ties are impossible
+    (distinct doc_id ⇒ distinct u up to md5 collision) but doc_id breaks
+    them anyway.
+
+    Plan: priorities are scan-fused expressions; the global top-k is
+    ``TakeOrderedAndProject`` — per-partition heaps of size k merged on
+    the driver, no global sort, no shuffle of the corpus. The same plan
+    shape as ``vocab_top_terms``, which is exactly why it scales.
+    """
+    u = _uniform(F.col("doc_id").cast("string"), salt)
+    pri = F.col("n_chars").cast("double") / u
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", pri.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def temperature_sample_langs(
+    docs: DataFrame, alpha: float = 0.5, salt: str = "seed0"
+) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-corpus
+    mixing rule of mBERT/XLM-R, p_l ∝ n_l^α): keep each
+    language at rate r_l = (n_min / n_l)^α, so the rarest language
+    survives intact and dominant languages are downsampled toward
+    balance. α=1 keeps the natural distribution; α=0 forces uniform.
+
+    Only α=0.5 is offered through the registry gate: r_l = sqrt(n_min /
+    n_l) is one exact-rounded division plus one correctly-rounded sqrt
+    (IEEE 754 requires it), so the keep/drop decision is bit-identical
+    in any engine — no pow() portability caveat.
+
+    Plan: the language census is a tiny two-phase aggregate (rows =
+    languages); rates join back via broadcast; the corpus itself is
+    filtered at scan speed with zero shuffles. The decision for a given
+    (doc_id, salt) never changes across runs, executor counts, or
+    engines — the same determinism contract as ``sample_stratified``.
+    """
+    if abs(alpha - 0.5) > 1e-12:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) is engine-portable; see docstring"
+        )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("_n_min").cast("double") / F.col("_n").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    u = _uniform(F.col("doc_id").cast("string"), salt)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(u < F.col("keep_rate"))
+        .select("doc_id", "lang", "source", "keep_rate")
+    )

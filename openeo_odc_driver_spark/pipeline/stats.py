@@ -28,6 +28,108 @@ HLL_RSD = 0.05
 PCTL_ACCURACY = 1000
 
 
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus accounting: the report every ingest pipeline
+    emits before mixing decisions — document count, token volume,
+    exact-duplicate rate, mean document length per source/domain.
+
+    One aggregation keyed by ``source``; all measures partial-aggregate
+    map-side except the exact distinct (two-phase). At 100 TB the exact
+    ``countDistinct(md5)`` branch is swapped for ``approx_count_distinct``
+    (see :func:`corpus_stats_sketch` for the gated-sketch idiom) — source
+    cardinality itself is tiny (domains, not documents), so the final
+    reduce is never the bottleneck.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("n_tokens"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5(F.col("text")))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        (F.sum(F.col("n_chars")) / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# Count-min sketch geometry: d independent rows × w buckets. Estimates
+# only ever overestimate (hash collisions add), so `est >= exact` always
+# and the gap shrinks as w grows relative to distinct grams.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(gram: F.Column, row: int) -> F.Column:
+    """Bucket of ``gram`` under the row-th pairwise-independent hash:
+    a 28-bit md5 prefix of (row-salt || gram) mod width — the same
+    engine-portable md5-uniform idiom as ``sampling._uniform``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), gram)), 1, 7), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(CMS_WIDTH)).cast("int")
+
+
+def count_min_heavy_grams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Heavy-hitter n-grams with a count-min-sketch estimate alongside
+    the exact count — (gram, n BIGINT, cms_est BIGINT), top-``k`` by
+    exact count (ties broken by gram).
+
+    The sketch is the at-scale half: token n-grams stream into a fixed
+    d×w = CMS_DEPTH×CMS_WIDTH cell grid whose partial counts combine map-side, so
+    the sketch shuffle carries at most d·w rows REGARDLESS of corpus
+    size — the mergeable-summary property that lets 1000 executors
+    maintain global gram frequencies without shuffling the gram stream.
+    The exact top-k pass (hash-aggregate + TakeOrdered) runs alongside
+    at fixture scale so the oracle pins the sketch: every estimate is
+    computed by the same min-over-rows lookup a production reader would
+    use, and CMS guarantees ``cms_est >= n`` with equality when the
+    gram's d buckets are collision-free.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # sequence(1, 0) is DESCENDING in Spark, so short docs need the guard
+    grams_expr = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> array_join(slice(_toks, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    grams = (
+        docs.select(toks.alias("_toks"))
+        .select(F.explode(grams_expr).alias("gram"))
+    )
+    # sketch: one bounded aggregation over (row, bucket)
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("row"), _cms_bucket(F.col("gram"), j).alias("bucket"))
+        for j in range(CMS_DEPTH)
+    ])
+    sketch = (
+        grams.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    # exact candidates: hash-agg + TakeOrderedAndProject
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )
+    # estimate = min over rows of the candidate's cell; candidates and
+    # the sketch are both tiny -> broadcast joins
+    cand = top.select(
+        "gram", "n", F.explode(rows.alias("_")).alias("rb")
+    ).select("gram", "n", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        cand.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("gram", "n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select("gram", F.col("n").cast("bigint").alias("n"),
+                      F.col("cms_est").cast("bigint").alias("cms_est"))
+
+
 def corpus_stats_sketch(docs: DataFrame) -> DataFrame:
     """Per-language corpus report: doc count, distinct sources
     (exact + HLL gate), median text length (exact + quantile-sketch gate).

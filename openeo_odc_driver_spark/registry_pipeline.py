@@ -1621,3 +1621,250 @@ def _ivf_pq_ann(spark, sf_dir):
         e, e.where(F.col("vec_id") < 8), k=5,
         n_centroids=_IVFPQ_NC, nprobe=_IVFPQ_NPROBE,
     )
+
+
+# --- round-5c: corpus accounting / weighted sampling / sketches -------------
+
+@q(
+    "domain_stats",
+    f"SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum(len({_TOKS_D})) AS BIGINT) AS n_tokens, "
+    "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, "
+    "1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE) AS dup_rate, "
+    "sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars "
+    "FROM documents GROUP BY source",
+)
+def _domain_stats(spark, sf_dir):
+    """Per-source corpus accounting (pipeline/stats.py: domain_stats):
+    the ingest report — doc/token volume, exact-dup rate, mean length
+    per domain. One partial-aggregated pass keyed by source."""
+    from .pipeline.stats import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
+_PRI_U_D = (
+    "(CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), "
+    "1, 7)) AS BIGINT) / 268435456.0)"
+)
+
+
+@q(
+    "priority_sample",
+    "SELECT doc_id, lang, source, n_chars, "
+    f"CAST(n_chars AS DOUBLE) / {_PRI_U_D} AS priority "
+    "FROM documents ORDER BY priority DESC, doc_id LIMIT 50",
+)
+def _priority_sample(spark, sf_dir):
+    """Priority sampling, Duffield-Lund-Thorup (pipeline/sampling.py:
+    priority_sample): weighted top-k by w/u with the md5-uniform — the
+    TakeOrderedAndProject plan, no corpus shuffle. Priorities are one
+    IEEE division over a dyadic uniform: bit-identical cross-engine."""
+    from .pipeline.sampling import priority_sample
+
+    return priority_sample(_docs(spark, sf_dir), k=50)
+
+
+@q(
+    "temperature_sample_langs",
+    "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+    "m AS (SELECT min(n) AS n_min FROM c), "
+    "r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "AS keep_rate FROM c, m) "
+    "SELECT d.doc_id, d.lang, d.source, r.keep_rate "
+    f"FROM documents d JOIN r USING (lang) WHERE {_PRI_U_D} < r.keep_rate",
+)
+def _temperature_sample_langs(spark, sf_dir):
+    """α=0.5 temperature language rebalancing (pipeline/sampling.py:
+    temperature_sample_langs): keep-rate sqrt(n_min/n_l) — exact-rounded
+    division + correctly-rounded sqrt, so the keep/drop decision is
+    engine-exact. Tiny census aggregate, broadcast rates, scan-speed
+    filter."""
+    from .pipeline.sampling import temperature_sample_langs
+
+    return temperature_sample_langs(_docs(spark, sf_dir))
+
+
+_CMS_GRAMS_D = (
+    "t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk "
+    "FROM documents), "
+    "g AS (SELECT unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "i -> array_to_string(tk[i:i+2], ' '))) AS gram FROM t)"
+)
+
+_CMS_BUCKET_D = (
+    "CAST(('0x' || substring(md5(concat('cms' || CAST(row AS VARCHAR) || '|', "
+    "gram)), 1, 7)) AS BIGINT) % 1024"
+)
+
+
+@q(
+    "count_min_heavy_grams",
+    f"WITH {_CMS_GRAMS_D}, "
+    "gb AS (SELECT gram, CAST(unnest(range(0, 4)) AS INT) AS row FROM g), "
+    f"gb2 AS (SELECT gram, row, {_CMS_BUCKET_D} AS bucket FROM gb), "
+    "sketch AS (SELECT row, bucket, count(*) AS cell FROM gb2 "
+    "GROUP BY row, bucket), "
+    "top AS (SELECT gram, count(*) AS n FROM g GROUP BY gram "
+    "ORDER BY n DESC, gram LIMIT 20), "
+    "cand AS (SELECT gram, n, CAST(unnest(range(0, 4)) AS INT) AS row "
+    "FROM top), "
+    f"cand2 AS (SELECT gram, n, row, {_CMS_BUCKET_D} AS bucket FROM cand) "
+    "SELECT cand2.gram, CAST(n AS BIGINT) AS n, "
+    "CAST(min(cell) AS BIGINT) AS cms_est "
+    "FROM cand2 JOIN sketch USING (row, bucket) GROUP BY cand2.gram, n",
+)
+def _count_min_heavy_grams(spark, sf_dir):
+    """Count-min-sketch heavy-hitter 3-grams (pipeline/stats.py:
+    count_min_heavy_grams): the gram stream folds into a fixed 4×1024
+    cell grid (map-side mergeable — the shuffle is sketch-sized at any
+    corpus scale); estimates are the min-over-rows lookup and the oracle
+    pins them against exact counts (CMS guarantees est ≥ exact)."""
+    from .pipeline.stats import count_min_heavy_grams
+
+    return count_min_heavy_grams(_docs(spark, sf_dir), n=3, k=20)
+
+
+@q(
+    "minhash_dedup_incremental",
+    f"WITH shn AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh "
+    "FROM documents WHERE doc_id % 5 = 0), "
+    f"hhn AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM shn), "
+    f"sign_ AS (SELECT doc_id, {_MH_MINS_D} FROM hhn GROUP BY doc_id), "
+    f"sho AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh "
+    "FROM documents WHERE doc_id % 5 != 0), "
+    f"hho AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM sho), "
+    f"sigo AS (SELECT doc_id, {_MH_MINS_D} FROM hho GROUP BY doc_id), "
+    "bn AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_d(b)} AS band_key FROM sign_"
+        for b in range(LSH_BANDS)
+    ) + "), "
+    "bo AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_d(b)} AS band_key FROM sigo"
+        for b in range(LSH_BANDS)
+    ) + "), "
+    "cand AS (SELECT DISTINCT bn.doc_id AS new_doc, bo.doc_id AS dup_of "
+    "FROM bn JOIN bo USING (band_key)) "
+    "SELECT new_doc, dup_of, "
+    + _EST_EXPR.replace("sa.", "sn.").replace("sb.", "so.")
+    + " AS est_jaccard FROM cand "
+    "JOIN sign_ sn ON cand.new_doc = sn.doc_id "
+    "JOIN sigo so ON cand.dup_of = so.doc_id "
+    + "WHERE "
+    + _EST_EXPR.replace("sa.", "sn.").replace("sb.", "so.")
+    + " >= 0.5",
+)
+def _minhash_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup of an incoming batch against the existing
+    corpus (pipeline/dedup.py: minhash_dedup_incremental): banded
+    new→existing equi-join only — the existing side's signatures are the
+    materialized asset, the new batch is the only text hashed. The
+    ingest-time shape of minhash dedup at a growing 100 TB corpus."""
+    from .pipeline.dedup import minhash_dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+
+
+@q("quality_classifier_train", values_oracle_sql("quality_classifier_train"))
+def _quality_classifier_train(spark, sf_dir):
+    """Distributed full-batch logistic regression distilling the
+    rule-based quality score into a linear filter
+    (pipeline/classifier.py: quality_classifier_train). Iterative
+    (one partial-aggregated gradient pass + 5-number driver round-trip
+    per iteration — the kmeans_train pattern), so the oracle is the
+    fixed expected weight table; 1e-9 per-iteration quantization makes
+    it bit-stable across layouts (verified at capture)."""
+    from .pipeline.classifier import quality_classifier_train
+
+    return quality_classifier_train(_docs(spark, sf_dir))
+
+
+def _classifier_score_sql() -> str:
+    from .pipeline.classifier import FEATURE_NAMES, TRAINED_WEIGHTS
+    from .pipeline.text import STOPWORDS
+
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_lit = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+    feats = {
+        "len_norm": "len(tk) / 100.0 - 0.5",
+        "mean_word_len": (
+            "list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT)))"
+            " / len(tk) - 4.5"
+        ),
+        "distinct_ratio": "len(list_distinct(tk)) / len(tk) - 0.625",
+        "stopword_x16": (
+            f"len(list_filter(tk, t -> list_contains({stop_lit}, t)))"
+            " / len(tk) * 16.0 - 1.0"
+        ),
+    }
+    z = repr(TRAINED_WEIGHTS["bias"])
+    for name in FEATURE_NAMES[1:]:
+        z += f" + {TRAINED_WEIGHTS[name]!r} * {name}"
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk "
+        "FROM documents), "
+        "f AS (SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
+        + " FROM t) "
+        f"SELECT doc_id, CAST(floor(({z}) * 1000000.0 + 0.5) AS BIGINT) "
+        f"AS margin_fp, ({z}) > 0.0 AS keep FROM f"
+    )
+
+
+@q("quality_classifier_score", _classifier_score_sql())
+def _quality_classifier_score(spark, sf_dir):
+    """Scan-speed corpus scoring with the trained checkpoint
+    (pipeline/classifier.py: quality_classifier_score): the logit is a
+    fixed-order IEEE multiply-add chain over exact features — zero
+    shuffles, bit-identical in the SQL twin, monotone in the sigmoid so
+    the filter decision needs no transcendentals."""
+    from .pipeline.classifier import quality_classifier_score
+
+    return quality_classifier_score(_docs(spark, sf_dir))
+
+
+_Z4_D = (
+    "((ix & 1) << 0) | (((iy & 1)) << 1) | "
+    "(((ix >> 1) & 1) << 2) | (((iy >> 1) & 1) << 3) | "
+    "(((ix >> 2) & 1) << 4) | (((iy >> 2) & 1) << 5) | "
+    "(((ix >> 3) & 1) << 6) | (((iy >> 3) & 1) << 7)"
+)
+
+
+def _zorder_sql() -> str:
+    from .registry import CUBE_D
+
+    return (
+        f"WITH cube AS ({CUBE_D}), "
+        "cells AS (SELECT DISTINCT "
+        "CAST(round((x - 0.0) / 10.0) AS INT) AS ix, "
+        "CAST(round((150.0 - y) / 10.0) AS INT) AS iy FROM cube), "
+        f"k AS (SELECT ix, iy, {_Z4_D} AS zkey FROM cells) "
+        "SELECT CAST(zkey >> 4 AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_cells, "
+        "min(ix) AS x_min, max(ix) AS x_max, "
+        "min(iy) AS y_min, max(iy) AS y_max, "
+        "CAST((max(ix) - min(ix) + 1) * (max(iy) - min(iy) + 1) AS BIGINT) "
+        "AS bbox_area FROM k GROUP BY bucket"
+    )
+
+
+@q("zorder_bucket_stats", _zorder_sql())
+def _zorder_bucket_stats(spark, sf_dir):
+    """Z-order (Morton) clustering stats over the cube grid
+    (sinks/zorder.py: zorder_bucket_stats): every 16-cell Z-block has a
+    compact 4×4 bounding box (bbox_area == n_cells) — the min/max
+    footprint a z-clustered parquet file exposes, vs full-x-extent
+    stripes from a row-major layout. Pins the Morton bit math
+    cross-engine; write_zordered materializes the layout itself."""
+    from .sinks.zorder import zorder_bucket_stats
+    from .sources.synthetic import synthetic_cube
+
+    cube = synthetic_cube(spark)
+    cells = cube.df.select("x", "y").dropDuplicates()
+    return zorder_bucket_stats(cells, cube.schema.grid, block_bits=2)

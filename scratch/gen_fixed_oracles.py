@@ -23,7 +23,7 @@ SPARK_TYPES = {
 }
 
 NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
-         "kmeans_train", "bpe_learn_merges"]
+         "kmeans_train", "bpe_learn_merges", "quality_classifier_train"]
 
 
 def main() -> int:
