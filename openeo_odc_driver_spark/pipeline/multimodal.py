@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The IMAGE decode step is STUBBED (no PIL/cv2 in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which case
-a deterministic fake decoder (seeded by content hash) produces arrays with
-the right shapes — so the Spark-side plumbing (schema, batch shape,
-partition sizing, UDF signatures) is real and tested end-to-end.
+The IMAGE decode step is REAL for PNG: `decode_image(fake=False)` parses
+PNG payloads with the repo's pure-stdlib codec (`..sinks.png`, zlib +
+struct — the same encoder the PNG sink uses), and `attach_png_images`
+synthesizes genuine PNG payloads. JPEG/WebP remain the documented
+library boundary (no PIL/cv2 in this container): `fake=True` keeps the
+deterministic hash-seeded decoder for such payloads, so the Spark-side
+plumbing (schema, batch shape, partition sizing, UDF signatures) is
+exercised regardless of codec availability.
 The AUDIO decode step is REAL: `decode_audio(fake=False)` parses RIFF/WAV
 (PCM16) with the stdlib `wave` module, and `attach_wav_audio` synthesizes
 genuine WAV payloads with the stdlib encoder.
@@ -50,31 +53,79 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def synth_png_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic RGB PNG via the repo's pure-stdlib encoder
+    (``..sinks.png.encode_png``): a seed-keyed gradient + seeded noise —
+    *real* PNG bytes any image tool can open, content-addressed so
+    fixtures are reproducible."""
+    from ..sinks.png import encode_png
+
+    rng = np.random.default_rng(seed % (2 ** 32))
+    yy, xx = np.meshgrid(
+        np.arange(height, dtype="int64"), np.arange(width, dtype="int64"),
+        indexing="ij",
+    )
+    r = (xx * 255 // max(width - 1, 1) + seed) % 256
+    g = (yy * 255 // max(height - 1, 1) + 3 * seed) % 256
+    b = rng.integers(0, 256, size=(height, width), dtype="int64")
+    arr = np.stack([r, g, b]).astype(np.uint8)  # (ch, h, w)
+    return encode_png(arr)
+
+
+def attach_png_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Fixture adapter: a **real** PNG binary column (stdlib encoder,
+    seeded by doc_id) + typed metadata. Arrow-batched pandas UDF — the
+    payload never leaves the executor that synthesized it."""
+    @F.pandas_udf("binary")
+    def make_png(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_png_bytes(int(i), width, height))
+
+    return docs.select(
+        "doc_id",
+        make_png("doc_id").alias("image"),
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("png/rgb8").alias("format"),
+        ).alias("image_meta"),
+    )
+
+
 def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     """binary → decoded pixel stats via mapInPandas (Arrow batches).
 
-    Real decoders (PIL/cv2) are not in the image — `fake=False` raises,
-    marking exactly where the real library call goes.
+    ``fake=False`` is a **real decoder** for PNG payloads via the
+    pure-stdlib codec in ``..sinks.png`` (zlib inflate + filter
+    reconstruction) — no third-party image library needed. Decoders for
+    JPEG/WebP would slot in at the same call site when PIL/cv2 exist;
+    ``fake=True`` keeps the hash-seeded deterministic path for such
+    payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/cv2 (not in this container); "
-            "use fake=True for the deterministic test decoder"
-        )
-
     out_schema = (
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, brightness double"
     )
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sinks.png import decode_png
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                w = int(r["image_meta"]["width"])
-                h = int(r["image_meta"]["height"])
-                arr = _fake_decode(bytes(r["image"]), w, h)
-                means = arr.reshape(-1, 3).mean(axis=0)
+                if fake:
+                    w = int(r["image_meta"]["width"])
+                    h = int(r["image_meta"]["height"])
+                    arr = _fake_decode(bytes(r["image"]), w, h)  # (h, w, 3)
+                else:
+                    chw = decode_png(bytes(r["image"]))  # (ch, h, w)
+                    if chw.shape[0] == 1:  # grayscale → replicate
+                        chw = np.repeat(chw, 3, axis=0)
+                    elif chw.shape[0] == 4:  # RGBA → drop alpha
+                        chw = chw[:3]
+                    arr = np.transpose(chw, (1, 2, 0))
+                    h, w = arr.shape[:2]
+                means = arr.reshape(-1, arr.shape[-1]).mean(axis=0)
                 rows.append(
                     (r["doc_id"], w, h, float(means[0]), float(means[1]),
                      float(means[2]), float(means.mean()))

@@ -508,18 +508,20 @@ def _fingerprint(spark, sf_dir):
     return ptext.doc_fingerprint(_docs(spark, sf_dir), gram=8)
 
 
-# --- multimodal (stubbed decode; real Spark plumbing) -----------------------
+# --- multimodal (real stdlib codecs; Arrow-batched plumbing) ----------------
 
 @q("multimodal_decode", values_oracle_sql("multimodal_decode"))
 def _multimodal(spark, sf_dir):
-    """Pandas-UDF image decode (deterministic content-addressed fake —
-    no codec libs in the container). Oracle = fixed expected values on the
-    sf0.01 fixture (scratch/gen_fixed_oracles.py); `doc_id < 128` instead
+    """REAL stdlib-PNG round-trip: attach_png_images synthesizes RGB8 PNG
+    payloads with the pure-stdlib encoder (sinks/png.py), and
+    decode_image(fake=False) inflates + defilters them back to pixels —
+    no PIL/cv2 anywhere. Oracle = fixed expected values on the sf0.01
+    fixture (scratch/gen_fixed_oracles.py); `doc_id < 128` instead
     of `limit` so the row set is deterministic."""
-    from .pipeline.multimodal import attach_fake_images, decode_image
+    from .pipeline.multimodal import attach_png_images, decode_image
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
-    out = decode_image(attach_fake_images(docs), fake=True)
+    out = decode_image(attach_png_images(docs), fake=False)
     return out.select(
         "doc_id", "width", "height",
         *[F.round(c, 7).alias(c)

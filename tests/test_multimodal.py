@@ -1,5 +1,6 @@
-"""Multimodal plumbing: real stdlib-WAV encode/decode round-trip, stubbed
-image decode boundary, and the fixed-expected-value oracle machinery."""
+"""Multimodal plumbing: real stdlib-WAV and stdlib-PNG encode/decode
+round-trips, the non-PNG codec boundary, and the fixed-expected-value
+oracle machinery."""
 
 import io
 import wave
@@ -47,10 +48,43 @@ def test_wav_roundtrip_features_match_local(spark):
     assert r["peak"] == pytest.approx(float(np.abs(xf).max()), abs=0)
 
 
-def test_image_decode_real_path_is_marked(spark):
+def test_synth_png_is_real_png():
+    from openeo_odc_driver_spark.pipeline.multimodal import synth_png_bytes
+    from openeo_odc_driver_spark.sinks.png import decode_png
+
+    b = synth_png_bytes(7, width=16, height=12)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    arr = decode_png(b)
+    assert arr.shape == (3, 12, 16)
+
+
+def test_png_roundtrip_pixel_stats_match_local(spark):
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_png_images,
+        synth_png_bytes,
+    )
+    from openeo_odc_driver_spark.sinks.png import decode_png
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_image(attach_png_images(docs), fake=False).collect()
+    }
+    assert len(got) == 6
+    # reference stats computed locally from the same bytes
+    arr = decode_png(synth_png_bytes(3)).astype("float64")  # (3, h, w)
+    r = got[3]
+    assert (r["width"], r["height"]) == (32, 32)
+    assert r["mean_r"] == pytest.approx(float(arr[0].mean()), abs=0)
+    assert r["mean_b"] == pytest.approx(float(arr[2].mean()), abs=0)
+
+
+def test_image_decode_real_path_rejects_non_png(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
-        decode_image(attach_fake_images(docs), fake=False)
+    with pytest.raises(Exception, match="(?i)png"):
+        decode_image(attach_fake_images(docs), fake=False).collect()
 
 
 def test_missing_fixture_is_loud_not_silent():
