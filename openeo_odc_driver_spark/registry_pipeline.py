@@ -1870,3 +1870,42 @@ def _zorder_bucket_stats(spark, sf_dir):
     cube = synthetic_cube(spark)
     cells = cube.df.select("x", "y").dropDuplicates()
     return zorder_bucket_stats(cells, cube.schema.grid, block_bits=2)
+
+
+def _classifier_keep_sql() -> str:
+    base = _classifier_score_sql()
+    return f"SELECT * FROM ({base}) WHERE keep"
+
+
+@q("streaming_quality_filter", _classifier_keep_sql())
+def _streaming_quality_filter(spark, sf_dir):
+    """Ingest-time model filtering: the trained quality classifier
+    scores a DOCUMENT STREAM (pipeline/classifier.py:
+    quality_classifier_score is a pure stateless projection, so it runs
+    unchanged under Structured Streaming — no watermark, no state
+    store) and only kept documents reach the sink. Oracle = the batch
+    scoring SQL filtered on keep: stream and batch must agree row for
+    row, which is exactly the guarantee a streaming ingest pipeline
+    needs before swapping batch cleaning for continuous cleaning."""
+    from .pipeline.classifier import quality_classifier_score
+
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = quality_classifier_score(stream).where(F.col("keep"))
+    qname = "reg_quality_filter"
+    qy = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    return spark.table(qname)
