@@ -158,3 +158,42 @@ def stream_corpus_ingest(
         .queryName(query_name)
         .start()
     )
+
+
+def compact_corpus(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_col: str = "lang",
+    n_shards: int = 4,
+    key: str = "doc_id",
+    salt: str = "seed0",
+) -> str:
+    """Compact a streaming-ingested layout (``src/batch=N/...`` — one
+    file per (partition, shard) leaf PER MICRO-BATCH) into the batch
+    writer's single layout at ``dst`` (one file per leaf, total): the
+    maintenance pass a long-running ingest needs, since streaming file
+    growth is O(batches × layout).
+
+    Only ``_SUCCESS``-committed batches are read (the exactly-once
+    manifest rule), the shard assignment is recomputed with the SAME
+    (key, salt, n_shards) definition — so compaction is a pure layout
+    change: document set, shard membership, and per-shard order are
+    byte-for-byte what a fresh batch write of the union would produce
+    (pinned by tests/test_corpus.py).
+
+    Compaction writes to a NEW root; consumers cut over by path — the
+    metadata-only reader swap. (In-place rewriting under concurrent
+    readers would double-count between commit and cleanup; a table
+    format with atomic manifest swap — Delta/Iceberg — is the tool for
+    that, out of scope here.)
+
+    Scale: ONE repartition of the corpus — the same cost as the original
+    batch write; at 100 TB this runs partition-parallel and each output
+    leaf is written by exactly one task.
+    """
+    docs = read_training_corpus(spark, src, partition_col).drop("shard")
+    return write_training_corpus(
+        docs, dst, partition_col=partition_col, n_shards=n_shards,
+        key=key, salt=salt,
+    )

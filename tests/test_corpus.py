@@ -225,3 +225,73 @@ def test_read_training_corpus_validates_partition_col(spark, tmp_path):
     assert read_training_corpus(spark, out, "lang").count() == 2
     with pytest.raises(ValueError, match="no partition column"):
         read_training_corpus(spark, out, "source")
+
+
+def test_compact_corpus_is_pure_layout_change(spark, tmp_path):
+    """Two streamed micro-batches (2 files per leaf) compact into the
+    batch layout (1 file per leaf) with identical content, shard
+    membership, and bytes a fresh batch write would produce."""
+    import glob
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.sinks.corpus import (
+        compact_corpus,
+        read_training_corpus,
+        stream_corpus_ingest,
+        write_training_corpus,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "stream_corpus")
+    chk = str(tmp_path / "chk")
+    rows1 = [(1, "alpha beta", "en"), (2, "gamma", "de")]
+    rows2 = [(3, "delta", "en"), (4, "epsilon zeta", "en")]
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(src / name)
+
+    write("b1.parquet", rows1)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(str(src))
+    q = stream_corpus_ingest(stream, out, chk, n_shards=2, query_name="cc_test")
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    compacted = str(tmp_path / "compacted")
+    compact_corpus(spark, out, compacted, n_shards=2)
+
+    # 1 file per (lang, shard) leaf after compaction
+    files = glob.glob(f"{compacted}/lang=*/shard=*/part-*.parquet")
+    leaves = {f.rsplit("/", 1)[0] for f in files}
+    assert len(files) == len(leaves)
+
+    # content identical to the streaming layout
+    a = sorted(
+        read_training_corpus(spark, out).select("doc_id", "text", "lang", "shard").collect()
+    )
+    b = sorted(
+        read_training_corpus(spark, compacted).select("doc_id", "text", "lang", "shard").collect()
+    )
+    assert a == b
+
+    # byte-identical to a fresh batch write of the same union
+    fresh = str(tmp_path / "fresh")
+    union = spark.createDataFrame(rows1 + rows2, "doc_id long, text string, lang string")
+    write_training_corpus(union, fresh, n_shards=2)
+
+    def leaf_bytes(root):
+        outm = {}
+        for f in glob.glob(f"{root}/lang=*/shard=*/part-*.parquet"):
+            leaf = "/".join(f.rsplit("/", 3)[1:3])
+            with open(f, "rb") as fh:
+                outm[leaf] = fh.read()
+        return outm
+
+    assert leaf_bytes(compacted) == leaf_bytes(fresh)
