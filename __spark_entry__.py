@@ -67,7 +67,7 @@ _GATE_PRIORITY = [
     "domain_stats", "priority_sample", "temperature_sample_langs",
     "count_min_heavy_grams", "minhash_dedup_incremental",
     "quality_classifier_train", "quality_classifier_score",
-    "zorder_bucket_stats", "streaming_quality_filter",
+    "zorder_bucket_stats", "streaming_quality_filter", "jsonl_roundtrip",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

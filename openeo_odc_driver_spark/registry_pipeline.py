@@ -1909,3 +1909,41 @@ def _streaming_quality_filter(spark, sf_dir):
     finally:
         qy.stop()
     return spark.table(qname)
+
+
+@q(
+    "jsonl_roundtrip",
+    f"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    f"CAST(sum(len({_TOKS_D})) AS BIGINT) AS sum_tokens, "
+    "CAST(min(md5(text)) AS VARCHAR) AS min_text_md5 "
+    "FROM documents GROUP BY lang",
+)
+def _jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink fidelity (sources/jsonl.py): the documents
+    table round-trips through gzip JSONL — the format corpora actually
+    ship in — and the census (counts, char/token sums, an md5 witness of
+    the text bytes themselves) must equal the parquet original. A
+    mangled escape, lost row, or re-encoded character anywhere in the
+    write→read path shifts the hash."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import load_documents_jsonl, write_documents_jsonl
+
+    work = tempfile.mkdtemp(prefix="jsonl_gate_")
+    try:
+        write_documents_jsonl(_docs(spark, sf_dir), f"{work}/docs")
+        back = load_documents_jsonl(spark, f"{work}/docs")
+        census = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias(
+                "sum_tokens"
+            ),
+            F.min(F.md5("text")).alias("min_text_md5"),
+        )
+        rows = census.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, census.schema)
