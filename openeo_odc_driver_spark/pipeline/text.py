@@ -701,3 +701,70 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).cast("bigint").alias("mean_logprob_micro"),
         )
     )
+
+
+def cdc_chunk_documents(
+    docs: DataFrame, window: int = 4, mask: int = 16
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/gear-hash idea at token
+    granularity): a chunk boundary falls AFTER token i whenever the
+    rolling fingerprint of the trailing ``window`` tokens hits the mask
+    (md5-uniform ≡ 0 mod ``mask``) — so boundaries are a function of
+    LOCAL CONTENT, not position, and an insertion near the front of a
+    document shifts only the chunk it lands in, never every downstream
+    chunk (fixed-stride chunking re-cuts everything after an edit).
+    Expected chunk length ≈ ``mask`` tokens.
+
+    Emits ``(doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_md5)`` — the chunk hash is what cross-document chunk-level
+    dedup (and content-addressed storage) keys on.
+
+    Plan: pure array expressions fused with the scan — the token array,
+    boundary set, and chunk slices are all computed per row with zero
+    exchanges (the chunk_documents discipline); each stage is staged in
+    its own projection so no lambda re-evaluates an earlier stage per
+    element (no CSE inside lambdas).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    staged = docs.select("doc_id", toks.alias("_toks"))
+    # boundary AFTER position i (i >= window) when the trailing-window
+    # fingerprint hits the mask; the last position always closes a chunk
+    # sequence(a, b) is DESCENDING for b < a in Spark: short docs (fewer
+    # than `window` tokens) must produce no content boundaries at all
+    bound = F.expr(
+        f"CASE WHEN size(_toks) >= {window} THEN "
+        f"filter(sequence({window}, size(_toks)), i -> "
+        f"pmod(CAST(conv(substring(md5(array_join(slice(_toks, i - {window - 1}, "
+        f"{window}), ' ')), 1, 7), 16, 10) AS BIGINT), {mask}) = 0) "
+        f"ELSE array() END"
+    )
+    with_bounds = staged.select(
+        "doc_id", "_toks",
+        F.array_distinct(
+            F.concat(bound, F.array(F.size("_toks")))
+        ).alias("_ends"),
+    )
+    # chunk k spans (ends[k-1]+1 .. ends[k]); starts = 1 ++ (ends+1)
+    chunks = with_bounds.select(
+        "doc_id", "_toks",
+        F.expr(
+            "transform(_ends, (e, k) -> named_struct("
+            "'chunk_idx', k, "
+            "'chunk_start', CASE WHEN k = 0 THEN 1 ELSE element_at(_ends, k) + 1 END, "
+            "'chunk_end', e))"
+        ).alias("_spans"),
+    ).select("doc_id", "_toks", F.explode("_spans").alias("c"))
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_start").cast("int").alias("chunk_start"),
+        (F.col("c.chunk_end") - F.col("c.chunk_start") + 1)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.expr(
+                "array_join(slice(_toks, c.chunk_start, "
+                "c.chunk_end - c.chunk_start + 1), ' ')"
+            )
+        ).alias("chunk_md5"),
+    )

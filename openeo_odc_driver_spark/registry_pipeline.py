@@ -1947,3 +1947,31 @@ def _jsonl_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, census.schema)
+
+
+@q(
+    "cdc_chunks",
+    f"WITH t AS (SELECT doc_id, {_TOKS_D} AS tk FROM documents), "
+    "b AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 4 THEN "
+    "list_filter(range(4, len(tk) + 1), i -> "
+    "(CAST(('0x' || substring(md5(array_to_string(tk[i-3:i], ' ')), 1, 7)) "
+    "AS BIGINT) % 16) = 0) ELSE [] END AS bnd FROM t), "
+    "e AS (SELECT doc_id, tk, "
+    "list_sort(list_distinct(list_append(bnd, len(tk)))) AS ends FROM b), "
+    "s AS (SELECT doc_id, tk, ends, "
+    "CAST(unnest(range(1, len(ends) + 1)) AS INT) AS k FROM e), "
+    "c AS (SELECT doc_id, tk, CAST(k - 1 AS INT) AS chunk_idx, "
+    "CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS INT) "
+    "AS chunk_start, ends[k] AS ce FROM s) "
+    "SELECT doc_id, chunk_idx, chunk_start, "
+    "CAST(ce - chunk_start + 1 AS INT) AS n_chunk_tokens, "
+    "md5(array_to_string(tk[chunk_start:ce], ' ')) AS chunk_md5 FROM c",
+)
+def _cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (pipeline/text.py: cdc_chunk_documents,
+    the FastCDC idea at token granularity): boundaries where the
+    trailing-4-token fingerprint hits the mask, so an edit re-cuts one
+    chunk, not every downstream chunk. chunk_md5 is the key for
+    chunk-level cross-doc dedup / content-addressed storage. Zero
+    exchanges — array expressions fused with the scan."""
+    return ptext.cdc_chunk_documents(_docs(spark, sf_dir), window=4, mask=16)

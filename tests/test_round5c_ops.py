@@ -253,3 +253,52 @@ def test_zorder_layout_prunes_xslab_better_than_rowmajor(spark, tmp_path):
     assert r_hit == 8          # row-major stripes all intersect the slab
     assert z_hit < r_hit       # z-order files have compact x footprints
     assert z_hit <= 4
+
+
+# --- content-defined chunking ----------------------------------------------
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    from openeo_odc_driver_spark.pipeline.text import cdc_chunk_documents
+
+    docs = _docs(spark, [_d(1, " ".join(f"tok{i}" for i in range(100)))])
+    out = sorted(cdc_chunk_documents(docs).collect(), key=lambda r: r.chunk_idx)
+    # chunks tile the token range contiguously
+    assert out[0].chunk_start == 1
+    for a, b in zip(out, out[1:]):
+        assert b.chunk_start == a.chunk_start + a.n_chunk_tokens
+    assert out[-1].chunk_start + out[-1].n_chunk_tokens - 1 == 100
+    assert len(out) > 1  # the mask actually fires on 100 tokens
+
+
+def test_cdc_edit_locality_preserves_downstream_chunks(spark):
+    """The CDC property fixed-stride chunking lacks: an insertion near
+    the front re-cuts only the chunk it lands in — downstream chunk
+    hashes survive, so chunk-level dedup still matches them."""
+    from openeo_odc_driver_spark.pipeline.text import cdc_chunk_documents
+
+    base = [f"tok{i}" for i in range(200)]
+    edited = ["INSERTED"] + base
+    docs = _docs(spark, [_d(1, " ".join(base)), _d(2, " ".join(edited))])
+    chunks = cdc_chunk_documents(docs).collect()
+    h1 = [r.chunk_md5 for r in sorted(
+        (r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    h2 = [r.chunk_md5 for r in sorted(
+        (r for r in chunks if r.doc_id == 2), key=lambda r: r.chunk_idx)]
+    # all but the first chunk of the original reappear verbatim
+    shared = set(h1) & set(h2)
+    assert len(shared) >= len(h1) - 1
+    # and the common suffix is identical in order
+    k = min(len(h1), len(h2))
+    assert h1[-(k - 1):] == h2[-(k - 1):]
+
+
+def test_cdc_chunks_zero_exchanges(spark):
+    from openeo_odc_driver_spark.pipeline.text import cdc_chunk_documents
+
+    docs = _docs(spark, [_d(1, "a b c d e f g h")])
+    plan = (
+        cdc_chunk_documents(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
