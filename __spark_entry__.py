@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "count_min_heavy_grams", "minhash_dedup_incremental",
     "quality_classifier_train", "quality_classifier_score",
     "zorder_bucket_stats", "streaming_quality_filter", "jsonl_roundtrip",
+    "cdc_chunks", "gopher_quality_flags",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

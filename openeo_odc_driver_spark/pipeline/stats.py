@@ -99,23 +99,23 @@ def count_min_heavy_grams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame
         docs.select(toks.alias("_toks"))
         .select(F.explode(grams_expr).alias("gram"))
     )
-    # sketch: one bounded aggregation over (row, bucket)
+    # ONE aggregation of the gram stream; both the sketch and the top-k
+    # derive from the (gram, n) table, so the 4 bucket md5s are computed
+    # per DISTINCT gram, not per occurrence (a pure-relational rewrite —
+    # summing n into cells equals counting occurrences; measured 1.45 s
+    # → 1.2 s warm at sf0.1, and the gap grows with duplication factor).
+    gram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     rows = F.array(*[
         F.struct(F.lit(j).alias("row"), _cms_bucket(F.col("gram"), j).alias("bucket"))
         for j in range(CMS_DEPTH)
     ])
     sketch = (
-        grams.select(F.explode(rows).alias("rb"))
+        gram_counts.select("n", F.explode(rows).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cell"))
+        .agg(F.sum("n").alias("cell"))
     )
-    # exact candidates: hash-agg + TakeOrderedAndProject
-    top = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("gram"))
-        .limit(k)
-    )
+    # exact candidates: TakeOrderedAndProject over the same table
+    top = gram_counts.orderBy(F.desc("n"), F.asc("gram")).limit(k)
     # estimate = min over rows of the candidate's cell; candidates and
     # the sketch are both tiny -> broadcast joins
     cand = top.select(

@@ -768,3 +768,65 @@ def cdc_chunk_documents(
             )
         ).alias("chunk_md5"),
     )
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, §A1.1) as
+    per-document boolean flags + the overall keep decision — the
+    rule-filter half that complements :func:`repetition_scores` (that
+    op covers the repetition half of the same appendix).
+
+    Flags (each TRUE = passes):
+
+    - ``ok_n_words``       50 ≤ word count ≤ 100 000
+    - ``ok_mean_word_len`` 3 ≤ mean word length ≤ 10
+    - ``ok_hash_ratio``    '#' symbols / words ≤ 0.1
+    - ``ok_ellipsis``      lines ending in '...' ≤ 30 %
+    - ``ok_bullets``       lines starting with '-'/'•' ≤ 90 %
+    - ``ok_alpha_words``   words containing a letter ≥ 80 %
+    - ``ok_stopwords``     ≥ 2 stopword occurrences
+    - ``keep``             conjunction of all of the above
+
+    All counts are exact integers and every ratio is one IEEE division,
+    so the oracle matches bit-for-bit. Zero exchanges — the whole rule
+    set is a scan-fused projection, which is what makes rule filtering
+    the cheapest pass of a 100 TB pipeline.
+    """
+    stop_arr = sorted({w for ws in STOPWORDS.values() for w in ws})
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), r"\n")
+    staged = docs.select("doc_id", "text", toks.alias("_t"), lines.alias("_l"))
+    n_words = F.size("_t")
+    sum_word_len = F.aggregate(
+        F.transform("_t", lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_word_len / n_words
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_ellipsis_lines = F.size(
+        F.filter("_l", lambda ln: ln.rlike(r"\.\.\.\s*$"))
+    )
+    n_bullet_lines = F.size(
+        F.filter("_l", lambda ln: ln.rlike(r"^\s*[-•*]"))
+    )
+    n_alpha_words = F.size(
+        F.filter("_t", lambda t: t.rlike(r"[A-Za-z]"))
+    )
+    n_stop = F.size(F.filter("_t", lambda t: F.lower(t).isin(stop_arr)))
+    flags = staged.select(
+        "doc_id",
+        ((n_words >= 50) & (n_words <= 100_000)).alias("ok_n_words"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
+        ((n_hash / n_words) <= 0.1).alias("ok_hash_ratio"),
+        ((n_ellipsis_lines / F.size("_l")) <= 0.3).alias("ok_ellipsis"),
+        ((n_bullet_lines / F.size("_l")) <= 0.9).alias("ok_bullets"),
+        ((n_alpha_words / n_words) >= 0.8).alias("ok_alpha_words"),
+        (n_stop >= 2).alias("ok_stopwords"),
+    )
+    keep = (
+        F.col("ok_n_words") & F.col("ok_mean_word_len")
+        & F.col("ok_hash_ratio") & F.col("ok_ellipsis") & F.col("ok_bullets")
+        & F.col("ok_alpha_words") & F.col("ok_stopwords")
+    )
+    return flags.withColumn("keep", keep)

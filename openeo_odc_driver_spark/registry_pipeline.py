@@ -1975,3 +1975,41 @@ def _cdc_chunks(spark, sf_dir):
     chunk-level cross-doc dedup / content-addressed storage. Zero
     exchanges — array expressions fused with the scan."""
     return ptext.cdc_chunk_documents(_docs(spark, sf_dir), window=4, mask=16)
+
+
+def _gopher_sql() -> str:
+    from .pipeline.text import STOPWORDS
+
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_lit = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+    mean_wl = "(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) / len(tk))"
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        f"{_TOKS_D} AS tk, string_split(text, chr(10)) AS ln FROM documents), "
+        "f AS (SELECT doc_id, "
+        "len(tk) >= 50 AND len(tk) <= 100000 AS ok_n_words, "
+        f"{mean_wl} >= 3.0 AND {mean_wl} <= 10.0 AS ok_mean_word_len, "
+        "((len(text) - len(replace(text, '#', ''))) / len(tk)) <= 0.1 "
+        "AS ok_hash_ratio, "
+        "(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) "
+        "/ len(ln)) <= 0.3 AS ok_ellipsis, "
+        "(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-•*]'))) "
+        "/ len(ln)) <= 0.9 AS ok_bullets, "
+        "(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) "
+        "/ len(tk)) >= 0.8 AS ok_alpha_words, "
+        f"len(list_filter(tk, t -> list_contains({stop_lit}, lower(t)))) >= 2 "
+        "AS ok_stopwords FROM t) "
+        "SELECT *, ok_n_words AND ok_mean_word_len AND ok_hash_ratio "
+        "AND ok_ellipsis AND ok_bullets AND ok_alpha_words AND ok_stopwords "
+        "AS keep FROM f"
+    )
+
+
+@q("gopher_quality_flags", _gopher_sql())
+def _gopher_quality_flags(spark, sf_dir):
+    """The Gopher rule-filter set (pipeline/text.py:
+    gopher_quality_flags, Rae et al. 2021 §A1.1): word-count band, mean
+    word length, symbol/bullet/ellipsis ratios, alphabetic-word and
+    stopword floors — per-doc boolean flags + keep, all exact integer
+    counts and single IEEE divisions, zero exchanges."""
+    return ptext.gopher_quality_flags(_docs(spark, sf_dir))

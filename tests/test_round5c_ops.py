@@ -302,3 +302,32 @@ def test_cdc_chunks_zero_exchanges(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# --- gopher rule flags -------------------------------------------------------
+
+def test_gopher_flags_fire_on_rule_violations(spark):
+    from openeo_odc_driver_spark.pipeline.text import gopher_quality_flags
+
+    good = "the quick brown fox " * 15  # 60 words, stopwords, clean
+    short = "tiny doc"                  # word count below 50
+    hashy = ("the word " * 30 + "# " * 20).strip()  # hash ratio > 0.1
+    docs = _docs(spark, [_d(1, good.strip()), _d(2, short), _d(3, hashy)])
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_n_words and not out[2].keep
+    assert not out[3].ok_hash_ratio and not out[3].keep
+    # the hashy doc still passes unrelated rules
+    assert out[3].ok_stopwords
+
+
+def test_gopher_flags_zero_exchanges(spark):
+    from openeo_odc_driver_spark.pipeline.text import gopher_quality_flags
+
+    docs = _docs(spark, [_d(1, "a b c")])
+    plan = (
+        gopher_quality_flags(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
