@@ -350,8 +350,141 @@ class ProcessGraph:
         if pid == "rename_labels":
             return rename_labels(self._resolve(args["data"]), args["dimension"],
                                  args["target"], args.get("source"))
+        if pid == "drop_dimension":
+            from ..operators.dimops import drop_dimension
+
+            return drop_dimension(self._resolve(args["data"]), args["name"])
+        if pid == "aggregate_spatial_window":
+            from ..operators.aggregates import aggregate_spatial_window
+
+            named = _single_named_reducer(args["reducer"]["process_graph"])
+            return aggregate_spatial_window(
+                self._resolve(args["data"]), args["size"], named,
+                args.get("boundary", "pad"),
+            )
+        if pid == "fit_curve":
+            from ..operators.curve import fit_curve
+
+            model = _compile_model(args["function"]["process_graph"])
+            return fit_curve(self._resolve(args["data"]), model)
+        if pid == "predict_curve":
+            from ..operators.curve import predict_curve
+
+            model = _compile_model(args["function"]["process_graph"])
+            times = args.get("labels") or self._resolve(args["data"])
+            return predict_curve(self._resolve(args["parameters"]), model, times)
+        if pid == "radar_mask":
+            from ..operators.sar import radar_mask
+
+            return radar_mask(
+                self._resolve(args["data"]),
+                float(args["foreshortening_th"]),
+                float(args["layover_th"]),
+                args.get("orbit_direction", "ASC"),
+            )
+        if pid == "geocode":
+            from ..operators.sar import geocode
+
+            res = args.get("resolution", 10.0)
+            resx, resy = (res if isinstance(res, (list, tuple)) else (res, res))
+            return geocode(
+                self._resolve(args["data"]), float(resx), float(resy),
+                args.get("method", "near"),
+            )
+        if pid == "run_udf":
+            # Python code-string UDFs via the openEO `apply_datacube`
+            # convention (a function taking/returning a pandas frame of
+            # the long cube). The reference's runtime here is R
+            # (openeo_odc_driver.py:282-339) — R is declared out of
+            # scope (SURVEY §2.10); Python strings and callables run.
+            from ..operators.udf import run_udf
+
+            udf = args["udf"]
+            if callable(udf):
+                fn = udf
+            else:
+                runtime = str(args.get("runtime", "Python"))
+                if runtime.lower() not in ("python", "python3"):
+                    raise NotImplementedError(
+                        f"run_udf runtime {runtime!r} not supported "
+                        "(Python only; R is out of scope)"
+                    )
+                ns: dict = {}
+                exec(udf, ns)  # same trust model as the reference's UDF path
+                if "apply_datacube" not in ns:
+                    raise ValueError(
+                        "run_udf code must define apply_datacube(df, context)"
+                    )
+                context = args.get("context") or {}
+                fn = lambda pdf: ns["apply_datacube"](pdf, context)  # noqa: E731
+            return run_udf(self._resolve(args["data"]), fn)
 
         raise NotImplementedError(f"process_id {pid!r} not supported by planner")
+
+
+def _compile_model(graph: dict):
+    """openEO fit_curve/predict_curve ``function`` sub-graph → ModelExpr.
+
+    The reference compiles the same node set to a Python source string
+    and eval()s it (openeo_odc_driver.py:227-281: pi, array_element →
+    ``a<i>``, multiply/divide/subtract/add/sin/cos over numbers,
+    ``from_node`` children, and the ``from_parameter`` x = time); here
+    the graph maps onto the typed ModelExpr AST the curve operators
+    evaluate vectorized — no codegen, no eval of model formulas.
+    """
+    from ..operators import curve as C
+    from ..operators.curve import ModelExpr
+
+    def build(node_id: str, memo: dict):
+        if node_id in memo:
+            return memo[node_id]
+        node = graph[node_id]
+        pid = node["process_id"]
+        args = node.get("arguments", {})
+
+        def operand(v):
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return C.const(v)
+            if isinstance(v, dict):
+                if "from_node" in v:
+                    return build(v["from_node"], memo)
+                if "from_parameter" in v:
+                    p = v["from_parameter"]
+                    if p in ("x", "labels", "data"):
+                        return C.tvar()
+                    if p == "parameters":
+                        raise ValueError(
+                            "parameters must be indexed via array_element"
+                        )
+            raise NotImplementedError(f"model operand {v!r}")
+
+        if pid == "pi":
+            e = C.PI
+        elif pid == "array_element":
+            e = C.param(int(args["index"]))
+        elif pid == "add":
+            e = C.add(operand(args["x"]), operand(args["y"]))
+        elif pid == "subtract":
+            e = C.sub(operand(args["x"]), operand(args["y"]))
+        elif pid == "multiply":
+            e = C.mul(operand(args["x"]), operand(args["y"]))
+        elif pid == "divide":
+            e = ModelExpr("div", (operand(args["x"]), operand(args["y"])))
+        elif pid == "sin":
+            e = C.sin(operand(args["x"]))
+        elif pid == "cos":
+            e = C.cos(operand(args["x"]))
+        elif pid == "power":
+            e = ModelExpr("pow", (operand(args["base"]), operand(args["p"])))
+        else:
+            raise NotImplementedError(f"model process {pid!r}")
+        memo[node_id] = e
+        return e
+
+    result = [nid for nid, n in graph.items() if n.get("result")]
+    if len(result) != 1:
+        raise ValueError("model sub-graph needs exactly one result node")
+    return build(result[0], {})
 
 
 def _geojson_polygons(gj: dict) -> list:

@@ -230,3 +230,179 @@ def test_resample_pushdown_only_when_adjacent(spark):
     assert adjacent == snapshot2
     assert pg2.nodes["coarsen"].get("_noop") is True
     assert pg2.nodes["load"]["arguments"]["_target_resolution"] == 20.0
+
+
+def test_fit_curve_model_graph_compiles_to_harmonic_ast():
+    """The openEO fit_curve `function` sub-graph (pi / array_element /
+    arithmetic / trig nodes, reference openeo_odc_driver.py:227-281)
+    compiles to the exact ModelExpr tree harmonic_model() builds."""
+    from openeo_odc_driver_spark.operators.curve import harmonic_model
+    from openeo_odc_driver_spark.plans.graph import _compile_model
+
+    g = {
+        "p": {"process_id": "pi", "arguments": {}},
+        "two_pi": {"process_id": "multiply",
+                   "arguments": {"x": {"from_node": "p"}, "y": 2}},
+        # match harmonic_model's w = const(2*pi/365.25) exactly: the
+        # graph divides the same doubles, hence the same IEEE result
+        "w": {"process_id": "divide",
+              "arguments": {"x": {"from_node": "two_pi"}, "y": 365.25}},
+        "a0": {"process_id": "array_element",
+               "arguments": {"data": {"from_parameter": "parameters"}, "index": 0}},
+        "a1": {"process_id": "array_element",
+               "arguments": {"data": {"from_parameter": "parameters"}, "index": 1}},
+        "a2": {"process_id": "array_element",
+               "arguments": {"data": {"from_parameter": "parameters"}, "index": 2}},
+        "wt": {"process_id": "multiply",
+               "arguments": {"x": {"from_node": "w"}, "y": {"from_parameter": "x"}}},
+        "c": {"process_id": "cos", "arguments": {"x": {"from_node": "wt"}}},
+        "s": {"process_id": "sin", "arguments": {"x": {"from_node": "wt"}}},
+        "m1": {"process_id": "multiply",
+               "arguments": {"x": {"from_node": "a1"}, "y": {"from_node": "c"}}},
+        "m2": {"process_id": "multiply",
+               "arguments": {"x": {"from_node": "a2"}, "y": {"from_node": "s"}}},
+        "inner": {"process_id": "add",
+                  "arguments": {"x": {"from_node": "m1"}, "y": {"from_node": "m2"}}},
+        "res": {"process_id": "add",
+                "arguments": {"x": {"from_node": "a0"}, "y": {"from_node": "inner"}},
+                "result": True},
+    }
+    import numpy as np
+
+    compiled = _compile_model(g)
+    want = harmonic_model()
+    t = np.linspace(0.0, 700.0, 13)
+    p = np.array([1.5, -0.25, 0.75])
+    assert np.array_equal(compiled(t, p), want(t, p))
+    assert compiled.n_params == want.n_params == 3
+
+
+def test_fit_curve_through_planner(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "bands": {"process_id": "filter_bands",
+                      "arguments": {"data": {"from_node": "l"}, "bands": ["B04"]}},
+            "fit": {
+                "process_id": "fit_curve",
+                "arguments": {
+                    "data": {"from_node": "bands"},
+                    "parameters": [0, 0, 0],
+                    "function": {"process_graph": {
+                        "a0": {"process_id": "array_element",
+                               "arguments": {"data": {"from_parameter": "parameters"},
+                                              "index": 0}},
+                        "a1": {"process_id": "array_element",
+                               "arguments": {"data": {"from_parameter": "parameters"},
+                                              "index": 1}},
+                        "lin": {"process_id": "multiply",
+                                "arguments": {"x": {"from_node": "a1"},
+                                               "y": {"from_parameter": "x"}}},
+                        "res": {"process_id": "add",
+                                "arguments": {"x": {"from_node": "a0"},
+                                               "y": {"from_node": "lin"}},
+                                "result": True},
+                    }},
+                },
+                "result": True,
+            },
+        }
+    }
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    cube = ProcessGraph(graph).execute(spark)
+    rows = cube.df.collect()
+    assert len(rows) == 256  # one param vector per pixel for the band
+    assert all(len(r.params) == 2 for r in rows)
+
+
+def test_aggregate_spatial_window_through_planner(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "w": {
+                "process_id": "aggregate_spatial_window",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "reducer": {"process_graph": {
+                        "m": {"process_id": "mean",
+                              "arguments": {"data": {"from_parameter": "data"}},
+                              "result": True}}},
+                    "size": [4, 4],
+                    "boundary": "pad",
+                },
+                "result": True,
+            },
+        }
+    }
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    cube = ProcessGraph(graph).execute(spark)
+    # 16x16 grid -> 4x4 windows: 3 bands x 24 times x 16 windows
+    assert cube.df.count() == 3 * 24 * 16
+
+
+def test_run_udf_code_string_through_planner(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "u": {
+                "process_id": "run_udf",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "udf": (
+                        "def apply_datacube(df, context):\n"
+                        "    df = df.copy()\n"
+                        "    df['value'] = df['value'] * 2\n"
+                        "    return df\n"
+                    ),
+                    "runtime": "Python",
+                },
+                "result": True,
+            },
+        }
+    }
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    got = ProcessGraph(graph).execute(spark)
+    base = synthetic_cube(spark).df
+    a = sorted((r.band, r.time, r.y, r.x, r.value) for r in got.df.collect())
+    b = sorted(
+        (r.band, r.time, r.y, r.x, None if r.value is None else r.value * 2)
+        for r in base.collect()
+    )
+    assert a == b
+
+
+def test_run_udf_rejects_r_runtime(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "u": {"process_id": "run_udf",
+                  "arguments": {"data": {"from_node": "l"},
+                                 "udf": "x <- 1", "runtime": "R"},
+                  "result": True},
+        }
+    }
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    with pytest.raises(NotImplementedError, match="R is out of scope"):
+        ProcessGraph(graph).execute(spark)
+
+
+def test_drop_dimension_through_planner(spark):
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "b": {"process_id": "filter_bands",
+                  "arguments": {"data": {"from_node": "l"}, "bands": ["B04"]}},
+            "d": {"process_id": "drop_dimension",
+                  "arguments": {"data": {"from_node": "b"}, "name": "bands"},
+                  "result": True},
+        }
+    }
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    cube = ProcessGraph(graph).execute(spark)
+    assert "band" not in cube.df.columns
