@@ -41,14 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate runs queries in registration order under a
 # bounded window (rounds 2-4 each verified exactly the first 50).
-# Cumulative state after round 4: 141/150 queries have a green driver row.
-# The 9 without one lead this round's window: the six round-4 pipeline ops
-# (local-gate exact, never in a driver window) and the three former
-# "rows-only" queries, which now carry fixed-expected-value oracles
-# (fixtures/*.json, the ann_recall pattern) — the driver has no rows-only
-# tier, so literal oracles are the only way these can go green. New
-# round-5 queries follow; the already-green remainder re-verifies with
-# whatever window is left.
+# Cumulative state after round 4: 141/150 queries had a green driver row.
+# This round's window leads with everything that has never been in a
+# driver window: the six round-4 pipeline ops, the three former
+# "rows-only" queries (now carrying fixed-expected-value oracles —
+# fixtures/*.json, the ann_recall pattern; the driver has no rows-only
+# tier, so literal oracles are the only way these go green), then the
+# round-5/5b/5c additions in the order they landed. The already-green
+# remainder re-verifies with whatever window is left.
 _GATE_PRIORITY = [
     # round-4 ops, local-gate exact, never driver-verified — first
     "corpus_shard_layout", "corpus_stats_sketch",
@@ -68,7 +68,7 @@ _GATE_PRIORITY = [
     "count_min_heavy_grams", "minhash_dedup_incremental",
     "quality_classifier_train", "quality_classifier_score",
     "zorder_bucket_stats", "streaming_quality_filter", "jsonl_roundtrip",
-    "cdc_chunks", "gopher_quality_flags",
+    "cdc_chunks", "gopher_quality_flags", "process_graph_fit_curve",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

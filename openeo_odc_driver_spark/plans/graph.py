@@ -363,9 +363,16 @@ class ProcessGraph:
                 args.get("boundary", "pad"),
             )
         if pid == "fit_curve":
-            from ..operators.curve import fit_curve
+            from ..operators.curve import fit_curve, fit_curve_linear, linear_model
 
             model = _compile_model(args["function"]["process_graph"])
+            # Plan-level lowering: the 2-param linear model has a
+            # closed-form least-squares answer, so the planner swaps the
+            # tiled pandas Gauss-Newton for the pure-Catalyst aggregation
+            # (zero Python in the row path). ModelExpr is a frozen
+            # dataclass — structural equality recognizes the shape.
+            if model == linear_model():
+                return fit_curve_linear(self._resolve(args["data"]))
             return fit_curve(self._resolve(args["data"]), model)
         if pid == "predict_curve":
             from ..operators.curve import predict_curve

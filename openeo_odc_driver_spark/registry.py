@@ -1428,3 +1428,54 @@ def _events_json(spark, sf_dir):
 # pipeline-operator registrations (side-effect import, keeps this module
 # focused on the reference's cube surface)
 from . import registry_pipeline  # noqa: E402,F401
+
+
+def _pg_fit_curve_linear(spark, sf_dir):
+    """fit_curve submitted as a PROCESS GRAPH (plans/graph.py: the
+    model-sub-graph compiler + linear lowering): the planner compiles
+    the a0 + a1·t function graph to the ModelExpr AST, recognizes it as
+    the 2-param linear model, and lowers to the closed-form Catalyst
+    aggregation — so the graph path and the direct operator share one
+    oracle. Reference twin: openeo_odc_driver.py:227-281 (codegen) +
+    :1506-1555 (fit_curve)."""
+    from .plans.graph import ProcessGraph
+
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection", "arguments": {"id": "synthetic"}},
+            "fit": {
+                "process_id": "fit_curve",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "parameters": [0, 0],
+                    "function": {"process_graph": {
+                        "a0": {"process_id": "array_element",
+                               "arguments": {"data": {"from_parameter": "parameters"},
+                                             "index": 0}},
+                        "a1": {"process_id": "array_element",
+                               "arguments": {"data": {"from_parameter": "parameters"},
+                                             "index": 1}},
+                        "lin": {"process_id": "multiply",
+                                "arguments": {"x": {"from_node": "a1"},
+                                              "y": {"from_parameter": "x"}}},
+                        "res": {"process_id": "add",
+                                "arguments": {"x": {"from_node": "a0"},
+                                              "y": {"from_node": "lin"}},
+                                "result": True},
+                    }},
+                },
+                "result": True,
+            },
+        }
+    }
+    p = ProcessGraph(graph).execute(spark)
+    return p.df.select(
+        BAND,
+        Y,
+        X,
+        F.element_at("params", 1).alias("a0"),
+        F.element_at("params", 2).alias("a1"),
+    )
+
+
+q("process_graph_fit_curve", _FIT_STATS_D)(_pg_fit_curve_linear)
