@@ -331,3 +331,47 @@ def test_gopher_flags_zero_exchanges(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# --- skew salting ------------------------------------------------------------
+
+def test_salted_join_equals_unsalted_join(spark):
+    from openeo_odc_driver_spark.pipeline.skew import salt_skewed_join
+
+    # one pathologically hot key, several normal ones
+    probe = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else f"k{i % 5}") for i in range(200)],
+        "row_id long, key string",
+    )
+    build = spark.createDataFrame(
+        [("hot", 1.0), ("hot", 2.0), ("k1", 10.0), ("k3", 30.0)],
+        "key string, payload double",
+    )
+    plain = sorted(
+        (r.row_id, r.key, r.payload)
+        for r in probe.join(build, "key").collect()
+    )
+    salted = sorted(
+        (r.row_id, r.key, r.payload)
+        for r in salt_skewed_join(
+            probe, build, "key", ["hot"], "row_id", n_salts=8
+        ).collect()
+    )
+    assert salted == plain and len(plain) == 100 * 2 + 20 + 20
+
+
+def test_salting_spreads_hot_key_over_subkeys(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import _uniform
+    from pyspark.sql import functions as F
+
+    n = 8
+    probe = spark.createDataFrame(
+        [(i, "hot") for i in range(800)], "row_id long, key string"
+    )
+    salts = probe.select(
+        F.floor(_uniform(F.col("row_id").cast("string"), "salt0") * F.lit(float(n)))
+        .cast("int").alias("s")
+    ).groupBy("s").count().collect()
+    counts = {r.s: r["count"] for r in salts}
+    assert set(counts) == set(range(n))  # every sub-key used
+    assert max(counts.values()) < 800 / n * 1.5  # roughly even spread
