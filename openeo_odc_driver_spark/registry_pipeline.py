@@ -2013,3 +2013,52 @@ def _gopher_quality_flags(spark, sf_dir):
     stopword floors — per-doc boolean flags + keep, all exact integer
     counts and single IEEE divisions, zero exchanges."""
     return ptext.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+def _full_preprocess_sql() -> str:
+    g = _gopher_sql()
+    c = _classifier_score_sql()
+    return (
+        f"WITH g AS ({g}), c AS ({c}), "
+        "kept AS (SELECT d.* FROM documents d "
+        "JOIN g ON d.doc_id = g.doc_id AND g.keep "
+        "JOIN c ON d.doc_id = c.doc_id AND c.keep), "
+        "cnt AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang), "
+        "m AS (SELECT min(n) AS n_min FROM cnt), "
+        "r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "AS keep_rate FROM cnt, m), "
+        "s AS (SELECT kept.*, r.keep_rate FROM kept JOIN r USING (lang) "
+        f"WHERE {_PRI_U_D} < r.keep_rate) "
+        "SELECT lang, keep_rate, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(len({_TOKS_D})) AS BIGINT) AS sum_tokens "
+        "FROM s GROUP BY lang, keep_rate"
+    )
+
+
+@q("pipeline_rule_model_mix_stats", _full_preprocess_sql())
+def _pipeline_rule_model_mix(spark, sf_dir):
+    """The round-5 preprocess chain as ONE lazy Catalyst plan: Gopher
+    rule flags → trained-classifier filter → α=0.5 temperature language
+    rebalancing → per-language census. Both filters are zero-exchange
+    scan-fused projections, the language census/rates are tiny broadcast
+    aggregates, so the corpus is read once and shuffles only for the
+    final 5-row census — the whole cleaning front-end of a 100 TB
+    pipeline at scan speed."""
+    from .pipeline.classifier import quality_classifier_score
+    from .pipeline.sampling import temperature_sample_langs
+    from .pipeline.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    gk = gopher_quality_flags(docs).where(F.col("keep")).select("doc_id")
+    ck = quality_classifier_score(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(gk, "doc_id").join(ck, "doc_id")
+    samp = temperature_sample_langs(kept)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return (
+        samp.join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("lang", "keep_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("sum_tokens"),
+        )
+    )
