@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "count_min_heavy_grams",
     "minhash_dedup_incremental",
     "quality_classifier_score",
+    "gopher_quality_flags",
+    "cdc_chunks",
+    "pipeline_rule_model_mix_stats",
 ]
 
 

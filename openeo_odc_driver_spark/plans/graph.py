@@ -423,7 +423,12 @@ class ProcessGraph:
                         "run_udf code must define apply_datacube(df, context)"
                     )
                 context = args.get("context") or {}
-                fn = lambda pdf: ns["apply_datacube"](pdf, context)  # noqa: E731
+                user_fn = ns["apply_datacube"]
+                # Close over ONLY the function + context, never the exec
+                # namespace: `ns["__builtins__"]` can carry unpicklable
+                # PyCapsule entries (observed after a duckdb import) and
+                # cloudpickle serializes a closed-over dict wholesale.
+                fn = lambda pdf, _f=user_fn, _c=context: _f(pdf, _c)  # noqa: E731
             return run_udf(self._resolve(args["data"]), fn)
 
         raise NotImplementedError(f"process_id {pid!r} not supported by planner")
