@@ -69,7 +69,7 @@ _GATE_PRIORITY = [
     "quality_classifier_train", "quality_classifier_score",
     "zorder_bucket_stats", "streaming_quality_filter", "jsonl_roundtrip",
     "cdc_chunks", "gopher_quality_flags", "process_graph_fit_curve",
-    "pipeline_rule_model_mix_stats",
+    "pipeline_rule_model_mix_stats", "incremental_corpus_stats",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

@@ -161,3 +161,56 @@ def corpus_stats_sketch(docs: DataFrame) -> DataFrame:
             <= F.abs(exact_p50) * F.lit(0.05) + F.lit(5.0)
         ).alias("pctl_ok"),
     )
+
+
+def incremental_corpus_stats(docs: DataFrame, n_batches: int = 3) -> DataFrame:
+    """Cross-batch corpus statistics via MERGEABLE sketches — the
+    incremental half of :func:`corpus_stats_sketch`: per ingest batch a
+    tiny stats row (counts + a DataSketches HLL binary,
+    ``hll_sketch_agg``) is materialized, and corpus-wide numbers come
+    from ``hll_union_agg`` over those rows — NO rescan of earlier
+    batches, which is the only viable shape when yesterday's 100 TB is
+    already cold.
+
+    Here the batches are simulated as ``doc_id % n_batches`` partitions
+    of the fixture; the union's distinct-count estimate is gated against
+    the exact value (the corpus_stats_sketch error-envelope idiom), so
+    the driver pins that sketch merge actually works: a merge bug or
+    accuracy regression flips ``hll_ok``.
+
+    Scale: per-batch rows are O(languages); the final merge aggregates
+    O(batches × languages) sketch binaries — bytes, not documents.
+    """
+    batch = F.pmod(F.col("doc_id"), F.lit(n_batches))
+    per_batch = (
+        docs.withColumn("_batch", batch)
+        .groupBy("_batch", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+            F.hll_sketch_agg(F.md5(F.col("text"))).alias("sketch"),
+        )
+    )
+    merged = per_batch.groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("_est"),
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique")
+    )
+    return (
+        merged.join(exact, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_unique").cast("bigint").alias("n_unique"),
+            (
+                F.abs(F.col("_est") - F.col("n_unique"))
+                <= F.greatest(
+                    F.col("n_unique") * F.lit(0.05), F.lit(2.0)
+                )
+            ).alias("hll_ok"),
+        )
+    )

@@ -2062,3 +2062,21 @@ def _pipeline_rule_model_mix(spark, sf_dir):
             F.sum(toks).alias("sum_tokens"),
         )
     )
+
+
+@q(
+    "incremental_corpus_stats",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+    "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, "
+    "TRUE AS hll_ok FROM documents GROUP BY lang",
+)
+def _incremental_corpus_stats(spark, sf_dir):
+    """Cross-batch mergeable-sketch statistics (pipeline/stats.py:
+    incremental_corpus_stats): per-batch DataSketches HLL rows union via
+    hll_union_agg with no rescan of earlier batches; the merged
+    estimate is gated inside its error envelope against the exact
+    distinct count, so a sketch-merge bug fails the hash."""
+    from .pipeline.stats import incremental_corpus_stats
+
+    return incremental_corpus_stats(_docs(spark, sf_dir))

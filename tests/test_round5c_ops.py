@@ -375,3 +375,18 @@ def test_salting_spreads_hot_key_over_subkeys(spark):
     counts = {r.s: r["count"] for r in salts}
     assert set(counts) == set(range(n))  # every sub-key used
     assert max(counts.values()) < 800 / n * 1.5  # roughly even spread
+
+
+# --- incremental sketch stats ------------------------------------------------
+
+def test_incremental_stats_union_matches_exact_at_fixture_scale(spark):
+    from openeo_odc_driver_spark.pipeline.stats import incremental_corpus_stats
+
+    docs = _docs(spark, [
+        _d(i, f"text number {i}", lang="en" if i % 2 else "de")
+        for i in range(60)
+    ] + [_d(100, "text number 1", lang="en")])  # one cross-batch dup
+    out = {r.lang: r for r in incremental_corpus_stats(docs, n_batches=3).collect()}
+    assert out["en"].n_docs == 31
+    assert out["en"].n_unique == 30  # the dup collapses across batches
+    assert out["en"].hll_ok and out["de"].hll_ok
