@@ -721,39 +721,49 @@ def cdc_chunk_documents(
 
     Plan: pure array expressions fused with the scan — the token array,
     boundary set, and chunk slices are all computed per row with zero
-    exchanges (the chunk_documents discipline); each stage is staged in
-    its own projection so no lambda re-evaluates an earlier stage per
-    element (no CSE inside lambdas).
+    exchanges (the chunk_documents discipline). The boundary array is
+    bound with the ``transform(array(x), v -> ...)`` LET idiom: lambdas
+    run interpreted with no common-subexpression elimination, and
+    projection collapse happily inlines a staged alias into every
+    reference — re-evaluating the md5 boundary filter once per chunk
+    (measured 17 s at sf0.1; let-bound: ~1 s warm).
     """
+    # Map-side parallelism guard (the minhash_signatures discipline):
+    # boundary detection is one md5 of a window string PER TOKEN — at
+    # fixture scale the corpus is a single row-group, so without this
+    # the whole CPU-bound pass runs on one core. At 100 TB inputs
+    # arrive in thousands of row groups and the branch is a no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     staged = docs.select("doc_id", toks.alias("_toks"))
     # boundary AFTER position i (i >= window) when the trailing-window
     # fingerprint hits the mask; the last position always closes a chunk
     # sequence(a, b) is DESCENDING for b < a in Spark: short docs (fewer
     # than `window` tokens) must produce no content boundaries at all
-    bound = F.expr(
+    bound_sql = (
         f"CASE WHEN size(_toks) >= {window} THEN "
         f"filter(sequence({window}, size(_toks)), i -> "
         f"pmod(CAST(conv(substring(md5(array_join(slice(_toks, i - {window - 1}, "
         f"{window}), ' ')), 1, 7), 16, 10) AS BIGINT), {mask}) = 0) "
         f"ELSE array() END"
     )
-    with_bounds = staged.select(
-        "doc_id", "_toks",
-        F.array_distinct(
-            F.concat(bound, F.array(F.size("_toks")))
-        ).alias("_ends"),
+    ends_sql = f"array_distinct(concat({bound_sql}, array(size(_toks))))"
+    # chunk k spans (ends[k-1]+1 .. ends[k]); `ends` is a lambda variable
+    # of the outer 1-element transform, so the expensive filter above is
+    # evaluated exactly once per document no matter how many times the
+    # span builder references it
+    spans_sql = (
+        f"element_at(transform(array({ends_sql}), ends -> "
+        "transform(ends, (e, k) -> named_struct("
+        "'chunk_idx', k, "
+        "'chunk_start', CASE WHEN k = 0 THEN 1 ELSE element_at(ends, k) + 1 END, "
+        "'chunk_end', e))), 1)"
     )
-    # chunk k spans (ends[k-1]+1 .. ends[k]); starts = 1 ++ (ends+1)
-    chunks = with_bounds.select(
-        "doc_id", "_toks",
-        F.expr(
-            "transform(_ends, (e, k) -> named_struct("
-            "'chunk_idx', k, "
-            "'chunk_start', CASE WHEN k = 0 THEN 1 ELSE element_at(_ends, k) + 1 END, "
-            "'chunk_end', e))"
-        ).alias("_spans"),
-    ).select("doc_id", "_toks", F.explode("_spans").alias("c"))
+    chunks = staged.select(
+        "doc_id", "_toks", F.explode(F.expr(spans_sql)).alias("c")
+    )
     return chunks.select(
         "doc_id",
         F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
