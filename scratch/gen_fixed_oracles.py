@@ -1,9 +1,17 @@
 """Capture fixed-expected-value oracle fixtures for the non-SQL queries.
 
-Runs fit_curve_harmonic / multimodal_decode / multimodal_audio_decode at
-sf0.01, verifies each is bit-stable across TWO runs with different shuffle
-partitioning (the determinism the literal oracle depends on), and writes
+Runs each NAMES query at sf0.01, verifies it is bit-stable across TWO
+runs with different shuffle partitioning (the determinism the literal
+oracle depends on), and writes
 ``openeo_odc_driver_spark/fixtures/<name>.json``.
+
+Run this whenever /root/testdata is regenerated with different content
+(the driver rebuilds it between rounds; same seed → same fixtures).
+After regenerating ``quality_classifier_train``, ALSO copy the new
+weights into ``pipeline/classifier.py::TRAINED_WEIGHTS`` (weight_fp /
+1e7) — the scoring query and its SQL oracle share those literals (they
+stay mutually consistent either way, but the checkpoint-matches-fixture
+pytest pins the two together).
 
 Usage: python scratch/gen_fixed_oracles.py [--sf DIR]
 """
