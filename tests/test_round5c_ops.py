@@ -390,3 +390,20 @@ def test_incremental_stats_union_matches_exact_at_fixture_scale(spark):
     assert out["en"].n_docs == 31
     assert out["en"].n_unique == 30  # the dup collapses across batches
     assert out["en"].hll_ok and out["de"].hll_ok
+
+
+def test_cdc_boundary_filter_appears_once_in_plan(spark):
+    """Tripwire for the 34x regression: if the boundary md5 filter is
+    ever inlined into multiple references again (CollapseProject +
+    no-CSE lambdas), its expression text shows up more than once in the
+    physical plan."""
+    from openeo_odc_driver_spark.pipeline.text import cdc_chunk_documents
+
+    docs = _docs(spark, [_d(1, " ".join(f"t{i}" for i in range(50)))])
+    plan = (
+        cdc_chunk_documents(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the boundary hash is the conv(substring(md5(...)) wrapper; the
+    # final chunk_md5 projection also calls md5 but without conv
+    assert plan.count("conv(substring(md5(") == 1
