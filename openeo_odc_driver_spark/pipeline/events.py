@@ -1,0 +1,133 @@
+"""Event-stream analytics over the ``events`` fixture table:
+sessionization, funnel conversion, cohort retention — the classic
+product-analytics trio, expressed as window/aggregate plans that hold at
+clickstream scale (billions of events, millions of users).
+
+All arithmetic is exact (timestamps, integer counts), so every query
+carries a bit-exact DuckDB twin. Tie-breaks always include ``event_id``
+— wall-clock collisions exist in any real event stream, and a
+nondeterministic window order is the classic source of flaky
+sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks where the gap to the
+    user's previous event exceeds ``gap_minutes`` (the streaming
+    ``session_counts`` operator's batch twin — same session rule).
+
+    Per (user, session): event count, start/end, duration (µs, exact
+    integer), distinct event types.
+
+    Plan: ONE shuffle keyed by user_id serves both windows (lag +
+    running sum — Spark evaluates them in a single Window stage over
+    the same partitioning) and the final (user, session) aggregation is
+    partial-aggregated on the already-co-located data. Sessions are
+    user-bounded, so the window never sees more than one user's history
+    — no global ordering anywhere.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # the fixture's ts is TIMESTAMP_NTZ (naive wall clock);
+    # unix_micros needs TIMESTAMP, and under the registry's pinned-UTC
+    # session the cast is the wall-clock identity. Differences are
+    # zone-invariant either way; t_start/t_end keep the original type.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    brk = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    # windows can't nest in one expression: stage the break flag, then
+    # running-sum it (same partitioning → still one Window stage pair
+    # over one shuffle)
+    with_brk = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        us.alias("_us"), brk.alias("_brk"),
+    )
+    sess = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = with_brk.select(
+        "user_id", "ts", "event_id", "event_type", "_us",
+        sess.alias("session_idx"),
+    )
+    return staged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        (F.max("_us") - F.min("_us")).cast("bigint").alias("duration_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    ).withColumn("session_idx", F.col("session_idx").cast("int"))
+
+
+def funnel_conversion(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered funnel: how many users performed step 1, then step 2
+    strictly after their first step 1, then step 3 strictly after that
+    first qualifying step 2, ... (first-touch semantics).
+
+    Returns ``(step_idx, step, n_users)`` — the conversion curve.
+
+    Plan: one user-keyed aggregation per step, each joining the
+    previous step's first-qualifying timestamp (all shuffles keyed by
+    user_id, so at scale every stage reuses the same hash
+    partitioning); step tables shrink monotonically. No window over the
+    full stream and no per-user event arrays — the plan carries one
+    timestamp per (user, step).
+    """
+    spark = events.sparkSession
+    reached = None  # DataFrame(user_id, _t): first qualifying time
+    counts = []
+    for idx, step in enumerate(steps):
+        cand = events.where(F.col("event_type") == step)
+        if reached is not None:
+            cand = cand.join(reached, "user_id").where(
+                F.col("ts") > F.col("_prev")
+            )
+        reached = (
+            cand.groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+            .select("user_id", F.col("_t").alias("_prev"))
+        )
+        counts.append((idx, step, reached))
+    rows = [
+        r.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        for i, s, r in counts
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event; for each (cohort week, week offset) count the distinct
+    users active in that offset week.
+
+    Week arithmetic is integer-exact (``date_trunc('week')`` is
+    ISO-Monday in both engines; offsets via day-difference / 7). Plan:
+    a tiny per-user first-event aggregate joins back (user-keyed — the
+    funnel discipline), then one (cohort, offset) count-distinct.
+    """
+    first = events.groupBy("user_id").agg(F.min("ts").alias("_first"))
+    cohorted = events.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("_first")).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("_active_week"),
+    )
+    offset = (
+        F.datediff(F.col("_active_week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("int")
+    return (
+        cohorted.select("user_id", "cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

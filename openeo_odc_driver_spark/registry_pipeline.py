@@ -2080,3 +2080,88 @@ def _incremental_corpus_stats(spark, sf_dir):
     from .pipeline.stats import incremental_corpus_stats
 
     return incremental_corpus_stats(_docs(spark, sf_dir))
+
+
+# --- event-stream analytics -------------------------------------------------
+
+_EV_US = "(SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)"
+
+
+@q(
+    "event_sessionize",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "s AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    "(epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS sess FROM s) "
+    "SELECT user_id, CAST(sess AS INT) AS session_idx, "
+    "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t_start, "
+    "max(ts) AS t_end, "
+    "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types "
+    "FROM s2 GROUP BY user_id, sess",
+)
+def _event_sessionize(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity gap
+    (pipeline/events.py: sessionize_events — the batch twin of the
+    streaming session_counts rule): one user-keyed shuffle serves the
+    lag window, the running session counter, and the per-session
+    aggregate. Exact timestamp arithmetic, deterministic (ts, event_id)
+    ordering."""
+    from .pipeline.events import sessionize_events
+
+    return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+@q(
+    "event_funnel",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' "
+    "GROUP BY user_id), "
+    "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 "
+    "ON e.user_id = s0.user_id AND e.ts > s0.t "
+    "WHERE event_type = 'click' GROUP BY e.user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 "
+    "ON e.user_id = s1.user_id AND e.ts > s1.t "
+    "WHERE event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT 0 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) "
+    "AS n_users FROM s0 "
+    "UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 "
+    "UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2",
+)
+def _event_funnel(spark, sf_dir):
+    """Ordered first-touch funnel view→click→purchase
+    (pipeline/events.py: funnel_conversion): one user-keyed aggregate
+    per step, each gated on the previous step's first qualifying
+    timestamp — step tables shrink monotonically and every shuffle
+    reuses the user_id partitioning."""
+    from .pipeline.events import funnel_conversion
+
+    return funnel_conversion(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
+    "event_retention_cohorts",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "f AS (SELECT user_id, min(ts) AS first_ts FROM e GROUP BY user_id), "
+    "c AS (SELECT e.user_id, date_trunc('week', f.first_ts) AS cohort_week, "
+    "date_trunc('week', e.ts) AS aw FROM e JOIN f ON e.user_id = f.user_id) "
+    "SELECT cohort_week, "
+    "CAST(date_diff('day', cohort_week, aw) // 7 AS INT) AS week_offset, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM c GROUP BY cohort_week, week_offset",
+)
+def _event_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (pipeline/events.py: retention_cohorts):
+    users cohorted by ISO week of first event; per (cohort, offset)
+    distinct actives. Integer-exact week arithmetic; the per-user
+    first-event table joins back user-keyed."""
+    from .pipeline.events import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))

@@ -407,3 +407,52 @@ def test_cdc_boundary_filter_appears_once_in_plan(spark):
     # the boundary hash is the conv(substring(md5(...)) wrapper; the
     # final chunk_md5 projection also calls md5 but without conv
     assert plan.count("conv(substring(md5(") == 1
+
+
+# --- event analytics ---------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    from datetime import datetime as dt
+
+    from openeo_odc_driver_spark.pipeline.events import sessionize_events
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 7, "view", 0.0),
+        (2, dt(2024, 1, 1, 10, 10), 7, "click", 0.0),
+        (3, dt(2024, 1, 1, 12, 0), 7, "view", 0.0),   # > 30 min gap
+        (4, dt(2024, 1, 1, 10, 5), 8, "view", 0.0),
+    ]
+    out = sorted(
+        sessionize_events(_events(spark, rows)).collect(),
+        key=lambda r: (r.user_id, r.session_idx),
+    )
+    assert [(r.user_id, r.session_idx, r.n_events) for r in out] == [
+        (7, 1, 2), (7, 2, 1), (8, 1, 1),
+    ]
+    assert out[0].duration_us == 10 * 60 * 1_000_000
+
+
+def test_funnel_enforces_order(spark):
+    from datetime import datetime as dt
+
+    from openeo_odc_driver_spark.pipeline.events import funnel_conversion
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, dt(2024, 1, 1, 9), 1, "view", 0.0),
+        (2, dt(2024, 1, 1, 10), 1, "click", 0.0),
+        (3, dt(2024, 1, 1, 11), 1, "purchase", 0.0),
+        # user 2: purchase BEFORE view/click — must not convert past step 1
+        (4, dt(2024, 1, 1, 8), 2, "purchase", 0.0),
+        (5, dt(2024, 1, 1, 9), 2, "view", 0.0),
+        (6, dt(2024, 1, 1, 10), 2, "click", 0.0),
+    ]
+    out = {r.step: r.n_users for r in funnel_conversion(
+        _events(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 2, "click": 2, "purchase": 1}
