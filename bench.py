@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "cdc_chunks",
     "pipeline_rule_model_mix_stats",
+    "event_sessionize",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

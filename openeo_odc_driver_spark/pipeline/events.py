@@ -131,3 +131,40 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def anomaly_hours(events: DataFrame, z: int = 3) -> DataFrame:
+    """Volume-anomaly detection on hourly event counts: per event type,
+    flag hours whose count sits more than ``z`` population standard
+    deviations from that type's hourly mean.
+
+    The z-test is evaluated in PURE INTEGER arithmetic — the criterion
+    (n − μ)² > z²σ² cross-multiplies to (k·n − S)² > z²·(k·Q − S²) with
+    S = Σnᵢ, Q = Σnᵢ², k = observed hours — so the flag decision is
+    bit-exact in any engine (no float mean/stddev, no sqrt). Hours with
+    zero events are not materialized (and so never flagged): this is
+    spike detection over the observed series.
+
+    Plan: hourly counts (one shuffle), then a per-type census window +
+    aggregate over the tiny (type, hour) table. At clickstream scale the
+    hourly rollup is the only corpus-sized pass.
+    """
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type", "hour", "n",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_q"),
+    )
+    lhs = (F.col("_k") * F.col("n") - F.col("_s"))
+    flagged = (lhs * lhs) > (
+        F.lit(z * z) * (F.col("_k") * F.col("_q") - F.col("_s") * F.col("_s"))
+    )
+    return stats.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(flagged.cast("bigint")).alias("n_anomalous"),
+        F.max("n").alias("peak_count"),
+    )

@@ -1479,3 +1479,97 @@ def _pg_fit_curve_linear(spark, sf_dir):
 
 
 q("process_graph_fit_curve", _FIT_STATS_D)(_pg_fit_curve_linear)
+
+
+_CENTS = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
+
+@q(
+    "tpch_q5_local_supplier_volume",
+    "SELECT n.n_name, "
+    f"CAST(sum({_CENTS.replace('l_', 'l.l_')}) AS BIGINT) AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_lineitems "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'EUROPE' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n.n_name",
+)
+def _tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-way join — fact
+    table lineitem joined through orders/customer and supplier/nation/
+    region with the local-supplier condition c_nationkey = s_nationkey.
+    Plan: every dimension side broadcasts (region/nation/supplier/
+    customer are tiny vs lineitem), the date predicate pushes into the
+    orders scan, and money sums use the round-to-cents BIGINT idiom so
+    the aggregate is order-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@q(
+    "tpch_q14_promo_revenue",
+    "SELECT "
+    f"CAST(sum(CASE WHEN p.p_type = 'ECONOMY' THEN {_CENTS.replace('l_', 'l.l_')} "
+    "ELSE 0 END) AS BIGINT) AS promo_cents, "
+    f"CAST(sum({_CENTS.replace('l_', 'l.l_')}) AS BIGINT) AS total_cents, "
+    "CAST(count(*) AS BIGINT) AS n_lineitems "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1996-02-01'",
+)
+def _tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): one month of lineitem
+    joined to the part dimension (broadcast), with the promo class
+    aggregated conditionally. The shipdate band pushes into the
+    lineitem scan; numerator and denominator ship as exact cents
+    BIGINTs so the share can be computed engine-independently."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "ECONOMY", cents).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -2165,3 +2165,29 @@ def _event_retention_cohorts(spark, sf_dir):
     from .pipeline.events import retention_cohorts
 
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@q(
+    "event_anomaly_hours",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "count(*) AS n FROM e GROUP BY 1, 2), "
+    "st AS (SELECT *, count(*) OVER w AS k, sum(n) OVER w AS s, "
+    "sum(n * n) OVER w AS q FROM h "
+    "WINDOW w AS (PARTITION BY event_type)) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours, "
+    "CAST(sum(CASE WHEN (k*n - s)*(k*n - s) > 9*(k*q - s*s) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous, "
+    "CAST(max(n) AS BIGINT) AS peak_count "
+    "FROM st GROUP BY event_type",
+)
+def _event_anomaly_hours(spark, sf_dir):
+    """Hourly volume-spike detection (pipeline/events.py:
+    anomaly_hours): the 3σ z-test cross-multiplied into pure integer
+    arithmetic — (k·n−S)² > 9(k·Q−S²) — so the flag decision is
+    bit-exact cross-engine with no float mean/stddev/sqrt. One
+    corpus-sized hourly rollup; everything after runs on the tiny
+    (type, hour) table."""
+    from .pipeline.events import anomaly_hours
+
+    return anomaly_hours(load_table(spark, sf_dir, "events"))

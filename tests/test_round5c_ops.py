@@ -456,3 +456,24 @@ def test_funnel_enforces_order(spark):
     out = {r.step: r.n_users for r in funnel_conversion(
         _events(spark, rows), ["view", "click", "purchase"]).collect()}
     assert out == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_anomaly_hours_integer_z_test(spark):
+    from datetime import datetime as dt
+
+    from openeo_odc_driver_spark.pipeline.events import anomaly_hours
+
+    # 49 calm hours of 10 events + one 100-event spike (z ≈ 7).
+    # NB a single outlier among only ~10 points cannot exceed 3σ — it
+    # IS most of the variance — which the first draft of this test
+    # tripped over at exactly z = 3.0.
+    rows = []
+    eid = 0
+    for h in range(49):
+        for i in range(10):
+            rows.append((eid, dt(2024, 1, 1 + h // 24, h % 24, i), 1, "click", 0.0)); eid += 1
+    for i in range(100):
+        rows.append((eid, dt(2024, 1, 3, 5, i % 60, i // 60), 1, "click", 0.0)); eid += 1
+    out = {r.event_type: r for r in anomaly_hours(_events(spark, rows)).collect()}
+    r = out["click"]
+    assert (r.n_hours, r.n_anomalous, r.peak_count) == (50, 1, 100)
