@@ -120,3 +120,67 @@ def test_sd_formula_matches_two_pass(vals):
     ours = math.sqrt(max((ss - s * s / n) / (n - 1), 0.0))
     ref = a.std(ddof=1)
     assert abs(ours - ref) < 1e-9
+
+
+def _morton_py(ix: int, iy: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((ix >> i) & 1) << (2 * i)
+        z |= ((iy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**15 - 1), st.integers(0, 2**15 - 1)),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_morton_key_python_model_is_bijective(pairs):
+    """The Z-order key is injective (distinct cells → distinct keys) and
+    invertible by bit de-interleave — the property file-level pruning
+    relies on (two cells sharing a key would merge their footprints)."""
+    keys = [_morton_py(x, y) for x, y in pairs]
+    assert len(set(keys)) == len(pairs)
+    for (x, y), z in zip(pairs, keys):
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (rx, ry) == (x, y)
+
+
+def test_morton_spark_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.sinks.zorder import zorder_key
+
+    df = spark.sql(
+        "SELECT xi, yi FROM range(16) tx(xi), range(16) ty(yi)"
+    ).select("xi", "yi", zorder_key(F.col("xi"), F.col("yi")).alias("z"))
+    for r in df.collect():
+        assert r.z == _morton_py(r.xi, r.yi)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_cdc_chunks_tile_every_document(spark, tokens):
+    """CDC chunks partition the token range exactly — no token dropped,
+    none double-assigned — for arbitrary token streams (including
+    shorter than the fingerprint window)."""
+    from openeo_odc_driver_spark.pipeline.text import cdc_chunk_documents
+
+    text = " ".join(tokens)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(cdc_chunk_documents(docs).collect(), key=lambda r: r.chunk_idx)
+    assert out[0].chunk_start == 1
+    for a, b in zip(out, out[1:]):
+        assert b.chunk_start == a.chunk_start + a.n_chunk_tokens
+    assert out[-1].chunk_start + out[-1].n_chunk_tokens - 1 == len(tokens)
