@@ -123,6 +123,11 @@ def main() -> None:
         # died wholesale on one streaming AnalysisException): isolate
         # per-query, report the error, keep the JSON line parsable
         try:
+            # JMH-style hygiene: collect BETWEEN query blocks so garbage
+            # from earlier queries' runs isn't paid as a mid-measurement
+            # major-GC pause (observed: a similarity query at 9-11 s in
+            # bench sequence vs 1.5 s isolated, on an idle machine)
+            spark._jvm.System.gc()
             for _ in range(3):  # best-of-3: GC/scheduling noise dominates
                 t0 = time.time()  # single-run numbers on a shared local JVM
                 df = fn(spark, SF_DIR)
