@@ -72,7 +72,7 @@ _GATE_PRIORITY = [
     "pipeline_rule_model_mix_stats", "incremental_corpus_stats",
     "event_sessionize", "event_funnel", "event_retention_cohorts",
     "event_anomaly_hours", "tpch_q5_local_supplier_volume",
-    "tpch_q14_promo_revenue",
+    "tpch_q14_promo_revenue", "orders_rollup", "events_user_type_pivot",
     # green in earlier windows — re-verify in priority order
     "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
     "streaming_tumbling_hourly", "streaming_session_windows",

@@ -1573,3 +1573,75 @@ def _tpch_q14(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@q(
+    "orders_rollup",
+    "SELECT coalesce(n.n_name, '__ALL__') AS nation, "
+    "coalesce(CAST(year(o.o_orderdate) AS INT), -1) AS order_year, "
+    "CAST(grouping(n.n_name) AS INT) AS g_nation, "
+    "CAST(grouping(year(o.o_orderdate)) AS INT) AS g_year, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))",
+)
+def _orders_rollup(spark, sf_dir):
+    """ROLLUP grouping sets — (nation, year) → nation subtotals → grand
+    total in ONE aggregation pass (Spark expands grouping sets inside a
+    single hash aggregate; no self-union of three queries). GROUPING()
+    markers disambiguate real NULLs from subtotal rows, the standard
+    cube-reporting contract. Dimensions broadcast; money as cents."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).withColumn("_yr", yr)
+    return (
+        base.rollup(F.col("n_name"), F.col("_yr"))
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("_yr").cast("int").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("__ALL__")).alias("nation"),
+            F.coalesce(F.col("_yr"), F.lit(-1)).cast("int").alias("order_year"),
+            "g_nation", "g_year", "n_orders", "total_cents",
+        )
+    )
+
+
+@q(
+    "events_user_type_pivot",
+    "SELECT user_id, "
+    "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click, "
+    "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error, "
+    "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase, "
+    "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup, "
+    "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view "
+    "FROM events GROUP BY user_id",
+)
+def _events_user_type_pivot(spark, sf_dir):
+    """Long→wide pivot: per-user event-type counts via DataFrame.pivot
+    with EXPLICIT values — at scale the values list matters (without it
+    Spark runs an extra distinct pass and the output schema depends on
+    the data). Compiles to one aggregation with conditional counts, the
+    same plan as the FILTER-clause oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
