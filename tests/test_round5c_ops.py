@@ -477,3 +477,34 @@ def test_anomaly_hours_integer_z_test(spark):
     out = {r.event_type: r for r in anomaly_hours(_events(spark, rows)).collect()}
     r = out["click"]
     assert (r.n_hours, r.n_anomalous, r.peak_count) == (50, 1, 100)
+
+
+def test_retention_cohort_offsets_are_weekly(spark):
+    from datetime import datetime as dt
+
+    from openeo_odc_driver_spark.pipeline.events import retention_cohorts
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "view", 0.0),    # Mon wk0 (cohort)
+        (2, dt(2024, 1, 10, 9), 1, "view", 0.0),   # Wed wk1
+        (3, dt(2024, 1, 22, 9), 1, "view", 0.0),   # Mon wk3
+        (4, dt(2024, 1, 3, 9), 2, "view", 0.0),    # Wed wk0 (cohort same week)
+    ]
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(_events(spark, rows)).collect()}
+    wk0 = dt(2024, 1, 1)
+    assert out[(wk0, 0)] == 2   # both users active in their cohort week
+    assert out[(wk0, 1)] == 1
+    assert out[(wk0, 3)] == 1
+    assert len(out) == 3
+
+
+def test_priority_sample_deterministic_across_layouts(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import priority_sample
+
+    docs = _docs(spark, [_d(i, "x" * (1 + i % 17)) for i in range(300)])
+    a = priority_sample(docs, k=20).collect()
+    b = priority_sample(docs.repartition(7), k=20).collect()
+    assert [(r.doc_id, r.priority) for r in a] == [
+        (r.doc_id, r.priority) for r in b
+    ]
