@@ -1629,19 +1629,18 @@ def _orders_rollup(spark, sf_dir):
     "FROM events GROUP BY user_id",
 )
 def _events_user_type_pivot(spark, sf_dir):
-    """Long→wide pivot: per-user event-type counts via DataFrame.pivot
-    with EXPLICIT values — at scale the values list matters (without it
-    Spark runs an extra distinct pass and the output schema depends on
-    the data). Compiles to one aggregation with conditional counts, the
-    same plan as the FILTER-clause oracle."""
+    """Long→wide pivot: per-user event-type counts, as ONE conditional
+    aggregation (sum of CASEs — the FILTER-clause oracle's own shape,
+    single user_id shuffle). The convenience ``DataFrame.pivot`` API was
+    measured at TWO shuffles — it aggregates (user, type) first, then
+    runs a second pivotfirst aggregate — so for a fixed value list the
+    expression form is strictly better at scale; pivot-without-values
+    additionally pays a distinct scan and a data-dependent schema."""
     ev = load_table(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-    )
-    return out.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("bigint")).alias(t)
+            for t in types
+        ]
     )

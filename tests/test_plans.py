@@ -303,3 +303,23 @@ def test_exact_substring_dedup_digest_keyed_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert _exchanges(plan) <= 5
+
+
+def test_events_pivot_single_shuffle(spark):
+    # the conditional-aggregation pivot: one user_id exchange; the
+    # DataFrame.pivot API form costs two (measured — see registry docstring)
+    plan = _plan(spark, "events_user_type_pivot")
+    assert _exchanges(plan) == 1
+
+
+def test_tpch_q5_all_dimensions_broadcast(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(plan) == 1  # only the final nation aggregate
+
+
+def test_orders_rollup_single_expand_aggregate(spark):
+    plan = _plan(spark, "orders_rollup")
+    assert plan.count("Expand") == 1  # grouping sets in ONE aggregation
+    assert _exchanges(plan) == 1
