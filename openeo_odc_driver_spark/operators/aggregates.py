@@ -158,10 +158,13 @@ def aggregate_spatial(
     cube: Cube,
     polygons: list[list[tuple[float, float]]],
     reducer: str,
+    target_dimension: str = "geom_id",
 ) -> Cube:
     """Zonal statistics (openeo_odc_driver.py:628-684): per-geometry reducer
-    over (x, y), keyed by geometry index on a new `geom_id` column
-    (≙ the reference's `result` dimension, :679-684).
+    over (x, y), keyed by geometry index on a new ``target_dimension``
+    column (≙ the reference's ``target_dimension`` argument, default
+    'result', :654-656 — our default label stays 'geom_id' for
+    backward-compat; the planner passes the graph's label through).
 
     Plan shape: pixel scan → containment tag → groupBy(geom_id, band,
     time). No join at all; one shuffle for the final agg. Convex
@@ -176,9 +179,9 @@ def aggregate_spatial(
     else:
         tag = polygon_contains_udf(polygons)(F.col(X), F.col(Y))
     out = (
-        cube.df.withColumn("geom_id", tag)
-        .where(F.col("geom_id").isNotNull())
-        .groupBy("geom_id", *group)
+        cube.df.withColumn(target_dimension, tag)
+        .where(F.col(target_dimension).isNotNull())
+        .groupBy(target_dimension, *group)
         .agg(REDUCERS[reducer]().alias(VALUE))
     )
     return Cube(out, cube.schema.drop(X).drop(Y))

@@ -255,7 +255,11 @@ def apply_kernel_tiled(
     import pandas as pd
 
     if border not in ("constant", 0, "0", "replicate", "reflect", "reflect_pixel"):
-        raise NotImplementedError(f"border mode {border!r} (wrap breaks tile locality)")
+        raise NotImplementedError(
+            f"border mode {border!r}: wrap needs the opposite scene edge, "
+            "which breaks tile locality — use the shift-and-sum strategy "
+            "(apply_kernel, operators/kernel.py:34), which supports wrap"
+        )
     grid = cube.schema.grid
     if grid is None:
         raise ValueError("apply_kernel_tiled needs a GridSpec")

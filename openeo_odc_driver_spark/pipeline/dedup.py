@@ -220,19 +220,12 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     # long-lived service session holds at most one signature table, not
     # one per query ever run.
     sig = _track_persisted(minhash_signatures(docs))
-    rows_per_band = MINHASH_K // LSH_BANDS
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(b),
-                *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                  for r in range(rows_per_band)],
-            )
-            for b in range(LSH_BANDS)
-        ]
+    # band keys come from the ONE shared definition (_band_keys_col) so
+    # the batch self-join and the incremental join can never drift on
+    # what 'candidate' means (ADVICE r5).
+    banded = sig.select(
+        "doc_id", "sig", F.explode(_band_keys_col()).alias("band_key")
     )
-    banded = sig.select("doc_id", "sig", F.explode(bands).alias("band_key"))
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (

@@ -220,14 +220,20 @@ def priority_sample(docs: DataFrame, k: int = 50, salt: str = "seed0") -> DataFr
     2^28) and q is one IEEE division — no transcendentals, so Spark and
     any oracle produce bit-identical priorities. Ties are impossible
     (distinct doc_id ⇒ distinct u up to md5 collision) but doc_id breaks
-    them anyway.
+    them anyway. u is clamped to ≥ 2^-28 before dividing: the 28-bit
+    md5 prefix is exactly 0 with p≈3.7e-9 per doc, and w/0.0 is +Inf in
+    Spark but engine-dependent in DuckDB (IEEE setting) — the clamp
+    (mirrored in the oracle expression) removes the latent mismatch.
 
     Plan: priorities are scan-fused expressions; the global top-k is
     ``TakeOrderedAndProject`` — per-partition heaps of size k merged on
     the driver, no global sort, no shuffle of the corpus. The same plan
     shape as ``vocab_top_terms``, which is exactly why it scales.
     """
-    u = _uniform(F.col("doc_id").cast("string"), salt)
+    u = F.greatest(
+        _uniform(F.col("doc_id").cast("string"), salt),
+        F.lit(1.0 / _HASH_SPACE),
+    )
     pri = F.col("n_chars").cast("double") / u
     return (
         docs.select("doc_id", "lang", "source", "n_chars", pri.alias("priority"))

@@ -49,6 +49,14 @@ def salt_skewed_join(
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        # right/full outer would surface each of the n_salts replicated
+        # build rows for an unmatched hot key as its own output row —
+        # silent duplication, so refuse rather than mis-join.
+        raise ValueError(
+            f"salt_skewed_join supports how='inner'|'left', got {how!r}: "
+            "build-side replication breaks right/full outer semantics"
+        )
     hot = F.array(*[F.lit(k) for k in hot_keys])
     probe_salt = F.when(
         F.array_contains(hot, F.col(key)),

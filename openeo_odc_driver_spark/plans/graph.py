@@ -85,10 +85,24 @@ _BINARY["mod"] = om.mod_cols
 
 
 class ProcessGraph:
-    """Executable plan for one openEO process graph."""
+    """Executable plan for one openEO process graph.
+
+    TRUST BOUNDARY: a graph's ``run_udf`` node may carry a Python code
+    string, which is ``exec()``d on the driver at plan-build time — the
+    same run-user-code contract as the reference's UDF path
+    (openeo_odc_driver.py:282-339, which runs graph-supplied R code).
+    Anyone constructing a ``ProcessGraph`` from an untrusted payload
+    must pass ``allow_code_udfs=False``, which rejects code-string UDFs
+    with a ``PermissionError`` while still allowing callable UDFs
+    (callables are supplied by the embedding code itself, not the
+    graph). The default is True to match the reference's service
+    semantics, where submitting a graph *is* the authorization to run
+    its UDFs.
+    """
 
     def __init__(self, graph: dict, sf_dir: Optional[str] = None,
-                 save_dir: str = "/tmp/spark_graft_results"):
+                 save_dir: str = "/tmp/spark_graft_results",
+                 allow_code_udfs: bool = True):
         import copy
 
         # Deep copy: the optimizer pre-pass annotates node dicts
@@ -98,6 +112,7 @@ class ProcessGraph:
         )
         self.sf_dir = sf_dir
         self.save_dir = save_dir
+        self.allow_code_udfs = allow_code_udfs
         self.result_node = next(
             (nid for nid, n in self.nodes.items() if n.get("result")), None
         )
@@ -295,6 +310,9 @@ class ProcessGraph:
                 self._resolve(args["data"]),
                 _geojson_polygons(args["geometries"]),
                 named,
+                # the reference's geometry-dim label, default 'result'
+                # (openeo_odc_driver.py:654-656)
+                target_dimension=args.get("target_dimension", "result"),
             )
         if pid == "load_result":
             from ..sources.synthetic import load_result as load_result_src
@@ -416,8 +434,14 @@ class ProcessGraph:
                         f"run_udf runtime {runtime!r} not supported "
                         "(Python only; R is out of scope)"
                     )
+                if not self.allow_code_udfs:
+                    raise PermissionError(
+                        "code-string run_udf rejected: this ProcessGraph "
+                        "was built with allow_code_udfs=False (untrusted "
+                        "payload); pass a callable udf instead"
+                    )
                 ns: dict = {}
-                exec(udf, ns)  # same trust model as the reference's UDF path
+                exec(udf, ns)  # trust model documented on ProcessGraph
                 if "apply_datacube" not in ns:
                     raise ValueError(
                         "run_udf code must define apply_datacube(df, context)"

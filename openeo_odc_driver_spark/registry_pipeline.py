@@ -1645,16 +1645,18 @@ def _domain_stats(spark, sf_dir):
     return domain_stats(_docs(spark, sf_dir))
 
 
-_PRI_U_D = (
-    "(CAST(('0x' || substring(md5(concat('seed0', CAST(doc_id AS VARCHAR))), "
-    "1, 7)) AS BIGINT) / 268435456.0)"
-)
+# the one md5-uniform oracle literal, parenthesized for infix use (ADVICE
+# r5: a second verbatim copy of _U_D invited silent divergence)
+_PRI_U_D = f"({_U_D})"
 
 
 @q(
     "priority_sample",
     "SELECT doc_id, lang, source, n_chars, "
-    f"CAST(n_chars AS DOUBLE) / {_PRI_U_D} AS priority "
+    # u clamped to >= 2^-28 on both engines: w/0.0 is +Inf in Spark but
+    # IEEE-setting-dependent in DuckDB (ADVICE r5)
+    f"CAST(n_chars AS DOUBLE) / greatest({_PRI_U_D}, 1.0/268435456.0) "
+    "AS priority "
     "FROM documents ORDER BY priority DESC, doc_id LIMIT 50",
 )
 def _priority_sample(spark, sf_dir):

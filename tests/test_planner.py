@@ -120,8 +120,13 @@ def test_zonal_stats_through_planner(spark):
         }
     }
     cube = ProcessGraph(graph).execute(spark)
-    geoms = {r.geom_id for r in cube.df.select("geom_id").distinct().collect()}
+    # planner default label is the reference's 'result' (:654-656)
+    geoms = {r.result for r in cube.df.select("result").distinct().collect()}
     assert geoms == {0, 1}
+
+    graph["process_graph"]["z"]["arguments"]["target_dimension"] = "zone"
+    cube2 = ProcessGraph(graph).execute(spark)
+    assert "zone" in cube2.df.columns and "result" not in cube2.df.columns
 
 
 def test_load_result_node(spark, tmp_path):
