@@ -40,80 +40,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs queries in registration order under a
-# bounded window (rounds 2-4 each verified exactly the first 50).
-# Cumulative state after round 4: 141/150 queries had a green driver row.
-# This round's window leads with everything that has never been in a
-# driver window: the six round-4 pipeline ops, the three former
-# "rows-only" queries (now carrying fixed-expected-value oracles —
-# fixtures/*.json, the ann_recall pattern; the driver has no rows-only
-# tier, so literal oracles are the only way these go green), then the
-# round-5/5b/5c additions in the order they landed. The already-green
-# remainder re-verifies with whatever window is left.
+# bounded window (~50 per round). After round 5, all 189 registered queries
+# have a green driver row, so the round-6 ordering is STALEST-FIRST
+# (VERDICT r5 item 5): the 7 never-checked round-6 queries lead, then
+# queries whose latest green row is r02, r03, r04, r05 — so a silent
+# regression in a long-unchecked op surfaces in the next window instead of
+# never. Regenerate with the snippet in scratch/verify_local.py's docstring
+# whenever a new CORRECTNESS_r{N}.json lands.
 _GATE_PRIORITY = [
-    # round-4 ops, local-gate exact, never driver-verified — first
-    "corpus_shard_layout", "corpus_stats_sketch",
-    "repetition_scores", "pii_scan",
-    "vocab_top_terms", "pack_sequences",
-    # former no-oracle queries, now carrying fixed-expected-value oracles
-    "fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
-    # new in round 5
-    "paragraph_dedup", "bloom_decontaminate", "semantic_dedup_clusters",
-    "streaming_corpus_ingest_stats", "kmeans_train", "unigram_logprob",
-    "tokenize_to_ids", "intra_doc_dedup", "bpe_pair_counts",
-    "bpe_learn_merges", "embedding_int8_quantize", "ivf_pq_ann",
-    "dsir_importance_weights", "bigram_logprob", "pack_token_ids",
-    "exact_substring_dedup",
-    # round-5c additions
-    "domain_stats", "priority_sample", "temperature_sample_langs",
-    "count_min_heavy_grams", "minhash_dedup_incremental",
-    "quality_classifier_train", "quality_classifier_score",
-    "zorder_bucket_stats", "streaming_quality_filter", "jsonl_roundtrip",
-    "cdc_chunks", "gopher_quality_flags", "process_graph_fit_curve",
-    "pipeline_rule_model_mix_stats", "incremental_corpus_stats",
-    "event_sessionize", "event_funnel", "event_retention_cohorts",
-    "event_anomaly_hours", "tpch_q5_local_supplier_volume",
-    "tpch_q14_promo_revenue", "orders_rollup", "events_user_type_pivot",
-    # green in earlier windows — re-verify in priority order
-    "tpch_q1", "orders_per_nation", "pipeline_quality_dedup_stats",
-    "streaming_tumbling_hourly", "streaming_session_windows",
-    "tfidf_top_terms", "streaming_sliding_counts", "streaming_static_enrich",
-    "pq_encode", "pq_ann", "decontaminate_exact", "decontaminate_ngram",
-    "chunk_documents", "sample_stratified", "shuffle_shards",
-    "pipeline_neardedup_sample_chunk_stats",
-    "geocode_linear", "events_json_extract",
-    "reduce_time_product", "reduce_time_max", "reduce_time_min",
-    "reduce_time_mean", "reduce_time_sum", "reduce_time_count",
-    "reduce_time_sd", "reduce_time_variance", "reduce_bands_mean",
-    "reduce_x_sum", "reduce_y_max", "quantiles_q",
-    "aggregate_temporal_period_month", "aggregate_spatial_window_trim",
-    "climatological_normal", "aggregate_spatial_mean",
-    "aggregate_spatial_sd", "aggregate_spatial_variance",
-    "apply_kernel_tiled", "apply_kernel_replicate",
-    "apply_kernel_reflect", "apply_kernel_wrap",
-    "merge_cubes_bands", "merge_cubes_time",
-    "process_graph_resample_pushdown", "load_collection_decode",
-    "load_collection_polygon", "filter_bbox_crs", "frame_sample",
-    "resample_cube_spatial", "run_udf",
-    # green in r03's window — keep near the front of the remainder so a
-    # larger future window re-verifies families in priority order
-    "flagship_ndvi", "ceil", "round", "int",
-    "reduce_time_median", "quantiles",
-    "aggregate_temporal_period_season", "aggregate_spatial_median",
-    "aggregate_spatial_window", "anomaly",
-    "apply_kernel", "merge_cubes_resolver",
-    "resample_cube_temporal", "resample_cube_spatial_bilinear",
-    "fit_curve_linear", "predict_curve_linear", "run_udf_grouped",
-    "radar_mask", "geocode_nearest",
-    "drop_dimension", "array_interpolate_linear",
-    "process_graph_ndvi", "process_graph_masked_seasonal",
-    "orders_topk_per_customer", "events_hourly",
-    "exact_dedup", "dedup_keep_first", "minhash_signatures",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_fingerprints",
-    "simhash_near_dup_pairs", "embedding_cosine_dup_pairs",
-    "near_dup_clusters", "near_dup_keep_representative",
-    "brute_force_topk", "lsh_bucket_ann", "ivf_flat_ann", "ann_recall",
-    "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "streaming_dedup", "stateful_running_max",
+    # never driver-checked (new in round 6) — first
+    "aggregate_spatial_sum", "aggregate_spatial_min", "aggregate_spatial_max",
+    "aggregate_spatial_product", "ivf_pq_ann_trained",
+    "semantic_dedup_trained", "ann_recall_trained",
+    # latest green row r02 (47 queries)
+    "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
+    "array_element_index", "array_element_label", "between", "clip", "cos",
+    "divide", "eq", "exp", "filter_bands", "filter_bbox", "filter_spatial",
+    "filter_temporal", "floor", "gt", "gte", "if", "is_nodata",
+    "linear_scale_range", "ln", "load_collection_lineitem",
+    "load_result_roundtrip", "log", "lt", "lte", "mask_nodata",
+    "mask_replacement", "mod", "multiply", "neq", "normalized_difference",
+    "not", "or", "pi_multiply", "power", "rename_labels_bands",
+    "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube", "tan",
+    # latest green row r03 (45 queries)
+    "aggregate_spatial_median", "aggregate_spatial_window",
+    "aggregate_temporal_period_season", "ann_recall", "anomaly",
+    "apply_kernel", "array_interpolate_linear", "brute_force_topk", "ceil",
+    "dedup_keep_first", "doc_fingerprint", "drop_dimension",
+    "embedding_cosine_dup_pairs", "events_hourly", "exact_dedup",
+    "fit_curve_linear", "flagship_ndvi", "geocode_nearest", "int",
+    "ivf_flat_ann", "lang_id", "lsh_bucket_ann", "merge_cubes_resolver",
+    "minhash_lsh_pairs", "minhash_signatures", "near_dup_clusters",
+    "near_dup_keep_representative", "ngram_jaccard_pairs",
+    "orders_topk_per_customer", "predict_curve_linear",
+    "process_graph_masked_seasonal", "process_graph_ndvi", "quality_score",
+    "quantiles", "radar_mask", "reduce_time_median",
+    "resample_cube_spatial_bilinear", "resample_cube_temporal", "round",
+    "run_udf_grouped", "simhash_fingerprints", "simhash_near_dup_pairs",
+    "stateful_running_max", "streaming_dedup", "token_count",
+    # latest green row r04 (47 queries)
+    "aggregate_spatial_mean", "aggregate_spatial_sd",
+    "aggregate_spatial_variance", "aggregate_spatial_window_trim",
+    "aggregate_temporal_period_month", "apply_kernel_reflect",
+    "apply_kernel_replicate", "apply_kernel_tiled", "apply_kernel_wrap",
+    "chunk_documents", "climatological_normal", "decontaminate_exact",
+    "decontaminate_ngram", "events_json_extract", "filter_bbox_crs",
+    "frame_sample", "geocode_linear", "load_collection_decode",
+    "load_collection_polygon", "merge_cubes_bands", "merge_cubes_time",
+    "pipeline_neardedup_sample_chunk_stats", "pipeline_quality_dedup_stats",
+    "pq_ann", "pq_encode", "process_graph_resample_pushdown", "quantiles_q",
+    "reduce_bands_mean", "reduce_time_count", "reduce_time_max",
+    "reduce_time_mean", "reduce_time_min", "reduce_time_product",
+    "reduce_time_sd", "reduce_time_sum", "reduce_time_variance",
+    "reduce_x_sum", "reduce_y_max", "resample_cube_spatial", "run_udf",
+    "sample_stratified", "shuffle_shards", "streaming_session_windows",
+    "streaming_sliding_counts", "streaming_static_enrich",
+    "streaming_tumbling_hourly", "tfidf_top_terms",
+    # latest green row r05 (50 queries)
+    "bigram_logprob", "bloom_decontaminate", "bpe_learn_merges",
+    "bpe_pair_counts", "cdc_chunks", "corpus_shard_layout",
+    "corpus_stats_sketch", "count_min_heavy_grams", "domain_stats",
+    "dsir_importance_weights", "embedding_int8_quantize",
+    "event_anomaly_hours", "event_funnel", "event_retention_cohorts",
+    "event_sessionize", "events_user_type_pivot", "exact_substring_dedup",
+    "fit_curve_harmonic", "gopher_quality_flags", "incremental_corpus_stats",
+    "intra_doc_dedup", "ivf_pq_ann", "jsonl_roundtrip", "kmeans_train",
+    "minhash_dedup_incremental", "multimodal_audio_decode",
+    "multimodal_decode", "orders_per_nation", "orders_rollup",
+    "pack_sequences", "pack_token_ids", "paragraph_dedup", "pii_scan",
+    "pipeline_rule_model_mix_stats", "priority_sample",
+    "process_graph_fit_curve", "quality_classifier_score",
+    "quality_classifier_train", "repetition_scores",
+    "semantic_dedup_clusters", "streaming_corpus_ingest_stats",
+    "streaming_quality_filter", "temperature_sample_langs", "tokenize_to_ids",
+    "tpch_q1", "tpch_q14_promo_revenue", "tpch_q5_local_supplier_volume",
+    "unigram_logprob", "vocab_top_terms", "zorder_bucket_stats",
 ]
 
 

@@ -47,7 +47,12 @@ def _lit(v, typ: str) -> str:
             return f"CAST('nan' AS {typ})"
         if math.isinf(f):
             return f"CAST('{'-' if f < 0 else ''}inf' AS {typ})"
-        return repr(f)
+        # String cast, not a bare numeric literal: DuckDB parses long
+        # decimal literals through DECIMAL before casting to DOUBLE,
+        # which can land 1 ulp off strtod (observed on 16-digit dyadic
+        # values from ivf_pq_ann_trained); CAST('<repr>' AS DOUBLE) is
+        # correctly rounded and round-trips repr() exactly.
+        return f"CAST('{repr(f)}' AS {typ})"
     if typ in ("BIGINT", "INTEGER", "INT", "SMALLINT"):
         return str(int(v))
     if typ == "BOOLEAN":

@@ -31,13 +31,24 @@ SPARK_TYPES = {
 }
 
 NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
-         "kmeans_train", "bpe_learn_merges", "quality_classifier_train"]
+         "kmeans_train", "bpe_learn_merges", "quality_classifier_train",
+         # composed kmeans→serving path (round 6)
+         "ivf_pq_ann_trained", "semantic_dedup_trained", "ann_recall_trained"]
 
 
 def main() -> int:
+    global NAMES
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", nargs="*", default=None,
+                    help="subset of NAMES to (re)capture")
     args = ap.parse_args()
+    if args.names:
+        unknown = set(args.names) - set(NAMES)
+        if unknown:
+            print(f"unknown names: {sorted(unknown)}", file=sys.stderr)
+            return 1
+        NAMES = args.names
 
     from openeo_odc_driver_spark.session import get_spark
     from openeo_odc_driver_spark.registry import QUERIES
