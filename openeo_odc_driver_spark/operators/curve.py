@@ -18,6 +18,19 @@ harmonic regression ``a0 + a1*cos(wt) + a2*sin(wt)``) solve exactly with
 with a numeric Jacobian (scipy isn't in the image). Pixels with < 2·n_params
 finite samples yield zero coefficients, mirroring the reference's <12-sample
 guard (:1531-1536).
+
+Divergence policy vs the reference's sparse-pixel rule (:1531-1536):
+the reference drops ``y == 0`` samples (masked pixels arrive as literal
+zeros in its xarray pipeline) and returns ``[0, 0, 0]`` below 12
+samples. Here the mask operator produces NULL → NaN, so **NaN is the
+missing-data sentinel and 0.0 is a valid observation**, and the guard
+is ``< max(2·n_params, 2)`` finite samples (parameter-count-aware
+rather than the fixed 12). Same degenerate-pixel contract — all-zero
+coefficients — different sentinel and threshold. Property-pinned in
+tests/test_properties.py: the guard is exact under arbitrary NaN
+interleavings, NaN holes never perturb the fit relative to the
+compacted series, and adversarially large observations cannot push
+NaN/inf into the params cube on either fitting path.
 """
 
 from __future__ import annotations

@@ -1516,6 +1516,82 @@ def _pg_fit_curve_linear(spark, sf_dir):
 q("process_graph_fit_curve", _FIT_STATS_D)(_pg_fit_curve_linear)
 
 
+_HARMONIC_FN_GRAPH = {
+    # a0 + a1·cos(2πt/365.25) + a2·sin(2πt/365.25); `x` (the model time
+    # parameter) is in DAYS since the cube's first sample — fit_curve's
+    # time axis (operators/curve.py: fit_curve), vs the reference's raw
+    # unix seconds (openeo_odc_driver.py:1542)
+    "p0": {"process_id": "array_element",
+           "arguments": {"data": {"from_parameter": "parameters"}, "index": 0}},
+    "p1": {"process_id": "array_element",
+           "arguments": {"data": {"from_parameter": "parameters"}, "index": 1}},
+    "p2": {"process_id": "array_element",
+           "arguments": {"data": {"from_parameter": "parameters"}, "index": 2}},
+    "pi": {"process_id": "pi", "arguments": {}},
+    "tau": {"process_id": "multiply",
+            "arguments": {"x": 2, "y": {"from_node": "pi"}}},
+    "w": {"process_id": "divide",
+          "arguments": {"x": {"from_node": "tau"}, "y": 365.25}},
+    "wt": {"process_id": "multiply",
+           "arguments": {"x": {"from_node": "w"}, "y": {"from_parameter": "x"}}},
+    "c": {"process_id": "cos", "arguments": {"x": {"from_node": "wt"}}},
+    "s": {"process_id": "sin", "arguments": {"x": {"from_node": "wt"}}},
+    "t1": {"process_id": "multiply",
+           "arguments": {"x": {"from_node": "p1"}, "y": {"from_node": "c"}}},
+    "t2": {"process_id": "multiply",
+           "arguments": {"x": {"from_node": "p2"}, "y": {"from_node": "s"}}},
+    "ht": {"process_id": "add",
+           "arguments": {"x": {"from_node": "t1"}, "y": {"from_node": "t2"}}},
+    "res": {"process_id": "add",
+            "arguments": {"x": {"from_node": "p0"}, "y": {"from_node": "ht"}},
+            "result": True},
+}
+
+
+@q("process_graph_predict_harmonic",
+   values_oracle_sql("process_graph_predict_harmonic"))
+def _pg_predict_harmonic(spark, sf_dir):
+    """The reference's full phenology round trip as ONE process graph
+    (VERDICT r5 item 6): load_collection → fit_curve(harmonic sub-graph)
+    → predict_curve(same sub-graph, cube times). The planner compiles
+    the sin/cos function graph to the ModelExpr AST twice (fit + predict
+    share the compiler, plans/graph.py: _compile_model ≙ reference
+    codegen :227-281), fits via tiled Gauss-Newton, and evaluates
+    predictions per (pixel, time). Iterative fit ⇒ fixed-value oracle
+    (one timestamp slice, rounded to 7 decimals)."""
+    from .plans.graph import ProcessGraph
+
+    graph = {
+        "process_graph": {
+            "l": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic"}},
+            "fit": {
+                "process_id": "fit_curve",
+                "arguments": {
+                    "data": {"from_node": "l"},
+                    "parameters": [0, 0, 0],
+                    "function": {"process_graph": _HARMONIC_FN_GRAPH},
+                },
+            },
+            "pred": {
+                "process_id": "predict_curve",
+                "arguments": {
+                    "parameters": {"from_node": "fit"},
+                    "data": {"from_node": "l"},
+                    "function": {"process_graph": _HARMONIC_FN_GRAPH},
+                },
+                "result": True,
+            },
+        }
+    }
+    p = ProcessGraph(graph).execute(spark)
+    t5 = p.df.select(F.min(TIME)).first()[0]
+    return (
+        p.df.where(F.col(TIME) == F.lit(t5))
+        .select(BAND, Y, X, F.round(VALUE, 7).alias("pred"))
+    )
+
+
 _CENTS = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
 

@@ -33,7 +33,9 @@ SPARK_TYPES = {
 NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          "kmeans_train", "bpe_learn_merges", "quality_classifier_train",
          # composed kmeans→serving path (round 6)
-         "ivf_pq_ann_trained", "semantic_dedup_trained", "ann_recall_trained"]
+         "ivf_pq_ann_trained", "semantic_dedup_trained", "ann_recall_trained",
+         # harmonic fit→predict planner round trip (round 6)
+         "process_graph_predict_harmonic"]
 
 
 def main() -> int:

@@ -184,3 +184,103 @@ def test_cdc_chunks_tile_every_document(spark, tokens):
     for a, b in zip(out, out[1:]):
         assert b.chunk_start == a.chunk_start + a.n_chunk_tokens
     assert out[-1].chunk_start + out[-1].n_chunk_tokens - 1 == len(tokens)
+
+
+# --- fit_curve robustness on sparse / NaN-heavy / noisy series (r6) ---------
+#
+# Divergence policy vs the reference (openeo_odc_driver.py:1531-1536):
+# the reference drops y == 0 samples (masked pixels arrive as literal
+# zeros in its xarray path) and returns [0,0,0] below 12 samples; this
+# engine's mask operator produces NULL→NaN, so NaN is the missing-data
+# sentinel, 0.0 is a VALID observation, and the guard is
+# < max(2·n_params, 2) finite samples → zero coefficients. Same
+# degenerate-pixel contract (all-zero coefficients), different sentinel
+# and threshold — documented in operators/curve.py's module docstring.
+
+from openeo_odc_driver_spark.operators.curve import _fit_pixel  # noqa: E402
+
+
+def _fit(t, v, model):
+    return _fit_pixel(
+        np.asarray(t, dtype=float),
+        np.asarray(v, dtype=float),
+        model,
+        _basis_functions(model),
+    )
+
+
+@given(
+    n_finite=st.integers(0, 5),
+    n_nan=st.integers(0, 20),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_fit_pixel_sparse_guard_returns_zeros(n_finite, n_nan, data):
+    """Fewer than 2·n_params finite samples (harmonic: 6) → exactly the
+    zero vector, however the NaNs are interleaved."""
+    vals = data.draw(
+        st.lists(st.floats(-1e3, 1e3, allow_nan=False),
+                 min_size=n_finite, max_size=n_finite)
+    )
+    v = vals + [float("nan")] * n_nan
+    order = data.draw(st.permutations(range(len(v))))
+    v = [v[i] for i in order]
+    t = np.arange(len(v), dtype=float) * 13.0
+    out = _fit(t, v, harmonic_model())
+    assert out.shape == (3,) and np.all(out == 0.0)
+
+
+@given(
+    p=st.lists(st.floats(-50, 50, allow_nan=False), min_size=3, max_size=3),
+    day_set=st.sets(st.integers(0, 730), min_size=8, max_size=24),
+    n_nan=st.integers(0, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_fit_pixel_recovers_harmonic_through_nans(p, day_set, n_nan, seed):
+    """Exact-harmonic data with NaN holes: the fitted model must
+    reproduce every FINITE observation (residual ~0 — predictions are
+    conditioning-independent even when coefficients aren't), and NaNs
+    must not perturb the fit (fit == fit on the compacted series)."""
+    model = harmonic_model()
+    t_clean = np.asarray(sorted(day_set), dtype=float)
+    v_clean = model(t_clean, np.asarray(p))
+    rng = np.random.default_rng(seed)
+    t = t_clean.copy()
+    v = v_clean.copy()
+    for _ in range(n_nan):  # punch NaN holes at random positions
+        idx = rng.integers(0, len(v))
+        v[idx] = np.nan
+    if np.isfinite(v).sum() < 6:
+        return  # guard case, covered above
+    coef = _fit(t, v, model)
+    ok = np.isfinite(v)
+    pred = model(t[ok], coef)
+    scale = max(1.0, np.abs(v[ok]).max())
+    assert np.all(np.abs(pred - v[ok]) <= 1e-6 * scale)
+    coef_compacted = _fit(t[ok], v[ok], model)
+    assert np.allclose(coef, coef_compacted, rtol=0, atol=0)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e12, 1e12, allow_nan=False, allow_infinity=False),
+        min_size=6, max_size=30,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_fit_pixel_noisy_series_stays_finite(vals):
+    """Arbitrary (adversarially large) observations: coefficients must
+    come back finite — no NaN/inf escapes into the params cube, on both
+    the linear-basis path and the Gauss-Newton path."""
+    t = np.arange(len(vals), dtype=float) * 31.0
+    lin = _fit(t, vals, harmonic_model())
+    assert np.all(np.isfinite(lin))
+    # nonlinear-in-params model forces the Gauss-Newton branch
+    from openeo_odc_driver_spark.operators import curve as C
+
+    nonlin = ModelExpr("mul", (C.param(0), ModelExpr("sin", (
+        ModelExpr("mul", (C.param(1), C.tvar())),))))
+    assert _basis_functions(nonlin) is None
+    gn = _fit_pixel(t, np.asarray(vals, dtype=float), nonlin, None)
+    assert np.all(np.isfinite(gn))

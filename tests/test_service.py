@@ -81,3 +81,102 @@ def test_registry_endpoint_reports_verification_status(client):
     # the shipped CORRECTNESS_r04 report marks its green rows verified
     by_id = {e["id"]: e["status"] for e in body["queries"]}
     assert by_id["tpch_q1"] == "verified"
+
+
+def test_concurrent_jobs_cancel_one_other_completes(client):
+    """Two graphs in flight on ONE session: /stop_job cancels the slow
+    one mid-execution (cancelJobGroup, interruptOnCancel), the other
+    completes, and the session stays usable — the repo's answer to the
+    reference's process-per-job gunicorn isolation (gunicorn.conf.py).
+
+    Threading note: Spark job groups are JVM-thread-local;
+    pyspark.InheritableThread pins each request's Python thread to its
+    own JVM thread so the two setJobGroup calls cannot clobber each
+    other — the same mechanism a real multi-threaded driver must use.
+    """
+    import time
+
+    from pyspark import InheritableThread
+
+    sentinel = "/tmp/spark_graft_slow_started"
+    if os.path.exists(sentinel):
+        os.remove(sentinel)
+    slow_udf = (
+        "import pathlib, time\n"
+        "def apply_datacube(df, context):\n"
+        f"    pathlib.Path({sentinel!r}).touch()\n"
+        "    time.sleep(20)\n"
+        "    return df\n"
+    )
+    slow_graph = {
+        "id": "slowjob",
+        "process_graph": {
+            "l": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic"}},
+            "u": {"process_id": "run_udf",
+                  "arguments": {"data": {"from_node": "l"},
+                                "udf": slow_udf, "runtime": "Python"}},
+            "s": {"process_id": "save_result",
+                  "arguments": {"data": {"from_node": "u"},
+                                "format": "PARQUET"},
+                  "result": True},
+        },
+    }
+    fast_graph = {
+        "id": "fastjob",
+        "process_graph": {
+            "l": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic"}},
+            "r": {"process_id": "reduce_dimension",
+                  "arguments": {"data": {"from_node": "l"},
+                                "dimension": "t",
+                                "reducer": {"process_graph": {"m": {
+                                    "process_id": "mean",
+                                    "arguments": {"data": {
+                                        "from_parameter": "data"}},
+                                    "result": True}}}}},
+            "s": {"process_id": "save_result",
+                  "arguments": {"data": {"from_node": "r"},
+                                "format": "PARQUET"},
+                  "result": True},
+        },
+    }
+
+    results = {}
+
+    def post(name, graph):
+        results[name] = client.post("/graph", json=graph)
+
+    t_slow = InheritableThread(target=post, args=("slow", slow_graph))
+    t_slow.start()
+    # cancelJobGroup only cancels ACTIVE jobs -- wait until the slow
+    # job's tasks are demonstrably running (UDF touches a sentinel)
+    deadline = time.time() + 30
+    while not os.path.exists(sentinel) and time.time() < deadline:
+        time.sleep(0.1)
+    assert os.path.exists(sentinel), "slow job never started tasks"
+    t_fast = InheritableThread(target=post, args=("fast", fast_graph))
+    t_fast.start()
+
+    r_stop = client.delete("/stop_job", json={"id": "slowjob"})
+    assert r_stop.status_code == 200
+    assert r_stop.get_json() == {"stopped": "slowjob"}
+
+    t_slow.join(timeout=15)
+    t_fast.join(timeout=60)
+    assert not t_slow.is_alive(), "cancelled job did not return"
+    assert not t_fast.is_alive(), "concurrent job did not complete"
+
+    # cancelled job surfaces as an openEO error shape, not a hang
+    assert results["slow"].status_code == 400
+    assert results["slow"].get_json()["id"] == "slowjob"
+    # the untouched job completed normally on the same session
+    assert results["fast"].status_code == 200
+    assert results["fast"].get_json()["job_id"] == "fastjob"
+
+    # session still healthy after the cancel: a re-post succeeds (md5
+    # cache hit is fine -- the point is the service keeps serving; fresh
+    # auto id so the cached artifact copies into a NEW job dir)
+    again = {k: v for k, v in fast_graph.items() if k != "id"}
+    r_again = client.post("/graph", json=again)
+    assert r_again.status_code == 200
