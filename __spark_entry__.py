@@ -52,7 +52,7 @@ _GATE_PRIORITY = [
     "aggregate_spatial_sum", "aggregate_spatial_min", "aggregate_spatial_max",
     "aggregate_spatial_product", "ivf_pq_ann_trained",
     "semantic_dedup_trained", "ann_recall_trained",
-    "process_graph_predict_harmonic",
+    "process_graph_predict_harmonic", "multimodal_jpeg_decode",
     # latest green row r02 (47 queries)
     "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
     "array_element_index", "array_element_label", "between", "clip", "cos",

@@ -4,11 +4,14 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 The IMAGE decode step is REAL for PNG: `decode_image(fake=False)` parses
 PNG payloads with the repo's pure-stdlib codec (`..sinks.png`, zlib +
 struct — the same encoder the PNG sink uses), and `attach_png_images`
-synthesizes genuine PNG payloads. JPEG/WebP remain the documented
-library boundary (no PIL/cv2 in this container): `fake=True` keeps the
-deterministic hash-seeded decoder for such payloads, so the Spark-side
-plumbing (schema, batch shape, partition sizing, UDF signatures) is
-exercised regardless of codec availability.
+synthesizes genuine PNG payloads, and REAL for baseline JPEG:
+`decode_image(fake=False)` dispatches on magic bytes to the pure-numpy
+T.81 codec (`.jpeg` — Annex-K tables, vectorized 8×8 DCT), and
+`attach_jpeg_images` synthesizes genuine JFIF payloads. WebP remains
+the documented library boundary (no PIL/cv2 in this container):
+`fake=True` keeps the deterministic hash-seeded decoder for opaque
+payloads, so the Spark-side plumbing (schema, batch shape, partition
+sizing, UDF signatures) is exercised regardless of codec availability.
 The AUDIO decode step is REAL: `decode_audio(fake=False)` parses RIFF/WAV
 (PCM16) with the stdlib `wave` module, and `attach_wav_audio` synthesizes
 genuine WAV payloads with the stdlib encoder.
@@ -92,15 +95,54 @@ def attach_png_images(docs: DataFrame, width: int = 32, height: int = 32) -> Dat
     )
 
 
+def synth_jpeg_bytes(seed: int, width: int = 32, height: int = 32,
+                     quality: int = 85) -> bytes:
+    """Deterministic RGB JPEG via the repo's pure-numpy baseline encoder
+    (``.jpeg.encode_jpeg``): the same seed-keyed gradient + seeded noise
+    as ``synth_png_bytes`` — *real* JFIF bytes any image tool can open."""
+    from .jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed % (2 ** 32))
+    yy, xx = np.meshgrid(
+        np.arange(height, dtype="int64"), np.arange(width, dtype="int64"),
+        indexing="ij",
+    )
+    r = (xx * 255 // max(width - 1, 1) + seed) % 256
+    g = (yy * 255 // max(height - 1, 1) + 3 * seed) % 256
+    b = rng.integers(0, 256, size=(height, width), dtype="int64")
+    arr = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (h, w, ch)
+    return encode_jpeg(arr, quality=quality)
+
+
+def attach_jpeg_images(docs: DataFrame, width: int = 32,
+                       height: int = 32) -> DataFrame:
+    """Fixture adapter: a **real** baseline-JPEG binary column (pure
+    numpy encoder, seeded by doc_id) + typed metadata."""
+    @F.pandas_udf("binary")
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_bytes(int(i), width, height))
+
+    return docs.select(
+        "doc_id",
+        make_jpeg("doc_id").alias("image"),
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("jpeg/rgb8").alias("format"),
+        ).alias("image_meta"),
+    )
+
+
 def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     """binary → decoded pixel stats via mapInPandas (Arrow batches).
 
-    ``fake=False`` is a **real decoder** for PNG payloads via the
-    pure-stdlib codec in ``..sinks.png`` (zlib inflate + filter
-    reconstruction) — no third-party image library needed. Decoders for
-    JPEG/WebP would slot in at the same call site when PIL/cv2 exist;
-    ``fake=True`` keeps the hash-seeded deterministic path for such
-    payloads.
+    ``fake=False`` is a **real decoder**, dispatched on the payload's
+    magic bytes: PNG (``\\x89PNG``, pure-stdlib codec in ``..sinks.png``)
+    and baseline JPEG (``\\xff\\xd8``, pure numpy codec in ``.jpeg``) —
+    no third-party image library needed. WebP remains the documented
+    boundary; ``fake=True`` keeps the hash-seeded deterministic path
+    for opaque payloads.
     """
     out_schema = (
         "doc_id long, width int, height int, mean_r double, mean_g double, "
@@ -109,6 +151,7 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sinks.png import decode_png
+        from .jpeg import decode_jpeg
 
         for pdf in batches:
             rows = []
@@ -118,12 +161,16 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
                     h = int(r["image_meta"]["height"])
                     arr = _fake_decode(bytes(r["image"]), w, h)  # (h, w, 3)
                 else:
-                    chw = decode_png(bytes(r["image"]))  # (ch, h, w)
-                    if chw.shape[0] == 1:  # grayscale → replicate
-                        chw = np.repeat(chw, 3, axis=0)
-                    elif chw.shape[0] == 4:  # RGBA → drop alpha
-                        chw = chw[:3]
-                    arr = np.transpose(chw, (1, 2, 0))
+                    payload = bytes(r["image"])
+                    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+                        arr = decode_jpeg(payload)  # (h, w, 3)
+                    else:
+                        chw = decode_png(payload)  # (ch, h, w)
+                        if chw.shape[0] == 1:  # grayscale → replicate
+                            chw = np.repeat(chw, 3, axis=0)
+                        elif chw.shape[0] == 4:  # RGBA → drop alpha
+                            chw = chw[:3]
+                        arr = np.transpose(chw, (1, 2, 0))
                     h, w = arr.shape[:2]
                 means = arr.reshape(-1, arr.shape[-1]).mean(axis=0)
                 rows.append(

@@ -529,6 +529,26 @@ def _multimodal(spark, sf_dir):
     )
 
 
+@q("multimodal_jpeg_decode", values_oracle_sql("multimodal_jpeg_decode"))
+def _multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG round-trip (the r5 'last multimodal boundary',
+    now closed): attach_jpeg_images synthesizes JFIF payloads with the
+    pure-numpy T.81 encoder (pipeline/jpeg.py — Annex-K tables,
+    vectorized 8×8 DCT), and decode_image(fake=False) dispatches on the
+    SOI magic and Huffman-decodes + IDCTs them back to pixels — no
+    PIL/cv2 anywhere. Oracle = fixed expected values on the sf0.01
+    fixture (integer DCT path is bit-deterministic)."""
+    from .pipeline.multimodal import attach_jpeg_images, decode_image
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
+    out = decode_image(attach_jpeg_images(docs), fake=False)
+    return out.select(
+        "doc_id", "width", "height",
+        *[F.round(c, 7).alias(c)
+          for c in ("mean_r", "mean_g", "mean_b", "brightness")],
+    )
+
+
 @q("multimodal_audio_decode", values_oracle_sql("multimodal_audio_decode"))
 def _multimodal_audio(spark, sf_dir):
     """REAL stdlib-WAV round-trip: attach_wav_audio synthesizes RIFF/WAV

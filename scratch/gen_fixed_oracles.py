@@ -35,7 +35,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # composed kmeans→serving path (round 6)
          "ivf_pq_ann_trained", "semantic_dedup_trained", "ann_recall_trained",
          # harmonic fit→predict planner round trip (round 6)
-         "process_graph_predict_harmonic"]
+         "process_graph_predict_harmonic",
+         # baseline-JPEG real round trip (round 6)
+         "multimodal_jpeg_decode"]
 
 
 def main() -> int:

@@ -103,3 +103,101 @@ def test_fixture_oracle_roundtrips_floats():
     assert len(pdf) == 128
     assert pdf["doc_id"].dtype.kind == "i"
     assert pdf["rms"].dtype.kind == "f"
+
+
+# --- baseline JPEG codec (round 6: the last image-format boundary) ----------
+
+
+def test_jpeg_round_trip_gradient_close():
+    """Smooth gradients survive Q85 with sub-1-LSB mean error — the
+    codec's DCT/quantizer/Huffman chain is self-consistent."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx + yy) * 255 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    data = encode_jpeg(img, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    mae = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert mae < 1.5
+
+
+def test_jpeg_round_trip_noise_and_odd_sizes():
+    """Adversarial content (uniform noise) and non-multiple-of-8 sizes:
+    block padding must not corrupt interior pixels, higher quality must
+    not be worse than lower."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)
+    maes = {}
+    for q in (50, 95):
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        assert dec.shape == img.shape
+        maes[q] = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert maes[95] <= maes[50]
+    assert maes[95] < 8.0  # noise at Q95 stays within quantizer error
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    """Progressive / truncated payloads raise ValueError naming the
+    problem instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive)
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:40])  # truncated
+
+
+def test_decode_image_dispatches_jpeg_and_png(spark):
+    """decode_image(fake=False) routes payloads by magic bytes: one
+    frame with PNG docs, one with JPEG docs, stats agree within JPEG's
+    lossy tolerance (same synth content underneath)."""
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_jpeg_images,
+        attach_png_images,
+        decode_image,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    png_stats = {
+        r.doc_id: r
+        for r in decode_image(attach_png_images(docs), fake=False).collect()
+    }
+    jpg_stats = {
+        r.doc_id: r
+        for r in decode_image(attach_jpeg_images(docs), fake=False).collect()
+    }
+    assert set(png_stats) == set(jpg_stats) == set(range(6))
+    for i in range(6):
+        assert (png_stats[i].width, png_stats[i].height) == (32, 32)
+        assert (jpg_stats[i].width, jpg_stats[i].height) == (32, 32)
+        # same synthetic content -> channel means agree within lossy error
+        assert abs(png_stats[i].mean_r - jpg_stats[i].mean_r) < 3.0
+        assert abs(png_stats[i].mean_g - jpg_stats[i].mean_g) < 3.0
+        assert abs(png_stats[i].brightness - jpg_stats[i].brightness) < 3.0
