@@ -53,6 +53,7 @@ _GATE_PRIORITY = [
     "aggregate_spatial_product", "ivf_pq_ann_trained",
     "semantic_dedup_trained", "ann_recall_trained",
     "process_graph_predict_harmonic", "multimodal_jpeg_decode",
+    "exact_substring_dedup_salted",
     # latest green row r02 (47 queries)
     "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
     "array_element_index", "array_element_label", "between", "clip", "cos",

@@ -73,8 +73,50 @@ def brute_force_topk(
 
 def _hyperplane(dim: int, j: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no RNG at plan time —
-    reproducible across runs/engines)."""
-    return [(((j * 1009 + i * 9176) * 31 + 17) % 1997) / 998.5 - 1.0 for i in range(dim)]
+    reproducible across runs/engines), splitmix64-mixed per (plane,
+    coordinate).
+
+    Round-6 fix: the previous strided-LCG pattern made planes j and j+1
+    near-parallel (a fixed mod-1997 stride shifted per plane), so sign
+    bits correlated and bucket mass concentrated — measured at 20k
+    random unit vectors: 170 occupied buckets of 256, max occupancy
+    1957 vs median 7.5, 12M candidate pairs where uniform occupancy
+    predicts ~0.8M. Proper per-coordinate mixing restores independent
+    planes; occupancy uniformity is pinned in
+    tests/test_round6_ops.py::test_lsh_buckets_near_uniform."""
+    out = []
+    for i in range(dim):
+        x = (j * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + 0x1D8E4E27C47D124F) % (1 << 64)
+        # splitmix64 finalizer
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        x ^= x >> 31
+        # top 53 bits → uniform double in [-1, 1)
+        out.append((x >> 11) / float(1 << 52) - 1.0)
+    return out
+
+
+def planes_for_corpus(n_vectors: int, target_occupancy: int = 8,
+                      min_planes: int = 8, max_planes: int = 24) -> int:
+    """Occupancy-aware hyperplane count: enough sign bits that the
+    EXPECTED bucket occupancy n / 2^planes stays ≈ ``target_occupancy``.
+
+    This is THE scale knob for every fixed-bucket LSH op
+    (``embedding_cosine_dup_pairs``, ``lsh_bucket_ann``): within-bucket
+    pair work is Σ occupancy² per bucket, so a bucket space that stays
+    fixed while the corpus grows 10× makes candidate pairs grow ~100×
+    (measured: embedding_cosine_dup_pairs 64× wall-clock for 10× rows at
+    n_planes=8 — PLANS.md round-6 scale table). Growing planes with
+    log2(n) keeps occupancy — and therefore per-row work — constant, at
+    the usual LSH recall trade (more planes → more boundary splits →
+    probe more neighbors or band more tables).
+    """
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(n_vectors / target_occupancy, 1.0)))
+    return max(min_planes, min(max_planes, need))
 
 
 def lsh_bucket_col(emb: str, n_planes: int = 8, dim: int = 64) -> F.Column:

@@ -3,6 +3,17 @@ in Spark AND its DuckDB oracle at sf0.01, compare row count + columns +
 exact values (sorted rows, sorted columns).
 
 Usage: python scratch/verify_local.py [--sf DIR] [--only SUBSTR] [--cpus N]
+
+Regenerating __spark_entry__._GATE_PRIORITY (stalest-first) after a new
+CORRECTNESS_r{N}.json lands::
+
+    latest = {}
+    for r in rounds:  # ascending
+        for k, v in json.load(open(f"CORRECTNESS_r{r:02d}.json")).items():
+            if v.get("rows_match") and v.get("hash_match"):
+                latest[k] = r
+    order = [never-driver-checked queries first] + sorted(
+        latest, key=lambda k: (latest[k], k))
 """
 
 from __future__ import annotations

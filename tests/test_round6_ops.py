@@ -261,3 +261,53 @@ def test_priority_sample_zero_uniform_is_finite(spark):
     # clamp ceiling: priority can never exceed w * 2^28
     mx = out.agg(F.max(F.col("priority") / F.col("n_chars"))).first()[0]
     assert mx <= _HASH_SPACE
+
+
+def test_lsh_buckets_near_uniform(spark):
+    """Hyperplane quality gate (round 6): on random unit vectors the
+    sign-bit buckets must fill the whole 2^n_planes space with bounded
+    max occupancy. The pre-r6 strided-LCG planes were near-parallel —
+    170/256 buckets occupied, max occupancy 10% of the corpus, 14x the
+    uniform pair count — which silently turned bucketed dedup quadratic
+    (measured 64x wall-clock for 10x rows, PLANS.md)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.similarity import lsh_bucket_col
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 1, (4000, 64))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(emb)],
+        "vec_id long, embedding array<float>",
+    )
+    h = (
+        e.select(lsh_bucket_col("embedding", 8).alias("b"))
+        .groupBy("b").count()
+        .agg(
+            F.count("*").alias("nb"),
+            F.max("count").alias("mx"),
+            F.sum(F.col("count") * F.col("count")).alias("occ2"),
+        )
+        .first()
+    )
+    assert h.nb == 256  # every bucket of the 2^8 space is reachable
+    # max occupancy within 3x of uniform (4000/256 ≈ 15.6)
+    assert h.mx <= 3 * (4000 / 256)
+    # pair work within 2x of the uniform-occupancy lower bound
+    uniform_pairs = 256 * (4000 / 256) ** 2
+    assert float(h.occ2) <= 2 * uniform_pairs
+
+
+def test_planes_for_corpus_occupancy_scaling():
+    """The scale knob: expected occupancy n/2^planes stays within
+    [target/2, 2*target] across 6 orders of magnitude."""
+    from openeo_odc_driver_spark.pipeline.similarity import planes_for_corpus
+
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        p = planes_for_corpus(n, target_occupancy=8)
+        occ = n / 2 ** p
+        assert occ <= 8.0001 or p == 24
+        if p not in (8, 24):  # inside the clamp band the bound is tight
+            assert occ > 2.0
