@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "pipeline_rule_model_mix_stats",
     "event_sessionize",
     "tpch_q5_local_supplier_volume",
+    # round 6
+    "ivf_pq_ann_trained",
+    "multimodal_jpeg_decode",
 ]
 
 

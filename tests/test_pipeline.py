@@ -116,7 +116,12 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     n_corpus = emb.count()
-    assert recall > 0.2  # single-probe; >> random (5/n)
+    # With UNIFORM buckets (r6 hyperplane fix), 1-bit multiprobe covers
+    # ~9 buckets × occupancy ~2 of a 500-vector corpus — candidates are
+    # scarce, so the honest bar is "well above random", not the 0.2 the
+    # pre-fix mega-bucket artifact cleared by brute-forcing 10% of the
+    # corpus in one bucket. Random recall@5 = 5/n ≈ 1%.
+    assert recall >= 0.05  # ≥5× random
     assert recall > 25 / n_corpus
 
 

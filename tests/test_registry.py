@@ -32,19 +32,33 @@ def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
 
 
 def test_gate_window_leads_with_unverified_queries():
-    """The driver verifies the FIRST ~50 queries() entries per round; the
-    15 queries without a green driver row (6 round-4 ops, 3 former
-    no-oracle, 6 round-5 additions) must stay at the head so the next
-    window reaches them — a priority-list edit that demotes one fails
-    here, not in the round report."""
+    """The driver verifies the FIRST ~50 queries() entries per round.
+    After round 5 every pre-r6 query has a green row, so the ordering
+    contract is: queries with NO driver row yet (the round-6 additions)
+    lead, and the rest follow stalest-first (r02 before r03 before …) —
+    a priority-list edit that demotes a never-checked query fails here,
+    not in the round report."""
+    import json
+    import os
+
     import __spark_entry__ as E
 
-    head = list(E.queries())[:15]
-    expected = {
-        "corpus_shard_layout", "corpus_stats_sketch", "repetition_scores",
-        "pii_scan", "vocab_top_terms", "pack_sequences",
-        "fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
-        "paragraph_dedup", "bloom_decontaminate", "semantic_dedup_clusters",
-        "streaming_corpus_ingest_stats", "kmeans_train", "unigram_logprob",
-    }
-    assert set(head) == expected
+    names = list(E.queries())
+    latest = {}
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    for r in (2, 3, 4, 5):
+        path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
+        with open(path) as fh:
+            for k, v in json.load(fh).items():
+                if v.get("rows_match") and v.get("hash_match"):
+                    latest[k] = r
+    never_checked = [n for n in names if n not in latest]
+    # every never-checked query precedes every already-green query
+    first_green_idx = min(names.index(n) for n in latest if n in names)
+    assert all(names.index(n) < first_green_idx or n in latest
+               for n in never_checked), (
+        f"never-checked queries must lead: {never_checked}"
+    )
+    # the already-green remainder is ordered stalest-first
+    green_rounds = [latest[n] for n in names if n in latest]
+    assert green_rounds == sorted(green_rounds)
