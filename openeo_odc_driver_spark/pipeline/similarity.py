@@ -241,14 +241,19 @@ def lsh_bucket_ann(
     n_planes: int = 8,
     dim: int = 64,
     multiprobe: bool = True,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: bucket = sign-bit signature;
     candidates share a probed bucket; exact cosine rerank within.
 
-    **Multi-probe**: the query side also probes every 1-bit-flipped bucket
-    (n_planes + 1 probes) — near neighbors that land just across one
-    hyperplane are recovered, lifting recall from ~0.15 to ~0.6 on the
-    fixture at ~9× the candidate set (still ≪ corpus: ≈ 9/2^n_planes).
+    **Multi-probe**: the query side also probes every bucket within
+    Hamming distance ``probe_bits`` of its own (``probe_bits=1`` →
+    n_planes + 1 probes; ``2`` → 1 + n + C(n,2)) — near neighbors that
+    land just across one or two hyperplanes are recovered. This is the
+    recall/candidate-count dial: with the r6 UNIFORM buckets each probe
+    adds ~n/2^planes candidates, so recall rises monotonically in
+    probe_bits at linearly growing candidate cost
+    (tests/test_round6_ops.py::test_multiprobe_depth_lifts_recall).
 
     Scale: corpus bucketing is one pass (n_planes fold expressions); the
     join is an equi-join on bucket id; the probe fan-out multiplies only
@@ -262,7 +267,15 @@ def lsh_bucket_ann(
     ).withColumn("_b0", lsh_bucket_col("q_emb", n_planes, dim)).withColumn(
         "q_norm", norm_expr("q_emb")
     )
-    masks = [0] + ([2 ** j for j in range(n_planes)] if multiprobe else [])
+    if not multiprobe:
+        masks = [0]
+    else:
+        from itertools import combinations
+
+        masks = [0]
+        for nbits in range(1, max(1, probe_bits) + 1):
+            for bits in combinations(range(n_planes), nbits):
+                masks.append(sum(2 ** b for b in bits))
     probes = F.array(*[F.expr(f"_b0 ^ {m}") for m in masks])
     q = q.select(
         "query_id", "q_emb", "q_norm", F.explode(probes).alias("bucket")

@@ -201,3 +201,33 @@ def test_decode_image_dispatches_jpeg_and_png(spark):
         assert abs(png_stats[i].mean_r - jpg_stats[i].mean_r) < 3.0
         assert abs(png_stats[i].mean_g - jpg_stats[i].mean_g) < 3.0
         assert abs(png_stats[i].brightness - jpg_stats[i].brightness) < 3.0
+
+
+def test_jpeg_round_trip_arbitrary_shapes_property():
+    """Hypothesis: any uint8 RGB image from 1x1 up round-trips through
+    the codec with the right shape/dtype and bounded error at Q95."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    @given(
+        h=st.integers(1, 25),
+        w=st.integers(1, 25),
+        seed=st.integers(0, 2**31 - 1),
+        smooth=st.booleans(),
+    )
+    @settings(max_examples=30, deadline=None)
+    def run(h, w, seed, smooth):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            base = rng.integers(0, 256)
+            img = np.full((h, w, 3), base, dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < (2.0 if smooth else 16.0)
+
+    run()
