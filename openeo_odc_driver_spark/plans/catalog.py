@@ -50,6 +50,16 @@ def load_collection_cube(
     collection_id: str,
     sf_dir: Optional[str] = None,
 ) -> Cube:
+    if collection_id in DATASET_CRS:
+        # no default CRS on the collection: resolve the modal dataset
+        # CRS and stamp it on the loaded cube (reference retry path,
+        # load_odc_collection.py:143-153)
+        import dataclasses
+
+        crs = mostcommon_crs(spark, collection_id)
+        base = collection_id.removesuffix("_nocrs")
+        cube = synthetic_cube(spark, COLLECTION_SPECS[base])
+        return Cube(cube.df, dataclasses.replace(cube.schema, crs=crs))
     if collection_id in COLLECTION_SPECS:
         return synthetic_cube(spark, COLLECTION_SPECS[collection_id])
     if collection_id == "lineitem":
@@ -62,3 +72,48 @@ def load_collection_cube(
 def collection_duck_sql(collection_id: str) -> str:
     """DuckDB twin of the synthetic collections (oracle building)."""
     return cube_sql(COLLECTION_SPECS[collection_id], "duckdb")
+
+
+# --- CRS fallback from dataset metadata (round 6) ---------------------------
+#
+# The reference's odc catalog can hold products with NO default CRS; its
+# loader then picks the MOST COMMON CRS among the product's matching
+# datasets and retries the load with that output_crs
+# (load_odc_collection.py:143-153, dea_tools mostcommon_crs). Mirror: a
+# per-collection dataset-metadata table (dataset_id, crs) — at real
+# catalog scale this is a DataFrame aggregation, so the modal pick is a
+# groupBy-count over the metadata table, never a driver-side scan of
+# dataset objects.
+
+# collections with no default CRS: dataset-level CRS metadata only
+DATASET_CRS: Dict[str, list] = {
+    # 3 UTM 32N granules + 1 UTM 33N granule → fallback resolves 32632
+    "s2_l2a_nocrs": [
+        ("ds-001", "EPSG:32632"),
+        ("ds-002", "EPSG:32632"),
+        ("ds-003", "EPSG:32633"),
+        ("ds-004", "EPSG:32632"),
+    ],
+}
+
+
+def mostcommon_crs(spark: SparkSession, collection_id: str) -> str:
+    """Modal CRS among a collection's datasets (≙ dea_tools
+    mostcommon_crs, load_odc_collection.py:148). Deterministic tie-break
+    on the CRS string; one tiny groupBy-count aggregation over the
+    dataset-metadata table."""
+    from pyspark.sql import functions as F
+
+    rows = DATASET_CRS.get(collection_id)
+    if not rows:
+        raise ValueError(
+            f"collection {collection_id!r} has no default CRS and no "
+            "dataset CRS metadata to fall back on"
+        )
+    meta = spark.createDataFrame(rows, "dataset_id string, crs string")
+    top = (
+        meta.groupBy("crs").count()
+        .orderBy(F.desc("count"), F.asc("crs"))
+        .first()
+    )
+    return top.crs

@@ -346,3 +346,24 @@ def test_multiprobe_depth_lifts_recall(spark):
     r2 = recall(probe_bits=2)
     assert r0 <= r1 <= r2
     assert r2 > r0  # depth demonstrably helps somewhere in the chain
+
+
+def test_crs_fallback_resolves_modal_dataset_crs(spark):
+    """Collections without a default CRS resolve the MOST COMMON CRS
+    among their datasets (reference load_odc_collection.py:143-153) —
+    previously declared out of scope, now fixture-backed: 3 of 4
+    granules are UTM 32N, so the loaded cube carries EPSG:32632; a
+    collection with neither default nor dataset CRS raises."""
+    import pytest
+
+    from openeo_odc_driver_spark.plans.catalog import (
+        load_collection_cube,
+        mostcommon_crs,
+    )
+
+    cube = load_collection_cube(spark, "s2_l2a_nocrs")
+    assert cube.schema.crs == "EPSG:32632"
+    assert cube.df.columns == ["band", "time", "y", "x", "value"]
+    assert mostcommon_crs(spark, "s2_l2a_nocrs") == "EPSG:32632"
+    with pytest.raises(ValueError, match="no default CRS"):
+        mostcommon_crs(spark, "s2_l2a")  # has a default, no metadata
