@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate runs queries in registration order under a
 # bounded window (~50 per round). After round 5, all 189 registered queries
 # have a green driver row, so the round-6 ordering is STALEST-FIRST
-# (VERDICT r5 item 5): the 7 never-checked round-6 queries lead, then
+# (VERDICT r5 item 5): the 12 never-checked round-6 queries lead, then
 # queries whose latest green row is r02, r03, r04, r05 — so a silent
 # regression in a long-unchecked op surfaces in the next window instead of
 # never. Regenerate with the snippet in scratch/verify_local.py's docstring
@@ -53,7 +53,8 @@ _GATE_PRIORITY = [
     "aggregate_spatial_product", "ivf_pq_ann_trained",
     "semantic_dedup_trained", "ann_recall_trained",
     "process_graph_predict_harmonic", "multimodal_jpeg_decode",
-    "exact_substring_dedup_salted",
+    "exact_substring_dedup_salted", "multimodal_resize",
+    "multimodal_image_features",
     # latest green row r02 (47 queries)
     "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
     "array_element_index", "array_element_label", "between", "clip", "cos",

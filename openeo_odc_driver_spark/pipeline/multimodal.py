@@ -150,9 +150,6 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sinks.png import decode_png
-        from .jpeg import decode_jpeg
-
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -161,16 +158,7 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
                     h = int(r["image_meta"]["height"])
                     arr = _fake_decode(bytes(r["image"]), w, h)  # (h, w, 3)
                 else:
-                    payload = bytes(r["image"])
-                    if payload[:2] == b"\xff\xd8":  # JPEG SOI
-                        arr = decode_jpeg(payload)  # (h, w, 3)
-                    else:
-                        chw = decode_png(payload)  # (ch, h, w)
-                        if chw.shape[0] == 1:  # grayscale → replicate
-                            chw = np.repeat(chw, 3, axis=0)
-                        elif chw.shape[0] == 4:  # RGBA → drop alpha
-                            chw = chw[:3]
-                        arr = np.transpose(chw, (1, 2, 0))
+                    arr = _decode_rgb(bytes(r["image"]))  # (h, w, 3)
                     h, w = arr.shape[:2]
                 means = arr.reshape(-1, arr.shape[-1]).mean(axis=0)
                 rows.append(
@@ -184,6 +172,95 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batch, out_schema)
+
+
+def _decode_rgb(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the real codecs: JPEG SOI → pure-numpy
+    T.81 decoder, else PNG (grayscale replicated, alpha dropped).
+    Returns (h, w, 3) uint8."""
+    from ..sinks.png import decode_png
+    from .jpeg import decode_jpeg
+
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    chw = decode_png(payload)
+    if chw.shape[0] == 1:
+        chw = np.repeat(chw, 3, axis=0)
+    elif chw.shape[0] == 4:
+        chw = chw[:3]
+    return np.transpose(chw, (1, 2, 0))
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode (PNG/JPEG) → nearest-neighbor resize → re-encode PNG, as
+    one Arrow-batched mapInPandas pass — the thumbnail/normalize step a
+    multimodal training pipeline runs before feature extraction.
+
+    Nearest-neighbor (source index = floor(i·src/dst)) so the output is
+    bit-deterministic across engines and numpy versions; the re-encoded
+    payload is the repo's real PNG (content-addressed ⇒ the output
+    column's md5 is a stable oracle witness). Blobs never shuffle: the
+    resize happens in the same stage as the scan that read them.
+    """
+    out_schema = "doc_id long, image binary, image_meta struct<" \
+        "width: int, height: int, channels: int, format: string>"
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sinks.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = _decode_rgb(bytes(r["image"]))  # (h, w, 3)
+                h, w = arr.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = arr[yi][:, xi]  # (out_h, out_w, 3)
+                payload = encode_png(np.transpose(small, (2, 0, 1)))
+                rows.append((r["doc_id"], payload,
+                             {"width": out_w, "height": out_h,
+                              "channels": 3, "format": "png/rgb8"}))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "image", "image_meta"]
+            )
+
+    return df.mapInPandas(resize_batch, out_schema)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode → fixed-length feature vector (the hand-rolled stand-in
+    for a vision-encoder embedding; the Spark-side plumbing — schema,
+    batch shape, downstream ANN compatibility — is what's real):
+    per-channel mean and std, mean |horizontal gradient| (edge energy),
+    and an 8-bin luminance histogram, L1-normalized → `array<double>`
+    of 15. Deterministic integer/float arithmetic on uint8 input;
+    rounded to 7 decimals so the gate can pin exact values.
+
+    Output embeds directly into the similarity ops (`array<float>`
+    cast) — decode → features → `brute_force_topk`/`ivf_*` is the
+    multimodal retrieval composition."""
+    out_schema = "doc_id long, features array<double>"
+
+    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = _decode_rgb(bytes(r["image"])).astype(np.float64)
+                means = arr.reshape(-1, 3).mean(axis=0)
+                stds = arr.reshape(-1, 3).std(axis=0)
+                lum = arr @ np.array([0.299, 0.587, 0.114])
+                if arr.shape[1] > 1:
+                    grad = np.abs(np.diff(lum, axis=1)).mean()
+                else:
+                    grad = 0.0
+                hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+                hist = hist / max(hist.sum(), 1)
+                feats = [*means, *stds, grad, *hist]
+                rows.append((r["doc_id"],
+                             [round(float(v), 7) for v in feats]))
+            yield pd.DataFrame(rows, columns=["doc_id", "features"])
+
+    return df.mapInPandas(feat_batch, out_schema)
 
 
 AUDIO_META_SCHEMA = "sample_rate int, n_samples int, channels int, format string"

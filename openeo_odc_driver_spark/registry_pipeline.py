@@ -553,6 +553,48 @@ def _multimodal_jpeg(spark, sf_dir):
     )
 
 
+@q("multimodal_resize", values_oracle_sql("multimodal_resize"))
+def _multimodal_resize(spark, sf_dir):
+    """Decode → nearest-neighbor resize → re-encode PNG in one
+    Arrow-batched pass (pipeline/multimodal.py: resize_images) over a
+    MIXED corpus: even doc_ids carry PNG payloads, odd carry baseline
+    JPEG — the resize step must dispatch per payload. The md5 of each
+    re-encoded thumbnail is the content-addressed witness the oracle
+    pins (the repo's PNG encoder is byte-deterministic)."""
+    from .pipeline.multimodal import (
+        attach_jpeg_images,
+        attach_png_images,
+        resize_images,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 64)
+    pngs = attach_png_images(docs.where(F.col("doc_id") % 2 == 0))
+    jpgs = attach_jpeg_images(docs.where(F.col("doc_id") % 2 == 1))
+    out = resize_images(pngs.unionByName(jpgs), out_w=8, out_h=8)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.md5("image").alias("thumb_md5"),
+    )
+
+
+@q("multimodal_image_features", values_oracle_sql("multimodal_image_features"))
+def _multimodal_image_features(spark, sf_dir):
+    """Decode → fixed-length feature extraction (pipeline/multimodal.py:
+    image_features — channel means/stds, edge energy, 8-bin luminance
+    histogram): the vision-encoder stand-in whose output plugs straight
+    into the similarity ops. Flattened to (doc_id, idx, value) so the
+    fixed-value oracle pins every component exactly."""
+    from .pipeline.multimodal import attach_png_images, image_features
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 64)
+    out = image_features(attach_png_images(docs))
+    return out.select(
+        "doc_id", F.posexplode("features").alias("idx", "value")
+    )
+
+
 @q("multimodal_audio_decode", values_oracle_sql("multimodal_audio_decode"))
 def _multimodal_audio(spark, sf_dir):
     """REAL stdlib-WAV round-trip: attach_wav_audio synthesizes RIFF/WAV

@@ -37,7 +37,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # harmonic fit→predict planner round trip (round 6)
          "process_graph_predict_harmonic",
          # baseline-JPEG real round trip (round 6)
-         "multimodal_jpeg_decode"]
+         "multimodal_jpeg_decode",
+         # resize + feature-extract plumbing (round 6)
+         "multimodal_resize", "multimodal_image_features"]
 
 
 def main() -> int:

@@ -231,3 +231,58 @@ def test_jpeg_round_trip_arbitrary_shapes_property():
         assert err < (2.0 if smooth else 16.0)
 
     run()
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Resizing a known gradient with the floor-index rule is exactly
+    predictable: pixel (i,j) of the 8x8 thumb equals source pixel
+    (i*h//8, j*w//8); payloads re-encode as decodable PNG."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_png_images,
+        resize_images,
+        synth_png_bytes,
+    )
+    from openeo_odc_driver_spark.sinks.png import decode_png
+    from openeo_odc_driver_spark.pipeline.multimodal import _decode_rgb
+
+    docs = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    out = resize_images(attach_png_images(docs), out_w=8, out_h=8).collect()
+    assert len(out) == 1 and out[0].image_meta["width"] == 8
+    small = _decode_rgb(bytes(out[0].image))
+    src = _decode_rgb(synth_png_bytes(7, 32, 32))
+    yi = (np.arange(8) * 32) // 8
+    xi = (np.arange(8) * 32) // 8
+    assert np.array_equal(small, src[yi][:, xi])
+
+
+def test_image_features_feed_similarity_search(spark):
+    """The multimodal retrieval composition: decode → image_features →
+    brute_force_topk. A doc's nearest neighbor by feature cosine must be
+    the doc with IDENTICAL image content (planted duplicate payloads)."""
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_png_images,
+        image_features,
+    )
+    from openeo_odc_driver_spark.pipeline.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    imgs = attach_png_images(docs)
+    # plant: doc 20 carries doc 0's exact payload
+    dup = imgs.where(F.col("doc_id") == 0).select(
+        F.lit(20).cast("long").alias("doc_id"), "image", "image_meta"
+    )
+    feats = image_features(imgs.unionByName(dup))
+    emb = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").cast("array<float>").alias("embedding"),
+    )
+    top = brute_force_topk(emb, emb.where(F.col("vec_id") == 20), k=1).first()
+    assert top.neighbor_id == 0  # identical content wins at cosine ~1
+    assert abs(top.cosine - 1.0) < 1e-6
