@@ -323,3 +323,25 @@ def test_orders_rollup_single_expand_aggregate(spark):
     plan = _plan(spark, "orders_rollup")
     assert plan.count("Expand") == 1  # grouping sets in ONE aggregation
     assert _exchanges(plan) == 1
+
+
+def test_multimodal_resize_zero_exchange(spark):
+    """decode→resize→re-encode never shuffles the blobs: mapInPandas
+    rides the scan partitions of both codec branches (the union is a
+    narrow op)."""
+    plan = _plan(spark, "multimodal_resize")
+    assert _exchanges(plan) == 0
+
+
+def test_multimodal_image_features_zero_exchange(spark):
+    plan = _plan(spark, "multimodal_image_features")
+    assert _exchanges(plan) == 0  # features + posexplode stay scan-fused
+
+
+def test_exact_substring_salted_no_extra_corpus_shuffle(spark):
+    """Hot-digest salting must not add corpus-scale exchanges beyond the
+    unsalted plan's budget: the salt column rides the gram stream, the
+    replicated dup side is digest-count-sized."""
+    base = _exchanges(_plan(spark, "exact_substring_dedup"))
+    salted = _exchanges(_plan(spark, "exact_substring_dedup_salted"))
+    assert salted <= base + 1  # at most the build-side explode's exchange
