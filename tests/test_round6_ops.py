@@ -367,3 +367,27 @@ def test_crs_fallback_resolves_modal_dataset_crs(spark):
     assert mostcommon_crs(spark, "s2_l2a_nocrs") == "EPSG:32632"
     with pytest.raises(ValueError, match="no default CRS"):
         mostcommon_crs(spark, "s2_l2a")  # has a default, no metadata
+
+
+def test_vectorized_assignment_equals_fold_path(spark):
+    """The Arrow-matmul centroid assignment must agree with the
+    fold-expression path row for row (ulp ties are measure-zero on real
+    embeddings; pinned here on 300 random vectors × 24 centroids)."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    rng = np.random.default_rng(31)
+    emb = rng.normal(0, 1, (300, 64))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(emb)],
+        "vec_id long, embedding array<float>",
+    )
+    fold = sorted(map(tuple, semantic_dedup_clusters(
+        e, n_centroids=24, assign_impl="fold").collect()))
+    vec = sorted(map(tuple, semantic_dedup_clusters(
+        e, n_centroids=24, assign_impl="vectorized").collect()))
+    assert fold == vec
