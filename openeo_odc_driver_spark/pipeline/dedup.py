@@ -362,7 +362,7 @@ def simhash_near_dup_pairs(
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     salt: int = 1,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
@@ -379,8 +379,20 @@ def embedding_cosine_dup_pairs(
     work spreads over `salt` tasks. Results are identical to unsalted
     (asserted in tests); at 100 TB this is the lever when a boilerplate
     cluster concentrates one task."""
-    from .similarity import dot_expr, lsh_bucket_col, norm_expr
+    from .similarity import (
+        dot_expr,
+        lsh_bucket_col,
+        norm_expr,
+        planes_for_corpus,
+    )
 
+    if n_planes is None:
+        # occupancy-aware bucket space: one cheap count keeps within-
+        # bucket pair work ~constant as the corpus grows (PLANS.md r6
+        # scale table: fixed 8 planes measured 64x wall-clock for 10x
+        # rows before the knob). Gate queries pass n_planes=8 explicitly
+        # so the static SQL oracle stays valid at any sf.
+        n_planes = planes_for_corpus(embeddings.count())
     e = embeddings.select(
         "vec_id",
         "embedding",

@@ -182,7 +182,12 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        b = (self.acc >> self.n) & 1
+        # truncate consumed bits: without this the accumulator grows into
+        # a multi-hundred-kilobit int and every shift pays for it —
+        # measured quadratic decode (64px 0.08s, 128px 0.97s, 256px 14.4s)
+        self.acc &= (1 << self.n) - 1
+        return b
 
     def bits(self, k: int) -> int:
         v = 0

@@ -56,13 +56,11 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def synth_png_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
-    """Deterministic RGB PNG via the repo's pure-stdlib encoder
-    (``..sinks.png.encode_png``): a seed-keyed gradient + seeded noise —
-    *real* PNG bytes any image tool can open, content-addressed so
-    fixtures are reproducible."""
-    from ..sinks.png import encode_png
-
+def _synth_rgb(seed: int, width: int, height: int) -> np.ndarray:
+    """The ONE seed-keyed synthetic image (gradient R/G + seeded-noise B)
+    behind both fixture encoders — (h, w, 3) uint8. Shared so the PNG
+    and JPEG adapters provably carry the same content underneath
+    (test_decode_image_dispatches_jpeg_and_png leans on that)."""
     rng = np.random.default_rng(seed % (2 ** 32))
     yy, xx = np.meshgrid(
         np.arange(height, dtype="int64"), np.arange(width, dtype="int64"),
@@ -71,8 +69,17 @@ def synth_png_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
     r = (xx * 255 // max(width - 1, 1) + seed) % 256
     g = (yy * 255 // max(height - 1, 1) + 3 * seed) % 256
     b = rng.integers(0, 256, size=(height, width), dtype="int64")
-    arr = np.stack([r, g, b]).astype(np.uint8)  # (ch, h, w)
-    return encode_png(arr)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)  # (h, w, 3)
+
+
+def synth_png_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic RGB PNG via the repo's pure-stdlib encoder
+    (``..sinks.png.encode_png``) over :func:`_synth_rgb` — *real* PNG
+    bytes any image tool can open, content-addressed so fixtures are
+    reproducible."""
+    from ..sinks.png import encode_png
+
+    return encode_png(np.transpose(_synth_rgb(seed, width, height), (2, 0, 1)))
 
 
 def attach_png_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
@@ -98,20 +105,11 @@ def attach_png_images(docs: DataFrame, width: int = 32, height: int = 32) -> Dat
 def synth_jpeg_bytes(seed: int, width: int = 32, height: int = 32,
                      quality: int = 85) -> bytes:
     """Deterministic RGB JPEG via the repo's pure-numpy baseline encoder
-    (``.jpeg.encode_jpeg``): the same seed-keyed gradient + seeded noise
-    as ``synth_png_bytes`` — *real* JFIF bytes any image tool can open."""
+    (``.jpeg.encode_jpeg``) over the SAME :func:`_synth_rgb` content as
+    ``synth_png_bytes`` — *real* JFIF bytes any image tool can open."""
     from .jpeg import encode_jpeg
 
-    rng = np.random.default_rng(seed % (2 ** 32))
-    yy, xx = np.meshgrid(
-        np.arange(height, dtype="int64"), np.arange(width, dtype="int64"),
-        indexing="ij",
-    )
-    r = (xx * 255 // max(width - 1, 1) + seed) % 256
-    g = (yy * 255 // max(height - 1, 1) + 3 * seed) % 256
-    b = rng.integers(0, 256, size=(height, width), dtype="int64")
-    arr = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (h, w, ch)
-    return encode_jpeg(arr, quality=quality)
+    return encode_jpeg(_synth_rgb(seed, width, height), quality=quality)
 
 
 def attach_jpeg_images(docs: DataFrame, width: int = 32,

@@ -126,7 +126,12 @@ def lsh_bucket_col(emb: str, n_planes: int = 8, dim: int = 64) -> F.Column:
     bits = []
     for j in range(n_planes):
         plane = _hyperplane(dim, j)
-        arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in plane)})"
+        # string-cast literals: both engines parse bare 17-digit decimal
+        # literals through DECIMAL, which can land 1 ulp off strtod
+        # (measured: 43/512 splitmix coefficients mismatch in DuckDB as
+        # bare literals, 0 as string casts — the fixtures/_lit lesson)
+        terms = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in plane)
+        arr = f"array({terms})"
         d = F.expr(
             f"aggregate(zip_with({emb}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
             f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -140,11 +145,12 @@ def lsh_bucket_col(emb: str, n_planes: int = 8, dim: int = 64) -> F.Column:
 
 def lsh_bucket_sql(emb: str = "embedding", n_planes: int = 8, dim: int = 64) -> str:
     """DuckDB twin of :func:`lsh_bucket_col` (list_sum over the same
-    per-element products — validated exact, scratch/parity_probe2.py)."""
+    per-element products; plane literals string-cast on both sides —
+    bare decimal literals parse through DECIMAL 1 ulp off strtod)."""
     terms = []
     for j in range(n_planes):
         plane = _hyperplane(dim, j)
-        arr = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + "]"
+        arr = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in plane) + "]"
         d = (
             f"list_sum(list_transform(range(1, {dim + 1}),"
             f" i -> CAST({emb}[i] AS DOUBLE) * ({arr})[i]))"
@@ -267,15 +273,15 @@ def lsh_bucket_ann(
     ).withColumn("_b0", lsh_bucket_col("q_emb", n_planes, dim)).withColumn(
         "q_norm", norm_expr("q_emb")
     )
-    if not multiprobe:
-        masks = [0]
-    else:
-        from itertools import combinations
+    # probe_bits=0 means "own bucket only" (≙ multiprobe=False); the
+    # legacy bool is kept for callers that predate the depth knob
+    depth = 0 if not multiprobe else max(0, probe_bits)
+    from itertools import combinations
 
-        masks = [0]
-        for nbits in range(1, max(1, probe_bits) + 1):
-            for bits in combinations(range(n_planes), nbits):
-                masks.append(sum(2 ** b for b in bits))
+    masks = [0]
+    for nbits in range(1, depth + 1):
+        for bits in combinations(range(n_planes), nbits):
+            masks.append(sum(2 ** b for b in bits))
     probes = F.array(*[F.expr(f"_b0 ^ {m}") for m in masks])
     q = q.select(
         "query_id", "q_emb", "q_norm", F.explode(probes).alias("bucket")
@@ -619,21 +625,29 @@ def assign_nearest_centroid_vectorized(
     cent_ids = np.array([r.cent_id for r in rows], dtype="int64")
     cmat = np.array([list(r.c_emb) for r in rows], dtype="float64")
     cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0.0] = np.inf  # zero centroid can never win
-    order = np.argsort(cent_ids, kind="stable")
-    cent_ids, cmat, cnorm = cent_ids[order], cmat[order], cnorm[order]
-    b = spark.sparkContext.broadcast((cent_ids, cmat / cnorm[:, None]))
+    dead = cnorm == 0.0  # zero centroid: fold path yields NULL cosine,
+    cnorm[dead] = 1.0    # which sorts LAST — mask to -inf below so it
+    order = np.argsort(cent_ids, kind="stable")  # can never win argmax
+    cent_ids, dead = cent_ids[order], dead[order]
+    unit = (cmat / cnorm[:, None])[order]
+    b = spark.sparkContext.broadcast((cent_ids, unit, dead))
 
-    out_schema = f"{id_col} long, {emb_col} array<float>, " \
-        "e_norm double, " + f"{out_col} int"
+    # preserve the input embedding element type (array<float> vs
+    # array<double>) — narrowing to float32 here would desynchronize
+    # e_norm (full precision) from the emitted coordinates
+    emb_type = embeddings.schema[emb_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} long, {emb_col} {emb_type}, e_norm double, {out_col} int"
+    )
 
     def assign(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        ids, unit_c = b.value
+        ids, unit_c, dead_c = b.value
         for pdf in batches:
             emb = np.array([list(v) for v in pdf[emb_col]], dtype="float64")
             norms = np.linalg.norm(emb, axis=1)
             safe = np.where(norms == 0.0, np.inf, norms)
             cs = (emb / safe[:, None]) @ unit_c.T  # (batch, k) cosines
+            cs[:, dead_c] = -np.inf  # zero centroids sort last (≙ NULL)
             best = np.argmax(cs, axis=1)  # first (lowest cent_id) wins ties
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),

@@ -593,34 +593,34 @@ _ZONAL_ORACLE = (
     f"WITH cube AS ({CUBE_D}), "
     f"tagged AS (SELECT {geom_id_case_sql()} AS geom_id, band, time, value "
     "FROM cube) "
-    "SELECT geom_id, band, time, {red} AS value FROM tagged "
+    "SELECT geom_id AS {label}, band, time, {red} AS value FROM tagged "
     "WHERE geom_id IS NOT NULL GROUP BY geom_id, band, time"
 )
 
 
-@q("aggregate_spatial_mean", _ZONAL_ORACLE.format(red="avg(value)"))
+@q("aggregate_spatial_mean", _ZONAL_ORACLE.format(red="avg(value)", label="geom_id"))
 def _zonal_mean(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "mean").df
 
 
-@q("aggregate_spatial_median", _ZONAL_ORACLE.format(red="quantile_cont(value, 0.5)"))
+@q("aggregate_spatial_median", _ZONAL_ORACLE.format(red="quantile_cont(value, 0.5)", label="geom_id"))
 def _zonal_median(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "median").df
 
 
-@q("aggregate_spatial_sd", _ZONAL_ORACLE.format(red=_SD_D))
+@q("aggregate_spatial_sd", _ZONAL_ORACLE.format(red=_SD_D, label="geom_id"))
 def _zonal_sd(spark, sf_dir):
     """Zonal sd closes the reference's reducer set for aggregate_spatial
     ({mean,min,max,median,product,sum,sd,variance}, :663-678)."""
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "sd").df
 
 
-@q("aggregate_spatial_variance", _ZONAL_ORACLE.format(red=_VAR_D))
+@q("aggregate_spatial_variance", _ZONAL_ORACLE.format(red=_VAR_D, label="geom_id"))
 def _zonal_variance(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "variance").df
 
 
-@q("aggregate_spatial_sum", _ZONAL_ORACLE.format(red="sum(value)"))
+@q("aggregate_spatial_sum", _ZONAL_ORACLE.format(red="sum(value)", label="geom_id"))
 def _zonal_sum(spark, sf_dir):
     """sum/min/max/product close the reference's full zonal reducer set
     ({mean,min,max,median,product,sum,sd,variance},
@@ -629,12 +629,12 @@ def _zonal_sum(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "sum").df
 
 
-@q("aggregate_spatial_min", _ZONAL_ORACLE.format(red="min(value)"))
+@q("aggregate_spatial_min", _ZONAL_ORACLE.format(red="min(value)", label="geom_id"))
 def _zonal_min(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "min").df
 
 
-@q("aggregate_spatial_max", _ZONAL_ORACLE.format(red="max(value)"))
+@q("aggregate_spatial_max", _ZONAL_ORACLE.format(red="max(value)", label="geom_id"))
 def _zonal_max(spark, sf_dir):
     return aggregate_spatial(synthetic_cube(spark), FIXTURE_POLYGONS, "max").df
 
@@ -642,11 +642,9 @@ def _zonal_max(spark, sf_dir):
 @q(
     "aggregate_spatial_product",
     # the reference's geometry-dim label arg (:654-656): Spark side emits
-    # `result`, so the oracle aliases geom_id to the same name — pinning
-    # target_dimension label parity through the driver gate.
-    _ZONAL_ORACLE.format(red=_PROD_D).replace(
-        "SELECT geom_id, band, time,", "SELECT geom_id AS result, band, time,"
-    ),
+    # `result`, so the oracle labels the geometry column the same way —
+    # pinning target_dimension label parity through the driver gate.
+    _ZONAL_ORACLE.format(red=_PROD_D, label="result"),
 )
 def _zonal_product(spark, sf_dir):
     return aggregate_spatial(

@@ -290,7 +290,7 @@ _EMB_DUP_THRESHOLD = 0.3
 )
 def _emb_dups(spark, sf_dir):
     return pdedup.embedding_cosine_dup_pairs(
-        _embs(spark, sf_dir), threshold=_EMB_DUP_THRESHOLD
+        _embs(spark, sf_dir), threshold=_EMB_DUP_THRESHOLD, n_planes=8
     )
 
 
