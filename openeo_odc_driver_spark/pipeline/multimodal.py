@@ -246,7 +246,14 @@ def image_features(df: DataFrame) -> DataFrame:
                 arr = _decode_rgb(bytes(r["image"])).astype(np.float64)
                 means = arr.reshape(-1, 3).mean(axis=0)
                 stds = arr.reshape(-1, 3).std(axis=0)
-                lum = arr @ np.array([0.299, 0.587, 0.114])
+                # elementwise, NOT `arr @ weights`: BLAS gemv's summation
+                # order varies with threading/alignment, and a 1-ulp lum
+                # difference flips histogram bins for pixels landing
+                # exactly on a bin edge (observed: fixture-time vs
+                # Spark-worker-time disagreed on one 79th/80th pixel).
+                # Ufunc adds in this fixed order are deterministic.
+                lum = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] \
+                    + 0.114 * arr[..., 2]
                 if arr.shape[1] > 1:
                     grad = np.abs(np.diff(lum, axis=1)).mean()
                 else:
