@@ -37,6 +37,47 @@ def md5_int_duck(col: str) -> str:
     return f"CAST(('0x' || substring(md5({col}), 1, 7)) AS BIGINT)"
 
 
+def lsh_candidate_prob(jaccard: float, bands: int, rows_per_band: int) -> float:
+    """Probability that a pair with true Jaccard ``jaccard`` becomes an LSH
+    candidate under (bands, rows_per_band) banding: ``1 − (1 − j^r)^b``
+    (the MMDS ch.3 s-curve). Pure math — used by the tuner below and by
+    tests that pin the recall/candidate trade."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError(f"jaccard must be in [0, 1], got {jaccard}")
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def lsh_params_for_threshold(
+    threshold: float, k: int = MINHASH_K
+) -> tuple[int, int]:
+    """Choose ``(bands, rows_per_band)`` with ``bands · rows = k`` whose
+    s-curve midpoint ``(1/b)^(1/r)`` lands nearest the target Jaccard
+    threshold — the MMDS banding rule.
+
+    This is THE scale knob for candidate density in banded minhash dedup
+    (the shingle-space analogue of ``planes_for_corpus`` for hyperplane
+    LSH): a dense corpus (small vocabulary, heavy boilerplate) at a fixed
+    permissive banding produces super-linear candidate growth (measured:
+    ``minhash_dedup_incremental`` 17.5× wall-clock for 10× rows at the
+    gate's (4, 3) banding on the 31-word generated corpus — PLANS.md
+    round-6 scale table). Raising rows-per-band sharpens the s-curve so
+    only pairs near the threshold collide: at k=12, (4, 3) has midpoint
+    0.63 but admits j=0.3 pairs with p≈0.10, while (2, 6) has midpoint
+    0.89 and admits them with p≈0.0015 — a 70× candidate-rate cut for
+    sub-threshold pairs. Exact duplicates (j=1) are candidates with
+    probability 1 under ANY banding (every band matches), so tightening
+    never loses them.
+
+    Ties prefer more bands (higher recall at the threshold).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    pairs = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+    return min(
+        pairs, key=lambda br: (abs((1.0 / br[0]) ** (1.0 / br[1]) - threshold), -br[0])
+    )
+
+
 # --- persisted-handle tracking (ADVICE r2: no leaked cached blocks) --------
 _PERSISTED: list = []
 
@@ -199,17 +240,26 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    bands: int | None = None,
+) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by estimated Jaccard.
 
-    Plan: signatures → explode into LSH_BANDS band keys (band index +
-    concat of its minhashes) → self-join *within band buckets only* →
-    distinct candidate pairs → estimated Jaccard = fraction of equal
-    minhash components ≥ threshold.
+    Plan: signatures → explode into band keys (band index + concat of its
+    minhashes) → self-join *within band buckets only* → distinct candidate
+    pairs → estimated Jaccard = fraction of equal minhash components ≥
+    threshold.
 
     Scale: the join key (band signature) is high-cardinality, so the
     self-join touches only true near-dup buckets; skewed giant buckets
-    (boilerplate docs) are handled by AQE skew-join splitting.
+    (boilerplate docs) are handled by AQE skew-join splitting. On DENSE
+    corpora (small shingle space) candidate count is the bottleneck —
+    tune ``bands`` with :func:`lsh_params_for_threshold` (default keeps
+    the gate's permissive LSH_BANDS); tightening only drops candidates
+    whose estimated Jaccard the verify stage would reject anyway, except
+    near-threshold pairs per the s-curve.
     """
     # the signature table is tiny relative to the corpus (K ints per doc)
     # but expensive to compute (explode + md5 per shingle); persist it so
@@ -224,7 +274,7 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     # the batch self-join and the incremental join can never drift on
     # what 'candidate' means (ADVICE r5).
     banded = sig.select(
-        "doc_id", "sig", F.explode(_band_keys_col()).alias("band_key")
+        "doc_id", "sig", F.explode(_band_keys_col(bands)).alias("band_key")
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -812,12 +862,20 @@ def exact_substring_dedup(
     )
 
 
-def _band_keys_col() -> F.Column:
-    """The LSH_BANDS band keys of a `sig` column — shared by the batch
-    self-join (:func:`minhash_lsh_pairs`) and the incremental join
+def _band_keys_col(bands: int | None = None) -> F.Column:
+    """The band keys of a `sig` column — shared by the batch self-join
+    (:func:`minhash_lsh_pairs`) and the incremental join
     (:func:`minhash_dedup_incremental`), so both paths agree on what
-    'candidate' means."""
-    rows_per_band = MINHASH_K // LSH_BANDS
+    'candidate' means. ``bands`` defaults to the gate's LSH_BANDS; pass
+    :func:`lsh_params_for_threshold`'s choice to tune candidate density
+    for a target threshold / corpus density."""
+    if bands is None:
+        bands = LSH_BANDS
+    if bands < 1 or MINHASH_K % bands != 0:
+        raise ValueError(
+            f"bands must divide MINHASH_K={MINHASH_K}, got {bands}"
+        )
+    rows_per_band = MINHASH_K // bands
     return F.array(
         *[
             F.concat_ws(
@@ -826,7 +884,7 @@ def _band_keys_col() -> F.Column:
                 *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
                   for r in range(rows_per_band)],
             )
-            for b in range(LSH_BANDS)
+            for b in range(bands)
         ]
     )
 
@@ -835,6 +893,7 @@ def minhash_dedup_incremental(
     new_docs: DataFrame,
     existing_docs: DataFrame,
     jaccard_threshold: float = 0.5,
+    bands: int | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: flag documents of an INCOMING batch that
     near-duplicate the EXISTING corpus — the ingest-time shape of minhash
@@ -852,18 +911,25 @@ def minhash_dedup_incremental(
     so the oracle can reproduce them, but the join topology is the
     production one: banded equi-join new→existing (never new→new,
     never existing→existing), AQE skew handling on hot buckets.
+
+    On dense corpora candidate count dominates (measured 17.5× wall for
+    10× rows at the gate's permissive (4, 3) banding on the 31-word
+    generated corpus — PLANS.md); tune ``bands`` with
+    :func:`lsh_params_for_threshold` to sharpen the s-curve. Note the
+    existing side's materialized signatures must be re-banded (cheap:
+    K ints/doc, no re-shingling) when the banding changes.
     """
     sig_new = minhash_signatures(new_docs)
     sig_old = minhash_signatures(existing_docs)
     banded_new = sig_new.select(
         F.col("doc_id").alias("new_doc"),
         F.col("sig").alias("sig_a"),
-        F.explode(_band_keys_col()).alias("band_key"),
+        F.explode(_band_keys_col(bands)).alias("band_key"),
     )
     banded_old = sig_old.select(
         F.col("doc_id").alias("dup_of"),
         F.col("sig").alias("sig_b"),
-        F.explode(_band_keys_col()).alias("band_key"),
+        F.explode(_band_keys_col(bands)).alias("band_key"),
     )
     cand = (
         banded_new.join(banded_old, "band_key")

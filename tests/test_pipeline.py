@@ -302,3 +302,55 @@ def test_decontamination_exact_and_ngram(spark):
 
     ngram_ids = {r.doc_id for r in decontaminate_ngram(corpus, reference, n=13).collect()}
     assert ngram_ids == {1, 4}  # the quoting doc is dropped too
+
+
+def test_lsh_params_for_threshold_picks_nearest_midpoint():
+    """MMDS banding rule: (bands, rows) with s-curve midpoint (1/b)^(1/r)
+    nearest the target threshold, among exact divisor pairs of K=12."""
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        lsh_candidate_prob,
+        lsh_params_for_threshold,
+    )
+
+    assert lsh_params_for_threshold(0.63) == (4, 3)  # the gate's banding
+    assert lsh_params_for_threshold(0.5) == (6, 2)
+    assert lsh_params_for_threshold(0.85) == (2, 6)
+    assert lsh_params_for_threshold(0.1) == (12, 1)
+    with pytest.raises(ValueError):
+        lsh_params_for_threshold(1.0)
+
+    # s-curve invariants the tuner relies on: exact dups are candidates
+    # with probability 1 under ANY banding; tightening rows-per-band
+    # crushes the sub-threshold candidate rate (the dense-corpus fix)
+    for b, r in [(1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)]:
+        assert lsh_candidate_prob(1.0, b, r) == 1.0
+    assert lsh_candidate_prob(0.3, 2, 6) < lsh_candidate_prob(0.3, 4, 3) / 50
+
+
+def test_lsh_pairs_tighter_banding_is_subset(spark, docs):
+    """Contiguous band slices nest: every (2,6) band match implies both
+    covering (4,3) band matches, so candidates — and therefore verified
+    output pairs — at bands=2 are a subset of bands=4. Exact duplicates
+    survive even the tightest banding (bands=1: whole-signature match)."""
+    from openeo_odc_driver_spark.pipeline.dedup import minhash_dedup_incremental
+
+    loose = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.5, bands=4).collect()}
+    tight = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.5, bands=2).collect()}
+    whole = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.5, bands=1).collect()}
+    assert tight <= loose
+    assert whole <= tight
+    assert (0, 1) in whole  # exact dup: identical sig matches the single band
+
+    # the incremental join honors the same knob (shared _band_keys_col)
+    new = docs.where(F.col("doc_id") >= 3).union(
+        docs.where(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    old = docs.where(F.col("doc_id") < 3)
+    inc = {(r.new_doc, r.dup_of)
+           for r in minhash_dedup_incremental(new, old, 0.5, bands=1).collect()}
+    assert (100, 0) in inc and (100, 1) in inc  # re-ingested exact dup flagged
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, 0.5, bands=5).collect()  # 5 does not divide 12
