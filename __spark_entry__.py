@@ -54,7 +54,7 @@ _GATE_PRIORITY = [
     "semantic_dedup_trained", "ann_recall_trained",
     "process_graph_predict_harmonic", "multimodal_jpeg_decode",
     "exact_substring_dedup_salted", "multimodal_resize",
-    "multimodal_image_features",
+    "multimodal_image_features", "minhash_lsh_pairs_tuned",
     # latest green row r02 (47 queries)
     "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
     "array_element_index", "array_element_label", "between", "clip", "cos",

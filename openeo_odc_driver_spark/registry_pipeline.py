@@ -60,9 +60,9 @@ _SIG_CTE = (
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 
 
-def _band_key_d(b: int) -> str:
+def _band_key_d(b: int, rows_per_band: int = _ROWS_PER_BAND) -> str:
     parts = ", ".join(
-        f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
     )
     return f"concat_ws('_', '{b}', {parts})"
 
@@ -158,6 +158,36 @@ def _minhash_signatures(spark, sf_dir):
 )
 def _minhash_lsh_pairs(spark, sf_dir):
     return pdedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+# high-precision banding picked by the MMDS tuner for threshold 0.85:
+# lsh_params_for_threshold(0.85, 12) == (2, 6) — s-curve midpoint 0.89
+_TUNED_BANDS, _TUNED_RPB = 2, MINHASH_K // 2
+_BANDED_TUNED_CTE = "banded AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {_band_key_d(b, _TUNED_RPB)} AS band_key FROM sig"
+    for b in range(_TUNED_BANDS)
+) + ")"
+
+
+@q(
+    "minhash_lsh_pairs_tuned",
+    f"WITH {_SIG_CTE}, {_BANDED_TUNED_CTE}, {_CAND_CTE} "
+    f"SELECT doc_a, doc_b, est_jaccard FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS est_jaccard "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est_jaccard >= 0.85",
+)
+def _minhash_lsh_pairs_tuned(spark, sf_dir):
+    """The tuner-driven banding end-to-end (pipeline/dedup.py:
+    lsh_params_for_threshold): a high-precision dedup pass at Jaccard
+    0.85 under the (2, 6) banding the MMDS rule picks for that
+    threshold — the dense-corpus candidate-density knob (PLANS.md
+    round-6: bands 4→2 measured 2.2× faster at generated sf1.0) with
+    its exact DuckDB twin."""
+    bands, _rpb = pdedup.lsh_params_for_threshold(0.85)
+    return pdedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), jaccard_threshold=0.85, bands=bands
+    )
 
 
 # exact connected components over the LSH dup-pair graph via a recursive
