@@ -200,6 +200,21 @@ def ivf_flat_ann(
             dot_expr(emb_col, "c_emb")
             / F.nullif(norm_expr(emb_col) * F.col("c_norm"), F.lit(0.0)),
         )
+        if keep == 1:
+            # corpus-side nearest-centroid: max_by instead of a window —
+            # same floats, same tie-break (struct ordering: NULL cosine
+            # sorts smallest ≡ desc-nulls-last; -cent_id ≡ cent_id asc),
+            # but the argmax partial-aggregates map-side so the exchange
+            # carries n rows, not the n×k scored crossJoin with its
+            # embedded arrays (the kmeans_train argmax discipline).
+            carry = [c for c in df.columns if c != id_col]
+            best = F.max_by(
+                F.struct(F.col("cent_id"), *[F.col(c) for c in carry]),
+                F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
+            )
+            return scored.groupBy(id_col).agg(best.alias("_b")).select(
+                id_col, *[F.col(f"_b.{c}").alias(c) for c in ["cent_id", *carry]]
+            )
         w = Window.partitionBy(id_col).orderBy(
             F.col("_cs").desc(), F.col("cent_id")
         )
@@ -343,8 +358,10 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
 
     Plan: corpus × broadcast codebook × subspace index, squared-L2 per
     sub-slice as a fixed-order fold, argmin per (vector, subspace) via
-    row_number (ties → lowest code, deterministic). One corpus pass, one
-    window partitioned by vector — no corpus self-join, no Python.
+    min_by (ties → lowest code, deterministic; partial-aggregated
+    map-side so the exchange carries n×M code rows, not the
+    n×M×PQ_K scored expansion). One corpus pass — no corpus
+    self-join, no window sort, no Python.
     """
     cb = _pq_codebook(embeddings)
     sub = (
@@ -359,10 +376,9 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
         )
         .withColumn("dist", _sub_l2_expr("embedding", "c_emb", "s"))
     )
-    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
     return (
-        sub.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        sub.groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
         .select("vec_id", F.col("s").cast("int").alias("s"), "code")
     )
 
@@ -705,14 +721,22 @@ def semantic_dedup_clusters(
             dot_expr("embedding", "c_emb")
             / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("_cs").desc(), F.col("cent_id")
+        # max_by argmax (not a window): same floats and tie-break, but
+        # the exchange carries n assigned rows after map-side partial
+        # aggregation instead of the n×k scored crossJoin.
+        best = F.max_by(
+            F.struct(F.col("cent_id"), F.col("embedding"), F.col("e_norm")),
+            F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
         )
         members = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("vec_id", "embedding", "e_norm",
-                    F.col("cent_id").alias("cluster_id"))
+            scored.groupBy("vec_id")
+            .agg(best.alias("_b"))
+            .select(
+                "vec_id",
+                F.col("_b.embedding").alias("embedding"),
+                F.col("_b.e_norm").alias("e_norm"),
+                F.col("_b.cent_id").alias("cluster_id"),
+            )
         )
     a = members.select(
         "cluster_id", F.col("vec_id").alias("vid_a"),
@@ -770,13 +794,18 @@ def kmeans_train(
     coordinate, sizes repeated per dim.
 
     Plan per iteration: centroids broadcast as a literal table (k×dim
-    doubles), one pass assigns via the fold-dot cosine, posexplode +
-    partial-aggregated per-(centroid, dim) means — the only shuffle is
-    k×dim-sized after map-side combine. The per-iteration driver
-    round-trip is k×dim floats (the standard iterative-ML pattern;
-    convergence control needs the driver). Empty clusters keep their
-    previous centroid.
+    doubles); one pass assigns via the fold-dot cosine with a max_by
+    argmax (partial-aggregated map-side, so the exchange carries n
+    assigned rows, never the n×k scored crossJoin); posexplode +
+    partial-aggregated per-(centroid, dim) means whose shuffle is
+    k×dim-sized after map-side combine, with the member count riding
+    the same aggregation (no extra sizes pass after the loop). The
+    per-iteration driver round-trip is k×dim floats (the standard
+    iterative-ML pattern; convergence control needs the driver). Empty
+    clusters keep their previous centroid.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     spark = embeddings.sparkSession
     dim = len(
         embeddings.where(F.col("vec_id") < 1).select("embedding").first()[0]
@@ -797,29 +826,47 @@ def kmeans_train(
             "cent_id int, c_emb array<double>",
         ).withColumn("c_norm", norm_expr("c_emb"))
 
+    emb_n = embeddings.withColumn("e_norm", norm_expr("embedding"))
+
     assigned = None
     for _ in range(iters):
-        scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
+        scored = emb_n.crossJoin(
             F.broadcast(cents_df())
         ).withColumn(
             "_cs",
             dot_expr("embedding", "c_emb")
             / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("_cs").desc(), F.col("cent_id")
+        # argmax via max_by, not a window: identical floats and
+        # tie-break (struct ordering: NULL cosine sorts smallest ≡
+        # desc-nulls-last; -cent_id ≡ cent_id asc), but partial
+        # aggregation shrinks the per-iteration exchange from the n×k
+        # scored crossJoin (with embedded arrays) to n rows.
+        best = F.max_by(
+            F.struct(F.col("cent_id"), F.col("embedding")),
+            F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
         )
         assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("vec_id", "embedding", "cent_id")
+            scored.groupBy("vec_id")
+            .agg(best.alias("_b"))
+            .select(
+                "vec_id",
+                F.col("_b.embedding").alias("embedding"),
+                F.col("_b.cent_id").alias("cent_id"),
+            )
         )
+        # member count rides the same aggregation (the dim-0 row's count
+        # IS the cluster size), so the final sizes need no extra
+        # assignment pass over the corpus after the loop
         means = (
             assigned.select(
                 "cent_id", F.posexplode("embedding").alias("dim", "v")
             )
             .groupBy("cent_id", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                F.avg(F.col("v").cast("double")).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = {c: list(vec) for c, vec in enumerate(cents)}  # keep empties
@@ -828,22 +875,15 @@ def kmeans_train(
         for r in means:
             new[r.cent_id][r.dim] = round(float(r.m), quant)
         cents = [new[i] for i in range(k)]
+        sizes = {r.cent_id: int(r.n) for r in means if r.dim == 0}
 
-    sizes = assigned.groupBy("cent_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    out = spark.createDataFrame(
-        [(i, d, cents[i][d]) for i in range(k) for d in range(dim)],
-        "cent_id int, dim int, coord double",
-    )
-    return (
-        out.join(F.broadcast(sizes), "cent_id", "left")
-        .select(
-            "cent_id",
-            F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
-            "dim",
-            "coord",
-        )
+    return spark.createDataFrame(
+        [
+            (i, sizes.get(i, 0), d, cents[i][d])
+            for i in range(k)
+            for d in range(dim)
+        ],
+        "cent_id int, n_members bigint, dim int, coord double",
     )
 
 

@@ -192,9 +192,9 @@ def test_semantic_dedup_no_cartesian_pairing(spark):
         "BuildRight, Cross" in plan[m.start():m.start() + 60]
         for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
     )
-    # row_number()<=1 centroid pick optimizes to WindowGroupLimit (no
-    # full per-vector sort materialization)
-    assert "WindowGroupLimit" in plan
+    # nearest-centroid pick is a max_by aggregation (partial map-side,
+    # n-row exchange), not a window over the n×k scored crossJoin
+    assert "max_by" in plan and "WindowGroupLimit" not in plan
 
 
 def test_unigram_logprob_model_broadcasts_corpus_stays(spark):
