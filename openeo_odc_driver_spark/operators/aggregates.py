@@ -173,6 +173,14 @@ def aggregate_spatial(
     """
     from ..functions.geometry import geom_id_col, is_convex
 
+    # graph-supplied label: colliding with a cube column would silently
+    # overwrite pixel values (withColumn replaces) or a group key —
+    # reject instead of corrupting the aggregate
+    if target_dimension in cube.df.columns:
+        raise ValueError(
+            f"target_dimension {target_dimension!r} collides with an "
+            f"existing cube column {cube.df.columns}; pick a fresh label"
+        )
     group = [d for d in cube.key_dims if d not in (X, Y)]
     if all(is_convex(p) for p in polygons):
         tag = geom_id_col(polygons, X, Y)

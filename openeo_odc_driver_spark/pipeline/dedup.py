@@ -414,6 +414,7 @@ def embedding_cosine_dup_pairs(
     threshold: float = 0.95,
     n_planes: int | None = None,
     salt: int = 1,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
     **LSH bucket id** (random-hyperplane signs, shared with
@@ -437,12 +438,17 @@ def embedding_cosine_dup_pairs(
     )
 
     if n_planes is None:
-        # occupancy-aware bucket space: one cheap count keeps within-
-        # bucket pair work ~constant as the corpus grows (PLANS.md r6
-        # scale table: fixed 8 planes measured 64x wall-clock for 10x
-        # rows before the knob). Gate queries pass n_planes=8 explicitly
-        # so the static SQL oracle stays valid at any sf.
-        n_planes = planes_for_corpus(embeddings.count())
+        # occupancy-aware bucket space keeps within-bucket pair work
+        # ~constant as the corpus grows (PLANS.md r6 scale table: fixed
+        # 8 planes measured 64x wall-clock for 10x rows before the
+        # knob). The count() is metadata-cheap on a parquet scan but a
+        # full extra job on a derived lineage — callers that know the
+        # corpus size (catalog stats, a prior census) pass n_vectors
+        # (or n_planes directly; gate queries pin n_planes=8 so the
+        # static SQL oracle stays valid at any sf).
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        n_planes = planes_for_corpus(n_vectors)
     e = embeddings.select(
         "vec_id",
         "embedding",

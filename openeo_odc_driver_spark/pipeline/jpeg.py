@@ -368,6 +368,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — consume them so 'FF FF DB' parses as DQT
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -402,6 +406,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                # 4-comp Adobe CMYK/YCCK would "decode" by silently
+                # treating YCCK as YCbCr; reject per the codec contract
+                raise ValueError(
+                    f"JPEG with {nc} components unsupported "
+                    "(grayscale or YCbCr only)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]

@@ -637,6 +637,10 @@ def assign_nearest_centroid_vectorized(
     from typing import Iterator as _It
 
     rows = centroids.select("cent_id", "c_emb").collect()  # k×dim, bounded
+    if not rows:
+        raise ValueError("assign_nearest_centroid_vectorized: empty "
+                         "centroid table (the fold path would emit no "
+                         "assignments; pass at least one centroid)")
     spark = embeddings.sparkSession
     cent_ids = np.array([r.cent_id for r in rows], dtype="int64")
     cmat = np.array([list(r.c_emb) for r in rows], dtype="float64")
@@ -652,13 +656,17 @@ def assign_nearest_centroid_vectorized(
     # array<double>) — narrowing to float32 here would desynchronize
     # e_norm (full precision) from the emitted coordinates
     emb_type = embeddings.schema[emb_col].dataType.simpleString()
+    # cent_ids are int64 (pseudo-centroids are corpus vec_ids — longs);
+    # an int32 output would silently wrap ids past 2^31
     out_schema = (
-        f"{id_col} long, {emb_col} {emb_type}, e_norm double, {out_col} int"
+        f"{id_col} long, {emb_col} {emb_type}, e_norm double, {out_col} long"
     )
 
     def assign(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         ids, unit_c, dead_c = b.value
         for pdf in batches:
+            if pdf.empty:  # shape-(0,) ndarray would break axis=1 norms
+                continue
             emb = np.array([list(v) for v in pdf[emb_col]], dtype="float64")
             norms = np.linalg.norm(emb, axis=1)
             safe = np.where(norms == 0.0, np.inf, norms)
@@ -669,7 +677,7 @@ def assign_nearest_centroid_vectorized(
                 id_col: pdf[id_col].to_numpy(),
                 emb_col: pdf[emb_col],
                 "e_norm": norms,
-                out_col: ids[best].astype("int32"),
+                out_col: ids[best],
             })
 
     return embeddings.select(id_col, emb_col).mapInPandas(assign, out_schema)

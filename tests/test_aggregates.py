@@ -87,3 +87,16 @@ def test_concave_polygon_falls_back_to_raycast(spark):
         .executedPlan().toString()
     )
     assert "ArrowEvalPython" not in conv_plan and "BatchEvalPython" not in conv_plan
+
+
+def test_zonal_target_dimension_collision_rejected(spark):
+    """A graph-supplied target_dimension naming an existing cube column
+    would silently overwrite pixel values (withColumn replaces) — the
+    operator must refuse instead."""
+    import pytest
+
+    c = synthetic_cube(spark, CubeSpec(n_times=2, ny=8, nx=8))
+    for label in ("value", "band", "time"):
+        with pytest.raises(ValueError, match="collides"):
+            aggregate_spatial(c, FIXTURE_POLYGONS, "mean",
+                              target_dimension=label)

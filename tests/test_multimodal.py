@@ -286,3 +286,31 @@ def test_image_features_feed_similarity_search(spark):
     top = brute_force_topk(emb, emb.where(F.col("vec_id") == 20), k=1).first()
     assert top.neighbor_id == 0  # identical content wins at cosine ~1
     assert abs(top.cosine - 1.0) < 1e-6
+
+
+def test_jpeg_rejects_unsupported_component_counts_and_eats_fill_bytes():
+    """T.81 contract edges: a 4-component (CMYK-shaped) SOF0 must raise —
+    not silently misdecode YCCK as YCbCr — and legal 0xFF fill padding
+    before a marker must parse."""
+    import numpy as np
+    import pytest
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    data = encode_jpeg(img, quality=85)
+
+    # splice a 4-component SOF0 in place of the real one
+    sof = data.index(b"\xff\xc0")
+    ln = int.from_bytes(data[sof + 2 : sof + 4], "big")
+    four = bytearray(data[sof + 4 : sof + 4 + ln - 2])
+    four[5] = 4  # component count
+    four += bytes([4, 0x11, four[7]] )  # 4th component reuses a qtable
+    patched = (data[:sof + 2] + (len(four) + 2).to_bytes(2, "big")
+               + bytes(four) + data[sof + 4 + ln - 2:])
+    with pytest.raises(ValueError, match="components unsupported"):
+        decode_jpeg(patched)
+
+    # B.1.1.2 fill byte: FF FF C0 ... must decode identically
+    padded = data[:sof] + b"\xff" + data[sof:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))

@@ -391,3 +391,25 @@ def test_vectorized_assignment_equals_fold_path(spark):
     vec = sorted(map(tuple, semantic_dedup_clusters(
         e, n_centroids=24, assign_impl="vectorized").collect()))
     assert fold == vec
+
+
+def test_vectorized_assignment_empty_centroids_and_id_width(spark):
+    """Empty centroid tables raise a named error (not a numpy AxisError),
+    and cluster ids survive past 2^31 (the int32-wrap regression)."""
+    import pytest
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        assign_nearest_centroid_vectorized,
+    )
+
+    e = spark.createDataFrame(
+        [(2**31 + 7, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = e.selectExpr("vec_id AS cent_id", "embedding AS c_emb")
+    with pytest.raises(ValueError, match="empty"):
+        assign_nearest_centroid_vectorized(e, cents.where("cent_id < 0"))
+    got = {r.vec_id: r.cluster_id
+           for r in assign_nearest_centroid_vectorized(e, cents).collect()}
+    assert got[2**31 + 7] == 2**31 + 7  # self is its own nearest centroid
+    assert got[5] == 5
