@@ -345,3 +345,17 @@ def test_exact_substring_salted_no_extra_corpus_shuffle(spark):
     base = _exchanges(_plan(spark, "exact_substring_dedup"))
     salted = _exchanges(_plan(spark, "exact_substring_dedup_salted"))
     assert salted <= base + 1  # at most the build-side explode's exchange
+
+
+def test_pq_encode_single_exchange_min_by(spark):
+    """PQ sub-quantizer argmin is a min_by aggregation over the
+    codebook crossJoin — one n×M-sized exchange after map-side partial
+    aggregation, never a window sort of the n×M×K scored expansion."""
+    plan = _plan(spark, "pq_encode")
+    assert "min_by" in plan
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert _exchanges(plan) == 1
+    # (kmeans_train's own iterations can't be plan-gated here: training
+    # runs eagerly at query-build time and the returned DataFrame is a
+    # literal LocalTableScan — its argmax shape is covered by this
+    # test's shared assign path and the exact-value oracle.)
