@@ -203,21 +203,32 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
     def registry():
         """Engine introspection beyond the openEO surface: every
         registered gate query, whether it carries a DuckDB oracle, and
-        its status in the most recent driver correctness report found
+        its status merged across ALL driver correctness reports found
         next to the package (CORRECTNESS_r*.json) — the live view of
-        'which operators are verified, and how'."""
+        'which operators are verified, and how'.
+
+        The driver's per-round report is a rotating ~50-query window, so
+        a single report never covers the whole registry: for each query
+        we take its row from the MOST RECENT round that sampled it and
+        report that round as provenance."""
         import glob as _glob
         import json as _json
         import os as _os
+        import re as _re
 
         from .registry import ORACLE, QUERIES
 
         repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         reports = sorted(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")))
         latest: dict = {}
-        if reports:
-            with open(reports[-1]) as fh:
-                latest = _json.load(fh)
+        round_of: dict = {}
+        for path in reports:  # ascending round order; later rounds win
+            m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnd = int(m.group(1)) if m else -1
+            with open(path) as fh:
+                for name, row in _json.load(fh).items():
+                    latest[name] = row
+                    round_of[name] = rnd
         entries = []
         for name in QUERIES:
             row = latest.get(name)
@@ -230,12 +241,18 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
             else:
                 status = "mismatch"
             entries.append(
-                {"id": name, "oracle": name in ORACLE, "status": status}
+                {
+                    "id": name,
+                    "oracle": name in ORACLE,
+                    "status": status,
+                    "round": round_of.get(name),
+                }
             )
         return jsonify(
             {
                 "queries": entries,
                 "report": _os.path.basename(reports[-1]) if reports else None,
+                "reports_merged": [_os.path.basename(p) for p in reports],
                 "n_verified": sum(e["status"] == "verified" for e in entries),
                 "n_total": len(entries),
             }
