@@ -78,6 +78,120 @@ def lsh_params_for_threshold(
     )
 
 
+def _tagged_band_counts(sig: DataFrame, bandings: list[int]) -> DataFrame:
+    """Bucket occupancy for EVERY candidate banding in one scan: each
+    signature emits its band keys for all bandings, tagged by banding —
+    so the density probe is a single job over the (tiny) signature
+    table, not one per probed banding."""
+    def _tag(b: int):
+        # one-arg lambda on purpose: a two-arg lambda would receive the
+        # ELEMENT INDEX as its second argument (pyspark transform
+        # convention), clobbering a default-bound banding
+        return lambda c: F.struct(F.lit(b).alias("bnd"), c.alias("bk"))
+
+    tagged = F.concat(*[
+        F.transform(_band_keys_col(b), _tag(b)) for b in bandings
+    ])
+    return (
+        sig.select(F.explode(tagged).alias("t"))
+        .groupBy(F.col("t.bnd").alias("bnd"), F.col("t.bk").alias("bk"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _predicted_candidates_all(
+    sig: DataFrame, bandings: list[int], sig_other: DataFrame | None = None
+) -> dict[int, float]:
+    """Exact predicted LSH candidate count per banding, from band-bucket
+    occupancy: ``Σ_buckets C(n,2)`` for a self-join, ``Σ_buckets n_a·n_b``
+    for the incremental new×existing join. Counts a pair once per shared
+    band (an upper bound on distinct candidate pairs) — deterministic for
+    a given corpus, no sampling. All bandings are computed in ONE job
+    (two for the cross shape)."""
+    ca = _tagged_band_counts(sig, bandings)
+    if sig_other is None:
+        rows = ca.groupBy("bnd").agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+        ).collect()
+    else:
+        cb = _tagged_band_counts(sig_other, bandings).withColumnRenamed("n", "nb")
+        rows = (
+            ca.join(cb, ["bnd", "bk"])
+            .groupBy("bnd")
+            .agg(F.sum(F.col("n") * F.col("nb")).alias("p"))
+            .collect()
+        )
+    out = {b: 0.0 for b in bandings}
+    out.update({r["bnd"]: float(r["p"] or 0.0) for r in rows})
+    return out
+
+
+def _predicted_candidates(
+    sig: DataFrame, bands: int, sig_other: DataFrame | None = None
+) -> float:
+    """Single-banding form of :func:`_predicted_candidates_all`."""
+    return _predicted_candidates_all(sig, [bands], sig_other)[bands]
+
+
+def bands_for_corpus(
+    sig: DataFrame,
+    threshold: float,
+    sig_other: DataFrame | None = None,
+    max_candidates_per_doc: float = 32.0,
+) -> int:
+    """Density-aware banding — the shingle-space analogue of
+    ``planes_for_corpus`` (similarity.py) and the SHIPPED DEFAULT for
+    banded minhash dedup since round 7: start from the MMDS threshold
+    rule (:func:`lsh_params_for_threshold`) and TIGHTEN (fewer, longer
+    bands — a sharper s-curve) while the measured band-bucket occupancy
+    predicts more than ``max_candidates_per_doc`` candidate pairs per
+    document.
+
+    Why a runtime probe: candidate density is a property of the CORPUS
+    (shingle-space density), invisible to Catalyst's per-plan statistics
+    — a fixed permissive banding that is fine on web-scale vocabulary
+    goes super-linear on boilerplate-dense corpora (measured: 17.5×
+    wall-clock for 10× rows at (4, 3) banding on the 31-word generated
+    corpus; PLANS.md round-6/7 scale tables). The probe is the same
+    measure-then-plan adaptivity AQE applies to shuffles, applied one
+    level up. It costs one bucket-count aggregation over the (tiny,
+    K-ints-per-doc, persisted) signature table per probed banding, and
+    probes at most the divisors of MINHASH_K below the threshold rule's
+    choice — in practice 1-2 probes. At 100 TB the existing corpus's
+    band-occupancy histogram is part of the materialized signature asset
+    (bucket counts merge under append), so the probe reads a summary,
+    not the corpus.
+
+    Tightening is candidate-recall-safe where it matters: exact
+    duplicates (j = 1) match EVERY band under any banding, and pairs far
+    below the threshold are exactly the ones the verify stage would
+    reject anyway; only near-threshold pairs move along the s-curve
+    (quantified by :func:`lsh_candidate_prob`). Pass an explicit
+    ``bands`` to the dedup entry points for the fixed-banding oracle
+    mode (the driver gate does — a dynamic choice has no static SQL
+    twin).
+    """
+    if max_candidates_per_doc <= 0:
+        raise ValueError(
+            f"max_candidates_per_doc must be > 0, got {max_candidates_per_doc}"
+        )
+    b0, _ = lsh_params_for_threshold(threshold)
+    n_docs = sig.count()
+    if n_docs == 0:
+        return b0
+    # candidate bandings, threshold-rule choice first, then tighter;
+    # ALL probed in one job (_tagged_band_counts), so tightening costs
+    # no extra passes over the signature table
+    bandings = sorted(
+        (b for b in range(1, b0 + 1) if MINHASH_K % b == 0), reverse=True
+    )
+    pred = _predicted_candidates_all(sig, bandings, sig_other)
+    for b in bandings:
+        if pred[b] <= max_candidates_per_doc * n_docs:
+            return b
+    return bandings[-1]  # densest corpora: single full-width band
+
+
 # --- persisted-handle tracking (ADVICE r2: no leaked cached blocks) --------
 _PERSISTED: list = []
 
@@ -256,10 +370,13 @@ def minhash_lsh_pairs(
     self-join touches only true near-dup buckets; skewed giant buckets
     (boilerplate docs) are handled by AQE skew-join splitting. On DENSE
     corpora (small shingle space) candidate count is the bottleneck —
-    tune ``bands`` with :func:`lsh_params_for_threshold` (default keeps
-    the gate's permissive LSH_BANDS); tightening only drops candidates
-    whose estimated Jaccard the verify stage would reject anyway, except
-    near-threshold pairs per the s-curve.
+    ``bands=None`` (the default) is density-aware: the banding is chosen
+    at runtime by :func:`bands_for_corpus` from measured band-bucket
+    occupancy, tightening below the MMDS threshold rule when the corpus
+    is dense; tightening only drops candidates whose estimated Jaccard
+    the verify stage would reject anyway, except near-threshold pairs
+    per the s-curve. Pass an explicit ``bands`` for fixed-banding oracle
+    mode (the driver gate pins LSH_BANDS so its DuckDB twin is static).
     """
     # the signature table is tiny relative to the corpus (K ints per doc)
     # but expensive to compute (explode + md5 per shingle); persist it so
@@ -270,6 +387,8 @@ def minhash_lsh_pairs(
     # long-lived service session holds at most one signature table, not
     # one per query ever run.
     sig = _track_persisted(minhash_signatures(docs))
+    if bands is None:
+        bands = bands_for_corpus(sig, jaccard_threshold)
     # band keys come from the ONE shared definition (_band_keys_col) so
     # the batch self-join and the incremental join can never drift on
     # what 'candidate' means (ADVICE r5).
@@ -305,6 +424,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     candidates: DataFrame | None = None,
     lsh_candidate_threshold: float = 0.2,
+    bands: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard, **gated on LSH candidates** — the verify stage
     of the two-stage dedup (candidates default to
@@ -317,9 +437,9 @@ def ngram_jaccard_pairs(
     shingles (stopword runs) at 100 TB.
     """
     if candidates is None:
-        candidates = minhash_lsh_pairs(docs, lsh_candidate_threshold).select(
-            "doc_a", "doc_b"
-        )
+        candidates = minhash_lsh_pairs(
+            docs, lsh_candidate_threshold, bands=bands
+        ).select("doc_a", "doc_b")
     sh = docs.select("doc_id", F.explode(_shingles()).alias("sh")).dropDuplicates()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.withColumnRenamed("doc_id", "doc_a")
@@ -485,6 +605,7 @@ def near_dup_clusters(
     jaccard_threshold: float = 0.5,
     rounds: int = 4,
     pairs: DataFrame | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH pair
     graph, labeled by the component's minimum doc_id — the step a real
@@ -523,7 +644,7 @@ def near_dup_clusters(
     out results you need to keep before issuing another dedup query.
     """
     if pairs is None:
-        pairs = minhash_lsh_pairs(docs, jaccard_threshold)
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold, bands=bands)
         release_edges_first = False
     else:
         # no minhash_lsh_pairs call to release the previous query's
@@ -579,6 +700,7 @@ def near_dup_keep_representative(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
     rounds: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """The operational form of near-dedup: the corpus with every near-dup
     cluster collapsed to its minimum-doc_id representative — what a
@@ -590,7 +712,7 @@ def near_dup_keep_representative(
     At 100 TB the label table is small enough to broadcast, so the
     corpus is never shuffled — one broadcast hash join over the scan.
     """
-    clusters = near_dup_clusters(docs, jaccard_threshold, rounds=rounds)
+    clusters = near_dup_clusters(docs, jaccard_threshold, rounds=rounds, bands=bands)
     return (
         docs.join(F.broadcast(clusters), "doc_id", "left")
         .where(
@@ -919,14 +1041,23 @@ def minhash_dedup_incremental(
     never existing→existing), AQE skew handling on hot buckets.
 
     On dense corpora candidate count dominates (measured 17.5× wall for
-    10× rows at the gate's permissive (4, 3) banding on the 31-word
-    generated corpus — PLANS.md); tune ``bands`` with
-    :func:`lsh_params_for_threshold` to sharpen the s-curve. Note the
-    existing side's materialized signatures must be re-banded (cheap:
-    K ints/doc, no re-shingling) when the banding changes.
+    10× rows at a fixed permissive (4, 3) banding on the 31-word
+    generated corpus — PLANS.md round-6 table); ``bands=None`` (the
+    default) is therefore density-aware: :func:`bands_for_corpus`
+    tightens the banding from measured new×existing bucket occupancy
+    (measured back to ≤ linear under the default — PLANS.md round-7
+    table). Pass explicit ``bands`` for fixed-banding oracle mode. Note
+    the existing side's materialized signatures must be re-banded
+    (cheap: K ints/doc, no re-shingling) when the banding changes.
     """
     sig_new = minhash_signatures(new_docs)
     sig_old = minhash_signatures(existing_docs)
+    if bands is None:
+        # persist both signature tables: the density probe and the join
+        # would otherwise each re-shingle + re-hash their inputs
+        sig_old = _track_persisted(sig_old)
+        sig_new = _track_persisted(sig_new, release_previous=False)
+        bands = bands_for_corpus(sig_new, jaccard_threshold, sig_other=sig_old)
     banded_new = sig_new.select(
         F.col("doc_id").alias("new_doc"),
         F.col("sig").alias("sig_a"),

@@ -683,12 +683,15 @@ def assign_nearest_centroid_vectorized(
     return embeddings.select(id_col, emb_col).mapInPandas(assign, out_schema)
 
 
+VECTORIZE_K_THRESHOLD = 64  # auto assign dispatch: fold below, matmul at/above
+
+
 def semantic_dedup_clusters(
     embeddings: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
-    assign_impl: str = "fold",
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication census: partition vectors by
     nearest pseudo-centroid, then inside each cluster drop any vector
@@ -707,16 +710,35 @@ def semantic_dedup_clusters(
     Skewed clusters split under AQE; the join is shuffle-partitioned by
     cluster id.
 
-    ``assign_impl="vectorized"`` swaps the fold-expression assignment
-    for :func:`assign_nearest_centroid_vectorized` (one Arrow matmul
-    per batch) — REQUIRED at SemDeDup-scale k (the fold path is
-    interpreted per (row, centroid); measured 17 s → 4 s at 20k×160,
-    and the gap grows linearly in k). The gate keeps the fold default
-    for bit-exact oracle parity.
+    ``assign_impl`` picks the centroid-assignment engine; the shipped
+    default is ``"auto"`` (round 7): fold expressions below
+    ``VECTORIZE_K_THRESHOLD`` centroids, the Arrow matmul of
+    :func:`assign_nearest_centroid_vectorized` at or above it — the
+    fold path is interpreted per (row, centroid) (measured 17 s → 4 s
+    at 20k×160, the gap linear in k), so SemDeDup-scale k is only
+    reachable vectorized, while small k stays on the exchange-free
+    fold plan whose floats the DuckDB oracle reproduces bit-exactly.
+    Pass ``"fold"`` / ``"vectorized"`` to pin an engine (the small-k
+    gate rows pin fold; the ulp caveat on the vectorized path is in
+    its docstring, and fold ≡ vectorized is pinned on the fixture at
+    20k×160 by tests/test_round6_ops.py).
     """
     if centroids is None:
+        k_known = n_centroids
         centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    else:
+        k_known = None
+    if assign_impl == "auto":
+        # the centroid table is k rows (it gets collected/broadcast
+        # either way), so counting it to pick the engine is free
+        k = k_known if k_known is not None else centroids.count()
+        assign_impl = "vectorized" if k >= VECTORIZE_K_THRESHOLD else "fold"
+    if assign_impl not in ("fold", "vectorized"):
+        raise ValueError(
+            f"assign_impl must be 'auto', 'fold' or 'vectorized', "
+            f"got {assign_impl!r}"
         )
     if assign_impl == "vectorized":
         members = assign_nearest_centroid_vectorized(embeddings, centroids)

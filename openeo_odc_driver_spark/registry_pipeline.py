@@ -157,7 +157,13 @@ def _minhash_signatures(spark, sf_dir):
     "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est_jaccard >= 0.5",
 )
 def _minhash_lsh_pairs(spark, sf_dir):
-    return pdedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    # oracle mode: fixed LSH_BANDS banding — the shipped default is the
+    # density-aware bands_for_corpus, whose runtime choice has no static
+    # SQL twin (exercised by tests/test_pipeline.py + the PLANS.md
+    # round-7 scale measurement instead)
+    return pdedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), jaccard_threshold=0.5, bands=LSH_BANDS
+    )
 
 
 # high-precision banding picked by the MMDS tuner for threshold 0.85:
@@ -184,7 +190,16 @@ def _minhash_lsh_pairs_tuned(spark, sf_dir):
     threshold — the dense-corpus candidate-density knob (PLANS.md
     round-6: bands 4→2 measured 2.2× faster at generated sf1.0) with
     its exact DuckDB twin."""
-    bands, _rpb = pdedup.lsh_params_for_threshold(0.85)
+    bands, rpb = pdedup.lsh_params_for_threshold(0.85)
+    if (bands, rpb) != (_TUNED_BANDS, _TUNED_RPB):
+        # the DuckDB twin above hardcodes (2, 6); if the tuner or
+        # MINHASH_K ever drifts, fail with a named error instead of a
+        # confusing value mismatch (ADVICE r6)
+        raise AssertionError(
+            f"lsh_params_for_threshold(0.85) drifted to ({bands}, {rpb}); "
+            f"oracle SQL pins ({_TUNED_BANDS}, {_TUNED_RPB}) — regenerate "
+            "_BANDED_TUNED_CTE"
+        )
     return pdedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), jaccard_threshold=0.85, bands=bands
     )
@@ -217,7 +232,9 @@ _KEEP_REPRESENTATIVE_SQL = (
     f"WITH RECURSIVE {_CC_CTES} SELECT * FROM clusters",
 )
 def _near_dup_clusters(spark, sf_dir):
-    return pdedup.near_dup_clusters(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    return pdedup.near_dup_clusters(
+        _docs(spark, sf_dir), jaccard_threshold=0.5, bands=LSH_BANDS
+    )
 
 
 @q(
@@ -226,7 +243,7 @@ def _near_dup_clusters(spark, sf_dir):
 )
 def _near_dup_keep_representative(spark, sf_dir):
     return pdedup.near_dup_keep_representative(
-        _docs(spark, sf_dir), jaccard_threshold=0.5
+        _docs(spark, sf_dir), jaccard_threshold=0.5, bands=LSH_BANDS
     )
 
 
@@ -249,7 +266,9 @@ def _near_dup_keep_representative(spark, sf_dir):
     "JOIN sizes sb ON sb.doc_id = i.doc_b) WHERE jaccard >= 0.4",
 )
 def _ngram_jaccard(spark, sf_dir):
-    return pdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+    return pdedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.4, bands=LSH_BANDS
+    )
 
 
 _SIMHASH_BITS = 28
@@ -913,7 +932,9 @@ def _pipeline_neardedup_e2e(spark, sf_dir):
     from .pipeline.sampling import sample_stratified
 
     docs = _docs(spark, sf_dir)
-    survivors = pdedup.near_dup_keep_representative(docs, jaccard_threshold=0.5)
+    survivors = pdedup.near_dup_keep_representative(
+        docs, jaccard_threshold=0.5, bands=LSH_BANDS
+    )
     sampled = sample_stratified(
         survivors, rates={"en": 0.5, "de": 1.0, "es": 0.25},
         default_rate=0.1, salt="seed0",
@@ -1968,9 +1989,12 @@ def _minhash_dedup_incremental(spark, sf_dir):
     from .pipeline.dedup import minhash_dedup_incremental
 
     docs = _docs(spark, sf_dir)
+    # oracle mode: fixed LSH_BANDS banding (the shipped default is
+    # density-aware — see _minhash_lsh_pairs note)
     return minhash_dedup_incremental(
         docs.where(F.col("doc_id") % 5 == 0),
         docs.where(F.col("doc_id") % 5 != 0),
+        bands=LSH_BANDS,
     )
 
 

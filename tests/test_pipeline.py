@@ -354,3 +354,88 @@ def test_lsh_pairs_tighter_banding_is_subset(spark, docs):
 
     with pytest.raises(ValueError):
         minhash_lsh_pairs(docs, 0.5, bands=5).collect()  # 5 does not divide 12
+
+
+def test_bands_for_corpus_density_aware_default(spark):
+    """The round-7 shipped default: bands=None measures band-bucket
+    occupancy and tightens the MMDS threshold-rule banding on dense
+    corpora; sparse corpora keep the threshold rule's choice; the
+    chosen banding is reproducible by passing it explicitly."""
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        bands_for_corpus,
+        lsh_params_for_threshold,
+        minhash_dedup_incremental,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        release_cached_signatures,
+    )
+
+    b0, _ = lsh_params_for_threshold(0.5)
+
+    # sparse: 60 documents of unique vocabulary — no bucket collisions,
+    # the threshold rule stands
+    sparse = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    sig_sparse = minhash_signatures(sparse)
+    assert bands_for_corpus(sig_sparse, 0.5) == b0
+
+    # dense: 200 identical documents — every banding buckets all of them
+    # together (bands * C(200,2) predicted candidates), far past the
+    # 32-per-doc cap even at a single full-width band → tightest banding
+    dense = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated across the corpus")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    sig_dense = minhash_signatures(dense)
+    assert bands_for_corpus(sig_dense, 0.5) == 1
+
+    # the default path is exactly "explicit bands = the probe's choice",
+    # and exact dups survive the tightened banding
+    try:
+        auto = {(r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(dense, 0.5).collect()}
+        explicit = {(r.doc_a, r.doc_b)
+                    for r in minhash_lsh_pairs(dense, 0.5, bands=1).collect()}
+    finally:
+        release_cached_signatures()
+    assert auto == explicit
+    assert len(auto) == 200 * 199 // 2
+
+    # incremental: density measured on the new x existing join topology
+    new = dense.where("doc_id >= 190")
+    old = dense.where("doc_id < 190")
+    try:
+        inc = minhash_dedup_incremental(new, old, 0.5).collect()
+    finally:
+        release_cached_signatures()
+    # every new doc matches every existing doc (identical text)
+    assert len(inc) == 10 * 190
+    assert all(abs(r.est_jaccard - 1.0) < 1e-9 for r in inc)
+
+
+def test_predicted_candidates_exact_counts(spark):
+    """The density probe's arithmetic: sum C(n,2) per bucket for the
+    self-join shape, sum n_a*n_b for new x existing."""
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        _predicted_candidates,
+        minhash_signatures,
+    )
+
+    # 3 identical + 2 identical (different text) + 1 unique
+    rows = [(i, "aaaa bbbb cccc dddd eeee") for i in range(3)]
+    rows += [(10 + i, "ffff gggg hhhh iiii jjjj") for i in range(2)]
+    rows += [(20, " ".join(f"zz{j}q" for j in range(20)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    # bands=1: one bucket of 3 (C=3), one of 2 (C=1), one of 1 (C=0)
+    assert _predicted_candidates(sig, 1) == 3 + 1
+    # bands=4: same buckets per band -> 4x
+    assert _predicted_candidates(sig, 4) == 4 * (3 + 1)
+
+    a = minhash_signatures(docs.where("doc_id < 2"))        # 2 of group A
+    b = minhash_signatures(docs.where("doc_id in (2, 10)"))  # 1 A, 1 B
+    # cross shape at bands=1: the A-bucket contributes 2*1
+    assert _predicted_candidates(a, 1, b) == 2.0
