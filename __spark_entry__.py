@@ -40,31 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs queries in registration order under a
-# bounded window (~50 per round). After round 5, all 189 registered queries
-# have a green driver row, so the round-6 ordering is STALEST-FIRST
-# (VERDICT r5 item 5): the 12 never-checked round-6 queries lead, then
-# queries whose latest green row is r02, r03, r04, r05 — so a silent
-# regression in a long-unchecked op surfaces in the next window instead of
-# never. Regenerate with the snippet in scratch/verify_local.py's docstring
-# whenever a new CORRECTNESS_r{N}.json lands.
+# bounded window (~50 per round). All previously registered queries have a
+# green driver row, so the ordering is STALEST-FIRST (VERDICT r5 item 5 /
+# r6 item 5): never-checked round-7 queries lead, then queries whose
+# latest green row is r02, r03, ... — so a silent regression in a
+# long-unchecked op surfaces in the next window instead of never.
+# Regenerated for round 7 from CORRECTNESS_r01..r06 with the snippet in
+# scratch/verify_local.py's docstring.
 _GATE_PRIORITY = [
-    # never driver-checked (new in round 6) — first
-    "aggregate_spatial_sum", "aggregate_spatial_min", "aggregate_spatial_max",
-    "aggregate_spatial_product", "ivf_pq_ann_trained",
-    "semantic_dedup_trained", "ann_recall_trained",
-    "process_graph_predict_harmonic", "multimodal_jpeg_decode",
-    "exact_substring_dedup_salted", "multimodal_resize",
-    "multimodal_image_features", "minhash_lsh_pairs_tuned",
-    # latest green row r02 (47 queries)
-    "absolute", "add", "add_cubes", "add_dimension", "and", "arctan",
-    "array_element_index", "array_element_label", "between", "clip", "cos",
-    "divide", "eq", "exp", "filter_bands", "filter_bbox", "filter_spatial",
-    "filter_temporal", "floor", "gt", "gte", "if", "is_nodata",
-    "linear_scale_range", "ln", "load_collection_lineitem",
-    "load_result_roundtrip", "log", "lt", "lte", "mask_nodata",
-    "mask_replacement", "mod", "multiply", "neq", "normalized_difference",
-    "not", "or", "pi_multiply", "power", "rename_labels_bands",
-    "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube", "tan",
+    # never driver-checked (new in round 7) — first
+    "semantic_dedup_vectorized_k160", "semantic_dedup_trained_k160",
+    # latest green row r02 (10 queries)
+    "or", "pi_multiply", "power", "rename_labels_bands",
+    "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
+    "tan",
     # latest green row r03 (45 queries)
     "aggregate_spatial_median", "aggregate_spatial_window",
     "aggregate_temporal_period_season", "ann_recall", "anomaly",
@@ -106,18 +95,33 @@ _GATE_PRIORITY = [
     "dsir_importance_weights", "embedding_int8_quantize",
     "event_anomaly_hours", "event_funnel", "event_retention_cohorts",
     "event_sessionize", "events_user_type_pivot", "exact_substring_dedup",
-    "fit_curve_harmonic", "gopher_quality_flags", "incremental_corpus_stats",
-    "intra_doc_dedup", "ivf_pq_ann", "jsonl_roundtrip", "kmeans_train",
-    "minhash_dedup_incremental", "multimodal_audio_decode",
-    "multimodal_decode", "orders_per_nation", "orders_rollup",
-    "pack_sequences", "pack_token_ids", "paragraph_dedup", "pii_scan",
-    "pipeline_rule_model_mix_stats", "priority_sample",
+    "fit_curve_harmonic", "gopher_quality_flags",
+    "incremental_corpus_stats", "intra_doc_dedup", "ivf_pq_ann",
+    "jsonl_roundtrip", "kmeans_train", "minhash_dedup_incremental",
+    "multimodal_audio_decode", "multimodal_decode", "orders_per_nation",
+    "orders_rollup", "pack_sequences", "pack_token_ids", "paragraph_dedup",
+    "pii_scan", "pipeline_rule_model_mix_stats", "priority_sample",
     "process_graph_fit_curve", "quality_classifier_score",
     "quality_classifier_train", "repetition_scores",
     "semantic_dedup_clusters", "streaming_corpus_ingest_stats",
-    "streaming_quality_filter", "temperature_sample_langs", "tokenize_to_ids",
-    "tpch_q1", "tpch_q14_promo_revenue", "tpch_q5_local_supplier_volume",
-    "unigram_logprob", "vocab_top_terms", "zorder_bucket_stats",
+    "streaming_quality_filter", "temperature_sample_langs",
+    "tokenize_to_ids", "tpch_q1", "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume", "unigram_logprob", "vocab_top_terms",
+    "zorder_bucket_stats",
+    # latest green row r06 (50 queries)
+    "absolute", "add", "add_cubes", "add_dimension",
+    "aggregate_spatial_max", "aggregate_spatial_min",
+    "aggregate_spatial_product", "aggregate_spatial_sum", "and",
+    "ann_recall_trained", "arctan", "array_element_index",
+    "array_element_label", "between", "clip", "cos", "divide", "eq",
+    "exact_substring_dedup_salted", "exp", "filter_bands", "filter_bbox",
+    "filter_spatial", "filter_temporal", "floor", "gt", "gte", "if",
+    "is_nodata", "ivf_pq_ann_trained", "linear_scale_range", "ln",
+    "load_collection_lineitem", "load_result_roundtrip", "log", "lt", "lte",
+    "mask_nodata", "mask_replacement", "minhash_lsh_pairs_tuned", "mod",
+    "multimodal_image_features", "multimodal_jpeg_decode",
+    "multimodal_resize", "multiply", "neq", "normalized_difference", "not",
+    "process_graph_predict_harmonic", "semantic_dedup_trained",
 ]
 
 

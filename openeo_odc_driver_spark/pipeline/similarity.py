@@ -806,6 +806,7 @@ def kmeans_train(
     k: int = 16,
     iters: int = 3,
     quant: int = 6,
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """Spherical k-means (Lloyd) centroid training — the real-centroid
     path that :func:`ivf_flat_ann` / :func:`semantic_dedup_clusters`
@@ -824,9 +825,17 @@ def kmeans_train(
     coordinate, sizes repeated per dim.
 
     Plan per iteration: centroids broadcast as a literal table (k×dim
-    doubles); one pass assigns via the fold-dot cosine with a max_by
-    argmax (partial-aggregated map-side, so the exchange carries n
-    assigned rows, never the n×k scored crossJoin); posexplode +
+    doubles); one pass assigns — below ``VECTORIZE_K_THRESHOLD`` via
+    the fold-dot cosine with a max_by argmax (partial-aggregated
+    map-side, so the exchange carries n assigned rows, never the n×k
+    scored crossJoin), at/above it via
+    :func:`assign_nearest_centroid_vectorized` (one Arrow matmul per
+    batch — the fold is interpreted per (row, centroid) and Lloyd pays
+    it every iteration; ``assign_impl`` pins an engine, same contract
+    as :func:`semantic_dedup_clusters`; the per-iteration coordinate
+    quantization absorbs the matmul's last-ulp summation-order noise
+    before it can flip a later assignment, double-run-checked at
+    fixture capture); then posexplode +
     partial-aggregated per-(centroid, dim) means whose shuffle is
     k×dim-sized after map-side combine, with the member count riding
     the same aggregation (no extra sizes pass after the loop). The
@@ -840,6 +849,15 @@ def kmeans_train(
     dim = len(
         embeddings.where(F.col("vec_id") < 1).select("embedding").first()[0]
     )
+    # contract: every embedding is a non-empty, same-length array. A
+    # zero-length vector would posexplode to NOTHING, so it would be
+    # assigned by the argmax yet silently excluded from the per-cluster
+    # member counts (ADVICE r6) — fail loudly instead of miscounting.
+    if dim == 0:
+        raise ValueError(
+            "kmeans_train: embeddings must be non-empty arrays (vec_id<1 "
+            "row has dim 0)"
+        )
     init = (
         embeddings.where(F.col("vec_id") < k)
         .orderBy("vec_id")
@@ -858,8 +876,15 @@ def kmeans_train(
 
     emb_n = embeddings.withColumn("e_norm", norm_expr("embedding"))
 
-    assigned = None
-    for _ in range(iters):
+    if assign_impl == "auto":
+        assign_impl = "vectorized" if k >= VECTORIZE_K_THRESHOLD else "fold"
+    if assign_impl not in ("fold", "vectorized"):
+        raise ValueError(
+            f"assign_impl must be 'auto', 'fold' or 'vectorized', "
+            f"got {assign_impl!r}"
+        )
+
+    def _assign_fold():
         scored = emb_n.crossJoin(
             F.broadcast(cents_df())
         ).withColumn(
@@ -876,7 +901,7 @@ def kmeans_train(
             F.struct(F.col("cent_id"), F.col("embedding")),
             F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
         )
-        assigned = (
+        return (
             scored.groupBy("vec_id")
             .agg(best.alias("_b"))
             .select(
@@ -885,6 +910,14 @@ def kmeans_train(
                 F.col("_b.cent_id").alias("cent_id"),
             )
         )
+
+    for _ in range(iters):
+        if assign_impl == "vectorized":
+            assigned = assign_nearest_centroid_vectorized(
+                emb_n, cents_df(), out_col="cent_id"
+            ).select("vec_id", "embedding", "cent_id")
+        else:
+            assigned = _assign_fold()
         # member count rides the same aggregation (the dim-0 row's count
         # IS the cluster size), so the final sizes need no extra
         # assignment pass over the corpus after the loop

@@ -1300,34 +1300,57 @@ _SEM_NC = 16
 _SEM_TAU = 0.45
 
 
-@q(
-    "semantic_dedup_clusters",
-    "WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb "
-    f"FROM embeddings WHERE vec_id < {_SEM_NC}), "
-    "scored AS (SELECT e.vec_id, e.embedding, ct.cent_id, "
-    f"({_duck_dot('e.embedding', 'ct.c_emb')}) / "
-    f"nullif(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
-    f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
-    "FROM embeddings e CROSS JOIN cents ct), "
-    "m AS (SELECT vec_id, embedding, cent_id AS cluster_id FROM ("
-    "SELECT *, row_number() OVER (PARTITION BY vec_id "
-    "ORDER BY cs DESC, cent_id) AS rn FROM scored) WHERE rn = 1), "
-    "drp AS (SELECT DISTINCT b.cluster_id, b.vec_id FROM m a JOIN m b "
-    "ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id "
-    f"WHERE ({_duck_cosine('a.embedding', 'b.embedding')}) >= {_SEM_TAU} ) "
-    "SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
-    "CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS n_dropped, "
-    "CAST(sum(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS n_kept FROM m LEFT JOIN drp "
-    "ON m.cluster_id = drp.cluster_id AND m.vec_id = drp.vec_id "
-    "GROUP BY m.cluster_id",
-)
+def _semantic_dedup_sql(nc: int) -> str:
+    """DuckDB twin of semantic_dedup_clusters at `nc` pseudo-centroids —
+    shared by the fold-path row (nc=16) and the vectorized-path row
+    (nc=160), so the two assignment engines are verified against ONE
+    oracle definition."""
+    return (
+        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {nc}), "
+        "scored AS (SELECT e.vec_id, e.embedding, ct.cent_id, "
+        f"({_duck_dot('e.embedding', 'ct.c_emb')}) / "
+        f"nullif(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_duck_dot('ct.c_emb', 'ct.c_emb')}), 0.0) AS cs "
+        "FROM embeddings e CROSS JOIN cents ct), "
+        "m AS (SELECT vec_id, embedding, cent_id AS cluster_id FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cs DESC, cent_id) AS rn FROM scored) WHERE rn = 1), "
+        "drp AS (SELECT DISTINCT b.cluster_id, b.vec_id FROM m a JOIN m b "
+        "ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id "
+        f"WHERE ({_duck_cosine('a.embedding', 'b.embedding')}) >= {_SEM_TAU} ) "
+        "SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+        "CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dropped, "
+        "CAST(sum(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_kept FROM m LEFT JOIN drp "
+        "ON m.cluster_id = drp.cluster_id AND m.vec_id = drp.vec_id "
+        "GROUP BY m.cluster_id"
+    )
+
+
+@q("semantic_dedup_clusters", _semantic_dedup_sql(_SEM_NC))
 def _semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-local semantic dedup census
-    (pipeline/similarity.py: semantic_dedup_clusters)."""
+    (pipeline/similarity.py: semantic_dedup_clusters). 16 centroids —
+    below VECTORIZE_K_THRESHOLD, so the auto dispatch keeps the
+    fold-expression assignment whose floats DuckDB reproduces."""
     return psim.semantic_dedup_clusters(
         _embs(spark, sf_dir), n_centroids=_SEM_NC, threshold=_SEM_TAU
+    )
+
+
+@q("semantic_dedup_vectorized_k160", _semantic_dedup_sql(160))
+def _semantic_dedup_vectorized_k160(spark, sf_dir):
+    """semantic_dedup_clusters at 160 pseudo-centroids — at or above
+    VECTORIZE_K_THRESHOLD, so the auto dispatch routes assignment
+    through the Arrow-matmul path (assign_nearest_centroid_vectorized).
+    Unlike the kmeans-trained k160 row (snapshot oracle), this one has
+    a REAL independent DuckDB twin: it proves the matmul's cosines and
+    argmax agree with SQL floats exactly on the fixture, not merely
+    that the engine is self-consistent (VERDICT r6 item 3)."""
+    return psim.semantic_dedup_clusters(
+        _embs(spark, sf_dir), n_centroids=160, threshold=_SEM_TAU
     )
 
 
@@ -1807,6 +1830,25 @@ def _semantic_dedup_trained(spark, sf_dir):
     return psim.semantic_dedup_clusters(
         e, threshold=_SEM_TAU, centroids=_trained_centroids(e)
     )
+
+
+@q(
+    "semantic_dedup_trained_k160",
+    values_oracle_sql("semantic_dedup_trained_k160"),
+)
+def _semantic_dedup_trained_k160(spark, sf_dir):
+    """The SemDeDup SCALE shape (round 7): k-means at k=160 — past
+    VECTORIZE_K_THRESHOLD, so semantic_dedup_clusters' auto dispatch
+    routes centroid assignment through the Arrow-matmul path
+    (assign_nearest_centroid_vectorized) instead of the interpreted
+    fold — giving the large-k serving plan its own green gate row
+    (VERDICT r6 item 3). Iterative training + the matmul path are not
+    ANSI-SQL-expressible; the oracle is the captured fixed-value table,
+    double-run bit-stability-checked across shuffle layouts at capture
+    (scratch/gen_fixed_oracles.py)."""
+    e = _embs(spark, sf_dir)
+    cents = psim.centroids_from_kmeans(psim.kmeans_train(e, k=160, iters=2))
+    return psim.semantic_dedup_clusters(e, threshold=_SEM_TAU, centroids=cents)
 
 
 @q("ann_recall_trained", values_oracle_sql("ann_recall_trained"))

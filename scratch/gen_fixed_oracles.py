@@ -39,7 +39,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # baseline-JPEG real round trip (round 6)
          "multimodal_jpeg_decode",
          # resize + feature-extract plumbing (round 6)
-         "multimodal_resize", "multimodal_image_features"]
+         "multimodal_resize", "multimodal_image_features",
+         # large-k vectorized-assignment serving path (round 7)
+         "semantic_dedup_trained_k160"]
 
 
 def main() -> int:

@@ -305,7 +305,10 @@ def test_jpeg_rejects_unsupported_component_counts_and_eats_fill_bytes():
     ln = int.from_bytes(data[sof + 2 : sof + 4], "big")
     four = bytearray(data[sof + 4 : sof + 4 + ln - 2])
     four[5] = 4  # component count
-    four += bytes([4, 0x11, four[7]] )  # 4th component reuses a qtable
+    # 4th component reuses component 1's quantization-table id (four[8]
+    # is comp-1's tq byte — ADVICE r6: four[7] was the h/v sampling
+    # byte, leaving the fixture malformed if error ordering changed)
+    four += bytes([4, 0x11, four[8]])
     patched = (data[:sof + 2] + (len(four) + 2).to_bytes(2, "big")
                + bytes(four) + data[sof + 4 + ln - 2:])
     with pytest.raises(ValueError, match="components unsupported"):

@@ -413,3 +413,56 @@ def test_vectorized_assignment_empty_centroids_and_id_width(spark):
            for r in assign_nearest_centroid_vectorized(e, cents).collect()}
     assert got[2**31 + 7] == 2**31 + 7  # self is its own nearest centroid
     assert got[5] == 5
+
+
+def test_assign_impl_auto_dispatches_on_k(spark):
+    """Round-7 default: assign_impl='auto' keeps the fold plan below
+    VECTORIZE_K_THRESHOLD (no Python stage in the physical plan) and
+    switches to the Arrow-matmul mapInPandas at/above it — and both
+    routes produce identical censuses on either side of the boundary."""
+    import numpy as np
+    import pytest
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        VECTORIZE_K_THRESHOLD,
+        kmeans_train,
+        semantic_dedup_clusters,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(0, 1, (200, 16))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(emb)],
+        "vec_id long, embedding array<double>",
+    )
+
+    small = semantic_dedup_clusters(e, n_centroids=8, threshold=0.95)
+    large = semantic_dedup_clusters(
+        e, n_centroids=VECTORIZE_K_THRESHOLD, threshold=0.95
+    )
+    # the dispatch is visible in the physical plan: fold = pure JVM
+    # expressions, vectorized = one ArrowEvalPython/mapInPandas stage
+    assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString() \
+        and "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in large._jdf.queryExecution().executedPlan().toString()
+
+    # both engines agree with the auto choice at each k
+    for k in (8, VECTORIZE_K_THRESHOLD):
+        auto = sorted(map(tuple, semantic_dedup_clusters(
+            e, n_centroids=k, threshold=0.95).collect()))
+        fold = sorted(map(tuple, semantic_dedup_clusters(
+            e, n_centroids=k, threshold=0.95, assign_impl="fold").collect()))
+        assert auto == fold
+
+    with pytest.raises(ValueError, match="assign_impl"):
+        semantic_dedup_clusters(e, assign_impl="nope")
+    with pytest.raises(ValueError, match="assign_impl"):
+        kmeans_train(e, k=4, assign_impl="nope")
+
+    # kmeans_train dispatches identically: trained centroids match
+    # between engines (quantization absorbs matmul ulp noise)
+    f = sorted(map(tuple, kmeans_train(e, k=8, iters=2,
+                                       assign_impl="fold").collect()))
+    v = sorted(map(tuple, kmeans_train(e, k=8, iters=2,
+                                       assign_impl="vectorized").collect()))
+    assert f == v
