@@ -195,6 +195,23 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.2.4) —
+        the inter-interval resync point. ``expected`` is the interval
+        ordinal; markers must cycle D0..D7 mod 8, which catches dropped
+        or duplicated intervals in corrupt streams."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        if self.data[self.pos + 1] - 0xD0 != expected % 8:
+            raise ValueError("JPEG restart marker out of sequence")
+        self.pos += 2
+
 
 def _huff_symbol(reader: _BitReader, table) -> int:
     code = 0
@@ -354,14 +371,19 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → RGB uint8 (H, W, 3). Supports sequential
     baseline (SOF0), 8-bit, up to 4:4:4 with 1x1 sampling per component,
-    restart-marker-free scans — exactly the subset ``encode_jpeg`` emits
-    plus the common web baseline shape. Progressive (SOF2) or subsampled
-    images raise ValueError naming the unsupported feature."""
+    with or without restart intervals (DRI/RSTn, T.81 E.2.4) — the
+    subset ``encode_jpeg`` emits plus the common web baseline shape.
+    Interop with other encoders' streams is pinned by
+    tests/fixtures/flower-of-life.jpg + webtide_logo.jpg (third-party
+    encoder output, exact-pixel snapshot). Progressive (SOF2) or
+    subsampled images raise ValueError naming the unsupported
+    feature."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
+    restart_interval = 0
     frame = None
     scan_comps = None
     entropy_start = None
@@ -427,8 +449,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             ns = payload[0]
             scan_comps = [
@@ -452,6 +474,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         td, ta = tables_byte >> 4, tables_byte & 0x0F
         comp_tables.append((htables[td], htables[0x10 | ta]))
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # interval boundary: byte-align to the RSTn marker and reset
+            # the DC predictors (the whole point of restarts — bounded
+            # error propagation / parallel decode entry points)
+            reader.restart(bi // restart_interval - 1)
+            prev_dc = [0] * len(comps)
         for ci in range(len(comps)):
             dct, act = comp_tables[ci]
             s = _huff_symbol(reader, dct)
