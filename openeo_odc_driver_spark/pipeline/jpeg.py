@@ -387,77 +387,83 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     entropy_start = None
-    while pos < len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker desync")
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
-        # marker code — consume them so 'FF FF DB' parses as DQT
-        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
-            pos += 1
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI
-            break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
-            continue  # parameterless
-        (length,) = struct.unpack(">H", data[pos : pos + 2])
-        payload = data[pos + 2 : pos + length]
-        pos += length
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                p += 1
-                if pq:
-                    raise ValueError("16-bit quantization tables unsupported")
-                zz = np.frombuffer(payload[p : p + 64], dtype=np.uint8)
-                if len(zz) < 64:
-                    raise ValueError("truncated DQT segment")
-                p += 64
-                qtables[tq] = zz.astype(np.int32)[UNZIGZAG].reshape(8, 8)
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(payload):
-                tc_th = payload[p]
-                bits = list(payload[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + n])
-                htables[tc_th] = _decode_table(bits, vals)
-                p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG supported")
-            if nc not in (1, 3):
-                # 4-comp Adobe CMYK/YCCK would "decode" by silently
-                # treating YCCK as YCbCr; reject per the codec contract
-                raise ValueError(
-                    f"JPEG with {nc} components unsupported "
-                    "(grayscale or YCbCr only)"
-                )
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+    try:
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+            # marker code — consume them so 'FF FF DB' parses as DQT
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                continue  # parameterless
+            (length,) = struct.unpack(">H", data[pos : pos + 2])
+            payload = data[pos + 2 : pos + length]
+            pos += length
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                    p += 1
+                    if pq:
+                        raise ValueError("16-bit quantization tables unsupported")
+                    zz = np.frombuffer(payload[p : p + 64], dtype=np.uint8)
+                    if len(zz) < 64:
+                        raise ValueError("truncated DQT segment")
+                    p += 64
+                    qtables[tq] = zz.astype(np.int32)[UNZIGZAG].reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(payload):
+                    tc_th = payload[p]
+                    bits = list(payload[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(payload[p + 17 : p + 17 + n])
+                    htables[tc_th] = _decode_table(bits, vals)
+                    p += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+                if prec != 8:
+                    raise ValueError("only 8-bit JPEG supported")
+                if nc not in (1, 3):
+                    # 4-comp Adobe CMYK/YCCK would "decode" by silently
+                    # treating YCCK as YCbCr; reject per the codec contract
                     raise ValueError(
-                        "chroma subsampling unsupported (baseline 4:4:4 only)"
+                        f"JPEG with {nc} components unsupported "
+                        "(grayscale or YCbCr only)"
                     )
-                comps.append((cid, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)"
-            )
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS
-            ns = payload[0]
-            scan_comps = [
-                (payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)
-            ]
-            entropy_start = pos
-            break
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                    if hv != 0x11:
+                        raise ValueError(
+                            "chroma subsampling unsupported (baseline 4:4:4 only)"
+                        )
+                    comps.append((cid, tq))
+                frame = (fh, fw, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", payload[:2])
+            elif marker == 0xDA:  # SOS
+                ns = payload[0]
+                scan_comps = [
+                    (payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)
+                ]
+                entropy_start = pos
+                break
+    except (IndexError, struct.error) as exc:
+        # malformed/truncated header segments surface as one named
+        # error class (the corrupt-stream property test contract),
+        # never a raw IndexError from a short payload slice
+        raise ValueError(f"truncated or corrupt JPEG header: {exc}") from exc
     if frame is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
@@ -472,6 +478,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_tables = []
     for (cid, tables_byte) in scan_comps:
         td, ta = tables_byte >> 4, tables_byte & 0x0F
+        if td not in htables or (0x10 | ta) not in htables:
+            raise ValueError("JPEG scan references undefined Huffman table")
         comp_tables.append((htables[td], htables[0x10 | ta]))
     for bi in range(n_blocks):
         if restart_interval and bi and bi % restart_interval == 0:
@@ -504,6 +512,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     planes = []
     for ci, (cid, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG frame references undefined quantization table")
         q = qtables[tq].astype(np.float64)
         coef = out_coef[ci][:, UNZIGZAG].reshape(-1, 8, 8) * q
         spatial = _C.T @ coef @ _C + 128.0

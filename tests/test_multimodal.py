@@ -390,3 +390,41 @@ def test_jpeg_restart_marker_stream_errors_are_named():
 
     with pytest.raises(ValueError):
         decode_jpeg(data[: first_rst + 10])  # truncated mid-stream
+
+
+def test_jpeg_corrupt_streams_fail_cleanly_property():
+    """Hypothesis over truncations and single-byte corruptions of a
+    valid stream (VERDICT r6 item 8 — the quadratic-bit-reader episode
+    makes 'never hang, never non-ValueError' worth pinning): decode
+    either returns a well-shaped uint8 array (corruption confined to
+    entropy bits) or raises ValueError with a message — never KeyError/
+    IndexError/OverflowError, never an unbounded loop (deadline-checked
+    per example)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=85)
+
+    @given(
+        mode=st.sampled_from(["truncate", "flip"]),
+        pos=st.integers(2, len(data) - 3),
+        val=st.integers(0, 255),
+    )
+    @settings(max_examples=80, deadline=2000)
+    def run(mode, pos, val):
+        if mode == "truncate":
+            bad = data[:pos]
+        else:
+            bad = data[:pos] + bytes([data[pos] ^ (val or 1)]) + data[pos + 1:]
+        try:
+            out = decode_jpeg(bad)
+        except ValueError as e:
+            assert str(e)  # named error
+        else:
+            assert out.dtype == np.uint8 and out.ndim == 3
+
+    run()
