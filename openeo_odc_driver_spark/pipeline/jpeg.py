@@ -370,9 +370,10 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → RGB uint8 (H, W, 3). Supports sequential
-    baseline (SOF0), 8-bit, up to 4:4:4 with 1x1 sampling per component,
-    with or without restart intervals (DRI/RSTn, T.81 E.2.4) — the
-    subset ``encode_jpeg`` emits plus the common web baseline shape.
+    baseline (SOF0), 8-bit, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
+    (MCU-interleaved scans, box chroma upsampling), with or without
+    restart intervals (DRI/RSTn, T.81 E.2.4) — the subset
+    ``encode_jpeg`` emits plus the common web baseline shapes.
     Interop with other encoders' streams is pinned by
     tests/fixtures/flower-of-life.jpg + webtide_logo.jpg (third-party
     encoder output, exact-pixel snapshot). Progressive (SOF2) or
@@ -439,11 +440,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-                    if hv != 0x11:
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         raise ValueError(
-                            "chroma subsampling unsupported (baseline 4:4:4 only)"
+                            "JPEG sampling factors above 2 unsupported "
+                            "(4:4:4 / 4:2:2 / 4:2:0 only)"
                         )
-                    comps.append((cid, tq))
+                    if nc == 1:
+                        # single-component scans are non-interleaved
+                        # (T.81 A.2.2): the data unit is one block and
+                        # sampling factors do not shape the scan
+                        hi = vi = 1
+                    comps.append((cid, tq, hi, vi))
                 frame = (fh, fw, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
@@ -471,9 +479,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # entropy segment runs until the next real marker (EOI)
     end = len(data) - 2
     reader = _BitReader(data[entropy_start:end])
-    nbx, nby = (fw + 7) // 8, (fh + 7) // 8
-    n_blocks = nbx * nby
-    out_coef = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in comps]
+    # MCU grid (T.81 A.2.3): the MCU covers 8*hmax x 8*vmax pixels; each
+    # component contributes hi x vi blocks per MCU. 4:4:4 degenerates to
+    # one block per component per MCU (the encoder's own shape).
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    grid = [(mcux * hi, mcuy * vi) for (_, _, hi, vi) in comps]  # blocks
+    out_coef = [
+        np.zeros((gw * gh, 64), dtype=np.int32) for (gw, gh) in grid
+    ]
     prev_dc = [0] * len(comps)
     comp_tables = []
     for (cid, tables_byte) in scan_comps:
@@ -481,47 +498,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if td not in htables or (0x10 | ta) not in htables:
             raise ValueError("JPEG scan references undefined Huffman table")
         comp_tables.append((htables[td], htables[0x10 | ta]))
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+
+    def _read_block(ci: int, zz: np.ndarray) -> None:
+        dct, act = comp_tables[ci]
+        s = _huff_symbol(reader, dct)
+        if s > 11:
+            # T.81 F.1.2.1: baseline DC magnitude categories are 0..11;
+            # a corrupt stream can otherwise yield a 255-bit diff that
+            # overflows the int32 coefficient store
+            raise ValueError("invalid JPEG DC magnitude category")
+        diff = _extend(reader.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_symbol(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(reader.bits(s), s)
+            k += 1
+
+    for mi in range(n_mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
             # interval boundary: byte-align to the RSTn marker and reset
             # the DC predictors (the whole point of restarts — bounded
-            # error propagation / parallel decode entry points)
-            reader.restart(bi // restart_interval - 1)
-            prev_dc = [0] * len(comps)
-        for ci in range(len(comps)):
-            dct, act = comp_tables[ci]
-            s = _huff_symbol(reader, dct)
-            diff = _extend(reader.bits(s), s) if s else 0
-            prev_dc[ci] += diff
-            zz = out_coef[ci][bi]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_symbol(reader, act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(reader.bits(s), s)
-                k += 1
+            # error propagation / parallel decode entry points).
+            # Restart intervals count MCUs (T.81 E.2.4).
+            reader.restart(mi // restart_interval - 1)
+            prev_dc[:] = [0] * len(comps)
+        my, mx = divmod(mi, mcux)
+        for ci, (_, _, hi, vi) in enumerate(comps):
+            gw = grid[ci][0]
+            for by in range(vi):
+                for bx in range(hi):
+                    row, col = my * vi + by, mx * hi + bx
+                    _read_block(ci, out_coef[ci][row * gw + col])
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("JPEG frame references undefined quantization table")
         q = qtables[tq].astype(np.float64)
         coef = out_coef[ci][:, UNZIGZAG].reshape(-1, 8, 8) * q
         spatial = _C.T @ coef @ _C + 128.0
+        gw, gh = grid[ci]
         plane = (
-            spatial.reshape(nby, nbx, 8, 8)
+            spatial.reshape(gh, gw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            .reshape(gh * 8, gw * 8)
         )
+        # chroma upsampling to the luma grid: sample replication (the
+        # classic box upsample every baseline decoder supports)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
         planes.append(plane[:fh, :fw])
     ycc = np.stack(planes, axis=-1)
     if ycc.shape[2] == 1:

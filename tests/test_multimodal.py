@@ -428,3 +428,44 @@ def test_jpeg_corrupt_streams_fail_cleanly_property():
             assert out.dtype == np.uint8 and out.ndim == 3
 
     run()
+
+
+def test_jpeg_decodes_chroma_subsampled_against_independent_decoder(spark):
+    """4:2:0 interop (round 7): a vendored real-world photo (2x2 luma /
+    1x1 chroma sampling — the dominant web JPEG shape) decodes and
+    agrees with the JVM's OWN ImageIO decoder (spark.read.format
+    ("image")) pixel-for-pixel within chroma-upsampling tolerance —
+    fully independent ground truth, not a self round-trip. Exact output
+    is also sha256-pinned for regression."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.jpeg import decode_jpeg
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    path = os.path.join(fx, "kitten_420.jpg")
+
+    data = open(path, "rb").read()
+    # confirm the fixture really is 4:2:0 (comp 1 sampling byte 0x22)
+    sof = data.index(b"\xff\xc0")
+    assert data[sof + 11] == 0x22
+
+    ours = decode_jpeg(data)
+    assert ours.shape == (200, 300, 3) and ours.dtype == np.uint8
+    assert hashlib.sha256(ours.tobytes()).hexdigest() == (
+        "7a0da1b193906c22d6e1eba4d3089ac98267742eeb641c0ca088323b3387bf1d"
+    )
+
+    row = spark.read.format("image").load(path).select("image.*").first()
+    ref = np.frombuffer(bytearray(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[..., ::-1]  # ImageIO delivers BGR
+    assert ref.shape == ours.shape
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    # box vs fancy chroma upsampling differ most at saturated edges;
+    # measured on this fixture: mad 0.37, p99 2, max 6
+    assert diff.mean() < 1.0
+    assert np.percentile(diff, 99) <= 4
+    assert diff.max() <= 12
