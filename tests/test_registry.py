@@ -33,21 +33,25 @@ def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
 
 def test_gate_window_leads_with_unverified_queries():
     """The driver verifies the FIRST ~50 queries() entries per round.
-    After round 5 every pre-r6 query has a green row, so the ordering
-    contract is: queries with NO driver row yet (the round-6 additions)
+    Every previously registered query has a green row, so the ordering
+    contract is: queries with NO driver row yet (this round's additions)
     lead, and the rest follow stalest-first (r02 before r03 before …) —
     a priority-list edit that demotes a never-checked query fails here,
-    not in the round report."""
+    not in the round report. Reads ALL shipped CORRECTNESS reports so a
+    new round's file doesn't silently shift the baseline (the r06 bug
+    class this suite caught in /registry)."""
+    import glob
     import json
     import os
+    import re
 
     import __spark_entry__ as E
 
     names = list(E.queries())
     latest = {}
     here = os.path.dirname(os.path.abspath(E.__file__))
-    for r in (2, 3, 4, 5):
-        path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for k, v in json.load(fh).items():
                 if v.get("rows_match") and v.get("hash_match"):
