@@ -205,6 +205,89 @@ def _minhash_lsh_pairs_tuned(spark, sf_dir):
     )
 
 
+# the density-aware DEFAULT banding end-to-end (round 7): on the SPARSE
+# sf0.01 fixture the occupancy probe keeps the MMDS threshold rule's
+# (6, 2) — pinned here so the static SQL twin stays valid, with a named
+# drift error (the _TUNED_BANDS pattern). The probe's dense-corpus
+# tightening is exercised by tests/test_pipeline.py and measured in
+# PLANS.md (17.5x -> 4.15x at generated 10x rows).
+_AUTO_BANDS, _AUTO_RPB = 6, MINHASH_K // 6
+_BANDED_AUTO_CTE = "banded AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {_band_key_d(b, _AUTO_RPB)} AS band_key FROM sig"
+    for b in range(_AUTO_BANDS)
+) + ")"
+
+
+def _assert_auto_bands(sig, sig_other=None) -> None:
+    got = pdedup.bands_for_corpus(sig, 0.5, sig_other=sig_other)
+    if got != _AUTO_BANDS:
+        raise AssertionError(
+            f"bands_for_corpus picked {got} on the fixture; oracle SQL "
+            f"pins {_AUTO_BANDS} — corpus density changed, regenerate "
+            "_BANDED_AUTO_CTE"
+        )
+
+
+@q(
+    "minhash_lsh_pairs_auto",
+    f"WITH {_SIG_CTE}, {_BANDED_AUTO_CTE}, {_CAND_CTE} "
+    f"SELECT doc_a, doc_b, est_jaccard FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS est_jaccard "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est_jaccard >= 0.5",
+)
+def _minhash_lsh_pairs_auto(spark, sf_dir):
+    """The SHIPPED DEFAULT path (bands=None → bands_for_corpus): the
+    occupancy probe runs for real inside minhash_lsh_pairs and lands on
+    the banding this row's static SQL twin pins (drift-asserted)."""
+    docs = _docs(spark, sf_dir)
+    _assert_auto_bands(pdedup.minhash_signatures(docs))
+    return pdedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+@q(
+    "minhash_dedup_incremental_auto",
+    f"WITH shn AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh "
+    "FROM documents WHERE doc_id % 5 = 0), "
+    f"hhn AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM shn), "
+    f"sign_ AS (SELECT doc_id, {_MH_MINS_D} FROM hhn GROUP BY doc_id), "
+    f"sho AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh "
+    "FROM documents WHERE doc_id % 5 != 0), "
+    f"hho AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM sho), "
+    f"sigo AS (SELECT doc_id, {_MH_MINS_D} FROM hho GROUP BY doc_id), "
+    "bn AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_d(b, _AUTO_RPB)} AS band_key FROM sign_"
+        for b in range(_AUTO_BANDS)
+    ) + "), "
+    "bo AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_d(b, _AUTO_RPB)} AS band_key FROM sigo"
+        for b in range(_AUTO_BANDS)
+    ) + "), "
+    "cand AS (SELECT DISTINCT bn.doc_id AS new_doc, bo.doc_id AS dup_of "
+    "FROM bn JOIN bo USING (band_key)) "
+    "SELECT new_doc, dup_of, "
+    + _EST_EXPR.replace("sa.", "sn.").replace("sb.", "so.")
+    + " AS est_jaccard FROM cand "
+    "JOIN sign_ sn ON cand.new_doc = sn.doc_id "
+    "JOIN sigo so ON cand.dup_of = so.doc_id "
+    + "WHERE "
+    + _EST_EXPR.replace("sa.", "sn.").replace("sb.", "so.")
+    + " >= 0.5",
+)
+def _minhash_dedup_incremental_auto(spark, sf_dir):
+    """Incremental near-dedup under the SHIPPED DEFAULT density-aware
+    banding (new x existing occupancy probe), drift-asserted against
+    this row's static (6, 2) SQL twin."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    _assert_auto_bands(
+        pdedup.minhash_signatures(new),
+        sig_other=pdedup.minhash_signatures(old),
+    )
+    return pdedup.minhash_dedup_incremental(new, old, jaccard_threshold=0.5)
+
+
 # exact connected components over the LSH dup-pair graph via a recursive
 # reachability CTE — tractable at fixture scale; cluster_id = min doc_id
 # reachable. Shared by all three near-dedup oracles (one definition to fix).
