@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .parallel import ensure_min_parallelism
+
 from .dedup import md5_int_expr
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -42,6 +44,7 @@ def token_count(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features with a
     composite score — the C4/Gopher-style filter shape."""
+    docs = ensure_min_parallelism(docs)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     n_chars = F.length("text")
     # punctuation count = length minus length with punctuation removed
@@ -89,6 +92,7 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
     """Winnowing-style fingerprint: the minimum hash over all character
     `gram`-grams (one representative per document — robust to small edits,
     used for fast near-dup blocking)."""
+    docs = ensure_min_parallelism(docs)
     grams = F.expr(
         f"transform(sequence(1, greatest(length(text) - {gram - 1}, 1)),"
         f" i -> substring(text, i, {gram}))"
@@ -206,6 +210,7 @@ def repetition_scores(docs: DataFrame, gram: int = 10) -> DataFrame:
     inside higher-order lambdas) — O(tokens²) per document, measured
     5.2 s → 0.9 s at sf0.1 for the staged form.
     """
+    docs = ensure_min_parallelism(docs)
     staged = docs.select(
         "doc_id",
         F.split("text", r"\n").alias("_lines"),
@@ -251,6 +256,7 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     One pass of JVM `regexp_count` per pattern, codegen-fused — no UDFs,
     no shuffle. Patterns go through Column literals (not interpolated SQL
     text) so backslashes survive un-mangled."""
+    docs = ensure_min_parallelism(docs)
     counts = [
         F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
@@ -496,6 +502,7 @@ def intra_doc_dedup(docs: DataFrame) -> DataFrame:
     at any scale (contrast :func:`..dedup.paragraph_dedup`, which
     dedups ACROSS documents and must shuffle paragraphs once).
     """
+    docs = ensure_min_parallelism(docs)
     staged = docs.select("doc_id", F.split("text", r"\n").alias("_ls"))
     keep = F.expr(
         "filter(sequence(1, size(_ls)),"
@@ -733,9 +740,7 @@ def cdc_chunk_documents(
     # fixture scale the corpus is a single row-group, so without this
     # the whole CPU-bound pass runs on one core. At 100 TB inputs
     # arrive in thousands of row groups and the branch is a no-op.
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = ensure_min_parallelism(docs)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     staged = docs.select("doc_id", toks.alias("_toks"))
     # boundary AFTER position i (i >= window) when the trailing-window
@@ -802,6 +807,7 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     set is a scan-fused projection, which is what makes rule filtering
     the cheapest pass of a 100 TB pipeline.
     """
+    docs = ensure_min_parallelism(docs)
     stop_arr = sorted({w for ws in STOPWORDS.values() for w in ws})
     toks = F.split(F.trim(F.col("text")), r"\s+")
     lines = F.split(F.col("text"), r"\n")

@@ -21,8 +21,12 @@ def _plan(spark, name: str) -> str:
 
 
 def _exchanges(plan: str) -> int:
-    # count shuffle exchanges only (broadcast exchanges are the cheap kind
-    # whose presence the broadcast assertions check separately)
+    # count KEYED shuffle exchanges only: broadcast exchanges are the
+    # cheap kind the broadcast assertions check separately, and the
+    # RoundRobinPartitioning emitted by ensure_min_parallelism (the
+    # fixture-scale map-side parallelism guard, pipeline/parallel.py)
+    # is deliberately excluded — it is a no-op on production inputs and
+    # carries no grouping semantics
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
 
 
@@ -79,7 +83,7 @@ def test_filter_pushdown_reaches_documents_scan(spark):
 
 def test_repetition_scores_fused_with_scan(spark):
     plan = _plan(spark, "repetition_scores")
-    assert _exchanges(plan) == 0  # per-doc scalars, no explode, no shuffle
+    assert _exchanges(plan) == 0  # per-doc scalars: no KEYED shuffle ever
 
 
 def test_pii_scan_fused_with_scan(spark):
