@@ -1058,6 +1058,22 @@ def minhash_dedup_incremental(
         sig_old = _track_persisted(sig_old)
         sig_new = _track_persisted(sig_new, release_previous=False)
         bands = bands_for_corpus(sig_new, jaccard_threshold, sig_other=sig_old)
+    return incremental_flags_from_signatures(
+        sig_new, sig_old, jaccard_threshold, bands
+    )
+
+
+def incremental_flags_from_signatures(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    jaccard_threshold: float,
+    bands: int,
+) -> DataFrame:
+    """The banded new×existing join + verify stage over PRE-BUILT
+    signature tables — shared by :func:`minhash_dedup_incremental` and
+    the streaming ingest path (streaming/near_dedup.py), which holds
+    the existing side's signatures as a persisted asset across
+    micro-batches and must never re-shingle the corpus per batch."""
     banded_new = sig_new.select(
         F.col("doc_id").alias("new_doc"),
         F.col("sig").alias("sig_a"),

@@ -2076,8 +2076,10 @@ def _count_min_heavy_grams(spark, sf_dir):
     return count_min_heavy_grams(_docs(spark, sf_dir), n=3, k=20)
 
 
-@q(
-    "minhash_dedup_incremental",
+# the fixed-banding incremental-dedup twin — shared by the batch gate
+# row and the streaming ingest row (streaming/near_dedup.py), whose
+# per-batch flags union to exactly this by batch-boundary invariance
+_INCR_FIXED_SQL = (
     f"WITH shn AS (SELECT doc_id, unnest({_SHINGLES_D}) AS sh "
     "FROM documents WHERE doc_id % 5 = 0), "
     f"hhn AS (SELECT doc_id, {md5_int_duck('sh')} AS h FROM shn), "
@@ -2103,8 +2105,11 @@ def _count_min_heavy_grams(spark, sf_dir):
     "JOIN sigo so ON cand.dup_of = so.doc_id "
     + "WHERE "
     + _EST_EXPR.replace("sa.", "sn.").replace("sb.", "so.")
-    + " >= 0.5",
+    + " >= 0.5"
 )
+
+
+@q("minhash_dedup_incremental", _INCR_FIXED_SQL)
 def _minhash_dedup_incremental(spark, sf_dir):
     """Incremental near-dedup of an incoming batch against the existing
     corpus (pipeline/dedup.py: minhash_dedup_incremental): banded
@@ -2120,6 +2125,23 @@ def _minhash_dedup_incremental(spark, sf_dir):
         docs.where(F.col("doc_id") % 5 == 0),
         docs.where(F.col("doc_id") % 5 != 0),
         bands=LSH_BANDS,
+    )
+
+
+@q("streaming_minhash_dedup", _INCR_FIXED_SQL)
+def _streaming_minhash_dedup(spark, sf_dir):
+    """Ingest-time near-dedup as a REAL Structured Streaming query
+    (streaming/near_dedup.py): the new-docs split arrives as a file
+    stream, each micro-batch is flagged against the existing corpus's
+    persisted signatures via foreachBatch, flags land exactly-once in
+    batch-scoped directories. Batch-boundary invariance makes the
+    materialized union equal the one-shot batch run, so this row shares
+    batch minhash_dedup_incremental's DuckDB twin; the multi-batch
+    equality is pinned in tests/test_streaming.py."""
+    from .streaming.near_dedup import run_stream_near_dedup
+
+    return run_stream_near_dedup(spark, sf_dir).select(
+        "new_doc", "dup_of", "est_jaccard"
     )
 
 

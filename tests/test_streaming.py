@@ -191,3 +191,90 @@ def test_stream_static_enrich_across_batches(spark, tmp_path):
     out = {r.event_id: (r.type_max, r.value_frac_of_max)
            for r in spark.table("enrich_test").collect()}
     assert out == {1: (10.0, 0.2), 2: (8.0, 0.5), 3: (10.0, 0.5)}
+
+
+def test_stream_near_dedup_multibatch_equals_batch(spark, tmp_path):
+    """Batch-boundary invariance of the ingest-time near-dedup
+    (streaming/near_dedup.py): the same new documents chopped into TWO
+    micro-batches produce exactly the one-shot batch run's flags —
+    each doc's flags depend only on (doc, existing corpus). Also pins
+    the exactly-once read filter: an uncommitted batch dir (no
+    _SUCCESS) is invisible to read_stream_flags."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        minhash_dedup_incremental,
+        release_cached_signatures,
+    )
+    from openeo_odc_driver_spark.streaming.near_dedup import (
+        read_stream_flags,
+        stream_minhash_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    other = "completely different content about parquet row groups and scans"
+    schema = "doc_id long, text string"
+    existing = spark.createDataFrame(
+        [(1, base), (2, other)], schema
+    )
+    new_rows = [
+        (10, base),   # dup of existing 1 — arrives in batch 1
+        (11, "novel text about structured streaming micro batch planning"),
+        (20, base),   # dup of existing 1 — arrives in batch 2
+        (21, other),  # dup of existing 2 — arrives in batch 2
+    ]
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # single parquet FILES (not directories) — the file-stream source
+    # lists plain files in the source dir
+    pd.DataFrame(new_rows[:2], columns=["doc_id", "text"]).to_parquet(
+        src / "b1.parquet"
+    )
+    pd.DataFrame(new_rows[2:], columns=["doc_id", "text"]).to_parquet(
+        src / "b2.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(str(src))
+    )
+    flags_dir = str(tmp_path / "flags")
+    q = stream_minhash_near_dedup(
+        stream, existing, path=flags_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # two committed batch dirs (one per micro-batch)
+    committed = [d for d in os.listdir(flags_dir)
+                 if d.startswith("batch=")
+                 and os.path.exists(os.path.join(flags_dir, d, "_SUCCESS"))]
+    assert len(committed) == 2
+
+    streamed = {(r.new_doc, r.dup_of)
+                for r in read_stream_flags(spark, flags_dir).collect()}
+    release_cached_signatures()
+    batch = {(r.new_doc, r.dup_of)
+             for r in minhash_dedup_incremental(
+                 spark.createDataFrame(new_rows, schema), existing,
+                 jaccard_threshold=0.5, bands=4,
+             ).collect()}
+    release_cached_signatures()
+    assert streamed == batch
+    assert {(10, 1), (20, 1), (21, 2)} <= streamed
+    assert not any(nd == 11 for nd, _ in streamed)  # novel doc unflagged
+
+    # exactly-once read filter: a junk dir without _SUCCESS is invisible
+    junk = os.path.join(flags_dir, "batch=99")
+    os.makedirs(junk)
+    assert {(r.new_doc, r.dup_of)
+            for r in read_stream_flags(spark, flags_dir).collect()} == streamed
