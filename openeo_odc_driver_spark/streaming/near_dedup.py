@@ -52,6 +52,7 @@ def stream_minhash_near_dedup(
     jaccard_threshold: float = 0.5,
     bands: int | None = None,
     query_name: str = "minhash_near_dedup",
+    grow_asset_dir: str | None = None,
 ):
     """Start the ingest-time near-dedup stream; returns the
     StreamingQuery (caller owns ``stop()``).
@@ -66,18 +67,59 @@ def stream_minhash_near_dedup(
     'candidate' means mid-stream; a long-running ingest re-tunes banding
     explicitly between epochs (re-banding the asset is cheap — K
     ints/doc, no re-shingling).
+
+    Two asset modes:
+
+    - **static** (``grow_asset_dir=None``): every batch is flagged
+      against the initial corpus only. Flags are batch-boundary
+      invariant, so the union equals the one-shot batch run — the
+      oracle-able gate mode.
+    - **growing** (``grow_asset_dir`` set): the production ingest
+      semantics — after flagging, the batch's OWN signatures are
+      appended to the asset (batch-scoped parquet dir, K ints/doc —
+      exactly what a real pipeline materializes), so a later batch also
+      dedups against everything that arrived before it. Flags then
+      depend on arrival order (deterministic for a deterministic source
+      order, e.g. file streams with maxFilesPerTrigger); pinned in
+      tests/test_streaming.py with an intra-stream duplicate.
     """
     sig_old = _track_persisted(minhash_signatures(existing_docs))
     use_bands = LSH_BANDS if bands is None else bands
+    if grow_asset_dir is not None:
+        # seed the asset with the initial corpus signatures (batch=-1),
+        # so every reader sees one uniform layout
+        sig_old.write.mode("overwrite").parquet(f"{grow_asset_dir}/batch=-1")
 
     def _flag_batch(batch_df: DataFrame, batch_id: int) -> None:
-        flags = incremental_flags_from_signatures(
-            minhash_signatures(batch_df),
-            sig_old,
-            jaccard_threshold,
-            use_bands,
-        )
-        flags.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+        sig_new = minhash_signatures(batch_df)
+        if grow_asset_dir is not None:
+            spark = batch_df.sparkSession
+            # the asset view is STRICTLY earlier batches (id < this one,
+            # plus the batch=-1 seed): a doc never flags against its own
+            # batch, and — the replay hazard — a crash AFTER the sig
+            # append but BEFORE the checkpoint commit replays this batch
+            # against the identical asset view instead of one that now
+            # contains its own signatures (which would self-flag every
+            # doc). Deterministic replay = byte-equivalent rewrite.
+            asset = spark.read.parquet(
+                *_committed_batches(grow_asset_dir, before=batch_id)
+            )
+            sig_new = sig_new.localCheckpoint(eager=True)
+            flags = incremental_flags_from_signatures(
+                sig_new, asset, jaccard_threshold, use_bands
+            )
+            flags.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+            # exactly-once append: the batch's sig dir is overwritten on
+            # replay with byte-equivalent content (signatures are a
+            # deterministic function of the batch)
+            sig_new.write.mode("overwrite").parquet(
+                f"{grow_asset_dir}/batch={batch_id}"
+            )
+        else:
+            flags = incremental_flags_from_signatures(
+                sig_new, sig_old, jaccard_threshold, use_bands
+            )
+            flags.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     return (
         stream_docs.writeStream.foreachBatch(_flag_batch)
@@ -87,20 +129,29 @@ def stream_minhash_near_dedup(
     )
 
 
-def read_stream_flags(spark: SparkSession, path: str) -> DataFrame:
-    """Read the flags written by :func:`stream_minhash_near_dedup` —
-    committed (``_SUCCESS``-marked) batch directories only, the
-    exactly-once read filter."""
+def _committed_batches(path: str, before: int | None = None) -> list[str]:
+    """_SUCCESS-marked batch directories under ``path`` (the exactly-once
+    read filter shared by flags and the growing signature asset).
+    ``before`` restricts to batch ids strictly below it — the replay-safe
+    asset view for micro-batch ``before``."""
     entries = sorted(os.listdir(path)) if os.path.isdir(path) else []
-    committed = [
+    out = [
         os.path.join(path, d)
         for d in entries
         if d.startswith("batch=")
         and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        and (before is None or int(d.split("=", 1)[1]) < before)
     ]
-    if not committed:
-        raise FileNotFoundError(f"no committed flag batches under {path}")
-    return spark.read.parquet(*committed)
+    if not out:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    return out
+
+
+def read_stream_flags(spark: SparkSession, path: str) -> DataFrame:
+    """Read the flags written by :func:`stream_minhash_near_dedup` —
+    committed (``_SUCCESS``-marked) batch directories only, the
+    exactly-once read filter."""
+    return spark.read.parquet(*_committed_batches(path))
 
 
 def run_stream_near_dedup(

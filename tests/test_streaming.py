@@ -278,3 +278,65 @@ def test_stream_near_dedup_multibatch_equals_batch(spark, tmp_path):
     os.makedirs(junk)
     assert {(r.new_doc, r.dup_of)
             for r in read_stream_flags(spark, flags_dir).collect()} == streamed
+
+
+def test_stream_near_dedup_growing_asset_flags_intra_stream_dups(spark, tmp_path):
+    """Growing-asset mode: a batch-2 document that duplicates a BATCH-1
+    document (never in the initial corpus) is flagged against it — the
+    production ingest semantics where the corpus grows as it streams.
+    The replay-safe asset view (strictly earlier batches) keeps a doc
+    from flagging against its own batch."""
+    import os
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        release_cached_signatures,
+    )
+    from openeo_odc_driver_spark.streaming.near_dedup import (
+        read_stream_flags,
+        stream_minhash_near_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    seed = "the initial corpus document about parquet readers and scans"
+    b1_text = "a fresh streaming document about banded minhash joins ok"
+    existing = spark.createDataFrame([(1, seed)], schema)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two copies of a NEW text (same batch -> must NOT flag
+    # each other) ; batch 2: a third copy (earlier batch -> MUST flag)
+    pd.DataFrame([(10, b1_text), (11, b1_text)],
+                 columns=["doc_id", "text"]).to_parquet(src / "b1.parquet")
+    pd.DataFrame([(20, b1_text), (21, seed)],
+                 columns=["doc_id", "text"]).to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    flags_dir = str(tmp_path / "flags")
+    q = stream_minhash_near_dedup(
+        stream, existing, path=flags_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        grow_asset_dir=str(tmp_path / "asset"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    release_cached_signatures()
+
+    flags = {(r.new_doc, r.dup_of)
+             for r in read_stream_flags(spark, flags_dir).collect()}
+    # batch-1 copies never flag each other (same batch)
+    assert not any({a, b} == {10, 11} for a, b in flags)
+    # batch-2's copy flags against BOTH batch-1 copies (grown asset)
+    assert (20, 10) in flags and (20, 11) in flags
+    # and the initial corpus still works as the seed
+    assert (21, 1) in flags
+    # asset dir carries the seed + both batch signature dirs
+    asset_dirs = sorted(os.listdir(tmp_path / "asset"))
+    assert asset_dirs == ["batch=-1", "batch=0", "batch=1"]
