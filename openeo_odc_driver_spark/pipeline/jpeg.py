@@ -475,6 +475,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
+    if len(scan_comps) != len(comps):
+        # T.81 allows a baseline frame split across several
+        # non-interleaved scans; this decoder reads the single
+        # interleaved-scan shape every mainstream encoder emits
+        raise ValueError(
+            "multi-scan baseline JPEG unsupported (single interleaved "
+            "scan only)"
+        )
 
     # entropy segment runs until the next real marker (EOI)
     end = len(data) - 2

@@ -164,6 +164,15 @@ def test_jpeg_rejects_unsupported_profiles():
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF2"):
         decode_jpeg(bytes(data))
+    # multi-scan baseline (legal T.81, no mainstream encoder emits it):
+    # a 1-component SOS on the 3-component frame names the limitation
+    data2 = bytearray(encode_jpeg(img))
+    j = data2.find(b"\xff\xda")
+    ln = int.from_bytes(data2[j + 2 : j + 4], "big")
+    one_comp_sos = (b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+                    + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(data2[:j]) + one_comp_sos + bytes(data2[j + 2 + ln:]))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):
