@@ -51,7 +51,8 @@ _GATE_PRIORITY = [
     # never driver-checked (new in round 7) — first
     "semantic_dedup_vectorized_k160", "semantic_dedup_trained_k160",
     "minhash_lsh_pairs_auto", "minhash_dedup_incremental_auto",
-    "streaming_minhash_dedup",
+    "streaming_minhash_dedup", "decontaminate_semantic", "pii_redact",
+    "exact_dedup_normalized", "streaming_pii_redact",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     # round 7
     "semantic_dedup_vectorized_k160",
+    "decontaminate_semantic",
+    "pii_redact",
+    "exact_dedup_normalized",
 ]
 
 

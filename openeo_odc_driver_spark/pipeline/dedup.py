@@ -1097,3 +1097,32 @@ def incremental_flags_from_signatures(
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("new_doc", "dup_of", "est_jaccard")
     )
+
+
+def normalize_for_dedup(col: str = "text") -> F.Column:
+    """The C4/RefinedWeb-style canonicalization key for "fuzzy-exact"
+    dedup: lowercase, strip punctuation to spaces, collapse whitespace
+    runs, trim. Catches re-wrapped / re-cased / re-punctuated copies
+    that byte-exact hashing misses, without any pairwise machinery.
+
+    Pure JVM expressions (lower + two regexp_replace + trim) in the
+    Java-regex ∩ RE2 common dialect so the DuckDB oracle replays the
+    exact same key.
+    """
+    lowered = F.lower(F.col(col))
+    no_punct = F.regexp_replace(lowered, F.lit(r"[^a-z0-9\s]"), F.lit(" "))
+    collapsed = F.regexp_replace(no_punct, F.lit(r"\s+"), F.lit(" "))
+    return F.trim(collapsed)
+
+
+def exact_dedup_normalized(docs: DataFrame) -> DataFrame:
+    """Exact dedup over the normalized key (:func:`normalize_for_dedup`)
+    — same contract and same single-hash-aggregate plan as
+    :func:`exact_dedup` (keep the lowest doc_id per key, no sort, no
+    pairwise anything at any scale); only the key changes, so copies
+    differing in case / punctuation / whitespace now collapse."""
+    return docs.groupBy(
+        F.md5(normalize_for_dedup()).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )

@@ -27,6 +27,10 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 4) -> DataFrame:
     source scan has ``factor``x fewer partitions than cores. The moved
     bytes are the raw input — tiny relative to the CPU work this
     unlocks — and the branch is a no-op on production inputs."""
+    if df.isStreaming:
+        # no .rdd on an unstarted streaming plan; micro-batch sources
+        # already split by the stream reader's own partitioning
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() * factor <= sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

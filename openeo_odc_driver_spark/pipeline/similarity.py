@@ -967,3 +967,31 @@ def centroids_from_kmeans(trained: DataFrame) -> DataFrame:
             F.expr("transform(_dc, s -> s.coord)").alias("c_emb"),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame, evalset: DataFrame, threshold: float = 0.97
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop corpus vectors
+    whose cosine to ANY eval-set vector reaches ``threshold`` — the
+    semantic sibling of the exact / n-gram / Bloom text decontaminators
+    (``pipeline/dedup.py``), catching paraphrased or re-formatted test
+    leakage that verbatim matching misses.
+
+    Plan: eval suites are tiny relative to the corpus, so the eval side
+    broadcasts and Spark runs a BroadcastNestedLoopJoin LeftAnti — the
+    corpus streams through ONE scan with zero shuffle and zero corpus
+    materialization; each corpus row is scored against the |eval|
+    broadcast rows with the same fold-ordered cosine every other
+    similarity op uses (bit-identical to the DuckDB oracle's
+    sequential list_sum). At 100 TB the cost is |corpus| x |eval|
+    fold-dots with no exchange at all — embarrassingly parallel,
+    scan-bound, and |eval| (a benchmark suite) is O(10^3-10^4); for
+    much larger eval sides, pre-bucket both with the LSH hyperplanes
+    (`lsh_bucket_ann`) and anti-join on bucket candidates instead.
+
+    Output: the surviving corpus rows, unchanged schema.
+    """
+    cos = cosine_expr("embedding", "q_emb")
+    ev = evalset.select(F.col("embedding").alias("q_emb"))
+    return corpus.join(F.broadcast(ev), cos >= F.lit(threshold), "left_anti")

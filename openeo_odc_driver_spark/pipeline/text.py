@@ -846,3 +846,33 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
         & F.col("ok_alpha_words") & F.col("ok_stopwords")
     )
     return flags.withColumn("keep", keep)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII redaction — the action :func:`pii_scan` triages for: replace
+    every email / phone-shaped / IPv4 match with a typed placeholder
+    (``<EMAIL>`` / ``<PHONE>`` / ``<IPV4>``) before corpus release.
+
+    Patterns apply in the fixed ``PII_PATTERNS`` dict order, each as one
+    JVM ``regexp_replace`` over the previous pass's output (sequential
+    semantics are part of the contract: an email is rewritten before the
+    phone pass ever sees its digits). ``n_redactions`` counts matches on
+    the ORIGINAL text, same census as :func:`pii_scan`.
+
+    One codegen-fused projection pass — no UDFs, no shuffle, nothing but
+    the scan at any scale; patterns stay in the Java-regex ∩ RE2 common
+    dialect so the DuckDB oracle replays them exactly.
+    """
+    docs = ensure_min_parallelism(docs)
+    red = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    n_red = None
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_count("text", F.lit(pat))
+        n_red = c if n_red is None else (n_red + c)
+    return docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        n_red.cast("int").alias("n_redactions"),
+    )

@@ -2565,3 +2565,106 @@ def _event_anomaly_hours(spark, sf_dir):
     from .pipeline.events import anomaly_hours
 
     return anomaly_hours(load_table(spark, sf_dir, "events"))
+
+
+# --- round 7: semantic decontamination / PII redaction / normalized dedup ---
+
+@q(
+    "decontaminate_semantic",
+    # NOT EXISTS would be the natural shape, but DuckDB cannot
+    # correlate an outer column into the cosine lambda inside a
+    # subquery — materialize the contaminated ids with the same
+    # cross-join form the pairs oracle uses, then anti-filter.
+    "WITH hits AS (SELECT DISTINCT c.vec_id FROM embeddings c "
+    "JOIN embeddings q ON q.vec_id < 8 AND "
+    f"({_duck_cosine('c.embedding', 'q.embedding')}) >= {_EMB_DUP_THRESHOLD}) "
+    "SELECT e.vec_id, e.label FROM embeddings e "
+    "WHERE e.vec_id NOT IN (SELECT vec_id FROM hits)",
+)
+def _decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination (pipeline/similarity.py:
+    decontaminate_semantic): drop corpus vectors within cosine
+    threshold of any eval vector — broadcast nested-loop LeftAnti,
+    zero corpus shuffle; eval = the 8 lowest vec_ids (the
+    brute_force_topk query-set convention), threshold shared with
+    embedding_cosine_dup_pairs so the planted near-dups exercise
+    real drops beyond the eval rows' self-match."""
+    e = _embs(spark, sf_dir)
+    return psim.decontaminate_semantic(
+        e, e.where(F.col("vec_id") < 8), threshold=_EMB_DUP_THRESHOLD
+    ).select("vec_id", "label")
+
+
+def _pii_redact_oracle() -> str:
+    red = "text"
+    for name, pat in ptext.PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    n = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in ptext.PII_PATTERNS.values()
+    )
+    return (
+        f"SELECT doc_id, {red} AS text_redacted, "
+        f"CAST({n} AS INT) AS n_redactions FROM documents"
+    )
+
+
+@q("pii_redact", _pii_redact_oracle())
+def _pii_redact(spark, sf_dir):
+    """PII redaction (pipeline/text.py: pii_redact) — sequential
+    typed-placeholder regexp_replace per PII_PATTERNS entry, counts
+    from the original text; single codegen projection, no shuffle.
+    Patterns are the Java-regex ∩ RE2 common dialect (the pii_scan
+    discipline) so DuckDB replays the replacements exactly."""
+    return ptext.pii_redact(_docs(spark, sf_dir))
+
+
+_NORM_KEY_D = (
+    r"trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+
+
+@q(
+    "exact_dedup_normalized",
+    f"SELECT md5({_NORM_KEY_D}) AS content_hash, "
+    "min(doc_id) AS keep_doc_id, count(*) AS n_copies "
+    f"FROM documents GROUP BY md5({_NORM_KEY_D})",
+)
+def _exact_dedup_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup on the C4-style canonicalization key
+    (pipeline/dedup.py: normalize_for_dedup — lower, punctuation→
+    space, whitespace collapse, trim): same single hash-aggregate
+    plan as exact_dedup, catches re-cased / re-punctuated copies."""
+    return pdedup.exact_dedup_normalized(_docs(spark, sf_dir))
+
+
+@q("streaming_pii_redact", _pii_redact_oracle())
+def _streaming_pii_redact(spark, sf_dir):
+    """Ingest-time PII redaction: pii_redact is a pure stateless
+    projection (one codegen regexp pass, no watermark, no state
+    store), so it runs unchanged under Structured Streaming — the
+    corpus is scrubbed as it lands instead of in a batch pass before
+    release. Oracle = the batch redaction SQL: stream and batch must
+    agree row for row, the same guarantee streaming_quality_filter
+    pins for model filtering."""
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = ptext.pii_redact(stream)
+    qname = "reg_pii_redact"
+    qy = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    return spark.table(qname)
