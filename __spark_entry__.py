@@ -53,6 +53,7 @@ _GATE_PRIORITY = [
     "minhash_lsh_pairs_auto", "minhash_dedup_incremental_auto",
     "streaming_minhash_dedup", "decontaminate_semantic", "pii_redact",
     "exact_dedup_normalized", "streaming_pii_redact",
+    "pipeline_release_stats",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

@@ -2595,6 +2595,31 @@ def _decontaminate_semantic(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+# The generated documents fixture contains ZERO matches for any PII
+# pattern (verified per-round in DuckDB), which would leave a redaction
+# gate row trivially green — the gate therefore plants deterministic
+# PII derived from md5(text), with the IDENTICAL expression on both
+# engines. Keying the plant off the text (never doc_id) preserves the
+# fixture's duplicate structure, so composition rows that dedup the
+# augmented corpus still exercise real collapses. pii_scan stays on the
+# raw fixture deliberately: it pins the zero-false-positive side.
+_PII_PLANT = "' contact ' || substring(md5(text), 1, 6) || '@example.com or 555-123-4567 at 10.0.0.1'"
+
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_PII_PLANT``: one email (text-derived local
+    part), one phone shape, one IPv4 appended to every document."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.substring(F.md5("text"), 1, 6),
+            F.lit("@example.com or 555-123-4567 at 10.0.0.1"),
+        ),
+    )
+
+
 def _pii_redact_oracle() -> str:
     red = "text"
     for name, pat in ptext.PII_PATTERNS.items():
@@ -2604,8 +2629,10 @@ def _pii_redact_oracle() -> str:
         for pat in ptext.PII_PATTERNS.values()
     )
     return (
+        f"WITH docs_p AS (SELECT doc_id, text || {_PII_PLANT} AS text "
+        "FROM documents) "
         f"SELECT doc_id, {red} AS text_redacted, "
-        f"CAST({n} AS INT) AS n_redactions FROM documents"
+        f"CAST({n} AS INT) AS n_redactions FROM docs_p"
     )
 
 
@@ -2615,8 +2642,10 @@ def _pii_redact(spark, sf_dir):
     typed-placeholder regexp_replace per PII_PATTERNS entry, counts
     from the original text; single codegen projection, no shuffle.
     Patterns are the Java-regex ∩ RE2 common dialect (the pii_scan
-    discipline) so DuckDB replays the replacements exactly."""
-    return ptext.pii_redact(_docs(spark, sf_dir))
+    discipline) so DuckDB replays the replacements exactly. Input is
+    the PII-planted corpus (_pii_augment) so every document exercises
+    ≥3 real replacements — the raw fixture has zero matches."""
+    return ptext.pii_redact(_pii_augment(_docs(spark, sf_dir)))
 
 
 _NORM_KEY_D = (
@@ -2627,16 +2656,38 @@ _NORM_KEY_D = (
 
 @q(
     "exact_dedup_normalized",
+    # the sf0.01 fixture has zero duplicate texts (500 distinct of
+    # 500, exact AND normalized), so dedup over the raw table would
+    # never exercise a collapse — union in an ASCII-uppercased variant
+    # of every document (locale-free translate, byte-identical in both
+    # engines; upper()/lower() on non-ASCII is locale-dependent) so
+    # every normalized group genuinely collapses a pair
+    f"WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, "
+    "translate(text, 'abcdefghijklmnopqrstuvwxyz', "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ') FROM documents) "
     f"SELECT md5({_NORM_KEY_D}) AS content_hash, "
     "min(doc_id) AS keep_doc_id, count(*) AS n_copies "
-    f"FROM documents GROUP BY md5({_NORM_KEY_D})",
+    f"FROM aug GROUP BY md5({_NORM_KEY_D})",
 )
 def _exact_dedup_normalized(spark, sf_dir):
     """Fuzzy-exact dedup on the C4-style canonicalization key
     (pipeline/dedup.py: normalize_for_dedup — lower, punctuation→
     space, whitespace collapse, trim): same single hash-aggregate
-    plan as exact_dedup, catches re-cased / re-punctuated copies."""
-    return pdedup.exact_dedup_normalized(_docs(spark, sf_dir))
+    plan as exact_dedup, catches re-cased / re-punctuated copies.
+    Gate input unions an upper-cased variant of every document so
+    each group exercises a REAL collapse (n_copies ≥ 2) — the raw
+    fixture has no duplicates at sf0.01."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recased = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate(
+            "text",
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ).alias("text"),
+    )
+    return pdedup.exact_dedup_normalized(docs.unionByName(recased))
 
 
 @q("streaming_pii_redact", _pii_redact_oracle())
@@ -2647,7 +2698,9 @@ def _streaming_pii_redact(spark, sf_dir):
     corpus is scrubbed as it lands instead of in a batch pass before
     release. Oracle = the batch redaction SQL: stream and batch must
     agree row for row, the same guarantee streaming_quality_filter
-    pins for model filtering."""
+    pins for model filtering. The PII plant (_pii_augment) applies to
+    the stream exactly as to the batch input, so the streamed
+    replacements are real, not vacuous."""
     schema = _docs(spark, sf_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2655,7 +2708,7 @@ def _streaming_pii_redact(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    out = ptext.pii_redact(stream)
+    out = ptext.pii_redact(_pii_augment(stream))
     qname = "reg_pii_redact"
     qy = (
         out.writeStream.outputMode("append")
@@ -2668,3 +2721,62 @@ def _streaming_pii_redact(spark, sf_dir):
     finally:
         qy.stop()
     return spark.table(qname)
+
+
+def _release_stats_sql() -> str:
+    red = "text"
+    for name, pat in ptext.PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    n = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in ptext.PII_PATTERNS.values()
+    )
+    return (
+        # dedup the RAW corpus (planting first would split normalized-
+        # key groups whose members differ byte-wise), then plant PII
+        # into the survivors so the redaction stage does real work
+        "WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents "
+        f"GROUP BY md5({_NORM_KEY_D})), "
+        "surv AS (SELECT d.doc_id, d.lang, "
+        f"d.text || {_PII_PLANT.replace('md5(text)', 'md5(d.text)')} AS text "
+        "FROM documents d JOIN winners w ON d.doc_id = w.doc_id), "
+        f"red AS (SELECT doc_id, lang, {red} AS tr, CAST({n} AS INT) AS nr "
+        "FROM surv) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_docs_with_pii, "
+        "CAST(sum(nr) AS BIGINT) AS total_redactions, "
+        "CAST(sum(length(tr)) AS BIGINT) AS sum_release_chars "
+        "FROM red GROUP BY lang"
+    )
+
+
+@q("pipeline_release_stats", _release_stats_sql())
+def _pipeline_release_stats(spark, sf_dir):
+    """The corpus-release back-end as ONE lazy Catalyst plan:
+    normalized dedup (exact_dedup_normalized winners — case /
+    punctuation / whitespace copies collapse) → PII redaction over the
+    survivors → per-language release census (docs, docs with PII,
+    redaction count, released characters). The dedup is the only keyed
+    exchange; redaction and the census ride the survivor scan, and
+    every aggregate is integer-exact cross-engine."""
+    docs = _docs(spark, sf_dir)
+    winners = pdedup.exact_dedup_normalized(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    surv = docs.join(winners, "doc_id", "left_semi")
+    red = ptext.pii_redact(_pii_augment(surv))
+    return (
+        red.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_redactions") > 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_with_pii"),
+            F.sum("n_redactions").cast("bigint").alias("total_redactions"),
+            F.sum(F.length("text_redacted")).cast("bigint").alias(
+                "sum_release_chars"
+            ),
+        )
+    )
