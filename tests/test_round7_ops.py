@@ -201,3 +201,110 @@ def test_streaming_pii_redact_equals_batch(spark, tmp_path):
         for r in pii_redact(docs).collect()
     }
     assert got == want
+
+
+def _adversarial_texts():
+    """Dialect-stress corpus for the regex-backed ops: boundary shapes,
+    near-misses, overlaps, unicode, and whitespace/punctuation salads."""
+    base = [
+        "",
+        " ",
+        "a@b.co",
+        "a@b.c",  # TLD too short — must NOT match
+        "x.y+z%w@sub.domain-1.org trailing",
+        "1.2.3.4",
+        "999.999.999.999",  # shape-based: still matches
+        "1.2.3.4567",  # 4+ digits in last octet — \b cuts at 456|7? no: no match boundary inside digits
+        "v1.2.3.40-rc tags",
+        "555-123-4567",
+        "+555 123 4567",
+        "555.123.4567x",
+        "a@b.co1.2.3.4",  # email then ipv4, adjacent
+        "mail me: first.last@x.io, or 10.0.0.1; else +123-456-7890!",
+        "ÜBER Straße ß déjà-vu 中文 text",
+        "  TABS\tand\nnewlines\r\nand   runs  ",
+        "MiXeD CaSe!!! With??? Punct...",
+        "a-b_c.d%e+f@g.hk",
+        "@no-local.part.com",
+        "no-at-sign.example.com",
+        "12@34.56",  # domain all digits, TLD digits — must NOT match
+    ]
+    # combinatorial salads
+    out = list(base)
+    for i, a in enumerate(base):
+        out.append(f"{a} | {base[(i + 7) % len(base)]} | {i}")
+    return [(i, t) for i, t in enumerate(out)]
+
+
+def test_pii_redact_and_normalize_agree_with_duckdb_on_adversarial_text(
+    spark,
+):
+    """Cross-engine dialect parity where it can actually break: the
+    gate rows exercise fixture text, this pins the same expressions on
+    boundary-shaped inputs (near-miss emails, 4-digit octets, unicode,
+    adjacent matches) — Spark's Java regex vs DuckDB's RE2 must agree
+    byte-for-byte on every replacement and on the dedup key."""
+    import duckdb
+    import pandas as pd
+
+    from openeo_odc_driver_spark.pipeline.dedup import normalize_for_dedup
+    from openeo_odc_driver_spark.pipeline.text import PII_PATTERNS, pii_redact
+
+    rows = _adversarial_texts()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        pii_redact(docs)
+        .join(docs.select("doc_id", normalize_for_dedup().alias("norm_key")), "doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    n = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(
+        f"SELECT doc_id, {red} AS text_redacted, CAST({n} AS INT) AS n_redactions, "
+        r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), "
+        r"'\s+', ' ', 'g')) AS norm_key FROM t ORDER BY doc_id"
+    ).df()
+    for col in ("text_redacted", "n_redactions", "norm_key"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_pii_redact_is_a_fixed_point(spark):
+    """Redacting already-redacted text changes nothing: placeholders
+    contain no digits or @, so no pattern can re-match — the guarantee
+    that makes the op safe to re-run over a partially-processed
+    corpus."""
+    from openeo_odc_driver_spark.pipeline.text import pii_redact
+
+    docs = spark.createDataFrame(
+        _adversarial_texts(), "doc_id long, text string"
+    )
+    once = pii_redact(docs).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    twice = pii_redact(once)
+    changed = twice.where(F.col("text_redacted") != F.col("text")).count()
+    assert changed == 0
+    assert twice.where(F.col("n_redactions") != 0).count() == 0
+
+
+def test_normalize_for_dedup_is_idempotent(spark):
+    from openeo_odc_driver_spark.pipeline.dedup import normalize_for_dedup
+
+    docs = spark.createDataFrame(
+        _adversarial_texts(), "doc_id long, text string"
+    )
+    staged = docs.select(
+        "doc_id", normalize_for_dedup().alias("text")
+    )
+    again = staged.select("doc_id", normalize_for_dedup().alias("text2"), "text")
+    assert again.where(F.col("text2") != F.col("text")).count() == 0
