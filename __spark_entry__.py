@@ -53,7 +53,8 @@ _GATE_PRIORITY = [
     "minhash_lsh_pairs_auto", "minhash_dedup_incremental_auto",
     "streaming_minhash_dedup", "decontaminate_semantic", "pii_redact",
     "exact_dedup_normalized", "streaming_pii_redact",
-    "pipeline_release_stats",
+    "pipeline_release_stats", "text_feature_embedding",
+    "text_content_topk",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

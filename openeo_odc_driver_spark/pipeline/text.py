@@ -876,3 +876,36 @@ def pii_redact(docs: DataFrame) -> DataFrame:
         red.alias("text_redacted"),
         n_red.cast("int").alias("n_redactions"),
     )
+
+
+def text_feature_embedding(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick bag-of-tokens embedding: ``vector[b] = count of
+    tokens whose md5-hash lands in bucket b`` — the deterministic,
+    model-free featurizer that plugs the ``documents`` table into the
+    embedding family (``embedding_cosine_dup_pairs``, ANN, semantic
+    dedup) for content-based near-dup detection beyond shingle MinHash.
+
+    Counts stay integers (cast to double at the edge) so the vector is
+    bit-exact cross-engine; cosine consumers are scale-invariant, so no
+    normalization is needed or wanted.
+
+    Plan: zero exchanges — per-document array arithmetic fused with the
+    scan. The token-hash array is bound ONCE as a lambda variable (the
+    LET idiom: ``transform(array(e), hs -> ...)[0]``) before the
+    per-bucket histogram loop; staging it in a projection would NOT
+    survive CollapseProject, which inlines aliases into every lambda
+    reference and re-runs the tokenize+hash per bucket (the cdc_chunks
+    lesson, 64× here). Cost is O(dim × tokens)/doc; dim is a small
+    constant and the whole op is scan-bound at any corpus size.
+    """
+    docs = ensure_min_parallelism(docs)
+    hs = (
+        f"transform(split(trim(text), '\\\\s+'), "
+        f"t -> {md5_int_expr('t')} % {dim})"
+    )
+    vec = (
+        f"transform(array({hs}), hs -> "
+        f"transform(sequence(0, {dim - 1}), "
+        f"b -> CAST(size(filter(hs, h -> h = b)) AS DOUBLE)))[0]"
+    )
+    return docs.select("doc_id", F.expr(vec).alias("embedding"))

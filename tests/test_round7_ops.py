@@ -308,3 +308,54 @@ def test_normalize_for_dedup_is_idempotent(spark):
     )
     again = staged.select("doc_id", normalize_for_dedup().alias("text2"), "text")
     assert again.where(F.col("text2") != F.col("text")).count() == 0
+
+
+def test_text_feature_embedding_counts_and_plan(spark):
+    """The hashing-trick vector is a per-bucket token census (total =
+    token count), identical texts get identical vectors, and the plan
+    has ZERO exchanges — pure scan-fused array arithmetic."""
+    import re
+
+    from openeo_odc_driver_spark.pipeline.text import text_feature_embedding
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, "a b c a"), (2, "totally different words")],
+        "doc_id long, text string",
+    )
+    emb = text_feature_embedding(docs, dim=16)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    assert sum(rows[0]) == 4.0 and sum(rows[2]) == 3.0
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        plan,
+    )
+
+
+def test_text_content_topk_finds_planted_copy(spark):
+    """The bridge composition: a document's verbatim copy is its
+    nearest content neighbor (cosine 1.0, rank 1) via
+    text_feature_embedding → brute_force_topk."""
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.pipeline.similarity import brute_force_topk
+    from openeo_odc_driver_spark.pipeline.text import text_feature_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (50, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs"),
+            (2, "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = text_feature_embedding(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=1).collect()
+    assert len(top) == 1
+    assert top[0].neighbor_id == 50
+    assert abs(top[0].cosine - 1.0) < 1e-12
