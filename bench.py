@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "decontaminate_semantic",
     "pii_redact",
     "exact_dedup_normalized",
+    "text_content_ann",
 ]
 
 

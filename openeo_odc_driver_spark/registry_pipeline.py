@@ -2839,3 +2839,32 @@ def _text_content_topk(spark, sf_dir):
     return psim.brute_force_topk(
         emb, emb.where(F.col("vec_id") < 8), k=5
     )
+
+
+@q(
+    "text_content_ann",
+    f"WITH h AS (SELECT doc_id, {_HS_D} AS hs FROM documents), "
+    f"v AS (SELECT doc_id, {_TFE_V_D} AS emb FROM h), "
+    f"c AS (SELECT doc_id AS vec_id, emb AS embedding, "
+    f"{lsh_bucket_sql('emb')} AS bucket FROM v), "
+    "q0 AS (SELECT doc_id AS query_id, emb AS q_emb, "
+    f"{lsh_bucket_sql('emb')} AS b0 FROM v WHERE doc_id < 8), "
+    f"q AS (SELECT query_id, q_emb, xor(b0, m) AS bucket "
+    f"FROM q0, unnest({_PROBE_MASKS}) t(m)), "
+    "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cosine('q.q_emb', 'c.embedding')} AS cosine "
+    "FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id) "
+    + _TOPK_TAIL,
+)
+def _text_content_ann(spark, sf_dir):
+    """The 100 TB serving shape of text_content_topk: featurize →
+    LSH-bucketed ANN (multi-probe) instead of brute force — corpus
+    bucketing rides the featurize scan, candidates come from a
+    broadcast bucket equi-join, and only bucket-mates are cosine-
+    reranked. Same end-to-end bridge, candidate-bounded at scale."""
+    emb = ptext.text_feature_embedding(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return psim.lsh_bucket_ann(
+        emb, emb.where(F.col("vec_id") < 8), k=5
+    )
