@@ -54,7 +54,7 @@ _GATE_PRIORITY = [
     "streaming_minhash_dedup", "decontaminate_semantic", "pii_redact",
     "exact_dedup_normalized", "streaming_pii_redact",
     "pipeline_release_stats", "text_feature_embedding",
-    "text_content_topk", "text_content_ann",
+    "text_content_topk", "text_content_ann", "script_census",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

@@ -909,3 +909,44 @@ def text_feature_embedding(docs: DataFrame, dim: int = 64) -> DataFrame:
         f"b -> CAST(size(filter(hs, h -> h = b)) AS DOUBLE)))[0]"
     )
     return docs.select("doc_id", F.expr(vec).alias("embedding"))
+
+
+# Unicode-script character classes as LITERAL codepoint ranges — the
+# pattern strings contain the actual range characters (chr(0x4E00) etc.),
+# so the identical string works in Java regex AND RE2 with no escape-
+# dialect translation (\uXXXX vs \x{XXXX}), and no dependence on either
+# engine's Unicode property tables.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿ]",
+    "han": "[一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "arabic": "[؀-ۿ]",
+    "hangul": "[가-힯]",
+    "kana": "[぀-ヿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_census(docs: DataFrame) -> DataFrame:
+    """Per-document Unicode-script character census + dominant script —
+    the routing signal a multilingual pipeline needs before language-ID
+    (script is cheap and unambiguous; lang_id refines within a script).
+
+    One codegen `regexp_count` per class over the scan, no UDFs, no
+    shuffle; `dominant_script` = the first class in SCRIPT_CLASSES
+    order holding the maximum count ('none' when every count is 0) —
+    the fixed order makes ties deterministic cross-engine.
+    """
+    docs = ensure_min_parallelism(docs)
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    mx = F.greatest(*[F.col(f"n_{n}") for n in SCRIPT_CLASSES])
+    dom = F.lit("none")
+    for name in reversed(list(SCRIPT_CLASSES)):
+        dom = F.when(
+            (mx > 0) & (F.col(f"n_{name}") == mx), F.lit(name)
+        ).otherwise(dom)
+    return out.withColumn("dominant_script", dom)

@@ -2868,3 +2868,64 @@ def _text_content_ann(spark, sf_dir):
     return psim.lsh_bucket_ann(
         emb, emb.where(F.col("vec_id") < 8), k=5
     )
+
+
+def _script_census_sql() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in ptext.SCRIPT_CLASSES.items()
+    )
+    mx = "greatest(" + ", ".join(
+        f"n_{n}" for n in ptext.SCRIPT_CLASSES
+    ) + ")"
+    whens = " ".join(
+        f"WHEN n_{n} = {mx} THEN '{n}'" for n in ptext.SCRIPT_CLASSES
+    )
+    return (
+        f"SELECT doc_id, n_{', n_'.join(ptext.SCRIPT_CLASSES)}, "
+        f"CASE WHEN {mx} > 0 THEN (CASE {whens} END) ELSE 'none' END "
+        "AS dominant_script "
+        f"FROM (SELECT doc_id, {cols} FROM documents)"
+    )
+
+
+# the fixture text is pure ASCII (dominant 'latin' for all 500 docs,
+# measured) — union four literal multi-script documents per residue so
+# every class counts non-zero and the dominance CASE takes every branch
+_SCRIPT_PLANT = (
+    "SELECT doc_id + 1000000 AS doc_id, CASE doc_id % 4 "
+    "WHEN 0 THEN '中文漢字 1984' WHEN 1 THEN 'Привет мир' "
+    "WHEN 2 THEN '한국어 텍스트' ELSE 'こんにちは カタカナ' END AS text "
+    "FROM documents WHERE doc_id < 8"
+)
+
+
+@q(
+    "script_census",
+    _script_census_sql().replace(
+        "FROM documents)",
+        f"FROM (SELECT doc_id, text FROM documents UNION ALL {_SCRIPT_PLANT}))",
+    ),
+)
+def _script_census(spark, sf_dir):
+    """Unicode-script census + dominant script (pipeline/text.py:
+    script_census) — literal-codepoint range classes so the SAME
+    pattern string runs in Java regex and RE2 with no escape-dialect
+    or Unicode-property divergence; one codegen regexp_count per
+    class, zero exchanges. Dominant-script ties resolve to the first
+    class in SCRIPT_CLASSES order on both engines. Gate input unions
+    8 planted multi-script docs (the fixture is pure ASCII) so every
+    class and every dominance branch is exercised for real."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = (
+        docs.where(F.col("doc_id") < 8)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("中文漢字 1984"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("Привет мир"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("한국어 텍스트"))
+            .otherwise(F.lit("こんにちは カタカナ"))
+            .alias("text"),
+        )
+    )
+    return ptext.script_census(docs.unionByName(plant))

@@ -359,3 +359,26 @@ def test_text_content_topk_finds_planted_copy(spark):
     assert len(top) == 1
     assert top[0].neighbor_id == 50
     assert abs(top[0].cosine - 1.0) < 1e-12
+
+
+def test_script_census_counts_and_dominance(spark):
+    from openeo_odc_driver_spark.pipeline.text import script_census
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain ascii words 123"),
+            (1, "中文漢字中文"),
+            (2, "Привет мир"),
+            (3, "mixed 中文 with latin majority text here"),
+            (4, ""),
+            (5, "42 17 99"),  # digits only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in script_census(docs).collect()}
+    assert rows[0].dominant_script == "latin" and rows[0].n_digit == 3
+    assert rows[1].dominant_script == "han" and rows[1].n_han == 6
+    assert rows[2].dominant_script == "cyrillic" and rows[2].n_latin == 0
+    assert rows[3].dominant_script == "latin" and rows[3].n_han == 2
+    assert rows[4].dominant_script == "none"
+    assert rows[5].dominant_script == "digit"
