@@ -382,3 +382,68 @@ def frame_sample(df: DataFrame, every_n: int = 10, n_frames: int = 100) -> DataF
     The decode itself is the same stub boundary as decode_image."""
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1), F.lit(every_n))
     return df.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+def audio_spectral_features(df: DataFrame, rolloff: float = 0.85,
+                            n_bands: int = 4) -> DataFrame:
+    """WAV binary → frequency-domain features via numpy rFFT: dominant
+    frequency, spectral centroid, spectral rolloff, and ``n_bands``
+    equal-width band-energy fractions — the audio-encoder stand-in
+    (real DSP, no third-party codec) whose fixed-length output plugs
+    into the similarity ops exactly like image_features does for
+    pixels.
+
+    Arrow-batched mapInPandas over the RIFF/WAV payloads (stdlib
+    ``wave`` + numpy, the decode_audio(fake=False) path); only the
+    feature rows leave the executor — at scale the plan is the same
+    zero-exchange scan-fused shape as every other multimodal op.
+    Deterministic: rFFT of a deterministic payload; fixed-value oracle
+    discipline (double-run checked at capture).
+    """
+    band_cols = [f"band_frac_{b}" for b in range(n_bands)]
+    out_schema = (
+        "doc_id long, dominant_freq_hz double, spectral_centroid_hz double, "
+        "spectral_rolloff_hz double, "
+        + ", ".join(f"{c} double" for c in band_cols)
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                with _wave.open(io.BytesIO(bytes(r["audio"])), "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+                power = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.fft.rfftfreq(n, 1.0 / sr)
+                total = float(power.sum())
+                if total <= 0.0:
+                    rows.append((r["doc_id"], 0.0, 0.0, 0.0) + (0.0,) * n_bands)
+                    continue
+                dom = float(freqs[1 + int(np.argmax(power[1:]))])  # skip DC
+                centroid = float((freqs * power).sum() / total)
+                roll = float(freqs[int(np.searchsorted(
+                    np.cumsum(power), rolloff * total))])
+                nyq = sr / 2.0
+                edges = np.linspace(0.0, nyq, n_bands + 1)
+                # last band closes at Nyquist inclusively, so the
+                # fractions partition the full spectrum (sum == 1)
+                fracs = tuple(
+                    float(power[(freqs >= edges[b])
+                                & ((freqs < edges[b + 1])
+                                   | (b == n_bands - 1))].sum() / total)
+                    for b in range(n_bands)
+                )
+                rows.append((r["doc_id"], dom, centroid, roll) + fracs)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "dominant_freq_hz", "spectral_centroid_hz",
+                         "spectral_rolloff_hz", *band_cols],
+            )
+
+    return df.mapInPandas(feats, out_schema)

@@ -2929,3 +2929,27 @@ def _script_census(spark, sf_dir):
         )
     )
     return ptext.script_census(docs.unionByName(plant))
+
+
+@q(
+    "multimodal_audio_features",
+    values_oracle_sql("multimodal_audio_features"),
+)
+def _multimodal_audio_features(spark, sf_dir):
+    """Frequency-domain audio features (pipeline/multimodal.py:
+    audio_spectral_features): rFFT dominant frequency / centroid /
+    rolloff / band-energy fractions over the REAL stdlib-WAV payloads
+    — the audio sibling of multimodal_image_features. The planted
+    sine's frequency (110·(1+doc_id%32) Hz) must surface as
+    dominant_freq_hz, which the pytest pins to within one FFT bin.
+    Fixed-value oracle (deterministic synth + rFFT, double-run
+    checked at capture)."""
+    from .pipeline.multimodal import attach_wav_audio, audio_spectral_features
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
+    out = audio_spectral_features(attach_wav_audio(docs))
+    cols = ["dominant_freq_hz", "spectral_centroid_hz",
+            "spectral_rolloff_hz"] + [f"band_frac_{b}" for b in range(4)]
+    return out.select(
+        "doc_id", *[F.round(c, 7).alias(c) for c in cols]
+    )

@@ -41,7 +41,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # resize + feature-extract plumbing (round 6)
          "multimodal_resize", "multimodal_image_features",
          # large-k vectorized-assignment serving path (round 7)
-         "semantic_dedup_trained_k160"]
+         "semantic_dedup_trained_k160",
+         # rFFT audio features (round 7)
+         "multimodal_audio_features"]
 
 
 def main() -> int:

@@ -382,3 +382,31 @@ def test_script_census_counts_and_dominance(spark):
     assert rows[3].dominant_script == "latin" and rows[3].n_han == 2
     assert rows[4].dominant_script == "none"
     assert rows[5].dominant_script == "digit"
+
+
+def test_audio_spectral_features_recover_planted_sine(spark):
+    """Ground truth, not snapshot: the synth WAV is a seed-pitched sine
+    (110·(1+doc_id%32) Hz) over weak noise, so dominant_freq_hz must
+    land within one FFT bin (sr/n = 8000/2048 ≈ 3.9 Hz) of the planted
+    pitch, and the energy must concentrate in the band containing it."""
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_wav_audio,
+        audio_spectral_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (0, 3, 9, 31)], "doc_id long, text string"
+    )
+    feats = {
+        r.doc_id: r
+        for r in audio_spectral_features(attach_wav_audio(docs)).collect()
+    }
+    bin_hz = 8000.0 / 2048.0
+    for i, r in feats.items():
+        planted = 110.0 * (1 + i % 32)
+        assert abs(r.dominant_freq_hz - planted) <= bin_hz, (i, r)
+        band = min(int(planted / (4000.0 / 4)), 3)
+        fracs = [r.band_frac_0, r.band_frac_1, r.band_frac_2, r.band_frac_3]
+        assert fracs[band] == max(fracs)
+        assert abs(sum(fracs) - 1.0) < 1e-9
+        assert r.spectral_rolloff_hz >= r.dominant_freq_hz - bin_hz
