@@ -995,3 +995,48 @@ def decontaminate_semantic(
     cos = cosine_expr("embedding", "q_emb")
     ev = evalset.select(F.col("embedding").alias("q_emb"))
     return corpus.join(F.broadcast(ev), cos >= F.lit(threshold), "left_anti")
+
+
+def decontaminate_semantic_lsh(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.97,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """The large-eval-set scale path for :func:`decontaminate_semantic`:
+    LSH-bucket both sides and only cosine-score corpus rows against
+    eval vectors sharing a (multi-probed) bucket — candidate-bounded
+    where the exact form is |corpus| × |eval|.
+
+    APPROXIMATE by design (a contaminated row whose bucket differs
+    from every probe survives) — the standard recall/cost dial, and the
+    multi-probe depth is the knob, exactly as in :func:`lsh_bucket_ann`.
+    The oracle twin mirrors the same bucketing, so the gate pins the
+    approximation's exact output, not a fuzzy subset.
+
+    Plan: corpus bucketing rides the scan; the probed eval side (tiny ×
+    (1 + n_planes) masks) broadcasts into an equi-join on bucket; the
+    hit set is distinct vec_ids (bounded by contamination count) and
+    anti-joins back — the corpus shuffles ZERO times.
+    """
+    from itertools import combinations
+
+    cb = corpus.withColumn("_b", lsh_bucket_col("embedding", n_planes))
+    ev = evalset.select(
+        F.col("embedding").alias("q_emb")
+    ).withColumn("_b0", lsh_bucket_col("q_emb", n_planes))
+    masks = [0]
+    for nbits in range(1, max(0, probe_bits) + 1):
+        for bits in combinations(range(n_planes), nbits):
+            masks.append(sum(2 ** b for b in bits))
+    probes = F.array(*[F.expr(f"_b0 ^ {m}") for m in masks])
+    ev = ev.select("q_emb", F.explode(probes).alias("_b")).dropDuplicates()
+    cos = cosine_expr("embedding", "q_emb")
+    hits = (
+        cb.join(F.broadcast(ev), "_b")
+        .where(cos >= F.lit(threshold))
+        .select("vec_id")
+        .dropDuplicates()
+    )
+    return corpus.join(hits, "vec_id", "left_anti")

@@ -2953,3 +2953,29 @@ def _multimodal_audio_features(spark, sf_dir):
     return out.select(
         "doc_id", *[F.round(c, 7).alias(c) for c in cols]
     )
+
+
+@q(
+    "decontaminate_semantic_lsh",
+    f"WITH c AS (SELECT vec_id, label, embedding, "
+    f"{lsh_bucket_sql('embedding')} AS b FROM embeddings), "
+    "q0 AS (SELECT embedding AS q_emb, "
+    f"{lsh_bucket_sql('embedding')} AS b0 FROM embeddings WHERE vec_id < 8), "
+    f"q AS (SELECT DISTINCT q_emb, xor(b0, m) AS b "
+    f"FROM q0, unnest({_PROBE_MASKS}) t(m)), "
+    "hits AS (SELECT DISTINCT c.vec_id FROM c JOIN q ON c.b = q.b "
+    f"WHERE {_duck_cosine('c.embedding', 'q.q_emb')} >= {_EMB_DUP_THRESHOLD}) "
+    "SELECT e.vec_id, e.label FROM embeddings e "
+    "WHERE e.vec_id NOT IN (SELECT vec_id FROM hits)",
+)
+def _decontaminate_semantic_lsh(spark, sf_dir):
+    """The large-eval-set scale path (pipeline/similarity.py:
+    decontaminate_semantic_lsh): LSH-bucket both sides, cosine-score
+    only bucket-mates, anti-join the hit ids — candidate-bounded where
+    the exact form is |corpus|×|eval|. Approximate by design; the
+    oracle mirrors the same bucketing so the gate pins the
+    approximation's exact output."""
+    e = _embs(spark, sf_dir)
+    return psim.decontaminate_semantic_lsh(
+        e, e.where(F.col("vec_id") < 8), threshold=_EMB_DUP_THRESHOLD
+    ).select("vec_id", "label")

@@ -410,3 +410,35 @@ def test_audio_spectral_features_recover_planted_sine(spark):
         assert fracs[band] == max(fracs)
         assert abs(sum(fracs) - 1.0) < 1e-9
         assert r.spectral_rolloff_hz >= r.dominant_freq_hz - bin_hz
+
+
+def test_decontaminate_semantic_lsh_subset_of_exact(spark):
+    """The LSH path may only MISS contamination (bucket divergence),
+    never invent it: its survivor set is a superset of the exact op's,
+    and rows it does drop are exactly-contaminated rows."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        decontaminate_semantic,
+        decontaminate_semantic_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)]) for i in range(40)]
+    # plant copies of eval vectors 0 and 1 into the corpus
+    rows.append((100, rows[0][1]))
+    rows.append((101, [v * 2.0 for v in rows[1][1]]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    evalset = corpus.where(F.col("vec_id") < 2)
+    exact = {
+        r.vec_id for r in decontaminate_semantic(corpus, evalset, 0.95).collect()
+    }
+    lsh = {
+        r.vec_id
+        for r in decontaminate_semantic_lsh(corpus, evalset, 0.95).collect()
+    }
+    assert exact <= lsh  # LSH never drops anything exact keeps
+    # identical-direction plants share the eval vector's bucket → caught
+    assert 100 not in lsh and 101 not in lsh
