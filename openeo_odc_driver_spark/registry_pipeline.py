@@ -2979,3 +2979,42 @@ def _decontaminate_semantic_lsh(spark, sf_dir):
     return psim.decontaminate_semantic_lsh(
         e, e.where(F.col("vec_id") < 8), threshold=_EMB_DUP_THRESHOLD
     ).select("vec_id", "label")
+
+
+@q(
+    "csv_roundtrip",
+    f"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    f"CAST(sum(len({_TOKS_D})) AS BIGINT) AS sum_tokens, "
+    "CAST(min(md5(text)) AS VARCHAR) AS min_text_md5 "
+    "FROM documents GROUP BY lang",
+)
+def _csv_roundtrip(spark, sf_dir):
+    """CSV source/sink fidelity (sources/jsonl.py: write_documents_csv
+    / load_documents_csv): the documents table round-trips through
+    gzip RFC-4180 CSV (doubled-quote escaping, multiLine read) and the
+    census — counts, char/token sums, an md5 witness of the text bytes
+    — must equal the parquet original, same discipline as
+    jsonl_roundtrip. A quoting/escaping bug anywhere in the write→read
+    path shifts the hash."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import load_documents_csv, write_documents_csv
+
+    work = tempfile.mkdtemp(prefix="csv_gate_")
+    try:
+        write_documents_csv(_docs(spark, sf_dir), f"{work}/docs")
+        back = load_documents_csv(spark, f"{work}/docs")
+        census = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias(
+                "sum_tokens"
+            ),
+            F.min(F.md5("text")).alias("min_text_md5"),
+        )
+        rows = census.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, census.schema)

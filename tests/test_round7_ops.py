@@ -442,3 +442,47 @@ def test_decontaminate_semantic_lsh_subset_of_exact(spark):
     assert exact <= lsh  # LSH never drops anything exact keeps
     # identical-direction plants share the eval vector's bucket → caught
     assert 100 not in lsh and 101 not in lsh
+
+
+def test_csv_roundtrip_survives_adversarial_text(spark, tmp_path):
+    """RFC-4180 hazards round-trip byte-exactly: embedded quotes,
+    separators, newlines (multiLine read), CRLF, unicode, and
+    leading/trailing whitespace — the cases a wrong escape/quote
+    option silently mangles."""
+    from openeo_odc_driver_spark.sources.jsonl import (
+        load_documents_csv,
+        write_documents_csv,
+    )
+
+    rows = [
+        (0, 'she said "hi, there"', "en", "s", 20),
+        (1, "line one\nline two\r\nline three", "en", "s", 29),
+        (2, 'comma, "quoted, comma", done', "fr", "s", 28),
+        (3, "  padded  ", "de", "s", 10),
+        (4, "中文, with 引号 \"quotes\"\nand newline", "zh", "s", 33),
+        (5, "", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "csv")
+    write_documents_csv(docs, path)
+    back = load_documents_csv(spark, path)
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == {i: t for i, t, *_ in rows}
+
+
+def test_csv_roundtrip_distinguishes_null_from_empty(spark, tmp_path):
+    from openeo_odc_driver_spark.sources.jsonl import (
+        load_documents_csv,
+        write_documents_csv,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "csvnull")
+    write_documents_csv(docs, path)
+    got = {r.doc_id: r.text for r in load_documents_csv(spark, path).collect()}
+    assert got[0] is None and got[1] == ""
