@@ -1126,3 +1126,32 @@ def exact_dedup_normalized(docs: DataFrame) -> DataFrame:
     ).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     )
+
+
+def corpus_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff for iterative dataset builds: classify every doc_id
+    across two corpus versions as ``added`` / ``removed`` / ``changed``
+    / ``unchanged`` (by content hash) and census the classes — the
+    audit a pipeline runs between dataset releases to see what an
+    upstream change actually did.
+
+    Plan: hash both sides in their scans (md5 only, text never moves),
+    full-outer join on doc_id — ONE co-partitioned shuffle per side at
+    any scale — then a tiny class census. At 100 TB both sides
+    hash-partition on the same key, so the join is the only exchange
+    and carries (doc_id, hash) pairs, not documents.
+    """
+    oh = old.select("doc_id", F.md5("text").alias("_h_old"))
+    nh = new.select("doc_id", F.md5("text").alias("_h_new"))
+    j = oh.join(nh, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

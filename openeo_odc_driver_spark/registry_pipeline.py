@@ -3018,3 +3018,46 @@ def _csv_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, census.schema)
+
+
+# old = fixture minus every 10th doc; new = fixture with every 7th doc's
+# text revised and a fresh tail of ids appended — derived identically on
+# both engines so the delta exercises all four classes for real
+_DELTA_OLD = "SELECT doc_id, text FROM documents"
+_DELTA_NEW = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' (rev 2)' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 10 != 0 "
+    "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5"
+)
+
+
+@q(
+    "corpus_delta",
+    f"WITH o AS (SELECT doc_id, md5(text) AS h_old FROM ({_DELTA_OLD})), "
+    f"n AS (SELECT doc_id, md5(text) AS h_new FROM ({_DELTA_NEW})), "
+    "j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' "
+    "WHEN h_old = h_new THEN 'unchanged' ELSE 'changed' END AS status "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+    "SELECT status, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM j GROUP BY status",
+)
+def _corpus_delta(spark, sf_dir):
+    """Release-to-release corpus diff (pipeline/dedup.py: corpus_delta)
+    — added/removed/changed/unchanged census by content hash; one
+    co-partitioned (doc_id, hash) full-outer join, text never moves.
+    Gate derives two synthetic versions from the fixture (docs removed,
+    revised, and appended with identical SQL on both engines) so all
+    four classes count non-zero."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs
+    revised = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" (rev 2)"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    appended = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return pdedup.corpus_delta(old, revised.unionByName(appended))

@@ -486,3 +486,18 @@ def test_csv_roundtrip_distinguishes_null_from_empty(spark, tmp_path):
     write_documents_csv(docs, path)
     got = {r.doc_id: r.text for r in load_documents_csv(spark, path).collect()}
     assert got[0] is None and got[1] == ""
+
+
+def test_corpus_delta_classifies_all_transitions(spark):
+    from openeo_odc_driver_spark.pipeline.dedup import corpus_delta
+
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "changed!"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.status: r.n_docs for r in corpus_delta(old, new).collect()}
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
