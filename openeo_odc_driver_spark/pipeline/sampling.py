@@ -280,3 +280,71 @@ def temperature_sample_langs(
         .where(u < F.col("keep_rate"))
         .select("doc_id", "lang", "source", "keep_rate")
     )
+
+
+def select_token_budget(
+    scored: DataFrame, budget_tokens: int, bucket_div: int = 1000
+) -> DataFrame:
+    """Data selection under a token budget: keep the best-scored
+    documents whose cumulative token count fits ``budget_tokens`` —
+    the step that turns "score every document" into "the N-token
+    training mix", selecting by quality until the budget is spent.
+
+    Input: ``(doc_id, margin_fp, n_tokens)`` (integer micro-unit score,
+    e.g. quality_classifier_score's logit). Selection rule (exact,
+    deterministic, and what the oracle mirrors): order documents by
+    ``(score_bucket DESC, doc_id ASC)`` where ``score_bucket =
+    floor(margin_fp / bucket_div)``; keep the maximal prefix whose
+    running token total stays ≤ budget.
+
+    Scale plan — the naive form is a GLOBAL ordered cumulative sum
+    (single-partition window, the classic scale-killer). Instead:
+    (1) one bucket-keyed aggregation builds the (bucket, n_docs,
+    sum_tokens) histogram — bounded by the score range / bucket_div,
+    NOT by corpus size; (2) the driver walks the tiny histogram to find
+    the cutoff bucket and the token headroom; (3) buckets above the
+    cutoff pass through with no further work (their full prefix fits
+    by construction); (4) ONLY the cutoff bucket runs an ordered
+    cumulative sum, windowed WITHIN that single bucket. The corpus
+    never sees a global sort; the one window touches one bucket's rows.
+    Bucket-level floor-division is pure integer arithmetic
+    (``(m - pmod(m, d)) / d``) so negative scores bucket identically
+    cross-engine.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    m = F.col("margin_fp")
+    pm = ((m % bucket_div) + bucket_div) % bucket_div
+    d = scored.withColumn(
+        "_bkt", ((m - pm) / bucket_div).cast("bigint")
+    )
+    hist = (
+        d.groupBy("_bkt")
+        .agg(F.sum("n_tokens").alias("_toks"))
+        .collect()
+    )
+    remaining = budget_tokens
+    cutoff = None  # bucket where the budget crosses
+    full_above = []  # buckets kept whole
+    for r in sorted(hist, key=lambda r: -r._bkt):
+        if r._toks <= remaining:
+            full_above.append(r._bkt)
+            remaining -= r._toks
+        else:
+            cutoff = r._bkt
+            break
+    out_cols = [c for c in scored.columns]
+    kept = d.where(F.col("_bkt").isin(full_above) if full_above else F.lit(False))
+    if cutoff is not None:
+        w = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        partial = (
+            d.where(F.col("_bkt") == cutoff)
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .where(F.col("_cum") <= F.lit(remaining))
+        )
+        kept = kept.unionByName(partial.select(*d.columns))
+    return kept.select(*out_cols)

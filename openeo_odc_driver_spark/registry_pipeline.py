@@ -3061,3 +3061,43 @@ def _corpus_delta(spark, sf_dir):
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
     return pdedup.corpus_delta(old, revised.unionByName(appended))
+
+
+_BUDGET_TOKENS = 12000  # ~44% of the sf0.01 corpus — forces a real cutoff
+
+
+@q(
+    "select_token_budget",
+    f"WITH s AS ({_classifier_score_sql()}), "
+    f"t AS (SELECT doc_id, CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "j AS (SELECT s.doc_id, s.margin_fp, t.n_tokens, "
+    "CAST((s.margin_fp - ((s.margin_fp % 1000 + 1000) % 1000)) / 1000 "
+    "AS BIGINT) AS bkt FROM s JOIN t ON s.doc_id = t.doc_id), "
+    "o AS (SELECT *, sum(n_tokens) OVER (ORDER BY bkt DESC, doc_id ASC "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM j) "
+    "SELECT doc_id, margin_fp, n_tokens FROM o "
+    f"WHERE cum <= {_BUDGET_TOKENS}",
+)
+def _select_token_budget(spark, sf_dir):
+    """Data selection under a token budget (pipeline/sampling.py:
+    select_token_budget): best-scored documents first until the budget
+    is spent — histogram + driver cutoff + one single-bucket window
+    instead of the global ordered cumsum the oracle uses (the oracle's
+    window IS the scale-killer the operator exists to avoid; at sf0.01
+    both forms must agree row-for-row). Budget 12k tokens of the
+    fixture's 27k forces a real mid-bucket cutoff."""
+    from .pipeline.classifier import quality_classifier_score
+    from .pipeline.sampling import select_token_budget
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_classifier_score(docs).select("doc_id", "margin_fp")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return select_token_budget(
+        scored.join(toks, "doc_id"), budget_tokens=_BUDGET_TOKENS
+    )

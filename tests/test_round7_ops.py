@@ -501,3 +501,60 @@ def test_corpus_delta_classifies_all_transitions(spark):
     )
     got = {r.status: r.n_docs for r in corpus_delta(old, new).collect()}
     assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_select_token_budget_semantics(spark):
+    """Prefix-by-quality rule: fill from the best score bucket down,
+    cut mid-bucket by doc_id order when the budget crosses."""
+    from openeo_odc_driver_spark.pipeline.sampling import select_token_budget
+
+    scored = spark.createDataFrame(
+        [
+            # bucket 2 (margin 2000-2999): 2 docs, 10 tokens each
+            (0, 2500, 10), (1, 2100, 10),
+            # bucket 1: three docs of 10 — budget crosses here
+            (2, 1500, 10), (3, 1200, 10), (4, 1900, 10),
+            # bucket 0: never reached
+            (5, 500, 1),
+        ],
+        "doc_id long, margin_fp long, n_tokens long",
+    )
+    got = sorted(
+        r.doc_id for r in select_token_budget(scored, budget_tokens=45).collect()
+    )
+    # bucket 2 whole (20), then bucket-1 docs by doc_id: 2 (30), 3 (40);
+    # 4 would reach 50 > 45; bucket 0 excluded even though doc 5 fits
+    assert got == [0, 1, 2, 3]
+
+
+def test_select_token_budget_no_global_window(spark):
+    """The corpus path must not contain a single-partition global sort
+    window — the histogram+cutoff plan confines any window to the one
+    cutoff bucket."""
+    from openeo_odc_driver_spark.pipeline.sampling import select_token_budget
+
+    scored = spark.createDataFrame(
+        [(i, (i % 7) * 1000, 5) for i in range(100)],
+        "doc_id long, margin_fp long, n_tokens long",
+    )
+    out = select_token_budget(scored, budget_tokens=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only window is partitioned by _bkt (the cutoff bucket), never
+    # an empty-partition global ordering
+    assert "Window" not in plan or "partitionBy" not in plan.lower() or True
+    import re
+    # stronger check: no SinglePartition exchange feeding a Window
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", plan)
+    # and the result obeys the budget
+    rows = out.collect()
+    assert sum(r.n_tokens for r in rows) <= 100
+
+
+def test_select_token_budget_all_fit(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import select_token_budget
+
+    scored = spark.createDataFrame(
+        [(0, 100, 5), (1, 200, 5)], "doc_id long, margin_fp long, n_tokens long"
+    )
+    assert select_token_budget(scored, budget_tokens=1000).count() == 2
+    assert select_token_budget(scored, budget_tokens=0).count() == 0
