@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "text_content_topk", "text_content_ann", "script_census",
     "multimodal_audio_features", "decontaminate_semantic_lsh",
     "csv_roundtrip", "corpus_delta", "select_token_budget",
+    "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

@@ -1753,3 +1753,84 @@ def _events_user_type_pivot(spark, sf_dir):
             for t in types
         ]
     )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_lineitems FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount >= CAST('0.05' AS DOUBLE) "
+    "AND l_discount <= CAST('0.07' AS DOUBLE) "
+    "AND l_quantity < 24",
+)
+def _tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure scan-
+    aggregate — every predicate (date band, discount band, quantity
+    cap) pushes into the parquet scan, the revenue product rounds to
+    cents BIGINT map-side, and the exchange carries ONE partial row
+    per task. The plan floor for any columnar engine; discount bounds
+    go through string-cast doubles so both engines compare the same
+    IEEE values (the plane-literal lesson)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= F.expr("CAST('0.05' AS DOUBLE)"))
+        & (F.col("l_discount") <= F.expr("CAST('0.07' AS DOUBLE)"))
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100.0 + 0.5
+    ).cast("bigint")
+    return li.agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    "SELECT l.l_orderkey, "
+    "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 "
+    "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10",
+)
+def _tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): unshipped-order revenue for
+    one market segment, top 10. Plan: the segment-filtered customer
+    and date-filtered orders broadcast into the lineitem scan (both
+    predicates push down), one aggregation on the composite key, then
+    TakeOrderedAndProject for the global top-10 — per-partition heaps
+    merged on the driver, never a full sort. Ties break on l_orderkey
+    so the LIMIT edge is deterministic cross-engine (cents are exact
+    BIGINTs, so equal revenues compare exactly)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
