@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "pii_redact",
     "exact_dedup_normalized",
     "text_content_ann",
+    "script_census",
+    "corpus_delta",
+    "select_token_budget",
 ]
 
 

@@ -950,3 +950,35 @@ def script_census(docs: DataFrame) -> DataFrame:
             (mx > 0) & (F.col(f"n_{name}") == mx), F.lit(name)
         ).otherwise(dom)
     return out.withColumn("dominant_script", dom)
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the cheap
+    gibberish / repetition detector (low entropy = repeated filler,
+    high ≈ uniform noise or encrypted blobs; natural text sits in a
+    narrow band, which makes both tails a quality filter).
+
+    Computed as ``log2(n) − (Σ m·log2 m)/n`` over per-character counts
+    folded in SORTED distinct-char order — a fixed evaluation order on
+    both engines, so the float sum is reproducible; the only
+    cross-engine risk is log2's last ulp, absorbed by the gate's
+    round-to-7. Zero exchanges: per-doc array arithmetic fused with the
+    scan (the LET idiom binds the char array once — the 64×
+    re-evaluation trap). BMP text only: Spark splits UTF-16 units, so
+    astral-plane chars would count as two on the Spark side.
+    """
+    docs = ensure_min_parallelism(docs)
+    cs = "filter(split(text, ''), c -> c != '')"
+    expr = (
+        f"transform(array({cs}), cs -> CASE WHEN size(cs) = 0 THEN 0.0D ELSE "
+        "log2(CAST(size(cs) AS DOUBLE)) - aggregate("
+        "transform(array_sort(array_distinct(cs)), "
+        "c -> CAST(size(filter(cs, x -> x = c)) AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, m) -> a + m * log2(m)) "
+        "/ CAST(size(cs) AS DOUBLE) END)[0]"
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_exact"),
+        F.expr(expr).alias("entropy_bits"),
+    )

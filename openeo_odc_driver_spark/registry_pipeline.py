@@ -3101,3 +3101,29 @@ def _select_token_budget(spark, sf_dir):
     return select_token_budget(
         scored.join(toks, "doc_id"), budget_tokens=_BUDGET_TOKENS
     )
+
+
+@q(
+    "char_entropy",
+    "WITH cs AS (SELECT doc_id, length(text) AS n_chars_exact, "
+    "list_filter(string_split(text, ''), c -> c != '') AS c FROM documents) "
+    "SELECT doc_id, CAST(n_chars_exact AS BIGINT) AS n_chars_exact, "
+    "round(CASE WHEN len(c) = 0 THEN 0.0 ELSE "
+    "log2(CAST(len(c) AS DOUBLE)) - list_aggregate(list_transform("
+    "list_sort(list_distinct(c)), "
+    "d -> CAST(len(list_filter(c, x -> x = d)) AS DOUBLE) * "
+    "log2(CAST(len(list_filter(c, x -> x = d)) AS DOUBLE))), 'sum') "
+    "/ CAST(len(c) AS DOUBLE) END, 7) AS entropy_bits FROM cs",
+)
+def _char_entropy(spark, sf_dir):
+    """Shannon character entropy (pipeline/text.py: char_entropy) —
+    the gibberish/repetition quality signal. Distinct chars fold in
+    SORTED order on both engines so the float sum is order-identical;
+    round-to-7 absorbs log2's last-ulp libm difference. Zero
+    exchanges."""
+    out = ptext.char_entropy(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_exact").cast("bigint").alias("n_chars_exact"),
+        F.round("entropy_bits", 7).alias("entropy_bits"),
+    )

@@ -558,3 +558,31 @@ def test_select_token_budget_all_fit(spark):
     )
     assert select_token_budget(scored, budget_tokens=1000).count() == 2
     assert select_token_budget(scored, budget_tokens=0).count() == 0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from openeo_odc_driver_spark.pipeline.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa"),  # 0 bits
+            (1, "abab"),  # 1 bit
+            (2, "abcd"),  # 2 bits
+            (3, ""),  # defined 0
+            (4, "mississippi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(docs).collect()}
+    assert got[0] == 0.0
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 2.0) < 1e-12
+    assert got[3] == 0.0
+    # mississippi: m=1, i=4, s=4, p=2 over n=11
+    n = 11
+    want = math.log2(n) - sum(
+        m * math.log2(m) for m in (1, 4, 4, 2)
+    ) / n
+    assert abs(got[4] - want) < 1e-12
