@@ -1,0 +1,70 @@
+"""Generate PLAN_GALLERY.md: the actual formatted physical plans for a
+representative slice of headline queries, so the scale claims in
+PLANS.md (pushdown reached the scan, dims broadcast, no stray
+exchange, codegen fused) are checkable against real explain output
+rather than prose. Regenerate whenever plans change:
+python scratch/gen_plan_gallery.py
+"""
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+GALLERY = [
+    ("tpch_q1", "one aggregation exchange; l_shipdate in PushedFilters"),
+    ("tpch_q6_forecast_revenue",
+     "the scan-aggregate floor: all three predicates pushed; single partial row per task"),
+    ("orders_per_nation", "fact scan + BroadcastHashJoins only, no SortMergeJoin"),
+    ("exact_dedup", "one hash-aggregate over md5, nothing pairwise"),
+    ("minhash_lsh_pairs",
+     "banded self-join on band_key, signatures built once, no cartesian"),
+    ("decontaminate_semantic",
+     "BroadcastNestedLoopJoin LeftAnti, zero keyed exchanges — a pure scan"),
+    ("text_content_ann",
+     "featurize fused into the scan; bucket equi-join against broadcast probes"),
+    ("select_token_budget",
+     "bucket histogram + single-bucket window; no SinglePartition sort"),
+    ("flagship_ndvi",
+     "per-pixel arithmetic fused; the median is the only wide stage"),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from openeo_odc_driver_spark.session import get_spark
+
+    spark = get_spark(cpus="8")
+    qs = E.queries()
+    out = [
+        "# Plan gallery (generated)",
+        "",
+        "`df.explain('formatted')` for representative headline queries at",
+        "sf0.001, captured by `scratch/gen_plan_gallery.py`. The claim each",
+        "plan substantiates is noted above it; grep for `PushedFilters`,",
+        "`BroadcastHashJoin` / `BroadcastNestedLoopJoin`, `Exchange`, and",
+        "`WholeStageCodegen` spans.",
+        "",
+    ]
+    for name, claim in GALLERY:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Claim:** {claim}")
+        out.append("")
+        out.append("```")
+        out.append(buf.getvalue().rstrip())
+        out.append("```")
+        out.append("")
+    with open("/root/repo/PLAN_GALLERY.md", "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLAN_GALLERY.md ({len(GALLERY)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
