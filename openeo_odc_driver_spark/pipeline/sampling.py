@@ -262,21 +262,32 @@ def temperature_sample_langs(
     (doc_id, salt) never changes across runs, executor counts, or
     engines — the same determinism contract as ``sample_stratified``.
     """
+    return temperature_sample_by(docs, "lang", alpha=alpha, salt=salt)
+
+
+def temperature_sample_by(
+    docs: DataFrame, group_col: str, alpha: float = 0.5, salt: str = "seed0"
+) -> DataFrame:
+    """The generalized form of :func:`temperature_sample_langs` for any
+    grouping column — ``group_col="source"`` gives Pile-style domain
+    rebalancing with the identical engine-exact sqrt keep-rate rule and
+    the identical plan (tiny census, broadcast rates, scan-speed
+    filter, zero corpus shuffles)."""
     if abs(alpha - 0.5) > 1e-12:
         raise NotImplementedError(
             "only alpha=0.5 (sqrt) is engine-portable; see docstring"
         )
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     n_min = counts.agg(F.min("_n").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        "lang",
+        group_col,
         F.sqrt(F.col("_n_min").cast("double") / F.col("_n").cast("double")).alias(
             "keep_rate"
         ),
     )
     u = _uniform(F.col("doc_id").cast("string"), salt)
     return (
-        docs.join(F.broadcast(rates), "lang")
+        docs.join(F.broadcast(rates), group_col)
         .where(u < F.col("keep_rate"))
         .select("doc_id", "lang", "source", "keep_rate")
     )

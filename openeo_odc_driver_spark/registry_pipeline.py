@@ -3127,3 +3127,37 @@ def _char_entropy(spark, sf_dir):
         F.col("n_chars_exact").cast("bigint").alias("n_chars_exact"),
         F.round("entropy_bits", 7).alias("entropy_bits"),
     )
+
+
+# the fixture's sources are perfectly uniform (25 docs each at sf0.01,
+# measured) — every keep_rate would be exactly 1 and the gate would
+# prove nothing; skew the gate input deterministically. The residue
+# must be CO-PRIME with the source assignment (source = src{doc_id%20}:
+# a %4 filter deletes whole sources and the rest stay uniform) — %7
+# thins each source by a varying 3-4 docs, so rates split for real
+_DOM_SKEW = "(doc_id % 7 != 0 OR source = 'src0')"
+
+
+@q(
+    "temperature_sample_domains",
+    f"WITH d0 AS (SELECT * FROM documents WHERE {_DOM_SKEW}), "
+    "c AS (SELECT source, count(*) AS n FROM d0 GROUP BY source), "
+    "m AS (SELECT min(n) AS n_min FROM c), "
+    "r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "AS keep_rate FROM c, m) "
+    "SELECT d.doc_id, d.lang, d.source, r.keep_rate "
+    f"FROM d0 d JOIN r USING (source) WHERE {_PRI_U_D} < r.keep_rate",
+)
+def _temperature_sample_domains(spark, sf_dir):
+    """Pile-style domain rebalancing (pipeline/sampling.py:
+    temperature_sample_by on `source`): identical engine-exact sqrt
+    keep-rate rule and identical plan as the language variant — tiny
+    census, broadcast rates, scan-speed filter, zero corpus shuffles.
+    Gate input is deterministically skewed (the fixture's sources are
+    uniform, which would make every keep_rate exactly 1)."""
+    from .pipeline.sampling import temperature_sample_by
+
+    skewed = _docs(spark, sf_dir).where(
+        (F.col("doc_id") % 7 != 0) | (F.col("source") == "src0")
+    )
+    return temperature_sample_by(skewed, "source")

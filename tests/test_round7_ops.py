@@ -586,3 +586,38 @@ def test_char_entropy_known_values(spark):
         m * math.log2(m) for m in (1, 4, 4, 2)
     ) / n
     assert abs(got[4] - want) < 1e-12
+
+
+def test_select_token_budget_matches_reference_randomized(spark):
+    """Randomized equivalence vs a straight-line Python reference of
+    the prefix rule (order by bucket desc then doc_id; keep while the
+    running total fits) — exercises bucket boundaries, negative
+    margins, overflowing first buckets, and zero-token docs."""
+    import random
+
+    from openeo_odc_driver_spark.pipeline.sampling import select_token_budget
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n = rng.randint(1, 60)
+        rows = [
+            (i, rng.randint(-5000, 5000), rng.choice([0, 1, 3, 10, 50]))
+            for i in range(n)
+        ]
+        budget = rng.randint(0, sum(t for *_, t in rows))
+        ref, total = [], 0
+        for i, m, t in sorted(
+            rows, key=lambda r: (-(r[1] - ((r[1] % 1000) + 1000) % 1000) // 1000, r[0])
+        ):
+            total += t
+            if total > budget:
+                break
+            ref.append(i)
+        scored = spark.createDataFrame(
+            rows, "doc_id long, margin_fp long, n_tokens long"
+        )
+        got = sorted(
+            r.doc_id
+            for r in select_token_budget(scored, budget_tokens=budget).collect()
+        )
+        assert got == sorted(ref), (trial, budget, rows)
