@@ -982,3 +982,40 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         F.length("text").alias("n_chars_exact"),
         F.expr(expr).alias("entropy_bits"),
     )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """The "datasheet for datasets" census in ONE aggregation pass:
+    corpus size, language/source diversity, token/char volume, exact-
+    duplicate count, and PII incidence — the summary row a release
+    ships next to the data.
+
+    Every input to the aggregate (token count, content hash, PII flag)
+    is computed in the same fused scan projection, so the whole
+    datasheet costs one corpus read + one partial-aggregated exchange
+    carrying a single row per task — at 100 TB this is the cheapest
+    possible shape for an 8-metric census. All metrics are integer
+    counts (order-free exact).
+    """
+    docs = ensure_min_parallelism(docs)
+    any_pii = None
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_count("text", F.lit(pat)) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    staged = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("_nt"),
+        F.length("text").cast("bigint").alias("_nc"),
+        F.md5("text").alias("_h"),
+        any_pii.cast("bigint").alias("_pii"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_exact_dup_docs"),
+        F.sum("_pii").alias("n_docs_with_pii"),
+    )

@@ -3161,3 +3161,33 @@ def _temperature_sample_domains(spark, sf_dir):
         (F.col("doc_id") % 7 != 0) | (F.col("source") == "src0")
     )
     return temperature_sample_by(skewed, "source")
+
+
+def _datasheet_sql() -> str:
+    any_pii = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in ptext.PII_PATTERNS.values()
+    )
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+        f"CAST(sum(len({_TOKS_D})) AS BIGINT) AS total_tokens, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) "
+        "AS n_exact_dup_docs, "
+        f"CAST(sum(CASE WHEN {any_pii} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_docs_with_pii "
+        "FROM documents"
+    )
+
+
+@q("corpus_datasheet", _datasheet_sql())
+def _corpus_datasheet(spark, sf_dir):
+    """Datasheet-for-datasets census (pipeline/text.py:
+    corpus_datasheet): 7 release metrics in ONE fused scan +
+    aggregation — size, diversity, volume, exact-dup count, PII
+    incidence; all integer-exact. (Unlike the redaction gates this
+    reports the RAW fixture truth — zero PII, zero dups — which is
+    itself the correct datasheet for this corpus.)"""
+    return ptext.corpus_datasheet(_docs(spark, sf_dir))

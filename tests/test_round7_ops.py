@@ -621,3 +621,42 @@ def test_select_token_budget_matches_reference_randomized(spark):
             for r in select_token_budget(scored, budget_tokens=budget).collect()
         )
         assert got == sorted(ref), (trial, budget, rows)
+
+
+def test_corpus_datasheet_counts(spark):
+    """The one-pass census: dup and PII counts come out non-zero on a
+    corpus that actually has them (unlike the tame fixture)."""
+    from openeo_odc_driver_spark.pipeline.text import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world", "en", "web"),
+            (1, "hello world", "en", "books"),  # exact dup of 0
+            (2, "mail me at a@b.co", "fr", "web"),
+            (3, "clean", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpus_datasheet(docs).collect()[0]
+    assert r.n_docs == 4 and r.n_langs == 2 and r.n_sources == 2
+    assert r.n_exact_dup_docs == 1
+    assert r.n_docs_with_pii == 1
+    assert r.total_tokens == 2 + 2 + 4 + 1
+
+
+def test_corpus_datasheet_single_aggregation_plan(spark):
+    import re
+
+    from openeo_odc_driver_spark.pipeline.text import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = (
+        corpus_datasheet(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # distinct-aggregate expansion costs exchanges, but never a join or
+    # a second scan of the corpus
+    assert "Join" not in plan
+    assert plan.count("Scan") <= 1
