@@ -1019,3 +1019,65 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_exact_dup_docs"),
         F.sum("_pii").alias("n_docs_with_pii"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a query string — the lexical
+    retrieval baseline (and the hard-negative miner a training pipeline
+    pairs with the embedding ANN ops).
+
+    Determinism contract: per-term contributions are truncated to 1e-9
+    fixed-point BIGINT *before* the per-document sum (the
+    unigram_logprob discipline), so the aggregate is order-free integer
+    arithmetic; query terms and their idf table are tiny and the corpus
+    is scanned ONCE — a corpus-stats aggregation (df per query term +
+    avgdl) followed by a scan-fused scoring projection, zero corpus
+    shuffles beyond the stats row.
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene positive form);
+    tf from the whitespace tokenizer shared with token_count.
+    """
+    q_terms = sorted(set(query.lower().split()))
+    if not q_terms:
+        raise ValueError("query must contain at least one token")
+    docs = ensure_min_parallelism(docs)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    staged = docs.select("doc_id", toks.alias("_tk"))
+    tf_cols = [
+        F.expr(f"size(filter(_tk, x -> x = '{t}'))").alias(f"_tf_{i}")
+        for i, t in enumerate(q_terms)
+    ]
+    dl = F.size("_tk")
+    per_doc = staged.select("doc_id", dl.alias("_dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(q_terms))
+        ],
+    ).collect()[0]
+    n, avgdl = stats.n, stats.sum_dl / stats.n
+    import math
+
+    idf = [
+        math.log(1.0 + (n - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5))
+        for i in range(len(q_terms))
+    ]
+    contribs = []
+    for i in range(len(q_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        norm = tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("_dl").cast("double") / F.lit(avgdl))
+        )
+        c = F.lit(idf[i]) * norm
+        contribs.append(F.floor(c * 1e9 + 0.5).cast("bigint"))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return per_doc.select("doc_id", total.alias("bm25_fp"))

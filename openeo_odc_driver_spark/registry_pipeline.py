@@ -3191,3 +3191,56 @@ def _corpus_datasheet(spark, sf_dir):
     reports the RAW fixture truth — zero PII, zero dups — which is
     itself the correct datasheet for this corpus.)"""
     return ptext.corpus_datasheet(_docs(spark, sf_dir))
+
+
+_BM25_QUERY_TERMS = ["filter", "hash", "join", "scan"]  # sorted
+
+
+def _bm25_sql() -> str:
+    # mirrors bm25_scores' arithmetic SHAPE exactly; idf/avgdl come out
+    # of the same integer stats, ln/÷ go through the same libm, and the
+    # per-term fixed-point floor happens BEFORE the per-doc sum so the
+    # aggregate is order-free integer addition. Constant literals ride
+    # string-casts (the plane-literal lesson).
+    k1p1, k1, omb, bb = "CAST('2.2' AS DOUBLE)", "CAST('1.2' AS DOUBLE)", \
+        "CAST('0.25' AS DOUBLE)", "CAST('0.75' AS DOUBLE)"
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_QUERY_TERMS))
+    )
+    idf = {
+        i: f"ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        for i in range(len(_BM25_QUERY_TERMS))
+    }
+    contribs = " + ".join(
+        f"CAST(floor(({idf[i]}) * (CAST(tf_{i} AS DOUBLE) * {k1p1} / "
+        f"(CAST(tf_{i} AS DOUBLE) + {k1} * ({omb} + {bb} * "
+        "CAST(dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+        f"))) * 1000000000.0 + 0.5) AS BIGINT)"
+        for i in range(len(_BM25_QUERY_TERMS))
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk "
+        "FROM documents), "
+        f"p AS (SELECT doc_id, len(tk) AS dl, {tf_cols} FROM t), "
+        f"s0 AS (SELECT count(*) AS n, sum(dl) AS sum_dl, {df_cols} FROM p) "
+        f"SELECT p.doc_id, {contribs} AS bm25_fp FROM p, s0 s"
+    )
+
+
+@q("bm25_scores", _bm25_sql())
+def _bm25_scores(spark, sf_dir):
+    """BM25 lexical retrieval scoring (pipeline/text.py: bm25_scores)
+    for the fixed query 'filter hash join scan'. Spark computes idf as
+    PYTHON-libm literals from a tiny collected stats row (k×1 driver
+    round-trip, the query-compile pattern), DuckDB computes ln inline —
+    same libm on this host, and the 1e-9 fixed-point floor before the
+    per-doc sum makes the aggregate order-free either way."""
+    return ptext.bm25_scores(
+        _docs(spark, sf_dir), query=" ".join(_BM25_QUERY_TERMS)
+    )

@@ -660,3 +660,43 @@ def test_corpus_datasheet_single_aggregation_plan(spark):
     # a second scan of the corpus
     assert "Join" not in plan
     assert plan.count("Scan") <= 1
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from openeo_odc_driver_spark.pipeline.text import bm25_scores
+
+    texts = {
+        0: "hash join beats sort merge join",
+        1: "scan the table",
+        2: "nothing relevant here at all",
+        3: "join join join",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.bm25_fp for r in bm25_scores(docs, "join scan").collect()}
+
+    # straight-line reference
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    want = {}
+    for i, tk in toks.items():
+        total = 0
+        for term in sorted({"join", "scan"}):
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = tk.count(term)
+            c = idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl)))
+            total += math.floor(c * 1e9 + 0.5)
+        want[i] = total
+    assert got == want
+    # relevance sanity: the irrelevant doc scores 0, every hit scores
+    # positive, and the rare-term doc ("scan", df=1) outranks the
+    # common-term-heavy one — idf working as designed
+    assert got[2] == 0
+    assert min(got[0], got[1], got[3]) > 0
+    assert got[1] == max(got.values())
