@@ -168,3 +168,54 @@ def anomaly_hours(events: DataFrame, z: int = 3) -> DataFrame:
         F.sum(flagged.cast("bigint")).alias("n_anomalous"),
         F.max("n").alias("peak_count"),
     )
+
+
+def top_session_paths(
+    events: DataFrame, gap_minutes: int = 30, max_steps: int = 8, k: int = 10
+) -> DataFrame:
+    """Top-k session paths: the most common ordered event-type
+    sequences per session (capped at ``max_steps``) — the navigation-
+    pattern report funnels generalize to.
+
+    Determinism: Spark's collect_list has no guaranteed order, so the
+    path is assembled by sorting collected (µs, event_id, type) structs
+    — (ts, event_id) is a total order — and the top-k tie-breaks on
+    the path string. Plan: the sessionize window's single user-keyed
+    shuffle, a (user, session) aggregation on co-located data, then a
+    TakeOrdered top-k over path counts (path cardinality is bounded by
+    type-alphabet^max_steps, and the count table is tiny next to the
+    events).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    brk = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_brk = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        us.alias("_us"), brk.alias("_brk"),
+    )
+    sess = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = with_brk.select(
+        "user_id", "event_type", "_us", "event_id",
+        sess.alias("session_idx"),
+    )
+    path = F.array_join(
+        F.expr(
+            f"transform(slice(array_sort(collect_list("
+            f"struct(_us, event_id, event_type))), 1, {max_steps}), "
+            "s -> s.event_type)"
+        ),
+        ">",
+    )
+    paths = staged.groupBy("user_id", "session_idx").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

@@ -3244,3 +3244,33 @@ def _bm25_scores(spark, sf_dir):
     return ptext.bm25_scores(
         _docs(spark, sf_dir), query=" ".join(_BM25_QUERY_TERMS)
     )
+
+
+@q(
+    "event_top_paths",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "s AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    "(epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS sess FROM s), "
+    "p AS (SELECT user_id, sess, array_to_string("
+    "(list(event_type ORDER BY ts, event_id))[1:8], '>') AS path "
+    "FROM s2 GROUP BY user_id, sess) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p "
+    "GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10",
+)
+def _event_top_paths(spark, sf_dir):
+    """Top-10 session navigation paths (pipeline/events.py:
+    top_session_paths): ordered event-type sequences per 30-min-gap
+    session, capped at 8 steps. collect_list order is pinned by
+    sorting (µs, event_id, type) structs — the same total order the
+    DuckDB list(... ORDER BY ts, event_id) uses — and the top-k
+    tie-breaks on the path string. One user-keyed shuffle + a tiny
+    path-count table."""
+    from .pipeline.events import top_session_paths
+
+    return top_session_paths(load_table(spark, sf_dir, "events"))

@@ -700,3 +700,31 @@ def test_bm25_matches_python_reference(spark):
     assert got[2] == 0
     assert min(got[0], got[1], got[3]) > 0
     assert got[1] == max(got.values())
+
+
+def test_top_session_paths_order_and_cap(spark):
+    from datetime import datetime
+
+    from openeo_odc_driver_spark.pipeline.events import top_session_paths
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, minutes, typ):
+        return (i, t0.replace(minute=minutes % 60, hour=12 + minutes // 60),
+                user, typ, 0.0, "{}")
+
+    rows = [
+        # user 1, one session: view > click > purchase (order by ts)
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # user 2, same path
+        ev(4, 2, 0, "view"), ev(5, 2, 1, "click"), ev(6, 2, 2, "purchase"),
+        # user 1, a second session 2h later (gap break): single view
+        ev(7, 1, 150, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.path: r.n_sessions for r in top_session_paths(events).collect()}
+    assert got == {"view>click>purchase": 2, "view": 1}
