@@ -203,6 +203,27 @@ def _fit_pixel(t: np.ndarray, v: np.ndarray, model: ModelExpr,
     return p
 
 
+def _utc_label(dt):
+    """Normalize a timestamp to its naive-UTC wall-clock label.
+
+    Two provenances reach the curve ops and they are NOT interchangeable
+    under a non-UTC host timezone (caught by a TZ=America/New_York full
+    gate run): plan-time ``time_axis`` entries are already naive UTC
+    labels, but a datetime COLLECTED from Spark is rendered in the OS
+    timezone (fromInternal uses fromtimestamp-local), so treating it as
+    UTC shifts every prediction by the UTC offset. ``timestamp()``
+    inverts the local rendering to the true epoch; re-rendering as UTC
+    yields the label both engines agree on.
+    """
+    from datetime import timezone as _tz
+
+    if dt.tzinfo is not None:
+        return dt.astimezone(_tz.utc).replace(tzinfo=None)
+    return __import__("datetime").datetime.fromtimestamp(
+        dt.timestamp(), tz=_tz.utc
+    ).replace(tzinfo=None)
+
+
 def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
     """Returns a params cube: (band, y, x, params array<double>).
 
@@ -216,7 +237,9 @@ def fit_curve(cube: Cube, model: ModelExpr, tile: int = 64) -> Cube:
     if cube.schema.time_axis:
         t0 = cube.schema.time_axis[0]  # plan-time metadata: zero jobs
     else:
-        t0 = cube.df.agg(F.min(TIME)).collect()[0][0]  # one tiny metadata action
+        t0 = _utc_label(
+            cube.df.agg(F.min(TIME)).collect()[0][0]
+        )  # one tiny metadata action; label-normalized (OS-TZ rendering)
 
     def fit_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -311,13 +334,21 @@ def predict_curve(params: Cube, model: ModelExpr, times: Cube | Sequence) -> Cub
             # plan-time metadata: the time axis is a literal local
             # relation (no distinct() subquery, no min() collect)
             axis = list(times.schema.time_axis)
+            # naive datetimes go through OS-local mktime in
+            # createDataFrame — attach explicit UTC so the stored
+            # instants equal the cube's wall-clock-as-UTC labels under
+            # ANY host timezone (the TZ-gate regression)
+            from datetime import timezone as _tz
+
             t_df = times.df.sparkSession.createDataFrame(
-                [(t,) for t in axis], f"{TIME} timestamp"
+                [(t.replace(tzinfo=_tz.utc) if t.tzinfo is None else t,)
+                 for t in axis],
+                f"{TIME} timestamp",
             )
             t0 = axis[0]
         else:
             t_df = times.df.select(TIME).distinct()
-            t0 = times.df.agg(F.min(TIME)).collect()[0][0]
+            t0 = _utc_label(times.df.agg(F.min(TIME)).collect()[0][0])
     else:
         raise NotImplementedError("pass a Cube for the target time axis")
     tsec0 = pd.Timestamp(t0).value / 1e9

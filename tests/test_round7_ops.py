@@ -728,3 +728,50 @@ def test_top_session_paths_order_and_cap(spark):
     )
     got = {r.path: r.n_sessions for r in top_session_paths(events).collect()}
     assert got == {"view>click>purchase": 2, "view": 1}
+
+
+def test_predict_curve_is_host_timezone_invariant(spark):
+    """A TZ=America/New_York full-gate run caught predict_curve
+    shifting: naive datetimes round-trip through OS-local mktime /
+    fromtimestamp on the PYTHON side (the JVM session stays pinned
+    UTC), so the literal time relation and the t0 epoch used by the
+    model moved by the UTC offset. The fix normalizes both provenances
+    to UTC labels; this pins it by flipping the process TZ."""
+    import os
+    import time as _time
+
+    from openeo_odc_driver_spark.operators.curve import (
+        fit_curve,
+        linear_model,
+        predict_curve,
+    )
+    from openeo_odc_driver_spark.operators.filters import filter_bands
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    def run():
+        cube = synthetic_cube(spark)
+        params = fit_curve(filter_bands(cube, ["B04"]), linear_model())
+        out = predict_curve(params, linear_model(), cube)
+        # compare true instants: collected datetimes RENDER in the OS
+        # zone (a pyspark display artifact), but .timestamp() recovers
+        # the epoch, which must be TZ-invariant
+        return sorted(
+            (r.band, r.time.timestamp(), r.y, r.x, round(r.value, 9))
+            for r in out.df.limit(200).collect()
+        )
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        _time.tzset()
+        utc_rows = run()
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        ny_rows = run()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert utc_rows == ny_rows
