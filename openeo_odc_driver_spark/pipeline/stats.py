@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .parallel import ensure_min_parallelism
+
 # HLL++ relative standard deviation we request; the gate allows 3 sigma.
 HLL_RSD = 0.05
 # percentile_approx accuracy parameter: rank error <= n / PCTL_ACCURACY.
@@ -212,5 +214,37 @@ def incremental_corpus_stats(docs: DataFrame, n_batches: int = 3) -> DataFrame:
                     F.col("n_unique") * F.lit(0.05), F.lit(2.0)
                 )
             ).alias("hll_ok"),
+        )
+    )
+
+
+def token_length_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus length
+    profile (truncation/padding planning, outlier triage: the 2^17+
+    bucket is where the concatenated-garbage documents live).
+
+    Bucket = floor(log2(n_tokens)) computed as the BIT LENGTH of the
+    integer token count (63 − leading zeros), so the bucket decision is
+    pure integer arithmetic — no float log whose last ulp could flip a
+    power-of-two boundary doc cross-engine. Zero-token docs land in
+    bucket −1. One scan-fused projection + one tiny aggregation keyed
+    by ≤ ~20 buckets.
+    """
+    docs = ensure_min_parallelism(docs)
+    n = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    # floor(log2(n)) for n >= 1 = (binary digit count of n) - 1; the
+    # length of bin(n) IS the digit count, all-integer on both engines
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        (F.length(F.expr("bin(size(split(trim(text), '\\\\s+')))")) - 1)
+        .cast("int")
+    )
+    return (
+        docs.select(bucket.alias("log2_bucket"), n.alias("_n"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
         )
     )

@@ -3274,3 +3274,27 @@ def _event_top_paths(spark, sf_dir):
     from .pipeline.events import top_session_paths
 
     return top_session_paths(load_table(spark, sf_dir, "events"))
+
+
+@q(
+    "token_length_histogram",
+    # DuckDB floor(log2) via digit count: length(bin(n)) - 1, with bin()
+    # replicated as to_base(n, 2) — all integer, no float log
+    f"WITH t AS (SELECT CAST(len({_TOKS_D}) AS BIGINT) AS n FROM documents), "
+    "b AS (SELECT n, CASE WHEN n <= 0 THEN -1 "
+    "ELSE CAST(length(to_base(n, 2)) - 1 AS INT) END AS log2_bucket FROM t) "
+    "SELECT log2_bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n) AS BIGINT) AS sum_tokens, "
+    "CAST(min(n) AS BIGINT) AS min_tokens, "
+    "CAST(max(n) AS BIGINT) AS max_tokens "
+    "FROM b GROUP BY log2_bucket",
+)
+def _token_length_histogram(spark, sf_dir):
+    """Log2 document-length histogram (pipeline/stats.py:
+    token_length_histogram): bucket = binary-digit-count(n_tokens) − 1
+    — integer arithmetic on both engines, so power-of-two boundary
+    docs can't flip on a float log's last ulp. One scan projection +
+    a ≤20-key aggregation."""
+    from .pipeline.stats import token_length_histogram
+
+    return token_length_histogram(_docs(spark, sf_dir))

