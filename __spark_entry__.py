@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
     "char_entropy", "temperature_sample_domains", "corpus_datasheet",
     "bm25_scores", "event_top_paths", "token_length_histogram",
+    "source_overlap_matrix",
     # latest green row r02 (10 queries)
     "or", "pi_multiply", "power", "rename_labels_bands",
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",

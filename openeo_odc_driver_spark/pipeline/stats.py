@@ -248,3 +248,38 @@ def token_length_histogram(docs: DataFrame) -> DataFrame:
             F.max("_n").alias("max_tokens"),
         )
     )
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source content overlap: for every source pair (a < b), how
+    many distinct texts appear verbatim in BOTH — the mirror-detection
+    / syndication report that tells a pipeline which domains to dedup
+    against each other first.
+
+    Plan: one hash-aggregate collects each content hash's distinct
+    source set (set size bounded by |sources|, not corpus size), pairs
+    expand WITHIN each hash's tiny set (never a corpus self-join), and
+    the final census is keyed by at most |sources|² pairs. The corpus
+    shuffles once, as (hash, source) — text never moves.
+    """
+    hs = (
+        docs.select(F.md5("text").alias("_h"), "source")
+        .dropDuplicates()
+        .groupBy("_h")
+        .agg(F.array_sort(F.collect_set("source")).alias("_srcs"))
+        .where(F.size("_srcs") >= 2)
+    )
+    pairs = hs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_srcs, (a, i) -> "
+                "transform(slice(_srcs, i + 2, size(_srcs)), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )

@@ -3298,3 +3298,50 @@ def _token_length_histogram(spark, sf_dir):
     from .pipeline.stats import token_length_histogram
 
     return token_length_histogram(_docs(spark, sf_dir))
+
+
+# the fixture has zero duplicate texts, so cross-source overlap is
+# planted: a 'mirror' source carrying copies of the first 60 docs, plus
+# neighbor-source copies of the first 40 (source = src{doc_id%20}, so
+# (doc_id+1)%20 lands the copy in the NEXT source)
+_OVL_CORPUS = (
+    "SELECT doc_id, text, source FROM documents "
+    "UNION ALL SELECT doc_id + 3000000, text, 'mirror' FROM documents "
+    "WHERE doc_id < 60 "
+    "UNION ALL SELECT doc_id + 4000000, text, "
+    "'src' || CAST((doc_id + 1) % 20 AS VARCHAR) FROM documents "
+    "WHERE doc_id < 40"
+)
+
+
+@q(
+    "source_overlap_matrix",
+    f"WITH d AS ({_OVL_CORPUS}), "
+    "hs AS (SELECT DISTINCT md5(text) AS h, source FROM d) "
+    "SELECT a.source AS src_a, b.source AS src_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared_texts "
+    "FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source "
+    "GROUP BY a.source, b.source",
+)
+def _source_overlap_matrix(spark, sf_dir):
+    """Cross-source verbatim-content overlap (pipeline/stats.py:
+    source_overlap_matrix) — the mirror/syndication report. Spark
+    collects each hash's distinct source SET in one aggregation and
+    expands pairs within it (bounded by |sources|, never a corpus
+    self-join); the oracle states the same relation as a (hash,
+    source) self-join. Gate input plants a mirror source + neighbor-
+    source copies since the fixture has no duplicate texts."""
+    from .pipeline.stats import source_overlap_matrix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirror = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text",
+        F.lit("mirror").alias("source"),
+    )
+    neigh = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), "text",
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") + 1) % 20).cast("string")
+        ).alias("source"),
+    )
+    return source_overlap_matrix(docs.unionByName(mirror).unionByName(neigh))

@@ -794,3 +794,29 @@ def test_token_length_histogram_buckets(spark):
     assert got[1] == (2, 2, 3)          # 2 and 3 tokens
     assert got[2] == (1, 4, 4)          # exactly 4 = bucket 2
     assert got[3] == (1, 8, 8)          # exactly 8 = bucket 3
+
+
+def test_source_overlap_matrix_counts_distinct_shared_texts(spark):
+    from openeo_odc_driver_spark.pipeline.stats import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared one", "web"),
+            (1, "shared one", "books"),   # web ∩ books
+            (2, "shared one", "web"),     # same text again in web: no double count
+            (3, "shared two", "web"),
+            (4, "shared two", "wiki"),    # web ∩ wiki
+            (5, "shared two", "books"),   # books ∩ wiki ∩ web (3-way)
+            (6, "unique", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.src_a, r.src_b): r.n_shared_texts
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got == {
+        ("books", "web"): 2,   # "shared one" and "shared two"
+        ("web", "wiki"): 1,
+        ("books", "wiki"): 1,
+    }
