@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scratch/verify_local.py's docstring.
 _GATE_PRIORITY = [
     # never driver-checked (new in round 7) — first
+    "shingle_containment_pairs",
     "semantic_dedup_vectorized_k160", "semantic_dedup_trained_k160",
     "minhash_lsh_pairs_auto", "minhash_dedup_incremental_auto",
     "streaming_minhash_dedup", "decontaminate_semantic", "pii_redact",

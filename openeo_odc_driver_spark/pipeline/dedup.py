@@ -1155,3 +1155,82 @@ def corpus_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    containment_threshold: float = 0.8,
+    min_length_ratio: float = 0.5,
+    bands: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: candidate pairs whose CONTAINMENT
+    — |A∩B| / min(|A|, |B|) over distinct character shingles — reaches
+    the threshold. Catches excerpt/superstring duplication (a document
+    embedded inside a longer one) that symmetric Jaccard structurally
+    under-scores: an excerpt at 10% of the host's length caps Jaccard
+    at ~0.1 but has containment 1.0.
+
+    Plan: candidates come from the SAME banded-LSH machinery as
+    :func:`minhash_lsh_pairs` (never all-pairs) — but banded for the
+    JACCARD floor the containment regime implies, not the containment
+    threshold itself: a pair with containment c whose smaller doc has at
+    least ``min_length_ratio`` = f of the larger's shingles satisfies
+    J = |∩|/|∪| ≥ c·f / (1 + f − c·f) (e.g. c=0.8, f=0.5 → J ≥ 0.36),
+    and band collision probability follows Jaccard. Banding at c
+    directly would under-recall every asymmetric pair this operator
+    exists to catch. Recall regime, stated honestly: excerpts SMALLER
+    than ``min_length_ratio`` of their host sit below the banding's
+    design floor and are increasingly missed — lower the ratio (more
+    permissive banding, more candidates) to chase them, or use
+    :func:`exact_substring_dedup`, which covers the tiny-excerpt regime
+    by construction. The density guard (:func:`bands_for_corpus`)
+    still tightens the permissive starting point if the corpus's
+    measured bucket occupancy predicts a candidate blow-up, so the
+    100 TB story is unchanged: occupancy-bounded, never all-pairs.
+
+    Each candidate then verifies EXACTLY — both shingle sets join in by
+    doc_id (bounded by candidate count, not corpus²) and
+    ``array_intersect`` computes the true overlap. Output:
+    (doc_a, doc_b, containment) exact doubles — an integer ratio, so
+    cross-engine exact with no rounding.
+    """
+    if not 0.0 < min_length_ratio <= 1.0:
+        raise ValueError(
+            f"min_length_ratio must be in (0, 1], got {min_length_ratio}"
+        )
+    sig = _track_persisted(minhash_signatures(docs))
+    if bands is None:
+        c, f = containment_threshold, min_length_ratio
+        implied_jaccard = (c * f) / (1.0 + f - c * f)
+        bands = bands_for_corpus(sig, implied_jaccard)
+    banded = sig.select(
+        "doc_id", F.explode(_band_keys_col(bands)).alias("band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    sh = docs.select("doc_id", _shingles().alias("_sh"))
+    joined = (
+        cand.join(sh.withColumnRenamed("_sh", "_sh_a"),
+                  cand.doc_a == sh.doc_id)
+        .drop("doc_id")
+        .join(sh.withColumnRenamed("_sh", "_sh_b"),
+              F.col("doc_b") == sh.doc_id)
+        .drop("doc_id")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    containment = inter / F.least(
+        F.size("_sh_a"), F.size("_sh_b")
+    ).cast("double")
+    return (
+        joined.withColumn("containment", containment)
+        .where(F.col("containment") >= containment_threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

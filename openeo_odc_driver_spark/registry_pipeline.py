@@ -3345,3 +3345,46 @@ def _source_overlap_matrix(spark, sf_dir):
         ).alias("source"),
     )
     return source_overlap_matrix(docs.unionByName(mirror).unionByName(neigh))
+
+
+# containment gate corpus: plant 30 substantial excerpts (first 220
+# chars — a large fraction of the ~300-char fixture docs, so Jaccard
+# keeps band-collision probability high; TINY excerpts are out of this
+# operator's stated recall regime, see the dedup.py docstring)
+_CONT_CORPUS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 5000000, substring(text, 1, 220) "
+    "FROM documents WHERE doc_id < 30"
+)
+
+
+@q(
+    "shingle_containment_pairs",
+    f"WITH d AS ({_CONT_CORPUS}), "
+    + _SIG_CTE.replace("FROM documents", "FROM d")
+    + f", {_BANDED_CTE}, {_CAND_CTE}, "
+    f"shg AS (SELECT doc_id, {_SHINGLES_D} AS sh FROM d) "
+    "SELECT c.doc_a, c.doc_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment "
+    "FROM cand c JOIN shg a ON c.doc_a = a.doc_id "
+    "JOIN shg b ON c.doc_b = b.doc_id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.8",
+)
+def _shingle_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (pipeline/dedup.py:
+    shingle_containment_pairs): LSH-banded candidates (pinned
+    bands=LSH_BANDS oracle mode), exact array_intersect containment
+    verify — |A∩B|/min(|A|,|B|) is an integer ratio, cross-engine
+    exact. Gate plants 30 substantial excerpts (220 of ~300 chars)
+    whose Jaccard keeps them inside the banding's recall regime."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.substring("text", 1, 220).alias("text"),
+    )
+    return pdedup.shingle_containment_pairs(
+        docs.unionByName(excerpts), containment_threshold=0.8,
+        bands=LSH_BANDS,
+    )

@@ -820,3 +820,33 @@ def test_source_overlap_matrix_counts_distinct_shared_texts(spark):
         ("web", "wiki"): 1,
         ("books", "wiki"): 1,
     }
+
+
+def test_shingle_containment_catches_excerpt_jaccard_misses(spark):
+    """An excerpt that is a large fraction of its host scores near-1.0
+    containment while its symmetric Jaccard sits far below a dedup
+    threshold — the asymmetry this operator exists for."""
+    from openeo_odc_driver_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        shingle_containment_pairs,
+    )
+
+    host = ("the quick brown fox jumps over the lazy dog while the "
+            "cunning red vixen watches from the tall dry grass nearby "
+            "and the hunter waits")
+    excerpt = host[:100]
+    docs = spark.createDataFrame(
+        [(0, host), (1, excerpt), (2, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    pairs = shingle_containment_pairs(docs, containment_threshold=0.8).collect()
+    got = {(r.doc_a, r.doc_b): r.containment for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] > 0.95
+    assert all(2 not in k for k in got)
+    # the same pair under symmetric Jaccard scores FAR lower
+    jac = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.05).collect()
+    }
+    if (0, 1) in jac:
+        assert jac[(0, 1)] < got[(0, 1)]
