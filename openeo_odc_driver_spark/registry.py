@@ -1834,3 +1834,196 @@ def _tpch_q3(spark, sf_dir):
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@q(
+    "tpch_q4_order_priority",
+    "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+    "GROUP BY o.o_orderpriority",
+)
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): one quarter of orders
+    kept iff SOME lineitem shipped more than 90 days after the order
+    date (the fixture lacks commit/receipt dates, so the late-delivery
+    EXISTS rewrites against shipdate), counted per priority class.
+    Plan: a LEFT SEMI join — the correlated EXISTS becomes a semi-join
+    whose condition references both sides (l_shipdate > o_orderdate +
+    90d), so each matching order emits ONCE regardless of how many
+    lineitems match; lineitem is pruned to two columns at the scan and
+    the date band pushes into the orders scan. At 100 TB this is one
+    key-partitioned shuffle on orderkey — the minimum for a
+    fact-to-fact existence test."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    "WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) "
+    "SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, "
+    "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents, "
+    "b.total_qty "
+    "FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20",
+)
+def _tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large volume customers): orders whose total
+    lineitem quantity exceeds the threshold, decorated with customer
+    and order attributes, top 20. Plan: ONE aggregation over lineitem
+    (map-side partials on the scan, shuffle on orderkey), the HAVING
+    filter shrinks the result to a handful of keys, and that small
+    survivor set BROADCASTS back into the orders/customer joins —
+    the fact table shuffles once and the decoration is exchange-free.
+    l_quantity is integer-valued, so its double sum is exact dyadic
+    arithmetic (order-free) and casts losslessly to BIGINT; the top-20
+    runs as TakeOrderedAndProject with an orderkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 250)
+        .select("l_orderkey", F.col("_qty").cast("bigint").alias("total_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    total_cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            total_cents.alias("total_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q19_disjunctive_revenue",
+    "SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 "
+    "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_lineitems "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+    "AND l.l_quantity BETWEEN 1 AND 11) "
+    "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+    "AND l.l_quantity BETWEEN 10 AND 20) "
+    "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 "
+    "AND l.l_quantity BETWEEN 20 AND 30)",
+)
+def _tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue over an OR-of-ANDs mixing part-side (brand, size) and
+    lineitem-side (quantity) conditions. Plan: the part-only residue of
+    the disjunction — (brand12 ∧ size≤5) ∨ (brand23 ∧ size≤10) ∨
+    (brand3 ∧ size≤15) — is applied BEFORE the join, shrinking the
+    broadcast dimension to the union of qualifying parts and pushing
+    into the part scan (the classic Q19 rewrite: Catalyst does not
+    factor disjunctions across join sides on its own); the full
+    three-branch predicate then filters the joined rows. Revenue uses
+    the exact round-to-cents BIGINT idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    branches = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#3", 15, 20, 30),
+    ]
+    part_side = None
+    for brand, max_size, _, _ in branches:
+        cond = (F.col("p_brand") == brand) & F.col("p_size").between(1, max_size)
+        part_side = cond if part_side is None else (part_side | cond)
+    p = load_table(spark, sf_dir, "part").where(part_side)
+    full = None
+    for brand, max_size, qlo, qhi in branches:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        full = cond if full is None else (full | cond)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(full)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@q(
+    "tpch_q22_idle_customers",
+    "WITH bal AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) "
+    "AS BIGINT) AS sum_cents, CAST(count(*) AS BIGINT) AS n "
+    "FROM customer WHERE c_acctbal > 0.0), "
+    "idle AS (SELECT c.c_mktsegment, "
+    "CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents "
+    "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01')) "
+    "SELECT i.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(sum(i.bal_cents) AS BIGINT) AS total_cents "
+    "FROM idle i, bal b WHERE i.bal_cents * b.n > b.sum_cents "
+    "GROUP BY i.c_mktsegment",
+)
+def _tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and NO orders in 1997, censused per
+    market segment (the fixture's stand-in for the phone country
+    code). Plan: the NOT EXISTS becomes a LEFT ANTI join against the
+    date-filtered orders keys (one key shuffle); the global average is
+    a 1-row aggregate broadcast back as a cross join, and the
+    above-average test cross-multiplies in integer cents
+    (bal_cents · n > sum_cents) so no float division ever happens —
+    the threshold decision is engine-exact at every balance."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint")
+    bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(bal_cents).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    o97 = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    idle = c.join(o97, c.c_custkey == o97.o_custkey, "left_anti")
+    return (
+        idle.select("c_mktsegment", bal_cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(bal))
+        .where(F.col("bal_cents") * F.col("n") > F.col("sum_cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+    )
