@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # scratch/verify_local.py's docstring.
 _GATE_PRIORITY = [
     # never driver-checked (new in round 7) — first
-    "shingle_containment_pairs", "tpch_q4_order_priority",
+    "shingle_containment_pairs", "train_split_census",
+    "split_leakage_report",
+    "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",
     "semantic_dedup_vectorized_k160", "semantic_dedup_trained_k160",

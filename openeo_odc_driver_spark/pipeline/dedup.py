@@ -1234,3 +1234,51 @@ def shingle_containment_pairs(
         .where(F.col("containment") >= containment_threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Eval-leakage audit: census of near-duplicate pairs by the split
+    pair their endpoints land in — the check that catches test-set
+    contamination INTRODUCED BY the split itself (exact/near copies of
+    a training document sitting in val/test, which no amount of
+    within-split dedup can see).
+
+    Input must carry a ``split`` column (from
+    :func:`~openeo_odc_driver_spark.pipeline.sampling.assign_splits` —
+    hash-based splits assign copies independently, so duplicates DO
+    straddle splits in practice). Output: one row per unordered
+    (split_a ≤ split_b) combination with its near-dup pair count —
+    same-split rows included, so the report reads as a full matrix and
+    the off-diagonal is the leakage.
+
+    Plan: pairs come from :func:`minhash_lsh_pairs` (banded LSH, never
+    all-pairs; exact duplicates match every band under any banding, so
+    leakage recall for verbatim copies is 1 by construction). The pair
+    table is then decorated with each endpoint's split via two
+    BROADCAST joins of the (small, dup-bounded) pair set into the
+    corpus-sized split table — the corpus never shuffles for the
+    decoration. The census aggregation runs over ≤|splits|² keys.
+    """
+    pairs = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), jaccard_threshold, bands=bands
+    ).select("doc_a", "doc_b")
+    s = docs.select("doc_id", "split")
+    j = (
+        s.join(F.broadcast(pairs), s.doc_id == pairs.doc_a)
+        .select("doc_b", F.col("split").alias("split_x"))
+    )
+    j2 = s.join(F.broadcast(j), s.doc_id == j.doc_b).select(
+        "split_x", F.col("split").alias("split_y")
+    )
+    return (
+        j2.select(
+            F.least("split_x", "split_y").alias("split_a"),
+            F.greatest("split_x", "split_y").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

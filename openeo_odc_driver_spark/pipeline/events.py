@@ -219,3 +219,54 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def session_type_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of event types, the number of sessions in which BOTH occur —
+    the association-mining support table (which behaviors travel
+    together within a visit).
+
+    Plan: session labeling is the same one-shuffle user-keyed window
+    pass as :func:`sessionize_events` (lag-gap break flag + running
+    sum — identical session rule, identical (ts, event_id) tie-break).
+    Each session then collapses to its DISTINCT type set (bounded by
+    the event-type vocabulary, single digits — never by session
+    length), pairs expand INSIDE that tiny sorted array via an indexed
+    transform/slice (the `source_overlap_matrix` idiom: ≤|types|² rows
+    per session, never a corpus self-join), and one aggregation counts
+    support. `sort_array` on the collected set makes the expansion
+    order-canonical, so type_a < type_b holds by construction and the
+    plan is insensitive to collect_set's arrival order.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    brk = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_brk = events.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("_brk")
+    )
+    sess = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = with_brk.select("user_id", "event_type", sess.alias("_sess"))
+    tsets = labeled.groupBy("user_id", "_sess").agg(
+        F.sort_array(F.collect_set("event_type")).alias("_tset")
+    )
+    pairs = tsets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_tset, (a, i) -> "
+                "transform(slice(_tset, i + 2, size(_tset)), "
+                "b -> struct(a AS type_a, b AS type_b))))"
+            )
+        ).alias("_p")
+    )
+    return (
+        pairs.select("_p.type_a", "_p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

@@ -359,3 +359,42 @@ def select_token_budget(
         )
         kept = kept.unionByName(partial.select(*d.columns))
     return kept.select(*out_cols)
+
+
+def assign_splits(
+    docs: DataFrame,
+    bounds: tuple = (("train", 0.9), ("val", 0.95), ("test", 1.0)),
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a document's split is
+    decided by where its md5-uniform variate falls among CUMULATIVE
+    upper bounds (("train", .9), ("val", .95), ("test", 1.0)) — the
+    eval-leakage-proof split every training pipeline needs. Bounds are
+    passed cumulative, not as fractions, so no float accumulation
+    happens inside the operator: the literals compared against the
+    uniform are exactly the ones the caller wrote, and the same
+    literals appear verbatim in the oracle SQL.
+
+    Properties that matter at corpus scale: the decision is a pure
+    function of (doc_id, salt) — stable across runs, engines,
+    partitionings, and corpus growth (a new document never moves an old
+    one between splits, unlike modulo-on-row-number schemes); and it is
+    ONE codegen'd projection over the scan — no shuffle, no state, no
+    sampling pass. Compose with a `.where(split = ...)` to materialize
+    any split; the predicate stays scan-pushable.
+    """
+    names = [n for n, _ in bounds]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    ubs = [b for _, b in bounds]
+    if ubs[-1] != 1.0 or any(b2 <= b1 for b1, b2 in zip(ubs, ubs[1:])) or ubs[0] <= 0.0:
+        raise ValueError(
+            f"bounds must be strictly increasing in (0, 1] ending at 1.0, got {ubs}"
+        )
+    u = _uniform(F.col("doc_id").cast("string"), salt)
+    expr = None
+    for name, ub in bounds[:-1]:
+        cond = u < F.lit(float(ub))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = expr.otherwise(bounds[-1][0]) if expr is not None else F.lit(bounds[-1][0])
+    return docs.withColumn("split", split)

@@ -2461,9 +2461,11 @@ def _incremental_corpus_stats(spark, sf_dir):
 _EV_US = "(SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)"
 
 
-@q(
-    "event_sessionize",
-    f"WITH e AS (SELECT * FROM {_EV_US}), "
+# shared session-labeling CTE chain (30-min gap, (ts, event_id)
+# tie-break) — ONE definition for every session-scoped oracle so the
+# session rule can never drift between queries
+_SESS_CTES = (
+    f"e AS (SELECT * FROM {_EV_US}), "
     "s AS (SELECT user_id, ts, event_id, event_type, "
     "CASE WHEN lag(ts) OVER w IS NULL OR "
     "(epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000 "
@@ -2471,7 +2473,13 @@ _EV_US = "(SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)"
     "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
     "s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-    "AS sess FROM s) "
+    "AS sess FROM s)"
+)
+
+
+@q(
+    "event_sessionize",
+    f"WITH {_SESS_CTES} "
     "SELECT user_id, CAST(sess AS INT) AS session_idx, "
     "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t_start, "
     "max(ts) AS t_end, "
@@ -3387,4 +3395,110 @@ def _shingle_containment_pairs(spark, sf_dir):
     return pdedup.shingle_containment_pairs(
         docs.unionByName(excerpts), containment_threshold=0.8,
         bands=LSH_BANDS,
+    )
+
+
+_U_SPLIT = (
+    "CAST(('0x' || substring(md5(concat('split0', CAST(doc_id AS VARCHAR))), "
+    "1, 7)) AS BIGINT) / 268435456.0"
+)
+
+
+@q(
+    "train_split_census",
+    f"SELECT lang, CASE WHEN {_U_SPLIT} < 0.9 THEN 'train' "
+    f"WHEN {_U_SPLIT} < 0.95 THEN 'val' ELSE 'test' END AS split, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY 1, 2",
+)
+def _train_split_census(spark, sf_dir):
+    """Deterministic train/val/test split (pipeline/sampling.py:
+    assign_splits — md5-uniform against CUMULATIVE bounds, stable
+    across runs/engines/corpus growth) censused per (lang, split).
+    The uniform and the 0.9/0.95 bound literals are written identically
+    in both engines; counts and char sums are exact integers."""
+    from .pipeline.sampling import assign_splits
+
+    docs = _docs(spark, sf_dir)
+    return (
+        assign_splits(docs, salt="split0")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@q(
+    "event_session_type_pairs",
+    f"WITH {_SESS_CTES}, "
+    "t AS (SELECT DISTINCT user_id, sess, event_type FROM s2) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(count(*) AS BIGINT) AS n_sessions "
+    "FROM t a JOIN t b ON a.user_id = b.user_id AND a.sess = b.sess "
+    "AND a.event_type < b.event_type "
+    "GROUP BY a.event_type, b.event_type",
+)
+def _event_session_type_pairs(spark, sf_dir):
+    """Session-level event-type co-occurrence support
+    (pipeline/events.py: session_type_pairs): the association-mining
+    table. Session labeling shares `_SESS_CTES` with event_sessionize
+    (one definition, no rule drift); each session collapses to its
+    distinct sorted type set and pairs expand inside that ≤5-element
+    array — never a corpus self-join. Counts are exact integers."""
+    from .pipeline.events import session_type_pairs
+
+    return session_type_pairs(load_table(spark, sf_dir, "events"))
+
+
+# leakage gate corpus: plant 60 VERBATIM copies — exact duplicates match
+# every LSH band under any banding (recall 1 by construction), and the
+# hash-based split assigns each copy independently of its original, so
+# a deterministic subset of the planted pairs straddles splits
+_LEAK_CORPUS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 5000000, text FROM documents WHERE doc_id < 60"
+)
+_SPLIT_CASE = (
+    f"CASE WHEN {_U_SPLIT} < 0.9 THEN 'train' "
+    f"WHEN {_U_SPLIT} < 0.95 THEN 'val' ELSE 'test' END"
+)
+
+
+@q(
+    "split_leakage_report",
+    f"WITH d AS ({_LEAK_CORPUS}), "
+    + _SIG_CTE.replace("FROM documents", "FROM d")
+    + f", {_BANDED_CTE}, {_CAND_CTE}, "
+    f"p AS (SELECT doc_a, doc_b FROM ("
+    f"SELECT c.doc_a, c.doc_b, {_EST_EXPR} AS est FROM cand c "
+    "JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est >= 0.8), "
+    f"sp AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM d) "
+    "SELECT least(a.split, b.split) AS split_a, "
+    "greatest(a.split, b.split) AS split_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM p JOIN sp a ON p.doc_a = a.doc_id "
+    "JOIN sp b ON p.doc_b = b.doc_id "
+    "GROUP BY least(a.split, b.split), greatest(a.split, b.split)",
+)
+def _split_leakage_report(spark, sf_dir):
+    """Cross-split near-dup leakage census (pipeline/dedup.py:
+    split_leakage_report over pipeline/sampling.py: assign_splits):
+    near-dup pairs decorated with each endpoint's hash-assigned split,
+    censused per unordered split pair — off-diagonal rows are eval
+    leakage. Oracle mode pins bands=LSH_BANDS; the gate plants 60
+    verbatim copies (J=1 matches every band, so planted recall is 1)
+    whose split assignments are independent of their originals."""
+    from .pipeline.sampling import assign_splits
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plants = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    corpus = assign_splits(docs.unionByName(plants), salt="split0")
+    return pdedup.split_leakage_report(
+        corpus, jaccard_threshold=0.8, bands=LSH_BANDS
     )

@@ -850,3 +850,105 @@ def test_shingle_containment_catches_excerpt_jaccard_misses(spark):
     }
     if (0, 1) in jac:
         assert jac[(0, 1)] < got[(0, 1)]
+
+
+def test_assign_splits_partitions_every_doc_deterministically(spark):
+    """Every doc gets exactly one split; assignment is a pure function
+    of (doc_id, salt) — rerunning or repartitioning never moves a doc."""
+    from openeo_odc_driver_spark.pipeline.sampling import assign_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_splits(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) == 200
+    assert set(a.values()) == {"train", "val", "test"}
+    # cumulative bounds ~ proportions: train should dominate
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert n_train > 140
+    # growing the corpus never reassigns an existing doc
+    grown = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)], "doc_id long, text string"
+    )
+    g = {r.doc_id: r.split for r in assign_splits(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+
+
+def test_assign_splits_rejects_bad_bounds(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import assign_splits
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_splits(docs, bounds=(("a", 0.5), ("b", 0.4), ("c", 1.0)))
+    with _pytest.raises(ValueError):
+        assign_splits(docs, bounds=(("a", 0.5), ("a", 1.0)))
+    with _pytest.raises(ValueError):
+        assign_splits(docs, bounds=(("a", 0.5), ("b", 0.9)))
+
+
+def test_session_type_pairs_counts_cooccurrence_within_sessions(spark):
+    """Two sessions for user 1 (split by a >30min gap) and one for
+    user 2: pair support counts sessions containing BOTH types, with
+    type_a < type_b canonical ordering."""
+    from openeo_odc_driver_spark.pipeline.events import session_type_pairs
+
+    rows = [
+        # user 1, session A: view + click + view
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 10:05:00", 2, "click"),
+        (1, "2024-01-01 10:10:00", 3, "view"),
+        # user 1, session B (gap > 30 min): view + purchase
+        (1, "2024-01-01 12:00:00", 4, "view"),
+        (1, "2024-01-01 12:01:00", 5, "purchase"),
+        # user 2, one session: click + purchase + view
+        (2, "2024-01-01 10:00:00", 6, "click"),
+        (2, "2024-01-01 10:10:00", 7, "purchase"),
+        (2, "2024-01-01 10:20:00", 8, "view"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.type_a, r.type_b): r.n_sessions
+        for r in session_type_pairs(ev).collect()
+    }
+    assert got == {
+        ("click", "view"): 2,       # user1 session A + user2
+        ("purchase", "view"): 2,    # user1 session B + user2
+        ("click", "purchase"): 1,   # user2 only
+    }
+
+
+def test_split_leakage_report_finds_cross_split_copies(spark):
+    """Verbatim copies land in whatever split their own doc_id hashes
+    to — the report's off-diagonal counts exactly the pairs that
+    straddle splits, and a copy-free corpus reports no pairs at all."""
+    from openeo_odc_driver_spark.pipeline.dedup import split_leakage_report
+    from openeo_odc_driver_spark.pipeline.sampling import assign_splits
+
+    texts = [
+        (i, " ".join(f"tok{i}x{j}q{(i * 31 + j * 7) % 97}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    copies = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    corpus = assign_splits(docs.unionByName(copies))
+    rows = split_leakage_report(corpus, jaccard_threshold=0.8).collect()
+    got = {(r.split_a, r.split_b): r.n_pairs for r in rows}
+    # every original has exactly one verbatim copy -> >= 40 pairs total,
+    # and with hash-independent assignment some must straddle splits
+    assert sum(got.values()) >= 40
+    assert any(a != b for a, b in got)
+    # clean corpus: no near-dup pairs at all
+    clean = split_leakage_report(assign_splits(docs), jaccard_threshold=0.8)
+    assert clean.count() == 0
