@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "script_census",
     "corpus_delta",
     "select_token_budget",
+    # round 7 (late)
+    "shingle_containment_pairs",
+    "split_leakage_report",
+    "train_split_census",
+    "event_session_type_pairs",
+    "tpch_q18_large_orders",
 ]
 
 

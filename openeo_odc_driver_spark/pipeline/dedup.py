@@ -1216,6 +1216,13 @@ def shingle_containment_pairs(
         )
         .dropDuplicates()
     )
+    # NOTE (measured, generated sf1.0, 12.7M candidates): leave the
+    # shingle side as a plain scan-fused projection. Persisting it
+    # "to compute shingles once" measured 5.5x SLOWER (70.7s -> 390s)
+    # and an ensure_min_parallelism repartition 1.2x slower (86.8s) —
+    # the verify joins re-derive the projection per side, but Catalyst
+    # keeps it fused with the columnar scan, which beats materializing
+    # corpus-scale shingle arrays through memory or an exchange.
     sh = docs.select("doc_id", _shingles().alias("_sh"))
     joined = (
         cand.join(sh.withColumnRenamed("_sh", "_sh_a"),
