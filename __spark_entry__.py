@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # never driver-checked (new in round 7) — first
     "shingle_containment_pairs", "train_split_census",
-    "split_leakage_report",
+    "split_leakage_report", "copurchase_pagerank",
+    "select_token_budget_by",
     "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "train_split_census",
     "event_session_type_pairs",
     "tpch_q18_large_orders",
+    "copurchase_pagerank",
 ]
 
 

@@ -398,3 +398,86 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = expr.otherwise(bounds[-1][0]) if expr is not None else F.lit(bounds[-1][0])
     return docs.withColumn("split", split)
+
+
+def select_token_budget_by(
+    scored: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    bucket_div: int = 1000,
+) -> DataFrame:
+    """Per-domain data selection under per-domain token budgets: within
+    each group, keep the best-scored documents whose cumulative tokens
+    fit that group's budget — the Pile/Dolma-style mixing step where
+    every domain gets its own token allowance instead of one global
+    pot. Groups absent from ``budgets`` are dropped (budget 0).
+
+    Selection rule per group = :func:`select_token_budget`'s rule
+    (order by score bucket DESC then doc_id ASC, maximal prefix whose
+    running token total fits), so the oracle's per-group windowed
+    cumulative-sum form is provably identical: token counts are
+    positive, the running sum is monotone, and the prefix cut is the
+    same point.
+
+    Scale plan, generalized from the single-budget op: ONE
+    (group, bucket)-keyed histogram aggregation — bounded by
+    |groups| × score range / bucket_div, not corpus size — a driver
+    walk over that tiny table per group, full buckets pass through via
+    a broadcast (group, bucket) keep-list semi-join, and ONLY each
+    group's cutoff bucket runs an ordered window, partitioned by
+    (group, bucket) so even the cutoff work is group-parallel. Never a
+    global sort; never a single-partition window.
+    """
+    if not budgets:
+        raise ValueError("budgets must be a non-empty {group: tokens} dict")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    spark = scored.sparkSession
+    m = F.col("margin_fp")
+    pm = ((m % bucket_div) + bucket_div) % bucket_div
+    d = scored.withColumn("_bkt", ((m - pm) / bucket_div).cast("bigint"))
+    hist = (
+        d.groupBy(group_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_toks"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((r._bkt, r._toks))
+    full_pairs = []   # (group, bucket) kept whole
+    cut_rows = []     # (group, bucket, headroom) for the partial bucket
+    for g, rows in by_group.items():
+        remaining = int(budgets.get(g, 0))
+        for bkt, toks in sorted(rows, key=lambda t: -t[0]):
+            if toks <= remaining:
+                full_pairs.append((g, bkt))
+                remaining -= toks
+            else:
+                if remaining > 0:
+                    cut_rows.append((g, bkt, remaining))
+                break
+    out_cols = list(scored.columns)
+    if full_pairs:
+        keep = spark.createDataFrame(
+            full_pairs, f"{group_col} string, _bkt long"
+        )
+        kept = d.join(F.broadcast(keep), [group_col, "_bkt"], "left_semi")
+    else:
+        kept = d.where(F.lit(False))
+    if cut_rows:
+        cuts = spark.createDataFrame(
+            cut_rows, f"{group_col} string, _bkt long, _headroom long"
+        )
+        w = (
+            Window.partitionBy(group_col, "_bkt")
+            .orderBy(F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        partial = (
+            d.join(F.broadcast(cuts), [group_col, "_bkt"])
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .where(F.col("_cum") <= F.col("_headroom"))
+        )
+        kept = kept.unionByName(partial.select(*d.columns))
+    return kept.select(*out_cols)

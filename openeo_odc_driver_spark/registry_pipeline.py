@@ -3502,3 +3502,103 @@ def _split_leakage_report(spark, sf_dir):
     return pdedup.split_leakage_report(
         corpus, jaccard_threshold=0.8, bands=LSH_BANDS
     )
+
+
+_PR_EDGES = (
+    "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+    "CAST(count(*) AS BIGINT) AS w FROM items a "
+    "JOIN items b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), "
+    "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY src)"
+)
+
+
+def _pr_round(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank round as a DuckDB CTE — the same
+    (r·85·w) // (100·d) floor-division arithmetic as
+    pipeline/graph.py:pagerank_integer, so scores match bit-for-bit."""
+    return (
+        f"{out} AS (SELECT e.dst AS pk, "
+        f"CAST(150000 + sum((r.r * 85 * e.w) // (100 * deg.d)) AS BIGINT) AS r "
+        f"FROM e JOIN {prev} r ON e.src = r.pk "
+        "JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+    )
+
+
+@q(
+    "copurchase_pagerank",
+    f"WITH {_PR_EDGES}, "
+    "r0 AS (SELECT src AS pk, CAST(1000000 AS BIGINT) AS r FROM deg), "
+    + _pr_round("r0", "r1") + ", "
+    + _pr_round("r1", "r2") + ", "
+    + _pr_round("r2", "r3") + " "
+    "SELECT pk AS part_key, r AS score FROM r3 "
+    "ORDER BY r DESC, pk LIMIT 20",
+)
+def _copurchase_pagerank(spark, sf_dir):
+    """Top-20 parts by damped co-purchase centrality (pipeline/graph.py:
+    pagerank_integer over copurchase_edges): 3 fixed rounds of integer
+    micro-unit PageRank — (r·85·w) DIV (100·deg) floor division, so the
+    unrolled DuckDB CTE twin reproduces every score exactly. Edges from
+    per-order pair expansion (bounded by order size², never corpus²);
+    each round broadcasts the |parts|-sized rank table into the edge
+    join."""
+    from .pipeline.graph import copurchase_edges, pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = pagerank_integer(copurchase_edges(li), iterations=3)
+    return (
+        ranks.select(F.col("pk").alias("part_key"), F.col("r").alias("score"))
+        .orderBy(F.desc("score"), F.asc("part_key"))
+        .limit(20)
+    )
+
+
+_BUDGETS_BY = {"src0": 800, "src1": 2000, "src2": 600, "src3": 0}
+_BUDGET_CASE = (
+    "CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 2000 "
+    "WHEN 'src2' THEN 600 ELSE 0 END"
+)
+
+
+@q(
+    "select_token_budget_by",
+    f"WITH s AS ({_classifier_score_sql()}), "
+    f"t AS (SELECT doc_id, source, CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "j AS (SELECT s.doc_id, t.source, s.margin_fp, t.n_tokens, "
+    "CAST((s.margin_fp - ((s.margin_fp % 1000 + 1000) % 1000)) / 1000 "
+    "AS BIGINT) AS bkt FROM s JOIN t ON s.doc_id = t.doc_id), "
+    "o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source "
+    "ORDER BY bkt DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM j) "
+    "SELECT doc_id, source, margin_fp, n_tokens FROM o "
+    f"WHERE cum <= {_BUDGET_CASE}",
+)
+def _select_token_budget_by(spark, sf_dir):
+    """Per-domain budgeted selection (pipeline/sampling.py:
+    select_token_budget_by): every domain gets its own token allowance
+    — src0/src2 force mid-bucket cutoffs, src1's budget swallows it
+    whole, src3 is explicitly zero, and the 16 unlisted sources drop —
+    all four budget classes exercised in one gate row. The oracle's
+    per-group windowed cumsum is provably the same prefix (monotone
+    running sums); the operator's histogram + group-parallel cutoff
+    windows are the scale form."""
+    from .pipeline.classifier import quality_classifier_score
+    from .pipeline.sampling import select_token_budget_by
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_classifier_score(docs).select("doc_id", "margin_fp")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return select_token_budget_by(
+        scored.join(toks, "doc_id").select(
+            "doc_id", "source", "margin_fp", "n_tokens"
+        ),
+        budgets=_BUDGETS_BY,
+    )

@@ -952,3 +952,87 @@ def test_split_leakage_report_finds_cross_split_copies(spark):
     # clean corpus: no near-dup pairs at all
     clean = split_leakage_report(assign_splits(docs), jaccard_threshold=0.8)
     assert clean.count() == 0
+
+
+def test_pagerank_integer_exact_hand_computed_path_graph(spark):
+    """3-node path a-b-c (symmetric unit edges): two rounds of the
+    integer recurrence computed by hand. Floor division makes every
+    score a single exact integer — no tolerance needed."""
+    from openeo_odc_driver_spark.pipeline.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r.pk: r.r for r in pagerank_integer(edges, iterations=2).collect()}
+    # r1: a=c=150000+floor(1e6*85/200)=575000; b=150000+2*850000=1850000
+    # r2: a=c=150000+floor(1850000*85/200)=936250; b=150000+2*floor(575000*85/100)=1127500
+    assert got == {1: 936250, 2: 1127500, 3: 936250}
+    # partitioning invariance (integer sums are order-free)
+    again = {
+        r.pk: r.r
+        for r in pagerank_integer(edges.repartition(5), iterations=2).collect()
+    }
+    assert again == got
+
+
+def test_copurchase_edges_bounded_per_order_expansion(spark):
+    from openeo_odc_driver_spark.pipeline.graph import copurchase_edges
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 12), (3, 13)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.src, r.dst): r.w for r in copurchase_edges(li).collect()}
+    # order 1: {10,11} both directions; order 2: {10,12}; order 3: singleton
+    assert got == {
+        (10, 11): 1, (11, 10): 1,
+        (10, 12): 1, (12, 10): 1,
+    }
+
+
+def test_select_token_budget_by_respects_per_group_budgets(spark):
+    """Three groups: one fully funded, one mid-prefix cutoff, one
+    unlisted (dropped). Within a group the best buckets win and the
+    prefix is doc_id-ordered inside the cutoff bucket."""
+    from openeo_odc_driver_spark.pipeline.sampling import (
+        select_token_budget_by,
+    )
+
+    rows = [
+        # group a: bucket 2 (2 docs x 10 tokens), bucket 1 (2 x 10)
+        (1, "a", 2500, 10), (2, "a", 2400, 10),
+        (3, "a", 1500, 10), (4, "a", 1400, 10),
+        # group b: one bucket, 3 docs
+        (5, "b", 1000, 10), (6, "b", 1000, 10), (7, "b", 1000, 10),
+        # group c: unlisted
+        (8, "c", 9000, 10),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, source string, margin_fp long, n_tokens long"
+    )
+    kept = select_token_budget_by(
+        scored, budgets={"a": 30, "b": 15}, group_col="source"
+    )
+    got = sorted((r.source, r.doc_id) for r in kept.collect())
+    # a: full bucket 2 (docs 1,2) + prefix of bucket 1 (doc 3 only)
+    # b: prefix docs 5 (10 tokens) — doc 6 would reach 20 > 15
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 5)]
+
+
+def test_select_token_budget_by_zero_and_missing_budgets(spark):
+    from openeo_odc_driver_spark.pipeline.sampling import (
+        select_token_budget_by,
+    )
+    import pytest as _pytest
+
+    scored = spark.createDataFrame(
+        [(1, "a", 100, 5)],
+        "doc_id long, source string, margin_fp long, n_tokens long",
+    )
+    assert select_token_budget_by(scored, budgets={"a": 0}).count() == 0
+    assert select_token_budget_by(scored, budgets={"zz": 10}).count() == 0
+    with _pytest.raises(ValueError):
+        select_token_budget_by(scored, budgets={})
+    with _pytest.raises(ValueError):
+        select_token_budget_by(scored, budgets={"a": -1})
