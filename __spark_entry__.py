@@ -51,7 +51,8 @@ _GATE_PRIORITY = [
     # never driver-checked (new in round 7) — first
     "shingle_containment_pairs", "train_split_census",
     "split_leakage_report", "copurchase_pagerank",
-    "select_token_budget_by",
+    "select_token_budget_by", "copurchase_communities",
+    "copurchase_triangles", "copurchase_related_parts",
     "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",

@@ -16,7 +16,7 @@ per-target aggregation sums integers, which is order-free).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PR_UNIT = 1_000_000  # one rank point, in micro-units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
@@ -87,4 +87,147 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over directed
+    weighted ``(src, dst, w)`` edges, fixed ``iterations`` rounds,
+    fully deterministic: a node adopts the label with the greatest
+    incident edge weight among its in-neighbors' labels, ties broken
+    by the SMALLEST label — so the whole run is a pure function of the
+    edge set (no randomized update order, which is what makes vanilla
+    LPA unreproducible and oracle-unfriendly).
+
+    Returns ``(pk, label)`` per node. Integer weights sum order-free;
+    the argmax is a row_number window over (weight DESC, label ASC) —
+    the same expression both engines evaluate identically.
+
+    Plan: per round, one join of edges against the broadcast |V|-sized
+    label table, one (dst, label) weight aggregation, and one
+    dst-partitioned top-1 window over the (≤ neighbors-per-node)
+    aggregated rows. Fixed-round synchronous updates match the
+    oracle's unrolled-CTE form exactly.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("pk"), F.col("src").alias("label")
+        )
+    )
+    w_top = Window.partitionBy("dst").orderBy(
+        F.desc("_wsum"), F.asc("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(F.broadcast(labels), edges.src == labels.pk)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").cast("bigint").alias("_wsum"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w_top))
+            .where(F.col("_rn") == 1)
+            .select(F.col("dst").alias("pk"), "label")
+        )
+    return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected graph given as
+    symmetric directed ``(src, dst, w)`` edges (weights ignored).
+
+    Returns a single row ``(n_triangles)``.
+
+    Plan — the degree-ORIENTED algorithm, not the naive triple join:
+    each undirected edge is kept once, oriented from the endpoint with
+    smaller (degree, id) toward the larger. Every triangle then has
+    exactly ONE wedge node with two outgoing oriented edges, so
+    counting = join the oriented list with itself on the wedge node
+    and probe the third side. Orientation bounds each node's out-list
+    by O(√E) (a node of degree d only points to ≥-degree nodes), so
+    the wedge join fans out to O(E^1.5) total instead of Σ d² — the
+    standard distributed-triangle discipline. The oracle states the
+    same count as the naive a<b<c triple join, which the fixture scale
+    affords; both are exact integers.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    e = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(F.broadcast(deg).withColumnRenamed("src", "_sk"),
+              F.col("src") == F.col("_sk"))
+        .withColumnRenamed("_d", "_da")
+        .drop("_sk")
+        .join(F.broadcast(deg).withColumnRenamed("src", "_dk"),
+              F.col("dst") == F.col("_dk"))
+        .withColumnRenamed("_d", "_db")
+        .drop("_dk")
+    )
+    lo_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    # wedge pairs canonicalized by node id (a.v < b.v), so the closing
+    # edge can be probed in the ID-canonical undirected list with a pure
+    # EQUI-join — a disjunctive "either orientation" condition here
+    # would degrade to a nested-loop join and explode on dense graphs
+    wedges = a.join(
+        b,
+        (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("x2"), F.col("dst").alias("y2")
+    )
+    closed = wedges.join(
+        und, (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def related_items(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Item-item collaborative filtering over the co-occurrence graph:
+    for every node, the top-``k`` neighbors by cosine association
+    ``w(a,b)² / (deg(a)·deg(b))`` — the "customers who bought this
+    also bought" table, computed purely from the edge list.
+
+    Exactness: the score is ONE IEEE division of two exact integers
+    (w² and deg·deg), which is correctly rounded and therefore
+    identical in any engine — no sums of floats anywhere. Ties break
+    on the neighbor id, so the top-k edge is deterministic.
+
+    Plan: two broadcast joins decorate each edge with its endpoint
+    degrees (|V|-sized degree table), then ONE window partitioned by
+    src takes the top-k — bounded output |V|·k, never a node² table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("_d"))
+    e = (
+        edges.join(
+            F.broadcast(deg).select(F.col("src").alias("_sk"), F.col("_d").alias("_da")),
+            F.col("src") == F.col("_sk"),
+        )
+        .drop("_sk")
+        .join(
+            F.broadcast(deg).select(F.col("src").alias("_dk"), F.col("_d").alias("_db")),
+            F.col("dst") == F.col("_dk"),
+        )
+        .drop("_dk")
+    )
+    score = (F.col("w") * F.col("w")).cast("double") / (
+        F.col("_da") * F.col("_db")
+    ).cast("double")
+    w_top = Window.partitionBy("src").orderBy(
+        F.desc("_score"), F.asc("dst")
+    )
+    return (
+        e.withColumn("_score", score)
+        .withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") <= k)
+        .select("src", "dst", F.col("_score").alias("score"),
+                F.col("_rn").cast("int").alias("rank"))
     )

@@ -3602,3 +3602,90 @@ def _select_token_budget_by(spark, sf_dir):
         ),
         budgets=_BUDGETS_BY,
     )
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    """One unrolled deterministic-LPA round as DuckDB CTEs — same
+    weight-argmax with (w DESC, label ASC) tie-break as
+    pipeline/graph.py:label_propagation."""
+    return (
+        f"{out}v AS (SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS ws "
+        f"FROM e JOIN {prev} l ON e.src = l.pk GROUP BY 1, 2), "
+        f"{out} AS (SELECT dst AS pk, label FROM ("
+        f"SELECT dst, label, row_number() OVER (PARTITION BY dst "
+        f"ORDER BY ws DESC, label ASC) AS rn FROM {out}v) WHERE rn = 1)"
+    )
+
+
+@q(
+    "copurchase_communities",
+    f"WITH {_PR_EDGES}, "
+    "l0 AS (SELECT DISTINCT src AS pk, src AS label FROM e), "
+    + _lpa_round("l0", "l1") + ", "
+    + _lpa_round("l1", "l2") + ", "
+    + _lpa_round("l2", "l3") + " "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_members "
+    "FROM l3 GROUP BY label",
+)
+def _copurchase_communities(spark, sf_dir):
+    """Deterministic label-propagation communities over the co-purchase
+    graph (pipeline/graph.py: label_propagation — synchronous rounds,
+    greatest incident weight wins, ties to the smallest label, so the
+    run is a pure function of the edge set), censused per community.
+    The oracle unrolls the same 3 rounds as CTEs with the identical
+    (w DESC, label ASC) argmax window."""
+    from .pipeline.graph import copurchase_edges, label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = label_propagation(copurchase_edges(li), iterations=3)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@q(
+    "copurchase_triangles",
+    f"WITH {_PR_EDGES}, "
+    "ud AS (SELECT src AS a, dst AS b FROM e WHERE src < dst) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM ud e1 JOIN ud e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN ud e3 ON e3.a = e1.b AND e3.b = e2.b",
+)
+def _copurchase_triangles(spark, sf_dir):
+    """Global triangle count over the co-purchase graph
+    (pipeline/graph.py: triangle_count): the Spark side runs the
+    degree-ORIENTED wedge algorithm (out-lists bounded by O(sqrt E), so
+    the wedge join totals O(E^1.5) — the distributed discipline); the
+    oracle states the same exact integer via the naive a<b<c triple
+    join, affordable at sf0.01. Engine-agreement here proves the
+    oriented rewrite counts every triangle exactly once."""
+    from .pipeline.graph import copurchase_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li))
+
+
+@q(
+    "copurchase_related_parts",
+    f"WITH {_PR_EDGES} "
+    "SELECT src, dst, score, rank FROM ("
+    "SELECT e.src, e.dst, "
+    "CAST(e.w * e.w AS DOUBLE) / CAST(da.d * db.d AS DOUBLE) AS score, "
+    "CAST(row_number() OVER (PARTITION BY e.src "
+    "ORDER BY CAST(e.w * e.w AS DOUBLE) / CAST(da.d * db.d AS DOUBLE) DESC, "
+    "e.dst ASC) AS INT) AS rank "
+    "FROM e JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst) "
+    "WHERE rank <= 5",
+)
+def _copurchase_related_parts(spark, sf_dir):
+    """Item-item collaborative filtering (pipeline/graph.py:
+    related_items): top-5 co-purchase neighbors per part by cosine
+    association w²/(deg·deg). The score is ONE correctly-rounded IEEE
+    division of exact integers — identical in any engine, no float
+    sums — and ties break on the neighbor id, so the top-k edge is
+    deterministic. Two broadcast degree joins + one src-partitioned
+    window; output bounded |V|·k."""
+    from .pipeline.graph import copurchase_edges, related_items
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return related_items(copurchase_edges(li), k=5)

@@ -1036,3 +1036,60 @@ def test_select_token_budget_by_zero_and_missing_budgets(spark):
         select_token_budget_by(scored, budgets={})
     with _pytest.raises(ValueError):
         select_token_budget_by(scored, budgets={"a": -1})
+
+
+def test_label_propagation_two_cliques_converge_to_min_labels(spark):
+    """Two triangles joined by nothing: each converges to its own
+    minimum node label; deterministic under repartitioning."""
+    from openeo_odc_driver_spark.pipeline.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    tri2 = [(7, 8), (8, 7), (7, 9), (9, 7), (8, 9), (9, 8)]
+    edges = spark.createDataFrame(
+        [(s, d, 1) for s, d in tri1 + tri2], "src long, dst long, w long"
+    )
+    got = {r.pk: r.label for r in label_propagation(edges, iterations=3).collect()}
+    # round 1: each node adopts its smallest neighbor's label
+    # (1<-2, 2<-1, 3<-1 / 7<-8, 8<-7, 9<-7); by round 3 the minimum
+    # label of each clique has flooded it
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+    again = {
+        r.pk: r.label
+        for r in label_propagation(edges.repartition(5), iterations=3).collect()
+    }
+    assert again == got
+
+
+def test_triangle_count_hand_built_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge adds none."""
+    from openeo_odc_driver_spark.pipeline.graph import triangle_count
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    pendant = [(4, 5), (5, 4)]
+    edges = spark.createDataFrame(
+        [(s, d, 1) for s, d in k4 + pendant], "src long, dst long, w long"
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+
+def test_related_items_cosine_ranks_shared_baskets_first(spark):
+    """Node 1 co-occurs with 2 twice and with 3 once (equal degrees for
+    2 and 3 via a balancing edge): the doubly-shared neighbor ranks
+    first; scores are exact single divisions."""
+    from openeo_odc_driver_spark.pipeline.graph import related_items
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 2), (2, 1, 2),
+            (1, 3, 1), (3, 1, 1),
+            (2, 4, 1), (3, 4, 2), (4, 2, 1), (4, 3, 2),
+        ],
+        "src long, dst long, w long",
+    )
+    rows = {
+        (r.src, r.rank): (r.dst, r.score)
+        for r in related_items(edges, k=2).collect()
+    }
+    # deg: 1 -> 3, 2 -> 3, 3 -> 3, 4 -> 3
+    assert rows[(1, 1)] == (2, (2 * 2) / (3 * 3))
+    assert rows[(1, 2)] == (3, (1 * 1) / (3 * 3))
