@@ -53,6 +53,7 @@ _GATE_PRIORITY = [
     "split_leakage_report", "copurchase_pagerank",
     "select_token_budget_by", "copurchase_communities",
     "copurchase_triangles", "copurchase_related_parts",
+    "multimodal_image_phash", "multimodal_phash_near_dup",
     "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",

@@ -3689,3 +3689,71 @@ def _copurchase_related_parts(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return related_items(copurchase_edges(li), k=5)
+
+
+def _phash_corpus(spark, sf_dir):
+    """Cross-codec near-dup fixture: 64 PNGs (seeds 0..63) plus 16
+    JPEGs re-encoding the SAME synthetic content as seeds 0..15 under
+    ids 100..115 — byte-level dedup can never pair a PNG with its JPEG
+    twin; the perceptual hash is exactly the operator that can."""
+    from .pipeline.multimodal import attach_jpeg_images, attach_png_images
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pngs = attach_png_images(docs.where(F.col("doc_id") < 64))
+    jpgs = attach_jpeg_images(docs.where(F.col("doc_id") < 16)).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    return pngs.unionByName(jpgs)
+
+
+@q("multimodal_image_phash", values_oracle_sql("multimodal_image_phash"))
+def _multimodal_image_phash(spark, sf_dir):
+    """64-bit perceptual hash (pipeline/multimodal.py: image_phash —
+    decode → 32×32 gray → 2-D DCT → 8×8 low-frequency block → median
+    threshold) over the cross-codec corpus, shipped as four 16-bit
+    band ints. Fixed-value oracle (double-run bit-stability checked at
+    capture); the bit pattern's BLAS stability comes from the
+    round-to-7 before the median compare."""
+    from .pipeline.multimodal import image_phash
+
+    return image_phash(_phash_corpus(spark, sf_dir))
+
+
+_PH_BANDS_CTE = (
+    "b AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, ph{i} AS bv FROM p" for i in range(4)
+    )
+    + ")"
+)
+_PH_HAMMING = " + ".join(
+    f"bit_count(xor(pa.ph{i}, pb.ph{i}))" for i in range(4)
+)
+
+
+@q(
+    "multimodal_phash_near_dup",
+    "WITH p AS (" + values_oracle_sql("multimodal_image_phash") + "), "
+    f"{_PH_BANDS_CTE}, "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b "
+    "FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv "
+    "AND a.doc_id < b2.doc_id) "
+    f"SELECT c.doc_a, c.doc_b, CAST({_PH_HAMMING} AS INT) AS hamming "
+    "FROM cand c JOIN p pa ON c.doc_a = pa.doc_id "
+    "JOIN p pb ON c.doc_b = pb.doc_id "
+    f"WHERE {_PH_HAMMING} <= 10",
+)
+def _multimodal_phash_near_dup(spark, sf_dir):
+    """Cross-codec image near-dup pairs (pipeline/multimodal.py:
+    phash_near_dup_pairs): band-bucket candidates over the four 16-bit
+    pHash bands (never all-pairs), exact integer Hamming verify — the
+    oracle runs the SAME banding + bit_count(xor) relational logic in
+    DuckDB over the pinned phash fixture, so this row checks real
+    cross-engine logic, not a snapshot. The planted JPEG re-encodes
+    pair with their PNG twins at small Hamming distance; unrelated
+    seeds stay apart."""
+    from .pipeline.multimodal import image_phash, phash_near_dup_pairs
+
+    return phash_near_dup_pairs(
+        image_phash(_phash_corpus(spark, sf_dir)), max_hamming=10
+    )

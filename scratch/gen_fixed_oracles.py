@@ -43,7 +43,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # large-k vectorized-assignment serving path (round 7)
          "semantic_dedup_trained_k160",
          # rFFT audio features (round 7)
-         "multimodal_audio_features"]
+         "multimodal_audio_features",
+         # perceptual hash over the cross-codec corpus (round 7 late)
+         "multimodal_image_phash"]
 
 
 def main() -> int:

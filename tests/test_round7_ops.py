@@ -1093,3 +1093,37 @@ def test_related_items_cosine_ranks_shared_baskets_first(spark):
     # deg: 1 -> 3, 2 -> 3, 3 -> 3, 4 -> 3
     assert rows[(1, 1)] == (2, (2 * 2) / (3 * 3))
     assert rows[(1, 2)] == (3, (1 * 1) / (3 * 3))
+
+
+def test_image_phash_pairs_cross_codec_twins(spark):
+    """A PNG and a JPEG of the SAME synthetic content hash within a few
+    bits of each other (byte-level dedup can never pair them); an
+    unrelated seed stays far away; hashes are run-deterministic."""
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        attach_jpeg_images,
+        attach_png_images,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (7,)], "doc_id long")
+    pngs = attach_png_images(ids)
+    jpgs = attach_jpeg_images(
+        spark.createDataFrame([(0,)], "doc_id long")
+    ).withColumn("doc_id", F.col("doc_id") + 100)
+    hashes = image_phash(pngs.unionByName(jpgs))
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(hashes, max_hamming=10).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] <= 6
+    assert all({a, b} == {0, 100} for a, b in pairs)
+    twice = {
+        (r.doc_id, r.ph0, r.ph1, r.ph2, r.ph3)
+        for r in image_phash(pngs.repartition(3)).collect()
+    }
+    once = {
+        (r.doc_id, r.ph0, r.ph1, r.ph2, r.ph3)
+        for r in image_phash(pngs).collect()
+    }
+    assert twice == once
