@@ -3757,3 +3757,86 @@ def _multimodal_phash_near_dup(spark, sf_dir):
     return phash_near_dup_pairs(
         image_phash(_phash_corpus(spark, sf_dir)), max_hamming=10
     )
+
+
+# recall-tier plant: keep the first P% of each text and REVERSE the
+# tail — shared prefix P gives character-shingle Jaccard ~ P/(2-P)
+# (P=100 -> 1.0, 90 -> ~.82, 75 -> ~.60, 50 -> ~.33), so the four
+# tiers straddle the banding s-curve and the row pins empirical recall
+# per tier the way ann_recall pins ANN recall.
+_RT_KF = ("(CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 90 "
+          "WHEN 2 THEN 75 ELSE 50 END)")
+_RT_CUT = f"((length(text) * {_RT_KF}) // 100)"
+_RT_CORPUS = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + 7000000, concat(substring(text, 1, {_RT_CUT}), "
+    f"reverse(substring(text, {_RT_CUT} + 1, length(text)))) "
+    "FROM documents WHERE doc_id < 40"
+)
+
+
+@q(
+    "minhash_recall_tiers",
+    f"WITH d AS ({_RT_CORPUS}), "
+    + _SIG_CTE.replace("FROM documents", "FROM d")
+    + f", {_BANDED_CTE}, {_CAND_CTE}, "
+    f"p AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, "
+    f"{_EST_EXPR} AS est FROM cand c "
+    "JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b) WHERE est >= 0.5), "
+    "f AS (SELECT CAST(doc_a % 4 AS INT) AS tier, "
+    "CAST(count(*) AS BIGINT) AS n_found FROM p "
+    "WHERE doc_b - doc_a = 7000000 AND doc_a < 40 GROUP BY 1), "
+    "t AS (SELECT CAST(doc_id % 4 AS INT) AS tier, "
+    "CAST(count(*) AS BIGINT) AS n_planted FROM documents "
+    "WHERE doc_id < 40 GROUP BY 1) "
+    "SELECT t.tier, t.n_planted, "
+    "CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found "
+    "FROM t LEFT JOIN f ON t.tier = f.tier",
+)
+def _minhash_recall_tiers(spark, sf_dir):
+    """Empirical recall of the banded-minhash pair detector, pinned per
+    Jaccard tier (the dedup family's ann_recall): 40 plants keep the
+    first P% of their source text and reverse the tail (shared-prefix
+    Jaccard ~ P/(2-P)), tiers P = 100/90/75/50 straddling the s-curve
+    at threshold 0.5 under the pinned oracle banding. A refactor that
+    silently tanks candidate recall (hash mixing, banding, shingle
+    width) flips the found-counts and fails the hash — recall becomes
+    a GATED property, not a hope. Entirely static SQL: both engines
+    build the same plants, the same signatures, the same pairs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 40)
+    kf = F.expr("CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 90 "
+                "WHEN 2 THEN 75 ELSE 50 END")
+    cut = F.expr("(length(text) * (CASE doc_id % 4 WHEN 0 THEN 100 "
+                 "WHEN 1 THEN 90 WHEN 2 THEN 75 ELSE 50 END)) DIV 100")
+    plants = base.select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, (length(text) * (CASE doc_id % 4 "
+                   "WHEN 0 THEN 100 WHEN 1 THEN 90 WHEN 2 THEN 75 "
+                   "ELSE 50 END)) DIV 100)"),
+            F.expr("reverse(substring(text, ((length(text) * (CASE doc_id % 4 "
+                   "WHEN 0 THEN 100 WHEN 1 THEN 90 WHEN 2 THEN 75 "
+                   "ELSE 50 END)) DIV 100) + 1, length(text)))"),
+        ).alias("text"),
+    )
+    pairs = pdedup.minhash_lsh_pairs(
+        docs.unionByName(plants), jaccard_threshold=0.5, bands=LSH_BANDS
+    )
+    found = (
+        pairs.where(
+            ((F.col("doc_b") - F.col("doc_a")) == 7000000)
+            & (F.col("doc_a") < 40)
+        )
+        .groupBy((F.col("doc_a") % 4).cast("int").alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    tiers = base.groupBy(
+        (F.col("doc_id") % 4).cast("int").alias("tier")
+    ).agg(F.count(F.lit(1)).alias("n_planted"))
+    return tiers.join(found, "tier", "left").select(
+        "tier",
+        "n_planted",
+        F.coalesce(F.col("n_found"), F.lit(0)).cast("bigint").alias("n_found"),
+    )

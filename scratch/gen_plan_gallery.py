@@ -28,6 +28,13 @@ GALLERY = [
      "bucket histogram + single-bucket window; no SinglePartition sort"),
     ("flagship_ndvi",
      "per-pixel arithmetic fused; the median is the only wide stage"),
+    ("copurchase_pagerank",
+     "per-round BroadcastHashJoin of the |V|-sized rank table into the "
+     "edge list; dst-keyed aggregations reuse one exchange layout; "
+     "no cartesian, no sort"),
+    ("copurchase_triangles",
+     "degree-oriented wedge join closed by an EQUI-join (a disjunctive "
+     "close degrades to BroadcastNestedLoopJoin — the round-7 lesson)"),
 ]
 
 
