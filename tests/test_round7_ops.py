@@ -1127,3 +1127,62 @@ def test_image_phash_pairs_cross_codec_twins(spark):
         for r in image_phash(pngs).collect()
     }
     assert twice == once
+
+
+def test_graph_ops_match_pure_python_reference_on_random_graphs(spark):
+    """Independent-implementation cross-check: pagerank_integer and
+    label_propagation against straight-line Python references on seeded
+    random digraphs — the engine-exactness claim (pure integer
+    recurrences) means EXACT equality, not tolerance."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.graph import (
+        PR_BASE,
+        PR_UNIT,
+        label_propagation,
+        pagerank_integer,
+    )
+
+    for seed in (7, 21, 99):
+        rng = np.random.RandomState(seed)
+        n = 12
+        edges = sorted(
+            {
+                (int(a), int(b), int(w))
+                for a, b, w in zip(
+                    rng.randint(0, n, 40),
+                    rng.randint(0, n, 40),
+                    rng.randint(1, 4, 40),
+                )
+                if a != b
+            }
+        )
+        deg = {}
+        for s_, d_, w_ in edges:
+            deg[s_] = deg.get(s_, 0) + w_
+        # python reference: 3 synchronous integer rounds
+        r = {u: PR_UNIT for u in deg}
+        for _ in range(3):
+            nxt = {}
+            for s_, d_, w_ in edges:
+                if s_ in r:
+                    nxt[d_] = nxt.get(d_, 0) + (r[s_] * 85 * w_) // (100 * deg[s_])
+            r = {v: PR_BASE + c for v, c in nxt.items()}
+        lab = {u: u for u in deg}
+        for _ in range(3):
+            votes = {}
+            for s_, d_, w_ in edges:
+                if s_ in lab:
+                    key = (d_, lab[s_])
+                    votes[key] = votes.get(key, 0) + w_
+            nxt_lab = {}
+            for (d_, l_), w_ in votes.items():
+                cur = nxt_lab.get(d_)
+                if cur is None or (w_, -l_) > (cur[1], -cur[0]):
+                    nxt_lab[d_] = (l_, w_)
+            lab = {d_: l_ for d_, (l_, _) in nxt_lab.items()}
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got_r = {x.pk: x.r for x in pagerank_integer(df, iterations=3).collect()}
+        assert got_r == r, f"pagerank mismatch seed={seed}"
+        got_l = {x.pk: x.label for x in label_propagation(df, iterations=3).collect()}
+        assert got_l == lab, f"lpa mismatch seed={seed}"
