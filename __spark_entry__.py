@@ -54,7 +54,7 @@ _GATE_PRIORITY = [
     "select_token_budget_by", "copurchase_communities",
     "copurchase_triangles", "copurchase_related_parts",
     "multimodal_image_phash", "multimodal_phash_near_dup",
-    "minhash_recall_tiers",
+    "minhash_recall_tiers", "event_funnel_windowed",
     "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",

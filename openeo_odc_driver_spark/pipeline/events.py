@@ -270,3 +270,53 @@ def session_type_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+def funnel_conversion_windowed(
+    events: DataFrame, steps: list[str], within_hours: int
+) -> DataFrame:
+    """Time-bounded ordered funnel: like :func:`funnel_conversion`, but
+    each step must occur STRICTLY AFTER the previous qualifying step
+    AND within ``within_hours`` of it — the "converted within N hours"
+    product-analytics question, where an eventual-but-late conversion
+    no longer counts.
+
+    Returns ``(step_idx, step, n_users)``. Same plan discipline as the
+    unbounded funnel: one user-keyed aggregate per step gated on the
+    previous step's first QUALIFYING timestamp (first-touch semantics —
+    the earliest event satisfying both the order and the deadline),
+    every shuffle on user_id, step tables shrinking monotonically.
+    Timestamp arithmetic is exact integer microseconds.
+    """
+    if within_hours <= 0:
+        raise ValueError(f"within_hours must be > 0, got {within_hours}")
+    bound_us = within_hours * 3600 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    reached = None
+    counts = []
+    for idx, step in enumerate(steps):
+        cand = events.where(F.col("event_type") == step).select(
+            "user_id", us.alias("_us")
+        )
+        if reached is not None:
+            cand = cand.join(reached, "user_id").where(
+                (F.col("_us") > F.col("_prev"))
+                & ((F.col("_us") - F.col("_prev")) <= bound_us)
+            )
+        reached = (
+            cand.groupBy("user_id")
+            .agg(F.min("_us").alias("_prev"))
+        )
+        counts.append((idx, step, reached))
+    rows = [
+        r.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        for i, s, r in counts
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

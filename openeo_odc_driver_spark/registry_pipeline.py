@@ -3840,3 +3840,38 @@ def _minhash_recall_tiers(spark, sf_dir):
         "n_planted",
         F.coalesce(F.col("n_found"), F.lit(0)).cast("bigint").alias("n_found"),
     )
+
+
+@q(
+    "event_funnel_windowed",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM e "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM e JOIN s0 "
+    "ON e.user_id = s0.user_id AND epoch_us(e.ts) > s0.t "
+    "AND epoch_us(e.ts) - s0.t <= 86400000000 "
+    "WHERE event_type = 'click' GROUP BY e.user_id), "
+    "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM e JOIN s1 "
+    "ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t "
+    "AND epoch_us(e.ts) - s1.t <= 86400000000 "
+    "WHERE event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT 0 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) "
+    "AS n_users FROM s0 "
+    "UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 "
+    "UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2",
+)
+def _event_funnel_windowed(spark, sf_dir):
+    """Time-bounded first-touch funnel view→click→purchase within 24 h
+    per step (pipeline/events.py: funnel_conversion_windowed): the
+    "converted within N hours" question — an eventual-but-late step no
+    longer counts, so counts are ≤ the unbounded funnel's (the fixture
+    actually loses users at both gated steps). Exact integer-µs
+    deadline arithmetic; same user-keyed monotone-shrinking plan as
+    event_funnel."""
+    from .pipeline.events import funnel_conversion_windowed
+
+    return funnel_conversion_windowed(
+        load_table(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        within_hours=24,
+    )

@@ -1186,3 +1186,30 @@ def test_graph_ops_match_pure_python_reference_on_random_graphs(spark):
         assert got_r == r, f"pagerank mismatch seed={seed}"
         got_l = {x.pk: x.label for x in label_propagation(df, iterations=3).collect()}
         assert got_l == lab, f"lpa mismatch seed={seed}"
+
+
+def test_funnel_windowed_enforces_order_and_deadline(spark):
+    """User 1 converts in order within the deadline; user 2 clicks too
+    LATE (25h); user 3 clicks before viewing. Only user 1 advances."""
+    from openeo_odc_driver_spark.pipeline.events import (
+        funnel_conversion_windowed,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 11:00:00", 2, "click"),
+        (2, "2024-01-01 10:00:00", 3, "view"),
+        (2, "2024-01-02 11:00:01", 4, "click"),  # 25h 0m 1s later
+        (3, "2024-01-01 09:00:00", 5, "click"),
+        (3, "2024-01-01 10:00:00", 6, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.step: r.n_users
+        for r in funnel_conversion_windowed(
+            ev, ["view", "click"], within_hours=24
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1}
