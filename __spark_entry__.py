@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     "copurchase_triangles", "copurchase_related_parts",
     "multimodal_image_phash", "multimodal_phash_near_dup",
     "minhash_recall_tiers", "event_funnel_windowed",
+    "event_weekly_stickiness",
     "event_session_type_pairs", "tpch_q4_order_priority",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",

@@ -320,3 +320,42 @@ def funnel_conversion_windowed(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def weekly_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness per ISO week: how much of the weekly audience
+    shows up on an average observed day — THE product-engagement ratio.
+
+    Returns ``(week, n_days, sum_dau, wau, stickiness)`` where
+    ``stickiness = sum_dau / (n_days · wau)`` — numerator and
+    denominator are exact integers, so the ratio is ONE correctly-
+    rounded IEEE division, engine-identical (the related_items
+    discipline). Week boundaries via ``date_trunc('week')`` (ISO
+    Monday in both engines).
+
+    Plan: one (week, day) count-distinct and one (week) count-distinct
+    — both shuffle on time-bucket keys whose cardinality is calendar-
+    bounded, then a broadcast-sized join keyed by week.
+    """
+    week = F.date_trunc("week", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.groupBy(week.alias("week"), day.alias("day")).agg(
+        F.countDistinct("user_id").alias("_dau")
+    )
+    weekly = events.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    agg = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_dau").cast("bigint").alias("sum_dau"),
+    )
+    return agg.join(weekly, "week").select(
+        "week",
+        "n_days",
+        "sum_dau",
+        "wau",
+        (
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double")
+        ).alias("stickiness"),
+    )

@@ -3875,3 +3875,27 @@ def _event_funnel_windowed(spark, sf_dir):
         steps=["view", "click", "purchase"],
         within_hours=24,
     )
+
+
+@q(
+    "event_weekly_stickiness",
+    f"WITH e AS (SELECT * FROM {_EV_US}), "
+    "d AS (SELECT date_trunc('week', ts) AS week, date_trunc('day', ts) "
+    "AS day, count(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2), "
+    "w AS (SELECT date_trunc('week', ts) AS week, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM e GROUP BY 1) "
+    "SELECT w.week, CAST(count(*) AS BIGINT) AS n_days, "
+    "CAST(sum(d.dau) AS BIGINT) AS sum_dau, w.wau, "
+    "CAST(sum(d.dau) AS DOUBLE) / CAST(count(*) * w.wau AS DOUBLE) "
+    "AS stickiness "
+    "FROM d JOIN w ON d.week = w.week GROUP BY w.week, w.wau",
+)
+def _event_weekly_stickiness(spark, sf_dir):
+    """Weekly DAU/WAU stickiness (pipeline/events.py:
+    weekly_stickiness): sum of daily distinct actives over
+    n_days·weekly actives — integers up to ONE correctly-rounded
+    division, engine-identical; ISO-Monday week boundaries agree
+    across engines. Calendar-bounded aggregation keys."""
+    from .pipeline.events import weekly_stickiness
+
+    return weekly_stickiness(load_table(spark, sf_dir, "events"))

@@ -1213,3 +1213,22 @@ def test_funnel_windowed_enforces_order_and_deadline(spark):
         ).collect()
     }
     assert got == {"view": 3, "click": 1}
+
+
+def test_weekly_stickiness_hand_computed(spark):
+    """One ISO week, two observed days: day1 actives {1,2}, day2 {1};
+    wau = 2, sum_dau = 3, stickiness = 3/(2*2)."""
+    from openeo_odc_driver_spark.pipeline.events import weekly_stickiness
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 11:00:00", 2, "view"),
+        (1, "2024-01-02 10:00:00", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = weekly_stickiness(ev).collect()
+    assert len(r) == 1
+    assert (r[0].n_days, r[0].sum_dau, r[0].wau) == (2, 3, 2)
+    assert r[0].stickiness == 3 / 4
