@@ -31,31 +31,30 @@ def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
     pd.testing.assert_frame_equal(sdf, ddf, check_dtype=False, check_exact=True)
 
 
-def test_gate_window_leads_with_unverified_queries():
-    """The driver verifies the FIRST ~50 queries() entries per round.
-    Every previously registered query has a green row, so the ordering
-    contract is: queries with NO driver row yet (this round's additions)
-    lead, and the rest follow stalest-first (r02 before r03 before …) —
-    a priority-list edit that demotes a never-checked query fails here,
-    not in the round report. Reads ALL shipped CORRECTNESS reports so a
-    new round's file doesn't silently shift the baseline (the r06 bug
-    class this suite caught in /registry)."""
+def _staleness_by_query(report_dir, asof):
+    """Latest green driver round per query, from CORRECTNESS_r{N}.json
+    files with N <= asof. Reports NEWER than the round the priority list
+    was regenerated for are ignored — the driver writes its own round's
+    report while this tree ships, and counting it would flip the
+    stalest-first assert the moment it lands (VERDICT r7 item 1)."""
     import glob
     import json
     import os
     import re
 
-    import __spark_entry__ as E
-
-    names = list(E.queries())
     latest = {}
-    here = os.path.dirname(os.path.abspath(E.__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(report_dir, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if r > asof:
+            continue
         with open(path) as fh:
             for k, v in json.load(fh).items():
                 if v.get("rows_match") and v.get("hash_match"):
                     latest[k] = r
+    return latest
+
+
+def _assert_stalest_first(names, latest):
     never_checked = [n for n in names if n not in latest]
     # every never-checked query precedes every already-green query
     first_green_idx = min(names.index(n) for n in latest if n in names)
@@ -66,3 +65,48 @@ def test_gate_window_leads_with_unverified_queries():
     # the already-green remainder is ordered stalest-first
     green_rounds = [latest[n] for n in names if n in latest]
     assert green_rounds == sorted(green_rounds)
+
+
+def test_gate_window_leads_with_unverified_queries():
+    """The driver verifies the FIRST ~50 queries() entries per round.
+    Every previously registered query has a green row, so the ordering
+    contract is: queries with NO driver row as of _GATE_PRIORITY_ASOF
+    (this round's additions) lead, and the rest follow stalest-first
+    (r02 before r03 before …) — a priority-list edit that demotes a
+    never-checked query fails here, not in the round report."""
+    import os
+
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    latest = _staleness_by_query(here, E._GATE_PRIORITY_ASOF)
+    _assert_stalest_first(names, latest)
+
+
+def test_gate_staleness_survives_future_driver_report(tmp_path):
+    """Simulate the round boundary: a CORRECTNESS report NEWER than
+    _GATE_PRIORITY_ASOF (the driver's own end-of-round write) must not
+    change the staleness derivation. Rounds 6 and 7 both shipped a
+    freshness computation that broke exactly when the next report
+    landed; this pins the fix for good."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import __spark_entry__ as E
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    names = list(E.queries())
+    baseline = _staleness_by_query(str(tmp_path), E._GATE_PRIORITY_ASOF)
+    # a future driver report greens the head of the list — previously
+    # this flipped green_rounds out of sorted order
+    future = {n: {"rows_match": True, "schema_match": True,
+                  "hash_match": True} for n in names[:50]}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(future))
+    latest = _staleness_by_query(str(tmp_path), E._GATE_PRIORITY_ASOF)
+    assert latest == baseline
+    _assert_stalest_first(names, latest)
