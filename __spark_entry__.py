@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY_ASOF = 7
 _GATE_PRIORITY = [
     # never driver-checked (new in round 8) — first
+    "copurchase_pagerank_shuffle",
     # latest green row r02 (6 queries)
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
     "tan",

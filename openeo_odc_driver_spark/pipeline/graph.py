@@ -23,7 +23,12 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 150000
 
 
-def pagerank_integer(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    join_impl: str = "auto",
+    broadcast_max_nodes: int = 5_000_000,
+) -> DataFrame:
     """Weighted PageRank over directed ``(src, dst, w)`` edges in exact
     integer micro-unit arithmetic, fixed ``iterations`` rounds.
 
@@ -31,37 +36,86 @@ def pagerank_integer(edges: DataFrame, iterations: int = 3) -> DataFrame:
     (100·deg(u))`` with ``deg(u) = Σ_v w(u,v)`` — the standard damped
     propagation with integer floor division in place of float math, so
     two engines (or two runs under different partitionings) produce
-    identical scores. Every node that appears as a source gets the
-    uniform start rank; sinks (dst-only nodes) still accumulate rank.
+    identical scores. The rank table covers the FULL node universe
+    (src ∪ dst) every round: a node with no in-edges holds PR_BASE
+    and keeps contributing along its out-edges, and sinks (dst-only
+    nodes) accumulate rank — general damped PageRank on any digraph,
+    not just symmetric edge lists (round-8 ADVICE fix: the previous
+    dst-keyed rank table silently dropped src-only nodes after round
+    one, erasing their later contributions).
 
-    Plan shape, and why it holds at scale: ``deg`` and the rank table
-    are |V|-sized — small against the edge table for co-occurrence
-    graphs — so each round is ONE join of edges against a broadcast
+    ``join_impl`` dispatches the physical rank⋈edges strategy:
+
+    - ``"broadcast"`` — each round broadcasts the |V|-sized rank table
+      into the edge join. Right for co-occurrence/item graphs where
+      |V| ≪ |E| and the rank table fits an executor (≲ tens of
+      millions of rows at ~16 B/row).
+    - ``"shuffle"`` — edges are hash-partitioned by ``src`` ONCE before
+      the loop; each round shuffles only the |V|-sized rank table to
+      that layout (sort-merge/shuffled-hash join), so billion-node
+      graphs never materialize a broadcast. Identical integer
+      arithmetic → bit-identical scores (parity is pytest-pinned).
+    - ``"auto"`` — counts the node universe (one cheap |V| aggregate,
+      amortized over ``iterations`` rounds) and picks broadcast iff
+      ``|V| <= broadcast_max_nodes``.
+
+    Plan shape at scale: each round is ONE join of edges against the
     rank×degree side plus one integer aggregation keyed by dst; the
-    edge table itself is read once per round and never shuffles on a
-    new key (dst-keyed aggregation reuses the same exchange layout
-    every round). Iterations are a fixed small constant (the oracle
-    unrolls the same rounds as CTEs), not a convergence loop.
+    dst-keyed aggregation reuses the same exchange layout every round,
+    and the full-universe retention is a |V|⋈|V| left join (never
+    touches the edge table). Iterations are a fixed small constant
+    (the oracle unrolls the same rounds as CTEs), not a convergence
+    loop.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if join_impl not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"join_impl must be auto|broadcast|shuffle, got {join_impl!r}"
+        )
     deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("d"))
-    ranks = deg.select(
-        F.col("src").alias("pk"), F.lit(PR_UNIT).cast("bigint").alias("r")
+    nodes = (
+        edges.select(F.col("src").alias("pk"))
+        .union(edges.select(F.col("dst").alias("pk")))
+        .distinct()
     )
-    e = edges.join(F.broadcast(deg), "src")
+    if join_impl == "auto":
+        join_impl = (
+            "broadcast" if nodes.count() <= broadcast_max_nodes else "shuffle"
+        )
+    if join_impl == "broadcast":
+        e = edges.join(F.broadcast(deg), "src")
+        _small = F.broadcast  # the build side of each round's two joins
+    else:
+        # co-partition the big side once; every round's rank join and the
+        # retention join then shuffle only |V|-sized tables
+        e = edges.repartition("src").join(deg, "src")
+        _small = lambda df: df  # noqa: E731 — identity: let AQE pick SMJ/SHJ
+    ranks = nodes.select("pk", F.lit(PR_UNIT).cast("bigint").alias("r"))
     for _ in range(iterations):
         contrib = e.join(
-            F.broadcast(ranks), e.src == ranks.pk
+            _small(ranks), e.src == ranks.pk
         ).select(
             F.col("dst"),
             F.expr(
                 f"(r * {PR_DAMP_NUM} * w) DIV ({PR_DAMP_DEN} * d)"
             ).alias("_c"),
         )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit(PR_BASE) + F.sum("_c")).cast("bigint").alias("r")
-        ).select(F.col("dst").alias("pk"), "r")
+        agg = contrib.groupBy("dst").agg(
+            F.sum("_c").cast("bigint").alias("_s")
+        )
+        # full-universe retention: nodes with no in-edges keep PR_BASE
+        # (broadcast the ≤|V| agg side — the LEFT side of an outer join
+        # can't be the broadcast build side)
+        ranks = (
+            nodes.join(_small(agg), nodes.pk == agg.dst, "left")
+            .select(
+                "pk",
+                (F.lit(PR_BASE) + F.coalesce(F.col("_s"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
     return ranks
 
 
@@ -99,22 +153,29 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     edge set (no randomized update order, which is what makes vanilla
     LPA unreproducible and oracle-unfriendly).
 
-    Returns ``(pk, label)`` per node. Integer weights sum order-free;
-    the argmax is a row_number window over (weight DESC, label ASC) —
-    the same expression both engines evaluate identically.
+    Returns ``(pk, label)`` per node — the FULL node universe
+    (src ∪ dst): a node with no in-neighbors keeps its current label
+    each round (and its out-edges keep voting), so general digraphs
+    behave correctly, not just symmetric edge lists (round-8 ADVICE
+    fix, same class as pagerank_integer's src-only drop). Integer
+    weights sum order-free; the argmax is a row_number window over
+    (weight DESC, label ASC) — the same expression both engines
+    evaluate identically.
 
     Plan: per round, one join of edges against the broadcast |V|-sized
-    label table, one (dst, label) weight aggregation, and one
+    label table, one (dst, label) weight aggregation, one
     dst-partitioned top-1 window over the (≤ neighbors-per-node)
-    aggregated rows. Fixed-round synchronous updates match the
-    oracle's unrolled-CTE form exactly.
+    aggregated rows, and one |V|⋈≤|V| left join carrying voteless
+    nodes forward. Fixed-round synchronous updates match the oracle's
+    unrolled-CTE form exactly.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     labels = (
-        edges.select("src").distinct().select(
-            F.col("src").alias("pk"), F.col("src").alias("label")
-        )
+        edges.select(F.col("src").alias("pk"))
+        .union(edges.select(F.col("dst").alias("pk")))
+        .distinct()
+        .select("pk", F.col("pk").alias("label"))
     )
     w_top = Window.partitionBy("dst").orderBy(
         F.desc("_wsum"), F.asc("label")
@@ -125,10 +186,16 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy("dst", "label")
             .agg(F.sum("w").cast("bigint").alias("_wsum"))
         )
-        labels = (
+        top = (
             votes.withColumn("_rn", F.row_number().over(w_top))
             .where(F.col("_rn") == 1)
-            .select(F.col("dst").alias("pk"), "label")
+            .select(F.col("dst"), F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(F.broadcast(top), labels.pk == top.dst, "left")
+            .select(
+                "pk", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+            )
         )
     return labels
 

@@ -376,9 +376,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ``encode_jpeg`` emits plus the common web baseline shapes.
     Interop with other encoders' streams is pinned by
     tests/fixtures/flower-of-life.jpg + webtide_logo.jpg (third-party
-    encoder output, exact-pixel snapshot). Progressive (SOF2) or
-    subsampled images raise ValueError naming the unsupported
-    feature."""
+    encoder output, exact-pixel snapshot). Progressive (SOF2) images
+    and sampling factors above 2 raise ValueError naming the
+    unsupported feature."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -330,6 +330,19 @@ def attach_wav_audio(docs: DataFrame, sample_rate: int = 8000,
     )
 
 
+def _check_pcm16_mono(w, doc_id) -> None:
+    """The WAV decode paths assume 16-bit mono PCM (``<i2`` frame
+    layout); a stereo or 8-bit payload would otherwise produce a
+    silently wrong waveform. Named error, decode_jpeg's
+    explicit-contract style."""
+    sw, nch = w.getsampwidth(), w.getnchannels()
+    if sw != 2 or nch != 1:
+        raise ValueError(
+            f"doc_id={doc_id}: only PCM16 mono WAV is supported "
+            f"(got sample width {sw * 8} bits, {nch} channels)"
+        )
+
+
 def decode_audio(df: DataFrame, fake: bool = True) -> DataFrame:
     """binary → waveform features via mapInPandas (Arrow batches): RMS,
     peak, zero-crossing rate, duration.
@@ -357,6 +370,7 @@ def decode_audio(df: DataFrame, fake: bool = True) -> DataFrame:
                     wave_f = np.random.default_rng(seed).normal(0.0, 0.25, size=n)
                 else:
                     with _wave.open(io.BytesIO(bytes(r["audio"])), "rb") as w:
+                        _check_pcm16_mono(w, r["doc_id"])
                         sr = w.getframerate()
                         n = w.getnframes()
                         raw = w.readframes(n)
@@ -415,6 +429,7 @@ def audio_spectral_features(df: DataFrame, rolloff: float = 0.85,
             rows = []
             for _, r in pdf.iterrows():
                 with _wave.open(io.BytesIO(bytes(r["audio"])), "rb") as w:
+                    _check_pcm16_mono(w, r["doc_id"])
                     sr = w.getframerate()
                     n = w.getnframes()
                     raw = w.readframes(n)

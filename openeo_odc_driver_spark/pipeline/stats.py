@@ -231,7 +231,15 @@ def token_length_histogram(docs: DataFrame) -> DataFrame:
     by ≤ ~20 buckets.
     """
     docs = ensure_min_parallelism(docs)
-    n = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    # split('') is [''] (size 1) in BOTH engines, so empty/whitespace-
+    # only text must be gated on trimmed length to truly count 0 tokens
+    # (round-8 ADVICE fix: the n <= 0 branch was unreachable and empty
+    # docs silently counted as 1-token docs)
+    n = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    ).cast("bigint")
     # floor(log2(n)) for n >= 1 = (binary digit count of n) - 1; the
     # length of bin(n) IS the digit count, all-integer on both engines
     bucket = F.when(n <= 0, F.lit(-1)).otherwise(

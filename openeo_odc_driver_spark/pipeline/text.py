@@ -1048,10 +1048,13 @@ def bm25_scores(
     docs = ensure_min_parallelism(docs)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     staged = docs.select("doc_id", toks.alias("_tk"))
-    tf_cols = [
-        F.expr(f"size(filter(_tk, x -> x = '{t}'))").alias(f"_tf_{i}")
-        for i, t in enumerate(q_terms)
-    ]
+    # build the term-equality lambdas column-side (F.filter with a
+    # closure factory, not a string-formatted F.expr) so a query term
+    # containing a quote can't break or inject into the SQL expression
+    def _tf(term):
+        return F.size(F.filter(F.col("_tk"), lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf_{i}") for i, t in enumerate(q_terms)]
     dl = F.size("_tk")
     per_doc = staged.select("doc_id", dl.alias("_dl"), *tf_cols)
     stats = per_doc.agg(

@@ -3028,9 +3028,10 @@ def _csv_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, census.schema)
 
 
-# old = fixture minus every 10th doc; new = fixture with every 7th doc's
-# text revised and a fresh tail of ids appended — derived identically on
-# both engines so the delta exercises all four classes for real
+# old = the full fixture; new = the fixture minus every 10th doc, with
+# every 7th surviving doc's text revised and a fresh tail of ids
+# appended — derived identically on both engines so the delta exercises
+# all four classes (added / removed / changed / unchanged) for real
 _DELTA_OLD = "SELECT doc_id, text FROM documents"
 _DELTA_NEW = (
     "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' (rev 2)' "
@@ -3288,7 +3289,10 @@ def _event_top_paths(spark, sf_dir):
     "token_length_histogram",
     # DuckDB floor(log2) via digit count: length(bin(n)) - 1, with bin()
     # replicated as to_base(n, 2) — all integer, no float log
-    f"WITH t AS (SELECT CAST(len({_TOKS_D}) AS BIGINT) AS n FROM documents), "
+    # empty/whitespace-only text counts 0 tokens (split('') is [''] in
+    # both engines, so the gate is on trimmed length)
+    f"WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0 "
+    f"ELSE CAST(len({_TOKS_D}) AS BIGINT) END AS n FROM documents), "
     "b AS (SELECT n, CASE WHEN n <= 0 THEN -1 "
     "ELSE CAST(length(to_base(n, 2)) - 1 AS INT) END AS log2_bucket FROM t) "
     "SELECT log2_bucket, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -3510,44 +3514,81 @@ _PR_EDGES = (
     "CAST(count(*) AS BIGINT) AS w FROM items a "
     "JOIN items b ON a.l_orderkey = b.l_orderkey "
     "AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), "
-    "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY src)"
+    "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY src), "
+    "nodes AS (SELECT src AS pk FROM e UNION SELECT dst FROM e)"
 )
 
 
 def _pr_round(prev: str, out: str) -> str:
-    """One unrolled integer-PageRank round as a DuckDB CTE — the same
+    """One unrolled integer-PageRank round as DuckDB CTEs — the same
     (r·85·w) // (100·d) floor-division arithmetic as
-    pipeline/graph.py:pagerank_integer, so scores match bit-for-bit."""
+    pipeline/graph.py:pagerank_integer, so scores match bit-for-bit.
+    Mirrors the full-node-universe retention: a node with no in-edges
+    holds PR_BASE and keeps contributing (on the symmetric co-purchase
+    fixture this coincides with the dst-only form, so values are
+    unchanged; on general digraphs it is the correct semantics)."""
     return (
-        f"{out} AS (SELECT e.dst AS pk, "
-        f"CAST(150000 + sum((r.r * 85 * e.w) // (100 * deg.d)) AS BIGINT) AS r "
+        f"{out}c AS (SELECT e.dst, "
+        f"CAST(sum((r.r * 85 * e.w) // (100 * deg.d)) AS BIGINT) AS s "
         f"FROM e JOIN {prev} r ON e.src = r.pk "
-        "JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        "JOIN deg ON deg.src = e.src GROUP BY e.dst), "
+        f"{out} AS (SELECT n.pk, "
+        f"CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r "
+        f"FROM nodes n LEFT JOIN {out}c c ON c.dst = n.pk)"
     )
 
 
-@q(
-    "copurchase_pagerank",
+_PR_SQL = (
     f"WITH {_PR_EDGES}, "
-    "r0 AS (SELECT src AS pk, CAST(1000000 AS BIGINT) AS r FROM deg), "
+    "r0 AS (SELECT pk, CAST(1000000 AS BIGINT) AS r FROM nodes), "
     + _pr_round("r0", "r1") + ", "
     + _pr_round("r1", "r2") + ", "
     + _pr_round("r2", "r3") + " "
     "SELECT pk AS part_key, r AS score FROM r3 "
-    "ORDER BY r DESC, pk LIMIT 20",
+    "ORDER BY r DESC, pk LIMIT 20"
 )
+
+
+@q("copurchase_pagerank", _PR_SQL)
 def _copurchase_pagerank(spark, sf_dir):
     """Top-20 parts by damped co-purchase centrality (pipeline/graph.py:
     pagerank_integer over copurchase_edges): 3 fixed rounds of integer
     micro-unit PageRank — (r·85·w) DIV (100·deg) floor division, so the
     unrolled DuckDB CTE twin reproduces every score exactly. Edges from
     per-order pair expansion (bounded by order size², never corpus²);
-    each round broadcasts the |parts|-sized rank table into the edge
-    join."""
+    oracle mode pins the broadcast join path (each round broadcasts the
+    |parts|-sized rank table into the edge join — right for item graphs
+    where |V| ≪ |E|)."""
     from .pipeline.graph import copurchase_edges, pagerank_integer
 
     li = load_table(spark, sf_dir, "lineitem")
-    ranks = pagerank_integer(copurchase_edges(li), iterations=3)
+    ranks = pagerank_integer(
+        copurchase_edges(li), iterations=3, join_impl="broadcast"
+    )
+    return (
+        ranks.select(F.col("pk").alias("part_key"), F.col("r").alias("score"))
+        .orderBy(F.desc("score"), F.asc("part_key"))
+        .limit(20)
+    )
+
+
+@q("copurchase_pagerank_shuffle", _PR_SQL)
+def _copurchase_pagerank_shuffle(spark, sf_dir):
+    """The broadcast-exceeding-|V| PageRank path (pipeline/graph.py:
+    pagerank_integer join_impl="shuffle"): edges hash-partitioned by src
+    once, each round shuffle-joins only the |V|-sized rank table — the
+    plan a billion-node graph needs, where a rank-table broadcast would
+    blow the executor. Integer micro-unit arithmetic makes the two
+    physical paths bit-identical, so this row shares the broadcast
+    row's unrolled-CTE oracle — engine agreement here IS the parity
+    proof at driver level (pytest pins it on an asymmetric digraph
+    too)."""
+    from .pipeline.graph import copurchase_edges, pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = pagerank_integer(
+        copurchase_edges(li), iterations=3, join_impl="shuffle"
+    )
     return (
         ranks.select(F.col("pk").alias("part_key"), F.col("r").alias("score"))
         .orderBy(F.desc("score"), F.asc("part_key"))
@@ -3607,20 +3648,23 @@ def _select_token_budget_by(spark, sf_dir):
 def _lpa_round(prev: str, out: str) -> str:
     """One unrolled deterministic-LPA round as DuckDB CTEs — same
     weight-argmax with (w DESC, label ASC) tie-break as
-    pipeline/graph.py:label_propagation."""
+    pipeline/graph.py:label_propagation, including the full-universe
+    carry-forward (a voteless node keeps its previous label)."""
     return (
         f"{out}v AS (SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS ws "
         f"FROM e JOIN {prev} l ON e.src = l.pk GROUP BY 1, 2), "
-        f"{out} AS (SELECT dst AS pk, label FROM ("
+        f"{out}t AS (SELECT dst, label FROM ("
         f"SELECT dst, label, row_number() OVER (PARTITION BY dst "
-        f"ORDER BY ws DESC, label ASC) AS rn FROM {out}v) WHERE rn = 1)"
+        f"ORDER BY ws DESC, label ASC) AS rn FROM {out}v) WHERE rn = 1), "
+        f"{out} AS (SELECT p.pk, coalesce(t.label, p.label) AS label "
+        f"FROM {prev} p LEFT JOIN {out}t t ON t.dst = p.pk)"
     )
 
 
 @q(
     "copurchase_communities",
     f"WITH {_PR_EDGES}, "
-    "l0 AS (SELECT DISTINCT src AS pk, src AS label FROM e), "
+    "l0 AS (SELECT pk, pk AS label FROM nodes), "
     + _lpa_round("l0", "l1") + ", "
     + _lpa_round("l1", "l2") + ", "
     + _lpa_round("l2", "l3") + " "

@@ -1160,32 +1160,44 @@ def test_graph_ops_match_pure_python_reference_on_random_graphs(spark):
         deg = {}
         for s_, d_, w_ in edges:
             deg[s_] = deg.get(s_, 0) + w_
-        # python reference: 3 synchronous integer rounds
-        r = {u: PR_UNIT for u in deg}
+        nodes = {s_ for s_, _, _ in edges} | {d_ for _, d_, _ in edges}
+        # python reference: 3 synchronous integer rounds over the FULL
+        # node universe — src-only nodes hold PR_BASE and keep
+        # contributing; random digraphs here ARE asymmetric, so this
+        # exercises exactly the semantics the round-8 fix changed
+        r = {u: PR_UNIT for u in nodes}
         for _ in range(3):
             nxt = {}
             for s_, d_, w_ in edges:
-                if s_ in r:
-                    nxt[d_] = nxt.get(d_, 0) + (r[s_] * 85 * w_) // (100 * deg[s_])
-            r = {v: PR_BASE + c for v, c in nxt.items()}
-        lab = {u: u for u in deg}
+                nxt[d_] = nxt.get(d_, 0) + (r[s_] * 85 * w_) // (100 * deg[s_])
+            r = {v: PR_BASE + nxt.get(v, 0) for v in nodes}
+        lab = {u: u for u in nodes}
         for _ in range(3):
             votes = {}
             for s_, d_, w_ in edges:
-                if s_ in lab:
-                    key = (d_, lab[s_])
-                    votes[key] = votes.get(key, 0) + w_
+                key = (d_, lab[s_])
+                votes[key] = votes.get(key, 0) + w_
             nxt_lab = {}
             for (d_, l_), w_ in votes.items():
                 cur = nxt_lab.get(d_)
                 if cur is None or (w_, -l_) > (cur[1], -cur[0]):
                     nxt_lab[d_] = (l_, w_)
-            lab = {d_: l_ for d_, (l_, _) in nxt_lab.items()}
+            lab = {
+                v: nxt_lab[v][0] if v in nxt_lab else lab[v] for v in nodes
+            }
         df = spark.createDataFrame(edges, "src long, dst long, w long")
         got_r = {x.pk: x.r for x in pagerank_integer(df, iterations=3).collect()}
         assert got_r == r, f"pagerank mismatch seed={seed}"
         got_l = {x.pk: x.label for x in label_propagation(df, iterations=3).collect()}
         assert got_l == lab, f"lpa mismatch seed={seed}"
+        # the shuffle-join physical path is bit-identical (integer math)
+        got_rs = {
+            x.pk: x.r
+            for x in pagerank_integer(
+                df, iterations=3, join_impl="shuffle"
+            ).collect()
+        }
+        assert got_rs == r, f"pagerank shuffle-path mismatch seed={seed}"
 
 
 def test_funnel_windowed_enforces_order_and_deadline(spark):

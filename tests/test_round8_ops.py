@@ -1,0 +1,132 @@
+"""Round-8 additions: general-digraph PageRank/LPA semantics (src-only
+node retention), the shuffle-join PageRank path, pHash banding recall,
+corpus-adaptive semantic-dedup k, and the tiled raster layout."""
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_pagerank_retains_src_only_nodes_hand_computed(spark):
+    """Asymmetric digraph 1→2, 2→3, 3→2: node 1 has no in-edges. Under
+    general damped PageRank it holds PR_BASE every round and KEEPS
+    contributing to node 2 (the pre-round-8 dst-keyed rank table
+    dropped it after round one, erasing its round-2+ contributions).
+    Hand-computed 3 rounds of the integer recurrence."""
+    from openeo_odc_driver_spark.pipeline.graph import pagerank_integer
+
+    edges = _edges(spark, [(1, 2, 1), (2, 3, 1), (3, 2, 1)])
+    got = {r.pk: r.r for r in pagerank_integer(edges, iterations=3).collect()}
+    # r1: 1=150000; 2=150000+850000+850000=1850000; 3=150000+850000=1000000
+    # r2: 1=150000; 2=150000+127500+850000=1127500; 3=150000+1572500=1722500
+    # r3: 1=150000; 2=150000+127500+1464125=1741625; 3=150000+958375=1108375
+    assert got == {1: 150000, 2: 1741625, 3: 1108375}
+    # both physical paths agree bit-for-bit
+    shuffle = {
+        r.pk: r.r
+        for r in pagerank_integer(
+            edges, iterations=3, join_impl="shuffle"
+        ).collect()
+    }
+    assert shuffle == got
+
+
+def test_pagerank_auto_dispatch_and_bad_impl(spark):
+    import pytest
+
+    from openeo_odc_driver_spark.pipeline.graph import pagerank_integer
+
+    edges = _edges(spark, [(1, 2, 1), (2, 1, 1)])
+    with pytest.raises(ValueError, match="join_impl"):
+        pagerank_integer(edges, join_impl="cartesian")
+    # auto with a tiny broadcast ceiling takes the shuffle path; scores
+    # are identical either way (integer arithmetic)
+    small = {
+        r.pk: r.r
+        for r in pagerank_integer(
+            edges, iterations=2, join_impl="auto", broadcast_max_nodes=1
+        ).collect()
+    }
+    big = {
+        r.pk: r.r
+        for r in pagerank_integer(
+            edges, iterations=2, join_impl="auto", broadcast_max_nodes=10**9
+        ).collect()
+    }
+    assert small == big
+
+
+def test_label_propagation_carries_voteless_nodes_forward(spark):
+    """Node 1 (no in-edges) keeps its own label every round; node 3
+    (dst-only sink) gets a label row at all — both were dropped by the
+    pre-round-8 votes-only label table."""
+    from openeo_odc_driver_spark.pipeline.graph import label_propagation
+
+    edges = _edges(spark, [(1, 2, 5), (2, 3, 1)])
+    got = {
+        r.pk: r.label
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    # round1: 2←1 (label 1), 3←2 (label 2), 1 keeps 1
+    # round2: 2←1 (still label 1), 3←2's label=1, 1 keeps 1
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_token_length_histogram_empty_doc_bucket(spark):
+    """split('') is [''] (size 1) in both engines — empty and
+    whitespace-only docs must still land in bucket −1 with 0 tokens
+    (round-8 ADVICE fix: the −1 branch used to be unreachable)."""
+    from openeo_odc_driver_spark.pipeline.stats import (
+        token_length_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.log2_bucket: (r.n_docs, r.sum_tokens)
+        for r in token_length_histogram(docs).collect()
+    }
+    assert got == {-1: (2, 0), 0: (1, 1), 2: (1, 4)}
+
+
+def test_audio_features_reject_non_pcm16_mono(spark):
+    """A stereo WAV payload raises a named error instead of producing
+    silently wrong features (round-8 ADVICE fix)."""
+    import io
+    import wave
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 64)
+    from openeo_odc_driver_spark.pipeline.multimodal import (
+        audio_spectral_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, audio binary"
+    )
+    with pytest.raises(Exception, match="PCM16 mono"):
+        audio_spectral_features(df).collect()
+
+
+def test_bm25_query_term_with_quote_is_safe(spark):
+    """A query term containing a single quote must neither crash nor
+    inject into the tf expression (round-8 ADVICE fix: the tf lambda
+    was a string-formatted F.expr)."""
+    from openeo_odc_driver_spark.pipeline.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "o'brien wrote code"), (2, "nobody wrote anything")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25_fp for r in bm25_scores(docs, "o'brien").collect()}
+    assert got[1] > 0 and got[2] == 0
