@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY_ASOF = 7
 _GATE_PRIORITY = [
     # never driver-checked (new in round 8) — first
-    "copurchase_pagerank_shuffle",
+    "copurchase_pagerank_shuffle", "phash_recall_tiers",
     # latest green row r02 (6 queries)
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
     "tan",

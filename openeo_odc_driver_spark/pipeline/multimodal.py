@@ -517,26 +517,80 @@ def image_phash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(hash_batch, out_schema)
 
 
+def phash_band_slices(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) slices of the 64-bit pHash for the banding
+    join: ``max_hamming + 1`` near-equal-width bands, so a pair within
+    Hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    bits and by pigeonhole leaves AT LEAST ONE band untouched —
+    candidate recall at the verify threshold is exactly 1, a theorem
+    rather than an expectation (round-8 fix: the old fixed 4×16-bit
+    banding only guaranteed recall to Hamming ≤ 3 while the default
+    verify threshold was 10, and the cross-codec plant measured the
+    gap at 15/16)."""
+    if not 0 <= max_hamming <= 32:
+        raise ValueError(
+            f"max_hamming must be in [0, 32] (got {max_hamming}); above "
+            "32 the banding would need >33 bands of <2 bits and the "
+            "bucket join degenerates toward all-pairs"
+        )
+    nb = max_hamming + 1
+    w, extra = divmod(64, nb)
+    slices, start = [], 0
+    for i in range(nb):
+        width = w + (1 if i < extra else 0)
+        slices.append((start, width))
+        start += width
+    return slices
+
+
+def phash_band_value_sql(start: int, width: int, div_op: str = "DIV") -> str:
+    """SQL expression for bits ``[start, start+width)`` of the 64-bit
+    hash stored as four 16-bit words ``ph0..ph3`` — per-word integer
+    div/mod only (a slice of width ≤ 16 spans at most two adjacent
+    words), so every intermediate stays < 2^16 and neither engine can
+    overflow (reassembling the full 64-bit value overflows signed int64
+    whenever bit 63 is set). ``div_op``: "DIV" for Spark SQL, "//" for
+    DuckDB — the one dialect difference."""
+    w0, o = divmod(start, 16)
+    lo_bits = 16 - o
+    if width <= lo_bits:
+        return f"((ph{w0} {div_op} {1 << o}) % {1 << width})"
+    hi = width - lo_bits
+    return (
+        f"((ph{w0} {div_op} {1 << o}) "
+        f"+ (ph{w0 + 1} % {1 << hi}) * {1 << lo_bits})"
+    )
+
+
 def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Image near-dup pairs from pHash fingerprints: candidates share at
-    least one exact 16-bit band (the simhash banding argument — a pair
-    within Hamming distance d differs in ≤ d of 64 bits, so with 4
-    bands some band is untouched whenever d < 4·... in expectation; for
-    verbatim/near-verbatim images d is ~0 and every band matches);
-    each candidate then verifies EXACTLY with an integer Hamming
-    distance — four ``bit_count(xor(...))`` terms, engine-identical.
+    least one exact band of the 64-bit hash, where the banding is
+    DERIVED from the verify threshold — ``max_hamming + 1`` near-equal
+    bit-slices (``phash_band_slices``), so any pair at Hamming distance
+    ≤ ``max_hamming`` is guaranteed a shared band by pigeonhole and
+    candidate recall at the threshold is 1 (gated by the
+    phash_recall_tiers oracle row). Each candidate then verifies
+    EXACTLY with an integer Hamming distance — four
+    ``bit_count(xor(...))`` terms, engine-identical.
 
     Never all-pairs: the band self-join is the only pair generator.
-    Output: (doc_a, doc_b, hamming).
+    Candidate volume scales as ``(max_hamming+1) · Σ_bucket n_b²`` with
+    ~2^(64/(max_hamming+1)) buckets per band — tighter thresholds give
+    exponentially finer buckets, so choose the smallest ``max_hamming``
+    the use case needs. Output: (doc_a, doc_b, hamming).
     """
+    slices = phash_band_slices(max_hamming)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.expr(phash_band_value_sql(s, width, "DIV"))
+            .cast("int")
+            .alias("bv"),
+        )
+        for i, (s, width) in enumerate(slices)
+    ]
     bands = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("bi"), F.col(f"ph{i}").alias("bv"))
-                for i in range(4)
-            ])
-        ).alias("bk"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
     cand = (
         bands.alias("a")

@@ -3763,13 +3763,28 @@ def _multimodal_image_phash(spark, sf_dir):
     return image_phash(_phash_corpus(spark, sf_dir))
 
 
-_PH_BANDS_CTE = (
-    "b AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS bi, ph{i} AS bv FROM p" for i in range(4)
-    )
-    + ")"
+# threshold-derived banding (pipeline/multimodal.py:phash_band_slices):
+# imported, not copied, so the oracle's banding can't drift from the
+# engine's — max_hamming+1 near-equal bit-slices of the 64-bit hash,
+# pigeonhole-complete at the verify threshold
+from .pipeline.multimodal import (
+    phash_band_slices as _ph_slices,
+    phash_band_value_sql as _ph_bv,
 )
+
+
+def _ph_bands_cte(max_hamming: int, src: str = "p") -> str:
+    return (
+        "b AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS bi, {_ph_bv(s, w, '//')} AS bv "
+            f"FROM {src}"
+            for i, (s, w) in enumerate(_ph_slices(max_hamming))
+        )
+        + ")"
+    )
+
+
 _PH_HAMMING = " + ".join(
     f"bit_count(xor(pa.ph{i}, pb.ph{i}))" for i in range(4)
 )
@@ -3778,7 +3793,7 @@ _PH_HAMMING = " + ".join(
 @q(
     "multimodal_phash_near_dup",
     "WITH p AS (" + values_oracle_sql("multimodal_image_phash") + "), "
-    f"{_PH_BANDS_CTE}, "
+    f"{_ph_bands_cte(10)}, "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b "
     "FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv "
     "AND a.doc_id < b2.doc_id) "
@@ -3789,17 +3804,129 @@ _PH_HAMMING = " + ".join(
 )
 def _multimodal_phash_near_dup(spark, sf_dir):
     """Cross-codec image near-dup pairs (pipeline/multimodal.py:
-    phash_near_dup_pairs): band-bucket candidates over the four 16-bit
-    pHash bands (never all-pairs), exact integer Hamming verify — the
-    oracle runs the SAME banding + bit_count(xor) relational logic in
-    DuckDB over the pinned phash fixture, so this row checks real
-    cross-engine logic, not a snapshot. The planted JPEG re-encodes
-    pair with their PNG twins at small Hamming distance; unrelated
-    seeds stay apart."""
+    phash_near_dup_pairs): band-bucket candidates over threshold-derived
+    bit-slice bands (max_hamming+1 bands → pigeonhole-complete recall at
+    the verify threshold; never all-pairs), exact integer Hamming
+    verify — the oracle runs the SAME banding + bit_count(xor)
+    relational logic in DuckDB over the pinned phash fixture, so this
+    row checks real cross-engine logic, not a snapshot. The planted
+    JPEG re-encodes pair with their PNG twins at small Hamming
+    distance; unrelated seeds stay apart."""
     from .pipeline.multimodal import image_phash, phash_near_dup_pairs
 
     return phash_near_dup_pairs(
         image_phash(_phash_corpus(spark, sf_dir)), max_hamming=10
+    )
+
+
+# recall-tier plant for the pHash detector: md5-derived 64-bit base
+# hashes (SQL-expressible in both engines), planted copies XORed with
+# fixed masks of popcount 0 / 4 / 8 / 12 spread across all four words —
+# tiers 0/4/8 sit INSIDE the max_hamming=10 guarantee (pigeonhole says
+# recall 1, so n_found = n_planted is a theorem the row pins), tier 12
+# sits beyond the verify threshold (n_found = 0).
+_PH_TIER_MASKS = [
+    (0, 0, 0, 0),
+    (0x0001, 0x0010, 0x0100, 0x1000),  # popcount 4
+    (0x0003, 0x0030, 0x0300, 0x3000),  # popcount 8
+    (0x0007, 0x0070, 0x0700, 0x7000),  # popcount 12
+]
+_PH_BASE_D = ", ".join(
+    f"CAST(('0x' || substring(md5(text), {4 * i + 1}, 4)) AS INT) AS ph{i}"
+    for i in range(4)
+)
+
+
+def _ph_mask_case_d(word: int) -> str:
+    m = _PH_TIER_MASKS
+    return (
+        f"CASE doc_id % 4 WHEN 0 THEN {m[0][word]} WHEN 1 THEN "
+        f"{m[1][word]} WHEN 2 THEN {m[2][word]} ELSE {m[3][word]} END"
+    )
+
+
+@q(
+    "phash_recall_tiers",
+    f"WITH base AS (SELECT doc_id, {_PH_BASE_D} FROM documents), "
+    "p AS (SELECT doc_id, ph0, ph1, ph2, ph3 FROM base UNION ALL "
+    "SELECT doc_id + 8000000, "
+    + ", ".join(
+        f"CAST(xor(ph{i}, {_ph_mask_case_d(i)}) AS INT)" for i in range(4)
+    )
+    + " FROM base WHERE doc_id < 40), "
+    f"{_ph_bands_cte(10)}, "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b "
+    "FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv "
+    "AND a.doc_id < b2.doc_id), "
+    "v AS (SELECT c.doc_a, c.doc_b FROM cand c "
+    "JOIN p pa ON c.doc_a = pa.doc_id "
+    "JOIN p pb ON c.doc_b = pb.doc_id "
+    f"WHERE {_PH_HAMMING} <= 10), "
+    "f AS (SELECT CAST(doc_a % 4 AS INT) AS tier, "
+    "CAST(count(*) AS BIGINT) AS n_found FROM v "
+    "WHERE doc_b - doc_a = 8000000 AND doc_a < 40 GROUP BY 1), "
+    "t AS (SELECT CAST(doc_id % 4 AS INT) AS tier, "
+    "CAST(count(*) AS BIGINT) AS n_planted FROM documents "
+    "WHERE doc_id < 40 GROUP BY 1) "
+    "SELECT t.tier, t.n_planted, "
+    "CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found "
+    "FROM t LEFT JOIN f ON t.tier = f.tier",
+)
+def _phash_recall_tiers(spark, sf_dir):
+    """Empirical recall of the pHash near-dup detector pinned per
+    Hamming tier (the minhash_recall_tiers pattern, round-8 VERDICT
+    item 2): 40 planted copies at exact distances 0/4/8/12 from their
+    md5-derived base hashes. Distances ≤ 10 are INSIDE the pigeonhole
+    guarantee of the threshold-derived banding, so full recall is a
+    theorem this row turns into a gated value (the old fixed 4×16-bit
+    banding measured 15/16 on the cross-codec plant); distance 12 is
+    beyond the verify threshold, so zero. Entirely static SQL — both
+    engines build the same hashes, plants, bands, and verification."""
+    from .pipeline.multimodal import phash_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    ph = [
+        F.expr(
+            f"CAST(conv(substring(md5(text), {4 * i + 1}, 4), 16, 10) AS INT)"
+        ).alias(f"ph{i}")
+        for i in range(4)
+    ]
+    base = docs.select("doc_id", *ph)
+    m = _PH_TIER_MASKS
+
+    def _mask_case(word: int):
+        return F.expr(
+            f"CASE doc_id % 4 WHEN 0 THEN {m[0][word]} WHEN 1 THEN "
+            f"{m[1][word]} WHEN 2 THEN {m[2][word]} ELSE {m[3][word]} END"
+        )
+
+    plants = base.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        *[
+            (F.col(f"ph{i}").bitwiseXOR(_mask_case(i)))
+            .cast("int")
+            .alias(f"ph{i}")
+            for i in range(4)
+        ],
+    )
+    pairs = phash_near_dup_pairs(
+        base.unionByName(plants), max_hamming=10
+    )
+    found = (
+        pairs.where(
+            ((F.col("doc_b") - F.col("doc_a")) == 8000000)
+            & (F.col("doc_a") < 40)
+        )
+        .groupBy((F.col("doc_a") % 4).cast("int").alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    tiers = base.where(F.col("doc_id") < 40).groupBy(
+        (F.col("doc_id") % 4).cast("int").alias("tier")
+    ).agg(F.count(F.lit(1)).alias("n_planted"))
+    return tiers.join(found, "tier", "left").select(
+        "tier",
+        "n_planted",
+        F.coalesce(F.col("n_found"), F.lit(0)).cast("bigint").alias("n_found"),
     )
 
 
