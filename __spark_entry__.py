@@ -57,6 +57,7 @@ _GATE_PRIORITY_ASOF = 7
 _GATE_PRIORITY = [
     # never driver-checked (new in round 8) — first
     "copurchase_pagerank_shuffle", "phash_recall_tiers",
+    "semantic_dedup_auto",
     # latest green row r02 (6 queries)
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
     "tan",

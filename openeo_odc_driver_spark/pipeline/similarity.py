@@ -686,9 +686,35 @@ def assign_nearest_centroid_vectorized(
 VECTORIZE_K_THRESHOLD = 64  # auto assign dispatch: fold below, matmul at/above
 
 
+def centroids_for_corpus(
+    n_vectors: int,
+    target_cluster_size: int = 1024,
+    min_centroids: int = 16,
+    max_centroids: int = 1 << 20,
+) -> int:
+    """Corpus-adaptive centroid count for :func:`semantic_dedup_clusters`:
+    enough clusters that the EXPECTED cluster size ``n / k`` stays
+    ≈ ``target_cluster_size``, so within-cluster pair work
+    (Σ cluster² ≈ n·m) grows LINEARLY with the corpus instead of n²/k
+    under a fixed k (measured 16.06× wall at 10× rows with the old
+    fixed k=16 — the worst ratio in the round-7 scale table; VERDICT
+    r7 item 3). The sibling knobs already work this way
+    (:func:`planes_for_corpus`, ``bands_for_corpus``); SemDeDup itself
+    scales k with the corpus (~100k clusters for ~5B embeddings —
+    tens of thousands of vectors per cluster; the smaller default here
+    keeps per-cluster BLAS blocks comfortably in-memory and is the
+    same Σm² = n·m total work per unit corpus)."""
+    import math
+
+    if n_vectors <= 0:
+        return min_centroids
+    need = math.ceil(n_vectors / target_cluster_size)
+    return max(min_centroids, min(max_centroids, need))
+
+
 def semantic_dedup_clusters(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     assign_impl: str = "auto",
@@ -705,9 +731,13 @@ def semantic_dedup_clusters(
     Plan: centroid assignment is the ivf_flat_ann machinery (broadcast
     centroids, one pass, one row_number); the dedup test is a self
     equi-join ON cluster id only — pairwise work is O(Σ cluster²), never
-    corpus², and a 100 TB run bounds cluster sizes by raising
-    n_centroids (the paper uses ~100k clusters for ~5B embeddings).
-    Skewed clusters split under AQE; the join is shuffle-partitioned by
+    corpus². ``n_centroids=None`` (the SHIPPED default since round 8)
+    derives k from the corpus via :func:`centroids_for_corpus` (one
+    count job, amortized over the whole dedup), holding expected
+    cluster size — and therefore per-vector pair work — constant as
+    the corpus grows; pass an int to pin k (the oracle-mode gate rows
+    pin 16/160 with a drift assert on the auto choice). Skewed
+    clusters split under AQE; the join is shuffle-partitioned by
     cluster id.
 
     ``assign_impl`` picks the centroid-assignment engine; the shipped
@@ -724,6 +754,8 @@ def semantic_dedup_clusters(
     20k×160 by tests/test_round6_ops.py).
     """
     if centroids is None:
+        if n_centroids is None:
+            n_centroids = centroids_for_corpus(embeddings.count())
         k_known = n_centroids
         centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")

@@ -1423,6 +1423,28 @@ def _semantic_dedup(spark, sf_dir):
     )
 
 
+@q("semantic_dedup_auto", _semantic_dedup_sql(_SEM_NC))
+def _semantic_dedup_auto(spark, sf_dir):
+    """The SHIPPED DEFAULT path (n_centroids=None →
+    centroids_for_corpus): the corpus-adaptive k derivation runs for
+    real inside semantic_dedup_clusters and lands on the k this row's
+    static SQL twin pins (drift-asserted — the minhash_lsh_pairs_auto
+    pattern). Expected cluster size stays constant as the corpus
+    grows, so pair work scales linearly instead of n²/k (round-8
+    VERDICT item 3)."""
+    from .pipeline.similarity import centroids_for_corpus
+
+    e = _embs(spark, sf_dir)
+    got = centroids_for_corpus(e.count())
+    if got != _SEM_NC:
+        raise AssertionError(
+            f"centroids_for_corpus picked {got} on the fixture; oracle "
+            f"SQL pins {_SEM_NC} — corpus size changed, regenerate the "
+            "semantic_dedup_auto twin"
+        )
+    return psim.semantic_dedup_clusters(e, threshold=_SEM_TAU)
+
+
 @q("semantic_dedup_vectorized_k160", _semantic_dedup_sql(160))
 def _semantic_dedup_vectorized_k160(spark, sf_dir):
     """semantic_dedup_clusters at 160 pseudo-centroids — at or above

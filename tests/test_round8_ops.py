@@ -187,6 +187,44 @@ def test_phash_near_dup_recall_guaranteed_vs_brute_force(spark):
         assert got == brute, f"recall/precision mismatch at mh={mh}"
 
 
+def test_centroids_for_corpus_holds_cluster_size():
+    """k grows linearly with the corpus above the clamp floor, so
+    expected cluster size (and per-vector pair work) stays constant."""
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        centroids_for_corpus,
+    )
+
+    assert centroids_for_corpus(0) == 16
+    assert centroids_for_corpus(500) == 16  # floor clamp (fixture scale)
+    assert centroids_for_corpus(1024 * 100) == 100
+    # 10x corpus -> 10x centroids -> constant expected cluster size
+    assert centroids_for_corpus(1024 * 1000) == 1000
+    assert centroids_for_corpus(10**12, max_centroids=1 << 20) == 1 << 20
+
+
+def test_semantic_dedup_auto_k_matches_pinned_on_fixture_shape(spark):
+    """n_centroids=None (shipped default) derives k from the corpus;
+    at sub-floor corpus sizes it equals the pinned oracle-mode k, so
+    the auto census is identical to the k=16 census."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.pipeline.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 1, (120, 8))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(emb)],
+        "vec_id long, embedding array<double>",
+    )
+    auto = sorted(map(tuple, semantic_dedup_clusters(e).collect()))
+    pinned = sorted(
+        map(tuple, semantic_dedup_clusters(e, n_centroids=16).collect())
+    )
+    assert auto == pinned
+
+
 def test_bm25_query_term_with_quote_is_safe(spark):
     """A query term containing a single quote must neither crash nor
     inject into the tf expression (round-8 ADVICE fix: the tf lambda
