@@ -94,7 +94,87 @@ BENCH_QUERIES = [
     "event_session_type_pairs",
     "tpch_q18_large_orders",
     "copurchase_pagerank",
+    # round 8
+    "copurchase_pagerank_shuffle",
+    "semantic_dedup_auto",
+    "phash_recall_tiers",
+    "tiled_roundtrip",
+    "tiled_reduce_time_mean",
+    "tiled_apply_kernel",
 ]
+
+
+def tiled_layout_compare(spark) -> dict:
+    """SURVEY §1.4 evidence: the same NDVI-shaped raster (3 bands × 12
+    months × 512×512 px) written as long-format parquet vs tiled-layout
+    parquet (tile=256, pixels packed as array<double>), then the time-
+    mean reduced from each. Reports on-disk bytes per layout (for a
+    full-scene op, storage bytes ARE scan bytes) and the reduce wall —
+    the per-pixel key overhead long format pays at 10^12 px is exactly
+    the `long_bytes / tiled_bytes` ratio here."""
+    import shutil
+    import tempfile
+
+    from openeo_odc_driver_spark.core.tiled import (
+        TiledCube,
+        reduce_time_mean_tiled,
+        to_tiled,
+    )
+    from openeo_odc_driver_spark.sources.synthetic import (
+        CubeSpec,
+        synthetic_cube,
+    )
+
+    spec = CubeSpec(n_times=12, ny=512, nx=512)
+    cube = synthetic_cube(spark, spec)
+    work = tempfile.mkdtemp(prefix="tiled_bench_")
+    out: dict = {}
+    try:
+        long_path, tiled_path = f"{work}/long", f"{work}/tiled"
+        cube.df.write.mode("overwrite").parquet(long_path)
+        tc = to_tiled(cube, tile=256, n_y=512, n_x=512)
+        tc.df.write.mode("overwrite").parquet(tiled_path)
+
+        def du(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+
+        t0 = time.time()
+        (
+            spark.read.parquet(long_path)
+            .where("band IN ('B04', 'B08')")
+            .groupBy("band", "y", "x")
+            .agg({"value": "avg"})
+            .write.format("noop").mode("overwrite").save()
+        )
+        long_sec = time.time() - t0
+        t1 = time.time()
+        rb = TiledCube(
+            spark.read.parquet(tiled_path).where("band IN ('B04', 'B08')"),
+            cube.schema,
+            256,
+            512,
+            512,
+        )
+        reduce_time_mean_tiled(rb).df.write.format("noop").mode(
+            "overwrite"
+        ).save()
+        tiled_sec = time.time() - t1
+        out = {
+            "pixels": spec.ny * spec.nx * spec.n_times * len(spec.bands),
+            "long_bytes": du(long_path),
+            "tiled_bytes": du(tiled_path),
+            "bytes_ratio": round(du(long_path) / max(du(tiled_path), 1), 2),
+            "long_mean_sec": round(long_sec, 3),
+            "tiled_mean_sec": round(tiled_sec, 3),
+        }
+        print(f"[bench] tiled_layout: {out}", file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -135,6 +215,7 @@ def main() -> None:
                 pass
 
     times: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -143,6 +224,17 @@ def main() -> None:
         # died wholesale on one streaming AnalysisException): isolate
         # per-query, report the error, keep the JSON line parsable
         try:
+            # Cache-state hygiene (round-8 task #5): every query block
+            # starts with an EMPTY Spark cache — a persisted handle
+            # leaked by an earlier query (the dedup family persists
+            # signature tables and releases them per call) must not
+            # subsidize this one, so the per-query numbers are
+            # self-contained and reproducible run-over-run. JVM/page
+            # cache stays warm by design (`cache_state` in the payload
+            # names the regime); the 6-10x cold-DISK swing belongs to
+            # the fresh-session scale harness (scratch/scale_probe),
+            # never to cross-query ordering inside one bench process.
+            spark.catalog.clearCache()
             # JMH-style hygiene: collect BETWEEN query blocks so garbage
             # from earlier queries' runs isn't paid as a mid-measurement
             # major-GC pause (observed: a similarity query at 9-11 s in
@@ -163,11 +255,16 @@ def main() -> None:
             print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         times[name] = round(min(runs), 3)
+        # the first run of a block pays whatever state best-of hides
+        # (codegen, cleared cache, page-cache misses) — recording it
+        # makes the warm/cold gap per query visible instead of implicit
+        first_run[name] = round(runs[0], 3)
         print(
             f"[bench] {name}: " + " ".join(f"{r:.3f}" for r in runs),
             file=sys.stderr,
         )
 
+    tiled = tiled_layout_compare(spark)
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_queries_wall",
@@ -184,6 +281,16 @@ def main() -> None:
         # fixture-scale stages (measured: repetition_scores 0.9s at load
         # 0.4 vs 2.0s at load 3.8, see PLANS.md) — stamp it for forensics
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # measurement regime, stamped explicitly (round-8 task #5): the
+        # headline numbers are warm-JVM best-of-N minima with the Spark
+        # cache CLEARED before every query block — reproducible and
+        # self-contained, but NOT cold-disk numbers (those live in the
+        # fresh-session scale tables in PLANS.md)
+        "cache_state": "warm-jvm best-of-n, per-query clearCache",
+        "first_run": first_run,
+        # SURVEY §1.4 tiled layout: storage + wall comparison of the
+        # long vs tiled parquet layouts on the NDVI-shaped cube
+        "tiled_layout": tiled,
     }
     if errors:
         payload["errors"] = errors

@@ -1,0 +1,370 @@
+"""The SURVEY §1.4 tiled raster layout — the storage/scale tier of the
+cube model.
+
+Long format (`core/cube.py`) is the correctness tier: one row per
+pixel-observation, every operator a relational plan. At raster scale
+(10^12 pixels) the per-pixel schema overhead dominates scan bytes — a
+pixel is 8 payload bytes carrying ~32 bytes of (band, time, y, x) keys.
+The tiled layout stores one row per ``(band, time, tile_row, tile_col)``
+with the pixels as a dense row-major ``data: array<double>`` of length
+``tile²`` (NULL elements ≙ nodata, exactly the long form's NULL
+``value``), so the coordinate keys amortize over tile² pixels and the
+payload is contiguous — the same chunking decision the reference makes
+with 1000×1000×1 dask chunks (``load_odc_collection.py:130``), expressed
+as a DataFrame layout instead of a runtime chunk graph.
+
+Design rules:
+
+- **Lossless for dense rasters.** ``from_tiled(to_tiled(cube)) ≡ cube``
+  whenever the long cube has one row per grid cell (the reference's
+  cubes are dense xarray arrays, so this is the operative case; the
+  round-trip is oracle-gated). Cells past the scene edge in partial
+  tiles are NULL padding in storage and are dropped on expansion using
+  the scene dims carried on the handle.
+- **Operators run natively on tiles** where the access pattern wants
+  whole tiles: :func:`reduce_time_mean_tiled` folds the time axis
+  element-wise per tile (one shuffle keyed by (band, tile) — same
+  exchange count as the long reducer, tile²× fewer rows), and
+  :func:`apply_kernel_tiled_layout` does the classic halo exchange —
+  each tile is replicated to its 8 neighbors and one `applyInPandas`
+  per target tile runs the stencil on a 3T×3T canvas (shuffle volume
+  9× tile bytes, independent of kernel size; the long-format
+  shift-and-sum scatter shuffles k²× pixel rows instead).
+- **Everything stays engine-exact.** The fixture's dyadic-rational
+  values make sums order-free, the time fold sorts by timestamp, and
+  the kernel math is the same shift-multiply-add the long path does —
+  all three tiled ops share their DuckDB oracles with the long-format
+  rows they mirror.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .cube import BAND, TIME, VALUE, X, Y, Cube, CubeSchema
+
+
+@dataclass
+class TiledCube:
+    """Tiled-layout handle: DataFrame ``(band [, time], tile_row,
+    tile_col, data)`` plus the metadata needed to expand back — the
+    cube schema (grid geometry, dims), the tile edge, and the scene
+    dims in pixels (to drop edge padding)."""
+
+    df: DataFrame
+    schema: CubeSchema
+    tile: int
+    n_y: int
+    n_x: int
+
+    @property
+    def key_dims(self) -> list[str]:
+        return [d for d in (BAND, TIME) if d in self.schema.dims]
+
+
+def _indices(cube: Cube):
+    grid = cube.schema.grid
+    if grid is None:
+        raise ValueError("to_tiled needs a GridSpec to derive pixel indices")
+    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    return x_idx, y_idx
+
+
+def to_tiled(
+    cube: Cube,
+    tile: int = 256,
+    n_y: int | None = None,
+    n_x: int | None = None,
+) -> TiledCube:
+    """Long → tiled: one aggregation keyed by (band, time, tile_row,
+    tile_col); each group assembles its dense row-major pixel array via
+    a position map (missing / nodata cells stay NULL). Scene dims are
+    probed with one tiny max-index aggregate when not supplied (pass
+    them to keep the plan action-free — sources that know their grid
+    statically should).
+
+    Scale shape: the groupBy is the ONLY exchange, its key count is
+    pixels/tile² (e.g. 10^12 px → 15 M rows at tile=256), and each
+    group's state is one fixed-size array — no skew (every tile has
+    exactly tile² candidate cells)."""
+    if tile < 1:
+        raise ValueError(f"tile must be >= 1, got {tile}")
+    x_idx, y_idx = _indices(cube)
+    if n_y is None or n_x is None:
+        ext = cube.df.agg(
+            (F.max(y_idx) + 1).alias("ny"), (F.max(x_idx) + 1).alias("nx")
+        ).collect()[0]
+        n_y = int(ext.ny) if n_y is None else n_y
+        n_x = int(ext.nx) if n_x is None else n_x
+    keys = [d for d in (BAND, TIME) if d in cube.schema.dims]
+    pos = ((y_idx % tile) * tile + (x_idx % tile)).cast("int")
+    staged = cube.df.select(
+        *keys,
+        (y_idx / tile).cast("int").alias("tile_row"),
+        (x_idx / tile).cast("int").alias("tile_col"),
+        pos.alias("_pos"),
+        VALUE,
+    )
+    # Dense-array assembly in O(tile²): sort the collected (pos, value)
+    # entries once, then emit each entry preceded by NULL filler for the
+    # gap since the previous position (+ trailing filler) — missing
+    # cells become NULL padding. A map_from_entries + element_at lookup
+    # is the "obvious" spelling but Spark's ArrayBasedMapData lookup is
+    # O(n), making the tile O(tile⁴) — 4.3e9 comparisons per 256-tile
+    # (measured: hung the bench). LET idiom binds the sorted entries
+    # once (interpreted HOFs get no CSE).
+    T2 = tile * tile
+    assemble = (
+        "transform(array(array_sort(collect_list(struct(_pos, value)))), "
+        "es -> concat("
+        "  flatten(transform(sequence(0, size(es) - 1), k -> concat("
+        "    array_repeat(CAST(NULL AS DOUBLE), "
+        "      es[k]._pos - CASE WHEN k = 0 THEN -1 "
+        "      ELSE es[k - 1]._pos END - 1), "
+        "    array(es[k].value)))), "
+        f"  array_repeat(CAST(NULL AS DOUBLE), "
+        f"    {T2} - 1 - es[size(es) - 1]._pos)))[0]"
+    )
+    df = (
+        staged.groupBy(*keys, "tile_row", "tile_col")
+        .agg(F.expr(assemble).alias("data"))
+    )
+    return TiledCube(df, cube.schema, tile, n_y, n_x)
+
+
+def from_tiled(tc: TiledCube) -> Cube:
+    """Tiled → long: posexplode each tile's array back to pixel rows,
+    derive coordinates from the grid, and drop the out-of-scene padding
+    of partial edge tiles. Zero exchanges — a pure scan-fused expansion
+    (the Generate and the projection pipeline inside one stage)."""
+    grid = tc.schema.grid
+    T = tc.tile
+    keys = tc.key_dims
+    exploded = tc.df.select(
+        *keys,
+        "tile_row",
+        "tile_col",
+        F.posexplode_outer("data").alias("_pos", VALUE),
+    )
+    y_idx = F.col("tile_row").cast("long") * T + (F.col("_pos") / T).cast(
+        "long"
+    )
+    x_idx = F.col("tile_col").cast("long") * T + F.col("_pos") % T
+    df = (
+        exploded.where((y_idx < tc.n_y) & (x_idx < tc.n_x))
+        .select(
+            *keys,
+            (F.lit(grid.y0) - F.lit(grid.resy) * y_idx).alias(Y),
+            (F.lit(grid.x0) + F.lit(grid.resx) * x_idx).alias(X),
+            VALUE,
+        )
+    )
+    return Cube(df, tc.schema)
+
+
+def reduce_time_mean_tiled(tc: TiledCube, impl: str = "auto") -> TiledCube:
+    """Mean over the time axis natively on tiles: one aggregation keyed
+    by (band, tile_row, tile_col) — NULL elements are skipped exactly
+    like the long reducer's ``avg(value)`` skips NULL rows, and an
+    all-NULL position stays NULL.
+
+    Two physical engines behind the same semantics (the
+    ``assign_impl`` dispatch pattern):
+
+    - ``"sql"`` — a time-sorted element-wise sum+count fold in pure SQL
+      higher-order functions. Engine-exact (the oracle-mode gate row
+      pins it at tile=8), but interpreted lambdas cost ~µs per element
+      — fine for small tiles, wrong for 256² arrays (measured: the SQL
+      fold LOST to the long-format codegen avg, 5.8 s vs 3.6 s on
+      9.4 M px).
+    - ``"numpy"`` — Arrow-batched ``applyInPandas`` per tile group:
+      stack the group's arrays, one vectorized nansum/count. The scale
+      path. Same ulp caveat as `assign_nearest_centroid_vectorized`
+      (numpy's pairwise sums vs sequential folds); exact on dyadic
+      inputs, pinned ≡ sql on the fixture by pytest.
+    - ``"auto"`` (default): numpy at/above ``TILE_VECTORIZE_CELLS``
+      cells per tile, sql below.
+
+    Scale shape vs the long reducer: the same single exchange, but
+    keyed by tile (tile²× fewer, perfectly uniform keys) and carrying
+    packed arrays instead of per-pixel rows; group state is bounded by
+    n_times · tile² doubles (24×256² ≈ 12 MB — sized so a tile-group
+    fits comfortably in an executor task)."""
+    if TIME not in tc.schema.dims:
+        raise ValueError("reduce_time_mean_tiled needs a time dimension")
+    T2 = tc.tile * tc.tile
+    if impl == "auto":
+        impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+    if impl == "numpy":
+        df = _reduce_time_mean_numpy(tc, T2)
+    elif impl == "sql":
+        # LET idiom: the sorted collect_list binds ONCE as lambda var
+        # `ds` (interpreted HOFs get no CSE — a staged alias would
+        # re-evaluate)
+        fold = (
+            "transform(array(array_sort(collect_list(struct(time, data)))), "
+            "ds -> zip_with("
+            f"  aggregate(ds, array_repeat(CAST(0.0 AS DOUBLE), {T2}), "
+            "    (acc, s) -> zip_with(acc, s.data, "
+            "      (a, v) -> a + coalesce(v, CAST(0.0 AS DOUBLE)))), "
+            f"  aggregate(ds, array_repeat(CAST(0 AS BIGINT), {T2}), "
+            "    (acc, s) -> zip_with(acc, s.data, "
+            "      (a, v) -> a + CASE WHEN v IS NULL THEN 0 ELSE 1 END)), "
+            "  (s, c) -> CASE WHEN c = 0 THEN NULL ELSE s / c END))[0]"
+        )
+        df = (
+            tc.df.groupBy(BAND, "tile_row", "tile_col")
+            .agg(F.expr(fold).alias("data"))
+            .select(BAND, "tile_row", "tile_col", "data")
+        )
+    else:
+        raise ValueError(
+            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
+    return TiledCube(
+        df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x
+    )
+
+
+TILE_VECTORIZE_CELLS = 4096  # auto dispatch: sql fold below, numpy at/above
+
+
+def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # np.asarray(dtype=float64) maps None -> nan in C — never walk
+        # the 65k elements in Python (measured: the comprehension cost
+        # more than the reduction)
+        stack = np.array(
+            [np.asarray(d, dtype="float64") for d in pdf["data"]]
+        )
+        counts = (~np.isnan(stack)).sum(axis=0)
+        sums = np.nansum(stack, axis=0)
+        with np.errstate(invalid="ignore"):
+            mean = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+        row0 = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                BAND: [row0[BAND]],
+                "tile_row": [int(row0["tile_row"])],
+                "tile_col": [int(row0["tile_col"])],
+                "data": [
+                    [None if np.isnan(v) else float(v) for v in mean]
+                ],
+            }
+        )
+
+    return tc.df.groupBy(BAND, "tile_row", "tile_col").applyInPandas(
+        fold, f"{BAND} string, tile_row int, tile_col int, data array<double>"
+    )
+
+
+def apply_kernel_tiled_layout(
+    tc: TiledCube,
+    kernel: Sequence[Sequence[float]],
+    factor: float = 1.0,
+) -> TiledCube:
+    """2-D convolution natively on tiles (border ``constant 0`` — the
+    reference default) via halo exchange: every tile is shipped to its
+    8 neighbors and itself (shuffle volume exactly 9× the raster, no
+    dependence on kernel size), and one Arrow-batched ``applyInPandas``
+    per target tile lays the ≤9 pieces on a 3T×3T canvas and runs the
+    stencil as k² shifted slice-multiply-adds in numpy.
+
+    Semantics match the long-format :func:`~..operators.kernel.
+    apply_kernel` exactly (cross-parity pytest): NULL neighbors and
+    out-of-scene cells contribute 0, NULL centers stay NULL, the result
+    scales by ``factor``. Kernel radius must fit the halo (≤ tile).
+
+    This is the 100 TB kernel plan: the long-format scatter shuffles k²
+    weighted rows per pixel, the gather two full exchanges — here the
+    exchange is 9 tile rows per tile regardless of k, and the stencil
+    itself is BLAS-free contiguous numpy."""
+    import numpy as np
+    import pandas as pd
+
+    kh, kw = len(kernel), len(kernel[0])
+    ry, rx = kh // 2, kw // 2
+    T = tc.tile
+    if max(ry, rx) > T:
+        raise ValueError(
+            f"kernel radius ({max(ry, rx)}) exceeds tile ({T}); "
+            "halo exchange covers one neighbor ring"
+        )
+    if TIME in tc.schema.dims:
+        keys = [BAND, TIME]
+    else:
+        keys = [BAND]
+    kmat = np.array([[float(w) for w in row] for row in kernel])
+    fac = float(factor)
+
+    # replicate each tile to itself + 8 neighbors, tagged with its
+    # position relative to the TARGET tile
+    drdc = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dr} AS dr, {dc} AS dc)"
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        )
+        + "))"
+    )
+    pieces = tc.df.select(*keys, "tile_row", "tile_col", "data", drdc.alias("_n")).select(
+        *keys,
+        (F.col("tile_row") + F.col("_n.dr")).alias("_tr"),
+        (F.col("tile_col") + F.col("_n.dc")).alias("_tc"),
+        (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
+        (-F.col("_n.dc")).alias("_pc"),
+        "data",
+    ).where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+
+    out_fields = ", ".join(
+        f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
+    )
+    out_schema = (
+        f"{out_fields}, tile_row int, tile_col int, data array<double>"
+    )
+
+    def stencil(pdf: pd.DataFrame) -> pd.DataFrame:
+        has_center = ((pdf["_pr"] == 0) & (pdf["_pc"] == 0)).any()
+        if not has_center:  # halo-only group: target tile doesn't exist
+            return pd.DataFrame(
+                columns=[*keys, "tile_row", "tile_col", "data"]
+            )
+        canvas = np.full((3 * T, 3 * T), np.nan)
+        for _, r in pdf.iterrows():
+            arr = np.asarray(r["data"], dtype="float64").reshape(T, T)
+            pr, pc = int(r["_pr"]) + 1, int(r["_pc"]) + 1
+            canvas[pr * T:(pr + 1) * T, pc * T:(pc + 1) * T] = arr
+        filled = np.nan_to_num(canvas, nan=0.0)
+        acc = np.zeros((T, T))
+        for dy in range(kh):
+            for dx in range(kw):
+                w = kmat[dy, dx]
+                if w == 0.0:
+                    continue
+                acc += w * filled[
+                    T + dy - ry:2 * T + dy - ry, T + dx - rx:2 * T + dx - rx
+                ]
+        acc *= fac
+        center = canvas[T:2 * T, T:2 * T]
+        acc[np.isnan(center)] = np.nan
+        row0 = pdf.iloc[0]
+        out = {k: [row0[k]] for k in keys}
+        out["tile_row"] = [int(row0["_tr"])]
+        out["tile_col"] = [int(row0["_tc"])]
+        out["data"] = [
+            [None if np.isnan(v) else float(v) for v in acc.reshape(-1)]
+        ]
+        return pd.DataFrame(out)
+
+    df = pieces.groupBy(*keys, "_tr", "_tc").applyInPandas(
+        stencil, out_schema
+    )
+    return TiledCube(df, tc.schema, T, tc.n_y, tc.n_x)

@@ -687,6 +687,66 @@ def _apply_kernel_tiled(spark, sf_dir):
     ).df
 
 
+# ---- SURVEY §1.4 tiled raster layout (core/tiled.py) -----------------
+# The storage/scale tier: one row per (band, time, tile), pixels packed
+# as array<double>. Every tiled op expands back to long format for the
+# gate, sharing the oracle of the long-format op it mirrors — engine
+# agreement proves the layout is lossless AND the native-tile compute
+# matches the relational plan.
+
+
+@q("tiled_roundtrip", CUBE_D)
+def _tiled_roundtrip(spark, sf_dir):
+    """from_tiled(to_tiled(cube)) ≡ cube (core/tiled.py): the pack →
+    expand round trip over partial edge tiles (tile=5 on a 16×16 scene
+    exercises right/bottom padding) against the raw cube oracle —
+    pixel-lossless including NULL nodata."""
+    from .core.tiled import from_tiled, to_tiled
+
+    return from_tiled(to_tiled(synthetic_cube(spark), tile=5)).df
+
+
+@q(
+    "tiled_reduce_time_mean",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, avg(value) AS value FROM cube GROUP BY band, y, x",
+)
+def _tiled_reduce_time_mean(spark, sf_dir):
+    """Time-mean natively on tiles (core/tiled.py:
+    reduce_time_mean_tiled — element-wise sorted fold over the packed
+    arrays, one tile-keyed exchange) expanded back to long; shares
+    reduce_time_mean's oracle, so the fold must reproduce avg(value)
+    per pixel exactly (NULL elements skipped, all-NULL stays NULL).
+    Oracle mode pins impl="sql" (the engine-exact fold); the numpy
+    scale path is pinned ≡ sql by pytest."""
+    from .core.tiled import from_tiled, reduce_time_mean_tiled, to_tiled
+
+    return from_tiled(
+        reduce_time_mean_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), impl="sql"
+        )
+    ).df
+
+
+@q("tiled_apply_kernel", _KERNEL_ORACLE)
+def _tiled_apply_kernel(spark, sf_dir):
+    """Convolution natively on tiles (core/tiled.py:
+    apply_kernel_tiled_layout — halo exchange, 9× tile shuffle
+    independent of kernel size, numpy stencil per target tile) against
+    the same oracle as the long-format scatter and gather plans: three
+    physical strategies, one pinned semantics. tile=8 forces real
+    cross-tile halos on the 16×16 scene."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(synthetic_cube(spark), tile=8),
+            _KERNEL,
+            factor=_KERNEL_FACTOR,
+        )
+    ).df
+
+
 # border-mode oracles: per-center source index remapped into the scene
 # (replicate = clamp, reflect = edge-inclusive mirror over 0..15)
 _BORDER_MAP = {

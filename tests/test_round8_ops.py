@@ -225,6 +225,114 @@ def test_semantic_dedup_auto_k_matches_pinned_on_fixture_shape(spark):
     assert auto == pinned
 
 
+def _tiled_mod():
+    from openeo_odc_driver_spark.core import tiled
+
+    return tiled
+
+
+def test_tiled_roundtrip_lossless_across_tile_sizes(spark):
+    """from_tiled(to_tiled(cube)) reproduces the dense long cube
+    exactly — including NULL nodata — for tile sizes that divide the
+    scene (8, 16) and ones that leave partial edge tiles (5, 7)."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import BAND, TIME, VALUE, X, Y
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    cols = [BAND, TIME, Y, X, VALUE]
+    orig = (
+        cube.df.toPandas()[cols]
+        .sort_values(cols[:4])
+        .reset_index(drop=True)
+    )
+    for tile in (5, 7, 8, 16):
+        tc = t.to_tiled(cube, tile=tile)
+        assert tc.n_y == 16 and tc.n_x == 16
+        rt = (
+            t.from_tiled(tc).df.toPandas()[cols]
+            .sort_values(cols[:4])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(orig, rt, check_exact=True)
+
+
+def test_tiled_time_mean_matches_long_reducer(spark):
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import BAND, VALUE, X, Y
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    cols = [BAND, Y, X, VALUE]
+    long = (
+        reduce_dimension(cube, "time", "mean").df.toPandas()[cols]
+        .sort_values(cols[:3]).reset_index(drop=True)
+    )
+    tc = t.to_tiled(cube, tile=7)
+    for impl in ("sql", "numpy"):
+        tiled = (
+            t.from_tiled(t.reduce_time_mean_tiled(tc, impl=impl))
+            .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(long, tiled, check_exact=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        t.reduce_time_mean_tiled(tc, impl="nope")
+
+
+def test_tiled_kernel_matches_long_scatter(spark):
+    """Halo-exchange stencil ≡ the long-format shift-and-sum scatter,
+    including NULL-center preservation and cross-tile halos (tile=4 on
+    16×16 → every interior tile needs all 8 neighbors)."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import BAND, TIME, VALUE, X, Y
+    from openeo_odc_driver_spark.operators.kernel import apply_kernel
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    K = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
+    cols = [BAND, TIME, Y, X, VALUE]
+    long = (
+        apply_kernel(cube, K, factor=2.0).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    tiled = (
+        t.from_tiled(
+            t.apply_kernel_tiled_layout(t.to_tiled(cube, tile=4), K, factor=2.0)
+        ).df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(long, tiled, check_exact=True)
+
+
+def test_tiled_error_contracts(spark):
+    import pytest
+
+    from openeo_odc_driver_spark.core.cube import Cube, CubeSchema
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    with pytest.raises(ValueError, match="tile"):
+        t.to_tiled(cube, tile=0)
+    gridless = Cube(cube.df, CubeSchema(dims=cube.schema.dims))
+    with pytest.raises(ValueError, match="GridSpec"):
+        t.to_tiled(gridless, tile=8)
+    tc = t.to_tiled(cube, tile=2)
+    with pytest.raises(ValueError, match="radius"):
+        t.apply_kernel_tiled_layout(tc, [[1.0] * 7] * 7)
+    flat = t.reduce_time_mean_tiled(tc)
+    with pytest.raises(ValueError, match="time"):
+        t.reduce_time_mean_tiled(flat)
+
+
 def test_bm25_query_term_with_quote_is_safe(spark):
     """A query term containing a single quote must neither crash nor
     inject into the tf expression (round-8 ADVICE fix: the tf lambda
