@@ -68,10 +68,33 @@ def write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"wrote {name}: {table.num_rows} rows -> {path}", flush=True)
 
 
+def zipf_tokens(rng: np.random.Generator, total: int,
+                v: int = 50_000, s: float = 1.1) -> np.ndarray:
+    """Heavy-tailed token stream: vocabulary of ``v`` synthetic words
+    with Zipf rank-frequency p(rank) ∝ rank^-s — the realistic text
+    regime (the default 31-word dense vocabulary is the ADVERSARIAL
+    regime for LSH banding probes: every shingle collides; PLANS.md
+    round-7 notes it as good stress, unrepresentative density; VERDICT
+    r7 item 7 asks for this counterpart). Inverse-CDF sampling via
+    searchsorted (np.random.choice with a 50k-entry p is slow)."""
+    ranks = np.arange(1, v + 1, dtype="float64")
+    p = ranks ** -s
+    cdf = np.cumsum(p / p.sum())
+    idx = np.searchsorted(cdf, rng.random(total), side="right")
+    words = np.array([f"w{i}" for i in range(v)])
+    return words[np.minimum(idx, v - 1)]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--vocab", choices=("dense", "zipf"), default="dense",
+        help="documents vocabulary: dense = the 31-word high-collision "
+        "stress regime (default, matches prior rounds' tables); zipf = "
+        "50k-word heavy-tailed realistic regime",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -175,14 +198,26 @@ def main() -> int:
         rng.integers(0, 20, nd)
     ]
     lens = rng.integers(10, 111, nd)
-    vocab_arr = np.array(VOCAB)
     texts: list[str] = []
-    for i in range(nd):
-        if i > 0 and i % 613 == 0:  # ~0.16% exact duplicates (dedup work)
-            texts.append(texts[i - 1])
-            continue
-        toks = vocab_arr[rng.integers(0, len(VOCAB), lens[i])]
-        texts.append(" ".join(toks))
+    if args.vocab == "zipf":
+        stream = zipf_tokens(rng, int(lens.sum()))
+        off = 0
+        for i in range(nd):
+            ln = int(lens[i])
+            if i > 0 and i % 613 == 0:  # same dup rate as dense mode
+                texts.append(texts[i - 1])
+                off += ln
+                continue
+            texts.append(" ".join(stream[off:off + ln]))
+            off += ln
+    else:
+        vocab_arr = np.array(VOCAB)
+        for i in range(nd):
+            if i > 0 and i % 613 == 0:  # ~0.16% exact duplicates (dedup work)
+                texts.append(texts[i - 1])
+                continue
+            toks = vocab_arr[rng.integers(0, len(VOCAB), lens[i])]
+            texts.append(" ".join(toks))
     write(args.out, "documents", pa.table({
         "doc_id": pa.array(np.arange(nd), pa.int64()),
         "text": texts,
