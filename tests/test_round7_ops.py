@@ -788,9 +788,11 @@ def test_token_length_histogram_buckets(spark):
     )
     got = {r.log2_bucket: (r.n_docs, r.min_tokens, r.max_tokens)
            for r in token_length_histogram(docs).collect()}
-    # "" splits to one empty token? no: trim+split of "" gives [""] size 1
-    # -> doc 0 counts 1 token in Spark semantics, same in DuckDB
-    assert got[0] == (2, 1, 1)          # docs 0 ("" -> 1 token) and 1
+    # split("") is [""] (size 1) in both engines, so empty text is gated
+    # on trimmed length and truly counts 0 tokens (round-8 ADVICE fix —
+    # previously doc 0 silently counted as a 1-token doc)
+    assert got[-1] == (1, 0, 0)         # doc 0: "" -> 0 tokens
+    assert got[0] == (1, 1, 1)          # doc 1
     assert got[1] == (2, 2, 3)          # 2 and 3 tokens
     assert got[2] == (1, 4, 4)          # exactly 4 = bucket 2
     assert got[3] == (1, 8, 8)          # exactly 8 = bucket 3
