@@ -246,6 +246,13 @@ def main() -> None:
             # 2.2x swings on queries with zero source changes), and the
             # extra runs cost little exactly when they are needed
             while len(runs) < 3 or (len(runs) < 5 and min(runs) < 2.0):
+                if runs:
+                    # also collect BETWEEN runs within a block: a major
+                    # GC landing mid-run showed as a 42 s outlier in a
+                    # 7 s query's block (r8 back-to-back reproducibility
+                    # runs) — the min survives, but the pause wastes a
+                    # full run's wall and can eat every retry under load
+                    spark._jvm.System.gc()
                 t0 = time.time()  # single-run numbers on a shared local JVM
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
