@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "tiled_roundtrip",
     "tiled_reduce_time_mean",
     "tiled_apply_kernel",
+    "tiled_ndvi_median",
 ]
 
 

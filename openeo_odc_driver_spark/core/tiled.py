@@ -265,6 +265,89 @@ def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
     )
 
 
+def normalized_difference_tiled(
+    tc: TiledCube,
+    band_a: str = "B08",
+    band_b: str = "B04",
+    out_band: str = "ndvi",
+) -> TiledCube:
+    """Per-pixel normalized difference (a−b)/(a+b) natively on tiles:
+    ONE equi-join of the two band slices on (time, tile) and one
+    zip_with over the packed arrays — NULL where either side is NULL
+    or the sum is 0, exactly the long-format
+    ``normalized_difference_cols`` semantics. The join key count is
+    tiles, not pixels (tile²× smaller build side than the long-format
+    band pivot), and the arithmetic stays JVM-side."""
+    keys = [d for d in (TIME,) if d in tc.schema.dims]
+    a = tc.df.where(F.col(BAND) == band_a).select(
+        *keys, "tile_row", "tile_col", F.col("data").alias("_a")
+    )
+    b = tc.df.where(F.col(BAND) == band_b).select(
+        *keys, "tile_row", "tile_col", F.col("data").alias("_b")
+    )
+    nd = F.expr(
+        "zip_with(_a, _b, (x, y) -> (x - y) / nullif(x + y, CAST(0.0 AS DOUBLE)))"
+    )
+    df = a.join(b, [*keys, "tile_row", "tile_col"]).select(
+        F.lit(out_band).alias(BAND),
+        *keys,
+        "tile_row",
+        "tile_col",
+        nd.alias("data"),
+    )
+    return TiledCube(
+        df, tc.schema.with_bands((out_band,)), tc.tile, tc.n_y, tc.n_x
+    )
+
+
+def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
+    """Exact per-pixel median over the time axis natively on tiles —
+    the flagship NDVI shape's reducer. NULL elements are skipped
+    (matching the long reducer's ``percentile(value, 0.5)``), an
+    all-NULL position stays NULL, and even counts interpolate the two
+    middle values — numpy's median rule, identical to Spark
+    ``percentile`` and DuckDB ``quantile_cont`` at q=0.5 (exact on the
+    dyadic fixture: sorting plus one mean of two dyadics).
+
+    numpy-only engine (no sql fold mode): a per-position sort in
+    interpreted HOF lambdas is O(tile² · n_t log n_t) interpreted
+    evaluations per tile — the vectorized ``np.nanmedian`` over the
+    stacked (n_t, tile²) block is the only sensible physical plan, and
+    its exactness on the gate fixture is an arithmetic argument, not a
+    hope (pinned against the long reducer by oracle + pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    if TIME not in tc.schema.dims:
+        raise ValueError("reduce_time_median_tiled needs a time dimension")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack = np.array(
+            [np.asarray(d, dtype="float64") for d in pdf["data"]]
+        )
+        all_nan = np.isnan(stack).all(axis=0)
+        # nanmedian warns on all-nan slices; mask them out first
+        safe = np.where(all_nan[None, :], 0.0, stack)
+        med = np.nanmedian(safe, axis=0)
+        med[all_nan] = np.nan
+        row0 = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                BAND: [row0[BAND]],
+                "tile_row": [int(row0["tile_row"])],
+                "tile_col": [int(row0["tile_col"])],
+                "data": [
+                    [None if np.isnan(v) else float(v) for v in med]
+                ],
+            }
+        )
+
+    df = tc.df.groupBy(BAND, "tile_row", "tile_col").applyInPandas(
+        fold, f"{BAND} string, tile_row int, tile_col int, data array<double>"
+    )
+    return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
+
+
 def apply_kernel_tiled_layout(
     tc: TiledCube,
     kernel: Sequence[Sequence[float]],

@@ -747,6 +747,40 @@ def _tiled_apply_kernel(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_ndvi_median",
+    f"WITH cube AS ({CUBE_D}), wide AS ("
+    "SELECT time, y, x, "
+    "max(CASE WHEN band = 'B04' THEN value END) AS b04, "
+    "max(CASE WHEN band = 'B08' THEN value END) AS b08 "
+    "FROM cube GROUP BY time, y, x) "
+    "SELECT y, x, "
+    "quantile_cont((b08 - b04) / nullif(b08 + b04, 0.0), 0.5) AS ndvi_median "
+    "FROM wide GROUP BY y, x",
+)
+def _tiled_ndvi_median(spark, sf_dir):
+    """The flagship NDVI-median shape executed ENTIRELY on the tiled
+    layout (core/tiled.py): pack → per-pixel normalized difference as
+    one tile-keyed equi-join + zip_with (join key count = tiles, not
+    pixels) → exact per-pixel time median via the numpy tile fold →
+    expand. The oracle is the independent long-format SQL (band pivot +
+    quantile_cont), so the whole tiled pipeline — band math, NULL
+    propagation, median interpolation, padding drop — must agree
+    pixel-exactly with the relational plan."""
+    from .core.tiled import (
+        from_tiled,
+        normalized_difference_tiled,
+        reduce_time_median_tiled,
+        to_tiled,
+    )
+
+    tc = to_tiled(synthetic_cube(spark), tile=8)
+    nd = normalized_difference_tiled(tc, "B08", "B04")
+    return from_tiled(reduce_time_median_tiled(nd)).df.select(
+        Y, X, F.col(VALUE).alias("ndvi_median")
+    )
+
+
 # border-mode oracles: per-center source index remapped into the scene
 # (replicate = clamp, reflect = edge-inclusive mirror over 0..15)
 _BORDER_MAP = {

@@ -312,6 +312,50 @@ def test_tiled_kernel_matches_long_scatter(spark):
     pd.testing.assert_frame_equal(long, tiled, check_exact=True)
 
 
+def test_tiled_ndvi_median_matches_long_pipeline(spark):
+    """The full flagship shape on tiles — band math + exact time
+    median — against the same computation written relationally on the
+    long cube, including NULL propagation (either band NULL → NULL,
+    zero sum → NULL) and even-count interpolation."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    long = (
+        cube.df.groupBy("time", "y", "x")
+        .agg(
+            *[
+                F.max(F.when(F.col("band") == b, F.col("value"))).alias(b)
+                for b in ("B04", "B08")
+            ]
+        )
+        .selectExpr(
+            "y", "x",
+            "(B08 - B04) / nullif(B08 + B04, CAST(0.0 AS DOUBLE)) AS nd",
+        )
+        .groupBy("y", "x")
+        .agg(F.expr("percentile(nd, 0.5D)").alias("value"))
+        .toPandas()
+        .sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    tc = t.to_tiled(cube, tile=5)  # partial tiles on purpose
+    tiled = (
+        t.from_tiled(
+            t.reduce_time_median_tiled(
+                t.normalized_difference_tiled(tc, "B08", "B04")
+            )
+        )
+        .df.select("y", "x", "value")
+        .toPandas()
+        .sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        long[["y", "x", "value"]], tiled, check_exact=True
+    )
+
+
 def test_tiled_error_contracts(spark):
     import pytest
 
