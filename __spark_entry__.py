@@ -58,7 +58,7 @@ _GATE_PRIORITY = [
     # never driver-checked (new in round 8) — first
     "copurchase_pagerank_shuffle", "phash_recall_tiers",
     "semantic_dedup_auto", "tiled_roundtrip", "tiled_reduce_time_mean",
-    "tiled_apply_kernel", "tiled_ndvi_median",
+    "tiled_apply_kernel", "tiled_ndvi_median", "tiled_save_load",
     # latest green row r02 (6 queries)
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
     "tan",

@@ -265,6 +265,65 @@ def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
     )
 
 
+def save_tiled(tc: TiledCube, path: str, partition_by_band: bool = True) -> str:
+    """Persist the tiled layout as partitioned parquet + a metadata
+    sidecar — the storage tier, not just an in-memory transform.
+
+    Layout: parquet partitioned by ``band`` (partition pruning for
+    band-subset queries — the NDVI shape reads 2 of N bands without
+    touching the rest), rows sorted within partitions by (tile_row,
+    tile_col) write order as produced. The handle metadata the
+    DataFrame can't carry (tile edge, scene dims, grid geometry, dims,
+    band order, CRS) lands in ``_tiled_meta.json`` next to the files —
+    the corpus sink's manifest discipline: the directory is
+    self-describing, a reader needs no side channel."""
+    import json
+    import os
+
+    grid = tc.schema.grid
+    meta = {
+        "tile": tc.tile,
+        "n_y": tc.n_y,
+        "n_x": tc.n_x,
+        "dims": list(tc.schema.dims),
+        "bands": list(tc.schema.bands),
+        "crs": tc.schema.crs,
+        "grid": None
+        if grid is None
+        else {"x0": grid.x0, "y0": grid.y0, "resx": grid.resx, "resy": grid.resy},
+    }
+    w = tc.df.write.mode("overwrite")
+    if partition_by_band:
+        w = w.partitionBy(BAND)
+    w.parquet(path)
+    with open(os.path.join(path, "_tiled_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def load_tiled(spark, path: str) -> TiledCube:
+    """Read a :func:`save_tiled` directory back into a TiledCube — the
+    sidecar restores everything the parquet schema can't express. Band/
+    tile predicates applied by the caller prune at the scan (band is a
+    hive partition column; tile_row/tile_col carry parquet min/max)."""
+    import json
+    import os
+
+    from .cube import CubeSchema, GridSpec
+
+    with open(os.path.join(path, "_tiled_meta.json")) as fh:
+        meta = json.load(fh)
+    g = meta.get("grid")
+    schema = CubeSchema(
+        dims=tuple(meta["dims"]),
+        bands=tuple(meta["bands"]),
+        crs=meta.get("crs"),
+        grid=None if g is None else GridSpec(**g),
+    )
+    df = spark.read.parquet(path)
+    return TiledCube(df, schema, meta["tile"], meta["n_y"], meta["n_x"])
+
+
 def normalized_difference_tiled(
     tc: TiledCube,
     band_a: str = "B08",

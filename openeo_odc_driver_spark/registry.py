@@ -747,6 +747,24 @@ def _tiled_apply_kernel(spark, sf_dir):
     ).df
 
 
+@q("tiled_save_load", CUBE_D)
+def _tiled_save_load(spark, sf_dir):
+    """The tiled STORAGE tier round trip (core/tiled.py: save_tiled →
+    load_tiled → from_tiled): band-partitioned parquet + the
+    _tiled_meta.json sidecar restoring tile/scene/grid metadata, then
+    expanded back to long against the raw cube oracle — a reader needs
+    no side channel beyond the directory itself. Band partition
+    pruning on this layout is pinned in pytest (a one-band read scans
+    only that band's files)."""
+    import tempfile
+
+    from .core.tiled import from_tiled, load_tiled, save_tiled, to_tiled
+
+    path = tempfile.mkdtemp(prefix="tiled_store_") + "/cube"
+    save_tiled(to_tiled(synthetic_cube(spark), tile=8), path)
+    return from_tiled(load_tiled(spark, path)).df
+
+
 @q(
     "tiled_ndvi_median",
     f"WITH cube AS ({CUBE_D}), wide AS ("

@@ -356,6 +356,43 @@ def test_tiled_ndvi_median_matches_long_pipeline(spark):
     )
 
 
+def test_tiled_storage_roundtrip_and_band_pruning(spark, tmp_path):
+    """save_tiled/load_tiled: the sidecar restores tile/scene/grid
+    metadata exactly, the expanded cube matches the original, and a
+    band filter prunes at the partition level — a one-band read
+    touches ONLY that band's files."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=8)
+    path = str(tmp_path / "cube")
+    t.save_tiled(tc, path)
+    back = t.load_tiled(spark, path)
+    assert (back.tile, back.n_y, back.n_x) == (8, 16, 16)
+    assert back.schema.grid == cube.schema.grid
+    assert back.schema.bands == cube.schema.bands
+    cols = ["band", "time", "y", "x", "value"]
+    orig = cube.df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    rt = (
+        t.from_tiled(back).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(orig, rt, check_exact=True)
+    # partition pruning: the band predicate lands in PartitionFilters
+    # (inputFiles() reports the unfiltered relation, so inspect the
+    # physical scan), and the pruned scan reads fewer rows
+    one = back.df.where(SF.col("band") == "B04")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "B04" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert one.count() * 3 == back.df.count()
+
+
 def test_tiled_error_contracts(spark):
     import pytest
 
