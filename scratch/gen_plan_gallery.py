@@ -35,6 +35,19 @@ GALLERY = [
     ("copurchase_triangles",
      "degree-oriented wedge join closed by an EQUI-join (a disjunctive "
      "close degrades to BroadcastNestedLoopJoin — the round-7 lesson)"),
+    ("copurchase_pagerank_shuffle",
+     "round 8: the broadcast-exceeding-|V| path — edges exchanged ONCE "
+     "on src, each round's rank join a shuffled join of the |V|-sized "
+     "table only; full-universe retention joins stay |V|-sized"),
+    ("tiled_ndvi_median",
+     "round 8: the flagship shape natively on the tiled layout — ONE "
+     "tile-keyed equi-join for the band math (key count = tiles, not "
+     "pixels), zip_with fused, one tile-grouped Arrow stage for the "
+     "exact median, scan-fused expansion"),
+    ("tiled_reduce_time_mean",
+     "round 8: pack (one tile-keyed exchange, O(tile^2) gap-fill fold) "
+     "-> element-wise time fold per tile -> expansion with zero "
+     "further exchanges"),
 ]
 
 
