@@ -167,10 +167,9 @@ def from_tiled(tc: TiledCube) -> Cube:
 
 
 def reduce_time_mean_tiled(tc: TiledCube, impl: str = "auto") -> TiledCube:
-    """Mean over the time axis natively on tiles: one aggregation keyed
-    by (band, tile_row, tile_col) — NULL elements are skipped exactly
-    like the long reducer's ``avg(value)`` skips NULL rows, and an
-    all-NULL position stays NULL.
+    """Mean over the time axis natively on tiles — see
+    :func:`reduce_time_tiled` (this is its ``reducer="mean"`` form,
+    kept as the named op the gate row pins).
 
     Two physical engines behind the same semantics (the
     ``assign_impl`` dispatch pattern):
@@ -194,27 +193,98 @@ def reduce_time_mean_tiled(tc: TiledCube, impl: str = "auto") -> TiledCube:
     packed arrays instead of per-pixel rows; group state is bounded by
     n_times · tile² doubles (24×256² ≈ 12 MB — sized so a tile-group
     fits comfortably in an executor task)."""
+    return reduce_time_tiled(tc, "mean", impl=impl)
+
+
+TILE_VECTORIZE_CELLS = 4096  # auto dispatch: sql fold below, numpy at/above
+
+# per-reducer pieces of the sorted element-wise SQL fold: the merge
+# lambda (null elements skipped) and the finisher combining the value
+# fold `s` with the non-null count fold `c` (all-NULL positions → NULL)
+_TILE_SQL_REDUCERS = {
+    "mean": (
+        "(a, v) -> a + coalesce(v, CAST(0.0 AS DOUBLE))",
+        "CASE WHEN c = 0 THEN NULL ELSE s / c END",
+    ),
+    "sum": (
+        "(a, v) -> a + coalesce(v, CAST(0.0 AS DOUBLE))",
+        "CASE WHEN c = 0 THEN NULL ELSE s END",
+    ),
+    "min": (
+        "(a, v) -> CASE WHEN v IS NULL THEN a WHEN a IS NULL THEN v "
+        "WHEN v < a THEN v ELSE a END",
+        "s",
+    ),
+    "max": (
+        "(a, v) -> CASE WHEN v IS NULL THEN a WHEN a IS NULL THEN v "
+        "WHEN v > a THEN v ELSE a END",
+        "s",
+    ),
+}
+
+
+def reduce_time_tiled(
+    tc: TiledCube, reducer: str = "mean", impl: str = "auto"
+) -> TiledCube:
+    """Reduce the time axis natively on tiles — mean / sum / min / max
+    with the long reducer's NULL semantics (NULL elements skipped,
+    all-NULL positions stay NULL).
+
+    Two physical engines behind the same semantics (the
+    ``assign_impl`` dispatch pattern):
+
+    - ``"sql"`` — a time-sorted element-wise fold in pure SQL
+      higher-order functions. Engine-exact (the oracle-mode gate rows
+      pin it at tile=8), but interpreted lambdas cost ~µs per element
+      — fine for small tiles, wrong for 256² arrays (measured: the SQL
+      fold LOST to the long-format codegen avg, 5.8 s vs 3.6 s on
+      9.4 M px).
+    - ``"numpy"`` — Arrow-batched ``applyInPandas`` per tile group:
+      stack the group's arrays, one vectorized nan-reduction. The
+      scale path. Same ulp caveat as
+      `assign_nearest_centroid_vectorized` for mean/sum (numpy's
+      pairwise sums vs sequential folds — exact on dyadic inputs,
+      irrelevant for min/max); pinned ≡ sql on the fixture by pytest.
+    - ``"auto"`` (default): numpy at/above ``TILE_VECTORIZE_CELLS``
+      cells per tile, sql below.
+
+    Scale shape vs the long reducer: the same single exchange, but
+    keyed by tile (tile²× fewer, perfectly uniform keys) and carrying
+    packed arrays instead of per-pixel rows; group state is bounded by
+    n_times · tile² doubles (24×256² ≈ 12 MB — sized so a tile-group
+    fits comfortably in an executor task)."""
     if TIME not in tc.schema.dims:
-        raise ValueError("reduce_time_mean_tiled needs a time dimension")
+        raise ValueError("reduce_time_tiled needs a time dimension")
+    if reducer not in _TILE_SQL_REDUCERS:
+        raise ValueError(
+            f"reducer must be one of {sorted(_TILE_SQL_REDUCERS)}, "
+            f"got {reducer!r} (median has its own op: "
+            "reduce_time_median_tiled)"
+        )
     T2 = tc.tile * tc.tile
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
     if impl == "numpy":
-        df = _reduce_time_mean_numpy(tc, T2)
+        df = _reduce_time_numpy(tc, reducer)
     elif impl == "sql":
+        merge, finish = _TILE_SQL_REDUCERS[reducer]
+        init = (
+            f"array_repeat(CAST(NULL AS DOUBLE), {T2})"
+            if reducer in ("min", "max")
+            else f"array_repeat(CAST(0.0 AS DOUBLE), {T2})"
+        )
         # LET idiom: the sorted collect_list binds ONCE as lambda var
         # `ds` (interpreted HOFs get no CSE — a staged alias would
         # re-evaluate)
         fold = (
             "transform(array(array_sort(collect_list(struct(time, data)))), "
             "ds -> zip_with("
-            f"  aggregate(ds, array_repeat(CAST(0.0 AS DOUBLE), {T2}), "
-            "    (acc, s) -> zip_with(acc, s.data, "
-            "      (a, v) -> a + coalesce(v, CAST(0.0 AS DOUBLE)))), "
+            f"  aggregate(ds, {init}, "
+            f"    (acc, s) -> zip_with(acc, s.data, {merge})), "
             f"  aggregate(ds, array_repeat(CAST(0 AS BIGINT), {T2}), "
             "    (acc, s) -> zip_with(acc, s.data, "
             "      (a, v) -> a + CASE WHEN v IS NULL THEN 0 ELSE 1 END)), "
-            "  (s, c) -> CASE WHEN c = 0 THEN NULL ELSE s / c END))[0]"
+            f"  (s, c) -> {finish}))[0]"
         )
         df = (
             tc.df.groupBy(BAND, "tile_row", "tile_col")
@@ -230,12 +300,16 @@ def reduce_time_mean_tiled(tc: TiledCube, impl: str = "auto") -> TiledCube:
     )
 
 
-TILE_VECTORIZE_CELLS = 4096  # auto dispatch: sql fold below, numpy at/above
-
-
-def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
+def _reduce_time_numpy(tc: TiledCube, reducer: str) -> DataFrame:
     import numpy as np
     import pandas as pd
+
+    nanop = {
+        "mean": None,  # sums/counts below (matches the sql fold exactly)
+        "sum": np.nansum,
+        "min": np.nanmin,
+        "max": np.nanmax,
+    }[reducer]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         # np.asarray(dtype=float64) maps None -> nan in C — never walk
@@ -244,10 +318,17 @@ def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
         stack = np.array(
             [np.asarray(d, dtype="float64") for d in pdf["data"]]
         )
-        counts = (~np.isnan(stack)).sum(axis=0)
-        sums = np.nansum(stack, axis=0)
-        with np.errstate(invalid="ignore"):
-            mean = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+        all_nan = np.isnan(stack).all(axis=0)
+        if reducer == "mean":
+            counts = (~np.isnan(stack)).sum(axis=0)
+            sums = np.nansum(stack, axis=0)
+            with np.errstate(invalid="ignore"):
+                out = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+        else:
+            # nan-reductions warn on all-nan slices; mask them first
+            safe = np.where(all_nan[None, :], 0.0, stack)
+            out = nanop(safe, axis=0)
+            out = np.where(all_nan, np.nan, out)
         row0 = pdf.iloc[0]
         return pd.DataFrame(
             {
@@ -255,7 +336,7 @@ def _reduce_time_mean_numpy(tc: TiledCube, T2: int) -> DataFrame:
                 "tile_row": [int(row0["tile_row"])],
                 "tile_col": [int(row0["tile_col"])],
                 "data": [
-                    [None if np.isnan(v) else float(v) for v in mean]
+                    [None if np.isnan(v) else float(v) for v in out]
                 ],
             }
         )

@@ -728,6 +728,43 @@ def _tiled_reduce_time_mean(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_reduce_time_max",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, max(value) AS value FROM cube GROUP BY band, y, x",
+)
+def _tiled_reduce_time_max(spark, sf_dir):
+    """The generalized tile reducer (core/tiled.py: reduce_time_tiled)
+    at reducer="max" — NULL-aware comparison fold, shares the long
+    reducer's oracle form. Oracle mode pins impl="sql"; numpy parity
+    per reducer is pytest-pinned."""
+    from .core.tiled import from_tiled, reduce_time_tiled, to_tiled
+
+    return from_tiled(
+        reduce_time_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), "max", impl="sql"
+        )
+    ).df
+
+
+@q(
+    "tiled_reduce_time_sum",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, sum(value) AS value FROM cube GROUP BY band, y, x",
+)
+def _tiled_reduce_time_sum(spark, sf_dir):
+    """reduce_time_tiled at reducer="sum": NULL elements skipped,
+    all-NULL positions NULL (the long F.sum semantics) — dyadic fixture
+    values make the fold order-free exact."""
+    from .core.tiled import from_tiled, reduce_time_tiled, to_tiled
+
+    return from_tiled(
+        reduce_time_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), "sum", impl="sql"
+        )
+    ).df
+
+
 @q("tiled_apply_kernel", _KERNEL_ORACLE)
 def _tiled_apply_kernel(spark, sf_dir):
     """Convolution natively on tiles (core/tiled.py:

@@ -284,6 +284,37 @@ def test_tiled_time_mean_matches_long_reducer(spark):
 
     with pytest.raises(ValueError, match="impl"):
         t.reduce_time_mean_tiled(tc, impl="nope")
+    with pytest.raises(ValueError, match="reducer"):
+        t.reduce_time_tiled(tc, "median")
+
+
+def test_tiled_reducers_match_long_across_engines(spark):
+    """sum/min/max per pixel: sql fold == numpy fold == the long
+    relational reducer, including NULL-skip and all-NULL → NULL."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import BAND, VALUE, X, Y
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=7)
+    cols = [BAND, Y, X, VALUE]
+    for red in ("sum", "min", "max"):
+        long = (
+            reduce_dimension(cube, "time", red).df.toPandas()[cols]
+            .sort_values(cols[:3]).reset_index(drop=True)
+        )
+        for impl in ("sql", "numpy"):
+            tiled = (
+                t.from_tiled(t.reduce_time_tiled(tc, red, impl=impl))
+                .df.toPandas()[cols].sort_values(cols[:3])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                long, tiled, check_exact=True,
+            ), f"{red}/{impl}"
 
 
 def test_tiled_kernel_matches_long_scatter(spark):
