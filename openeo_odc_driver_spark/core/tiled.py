@@ -405,6 +405,44 @@ def load_tiled(spark, path: str) -> TiledCube:
     return TiledCube(df, schema, meta["tile"], meta["n_y"], meta["n_x"])
 
 
+def filter_bbox_tiled(
+    tc: TiledCube, west: float, east: float, south: float, north: float
+) -> Cube:
+    """Spatial slice on the tiled layout with TILE-level pruning: a
+    conservative tile_row/tile_col range predicate derived from the
+    bbox drops whole tiles BEFORE any array is touched — on the stored
+    layout those are plain int columns, so the predicate reaches the
+    parquet scan as row-group min/max pruning (pytest pins
+    PushedFilters) — then the surviving tiles expand and the exact
+    pixel-level between-predicate applies (correctness never depends
+    on the pruning arithmetic; the coarse ranges only have to be a
+    superset). Returns a long Cube, same output as
+    ``filter_bbox(from_tiled(tc), ...)``.
+
+    At 10^12 px this is the reason the layout exists alongside byte
+    packing: a city-sized bbox over a continental scene reads the
+    tiles it intersects, not the scene."""
+    import math
+
+    g = tc.schema.grid
+    T = tc.tile
+    c_lo = math.floor((west - g.x0) / g.resx / T)
+    c_hi = math.floor((east - g.x0) / g.resx / T)
+    r_lo = math.floor((g.y0 - north) / g.resy / T)
+    r_hi = math.floor((g.y0 - south) / g.resy / T)
+    pruned = tc.df.where(
+        F.col("tile_col").between(c_lo, c_hi)
+        & F.col("tile_row").between(r_lo, r_hi)
+    )
+    cube = from_tiled(TiledCube(pruned, tc.schema, T, tc.n_y, tc.n_x))
+    return cube.with_df(
+        cube.df.where(
+            F.col(X).between(float(west), float(east))
+            & F.col(Y).between(float(south), float(north))
+        )
+    )
+
+
 def normalized_difference_tiled(
     tc: TiledCube,
     band_a: str = "B08",

@@ -765,6 +765,26 @@ def _tiled_reduce_time_sum(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_filter_bbox",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    "WHERE x BETWEEN 20.0 AND 90.0 AND y BETWEEN 30.0 AND 120.0",
+)
+def _tiled_filter_bbox(spark, sf_dir):
+    """filter_bbox on the tiled layout (core/tiled.py:
+    filter_bbox_tiled): conservative tile_row/tile_col range pruning
+    drops whole tiles before any array is touched (parquet min/max
+    pruning on the stored layout — pytest-pinned PushedFilters), the
+    exact pixel predicate applies after expansion. Shares
+    filter_bbox's oracle, so tiled slicing must agree row-for-row with
+    the long-format between-predicate."""
+    from .core.tiled import filter_bbox_tiled, to_tiled
+
+    return filter_bbox_tiled(
+        to_tiled(synthetic_cube(spark), tile=8), 20.0, 90.0, 30.0, 120.0
+    ).df
+
+
 @q("tiled_apply_kernel", _KERNEL_ORACLE)
 def _tiled_apply_kernel(spark, sf_dir):
     """Convolution natively on tiles (core/tiled.py:

@@ -424,6 +424,55 @@ def test_tiled_storage_roundtrip_and_band_pruning(spark, tmp_path):
     assert one.count() * 3 == back.df.count()
 
 
+def test_tiled_filter_bbox_prunes_tiles_and_matches_long(spark, tmp_path):
+    """The bbox slice on tiles: (a) output matches the long-format
+    filter exactly, (b) whole tiles outside the bbox never expand, and
+    (c) on the STORED layout the tile-range predicate reaches the
+    parquet scan as PushedFilters."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from openeo_odc_driver_spark.operators.filters import filter_bbox
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=4)
+    cols = ["band", "time", "y", "x", "value"]
+    long = (
+        filter_bbox(cube, 20.0, 90.0, 30.0, 120.0).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    got = (
+        t.filter_bbox_tiled(tc, 20.0, 90.0, 30.0, 120.0).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(long, got, check_exact=True)
+    # bbox x in [20,90] -> xi in [2,9] -> tile_col in [0,2]; y in
+    # [30,120] -> yi in [3,12] -> tile_row in [0,3]: 12 of 16 tile
+    # positions survive pruning (4x4 grid of 4-tiles on 16x16)
+    path = str(tmp_path / "cube")
+    t.save_tiled(tc, path)
+    back = t.load_tiled(spark, path)
+    sliced = t.filter_bbox_tiled(back, 20.0, 90.0, 30.0, 120.0)
+    plan = sliced.df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "tile_col" in pushed and "tile_row" in pushed
+    got2 = (
+        sliced.df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(long, got2, check_exact=True)
+    # (b): count tiles surviving the coarse predicate < all tiles
+    n_all = back.df.select("tile_row", "tile_col").distinct().count()
+    n_kept = (
+        back.df.where(
+            SF.col("tile_col").between(0, 2) & SF.col("tile_row").between(0, 3)
+        )
+        .select("tile_row", "tile_col").distinct().count()
+    )
+    assert n_kept == 12 and n_all == 16
+
+
 def test_tiled_error_contracts(spark):
     import pytest
 
