@@ -443,6 +443,70 @@ def filter_bbox_tiled(
     )
 
 
+def mask_tiled(
+    data_tc: TiledCube,
+    mask_tc: TiledCube,
+    replacement: float | None = None,
+) -> TiledCube:
+    """openEO ``mask`` natively on tiles — keep data where the mask is
+    0, masked pixels become NULL or the scalar ``replacement``; a NULL
+    mask element masks (the reference's logical_not(nan) = False), and
+    a missing mask TILE masks its whole footprint (≙ the long plan's
+    left join finding no rows). Multi-band masks band-drop first via an
+    element-wise min fold per (time, tile) — F.min's skip-NULL
+    semantics per position.
+
+    Plan: one tile-keyed aggregation for the band-drop (pass-through
+    rows for 1-band masks) + ONE left equi-join on (time, tile) + a
+    zip_with — join key count is tiles, not pixels, and the mask side
+    is tile²× smaller than the long plan's per-pixel mask rows."""
+    T = data_tc.tile
+    if mask_tc.tile != T:
+        raise ValueError(
+            f"mask tile ({mask_tc.tile}) must match data tile ({T})"
+        )
+    T2 = T * T
+    keys = [d for d in (TIME,) if d in data_tc.schema.dims
+            and d in mask_tc.schema.dims]
+    # band-drop: element-wise min across the mask's band rows (skip
+    # NULLs; all-NULL stays NULL) — same merge as reduce_time_tiled min
+    drop = (
+        f"aggregate(collect_list(data), "
+        f"array_repeat(CAST(NULL AS DOUBLE), {T2}), "
+        "(acc, d) -> zip_with(acc, d, "
+        "(a, v) -> CASE WHEN v IS NULL THEN a WHEN a IS NULL THEN v "
+        "WHEN v < a THEN v ELSE a END))"
+    )
+    m = (
+        mask_tc.df.groupBy(*keys, "tile_row", "tile_col")
+        .agg(F.expr(drop).alias("_m"))
+    )
+    repl = "CAST(NULL AS DOUBLE)" if replacement is None else repr(
+        float(replacement)
+    )
+    # a data tile with no mask tile gets an all-NULL mask array (the
+    # left join's NULL would otherwise null the whole zip_with result
+    # instead of masking per element)
+    apply_mask = (
+        f"zip_with(data, coalesce(_m, array_repeat(CAST(NULL AS DOUBLE), "
+        f"{T2})), (v, mv) -> CASE WHEN mv = 0.0 AND mv IS NOT NULL "
+        f"THEN v ELSE {repl} END)"
+    )
+    df = (
+        data_tc.df.join(m, [*keys, "tile_row", "tile_col"], "left")
+        .select(
+            BAND,
+            *keys,
+            "tile_row",
+            "tile_col",
+            F.expr(apply_mask).alias("data"),
+        )
+    )
+    return TiledCube(
+        df, data_tc.schema, T, data_tc.n_y, data_tc.n_x
+    )
+
+
 def normalized_difference_tiled(
     tc: TiledCube,
     band_a: str = "B08",

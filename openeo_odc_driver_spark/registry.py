@@ -785,6 +785,20 @@ def _tiled_filter_bbox(spark, sf_dir):
     ).df
 
 
+@q("tiled_mask", _MASK_ORACLE.format(repl="NULL"))
+def _tiled_mask(spark, sf_dir):
+    """openEO mask natively on tiles (core/tiled.py: mask_tiled):
+    element-wise band-drop fold + ONE tile-keyed left join + zip_with —
+    the mask side is tile²× fewer rows than the long plan's per-pixel
+    mask. Shares the long mask_nodata oracle, so NULL-mask, nonzero-
+    mask, and missing-tile semantics must agree per pixel."""
+    from .core.tiled import from_tiled, mask_tiled, to_tiled
+
+    data = to_tiled(synthetic_cube(spark), tile=8)
+    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8)
+    return from_tiled(mask_tiled(data, m)).df
+
+
 @q("tiled_apply_kernel", _KERNEL_ORACLE)
 def _tiled_apply_kernel(spark, sf_dir):
     """Convolution natively on tiles (core/tiled.py:

@@ -473,6 +473,52 @@ def test_tiled_filter_bbox_prunes_tiles_and_matches_long(spark, tmp_path):
     assert n_kept == 12 and n_all == 16
 
 
+def test_tiled_mask_matches_long_including_replacement(spark):
+    """mask on tiles ≡ the long-format mask for both replacement modes,
+    including NULL-mask-element masking and partial tiles; missing mask
+    TILES mask their footprint (the long left join's no-row case)."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from openeo_odc_driver_spark.operators.mask import mask
+    from openeo_odc_driver_spark.sources.synthetic import (
+        MASK_SPEC,
+        synthetic_cube,
+    )
+
+    t = _tiled_mod()
+    data = synthetic_cube(spark)
+    mc = synthetic_cube(spark, MASK_SPEC)
+    cols = ["band", "time", "y", "x", "value"]
+    dt = t.to_tiled(data, tile=5)
+    mt = t.to_tiled(mc, tile=5)
+    for repl in (None, -999.0):
+        long = (
+            mask(data, mc, replacement=repl).df.toPandas()[cols]
+            .sort_values(cols[:4]).reset_index(drop=True)
+        )
+        got = (
+            t.from_tiled(t.mask_tiled(dt, mt, replacement=repl))
+            .df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(long, got, check_exact=True)
+    # missing mask tile: drop one tile from the mask -> its whole
+    # footprint masks to NULL
+    mt_holed = t.TiledCube(
+        mt.df.where(~((SF.col("tile_row") == 0) & (SF.col("tile_col") == 0))),
+        mt.schema, mt.tile, mt.n_y, mt.n_x,
+    )
+    holed = t.from_tiled(t.mask_tiled(dt, mt_holed)).df
+    hole_vals = holed.where(
+        (SF.col("y") > 150.0 - 5 * 10.0) & (SF.col("x") < 5 * 10.0)
+    ).select("value").distinct().collect()
+    assert [r.value for r in hole_vals] == [None]
+    import pytest
+
+    with pytest.raises(ValueError, match="tile"):
+        t.mask_tiled(dt, t.to_tiled(mc, tile=8))
+
+
 def test_tiled_error_contracts(spark):
     import pytest
 
