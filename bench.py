@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "tiled_reduce_time_mean",
     "tiled_apply_kernel",
     "tiled_ndvi_median",
+    "tiled_pipeline_e2e",
 ]
 
 

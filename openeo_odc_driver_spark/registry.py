@@ -799,6 +799,53 @@ def _tiled_mask(spark, sf_dir):
     return from_tiled(mask_tiled(data, m)).df
 
 
+@q(
+    "tiled_pipeline_e2e",
+    f"WITH cube AS ({CUBE_D}), mc AS ({CUBE_MASK_D}), "
+    "m AS (SELECT time, y, x, min(value) AS mv FROM mc GROUP BY 1, 2, 3), "
+    "masked AS (SELECT c.band, c.time, c.y, c.x, "
+    "CASE WHEN m.mv = 0 AND m.mv IS NOT NULL THEN c.value END AS value "
+    "FROM cube c LEFT JOIN m ON c.time = m.time AND c.y = m.y "
+    "AND c.x = m.x), "
+    "wide AS (SELECT time, y, x, "
+    "max(CASE WHEN band = 'B04' THEN value END) AS b04, "
+    "max(CASE WHEN band = 'B08' THEN value END) AS b08 "
+    "FROM masked GROUP BY time, y, x) "
+    "SELECT y, x, "
+    "quantile_cont((b08 - b04) / nullif(b08 + b04, 0.0), 0.5) AS ndvi_median "
+    "FROM wide GROUP BY y, x",
+)
+def _tiled_pipeline_e2e(spark, sf_dir):
+    """The 'a user could switch' row for the tiled tier: a complete
+    openEO pipeline — store → load → cloud-mask → NDVI → time median —
+    executed ENTIRELY on the tiled layout (core/tiled.py: save_tiled /
+    load_tiled / mask_tiled / normalized_difference_tiled /
+    reduce_time_median_tiled), against one independent long-format SQL
+    composition. Every stage is individually gated; this row pins
+    their COMPOSITION (schema handoffs, NULL propagation across
+    stages, padding discipline) end to end."""
+    import tempfile
+
+    from .core.tiled import (
+        from_tiled,
+        load_tiled,
+        mask_tiled,
+        normalized_difference_tiled,
+        reduce_time_median_tiled,
+        save_tiled,
+        to_tiled,
+    )
+
+    path = tempfile.mkdtemp(prefix="tiled_e2e_") + "/cube"
+    save_tiled(to_tiled(synthetic_cube(spark), tile=8), path)
+    data = load_tiled(spark, path)
+    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8)
+    nd = normalized_difference_tiled(mask_tiled(data, m), "B08", "B04")
+    return from_tiled(reduce_time_median_tiled(nd)).df.select(
+        Y, X, F.col(VALUE).alias("ndvi_median")
+    )
+
+
 @q("tiled_apply_kernel", _KERNEL_ORACLE)
 def _tiled_apply_kernel(spark, sf_dir):
     """Convolution natively on tiles (core/tiled.py:
