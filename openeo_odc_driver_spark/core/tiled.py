@@ -118,8 +118,12 @@ def to_tiled(
     # (measured: hung the bench). LET idiom binds the sorted entries
     # once (interpreted HOFs get no CSE).
     T2 = tile * tile
+    # the trailing size check turns a malformed input (duplicate
+    # (band, time, y, x) pixel rows — a negative gap collapses to an
+    # empty filler and the array silently mis-positions every later
+    # pixel) into a NAMED executor error instead of corrupt tiles
     assemble = (
-        "transform(array(array_sort(collect_list(struct(_pos, value)))), "
+        "transform(transform(array(array_sort(collect_list(struct(_pos, value)))), "
         "es -> concat("
         "  flatten(transform(sequence(0, size(es) - 1), k -> concat("
         "    array_repeat(CAST(NULL AS DOUBLE), "
@@ -127,7 +131,10 @@ def to_tiled(
         "      ELSE es[k - 1]._pos END - 1), "
         "    array(es[k].value)))), "
         f"  array_repeat(CAST(NULL AS DOUBLE), "
-        f"    {T2} - 1 - es[size(es) - 1]._pos)))[0]"
+        f"    {T2} - 1 - es[size(es) - 1]._pos))), "
+        f"d -> CASE WHEN size(d) = {T2} THEN d ELSE "
+        "raise_error('to_tiled: duplicate pixel keys within a tile "
+        "(one row per (band, time, y, x) required)') END)[0]"
     )
     df = (
         staged.groupBy(*keys, "tile_row", "tile_col")
@@ -223,6 +230,49 @@ _TILE_SQL_REDUCERS = {
 }
 
 
+def aggregate_temporal_period_tiled(
+    tc: TiledCube, period: str, reducer: str = "mean", impl: str = "auto"
+) -> TiledCube:
+    """Calendar-period resample natively on tiles (the long
+    ``aggregate_temporal_period`` on the packed layout): date_trunc
+    re-labels time to the period start, and the same element-wise fold
+    as :func:`reduce_time_tiled` runs per (band, period, tile) — the
+    time dimension survives, coarsened. One exchange, keyed by
+    (band, period, tile): periods multiply the key count but divide
+    the per-group state, so the bound on group memory only improves.
+
+    Engines and NULL semantics are exactly :func:`reduce_time_tiled`'s
+    (sql oracle mode / numpy scale path under the auto dispatch);
+    period names and time-metadata handling mirror the long operator
+    (stale extent dropped; a known input axis maps to its truncation
+    image)."""
+    from ..operators.aggregates import _PERIODS, _py_trunc
+
+    if TIME not in tc.schema.dims:
+        raise ValueError(
+            "aggregate_temporal_period_tiled needs a time dimension"
+        )
+    if period not in _PERIODS:
+        raise ValueError(f"unsupported period {period!r}")
+    unit = _PERIODS[period]
+    relabeled = TiledCube(
+        tc.df.withColumn(TIME, F.date_trunc(unit, F.col(TIME))),
+        tc.schema,
+        tc.tile,
+        tc.n_y,
+        tc.n_x,
+    )
+    out = _fold_time_groups(
+        relabeled, reducer, impl, extra_keys=[TIME]
+    )
+    schema = tc.schema.with_time_extent(None)
+    if tc.schema.time_axis is not None:
+        schema = schema.with_time_axis(
+            tuple(sorted({_py_trunc(unit, t) for t in tc.schema.time_axis}))
+        )
+    return TiledCube(out, schema, tc.tile, tc.n_y, tc.n_x)
+
+
 def reduce_time_tiled(
     tc: TiledCube, reducer: str = "mean", impl: str = "auto"
 ) -> TiledCube:
@@ -255,6 +305,18 @@ def reduce_time_tiled(
     fits comfortably in an executor task)."""
     if TIME not in tc.schema.dims:
         raise ValueError("reduce_time_tiled needs a time dimension")
+    df = _fold_time_groups(tc, reducer, impl, extra_keys=[])
+    return TiledCube(
+        df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x
+    )
+
+
+def _fold_time_groups(
+    tc: TiledCube, reducer: str, impl: str, extra_keys: list[str]
+) -> DataFrame:
+    """Shared engine of reduce_time_tiled / aggregate_temporal_period_
+    tiled: the element-wise fold over each (band, *extra_keys, tile)
+    group's arrays, sql or numpy."""
     if reducer not in _TILE_SQL_REDUCERS:
         raise ValueError(
             f"reducer must be one of {sorted(_TILE_SQL_REDUCERS)}, "
@@ -264,43 +326,41 @@ def reduce_time_tiled(
     T2 = tc.tile * tc.tile
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+    keys = [BAND, *extra_keys, "tile_row", "tile_col"]
     if impl == "numpy":
-        df = _reduce_time_numpy(tc, reducer)
-    elif impl == "sql":
-        merge, finish = _TILE_SQL_REDUCERS[reducer]
-        init = (
-            f"array_repeat(CAST(NULL AS DOUBLE), {T2})"
-            if reducer in ("min", "max")
-            else f"array_repeat(CAST(0.0 AS DOUBLE), {T2})"
-        )
-        # LET idiom: the sorted collect_list binds ONCE as lambda var
-        # `ds` (interpreted HOFs get no CSE — a staged alias would
-        # re-evaluate)
-        fold = (
-            "transform(array(array_sort(collect_list(struct(time, data)))), "
-            "ds -> zip_with("
-            f"  aggregate(ds, {init}, "
-            f"    (acc, s) -> zip_with(acc, s.data, {merge})), "
-            f"  aggregate(ds, array_repeat(CAST(0 AS BIGINT), {T2}), "
-            "    (acc, s) -> zip_with(acc, s.data, "
-            "      (a, v) -> a + CASE WHEN v IS NULL THEN 0 ELSE 1 END)), "
-            f"  (s, c) -> {finish}))[0]"
-        )
-        df = (
-            tc.df.groupBy(BAND, "tile_row", "tile_col")
-            .agg(F.expr(fold).alias("data"))
-            .select(BAND, "tile_row", "tile_col", "data")
-        )
-    else:
+        return _reduce_time_numpy(tc, reducer, keys)
+    if impl != "sql":
         raise ValueError(
             f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
         )
-    return TiledCube(
-        df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x
+    merge, finish = _TILE_SQL_REDUCERS[reducer]
+    init = (
+        f"array_repeat(CAST(NULL AS DOUBLE), {T2})"
+        if reducer in ("min", "max")
+        else f"array_repeat(CAST(0.0 AS DOUBLE), {T2})"
+    )
+    # LET idiom: the sorted collect_list binds ONCE as lambda var `ds`
+    # (interpreted HOFs get no CSE — a staged alias would re-evaluate)
+    fold = (
+        "transform(array(array_sort(collect_list(struct(time, data)))), "
+        "ds -> zip_with("
+        f"  aggregate(ds, {init}, "
+        f"    (acc, s) -> zip_with(acc, s.data, {merge})), "
+        f"  aggregate(ds, array_repeat(CAST(0 AS BIGINT), {T2}), "
+        "    (acc, s) -> zip_with(acc, s.data, "
+        "      (a, v) -> a + CASE WHEN v IS NULL THEN 0 ELSE 1 END)), "
+        f"  (s, c) -> {finish}))[0]"
+    )
+    return (
+        tc.df.groupBy(*keys)
+        .agg(F.expr(fold).alias("data"))
+        .select(*keys, "data")
     )
 
 
-def _reduce_time_numpy(tc: TiledCube, reducer: str) -> DataFrame:
+def _reduce_time_numpy(
+    tc: TiledCube, reducer: str, keys: list[str]
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -310,6 +370,7 @@ def _reduce_time_numpy(tc: TiledCube, reducer: str) -> DataFrame:
         "min": np.nanmin,
         "max": np.nanmax,
     }[reducer]
+    int_keys = ("tile_row", "tile_col")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         # np.asarray(dtype=float64) maps None -> nan in C — never walk
@@ -330,19 +391,21 @@ def _reduce_time_numpy(tc: TiledCube, reducer: str) -> DataFrame:
             out = nanop(safe, axis=0)
             out = np.where(all_nan, np.nan, out)
         row0 = pdf.iloc[0]
-        return pd.DataFrame(
-            {
-                BAND: [row0[BAND]],
-                "tile_row": [int(row0["tile_row"])],
-                "tile_col": [int(row0["tile_col"])],
-                "data": [
-                    [None if np.isnan(v) else float(v) for v in out]
-                ],
-            }
-        )
+        rec = {
+            k: [int(row0[k]) if k in int_keys else row0[k]] for k in keys
+        }
+        rec["data"] = [[None if np.isnan(v) else float(v) for v in out]]
+        return pd.DataFrame(rec)
 
-    return tc.df.groupBy(BAND, "tile_row", "tile_col").applyInPandas(
-        fold, f"{BAND} string, tile_row int, tile_col int, data array<double>"
+    fields = ", ".join(
+        "tile_row int" if k == "tile_row"
+        else "tile_col int" if k == "tile_col"
+        else f"{k} string" if k == BAND
+        else f"{k} timestamp"
+        for k in keys
+    )
+    return tc.df.groupBy(*keys).applyInPandas(
+        fold, f"{fields}, data array<double>"
     )
 
 

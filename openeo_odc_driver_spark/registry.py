@@ -846,6 +846,32 @@ def _tiled_pipeline_e2e(spark, sf_dir):
     )
 
 
+@q(
+    "tiled_aggregate_temporal_season",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "
+    "max(value) AS value FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _tiled_atp_season(spark, sf_dir):
+    """Calendar-period resample natively on tiles (core/tiled.py:
+    aggregate_temporal_period_tiled — date_trunc relabel + the shared
+    element-wise fold per (band, period, tile); time survives,
+    coarsened 3→1 on the monthly fixture). Shares the long season/max
+    oracle; oracle mode pins impl="sql"."""
+    from .core.tiled import (
+        aggregate_temporal_period_tiled,
+        from_tiled,
+        to_tiled,
+    )
+
+    return from_tiled(
+        aggregate_temporal_period_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), "season", "max",
+            impl="sql",
+        )
+    ).df
+
+
 @q("tiled_apply_kernel", _KERNEL_ORACLE)
 def _tiled_apply_kernel(spark, sf_dir):
     """Convolution natively on tiles (core/tiled.py:

@@ -519,6 +519,60 @@ def test_tiled_mask_matches_long_including_replacement(spark):
         t.mask_tiled(dt, t.to_tiled(mc, tile=8))
 
 
+def test_tiled_temporal_period_matches_long_across_engines(spark):
+    """Calendar-period resample on tiles ≡ the long operator for both
+    fold engines and two (period, reducer) combos, and the time-axis
+    metadata maps to the truncation image."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.operators.aggregates import (
+        aggregate_temporal_period,
+    )
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=7)
+    cols = ["band", "time", "y", "x", "value"]
+    for period, red in (("season", "max"), ("month", "mean")):
+        long = (
+            aggregate_temporal_period(cube, period, red).df.toPandas()[cols]
+            .sort_values(cols[:4]).reset_index(drop=True)
+        )
+        for impl in ("sql", "numpy"):
+            got_tc = t.aggregate_temporal_period_tiled(
+                tc, period, red, impl=impl
+            )
+            got = (
+                t.from_tiled(got_tc).df.toPandas()[cols]
+                .sort_values(cols[:4]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(long, got, check_exact=True)
+    season = t.aggregate_temporal_period_tiled(tc, "season", "max")
+    assert season.schema.time_axis is not None
+    assert len(season.schema.time_axis) == 8  # 24 months -> 8 quarters
+    import pytest
+
+    with pytest.raises(ValueError, match="period"):
+        t.aggregate_temporal_period_tiled(tc, "fortnight", "max")
+
+
+def test_to_tiled_rejects_duplicate_pixel_keys(spark):
+    """Duplicate (band, time, y, x) rows would silently mis-position
+    every later pixel of the tile (a negative gap collapses to empty
+    filler) — the assembly's size check raises a named error instead."""
+    import pytest
+
+    from openeo_odc_driver_spark.core.cube import Cube
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    base = synthetic_cube(spark)
+    dup = Cube(base.df.unionAll(base.df.limit(1)), base.schema)
+    with pytest.raises(Exception, match="duplicate pixel keys"):
+        t.to_tiled(dup, tile=8).df.collect()
+
+
 def test_tiled_error_contracts(spark):
     import pytest
 
