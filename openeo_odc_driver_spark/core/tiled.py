@@ -22,19 +22,31 @@ Design rules:
   tiles are NULL padding in storage and are dropped on expansion using
   the scene dims carried on the handle.
 - **Operators run natively on tiles** where the access pattern wants
-  whole tiles: :func:`reduce_time_mean_tiled` folds the time axis
-  element-wise per tile (one shuffle keyed by (band, tile) — same
-  exchange count as the long reducer, tile²× fewer rows), and
-  :func:`apply_kernel_tiled_layout` does the classic halo exchange —
-  each tile is replicated to its 8 neighbors and one `applyInPandas`
-  per target tile runs the stencil on a 3T×3T canvas (shuffle volume
-  9× tile bytes, independent of kernel size; the long-format
-  shift-and-sum scatter shuffles k²× pixel rows instead).
+  whole tiles: the time reducers (:func:`reduce_time_tiled`
+  mean/sum/min/max, :func:`reduce_time_median_tiled`) and the
+  calendar resample (:func:`aggregate_temporal_period_tiled`) fold
+  element-wise per tile (one shuffle keyed by (band[, period], tile) —
+  same exchange count as the long reducer, tile²× fewer rows); band
+  math (:func:`normalized_difference_tiled`) and masking
+  (:func:`mask_tiled`) are single tile-keyed equi-joins + zip_with;
+  :func:`filter_bbox_tiled` prunes whole tiles via a coarse
+  tile-range predicate (parquet min/max on the stored layout) before
+  the exact pixel filter; :func:`apply_kernel_tiled_layout` does the
+  classic halo exchange — each tile is replicated to its 8 neighbors
+  and one `applyInPandas` per target tile runs the stencil on a
+  3T×3T canvas (shuffle volume 9× tile bytes, independent of kernel
+  size; the long-format shift-and-sum scatter shuffles k²× pixel
+  rows instead). :func:`save_tiled` / :func:`load_tiled` make it a
+  storage tier (band-partitioned parquet + a metadata sidecar).
 - **Everything stays engine-exact.** The fixture's dyadic-rational
-  values make sums order-free, the time fold sorts by timestamp, and
-  the kernel math is the same shift-multiply-add the long path does —
-  all three tiled ops share their DuckDB oracles with the long-format
-  rows they mirror.
+  values make sums order-free, the time folds sort by timestamp, and
+  the arithmetic is the same expression shapes the long paths use —
+  every tiled op shares its DuckDB oracle with the long-format row it
+  mirrors (plus a composed end-to-end row, ``tiled_pipeline_e2e``).
+
+Assumes non-negative pixel indices (the grid origin is the scene
+corner — true for every loader in this repo); coordinates left/above
+the origin would need floor-division index math.
 """
 
 from __future__ import annotations
