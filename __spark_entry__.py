@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "tiled_apply_kernel", "tiled_ndvi_median", "tiled_save_load",
     "tiled_reduce_time_max", "tiled_reduce_time_sum", "tiled_filter_bbox",
     "tiled_mask", "tiled_pipeline_e2e", "tiled_aggregate_temporal_season",
+    "tiled_reduce_bands_mean",
     # latest green row r02 (6 queries)
     "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
     "tan",

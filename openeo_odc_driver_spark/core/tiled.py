@@ -323,12 +323,47 @@ def reduce_time_tiled(
     )
 
 
+def reduce_bands_tiled(
+    tc: TiledCube, reducer: str = "mean", impl: str = "auto"
+) -> TiledCube:
+    """Reduce the BAND axis natively on tiles — the other long-format
+    reducer dimension (``reduce_dimension(dim='bands')``): the same
+    element-wise fold as :func:`reduce_time_tiled`, grouped by
+    ([time,] tile) across the band rows, sorted by band label for a
+    deterministic fold order. Output drops the band dimension."""
+    if BAND not in tc.schema.dims:
+        raise ValueError("reduce_bands_tiled needs a band dimension")
+    keys = [d for d in (TIME,) if d in tc.schema.dims]
+    df = _fold_groups(
+        tc, reducer, impl, keys=[*keys, "tile_row", "tile_col"],
+        sort_field=BAND,
+    )
+    return TiledCube(
+        df, tc.schema.drop(BAND), tc.tile, tc.n_y, tc.n_x
+    )
+
+
 def _fold_time_groups(
     tc: TiledCube, reducer: str, impl: str, extra_keys: list[str]
 ) -> DataFrame:
     """Shared engine of reduce_time_tiled / aggregate_temporal_period_
     tiled: the element-wise fold over each (band, *extra_keys, tile)
     group's arrays, sql or numpy."""
+    return _fold_groups(
+        tc, reducer, impl,
+        keys=[BAND, *extra_keys, "tile_row", "tile_col"],
+        sort_field=TIME,
+    )
+
+
+def _fold_groups(
+    tc: TiledCube, reducer: str, impl: str, keys: list[str],
+    sort_field: str,
+) -> DataFrame:
+    """The element-wise fold over each key-group's arrays (sql or
+    numpy), collapsing whatever dimension is NOT in ``keys``;
+    ``sort_field`` pins the fold order (time for time reductions,
+    band label for band reductions)."""
     if reducer not in _TILE_SQL_REDUCERS:
         raise ValueError(
             f"reducer must be one of {sorted(_TILE_SQL_REDUCERS)}, "
@@ -338,7 +373,6 @@ def _fold_time_groups(
     T2 = tc.tile * tc.tile
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
-    keys = [BAND, *extra_keys, "tile_row", "tile_col"]
     if impl == "numpy":
         return _reduce_time_numpy(tc, reducer, keys)
     if impl != "sql":
@@ -354,7 +388,7 @@ def _fold_time_groups(
     # LET idiom: the sorted collect_list binds ONCE as lambda var `ds`
     # (interpreted HOFs get no CSE — a staged alias would re-evaluate)
     fold = (
-        "transform(array(array_sort(collect_list(struct(time, data)))), "
+        f"transform(array(array_sort(collect_list(struct({sort_field}, data)))), "
         "ds -> zip_with("
         f"  aggregate(ds, {init}, "
         f"    (acc, s) -> zip_with(acc, s.data, {merge})), "

@@ -847,6 +847,25 @@ def _tiled_pipeline_e2e(spark, sf_dir):
 
 
 @q(
+    "tiled_reduce_bands_mean",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT time, y, x, avg(value) AS value FROM cube GROUP BY time, y, x",
+)
+def _tiled_reduce_bands_mean(spark, sf_dir):
+    """Band-axis reduction natively on tiles (core/tiled.py:
+    reduce_bands_tiled — the shared fold grouped by (time, tile)
+    across the band rows, band-label sort order). Shares the long
+    reduce_bands_mean oracle; oracle mode pins impl="sql"."""
+    from .core.tiled import from_tiled, reduce_bands_tiled, to_tiled
+
+    return from_tiled(
+        reduce_bands_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), "mean", impl="sql"
+        )
+    ).df
+
+
+@q(
     "tiled_aggregate_temporal_season",
     f"WITH cube AS ({CUBE_D}) "
     "SELECT band, y, x, CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "

@@ -557,6 +557,33 @@ def test_tiled_temporal_period_matches_long_across_engines(spark):
         t.aggregate_temporal_period_tiled(tc, "fortnight", "max")
 
 
+def test_tiled_band_reduction_matches_long(spark):
+    import pandas as pd
+
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    t = _tiled_mod()
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=7)
+    cols = ["time", "y", "x", "value"]
+    long = (
+        reduce_dimension(cube, "bands", "mean").df.toPandas()[cols]
+        .sort_values(cols[:3]).reset_index(drop=True)
+    )
+    for impl in ("sql", "numpy"):
+        got = (
+            t.from_tiled(t.reduce_bands_tiled(tc, "mean", impl=impl))
+            .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(long, got, check_exact=True)
+    import pytest
+
+    flat = t.reduce_bands_tiled(tc)
+    with pytest.raises(ValueError, match="band"):
+        t.reduce_bands_tiled(flat)
+
+
 def test_to_tiled_rejects_duplicate_pixel_keys(spark):
     """Duplicate (band, time, y, x) rows would silently mis-position
     every later pixel of the tile (a negative gap collapses to empty
