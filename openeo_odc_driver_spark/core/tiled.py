@@ -703,6 +703,7 @@ def apply_kernel_tiled_layout(
     tc: TiledCube,
     kernel: Sequence[Sequence[float]],
     factor: float = 1.0,
+    border: str | int = 0,
 ) -> TiledCube:
     """2-D convolution natively on tiles (border ``constant 0`` — the
     reference default) via halo exchange: every tile is shipped to its
@@ -723,6 +724,14 @@ def apply_kernel_tiled_layout(
     import numpy as np
     import pandas as pd
 
+    if border not in (0, "0", "constant"):
+        # named boundary, not a silent constant-0: the long-format
+        # apply_kernel / _apply_kernel_gather cover replicate / reflect
+        # / reflect_pixel / wrap — route those through from_tiled
+        raise NotImplementedError(
+            f"apply_kernel_tiled_layout supports border=0 only (got "
+            f"{border!r}); other modes run long-format via from_tiled"
+        )
     kh, kw = len(kernel), len(kernel[0])
     ry, rx = kh // 2, kw // 2
     T = tc.tile
