@@ -81,8 +81,14 @@ def _indices(cube: Cube):
     grid = cube.schema.grid
     if grid is None:
         raise ValueError("to_tiled needs a GridSpec to derive pixel indices")
-    x_idx = ((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
-    y_idx = ((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
+    # round-to-nearest before the integral cast: cast('long') truncates
+    # toward zero, so on grids whose coordinates are not exactly
+    # representable (non-dyadic resolutions, e.g. degree grids) a
+    # quotient like 3.9999999999 would land the pixel in the wrong
+    # cell/tile; on-grid coordinates are within ~1e-9 cells of integral,
+    # far inside the 0.5-cell rounding tolerance
+    x_idx = F.round((F.col(X) - F.lit(grid.x0)) / F.lit(grid.resx)).cast("long")
+    y_idx = F.round((F.lit(grid.y0) - F.col(Y)) / F.lit(grid.resy)).cast("long")
     return x_idx, y_idx
 
 
@@ -575,8 +581,19 @@ def mask_tiled(
             f"mask tile ({mask_tc.tile}) must match data tile ({T})"
         )
     T2 = T * T
-    keys = [d for d in (TIME,) if d in data_tc.schema.dims
-            and d in mask_tc.schema.dims]
+    data_t = TIME in data_tc.schema.dims
+    mask_t = TIME in mask_tc.schema.dims
+    if data_t != mask_t:
+        # joining on tile only would silently min-fold the temporal
+        # mask across ALL timestamps (masking with the per-pixel min
+        # over time) — the long-format mask has no such silent path,
+        # so neither does this one
+        raise ValueError(
+            "mask_tiled: exactly one cube carries a time dimension "
+            f"(data: {data_t}, mask: {mask_t}); reduce or add the time "
+            "dimension explicitly before masking"
+        )
+    keys = [TIME] if data_t else []
     # band-drop: element-wise min across the mask's band rows (skip
     # NULLs; all-NULL stays NULL) — same merge as reduce_time_tiled min
     drop = (

@@ -519,21 +519,27 @@ def image_phash(df: DataFrame) -> DataFrame:
 
 def phash_band_slices(max_hamming: int) -> list[tuple[int, int]]:
     """(start_bit, width) slices of the 64-bit pHash for the banding
-    join: ``max_hamming + 1`` near-equal-width bands, so a pair within
-    Hamming distance ``max_hamming`` differs in at most ``max_hamming``
-    bits and by pigeonhole leaves AT LEAST ONE band untouched —
-    candidate recall at the verify threshold is exactly 1, a theorem
-    rather than an expectation (round-8 fix: the old fixed 4×16-bit
-    banding only guaranteed recall to Hamming ≤ 3 while the default
-    verify threshold was 10, and the cross-codec plant measured the
-    gap at 15/16)."""
+    join: ``max(max_hamming + 1, 4)`` near-equal-width bands. The
+    pigeonhole recall guarantee holds for ANY band count ≥
+    ``max_hamming + 1`` (≤ max_hamming differing bits across nb bands
+    leave ≥ nb − max_hamming ≥ 1 bands untouched), so candidate recall
+    at the verify threshold is exactly 1 — a theorem, not an
+    expectation (round-8 fix: the old fixed 4×16-bit banding only
+    guaranteed recall to Hamming ≤ 3 while the default verify threshold
+    was 10, and the cross-codec plant measured the gap at 15/16).
+
+    The floor of 4 bands keeps every slice ≤ 16 bits wide, so
+    ``phash_band_value_sql``'s two-word/no-overflow invariant holds at
+    every accepted threshold (round-9 fix: at ``max_hamming = 0`` a
+    single 64-bit band silently dropped bits 32–63 from the bucket key,
+    and at 1 the 32-bit band value wrapped the downstream int cast)."""
     if not 0 <= max_hamming <= 32:
         raise ValueError(
             f"max_hamming must be in [0, 32] (got {max_hamming}); above "
             "32 the banding would need >33 bands of <2 bits and the "
             "bucket join degenerates toward all-pairs"
         )
-    nb = max_hamming + 1
+    nb = max(max_hamming + 1, 4)
     w, extra = divmod(64, nb)
     slices, start = [], 0
     for i in range(nb):
@@ -565,8 +571,9 @@ def phash_band_value_sql(start: int, width: int, div_op: str = "DIV") -> str:
 def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Image near-dup pairs from pHash fingerprints: candidates share at
     least one exact band of the 64-bit hash, where the banding is
-    DERIVED from the verify threshold — ``max_hamming + 1`` near-equal
-    bit-slices (``phash_band_slices``), so any pair at Hamming distance
+    DERIVED from the verify threshold — ``max(max_hamming + 1, 4)``
+    near-equal bit-slices (``phash_band_slices``), so any pair at Hamming
+    distance
     ≤ ``max_hamming`` is guaranteed a shared band by pigeonhole and
     candidate recall at the threshold is 1 (gated by the
     phash_recall_tiers oracle row). Each candidate then verifies
@@ -574,8 +581,8 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     ``bit_count(xor(...))`` terms, engine-identical.
 
     Never all-pairs: the band self-join is the only pair generator.
-    Candidate volume scales as ``(max_hamming+1) · Σ_bucket n_b²`` with
-    ~2^(64/(max_hamming+1)) buckets per band — tighter thresholds give
+    Candidate volume scales as ``n_bands · Σ_bucket n_b²`` with
+    ~2^(64/n_bands) buckets per band — tighter thresholds give
     exponentially finer buckets, so choose the smallest ``max_hamming``
     the use case needs. Output: (doc_a, doc_b, hamming).
     """

@@ -3787,7 +3787,7 @@ def _multimodal_image_phash(spark, sf_dir):
 
 # threshold-derived banding (pipeline/multimodal.py:phash_band_slices):
 # imported, not copied, so the oracle's banding can't drift from the
-# engine's — max_hamming+1 near-equal bit-slices of the 64-bit hash,
+# engine's — max(max_hamming+1, 4) near-equal bit-slices of the hash,
 # pigeonhole-complete at the verify threshold
 from .pipeline.multimodal import (
     phash_band_slices as _ph_slices,
@@ -3827,7 +3827,7 @@ _PH_HAMMING = " + ".join(
 def _multimodal_phash_near_dup(spark, sf_dir):
     """Cross-codec image near-dup pairs (pipeline/multimodal.py:
     phash_near_dup_pairs): band-bucket candidates over threshold-derived
-    bit-slice bands (max_hamming+1 bands → pigeonhole-complete recall at
+    bit-slice bands (≥ max_hamming+1 bands → pigeonhole-complete recall at
     the verify threshold; never all-pairs), exact integer Hamming
     verify — the oracle runs the SAME banding + bit_count(xor)
     relational logic in DuckDB over the pinned phash fixture, so this

@@ -128,14 +128,17 @@ def test_phash_band_slices_partition_and_pigeonhole():
         phash_band_slices,
     )
 
-    for mh in (0, 3, 7, 10, 32):
+    for mh in (0, 1, 2, 3, 7, 10, 32):
         slices = phash_band_slices(mh)
-        assert len(slices) == mh + 1
+        # floor of 4 bands keeps every slice <= 16 bits (the two-word /
+        # no-overflow invariant of phash_band_value_sql); pigeonhole
+        # holds for any count >= mh + 1
+        assert len(slices) == max(mh + 1, 4)
         assert sum(w for _, w in slices) == 64
         # contiguous, non-overlapping
         pos = 0
         for s, w in slices:
-            assert s == pos and w >= 1
+            assert s == pos and 1 <= w <= 16
             pos += w
     with pytest.raises(ValueError, match="max_hamming"):
         phash_band_slices(33)
@@ -170,7 +173,11 @@ def test_phash_near_dup_recall_guaranteed_vs_brute_force(spark):
     df = spark.createDataFrame(
         rows, "doc_id long, ph0 int, ph1 int, ph2 int, ph3 int"
     )
-    for mh in (3, 7, 10):
+    # 0/1/2 exercise the round-9 band-count floor: the old
+    # max_hamming+1 banding emitted 64/32-bit bands there, which
+    # dropped bits 32-63 from the bucket key (mh=0) or wrapped the
+    # int cast of the band value (mh=1)
+    for mh in (0, 1, 2, 3, 7, 10):
         got = {
             (r.doc_a, r.doc_b, r.hamming)
             for r in phash_near_dup_pairs(df, max_hamming=mh).collect()
@@ -621,6 +628,45 @@ def test_tiled_error_contracts(spark):
     flat = t.reduce_time_mean_tiled(tc)
     with pytest.raises(ValueError, match="time"):
         t.reduce_time_mean_tiled(flat)
+    # round-9 ADVICE fix: a temporal mask over time-less data (or vice
+    # versa) must raise, not silently min-fold the mask across all
+    # timestamps
+    with pytest.raises(ValueError, match="time dimension"):
+        t.mask_tiled(tc, flat)
+    with pytest.raises(ValueError, match="time dimension"):
+        t.mask_tiled(flat, tc)
+
+
+def test_to_tiled_non_dyadic_grid_rounds_to_cell(spark):
+    """Pixel indices on grids whose resolution is not exactly
+    representable in binary (degree grids, 0.1°) — the quotient
+    (x - x0)/resx lands at e.g. 3.9999999999, and a truncating cast
+    would put the pixel in the wrong cell; round-to-nearest keeps the
+    round trip lossless (round-9 ADVICE fix)."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import Cube, CubeSchema, GridSpec
+
+    t = _tiled_mod()
+    resx = resy = 0.1  # not a dyadic rational
+    x0, y0 = -10.0, 40.0
+    rows = [
+        ("B01", "2020-01-01", y0 - resy * i, x0 + resx * j,
+         float(10 * i + j))
+        for i in range(8)
+        for j in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "band string, time string, y double, x double, value double"
+    )
+    cube = Cube(df, CubeSchema(grid=GridSpec(x0=x0, y0=y0, resx=resx,
+                                             resy=resy)))
+    back = t.from_tiled(t.to_tiled(cube, tile=4)).df.toPandas()
+    cols = ["band", "time", "y", "x", "value"]
+    want = (df.toPandas()[cols].sort_values(cols[:4])
+            .reset_index(drop=True))
+    got = back[cols].sort_values(cols[:4]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, got, check_exact=True)
 
 
 def test_bm25_query_term_with_quote_is_safe(spark):
