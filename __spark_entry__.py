@@ -53,110 +53,271 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 7
+_GATE_PRIORITY_ASOF = 8
 _GATE_PRIORITY = [
-    # never driver-checked (new in round 8) — first
-    "copurchase_pagerank_shuffle", "phash_recall_tiers",
-    "semantic_dedup_auto", "tiled_roundtrip", "tiled_reduce_time_mean",
-    "tiled_apply_kernel", "tiled_ndvi_median", "tiled_save_load",
-    "tiled_reduce_time_max", "tiled_reduce_time_sum", "tiled_filter_bbox",
-    "tiled_mask", "tiled_pipeline_e2e", "tiled_aggregate_temporal_season",
-    "tiled_reduce_bands_mean",
-    # latest green row r02 (6 queries)
-    "rename_labels_time", "sin", "sqrt", "subtract", "synthetic_cube",
-    "tan",
-    # latest green row r03 (45 queries)
-    "aggregate_spatial_median", "aggregate_spatial_window",
-    "aggregate_temporal_period_season", "ann_recall", "anomaly",
-    "apply_kernel", "array_interpolate_linear", "brute_force_topk",
-    "ceil", "dedup_keep_first", "doc_fingerprint", "drop_dimension",
-    "embedding_cosine_dup_pairs", "events_hourly", "exact_dedup",
-    "fit_curve_linear", "flagship_ndvi", "geocode_nearest", "int",
-    "ivf_flat_ann", "lang_id", "lsh_bucket_ann", "merge_cubes_resolver",
-    "minhash_lsh_pairs", "minhash_signatures", "near_dup_clusters",
-    "near_dup_keep_representative", "ngram_jaccard_pairs",
-    "orders_topk_per_customer", "predict_curve_linear",
-    "process_graph_masked_seasonal", "process_graph_ndvi",
-    "quality_score", "quantiles", "radar_mask", "reduce_time_median",
-    "resample_cube_spatial_bilinear", "resample_cube_temporal", "round",
-    "run_udf_grouped", "simhash_fingerprints", "simhash_near_dup_pairs",
-    "stateful_running_max", "streaming_dedup", "token_count",
-    # latest green row r04 (47 queries)
-    "aggregate_spatial_mean", "aggregate_spatial_sd",
-    "aggregate_spatial_variance", "aggregate_spatial_window_trim",
-    "aggregate_temporal_period_month", "apply_kernel_reflect",
-    "apply_kernel_replicate", "apply_kernel_tiled", "apply_kernel_wrap",
-    "chunk_documents", "climatological_normal", "decontaminate_exact",
-    "decontaminate_ngram", "events_json_extract", "filter_bbox_crs",
-    "frame_sample", "geocode_linear", "load_collection_decode",
-    "load_collection_polygon", "merge_cubes_bands", "merge_cubes_time",
+    "predict_curve_linear",
+    "process_graph_masked_seasonal",
+    "process_graph_ndvi",
+    "quality_score",
+    "quantiles",
+    "radar_mask",
+    "reduce_time_median",
+    "resample_cube_spatial_bilinear",
+    "resample_cube_temporal",
+    "round",
+    "run_udf_grouped",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "stateful_running_max",
+    "streaming_dedup",
+    "token_count",
+    "aggregate_spatial_mean",
+    "aggregate_spatial_sd",
+    "aggregate_spatial_variance",
+    "aggregate_spatial_window_trim",
+    "aggregate_temporal_period_month",
+    "apply_kernel_reflect",
+    "apply_kernel_replicate",
+    "apply_kernel_tiled",
+    "apply_kernel_wrap",
+    "chunk_documents",
+    "climatological_normal",
+    "decontaminate_exact",
+    "decontaminate_ngram",
+    "events_json_extract",
+    "filter_bbox_crs",
+    "frame_sample",
+    "geocode_linear",
+    "load_collection_decode",
+    "load_collection_polygon",
+    "merge_cubes_bands",
+    "merge_cubes_time",
     "pipeline_neardedup_sample_chunk_stats",
-    "pipeline_quality_dedup_stats", "pq_ann", "pq_encode",
-    "process_graph_resample_pushdown", "quantiles_q", "reduce_bands_mean",
-    "reduce_time_count", "reduce_time_max", "reduce_time_mean",
-    "reduce_time_min", "reduce_time_product", "reduce_time_sd",
-    "reduce_time_sum", "reduce_time_variance", "reduce_x_sum",
-    "reduce_y_max", "resample_cube_spatial", "run_udf",
-    "sample_stratified", "shuffle_shards", "streaming_session_windows",
-    "streaming_sliding_counts", "streaming_static_enrich",
-    "streaming_tumbling_hourly", "tfidf_top_terms",
-    # latest green row r05 (50 queries)
-    "bigram_logprob", "bloom_decontaminate", "bpe_learn_merges",
-    "bpe_pair_counts", "cdc_chunks", "corpus_shard_layout",
-    "corpus_stats_sketch", "count_min_heavy_grams", "domain_stats",
-    "dsir_importance_weights", "embedding_int8_quantize",
-    "event_anomaly_hours", "event_funnel", "event_retention_cohorts",
-    "event_sessionize", "events_user_type_pivot", "exact_substring_dedup",
-    "fit_curve_harmonic", "gopher_quality_flags",
-    "incremental_corpus_stats", "intra_doc_dedup", "ivf_pq_ann",
-    "jsonl_roundtrip", "kmeans_train", "minhash_dedup_incremental",
-    "multimodal_audio_decode", "multimodal_decode", "orders_per_nation",
-    "orders_rollup", "pack_sequences", "pack_token_ids",
-    "paragraph_dedup", "pii_scan", "pipeline_rule_model_mix_stats",
-    "priority_sample", "process_graph_fit_curve",
-    "quality_classifier_score", "quality_classifier_train",
-    "repetition_scores", "semantic_dedup_clusters",
-    "streaming_corpus_ingest_stats", "streaming_quality_filter",
-    "temperature_sample_langs", "tokenize_to_ids", "tpch_q1",
-    "tpch_q14_promo_revenue", "tpch_q5_local_supplier_volume",
-    "unigram_logprob", "vocab_top_terms", "zorder_bucket_stats",
-    # latest green row r06 (50 queries)
-    "absolute", "add", "add_cubes", "add_dimension",
-    "aggregate_spatial_max", "aggregate_spatial_min",
-    "aggregate_spatial_product", "aggregate_spatial_sum", "and",
-    "ann_recall_trained", "arctan", "array_element_index",
-    "array_element_label", "between", "clip", "cos", "divide", "eq",
-    "exact_substring_dedup_salted", "exp", "filter_bands", "filter_bbox",
-    "filter_spatial", "filter_temporal", "floor", "gt", "gte", "if",
-    "is_nodata", "ivf_pq_ann_trained", "linear_scale_range", "ln",
-    "load_collection_lineitem", "load_result_roundtrip", "log", "lt",
-    "lte", "mask_nodata", "mask_replacement", "minhash_lsh_pairs_tuned",
-    "mod", "multimodal_image_features", "multimodal_jpeg_decode",
-    "multimodal_resize", "multiply", "neq", "normalized_difference",
-    "not", "process_graph_predict_harmonic", "semantic_dedup_trained",
-    # latest green row r07 (50 queries)
-    "bm25_scores", "char_entropy", "copurchase_communities",
-    "copurchase_pagerank", "copurchase_related_parts",
-    "copurchase_triangles", "corpus_datasheet", "corpus_delta",
-    "csv_roundtrip", "decontaminate_semantic",
-    "decontaminate_semantic_lsh", "event_funnel_windowed",
-    "event_session_type_pairs", "event_top_paths",
-    "event_weekly_stickiness", "exact_dedup_normalized",
-    "minhash_dedup_incremental_auto", "minhash_lsh_pairs_auto",
-    "minhash_recall_tiers", "multimodal_audio_features",
-    "multimodal_image_phash", "multimodal_phash_near_dup", "or",
-    "pi_multiply", "pii_redact", "pipeline_release_stats", "power",
-    "rename_labels_bands", "script_census", "select_token_budget",
-    "select_token_budget_by", "semantic_dedup_trained_k160",
-    "semantic_dedup_vectorized_k160", "shingle_containment_pairs",
-    "source_overlap_matrix", "split_leakage_report",
-    "streaming_minhash_dedup", "streaming_pii_redact",
-    "temperature_sample_domains", "text_content_ann", "text_content_topk",
-    "text_feature_embedding", "token_length_histogram",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "pipeline_quality_dedup_stats",
+    "pq_ann",
+    "pq_encode",
+    "process_graph_resample_pushdown",
+    "quantiles_q",
+    "reduce_bands_mean",
+    "reduce_time_count",
+    "reduce_time_max",
+    "reduce_time_mean",
+    "reduce_time_min",
+    "reduce_time_product",
+    "reduce_time_sd",
+    "reduce_time_sum",
+    "reduce_time_variance",
+    "reduce_x_sum",
+    "reduce_y_max",
+    "resample_cube_spatial",
+    "run_udf",
+    "sample_stratified",
+    "shuffle_shards",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_tumbling_hourly",
+    "tfidf_top_terms",
+    "bigram_logprob",
+    "bloom_decontaminate",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "cdc_chunks",
+    "corpus_shard_layout",
+    "corpus_stats_sketch",
+    "count_min_heavy_grams",
+    "domain_stats",
+    "dsir_importance_weights",
+    "embedding_int8_quantize",
+    "event_anomaly_hours",
+    "event_funnel",
+    "event_retention_cohorts",
+    "event_sessionize",
+    "events_user_type_pivot",
+    "exact_substring_dedup",
+    "fit_curve_harmonic",
+    "gopher_quality_flags",
+    "incremental_corpus_stats",
+    "intra_doc_dedup",
+    "ivf_pq_ann",
+    "jsonl_roundtrip",
+    "kmeans_train",
+    "minhash_dedup_incremental",
+    "multimodal_audio_decode",
+    "multimodal_decode",
+    "orders_per_nation",
+    "orders_rollup",
+    "pack_sequences",
+    "pack_token_ids",
+    "paragraph_dedup",
+    "pii_scan",
+    "pipeline_rule_model_mix_stats",
+    "priority_sample",
+    "process_graph_fit_curve",
+    "quality_classifier_score",
+    "quality_classifier_train",
+    "repetition_scores",
+    "semantic_dedup_clusters",
+    "streaming_corpus_ingest_stats",
+    "streaming_quality_filter",
+    "temperature_sample_langs",
+    "tokenize_to_ids",
+    "tpch_q1",
+    "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume",
+    "unigram_logprob",
+    "vocab_top_terms",
+    "zorder_bucket_stats",
+    "absolute",
+    "add",
+    "add_cubes",
+    "add_dimension",
+    "aggregate_spatial_max",
+    "aggregate_spatial_min",
+    "aggregate_spatial_product",
+    "aggregate_spatial_sum",
+    "and",
+    "ann_recall_trained",
+    "arctan",
+    "array_element_index",
+    "array_element_label",
+    "between",
+    "clip",
+    "cos",
+    "divide",
+    "eq",
+    "exact_substring_dedup_salted",
+    "exp",
+    "filter_bands",
+    "filter_bbox",
+    "filter_spatial",
+    "filter_temporal",
+    "floor",
+    "gt",
+    "gte",
+    "if",
+    "is_nodata",
+    "ivf_pq_ann_trained",
+    "linear_scale_range",
+    "ln",
+    "load_collection_lineitem",
+    "load_result_roundtrip",
+    "log",
+    "lt",
+    "lte",
+    "mask_nodata",
+    "mask_replacement",
+    "minhash_lsh_pairs_tuned",
+    "mod",
+    "multimodal_image_features",
+    "multimodal_jpeg_decode",
+    "multimodal_resize",
+    "multiply",
+    "neq",
+    "normalized_difference",
+    "not",
+    "process_graph_predict_harmonic",
+    "semantic_dedup_trained",
+    "bm25_scores",
+    "char_entropy",
+    "copurchase_communities",
+    "copurchase_pagerank",
+    "copurchase_related_parts",
+    "copurchase_triangles",
+    "corpus_datasheet",
+    "corpus_delta",
+    "csv_roundtrip",
+    "decontaminate_semantic",
+    "decontaminate_semantic_lsh",
+    "event_funnel_windowed",
+    "event_session_type_pairs",
+    "event_top_paths",
+    "event_weekly_stickiness",
+    "exact_dedup_normalized",
+    "minhash_dedup_incremental_auto",
+    "minhash_lsh_pairs_auto",
+    "minhash_recall_tiers",
+    "multimodal_audio_features",
+    "multimodal_image_phash",
+    "multimodal_phash_near_dup",
+    "or",
+    "pi_multiply",
+    "pii_redact",
+    "pipeline_release_stats",
+    "power",
+    "rename_labels_bands",
+    "script_census",
+    "select_token_budget",
+    "select_token_budget_by",
+    "semantic_dedup_trained_k160",
+    "semantic_dedup_vectorized_k160",
+    "shingle_containment_pairs",
+    "source_overlap_matrix",
+    "split_leakage_report",
+    "streaming_minhash_dedup",
+    "streaming_pii_redact",
+    "temperature_sample_domains",
+    "text_content_ann",
+    "text_content_topk",
+    "text_feature_embedding",
+    "token_length_histogram",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
     "train_split_census",
+    "aggregate_spatial_median",
+    "aggregate_spatial_window",
+    "aggregate_temporal_period_season",
+    "ann_recall",
+    "anomaly",
+    "apply_kernel",
+    "array_interpolate_linear",
+    "brute_force_topk",
+    "ceil",
+    "copurchase_pagerank_shuffle",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "drop_dimension",
+    "embedding_cosine_dup_pairs",
+    "events_hourly",
+    "exact_dedup",
+    "fit_curve_linear",
+    "flagship_ndvi",
+    "geocode_nearest",
+    "int",
+    "ivf_flat_ann",
+    "lang_id",
+    "lsh_bucket_ann",
+    "merge_cubes_resolver",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "near_dup_clusters",
+    "near_dup_keep_representative",
+    "ngram_jaccard_pairs",
+    "orders_topk_per_customer",
+    "phash_recall_tiers",
+    "rename_labels_time",
+    "semantic_dedup_auto",
+    "sin",
+    "sqrt",
+    "subtract",
+    "synthetic_cube",
+    "tan",
+    "tiled_aggregate_temporal_season",
+    "tiled_apply_kernel",
+    "tiled_filter_bbox",
+    "tiled_mask",
+    "tiled_ndvi_median",
+    "tiled_pipeline_e2e",
+    "tiled_reduce_bands_mean",
+    "tiled_reduce_time_max",
+    "tiled_reduce_time_mean",
+    "tiled_reduce_time_sum",
+    "tiled_roundtrip",
+    "tiled_save_load",
 ]
 
 
