@@ -828,3 +828,495 @@ def apply_kernel_tiled_layout(
         stencil, out_schema
     )
     return TiledCube(df, tc.schema, T, tc.n_y, tc.n_x)
+
+
+# ---- round 9: the rest of the operator surface on tiles ----------------
+
+
+def filter_bands_tiled(tc: TiledCube, bands: Sequence[str]) -> TiledCube:
+    """``filter_bands`` natively on tiles — a pure row predicate on the
+    band key (mirrors ``operators/filters.py:filter_bands``; reference
+    ``openeo_odc_driver.py:1031-1034``). On the stored layout band is a
+    hive partition column (:func:`save_tiled`), so this prunes whole
+    directories before any tile array is read — the cheapest possible
+    band subset at 10^12 px."""
+    bands = tuple(bands)
+    return TiledCube(
+        tc.df.where(F.col(BAND).isin(list(bands))),
+        tc.schema.with_bands(bands),
+        tc.tile, tc.n_y, tc.n_x,
+    )
+
+
+def filter_temporal_tiled(tc: TiledCube, start: str, end: str) -> TiledCube:
+    """``filter_temporal`` natively on tiles — half-open [start, end),
+    exactly the long operator's contract (``operators/filters.py:30``;
+    the reference subtracts 1 ms from the end,
+    ``load_odc_collection.py:78-79``). A sargable row predicate on the
+    time key: tile arrays are untouched, and on the stored layout the
+    predicate reaches parquet row-group min/max pruning. The plan-time
+    ``time_extent`` / ``time_axis`` metadata narrows the same way as the
+    long path, so merge-disjointness proofs keep working on tiles."""
+    from datetime import datetime, timedelta
+
+    if TIME not in tc.schema.dims:
+        raise ValueError("filter_temporal_tiled needs a time dimension")
+    df = tc.df.where(
+        (F.col(TIME) >= F.lit(start).cast("timestamp"))
+        & (F.col(TIME) < F.lit(end).cast("timestamp"))
+    )
+    lo = datetime.fromisoformat(str(start))
+    hi = datetime.fromisoformat(str(end)) - timedelta(microseconds=1)
+    if tc.schema.time_extent is not None:
+        olo, ohi = tc.schema.time_extent
+        lo, hi = max(lo, olo), min(hi, ohi)
+    schema = tc.schema.with_time_extent((lo, hi))
+    if tc.schema.time_axis is not None:
+        schema = schema.with_time_axis(
+            tuple(t for t in tc.schema.time_axis if lo <= t <= hi)
+        )
+    return TiledCube(df, schema, tc.tile, tc.n_y, tc.n_x)
+
+
+def apply_tiled(tc: TiledCube, fn) -> TiledCube:
+    """openEO ``apply`` (element-wise math, SURVEY §2.4) natively on
+    tiles: one ``transform`` lambda over each packed array, reusing the
+    SAME Column builders the long path uses (``operators/math.py``
+    ``*_cols`` — pass e.g. ``lambda v: clip_cols(add_cols(v, 1), 0, 2)``)
+    so the arithmetic cannot drift between tiers. Zero exchanges — a
+    scan-fused projection; the lambda body is the identical Catalyst
+    expression tree the long ``apply_unary`` builds over the value
+    column.
+
+    ``fn`` must be a ONE-argument callable (PySpark hands a 2-arg
+    lambda the element index as its second argument — the documented
+    arity trap). Results cast to double to keep the ``array<double>``
+    layout; boolean-producing processes (comparisons) store 0.0/1.0,
+    matching the long tier's double value column."""
+    out = F.transform("data", lambda v: fn(v).cast("double"))
+    return TiledCube(
+        tc.df.withColumn("data", out),
+        tc.schema, tc.tile, tc.n_y, tc.n_x,
+    )
+
+
+def merge_cubes_tiled(
+    tc1: TiledCube,
+    tc2: TiledCube,
+    overlap_resolver=None,
+    assume_disjoint: bool = False,
+) -> TiledCube:
+    """``merge_cubes`` natively on tiles — the long operator's decision
+    table (``operators/merge.py``; reference
+    ``openeo_odc_driver.py:1134-1291``) on the packed layout:
+
+    1. disjoint band sets → band-axis concat: ``unionByName``, **zero
+       shuffle** (tile arrays never open).
+    2. same bands, disjoint times (plan-time extent/axis proof or a
+       tiny key-overlap probe — the long helper, reused) → time concat,
+       zero shuffle.
+    3. overlapping keys + resolver → ONE full-outer equi-join keyed by
+       (band[, time], tile) — tile²× fewer join keys than the long
+       per-pixel join — and a ``zip_with`` whose lambda is the SAME
+       Column builder the long resolver path uses. A tile missing on
+       one side resolves element-wise against NULL (the long full-outer
+       row's NULL partner), via an all-NULL stand-in array.
+    4. partially-common bands → error (unsupported in the reference).
+    """
+    from ..operators.merge import _times_disjoint
+
+    if tc1.tile != tc2.tile or (tc1.n_y, tc1.n_x) != (tc2.n_y, tc2.n_x):
+        raise ValueError(
+            f"merge_cubes_tiled: layout mismatch (tile {tc1.tile} vs "
+            f"{tc2.tile}, scene {(tc1.n_y, tc1.n_x)} vs "
+            f"{(tc2.n_y, tc2.n_x)}); re-tile to a common layout first"
+        )
+    if set(tc1.schema.dims) != set(tc2.schema.dims):
+        raise ValueError("merge_cubes_tiled: dimension mismatch")
+    b1, b2 = set(tc1.schema.bands), set(tc2.schema.bands)
+    e1, e2 = tc1.schema.time_extent, tc2.schema.time_extent
+    merged_extent = (
+        (min(e1[0], e2[0]), max(e1[1], e2[1]))
+        if e1 is not None and e2 is not None else None
+    )
+    a1, a2 = tc1.schema.time_axis, tc2.schema.time_axis
+    merged_axis = (
+        tuple(sorted(set(a1) | set(a2)))
+        if a1 is not None and a2 is not None else None
+    )
+    schema = (
+        tc1.schema.with_bands(
+            tuple(dict.fromkeys((*tc1.schema.bands, *tc2.schema.bands)))
+        )
+        .with_time_extent(merged_extent)
+        .with_time_axis(merged_axis)
+    )
+    if b1 and b2 and b1.isdisjoint(b2):
+        return TiledCube(
+            tc1.df.unionByName(tc2.df), schema, tc1.tile, tc1.n_y, tc1.n_x
+        )
+    if b1 != b2 and b1 & b2:
+        raise ValueError(
+            "merge_cubes_tiled: partially overlapping band sets unsupported"
+        )
+    if overlap_resolver is None:
+        if assume_disjoint or _times_disjoint(
+            Cube(tc1.df, tc1.schema), Cube(tc2.df, tc2.schema)
+        ):
+            return TiledCube(
+                tc1.df.unionByName(tc2.df), schema,
+                tc1.tile, tc1.n_y, tc1.n_x,
+            )
+        raise ValueError(
+            "merge_cubes_tiled: overlapping cubes need an overlap_resolver"
+        )
+    T2 = tc1.tile * tc1.tile
+    keys = [*tc1.key_dims, "tile_row", "tile_col"]
+    null_tile = F.expr(f"array_repeat(CAST(NULL AS DOUBLE), {T2})")
+    left = tc1.df.withColumnRenamed("data", "_d1")
+    right = tc2.df.withColumnRenamed("data", "_d2")
+    resolved = F.zip_with(
+        F.coalesce("_d1", null_tile),
+        F.coalesce("_d2", null_tile),
+        lambda a, b: overlap_resolver(a, b).cast("double"),
+    )
+    df = (
+        left.join(right, keys, "full_outer")
+        .select(*keys, resolved.alias("data"))
+    )
+    return TiledCube(df, schema, tc1.tile, tc1.n_y, tc1.n_x)
+
+
+def resample_spatial_tiled(
+    tc: TiledCube, factor: int, reducer: str = "mean", impl: str = "auto"
+) -> TiledCube:
+    """Integer-factor spatial downsampling natively on tiles — the
+    block-aggregate semantics of the long
+    ``aggregate_spatial_window`` (xarray ``coarsen``,
+    ``openeo_odc_driver.py:624-626``) with upper-left grid alignment:
+    output pixel (I, J) reduces input block [I·k, I·k+k) × [J·k, J·k+k),
+    NULL cells skipped, all-NULL blocks NULL; the output grid keeps the
+    origin and scales the resolution by k.
+
+    **Zero shuffles.** ``factor`` must divide the tile edge, so every
+    output tile is a pure function of ONE input tile — a scan-fused
+    projection mapping a T² array to a (T/k)² array; tile indices are
+    unchanged and only the tile edge, scene dims, and grid resolution
+    scale. The long-format plan needs a full exchange keyed by window;
+    this is the layout paying for itself (the same reason the reference
+    resamples inside dask chunks, ``load_odc_collection.py:130``).
+
+    Engines (the :func:`reduce_time_tiled` dispatch pattern): ``"sql"``
+    — a nested HOF fold, oracle mode at small tiles; ``"numpy"`` — an
+    Arrow-batched reshape + nan-reduction per tile, the scale path;
+    ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``. Reducers: mean / sum /
+    min / max / nearest (upper-left sample — openEO ``near``)."""
+    from dataclasses import replace as _dc_replace
+
+    from .cube import GridSpec
+
+    k = int(factor)
+    T = tc.tile
+    if k < 1 or T % k != 0:
+        raise ValueError(
+            f"factor must be a positive divisor of the tile edge "
+            f"({T}), got {factor!r}"
+        )
+    if reducer not in ("mean", "sum", "min", "max", "nearest"):
+        raise ValueError(
+            f"reducer must be mean/sum/min/max/nearest, got {reducer!r}"
+        )
+    g = tc.schema.grid
+    if g is None:
+        raise ValueError("resample_spatial_tiled needs a GridSpec")
+    OT = T // k
+    OT2, K2 = OT * OT, k * k
+    if impl == "auto":
+        impl = "numpy" if T * T >= TILE_VECTORIZE_CELLS else "sql"
+    if impl == "sql":
+        gather = (
+            f"data[((p DIV {OT}) * {k} + q DIV {k}) * {T} "
+            f"+ (p % {OT}) * {k} + q % {k}]"
+        )
+        if reducer == "nearest":
+            pool = f"data[(p DIV {OT}) * {k} * {T} + (p % {OT}) * {k}]"
+        elif reducer in ("mean", "sum"):
+            finish = (
+                "CASE WHEN acc.c = 0 THEN CAST(NULL AS DOUBLE) "
+                + ("ELSE acc.s / acc.c END" if reducer == "mean"
+                   else "ELSE acc.s END")
+            )
+            pool = (
+                f"aggregate(sequence(0, {K2 - 1}), "
+                "named_struct('s', CAST(0.0 AS DOUBLE), 'c', CAST(0 AS BIGINT)), "
+                f"(acc, q) -> CASE WHEN {gather} IS NULL THEN acc "
+                f"ELSE named_struct('s', acc.s + {gather}, 'c', acc.c + 1) END, "
+                f"acc -> {finish})"
+            )
+        else:
+            cmp = "<" if reducer == "min" else ">"
+            pool = (
+                f"aggregate(sequence(0, {K2 - 1}), CAST(NULL AS DOUBLE), "
+                f"(acc, q) -> CASE WHEN {gather} IS NULL THEN acc "
+                f"WHEN acc IS NULL THEN {gather} "
+                f"WHEN {gather} {cmp} acc THEN {gather} ELSE acc END)"
+            )
+        out = F.expr(f"transform(sequence(0, {OT2 - 1}), p -> {pool})")
+        df = tc.df.withColumn("data", out)
+    elif impl == "numpy":
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        red = reducer
+
+        def pool_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                pooled = []
+                for d in pdf["data"]:
+                    a = np.asarray(d, dtype="float64").reshape(T, T)
+                    if red == "nearest":
+                        out = a[::k, ::k]
+                    else:
+                        b = a.reshape(OT, k, OT, k)
+                        nan = np.isnan(b)
+                        all_nan = nan.all(axis=(1, 3))
+                        if red == "mean":
+                            c = (~nan).sum(axis=(1, 3))
+                            s = np.nansum(b, axis=(1, 3))
+                            with np.errstate(invalid="ignore"):
+                                out = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+                        elif red == "sum":
+                            out = np.where(all_nan, np.nan, np.nansum(b, axis=(1, 3)))
+                        else:
+                            # nan-reductions warn on all-nan blocks;
+                            # zero-fill those and restore NULL after
+                            op = np.nanmin if red == "min" else np.nanmax
+                            safe = np.where(
+                                all_nan[:, None, :, None], 0.0, b
+                            )
+                            out = op(safe, axis=(1, 3))
+                            out = np.where(all_nan, np.nan, out)
+                    pooled.append(
+                        [None if np.isnan(v) else float(v)
+                         for v in out.reshape(-1)]
+                    )
+                yield pdf.assign(data=pooled)
+
+        df = tc.df.mapInPandas(pool_batch, tc.df.schema)
+    else:
+        raise ValueError(f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}")
+    schema = _dc_replace(
+        tc.schema,
+        grid=GridSpec(x0=g.x0, y0=g.y0, resx=g.resx * k, resy=g.resy * k),
+    )
+    n_y2 = -(-tc.n_y // k)
+    n_x2 = -(-tc.n_x // k)
+    return TiledCube(df, schema, OT, n_y2, n_x2)
+
+
+def _contains_expr(poly, xe: F.Column, ye: F.Column) -> F.Column:
+    """Convex containment over arbitrary coordinate EXPRESSIONS — the
+    half-plane AND of ``functions/geometry.py:convex_contains_col``
+    generalized from column names to Columns (tile corners are computed
+    coordinates, not stored ones). CW rings reversed to CCW first,
+    identically."""
+    pts = list(poly)
+    area2 = sum(
+        pts[i][0] * pts[(i + 1) % len(pts)][1]
+        - pts[(i + 1) % len(pts)][0] * pts[i][1]
+        for i in range(len(pts))
+    )
+    if area2 < 0:
+        pts = pts[::-1]
+    cond = None
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        edge = (
+            (F.lit(x2) - F.lit(x1)) * (ye - F.lit(y1))
+            - (F.lit(y2) - F.lit(y1)) * (xe - F.lit(x1))
+            >= 0
+        )
+        cond = edge if cond is None else (cond & edge)
+    return cond
+
+
+_ZONAL_REDUCERS = ("mean", "sum", "min", "max", "count")
+
+
+def aggregate_spatial_tiled(
+    tc: TiledCube,
+    polygons: list,
+    reducer: str,
+    target_dimension: str = "geom_id",
+) -> Cube:
+    """Zonal statistics natively on tiles — the long
+    ``aggregate_spatial`` (reference ``openeo_odc_driver.py:628-684``)
+    with the classic raster-zonal optimization: **geometry tests run
+    per TILE, not per pixel, except on the polygon boundary.**
+
+    Every tile is classified against the polygon list with pure literal
+    arithmetic on (tile_row, tile_col) — no array is opened:
+
+    - **interior**: all four scene-clipped corner pixels inside a
+      convex polygon ``i`` and no earlier polygon's bbox touches the
+      tile (so first-match tagging provably assigns every pixel to
+      ``i``) → the whole tile folds to (sum, count, min, max) partials
+      in one HOF pass, zero per-pixel geometry.
+    - **boundary**: some polygon bbox touches the tile but interior
+      can't be proven → only these tiles posexplode to pixels and run
+      the per-pixel first-match half-plane test (the long operator's
+      exact tagging, ``functions/geometry.py:geom_id_col``).
+    - **outside**: no polygon bbox touches the tile → dropped at the
+      scan; on the stored layout the disjunction of bbox ranges prunes
+      row groups.
+
+    At 10^12 px a country-sized polygon has O(area) interior tiles and
+    O(perimeter) boundary tiles — the per-pixel geometry work drops by
+    a factor of ~tile·(area/perimeter). One final exchange combines the
+    partials per (geom, band[, time]); its key count is |polygons| ×
+    |bands| × |times|, independent of raster size. Semantics match the
+    long operator exactly: first-match geometry tagging, NULL values
+    skipped, all-NULL zones NULL (count 0), pixel-less polygons absent.
+
+    Convex polygons only (the long path's own Catalyst fast path);
+    concave → route through ``from_tiled`` + the ray-cast UDF.
+    Reducers: mean / sum / min / max / count (median/sd need the pixel
+    multiset — long path)."""
+    from ..functions.geometry import is_convex
+
+    if reducer not in _ZONAL_REDUCERS:
+        raise ValueError(
+            f"reducer must be one of {_ZONAL_REDUCERS}, got {reducer!r} "
+            "(median/sd/variance need the pixel multiset: use "
+            "aggregate_spatial on from_tiled(...))"
+        )
+    if not all(is_convex(p) for p in polygons):
+        raise NotImplementedError(
+            "aggregate_spatial_tiled handles convex polygons (the "
+            "half-plane fast path); concave polygons run long-format "
+            "via from_tiled + the ray-cast UDF"
+        )
+    if target_dimension in tc.df.columns:
+        raise ValueError(
+            f"target_dimension {target_dimension!r} collides with a "
+            f"tiled column {tc.df.columns}; pick a fresh label"
+        )
+    g = tc.schema.grid
+    if g is None:
+        raise ValueError("aggregate_spatial_tiled needs a GridSpec")
+    T = tc.tile
+    T2 = T * T
+    keys = tc.key_dims
+
+    # scene-clipped pixel-coordinate extremes of each tile (literal
+    # arithmetic on the int tile indices -> whole-stage codegen)
+    px_lo = F.col("tile_col").cast("long") * T
+    px_hi = F.least(px_lo + (T - 1), F.lit(tc.n_x - 1))
+    py_lo = F.col("tile_row").cast("long") * T
+    py_hi = F.least(py_lo + (T - 1), F.lit(tc.n_y - 1))
+    x_lo = F.lit(g.x0) + F.lit(g.resx) * px_lo
+    x_hi = F.lit(g.x0) + F.lit(g.resx) * px_hi
+    y_hi = F.lit(g.y0) - F.lit(g.resy) * py_lo  # north edge
+    y_lo = F.lit(g.y0) - F.lit(g.resy) * py_hi  # south edge
+
+    full, inter = [], []
+    for poly in polygons:
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        inter.append(
+            (x_lo <= max(xs)) & (x_hi >= min(xs))
+            & (y_lo <= max(ys)) & (y_hi >= min(ys))
+        )
+        full.append(
+            _contains_expr(poly, x_lo, y_lo)
+            & _contains_expr(poly, x_lo, y_hi)
+            & _contains_expr(poly, x_hi, y_lo)
+            & _contains_expr(poly, x_hi, y_hi)
+        )
+    # first-match-safe interior assignment: polygon i owns the tile iff
+    # the tile is fully inside i and no EARLIER polygon's bbox touches
+    # it; at most one i qualifies (full_i blocks every later j via
+    # inter_i), so coalesce of whens is exact
+    interior_cases = []
+    blocked = F.lit(False)
+    for i in range(len(polygons)):
+        interior_cases.append(F.when(full[i] & ~blocked, F.lit(i)))
+        blocked = blocked | inter[i]
+    interior_geom = (
+        F.coalesce(*interior_cases, F.lit(None).cast("int"))
+        if interior_cases else F.lit(None).cast("int")
+    )
+    any_inter = blocked  # OR of all bbox-touch predicates
+
+    staged = tc.df.select(
+        *keys, "tile_row", "tile_col", "data",
+        interior_geom.alias("_ig"), any_inter.alias("_touch"),
+    ).where(F.col("_touch"))
+
+    # interior tiles: one HOF pass -> (s, c, mn, mx) partials
+    fold = F.expr(
+        "aggregate(data, named_struct("
+        "'s', CAST(0.0 AS DOUBLE), 'c', CAST(0 AS BIGINT), "
+        "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
+        "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
+        "'s', acc.s + v, 'c', acc.c + 1, "
+        "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
+        "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
+        "END)"
+    )
+    interior = (
+        staged.where(F.col("_ig").isNotNull())
+        .select(*keys, F.col("_ig").alias(target_dimension), fold.alias("_p"))
+        .select(
+            target_dimension, *keys,
+            F.col("_p.s").alias("_s"), F.col("_p.c").alias("_c"),
+            F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
+        )
+    )
+
+    # boundary tiles: pixels out, exact first-match tagging (the long
+    # operator's test), then the same partial shape
+    from ..functions.geometry import geom_id_col
+
+    b = staged.where(F.col("_ig").isNull()).select(
+        *keys, "tile_row", "tile_col",
+        F.posexplode("data").alias("_pos", VALUE),
+    )
+    y_idx = F.col("tile_row").cast("long") * T + (F.col("_pos") / T).cast("long")
+    x_idx = F.col("tile_col").cast("long") * T + F.col("_pos") % T
+    b = (
+        b.where((y_idx < tc.n_y) & (x_idx < tc.n_x))
+        .select(
+            *keys,
+            (F.lit(g.y0) - F.lit(g.resy) * y_idx).alias(Y),
+            (F.lit(g.x0) + F.lit(g.resx) * x_idx).alias(X),
+            VALUE,
+        )
+        .withColumn(target_dimension, geom_id_col(polygons, X, Y))
+        .where(F.col(target_dimension).isNotNull())
+    )
+    boundary = b.groupBy(target_dimension, *keys).agg(
+        F.coalesce(F.sum(VALUE), F.lit(0.0)).alias("_s"),
+        F.count(VALUE).alias("_c"),
+        F.min(VALUE).alias("_mn"),
+        F.max(VALUE).alias("_mx"),
+    )
+
+    finish = {
+        "mean": F.when(
+            F.sum("_c") > 0, F.sum("_s") / F.sum("_c")
+        ),
+        "sum": F.when(F.sum("_c") > 0, F.sum("_s")),
+        "min": F.min("_mn"),
+        "max": F.max("_mx"),
+        "count": F.sum("_c"),
+    }[reducer]
+    out = (
+        interior.unionByName(boundary)
+        .groupBy(target_dimension, *keys)
+        .agg(finish.alias(VALUE))
+    )
+    return Cube(out, tc.schema.drop(X).drop(Y))

@@ -929,6 +929,183 @@ def _tiled_save_load(spark, sf_dir):
 
 
 @q(
+    "tiled_filter_bands_temporal",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    "WHERE band IN ('B04', 'B08') "
+    "AND time >= TIMESTAMP '2021-06-01' AND time < TIMESTAMP '2022-03-01'",
+)
+def _tiled_filter_bands_temporal(spark, sf_dir):
+    """Band + temporal filters natively on tiles (core/tiled.py:
+    filter_bands_tiled / filter_temporal_tiled): pure row predicates
+    on the tile keys — the arrays are never opened, and on the stored
+    layout band is a hive partition column (directory pruning) while
+    time carries parquet min/max. Shares the long filters' composed
+    semantics (half-open [start, end))."""
+    from .core.tiled import (
+        filter_bands_tiled,
+        filter_temporal_tiled,
+        from_tiled,
+        to_tiled,
+    )
+
+    return from_tiled(
+        filter_temporal_tiled(
+            filter_bands_tiled(
+                to_tiled(synthetic_cube(spark), tile=8), ["B04", "B08"]
+            ),
+            "2021-06-01",
+            "2022-03-01",
+        )
+    ).df
+
+
+@q(
+    "tiled_apply_math",
+    f"WITH cube AS ({CUBE_D}) SELECT band, time, y, x, "
+    "least(greatest(abs(value) * 0.25 + 1.0, 0.0), 30.0) AS value FROM cube",
+)
+def _tiled_apply_math(spark, sf_dir):
+    """openEO ``apply`` natively on tiles (core/tiled.py: apply_tiled):
+    one transform lambda per packed array whose body REUSES the long
+    tier's Column builders (operators/math.py *_cols — the §2.4 op
+    set), so tier arithmetic cannot drift. The chain here is
+    clip(abs(v)·0.25 + 1, 0, 30) — dyadic literals, cross-engine
+    exact. Zero exchanges (scan-fused projection)."""
+    from .core.tiled import apply_tiled, from_tiled, to_tiled
+    from .operators.math import absolute_cols, add_cols, clip_cols, multiply_cols
+
+    return from_tiled(
+        apply_tiled(
+            to_tiled(synthetic_cube(spark), tile=8),
+            lambda v: clip_cols(
+                add_cols(multiply_cols(absolute_cols(v), 0.25), 1.0),
+                0.0,
+                30.0,
+            ),
+        )
+    ).df
+
+
+@q(
+    "tiled_merge_bands",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_B_BANDS_D}) "
+    "SELECT * FROM c1 UNION ALL SELECT * FROM c2",
+)
+def _tiled_merge_bands(spark, sf_dir):
+    """merge_cubes case 1 (disjoint bands) natively on tiles
+    (core/tiled.py: merge_cubes_tiled): a columnless unionByName —
+    zero shuffle, no tile array opened. Shares the long
+    merge_cubes_bands oracle."""
+    from .core.tiled import from_tiled, merge_cubes_tiled, to_tiled
+
+    return from_tiled(
+        merge_cubes_tiled(
+            to_tiled(synthetic_cube(spark), tile=8),
+            to_tiled(synthetic_cube(spark, SPEC_B_BANDS), tile=8),
+        )
+    ).df
+
+
+@q(
+    "tiled_merge_resolver",
+    f"WITH c1 AS ({CUBE_D}), c2 AS ({CUBE_C_D}) "
+    "SELECT coalesce(c1.band, c2.band) AS band, "
+    "coalesce(c1.time, c2.time) AS time, "
+    "coalesce(c1.y, c2.y) AS y, coalesce(c1.x, c2.x) AS x, "
+    "CASE WHEN c1.value IS NULL THEN c2.value "
+    "WHEN c2.value IS NULL THEN c1.value "
+    "ELSE (c1.value + c2.value) / 2.0 END AS value "
+    "FROM c1 FULL OUTER JOIN c2 ON c1.band = c2.band AND c1.time = c2.time "
+    "AND c1.y = c2.y AND c1.x = c2.x",
+)
+def _tiled_merge_resolver(spark, sf_dir):
+    """merge_cubes case 3 (overlap + resolver) natively on tiles: ONE
+    full-outer join keyed by (band, time, tile) — tile²× fewer join
+    keys than the long per-pixel join — and a zip_with whose lambda is
+    the SAME Column builder the long resolver uses. Shares the long
+    merge_cubes_resolver oracle (mean-of-sides with NULL passthrough)."""
+    from .core.tiled import from_tiled, merge_cubes_tiled, to_tiled
+
+    def resolver(v1: Column, v2: Column) -> Column:
+        return (
+            F.when(v1.isNull(), v2)
+            .when(v2.isNull(), v1)
+            .otherwise((v1 + v2) / F.lit(2.0))
+        )
+
+    return from_tiled(
+        merge_cubes_tiled(
+            to_tiled(synthetic_cube(spark), tile=8),
+            to_tiled(synthetic_cube(spark, SPEC_C), tile=8),
+            overlap_resolver=resolver,
+        )
+    ).df
+
+
+@q(
+    "tiled_resample_spatial",
+    f"WITH cube AS ({CUBE_D}), idx AS ("
+    "SELECT band, time, value, "
+    "CAST((150.0 - y) / 10.0 AS BIGINT) // 2 AS i, "
+    "CAST((x - 0.0) / 10.0 AS BIGINT) // 2 AS j FROM cube) "
+    "SELECT band, time, 150.0 - 20.0 * i AS y, 0.0 + 20.0 * j AS x, "
+    "avg(value) AS value FROM idx GROUP BY band, time, i, j",
+)
+def _tiled_resample_spatial(spark, sf_dir):
+    """Integer-factor spatial downsampling natively on tiles
+    (core/tiled.py: resample_spatial_tiled): factor-2 mean pooling as
+    a ZERO-shuffle scan-fused projection (every output tile is a pure
+    function of one input tile; only the tile edge and grid resolution
+    change). Oracle: the same block reduction over the long cube,
+    upper-left grid alignment. Oracle mode pins impl="sql"."""
+    from .core.tiled import from_tiled, resample_spatial_tiled, to_tiled
+
+    return from_tiled(
+        resample_spatial_tiled(
+            to_tiled(synthetic_cube(spark), tile=8), 2, "mean", impl="sql"
+        )
+    ).df
+
+
+@q(
+    "tiled_zonal_mean",
+    _ZONAL_ORACLE.format(red="avg(value)", label="geom_id"),
+)
+def _tiled_zonal_mean(spark, sf_dir):
+    """Zonal statistics natively on tiles (core/tiled.py:
+    aggregate_spatial_tiled): tiles classify against the polygon list
+    with literal arithmetic on (tile_row, tile_col) — interior tiles
+    fold whole arrays with ZERO per-pixel geometry, only boundary
+    tiles posexplode to the exact per-pixel first-match half-plane
+    test, outside tiles drop at the scan. tile=4 on the 16×16 fixture
+    exercises all three classes. Shares the long
+    aggregate_spatial_mean oracle (first-match tagging)."""
+    from .core.tiled import aggregate_spatial_tiled, to_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    return aggregate_spatial_tiled(
+        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "mean"
+    ).df
+
+
+@q(
+    "tiled_zonal_count",
+    _ZONAL_ORACLE.format(red="CAST(count(value) AS BIGINT)", label="geom_id"),
+)
+def _tiled_zonal_count(spark, sf_dir):
+    """aggregate_spatial_tiled with the count reducer — pins the
+    partial-combine arithmetic (interior tile folds + boundary pixel
+    counts summing to the long per-pixel census) and the NULL
+    discipline (NULL values uncounted in both tiers)."""
+    from .core.tiled import aggregate_spatial_tiled, to_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    return aggregate_spatial_tiled(
+        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "count"
+    ).df
+
+
+@q(
     "tiled_ndvi_median",
     f"WITH cube AS ({CUBE_D}), wide AS ("
     "SELECT time, y, x, "
