@@ -55,6 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 8
 _GATE_PRIORITY = [
+    "tiled_apply_math",
+    "tiled_filter_bands_temporal",
+    "tiled_merge_bands",
+    "tiled_merge_resolver",
+    "tiled_resample_spatial",
+    "tiled_zonal_count",
+    "tiled_zonal_mean",
     "predict_curve_linear",
     "process_graph_masked_seasonal",
     "process_graph_ndvi",
