@@ -1151,6 +1151,7 @@ def aggregate_spatial_tiled(
     polygons: list,
     reducer: str,
     target_dimension: str = "geom_id",
+    impl: str = "auto",
 ) -> Cube:
     """Zonal statistics natively on tiles — the long
     ``aggregate_spatial`` (reference ``openeo_odc_driver.py:628-684``)
@@ -1184,7 +1185,20 @@ def aggregate_spatial_tiled(
     Convex polygons only (the long path's own Catalyst fast path);
     concave → route through ``from_tiled`` + the ray-cast UDF.
     Reducers: mean / sum / min / max / count (median/sd need the pixel
-    multiset — long path)."""
+    multiset — long path).
+
+    Interior-fold engines (the :func:`reduce_time_tiled` dispatch
+    pattern): ``"sql"`` — an interpreted HOF fold, oracle mode at
+    small tiles; ``"numpy"`` — a vectorized Arrow-batched partials
+    pass per tile (a pure MAP: one output row per tile, no grouping),
+    the scale path; ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``.
+    Measured on a stored 2048²×3 raster (12.6 M px, tile=256, hexagon
+    zone: 36 interior / 108 boundary / 48 outside tiles): execution
+    0.12 s vs the long codegen plan's 0.45 s — the win is real but
+    EXECUTION-side; each fresh call also pays ~0.8 s of driver-side
+    plan construction (py4j expression building for the
+    classification/tagging CASE trees), a fixed cost independent of
+    raster size (scratch/zonal_prof.py)."""
     from ..functions.geometry import is_convex
 
     if reducer not in _ZONAL_REDUCERS:
@@ -1256,26 +1270,75 @@ def aggregate_spatial_tiled(
         interior_geom.alias("_ig"), any_inter.alias("_touch"),
     ).where(F.col("_touch"))
 
-    # interior tiles: one HOF pass -> (s, c, mn, mx) partials
-    fold = F.expr(
-        "aggregate(data, named_struct("
-        "'s', CAST(0.0 AS DOUBLE), 'c', CAST(0 AS BIGINT), "
-        "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
-        "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
-        "'s', acc.s + v, 'c', acc.c + 1, "
-        "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
-        "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
-        "END)"
-    )
-    interior = (
-        staged.where(F.col("_ig").isNotNull())
-        .select(*keys, F.col("_ig").alias(target_dimension), fold.alias("_p"))
-        .select(
-            target_dimension, *keys,
-            F.col("_p.s").alias("_s"), F.col("_p.c").alias("_c"),
-            F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
+    # interior tiles -> (s, c, mn, mx) partials, one row per tile
+    if impl == "auto":
+        impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+    interior_src = staged.where(F.col("_ig").isNotNull())
+    if impl == "sql":
+        fold = F.expr(
+            "aggregate(data, named_struct("
+            "'s', CAST(0.0 AS DOUBLE), 'c', CAST(0 AS BIGINT), "
+            "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
+            "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
+            "'s', acc.s + v, 'c', acc.c + 1, "
+            "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
+            "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
+            "END)"
         )
-    )
+        interior = (
+            interior_src
+            .select(*keys, F.col("_ig").alias(target_dimension),
+                    fold.alias("_p"))
+            .select(
+                target_dimension, *keys,
+                F.col("_p.s").alias("_s"), F.col("_p.c").alias("_c"),
+                F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
+            )
+        )
+    elif impl == "numpy":
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        key_fields = ", ".join(
+            f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
+        )
+        part_schema = (
+            f"{target_dimension} int, {key_fields}, _s double, _c bigint, "
+            "_mn double, _mx double"
+        )
+
+        def partials(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = np.array(
+                    [np.asarray(d, dtype="float64") for d in pdf["data"]]
+                )
+                nan = np.isnan(a)
+                all_nan = nan.all(axis=1)
+                c = (~nan).sum(axis=1)
+                s = np.nansum(a, axis=1)
+                safe = np.where(all_nan[:, None], 0.0, a)
+                mn = np.where(all_nan, np.nan, np.nanmin(safe, axis=1))
+                mx = np.where(all_nan, np.nan, np.nanmax(safe, axis=1))
+                out = pdf[[*keys]].copy()
+                out.insert(0, target_dimension, pdf["_ig"].astype("int32"))
+                out["_s"] = s
+                out["_c"] = c
+                out["_mn"] = [None if np.isnan(v) else float(v) for v in mn]
+                out["_mx"] = [None if np.isnan(v) else float(v) for v in mx]
+                yield out
+
+        interior = interior_src.select(
+            *keys, "_ig", "data"
+        ).mapInPandas(partials, part_schema)
+    else:
+        raise ValueError(
+            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
 
     # boundary tiles: pixels out, exact first-match tagging (the long
     # operator's test), then the same partial shape

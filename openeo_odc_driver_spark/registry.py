@@ -1084,7 +1084,8 @@ def _tiled_zonal_mean(spark, sf_dir):
     from .functions.geometry import FIXTURE_POLYGONS
 
     return aggregate_spatial_tiled(
-        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "mean"
+        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "mean",
+        impl="sql",
     ).df
 
 
@@ -1101,7 +1102,8 @@ def _tiled_zonal_count(spark, sf_dir):
     from .functions.geometry import FIXTURE_POLYGONS
 
     return aggregate_spatial_tiled(
-        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "count"
+        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "count",
+        impl="sql",
     ).df
 
 

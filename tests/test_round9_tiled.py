@@ -282,3 +282,25 @@ def test_zonal_tiled_classifies_interior_tiles(spark):
             [[(0.0, 0.0), (40.0, 0.0), (10.0, 10.0), (40.0, 40.0), (0.0, 40.0)]],
             "mean",
         )
+
+
+@pytest.mark.parametrize("reducer", ["mean", "sum", "min", "max", "count"])
+def test_zonal_tiled_numpy_engine_matches_sql(spark, reducer):
+    """The vectorized interior-fold engine (scale path) is pinned
+    element-exact against the interpreted SQL fold (oracle mode) on the
+    dyadic fixture — the reduce_time_tiled dispatch discipline."""
+    from openeo_odc_driver_spark.functions.geometry import FIXTURE_POLYGONS
+
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=4)
+    cols = ["geom_id", "band", "time", "value"]
+    frames = []
+    for impl in ("sql", "numpy"):
+        frames.append(
+            t.aggregate_spatial_tiled(
+                tc, FIXTURE_POLYGONS, reducer, impl=impl
+            ).df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(
+        frames[0], frames[1], check_exact=True, check_dtype=False
+    )
