@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "tiled_apply_kernel",
     "tiled_ndvi_median",
     "tiled_pipeline_e2e",
+    # round 9
+    "tiled_zonal_mean",
+    "tiled_resample_spatial",
+    "tiled_merge_resolver",
 ]
 
 
