@@ -481,3 +481,117 @@ def select_token_budget_by(
         )
         kept = kept.unionByName(partial.select(*d.columns))
     return kept.select(*out_cols)
+
+
+def pack_token_ids_spans(
+    docs: DataFrame,
+    vocab: DataFrame,
+    oov_id: int,
+    seq_len: int = 64,
+    n_shards: int = 8,
+    salt: str = "seed0",
+) -> DataFrame:
+    """Document-boundary spans of :func:`pack_token_ids`'s packed
+    stream — the attention/loss-mask metadata a trainer needs beside
+    the token tensor: for every packed sequence, which document
+    occupies which region. Output one row per (document × sequence it
+    touches): ``(shard, seq_id, doc_id, start, len)`` with ``start`` the
+    document's first position inside that sequence and ``len`` its
+    token count there (EOS included, matching the packed stream).
+    Within a sequence the spans tile [0, seq_len) exactly (the ragged
+    shard tail tiles [0, tail)) — pinned in pytest against the packed
+    stream itself.
+
+    Plan: the packing arithmetic of :func:`pack_token_ids` (same shard
+    assignment, same doc_id order, same offsets window), but at
+    DOCUMENT granularity — tokenization only contributes per-doc
+    COUNTS, so the heavy token stream never materializes: one count
+    aggregation, the shard-bounded offsets window, and a per-doc
+    explode over the ≤ (n/seq_len + 1) sequences the doc touches.
+    Strictly cheaper than the packing itself."""
+    from .text import tokenize_to_ids
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    L = int(seq_len)
+    toks = tokenize_to_ids(docs, vocab, oov_id)
+    # +1: the per-document EOS the packed stream appends
+    n = toks.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("_n")
+    )
+    with_shard = n.select(
+        "doc_id", shard_col(F.col("doc_id"), n_shards, salt).alias("shard"),
+        "_n",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("_n").over(w), F.lit(0).cast("bigint"))
+    d = with_shard.withColumn("_off", off)
+    s_lo = F.floor(F.col("_off") / L).cast("bigint")
+    s_hi = F.floor((F.col("_off") + F.col("_n") - 1) / L).cast("bigint")
+    sp = d.select(
+        "shard", "doc_id", "_off", "_n",
+        F.explode(F.sequence(s_lo, s_hi)).alias("seq_id"),
+    )
+    start = F.greatest(
+        F.col("_off") - F.col("seq_id") * L, F.lit(0).cast("bigint")
+    )
+    length = F.least(
+        F.col("_off") + F.col("_n"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("_off"), F.col("seq_id") * L)
+    return sp.select(
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        start.cast("bigint").alias("start"),
+        length.cast("bigint").alias("len"),
+    )
+
+
+def mix_epochs(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    by: str = "source",
+    salt: str = "seed0",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted source mixing — the Pile/Dolma recipe step where
+    each source is seen a FRACTIONAL number of times per training run
+    (e.g. books 2.25 epochs, web 0.5): every document in group ``g``
+    is emitted ``floor(e_g)`` times plus one more copy when its
+    deterministic md5-uniform falls below ``frac(e_g)``, so the
+    expected group volume is exactly ``e_g · |g|`` and every decision
+    is a pure function of (doc_id, salt) — corpus growth never flips
+    an existing document's copy count (the :func:`assign_splits`
+    determinism contract). Output ``(doc_id, <by>, copy)`` with copy
+    indices 0..k−1; downstream shuffling/packing treats copies as
+    independent documents.
+
+    Plan: a literal CASE over the group column (broadcast-free — the
+    recipe is a query constant), one codegen projection for the copy
+    count, one pipelined explode of ``sequence(0, k−1)``. Zero
+    exchanges; the corpus text never moves."""
+    e_expr = F.lit(float(default_epochs))
+    for k in sorted(epochs):
+        e_expr = (
+            F.when(F.col(by) == k, F.lit(float(epochs[k]))).otherwise(e_expr)
+        )
+    base = F.floor(e_expr).cast("bigint")
+    frac = e_expr - F.floor(e_expr)
+    extra = (
+        _uniform(F.col("doc_id").cast("string"), salt) < frac
+    ).cast("bigint")
+    n = (base + extra).alias("_n")
+    return (
+        docs.select("doc_id", by, n)
+        .where(F.col("_n") > 0)
+        .select(
+            "doc_id", by,
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("_n") - 1)
+            ).alias("copy"),
+        )
+    )

@@ -1084,3 +1084,41 @@ def bm25_scores(
     for c in contribs[1:]:
         total = total + c
     return per_doc.select("doc_id", total.alias("bm25_fp"))
+
+
+def token_fertility_stats(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility census — the
+    tokenizer-efficiency report multilingual pipelines watch (fertility
+    = subword pieces per whitespace word; high-fertility languages pay
+    more sequence length per sentence): one zero-exchange scan
+    projection (the :func:`token_count` expressions + char length) and
+    one tiny aggregation keyed by language.
+
+    Exactness: the sums are integers; ``fertility`` and
+    ``chars_per_piece`` are ONE correctly-rounded IEEE division of
+    exact integers each — engine-identical with no float accumulation.
+    """
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("_ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), F.lit(0))
+        ).cast("bigint").alias("_pieces"),
+        F.length("text").cast("bigint").alias("_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("n_ws_tokens"),
+            F.sum("_pieces").alias("n_bpe_pieces"),
+            F.sum("_chars").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_ws_tokens", "n_bpe_pieces", "n_chars",
+            (F.col("n_bpe_pieces").cast("double")
+             / F.col("n_ws_tokens").cast("double")).alias("fertility"),
+            (F.col("n_chars").cast("double")
+             / F.col("n_bpe_pieces").cast("double")).alias("chars_per_piece"),
+        )
+    )

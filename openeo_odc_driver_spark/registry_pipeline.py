@@ -4092,3 +4092,98 @@ def _event_weekly_stickiness(spark, sf_dir):
     from .pipeline.events import weekly_stickiness
 
     return weekly_stickiness(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: training-batch assembly completeness
+# ---------------------------------------------------------------------------
+
+@q(
+    "pack_token_ids_spans",
+    # same tokenizer/shard/offset arithmetic as the pack_token_ids
+    # oracle, at DOCUMENT granularity (counts only)
+    f"WITH t AS (SELECT doc_id, {_TOKS_D.replace('text', 'lower(text)')} AS toks "
+    "FROM documents WHERE doc_id % 7 = 0), "
+    "n0 AS (SELECT doc_id, CAST(len(toks) + 1 AS BIGINT) AS n FROM t "
+    "WHERE len(toks) > 0), "
+    f"sh AS (SELECT doc_id, {_PACK_SHARD_D} AS shard, n FROM n0), "
+    "off AS (SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY shard "
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS BIGINT) AS o FROM sh), "
+    "sp AS (SELECT shard, doc_id, o, n, "
+    "unnest(range(o // 64, (o + n - 1) // 64 + 1)) AS s FROM off) "
+    "SELECT CAST(shard AS INT) AS shard, CAST(s AS BIGINT) AS seq_id, "
+    "doc_id, CAST(greatest(o - s * 64, 0) AS BIGINT) AS start, "
+    "CAST(least(o + n, (s + 1) * 64) - greatest(o, s * 64) AS BIGINT) "
+    "AS len FROM sp",
+)
+def _pack_token_ids_spans(spark, sf_dir):
+    """Document-boundary spans of the packed token stream
+    (pipeline/sampling.py: pack_token_ids_spans) — the attention/loss
+    mask metadata beside pack_token_ids' tensor: (shard, seq_id,
+    doc_id, start, len), spans tiling each sequence exactly.
+    Tokenization contributes per-doc COUNTS only, so the token stream
+    never materializes; one count aggregation + the shard-bounded
+    offsets window + a per-doc explode over touched sequences."""
+    from .pipeline.sampling import pack_token_ids_spans
+
+    docs = _docs(spark, sf_dir)
+    vocab = ptext.vocab_with_ids(docs, k=_VOCAB_K)
+    return pack_token_ids_spans(
+        docs.where(F.col("doc_id") % 7 == 0), vocab,
+        oov_id=_VOCAB_K, seq_len=64, n_shards=8,
+    )
+
+
+@q(
+    "mix_epochs",
+    "WITH e AS (SELECT doc_id, source, CASE source "
+    "WHEN 'src0' THEN CAST(2.25 AS DOUBLE) "
+    "WHEN 'src1' THEN CAST(1.5 AS DOUBLE) "
+    "WHEN 'src2' THEN CAST(0.25 AS DOUBLE) "
+    "WHEN 'src3' THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) END AS e FROM documents), "
+    f"n AS (SELECT doc_id, source, CAST(floor(e) AS BIGINT) + "
+    f"CASE WHEN {_U_D} < e - floor(e) THEN 1 ELSE 0 END AS k FROM e) "
+    "SELECT doc_id, source, CAST(unnest(range(0, k)) AS BIGINT) AS copy "
+    "FROM n WHERE k > 0",
+)
+def _mix_epochs(spark, sf_dir):
+    """Epoch-weighted source mixing (pipeline/sampling.py: mix_epochs):
+    floor(e) copies per doc + one more when the deterministic
+    md5-uniform falls below frac(e) — expected group volume exactly
+    e·|g|, decisions pure functions of (doc_id, salt) so corpus growth
+    never flips a copy count. Dyadic epoch factors (2.25/1.5/0.25/0)
+    keep the threshold compare engine-exact; the recipe exercises
+    upsampling, fractional, sub-1, and drop classes in one row. Zero
+    exchanges — a literal CASE + one pipelined explode."""
+    from .pipeline.sampling import mix_epochs
+
+    return mix_epochs(
+        _docs(spark, sf_dir),
+        {"src0": 2.25, "src1": 1.5, "src2": 0.25, "src3": 0.0},
+        by="source",
+    )
+
+
+@q(
+    "token_fertility_stats",
+    f"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum({_NTOK_D}) AS BIGINT) AS n_ws_tokens, "
+    f"CAST(sum(len(regexp_extract_all(text, '{ptext.BPE_SPLIT_RE}'))) "
+    "AS BIGINT) AS n_bpe_pieces, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+    f"CAST(sum(len(regexp_extract_all(text, '{ptext.BPE_SPLIT_RE}'))) "
+    f"AS DOUBLE) / CAST(sum({_NTOK_D}) AS DOUBLE) AS fertility, "
+    "CAST(sum(length(text)) AS DOUBLE) / "
+    f"CAST(sum(len(regexp_extract_all(text, '{ptext.BPE_SPLIT_RE}'))) "
+    "AS DOUBLE) AS chars_per_piece "
+    "FROM documents GROUP BY lang",
+)
+def _token_fertility_stats(spark, sf_dir):
+    """Per-language tokenizer fertility census (pipeline/text.py:
+    token_fertility_stats): subword pieces per whitespace word +
+    chars per piece — the multilingual tokenizer-efficiency report.
+    Integer sums up to ONE correctly-rounded IEEE division each;
+    zero-exchange scan projection + a |langs|-keyed aggregation."""
+    return ptext.token_fertility_stats(_docs(spark, sf_dir))
