@@ -55,6 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 8
 _GATE_PRIORITY = [
+    "mix_epochs",
+    "pack_token_ids_spans",
     "tiled_apply_math",
     "tiled_filter_bands_temporal",
     "tiled_merge_bands",
@@ -62,6 +64,7 @@ _GATE_PRIORITY = [
     "tiled_resample_spatial",
     "tiled_zonal_count",
     "tiled_zonal_mean",
+    "token_fertility_stats",
     "predict_curve_linear",
     "process_graph_masked_seasonal",
     "process_graph_ndvi",
