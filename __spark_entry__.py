@@ -57,6 +57,8 @@ _GATE_PRIORITY_ASOF = 8
 _GATE_PRIORITY = [
     "mix_epochs",
     "pack_token_ids_spans",
+    "process_graph_masked_seasonal_tiled",
+    "process_graph_ndvi_tiled",
     "tiled_apply_math",
     "tiled_filter_bands_temporal",
     "tiled_merge_bands",

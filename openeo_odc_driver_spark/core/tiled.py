@@ -354,10 +354,12 @@ def _fold_time_groups(
 ) -> DataFrame:
     """Shared engine of reduce_time_tiled / aggregate_temporal_period_
     tiled: the element-wise fold over each (band, *extra_keys, tile)
-    group's arrays, sql or numpy."""
+    group's arrays, sql or numpy. Band-less cubes (a band-expression
+    reducer's output) group on the remaining keys."""
+    band = [BAND] if BAND in tc.schema.dims else []
     return _fold_groups(
         tc, reducer, impl,
-        keys=[BAND, *extra_keys, "tile_row", "tile_col"],
+        keys=[*band, *extra_keys, "tile_row", "tile_col"],
         sort_field=TIME,
     )
 
@@ -688,6 +690,11 @@ def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
 
     if TIME not in tc.schema.dims:
         raise ValueError("reduce_time_median_tiled needs a time dimension")
+    # band-less cubes (a band-expression reducer's output) group on the
+    # tile alone
+    keys = ([BAND] if BAND in tc.schema.dims else []) + [
+        "tile_row", "tile_col"
+    ]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         stack = np.array(
@@ -699,19 +706,18 @@ def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
         med = np.nanmedian(safe, axis=0)
         med[all_nan] = np.nan
         row0 = pdf.iloc[0]
-        return pd.DataFrame(
-            {
-                BAND: [row0[BAND]],
-                "tile_row": [int(row0["tile_row"])],
-                "tile_col": [int(row0["tile_col"])],
-                "data": [
-                    [None if np.isnan(v) else float(v) for v in med]
-                ],
-            }
-        )
+        rec = {
+            k: [int(row0[k]) if k in ("tile_row", "tile_col") else row0[k]]
+            for k in keys
+        }
+        rec["data"] = [[None if np.isnan(v) else float(v) for v in med]]
+        return pd.DataFrame(rec)
 
-    df = tc.df.groupBy(BAND, "tile_row", "tile_col").applyInPandas(
-        fold, f"{BAND} string, tile_row int, tile_col int, data array<double>"
+    fields = ", ".join(
+        f"{BAND} string" if k == BAND else f"{k} int" for k in keys
+    )
+    df = tc.df.groupBy(*keys).applyInPandas(
+        fold, f"{fields}, data array<double>"
     )
     return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
 

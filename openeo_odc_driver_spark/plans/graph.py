@@ -98,11 +98,26 @@ class ProcessGraph:
     graph). The default is True to match the reference's service
     semantics, where submitting a graph *is* the authorization to run
     its UDFs.
+
+    TILED EXECUTION MODE (``tiled=True``): the same graph executes on
+    the SURVEY §1.4 packed-tile layout (core/tiled.py) wherever a
+    native-tile operator exists — load packs the scan into tiles of
+    edge ``tile``, and filters / apply / band-expression reducers /
+    time reducers / calendar resample / mask / merge / apply_kernel
+    stay on tiles; any process without a tile path transparently
+    demotes its inputs through ``from_tiled`` and runs the long
+    relational plan (graceful degradation, never an error). Results
+    are identical by construction — every tiled operator is
+    oracle-pinned against its long twin — and the gate runs the same
+    graphs in both modes against ONE oracle. This is an execution
+    strategy, not a result format: ``execute`` always returns a long
+    ``Cube``.
     """
 
     def __init__(self, graph: dict, sf_dir: Optional[str] = None,
                  save_dir: str = "/tmp/spark_graft_results",
-                 allow_code_udfs: bool = True):
+                 allow_code_udfs: bool = True,
+                 tiled: bool = False, tile: int = 8):
         import copy
 
         # Deep copy: the optimizer pre-pass annotates node dicts
@@ -113,6 +128,8 @@ class ProcessGraph:
         self.sf_dir = sf_dir
         self.save_dir = save_dir
         self.allow_code_udfs = allow_code_udfs
+        self.tiled = tiled
+        self.tile = tile
         self.result_node = next(
             (nid for nid, n in self.nodes.items() if n.get("result")), None
         )
@@ -153,10 +170,16 @@ class ProcessGraph:
 
     def execute(self, spark: SparkSession):
         """Build the full lazy plan; runs the terminal save_result (if any)
-        and returns the result cube."""
+        and returns the result cube (always long format — tiled mode
+        demotes a tile-resident terminal through from_tiled)."""
         self._memo: Dict[str, Any] = {}
         self._spark = spark
-        return self._node(self.result_node)
+        out = self._node(self.result_node)
+        from ..core.tiled import TiledCube, from_tiled
+
+        if isinstance(out, TiledCube):
+            out = from_tiled(out)
+        return out
 
     def _node(self, nid: str):
         if nid in self._memo:
@@ -166,16 +189,44 @@ class ProcessGraph:
         self._memo[nid] = out
         return out
 
-    def _resolve(self, v: Any):
-        """Resolve an argument: from_node edge, scalar, or passthrough."""
+    def _resolve_raw(self, v: Any):
+        """Resolve an argument: from_node edge, scalar, or passthrough —
+        tiled handles pass through untouched (the tiled dispatch's view)."""
         if isinstance(v, dict) and "from_node" in v:
             return self._node(v["from_node"])
         return v
 
-    def _dispatch(self, pid: str, args: dict, node: dict):
+    def _resolve(self, v: Any):
+        """The LONG view of an argument: a tile-resident upstream value
+        demotes through from_tiled, so every long branch works unchanged
+        under tiled execution (graceful degradation)."""
+        from ..core.tiled import TiledCube, from_tiled
+
+        out = self._resolve_raw(v)
+        if isinstance(out, TiledCube):
+            out = from_tiled(out)
+        return out
+
+    def _as_tiled(self, v: Any):
+        """The TILED view: a long upstream value (already demoted by an
+        operator without a tile path) re-packs so downstream tile-native
+        processes keep their layout."""
+        from ..core.tiled import TiledCube, to_tiled
+
+        out = self._resolve_raw(v)
+        if isinstance(out, TiledCube):
+            return out
+        return to_tiled(out, tile=self.tile)
+
+    def _dispatch(self, pid: str, args: dict, node: dict,
+                  long_only: bool = False):
         spark = self._spark
         if node.get("_noop"):
-            return self._resolve(args["data"])
+            return self._resolve_raw(args["data"])
+        if self.tiled and not long_only:
+            out = self._dispatch_tiled(pid, args, node)
+            if out is not NotImplemented:
+                return out
 
         if pid == "resample_spatial":
             # not folded into a scan (something sits between it and the
@@ -456,6 +507,155 @@ class ProcessGraph:
             return run_udf(self._resolve(args["data"]), fn)
 
         raise NotImplementedError(f"process_id {pid!r} not supported by planner")
+
+    # --- tiled execution ----------------------------------------------------
+
+    def _dispatch_tiled(self, pid: str, args: dict, node: dict):
+        """Tile-native branch of the dispatch: returns a result for
+        processes that can stay on the packed layout, or
+        ``NotImplemented`` to fall through to the long branch (whose
+        ``_resolve`` demotes tile-resident inputs via from_tiled — so
+        unsupported processes degrade gracefully, never error).
+
+        Stays tiled: load_collection (pack after the pushed-down scan),
+        filter_bands / filter_temporal, apply (expression compiled over
+        the transform lambda var — same _compile_expr as the long
+        path), reduce_dimension (named time reducers mean/sum/min/max/
+        median, named band reducers, band EXPRESSIONS via the tiled
+        wide-join compiler), aggregate_temporal_period, mask (both
+        sides coerced to tiles), merge_cubes (concat cases),
+        apply_kernel (border-0, radius ≤ tile), aggregate_spatial
+        (convex + mean/sum/min/max/count → the interior/boundary
+        classified plan, emits long). filter_bbox uses the tile-pruning
+        path, which expands (documented demotion point)."""
+        from ..core import tiled as tl
+        from ..core.tiled import TiledCube
+
+        def is_tiled(key: str) -> bool:
+            return isinstance(self._resolve_raw(args[key]), TiledCube)
+
+        if pid == "load_collection":
+            cube = self._dispatch(pid, args, node, long_only=True)
+            return tl.to_tiled(cube, tile=self.tile)
+
+        if pid == "filter_bands" and is_tiled("data"):
+            return tl.filter_bands_tiled(
+                self._resolve_raw(args["data"]), args["bands"]
+            )
+        if pid == "filter_temporal" and is_tiled("data"):
+            ext = args.get("extent") or [args.get("start"), args.get("end")]
+            return tl.filter_temporal_tiled(
+                self._resolve_raw(args["data"]),
+                str(ext[0])[:19], str(ext[1])[:19],
+            )
+        if pid == "filter_bbox" and is_tiled("data"):
+            e = args.get("extent", args)
+            return tl.filter_bbox_tiled(
+                self._resolve_raw(args["data"]),
+                e["west"], e["east"], e["south"], e["north"],
+            )
+        if pid == "apply" and is_tiled("data"):
+            child = args["process"]["process_graph"]
+            return tl.apply_tiled(
+                self._resolve_raw(args["data"]),
+                lambda v: _compile_expr(child, {"x": v, "data": v}),
+            )
+        if pid == "reduce_dimension" and is_tiled("data"):
+            tc = self._resolve_raw(args["data"])
+            dim = canonical_dim(args["dimension"])
+            child = args["reducer"]["process_graph"]
+            named = _single_named_reducer(child)
+            if dim == TIME and named in ("mean", "sum", "min", "max"):
+                return tl.reduce_time_tiled(tc, named)
+            if dim == TIME and named == "median":
+                return tl.reduce_time_median_tiled(tc)
+            if dim == BAND and named in ("mean", "sum", "min", "max"):
+                return tl.reduce_bands_tiled(tc, named)
+            if dim == BAND and named is None:
+                return _reduce_bands_expression_tiled(tc, child)
+            return NotImplemented  # sd/variance/x/y reducers: long path
+        if pid == "aggregate_temporal_period" and is_tiled("data"):
+            named = _single_named_reducer(args["reducer"]["process_graph"])
+            if named in ("mean", "sum", "min", "max"):
+                return tl.aggregate_temporal_period_tiled(
+                    self._resolve_raw(args["data"]), args["period"], named
+                )
+            return NotImplemented
+        if pid == "mask" and (is_tiled("data") or is_tiled("mask")):
+            return tl.mask_tiled(
+                self._as_tiled(args["data"]),
+                self._as_tiled(args["mask"]),
+                args.get("replacement"),
+            )
+        if pid == "merge_cubes" and (is_tiled("cube1") or is_tiled("cube2")):
+            return tl.merge_cubes_tiled(
+                self._as_tiled(args["cube1"]), self._as_tiled(args["cube2"])
+            )
+        if pid == "apply_kernel" and is_tiled("data"):
+            tc = self._resolve_raw(args["data"])
+            kernel = args["kernel"]
+            r = max(len(kernel) // 2, len(kernel[0]) // 2)
+            if r <= tc.tile:
+                return tl.apply_kernel_tiled_layout(
+                    tc, kernel, factor=args.get("factor", 1.0)
+                )
+            return NotImplemented
+        if pid == "aggregate_spatial" and is_tiled("data"):
+            from ..functions.geometry import is_convex
+
+            named = _single_named_reducer(args["reducer"]["process_graph"])
+            polys = _geojson_polygons(args["geometries"])
+            if named in tl._ZONAL_REDUCERS and all(is_convex(p) for p in polys):
+                return tl.aggregate_spatial_tiled(
+                    self._resolve_raw(args["data"]), polys, named,
+                    target_dimension=args.get("target_dimension", "result"),
+                )
+            return NotImplemented
+        return NotImplemented
+
+
+def _reduce_bands_expression_tiled(tc, child: dict):
+    """The tiled twin of :func:`_reduce_bands_expression`: the band rows
+    of each (time, tile) join into one wide row (one array column per
+    band — join key count is tiles, not pixels), and ONE transform over
+    the pixel index evaluates the compiled expression with each band's
+    element bound via O(1) array indexing. Reuses :func:`_compile_expr`
+    verbatim, so graph arithmetic cannot drift between tiers."""
+    from ..core.tiled import TiledCube
+
+    keys = [d for d in (TIME,) if d in tc.schema.dims]
+    bands = tc.schema.bands
+    if not bands:
+        raise ValueError(
+            "band-expression reducer on tiles needs schema band labels"
+        )
+    wide = None
+    for b in bands:
+        side = tc.df.where(F.col(BAND) == b).select(
+            *keys, "tile_row", "tile_col", F.col("data").alias(f"_b_{b}")
+        )
+        wide = side if wide is None else wide.join(
+            side, [*keys, "tile_row", "tile_col"]
+        )
+    T2 = tc.tile * tc.tile
+
+    def elem(i):
+        def band_col(cargs: dict):
+            label = cargs.get("label")
+            if label is None:
+                label = bands[int(cargs["index"])]
+            return F.element_at(F.col(f"_b_{label}"), i + 1)
+
+        return _compile_expr(child, {"data": band_col})
+
+    data = F.transform(
+        F.expr(f"sequence(0, {T2 - 1})"),
+        lambda i: elem(i).cast("double"),
+    )
+    out = wide.select(*keys, "tile_row", "tile_col", data.alias("data"))
+    return TiledCube(
+        out, tc.schema.drop(BAND).with_bands(()), tc.tile, tc.n_y, tc.n_x
+    )
 
 
 def _compile_model(graph: dict):

@@ -1880,11 +1880,48 @@ def _pg_masked_seasonal(spark, sf_dir):
     return pg.execute(spark).df
 
 
+def _pg_ndvi_tiled(spark, sf_dir):
+    """The NDVI-median graph executed in the planner's TILED MODE
+    (plans/graph.py: ProcessGraph(tiled=True) → _dispatch_tiled): the
+    same unmodified graph runs on the SURVEY §1.4 packed-tile layout —
+    load packs the pushed-down scan, the band-expression reducer
+    compiles over a per-tile transform lambda (same _compile_expr as
+    the long path, bands joined wide per tile), the time median runs
+    the native tile reducer — against the SAME oracle as
+    process_graph_ndvi. One oracle, two execution tiers."""
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/ndvi_median.json",
+        save_dir="/tmp/spark_graft_results/pg_ndvi_t", tiled=True,
+    )
+    return pg.execute(spark).df
+
+
+def _pg_masked_seasonal_tiled(spark, sf_dir):
+    """The masked-seasonal graph in tiled mode: band-expression mask
+    build, mask, calendar resample, and apply(clip) ALL stay on tiles
+    (plans/graph.py: _dispatch_tiled), against the long oracle. The
+    widest tile-resident chain the planner currently executes."""
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/masked_seasonal.json",
+        save_dir="/tmp/spark_graft_results/pg_seasonal_t", tiled=True,
+    )
+    return pg.execute(spark).df
+
+
 def _register_planner():
     q("process_graph_ndvi", _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi)
     q("process_graph_resample_pushdown", _PG_PUSHDOWN_ORACLE)(_pg_pushdown)
     q("process_graph_masked_seasonal", _PG_MASKED_SEASONAL_ORACLE)(
         _pg_masked_seasonal
+    )
+    q("process_graph_ndvi_tiled",
+      _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled)
+    q("process_graph_masked_seasonal_tiled", _PG_MASKED_SEASONAL_ORACLE)(
+        _pg_masked_seasonal_tiled
     )
 
 

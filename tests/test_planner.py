@@ -411,3 +411,91 @@ def test_drop_dimension_through_planner(spark):
 
     cube = ProcessGraph(graph).execute(spark)
     assert "band" not in cube.df.columns
+
+
+def _sorted_pdf(df):
+    cols = sorted(df.columns)
+    return (
+        df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "graph", ["ndvi_median", "masked_seasonal", "resample_pushdown"]
+)
+def test_tiled_mode_matches_long_on_all_fixture_graphs(
+    spark, tmp_path, graph
+):
+    """ProcessGraph(tiled=True) executes the SAME graph on the packed
+    tile layout and must agree cell-for-cell with the long plan — the
+    NDVI band expression, the mask chain, and the pushdown graph cover
+    band-expression reducers, tiled mask/resample/apply, and the
+    explicit-regrid demotion path."""
+    import pandas as pd
+
+    path = f"{HERE}/process_graphs/{graph}.json"
+    long_df = ProcessGraph.from_file(
+        path, save_dir=str(tmp_path / "long")
+    ).execute(spark).df
+    tiled_df = ProcessGraph.from_file(
+        path, save_dir=str(tmp_path / "tiled"), tiled=True
+    ).execute(spark).df
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(long_df), _sorted_pdf(tiled_df), check_exact=True
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GRAPH), reason="reference not mounted")
+def test_reference_golden_graph_executes_tiled(spark, tmp_path):
+    """The reference's own NDVI fixture runs unmodified in TILED mode
+    and matches the long execution exactly."""
+    import pandas as pd
+
+    long_df = ProcessGraph.from_file(
+        REF_GRAPH, save_dir=str(tmp_path / "l")
+    ).execute(spark).df
+    tiled_df = ProcessGraph.from_file(
+        REF_GRAPH, save_dir=str(tmp_path / "t"), tiled=True
+    ).execute(spark).df
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(long_df), _sorted_pdf(tiled_df), check_exact=True
+    )
+
+
+def test_tiled_mode_demotes_gracefully_for_unsupported_process(spark):
+    """A process without a tile path (apply_dimension/quantiles) demotes
+    its tile-resident input through from_tiled and the graph still
+    completes with identical output — degradation, never an error."""
+    import pandas as pd
+
+    graph = {
+        "load": {
+            "process_id": "load_collection",
+            "arguments": {"id": "s2_l2a", "bands": ["B04"]},
+        },
+        "q": {
+            "process_id": "apply_dimension",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "dimension": "t",
+                "process": {
+                    "process_graph": {
+                        "qq": {
+                            "process_id": "quantiles",
+                            "arguments": {
+                                "data": {"from_parameter": "data"},
+                                "probabilities": [0.25, 0.75],
+                            },
+                            "result": True,
+                        }
+                    }
+                },
+            },
+            "result": True,
+        },
+    }
+    long_df = ProcessGraph(graph).execute(spark).df
+    tiled_df = ProcessGraph(graph, tiled=True).execute(spark).df
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(long_df), _sorted_pdf(tiled_df), check_exact=True
+    )
