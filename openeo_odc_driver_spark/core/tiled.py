@@ -165,12 +165,22 @@ def from_tiled(tc: TiledCube) -> Cube:
     """Tiled → long: posexplode each tile's array back to pixel rows,
     derive coordinates from the grid, and drop the out-of-scene padding
     of partial edge tiles. Zero exchanges — a pure scan-fused expansion
-    (the Generate and the projection pipeline inside one stage)."""
+    (the Generate and the projection pipeline inside one stage).
+
+    Non-dimension key columns riding on the tile rows (e.g. the
+    ``month`` label climatological_normal_tiled emits in place of
+    time) pass through to the long rows, mirroring how the long
+    operators carry them."""
     grid = tc.schema.grid
     T = tc.tile
     keys = tc.key_dims
+    extras = [
+        c for c in tc.df.columns
+        if c not in (*keys, "tile_row", "tile_col", "data")
+    ]
     exploded = tc.df.select(
         *keys,
+        *extras,
         "tile_row",
         "tile_col",
         F.posexplode_outer("data").alias("_pos", VALUE),
@@ -183,6 +193,7 @@ def from_tiled(tc: TiledCube) -> Cube:
         exploded.where((y_idx < tc.n_y) & (x_idx < tc.n_x))
         .select(
             *keys,
+            *extras,
             (F.lit(grid.y0) - F.lit(grid.resy) * y_idx).alias(Y),
             (F.lit(grid.x0) + F.lit(grid.resx) * x_idx).alias(X),
             VALUE,
