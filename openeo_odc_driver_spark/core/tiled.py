@@ -1131,36 +1131,66 @@ def resample_spatial_tiled(
     n_x2 = -(-tc.n_x // k)
     return TiledCube(df, schema, OT, n_y2, n_x2)
 
+def _zones_literal_sql(polygons) -> str:
+    """The polygon list as ONE SQL literal
+    ``array<struct<id, xmin, xmax, ymin, ymax, edges>>`` (rings
+    CW→CCW-normalized exactly like
+    ``functions/geometry.py:convex_contains_col``; ``edges`` carries
+    (x1, y1, dx, dy) per directed edge so the half-plane test
+    ``dx·(y−y1) − dy·(x−x1) ≥ 0`` is a pure HOF lambda). Doubles are
+    emitted as ``CAST('<repr>' AS DOUBLE)`` — repr round-trips, so the
+    literal is bit-identical to the Python float.
 
-def _contains_expr(poly, xe: F.Column, ye: F.Column) -> F.Column:
-    """Convex containment over arbitrary coordinate EXPRESSIONS — the
-    half-plane AND of ``functions/geometry.py:convex_contains_col``
-    generalized from column names to Columns (tile corners are computed
-    coordinates, not stored ones). CW rings reversed to CCW first,
-    identically."""
-    pts = list(poly)
-    area2 = sum(
-        pts[i][0] * pts[(i + 1) % len(pts)][1]
-        - pts[(i + 1) % len(pts)][0] * pts[i][1]
-        for i in range(len(pts))
-    )
-    if area2 < 0:
-        pts = pts[::-1]
-    cond = None
-    n = len(pts)
-    for i in range(n):
-        x1, y1 = pts[i]
-        x2, y2 = pts[(i + 1) % n]
-        edge = (
-            (F.lit(x2) - F.lit(x1)) * (ye - F.lit(y1))
-            - (F.lit(y2) - F.lit(y1)) * (xe - F.lit(x1))
-            >= 0
+    Why a literal and not |zones| Column expressions: the array is ONE
+    Literal node — codegen references it as a constant object, so the
+    generated code size is independent of |zones| (the round-9 build
+    inlined every corner coordinate into every half-plane term of an
+    O(|zones|²) first-match chain, blowing the 64 KB codegen limit and
+    costing ~0.8 s of py4j plan construction per call). One
+    ``F.expr`` parse builds the whole thing in a single driver call."""
+    zs = []
+    for i, poly in enumerate(polygons):
+        pts = [(float(x), float(y)) for x, y in poly]
+        area2 = sum(
+            pts[j][0] * pts[(j + 1) % len(pts)][1]
+            - pts[(j + 1) % len(pts)][0] * pts[j][1]
+            for j in range(len(pts))
         )
-        cond = edge if cond is None else (cond & edge)
-    return cond
+        if area2 < 0:
+            pts = pts[::-1]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+
+        def d(v: float) -> str:
+            return f"CAST('{v!r}' AS DOUBLE)"
+
+        n = len(pts)
+        edges = ",".join(
+            f"named_struct('x1',{d(pts[j][0])},'y1',{d(pts[j][1])},"
+            f"'dx',{d(pts[(j + 1) % n][0] - pts[j][0])},"
+            f"'dy',{d(pts[(j + 1) % n][1] - pts[j][1])})"
+            for j in range(n)
+        )
+        zs.append(
+            f"named_struct('id',{i},"
+            f"'xmin',{d(min(xs))},'xmax',{d(max(xs))},"
+            f"'ymin',{d(min(ys))},'ymax',{d(max(ys))},"
+            f"'edges',array({edges}))"
+        )
+    return "array(" + ",".join(zs) + ")"
 
 
-_ZONAL_REDUCERS = ("mean", "sum", "min", "max", "count")
+# half-plane containment of (xc, yc) in zone lambda-var z, as a forall
+# over its edge structs — bounded code regardless of vertex count
+def _inside_sql(z: str, xc: str, yc: str) -> str:
+    return (
+        f"forall({z}.edges, e -> "
+        f"e.dx * ({yc} - e.y1) - e.dy * ({xc} - e.x1) >= 0)"
+    )
+
+
+_ZONAL_REDUCERS = ("mean", "sum", "min", "max", "count", "sd", "variance",
+                   "median")
 
 
 def aggregate_spatial_tiled(
@@ -1175,21 +1205,32 @@ def aggregate_spatial_tiled(
     with the classic raster-zonal optimization: **geometry tests run
     per TILE, not per pixel, except on the polygon boundary.**
 
-    Every tile is classified against the polygon list with pure literal
-    arithmetic on (tile_row, tile_col) — no array is opened:
+    The zone list is ONE plan literal (:func:`_zones_literal_sql`) and
+    every classification step is a bounded higher-order-function
+    expression over it — expression size is O(total vertices) of plan
+    DATA (a single Literal object reference in codegen), never
+    O(|zones|) of generated CODE, and the whole classification is two
+    ``F.expr`` parses regardless of zone count (the round-9 expression
+    build was O(|zones|²), broke the 64 KB codegen limit at 4 fixture
+    polygons, and died in the driver at realistic zone counts):
 
-    - **interior**: all four scene-clipped corner pixels inside a
-      convex polygon ``i`` and no earlier polygon's bbox touches the
-      tile (so first-match tagging provably assigns every pixel to
-      ``i``) → the whole tile folds to (sum, count, min, max) partials
-      in one HOF pass, zero per-pixel geometry.
-    - **boundary**: some polygon bbox touches the tile but interior
-      can't be proven → only these tiles posexplode to pixels and run
-      the per-pixel first-match half-plane test (the long operator's
-      exact tagging, ``functions/geometry.py:geom_id_col``).
-    - **outside**: no polygon bbox touches the tile → dropped at the
-      scan; on the stored layout the disjunction of bbox ranges prunes
-      row groups.
+    - **touch** (``exists``, short-circuits): does any zone bbox
+      intersect the tile's scene-clipped corner rectangle? Tiles with
+      no touching zone drop at the scan; on the stored layout the
+      predicate prunes row groups.
+    - **interior** (``filter(...)[0]`` via the LET idiom, so the
+      O(|zones|) scan runs once per tile row): the FIRST touching zone
+      ``z0`` fully contains all 4 corners → every pixel of the tile
+      provably first-matches ``z0`` (any earlier zone would bbox-touch
+      and come first) → the whole tile folds to (Σ, Σx², count, min,
+      max) partials in one vectorized pass, zero per-pixel geometry.
+    - **boundary**: only these tiles posexplode to pixels; each pixel
+      tags with the first CONTAINING zone from the tile's
+      touching-zone list (``filter(_tz, ...)`` — per-pixel work is
+      O(touching zones), not O(|zones|)). A pixel inside a polygon has
+      that polygon's bbox touching its tile, and the list keeps id
+      order, so first-of-filtered ≡ the long operator's first-match
+      tagging exactly.
 
     At 10^12 px a country-sized polygon has O(area) interior tiles and
     O(perimeter) boundary tiles — the per-pixel geometry work drops by
@@ -1199,30 +1240,30 @@ def aggregate_spatial_tiled(
     long operator exactly: first-match geometry tagging, NULL values
     skipped, all-NULL zones NULL (count 0), pixel-less polygons absent.
 
+    Reducers: mean / sum / min / max / count / sd / variance run on
+    tile-level partials (sd and variance from exact (n, Σx, Σx²) —
+    the long tier's ``reducers.sd_expr`` arithmetic); **median** needs
+    the pixel multiset, so it posexplodes every TOUCHED tile (outside
+    tiles still prune at the scan) with interior pixels tagging by the
+    precomputed tile class — per-pixel geometry still only on the
+    boundary — and feeds exact ``percentile(value, 0.5)``.
+
     Convex polygons only (the long path's own Catalyst fast path);
-    concave → route through ``from_tiled`` + the ray-cast UDF.
-    Reducers: mean / sum / min / max / count (median/sd need the pixel
-    multiset — long path).
+    concave → route through ``from_tiled`` + the ray-cast UDF (the
+    planner demotes and records it).
 
     Interior-fold engines (the :func:`reduce_time_tiled` dispatch
     pattern): ``"sql"`` — an interpreted HOF fold, oracle mode at
     small tiles; ``"numpy"`` — a vectorized Arrow-batched partials
     pass per tile (a pure MAP: one output row per tile, no grouping),
     the scale path; ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``.
-    Measured on a stored 2048²×3 raster (12.6 M px, tile=256, hexagon
-    zone: 36 interior / 108 boundary / 48 outside tiles): execution
-    0.12 s vs the long codegen plan's 0.45 s — the win is real but
-    EXECUTION-side; each fresh call also pays ~0.8 s of driver-side
-    plan construction (py4j expression building for the
-    classification/tagging CASE trees), a fixed cost independent of
-    raster size (scratch/zonal_prof.py)."""
+    ``median`` has a single physical path (the explode) — ``impl`` is
+    accepted and ignored for it."""
     from ..functions.geometry import is_convex
 
     if reducer not in _ZONAL_REDUCERS:
         raise ValueError(
-            f"reducer must be one of {_ZONAL_REDUCERS}, got {reducer!r} "
-            "(median/sd/variance need the pixel multiset: use "
-            "aggregate_spatial on from_tiled(...))"
+            f"reducer must be one of {_ZONAL_REDUCERS}, got {reducer!r}"
         )
     if not all(is_convex(p) for p in polygons):
         raise NotImplementedError(
@@ -1242,62 +1283,64 @@ def aggregate_spatial_tiled(
     T2 = T * T
     keys = tc.key_dims
 
-    # scene-clipped pixel-coordinate extremes of each tile (literal
-    # arithmetic on the int tile indices -> whole-stage codegen)
+    # scene-clipped tile-corner coordinates, projected ONCE as real
+    # columns (round 9 re-inlined these into every half-plane term)
     px_lo = F.col("tile_col").cast("long") * T
     px_hi = F.least(px_lo + (T - 1), F.lit(tc.n_x - 1))
     py_lo = F.col("tile_row").cast("long") * T
     py_hi = F.least(py_lo + (T - 1), F.lit(tc.n_y - 1))
-    x_lo = F.lit(g.x0) + F.lit(g.resx) * px_lo
-    x_hi = F.lit(g.x0) + F.lit(g.resx) * px_hi
-    y_hi = F.lit(g.y0) - F.lit(g.resy) * py_lo  # north edge
-    y_lo = F.lit(g.y0) - F.lit(g.resy) * py_hi  # south edge
-
-    full, inter = [], []
-    for poly in polygons:
-        xs = [p[0] for p in poly]
-        ys = [p[1] for p in poly]
-        inter.append(
-            (x_lo <= max(xs)) & (x_hi >= min(xs))
-            & (y_lo <= max(ys)) & (y_hi >= min(ys))
-        )
-        full.append(
-            _contains_expr(poly, x_lo, y_lo)
-            & _contains_expr(poly, x_lo, y_hi)
-            & _contains_expr(poly, x_hi, y_lo)
-            & _contains_expr(poly, x_hi, y_hi)
-        )
-    # first-match-safe interior assignment: polygon i owns the tile iff
-    # the tile is fully inside i and no EARLIER polygon's bbox touches
-    # it; at most one i qualifies (full_i blocks every later j via
-    # inter_i), so coalesce of whens is exact
-    interior_cases = []
-    blocked = F.lit(False)
-    for i in range(len(polygons)):
-        interior_cases.append(F.when(full[i] & ~blocked, F.lit(i)))
-        blocked = blocked | inter[i]
-    interior_geom = (
-        F.coalesce(*interior_cases, F.lit(None).cast("int"))
-        if interior_cases else F.lit(None).cast("int")
-    )
-    any_inter = blocked  # OR of all bbox-touch predicates
-
-    staged = tc.df.select(
+    corner = tc.df.select(
         *keys, "tile_row", "tile_col", "data",
-        interior_geom.alias("_ig"), any_inter.alias("_touch"),
-    ).where(F.col("_touch"))
+        (F.lit(g.x0) + F.lit(g.resx) * px_lo).alias("_xlo"),
+        (F.lit(g.x0) + F.lit(g.resx) * px_hi).alias("_xhi"),
+        (F.lit(g.y0) - F.lit(g.resy) * py_hi).alias("_ylo"),  # south edge
+        (F.lit(g.y0) - F.lit(g.resy) * py_lo).alias("_yhi"),  # north edge
+    )
+    zlit = _zones_literal_sql(polygons)
+    bbox_touch = (
+        "z.xmin <= _xhi AND z.xmax >= _xlo "
+        "AND z.ymin <= _yhi AND z.ymax >= _ylo"
+    )
+    # short-circuiting scan drops outside tiles
+    any_touch = f"exists({zlit}, z -> {bbox_touch})"
+    # LET idiom (see to_tiled): bind the filtered touching-zone list
+    # once; a bare alias would be re-inlined by CollapseProject into
+    # every reference, re-running the O(|zones|) scan per use
+    inside4 = " AND ".join(
+        _inside_sql("tz[0]", xc, yc)
+        for xc in ("_xlo", "_xhi") for yc in ("_ylo", "_yhi")
+    )
+    ig_expr = (
+        f"transform(array(filter({zlit}, z -> {bbox_touch})), "
+        f"tz -> CASE WHEN {inside4} THEN tz[0].id END)[0]"
+    )
+    staged = (
+        corner.where(F.expr(any_touch))
+        .withColumn("_ig", F.expr(ig_expr))
+    )
 
-    # interior tiles -> (s, c, mn, mx) partials, one row per tile
+    if reducer == "median":
+        px = _zonal_pixels(
+            staged, zlit, bbox_touch, keys, T, tc, target_dimension,
+            interior_too=True,
+        )
+        out = px.groupBy(target_dimension, *keys).agg(
+            F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE)
+        )
+        return Cube(out, tc.schema.drop(X).drop(Y))
+
+    # interior tiles -> (s, ss, c, mn, mx) partials, one row per tile
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
     interior_src = staged.where(F.col("_ig").isNotNull())
     if impl == "sql":
         fold = F.expr(
             "aggregate(data, named_struct("
-            "'s', CAST(0.0 AS DOUBLE), 'c', CAST(0 AS BIGINT), "
+            "'s', CAST(0.0 AS DOUBLE), 'ss', CAST(0.0 AS DOUBLE), "
+            "'c', CAST(0 AS BIGINT), "
             "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
             "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
-            "'s', acc.s + v, 'c', acc.c + 1, "
+            "'s', acc.s + v, 'ss', acc.ss + v * v, 'c', acc.c + 1, "
             "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
             "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
             "END)"
@@ -1308,7 +1351,8 @@ def aggregate_spatial_tiled(
                     fold.alias("_p"))
             .select(
                 target_dimension, *keys,
-                F.col("_p.s").alias("_s"), F.col("_p.c").alias("_c"),
+                F.col("_p.s").alias("_s"), F.col("_p.ss").alias("_ss"),
+                F.col("_p.c").alias("_c"),
                 F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
             )
         )
@@ -1321,8 +1365,8 @@ def aggregate_spatial_tiled(
             f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
         )
         part_schema = (
-            f"{target_dimension} int, {key_fields}, _s double, _c bigint, "
-            "_mn double, _mx double"
+            f"{target_dimension} int, {key_fields}, _s double, _ss double, "
+            "_c bigint, _mn double, _mx double"
         )
 
         def partials(
@@ -1338,12 +1382,14 @@ def aggregate_spatial_tiled(
                 all_nan = nan.all(axis=1)
                 c = (~nan).sum(axis=1)
                 s = np.nansum(a, axis=1)
+                ss = np.nansum(a * a, axis=1)
                 safe = np.where(all_nan[:, None], 0.0, a)
                 mn = np.where(all_nan, np.nan, np.nanmin(safe, axis=1))
                 mx = np.where(all_nan, np.nan, np.nanmax(safe, axis=1))
                 out = pdf[[*keys]].copy()
                 out.insert(0, target_dimension, pdf["_ig"].astype("int32"))
                 out["_s"] = s
+                out["_ss"] = ss
                 out["_c"] = c
                 out["_mn"] = [None if np.isnan(v) else float(v) for v in mn]
                 out["_mx"] = [None if np.isnan(v) else float(v) for v in mx]
@@ -1357,42 +1403,31 @@ def aggregate_spatial_tiled(
             f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
         )
 
-    # boundary tiles: pixels out, exact first-match tagging (the long
-    # operator's test), then the same partial shape
-    from ..functions.geometry import geom_id_col
-
-    b = staged.where(F.col("_ig").isNull()).select(
-        *keys, "tile_row", "tile_col",
-        F.posexplode("data").alias("_pos", VALUE),
-    )
-    y_idx = F.col("tile_row").cast("long") * T + (F.col("_pos") / T).cast("long")
-    x_idx = F.col("tile_col").cast("long") * T + F.col("_pos") % T
-    b = (
-        b.where((y_idx < tc.n_y) & (x_idx < tc.n_x))
-        .select(
-            *keys,
-            (F.lit(g.y0) - F.lit(g.resy) * y_idx).alias(Y),
-            (F.lit(g.x0) + F.lit(g.resx) * x_idx).alias(X),
-            VALUE,
-        )
-        .withColumn(target_dimension, geom_id_col(polygons, X, Y))
-        .where(F.col(target_dimension).isNotNull())
+    # boundary tiles: pixels out, exact first-match tagging, then the
+    # same partial shape
+    b = _zonal_pixels(
+        staged.where(F.col("_ig").isNull()),
+        zlit, bbox_touch, keys, T, tc, target_dimension,
+        interior_too=False,
     )
     boundary = b.groupBy(target_dimension, *keys).agg(
         F.coalesce(F.sum(VALUE), F.lit(0.0)).alias("_s"),
+        F.coalesce(F.sum(F.col(VALUE) * F.col(VALUE)), F.lit(0.0)).alias("_ss"),
         F.count(VALUE).alias("_c"),
         F.min(VALUE).alias("_mn"),
         F.max(VALUE).alias("_mx"),
     )
 
+    n, s, ss = F.sum("_c"), F.sum("_s"), F.sum("_ss")
     finish = {
-        "mean": F.when(
-            F.sum("_c") > 0, F.sum("_s") / F.sum("_c")
-        ),
-        "sum": F.when(F.sum("_c") > 0, F.sum("_s")),
+        "mean": F.when(n > 0, s / n),
+        "sum": F.when(n > 0, s),
         "min": F.min("_mn"),
         "max": F.max("_mx"),
-        "count": F.sum("_c"),
+        "count": n,
+        # exact-sums sample sd/variance — reducers.sd_expr arithmetic
+        "sd": F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1)))),
+        "variance": F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))),
     }[reducer]
     out = (
         interior.unionByName(boundary)
@@ -1400,3 +1435,58 @@ def aggregate_spatial_tiled(
         .agg(finish.alias(VALUE))
     )
     return Cube(out, tc.schema.drop(X).drop(Y))
+
+
+def _zonal_pixels(
+    staged,
+    zlit: str,
+    bbox_touch: str,
+    keys,
+    T: int,
+    tc: TiledCube,
+    target_dimension: str,
+    interior_too: bool,
+):
+    """Posexplode the given classified tile rows to tagged pixel rows.
+
+    ``_tz`` (the tile's touching-zone list) is materialized per TILE
+    row before the Generate — per-pixel tagging then scans only the
+    touching zones (usually O(1)), never the full zone list. Interior
+    pixels (``interior_too=True``, the median path) tag with the
+    constant ``_ig`` via a short-circuiting coalesce — zero per-pixel
+    geometry off the boundary. Out-of-scene padding of edge tiles is
+    dropped by index bounds BEFORE tagging, so a zone overlapping only
+    padding can never fabricate a group the long operator lacks."""
+    g = tc.schema.grid
+    tz = (
+        F.expr(f"filter({zlit}, z -> {bbox_touch})")
+        if interior_too
+        else F.expr(
+            f"CASE WHEN _ig IS NULL THEN filter({zlit}, z -> {bbox_touch}) "
+            "END"
+        )
+    )
+    src = staged.select(
+        *keys, "tile_row", "tile_col", "_ig", tz.alias("_tz"), "data"
+    )
+    b = src.select(
+        *keys, "tile_row", "tile_col", "_ig", "_tz",
+        F.posexplode("data").alias("_pos", VALUE),
+    )
+    y_idx = F.col("tile_row").cast("long") * T + (F.col("_pos") / T).cast("long")
+    x_idx = F.col("tile_col").cast("long") * T + F.col("_pos") % T
+    b = b.where((y_idx < tc.n_y) & (x_idx < tc.n_x)).select(
+        *keys, "_ig", "_tz",
+        (F.lit(g.y0) - F.lit(g.resy) * y_idx).alias(Y),
+        (F.lit(g.x0) + F.lit(g.resx) * x_idx).alias(X),
+        VALUE,
+    )
+    pix_tag = F.expr(
+        f"filter(_tz, z -> {_inside_sql('z', X, Y)})[0].id"
+    )
+    tag = F.coalesce(F.col("_ig"), pix_tag) if interior_too else pix_tag
+    return (
+        b.withColumn(target_dimension, tag)
+        .where(F.col(target_dimension).isNotNull())
+        .drop("_ig", "_tz")
+    )

@@ -231,7 +231,10 @@ def test_resample_tiled_error_contracts_and_grid(spark):
     )
 
 
-@pytest.mark.parametrize("reducer", ["mean", "sum", "min", "max", "count"])
+@pytest.mark.parametrize(
+    "reducer",
+    ["mean", "sum", "min", "max", "count", "sd", "variance", "median"],
+)
 def test_zonal_tiled_matches_long_aggregate_spatial(spark, reducer):
     from openeo_odc_driver_spark.functions.geometry import FIXTURE_POLYGONS
     from openeo_odc_driver_spark.operators.aggregates import aggregate_spatial
@@ -273,7 +276,7 @@ def test_zonal_tiled_classifies_interior_tiles(spark):
     assert n_zone_px[0] > 0 and n_zone_px[1] > 0 and n_zone_px[2] > 0
     assert 3 not in n_zone_px  # P3 lies outside the scene
     with pytest.raises(ValueError, match="reducer"):
-        t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "median")
+        t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "product")
     with pytest.raises(ValueError, match="collides"):
         t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "mean", "band")
     with pytest.raises(NotImplementedError, match="convex"):
