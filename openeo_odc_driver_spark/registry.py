@@ -1080,12 +1080,11 @@ def _tiled_zonal_mean(spark, sf_dir):
     test, outside tiles drop at the scan. tile=4 on the 16×16 fixture
     exercises all three classes. Shares the long
     aggregate_spatial_mean oracle (first-match tagging)."""
-    from .core.tiled import aggregate_spatial_tiled, to_tiled
+    from .core.tiled import aggregate_spatial_tiled
     from .functions.geometry import FIXTURE_POLYGONS
 
     return aggregate_spatial_tiled(
-        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "mean",
-        impl="sql",
+        _tiled_fixture(spark), FIXTURE_POLYGONS, "mean", impl="sql",
     ).df
 
 
@@ -1102,8 +1101,54 @@ def _tiled_zonal_count(spark, sf_dir):
     from .functions.geometry import FIXTURE_POLYGONS
 
     return aggregate_spatial_tiled(
-        to_tiled(synthetic_cube(spark), tile=4), FIXTURE_POLYGONS, "count",
-        impl="sql",
+        _tiled_fixture(spark), FIXTURE_POLYGONS, "count", impl="sql",
+    ).df
+
+
+def _tiled_fixture(spark):
+    """tile=4 pack of the synthetic fixture with STATIC scene dims —
+    plan construction fires no Spark job (the catalog knows the grid;
+    probing would cost 2 jobs per gate row)."""
+    from .core.tiled import to_tiled
+
+    return to_tiled(
+        synthetic_cube(spark), tile=4,
+        n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx,
+    )
+
+
+@q(
+    "tiled_zonal_median",
+    _ZONAL_ORACLE.format(red="quantile_cont(value, 0.5)", label="geom_id"),
+)
+def _tiled_zonal_median(spark, sf_dir):
+    """Round-10 native multiset reducer on tiles: median posexplodes
+    every TOUCHED tile (outside tiles still prune at the scan), tags
+    interior pixels by the precomputed tile class (zero per-pixel
+    geometry off the boundary) and feeds exact percentile — the long
+    tier's quantile_cont(0.5) oracle, shared verbatim."""
+    from .core.tiled import aggregate_spatial_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    return aggregate_spatial_tiled(
+        _tiled_fixture(spark), FIXTURE_POLYGONS, "median",
+    ).df
+
+
+@q(
+    "tiled_zonal_sd",
+    _ZONAL_ORACLE.format(red=_SD_D, label="geom_id"),
+)
+def _tiled_zonal_sd(spark, sf_dir):
+    """Round-10: sample sd from exact (n, Σx, Σx²) TILE partials —
+    interior tiles contribute one partial row each (no pixel explode),
+    the final combine is reducers.sd_expr arithmetic, bit-identical to
+    the long tier and DuckDB on the dyadic fixture."""
+    from .core.tiled import aggregate_spatial_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    return aggregate_spatial_tiled(
+        _tiled_fixture(spark), FIXTURE_POLYGONS, "sd", impl="sql",
     ).df
 
 
