@@ -580,9 +580,11 @@ def mask_tiled(
     0, masked pixels become NULL or the scalar ``replacement``; a NULL
     mask element masks (the reference's logical_not(nan) = False), and
     a missing mask TILE masks its whole footprint (≙ the long plan's
-    left join finding no rows). Multi-band masks band-drop first via an
-    element-wise min fold per (time, tile) — F.min's skip-NULL
-    semantics per position.
+    left join finding no rows). Multi-band masks align per band over
+    the dim intersection; single-band masks min-fold away band and any
+    mask dim the data lacks — BOTH rules copied from the long operator
+    so the tiers cannot diverge (round-10 parity tests pin all four
+    time-presence combinations and the multiband case).
 
     Plan: one tile-keyed aggregation for the band-drop (pass-through
     rows for 1-band masks) + ONE left equi-join on (time, tile) + a
@@ -594,32 +596,45 @@ def mask_tiled(
             f"mask tile ({mask_tc.tile}) must match data tile ({T})"
         )
     T2 = T * T
-    data_t = TIME in data_tc.schema.dims
-    mask_t = TIME in mask_tc.schema.dims
-    if data_t != mask_t:
-        # joining on tile only would silently min-fold the temporal
-        # mask across ALL timestamps (masking with the per-pixel min
-        # over time) — the long-format mask has no such silent path,
-        # so neither does this one
-        raise ValueError(
-            "mask_tiled: exactly one cube carries a time dimension "
-            f"(data: {data_t}, mask: {mask_t}); reduce or add the time "
-            "dimension explicitly before masking"
+    # key rule pinned to the long operator (operators/mask.py, parity
+    # tests in test_round8_ops/test_round10): multi-band masks align
+    # per band over the dim INTERSECTION; single-band masks min-fold
+    # away band plus any mask dim the data lacks — a temporal mask
+    # over time-less data min-folds across timestamps, a time-less
+    # mask over temporal data broadcasts over time (join key omits
+    # time). Round 9 raised on time parity mismatch here, wrongly
+    # diverging from the long tier in both directions.
+    mask_is_multiband = (
+        BAND in mask_tc.schema.dims and len(mask_tc.schema.bands) > 1
+    )
+    if mask_is_multiband:
+        keys = [
+            d for d in (BAND, TIME)
+            if d in data_tc.schema.dims and d in mask_tc.schema.dims
+        ]
+        m = mask_tc.df.select(
+            *keys, "tile_row", "tile_col", F.col("data").alias("_m")
         )
-    keys = [TIME] if data_t else []
-    # band-drop: element-wise min across the mask's band rows (skip
-    # NULLs; all-NULL stays NULL) — same merge as reduce_time_tiled min
-    drop = (
-        f"aggregate(collect_list(data), "
-        f"array_repeat(CAST(NULL AS DOUBLE), {T2}), "
-        "(acc, d) -> zip_with(acc, d, "
-        "(a, v) -> CASE WHEN v IS NULL THEN a WHEN a IS NULL THEN v "
-        "WHEN v < a THEN v ELSE a END))"
-    )
-    m = (
-        mask_tc.df.groupBy(*keys, "tile_row", "tile_col")
-        .agg(F.expr(drop).alias("_m"))
-    )
+    else:
+        keys = (
+            [TIME]
+            if TIME in data_tc.schema.dims and TIME in mask_tc.schema.dims
+            else []
+        )
+        # band-drop (and fold of any mask dim the data lacks):
+        # element-wise min across the mask's rows per group (skip
+        # NULLs; all-NULL stays NULL) — same merge as reduce_time_tiled
+        drop = (
+            f"aggregate(collect_list(data), "
+            f"array_repeat(CAST(NULL AS DOUBLE), {T2}), "
+            "(acc, d) -> zip_with(acc, d, "
+            "(a, v) -> CASE WHEN v IS NULL THEN a WHEN a IS NULL THEN v "
+            "WHEN v < a THEN v ELSE a END))"
+        )
+        m = (
+            mask_tc.df.groupBy(*keys, "tile_row", "tile_col")
+            .agg(F.expr(drop).alias("_m"))
+        )
     repl = "CAST(NULL AS DOUBLE)" if replacement is None else repr(
         float(replacement)
     )
@@ -631,15 +646,11 @@ def mask_tiled(
         f"{T2})), (v, mv) -> CASE WHEN mv = 0.0 AND mv IS NOT NULL "
         f"THEN v ELSE {repl} END)"
     )
-    df = (
-        data_tc.df.join(m, [*keys, "tile_row", "tile_col"], "left")
-        .select(
-            BAND,
-            *keys,
-            "tile_row",
-            "tile_col",
-            F.expr(apply_mask).alias("data"),
-        )
+    df = data_tc.df.join(m, [*keys, "tile_row", "tile_col"], "left").select(
+        *[
+            F.expr(apply_mask).alias("data") if c == "data" else F.col(c)
+            for c in data_tc.df.columns
+        ]
     )
     return TiledCube(
         df, data_tc.schema, T, data_tc.n_y, data_tc.n_x

@@ -115,3 +115,72 @@ def test_zonal_tiled_overlapping_zones_first_match(spark):
     )
     pd.testing.assert_frame_equal(want, got, check_exact=True, check_dtype=False)
     assert 2 not in set(want["geom_id"])  # nested zone fully shadowed
+
+
+def _sorted_long(df, cols):
+    return (
+        df.toPandas()[cols].sort_values(cols[:-1]).reset_index(drop=True)
+    )
+
+
+def test_mask_tiled_time_parity_matches_long(spark):
+    """Round-10 ADVICE fix: mask_tiled no longer raises on time-dim
+    mismatch — all FOUR time-presence combinations follow the long
+    operator's key rule (join on the dim intersection; a single-band
+    mask min-folds away any mask dim the data lacks), pinned exactly
+    tiled-vs-long here."""
+    from openeo_odc_driver_spark.operators.mask import mask
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sources.synthetic import MASK_SPEC
+
+    data = synthetic_cube(spark)
+    mc = synthetic_cube(spark, MASK_SPEC)
+    data_flat = reduce_dimension(data, "time", "mean")
+    mask_flat = reduce_dimension(mc, "time", "min")
+    dims = dict(n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
+    cases = [
+        (data, mc, "both temporal"),
+        (data, mask_flat, "time-less mask broadcasts over time"),
+        (data_flat, mc, "temporal mask min-folds over time"),
+        (data_flat, mask_flat, "both time-less"),
+    ]
+    for d, m, label in cases:
+        cols = [c for c in ("band", "time", "y", "x") if c in d.df.columns]
+        cols += ["value"]
+        want = _sorted_long(mask(d, m).df, cols)
+        got = _sorted_long(
+            t.from_tiled(
+                t.mask_tiled(t.to_tiled(d, tile=5, **dims),
+                             t.to_tiled(m, tile=5, **dims))
+            ).df,
+            cols,
+        )
+        pd.testing.assert_frame_equal(want, got, check_exact=True), label
+
+
+def test_mask_tiled_multiband_mask_aligns_per_band(spark):
+    """A multi-band mask aligns per band (long operator's multiband
+    path: band joins the key, NO min-fold) — round 10 removes the
+    tiled tier's unconditional band fold."""
+    from openeo_odc_driver_spark.operators.mask import mask
+    from openeo_odc_driver_spark.core.cube import Cube
+
+    data = synthetic_cube(spark)
+    # per-band 0/1 mask with band-DEPENDENT pattern: a band fold would
+    # visibly change the result
+    mdf = data.df.withColumn(
+        "value",
+        ((F.col("value") + F.length("band")) % 2 >= 1).cast("double"),
+    )
+    mc = Cube(mdf, data.schema)
+    dims = dict(n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
+    cols = ["band", "time", "y", "x", "value"]
+    want = _sorted_long(mask(data, mc).df, cols)
+    got = _sorted_long(
+        t.from_tiled(
+            t.mask_tiled(t.to_tiled(data, tile=5, **dims),
+                         t.to_tiled(mc, tile=5, **dims))
+        ).df,
+        cols,
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True)

@@ -628,13 +628,11 @@ def test_tiled_error_contracts(spark):
     flat = t.reduce_time_mean_tiled(tc)
     with pytest.raises(ValueError, match="time"):
         t.reduce_time_mean_tiled(flat)
-    # round-9 ADVICE fix: a temporal mask over time-less data (or vice
-    # versa) must raise, not silently min-fold the mask across all
-    # timestamps
-    with pytest.raises(ValueError, match="time dimension"):
-        t.mask_tiled(tc, flat)
-    with pytest.raises(ValueError, match="time dimension"):
-        t.mask_tiled(flat, tc)
+    # round-10 ADVICE fix: time-dim mismatch no longer raises — both
+    # directions follow the long operator's key rule exactly
+    # (test_round10.test_mask_tiled_time_parity_matches_long)
+    assert t.mask_tiled(tc, flat).df.columns == tc.df.columns
+    assert t.mask_tiled(flat, tc).df.columns == flat.df.columns
 
 
 def test_to_tiled_non_dyadic_grid_rounds_to_cell(spark):
