@@ -536,6 +536,22 @@ class ProcessGraph:
 
         if pid == "load_collection":
             cube = self._dispatch(pid, args, node, long_only=True)
+            # action-free planning: the catalog derives the packed
+            # scene dims statically (bit-equal to the probe for plain
+            # bbox extents), so building a tiled plan runs ZERO Spark
+            # jobs; a resample pushdown or polygon extent falls back
+            # to to_tiled's max-index probe
+            dims = None
+            if not args.get("_target_resolution"):
+                from .catalog import static_scene_dims
+
+                dims = static_scene_dims(
+                    args["id"], args.get("spatial_extent")
+                )
+            if dims is not None:
+                return tl.to_tiled(
+                    cube, tile=self.tile, n_y=dims[0], n_x=dims[1]
+                )
             return tl.to_tiled(cube, tile=self.tile)
 
         if pid == "filter_bands" and is_tiled("data"):

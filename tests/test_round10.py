@@ -184,3 +184,52 @@ def test_mask_tiled_multiband_mask_aligns_per_band(spark):
         cols,
     )
     pd.testing.assert_frame_equal(want, got, check_exact=True)
+
+
+def test_tiled_plan_build_runs_zero_spark_jobs(spark):
+    """Action-free tiled planning (round-10 item 3): building the
+    NDVI graph's tiled plan must fire NO Spark job — the catalog
+    supplies the packed scene dims statically, bit-equal to the
+    max-index probe it replaces."""
+    import json
+    import os
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.plans.catalog import (
+        load_collection_cube,
+        static_scene_dims,
+    )
+    from openeo_odc_driver_spark.core.tiled import to_tiled
+
+    here = os.path.join(os.path.dirname(__file__), "process_graphs")
+    graph = json.load(open(os.path.join(here, "ndvi_median.json")))
+    se = graph["process_graph"]["load"]["arguments"]["spatial_extent"]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("r10-plan-build", "tiled plan construction")
+    try:
+        pg = ProcessGraph(graph, tiled=True, tile=8,
+                          save_dir="/tmp/r10_plan_build")
+        pg._memo, pg._spark = {}, spark
+        # build the full lazy plan UP TO the terminal save_result (the
+        # save is execution, not planning — it is supposed to run jobs)
+        save_args = pg.nodes[pg.result_node]["arguments"]
+        out = pg._resolve_raw(save_args["data"])
+        jobs = sc.statusTracker().getJobIdsForGroup("r10-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan build fired Spark jobs: {jobs}"
+    assert out is not None
+
+    # the static dims equal the probe's answer exactly
+    cube = load_collection_cube(spark, "s2_l2a")
+    from openeo_odc_driver_spark.operators.filters import filter_bbox
+
+    trimmed = filter_bbox(cube, se["west"], se["east"], se["south"],
+                          se["north"])
+    probed = to_tiled(trimmed, tile=8)
+    static = static_scene_dims("s2_l2a", se)
+    assert static == (probed.n_y, probed.n_x)
+    # and with no extent, the full spec dims
+    full = to_tiled(cube, tile=8)
+    assert static_scene_dims("s2_l2a") == (full.n_y, full.n_x)
