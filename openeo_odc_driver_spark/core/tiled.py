@@ -302,6 +302,36 @@ def aggregate_temporal_period_tiled(
     return TiledCube(out, schema, tc.tile, tc.n_y, tc.n_x)
 
 
+def climatological_normal_tiled(
+    tc: TiledCube, frequency: str = "monthly", impl: str = "auto"
+) -> TiledCube:
+    """The long ``climatological_normal`` (reference
+    ``openeo_odc_driver.py:1354-1373``: groupby('time.month') mean)
+    natively on tiles — :func:`aggregate_temporal_period_tiled`'s fold
+    with ``month(time)`` as the grouping label instead of a truncated
+    timestamp. One exchange keyed by (band, month, tile); the time
+    dimension is replaced by a ``month`` column (1..12) riding on the
+    tile rows, which :func:`from_tiled` passes through to the long
+    rows exactly like the long operator emits it. Engines and NULL
+    semantics are :func:`reduce_time_tiled`'s (sql oracle mode / numpy
+    scale path)."""
+    if frequency != "monthly":
+        raise ValueError("only frequency='monthly' supported (as reference)")
+    if TIME not in tc.schema.dims:
+        raise ValueError("climatological_normal_tiled needs a time dimension")
+    band = [BAND] if BAND in tc.schema.dims else []
+    labeled = TiledCube(
+        tc.df.withColumn("month", F.month(TIME)),
+        tc.schema, tc.tile, tc.n_y, tc.n_x,
+    )
+    out = _fold_groups(
+        labeled, "mean", impl,
+        keys=[*band, "month", "tile_row", "tile_col"],
+        sort_field=TIME,
+    )
+    return TiledCube(out, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
+
+
 def reduce_time_tiled(
     tc: TiledCube, reducer: str = "mean", impl: str = "auto"
 ) -> TiledCube:
@@ -462,12 +492,11 @@ def _reduce_time_numpy(
         rec["data"] = [[None if np.isnan(v) else float(v) for v in out]]
         return pd.DataFrame(rec)
 
+    # key types come from the input schema itself (a derived label like
+    # climatological_normal_tiled's int `month` must not default to
+    # timestamp)
     fields = ", ".join(
-        "tile_row int" if k == "tile_row"
-        else "tile_col int" if k == "tile_col"
-        else f"{k} string" if k == BAND
-        else f"{k} timestamp"
-        for k in keys
+        f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
     return tc.df.groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"

@@ -26,6 +26,7 @@ mirroring the reference's only rewrite rule (:175-202, 223-225).
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any, Callable, Dict, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -47,6 +48,8 @@ from ..operators.merge import merge_cubes
 from ..operators.reducers import REDUCERS, reduce_dimension
 from ..operators.resample import resample_cube_spatial, resample_cube_temporal
 from .catalog import load_collection_cube
+
+_log = logging.getLogger(__name__)
 
 # element-wise process_id → Column builder (SURVEY §2.4)
 _BINARY = {
@@ -130,6 +133,9 @@ class ProcessGraph:
         self.allow_code_udfs = allow_code_udfs
         self.tiled = tiled
         self.tile = tile
+        # process_ids that fell through _dispatch_tiled to the long
+        # tier this execution (observable graceful degradation)
+        self.tiled_demotions: list = []
         self.result_node = next(
             (nid for nid, n in self.nodes.items() if n.get("result")), None
         )
@@ -227,6 +233,13 @@ class ProcessGraph:
             out = self._dispatch_tiled(pid, args, node)
             if out is not NotImplemented:
                 return out
+            # observable graceful degradation (round-10 ADVICE): every
+            # fall-through to the long tier is recorded — a zonal
+            # median over CONCAVE polygons, say, still answers, and
+            # the demotion is visible to callers and tests instead of
+            # silent
+            self.tiled_demotions.append(pid)
+            _log.info("tiled mode: %r demoted to the long tier", pid)
 
         if pid == "resample_spatial":
             # not folded into a scan (something sits between it and the
@@ -590,6 +603,12 @@ class ProcessGraph:
             if dim == BAND and named is None:
                 return _reduce_bands_expression_tiled(tc, child)
             return NotImplemented  # sd/variance/x/y reducers: long path
+        if pid == "climatological_normal" and is_tiled("data"):
+            if args.get("frequency", "monthly") == "monthly":
+                return tl.climatological_normal_tiled(
+                    self._resolve_raw(args["data"])
+                )
+            return NotImplemented
         if pid == "aggregate_temporal_period" and is_tiled("data"):
             named = _single_named_reducer(args["reducer"]["process_graph"])
             if named in ("mean", "sum", "min", "max"):

@@ -1118,6 +1118,25 @@ def _tiled_fixture(spark):
 
 
 @q(
+    "tiled_climatological_normal",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, CAST(month(time) AS INT) AS month, y, x, "
+    "avg(value) AS value FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _tiled_clim(spark, sf_dir):
+    """Round-10: climatological_normal natively on tiles (the r9
+    doc-phantom made real) — month-keyed mean fold per (band, month,
+    tile), the month label riding the tile rows through from_tiled.
+    Shares the long climatological_normal oracle. Oracle mode pins the
+    sql fold engine."""
+    from .core.tiled import climatological_normal_tiled, from_tiled
+
+    return from_tiled(
+        climatological_normal_tiled(_tiled_fixture(spark), impl="sql")
+    ).df
+
+
+@q(
     "tiled_zonal_median",
     _ZONAL_ORACLE.format(red="quantile_cont(value, 0.5)", label="geom_id"),
 )

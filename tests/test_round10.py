@@ -233,3 +233,82 @@ def test_tiled_plan_build_runs_zero_spark_jobs(spark):
     # and with no extent, the full spec dims
     full = to_tiled(cube, tile=8)
     assert static_scene_dims("s2_l2a") == (full.n_y, full.n_x)
+
+
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_climatological_normal_tiled_matches_long(spark, impl):
+    """Round-10: the r9 doc-phantom is now a real op — month-keyed mean
+    fold on tiles ≡ the long climatological_normal, both engines."""
+    from openeo_odc_driver_spark.operators.aggregates import (
+        climatological_normal,
+    )
+
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
+    cols = ["band", "month", "y", "x", "value"]
+    want = (
+        climatological_normal(cube).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    got = (
+        t.from_tiled(t.climatological_normal_tiled(tc, impl=impl))
+        .df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True,
+                                  check_dtype=False)
+
+
+def test_tiled_zonal_concave_demotes_observably(spark):
+    """A concave zonal polygon cannot take the tile fast path; in tiled
+    mode the graph still answers (long tier, ray-cast UDF) and the
+    demotion is RECORDED on the plan — no silent fall-through, no
+    error (round-10 item 5)."""
+    import json
+    import os
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    concave = [
+        [0.5, 0.5], [100.5, 0.5], [100.5, 100.5], [60.5, 100.5],
+        [60.5, 40.5], [40.5, 40.5], [40.5, 100.5], [0.5, 100.5],
+        [0.5, 0.5],
+    ]
+    graph = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_collection",
+                "arguments": {"id": "synthetic"},
+            },
+            "zonal": {
+                "process_id": "aggregate_spatial",
+                "arguments": {
+                    "data": {"from_node": "load"},
+                    "geometries": {
+                        "type": "Polygon", "coordinates": [concave],
+                    },
+                    "reducer": {
+                        "process_graph": {
+                            "m": {
+                                "process_id": "mean",
+                                "arguments": {
+                                    "data": {"from_parameter": "data"}
+                                },
+                                "result": True,
+                            }
+                        }
+                    },
+                },
+                "result": True,
+            },
+        }
+    }
+    long_pg = ProcessGraph(graph, save_dir="/tmp/r10_demote")
+    tiled_pg = ProcessGraph(graph, tiled=True, tile=4,
+                            save_dir="/tmp/r10_demote")
+    cols = ["result", "band", "time", "value"]  # planner's default label
+    want = _sorted_long(long_pg.execute(spark).df, cols)
+    got = _sorted_long(tiled_pg.execute(spark).df, cols)
+    pd.testing.assert_frame_equal(want, got, check_exact=True,
+                                  check_dtype=False)
+    assert "aggregate_spatial" in tiled_pg.tiled_demotions
+    assert long_pg.tiled_demotions == []
