@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "tiled_zonal_mean",
     "tiled_resample_spatial",
     "tiled_merge_resolver",
+    # round 10
+    "tiled_zonal_median",
+    "tiled_climatological_normal",
 ]
 
 
@@ -148,34 +151,52 @@ def tiled_layout_compare(spark) -> dict:
                 if f.endswith(".parquet")
             )
 
-        t0 = time.time()
-        (
-            spark.read.parquet(long_path)
-            .where("band IN ('B04', 'B08')")
-            .groupBy("band", "y", "x")
-            .agg({"value": "avg"})
-            .write.format("noop").mode("overwrite").save()
-        )
-        long_sec = time.time() - t0
-        t1 = time.time()
-        rb = TiledCube(
-            spark.read.parquet(tiled_path).where("band IN ('B04', 'B08')"),
-            cube.schema,
-            256,
-            512,
-            512,
-        )
-        reduce_time_mean_tiled(rb).df.write.format("noop").mode(
-            "overwrite"
-        ).save()
-        tiled_sec = time.time() - t1
+        def run_long():
+            (
+                spark.read.parquet(long_path)
+                .where("band IN ('B04', 'B08')")
+                .groupBy("band", "y", "x")
+                .agg({"value": "avg"})
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        def run_tiled():
+            rb = TiledCube(
+                spark.read.parquet(tiled_path)
+                .where("band IN ('B04', 'B08')"),
+                cube.schema,
+                256,
+                512,
+                512,
+            )
+            reduce_time_mean_tiled(rb).df.write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        # best-of-3 with the first run stamped separately, same as the
+        # per-query blocks: round 9 shipped a single run that billed
+        # pandas-UDF worker cold start (~6 s) to the tiled layout and
+        # mis-graded it as a regression
+        def best_of(fn, runs: int = 3):
+            times = []
+            for _ in range(runs):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+            return min(times), times[0]
+
+        long_sec, long_first = best_of(run_long)
+        tiled_sec, tiled_first = best_of(run_tiled)
         out = {
             "pixels": spec.ny * spec.nx * spec.n_times * len(spec.bands),
             "long_bytes": du(long_path),
             "tiled_bytes": du(tiled_path),
             "bytes_ratio": round(du(long_path) / max(du(tiled_path), 1), 2),
+            "runs": 3,
             "long_mean_sec": round(long_sec, 3),
             "tiled_mean_sec": round(tiled_sec, 3),
+            "long_first_run_sec": round(long_first, 3),
+            "tiled_first_run_sec": round(tiled_first, 3),
         }
         print(f"[bench] tiled_layout: {out}", file=sys.stderr)
     finally:
