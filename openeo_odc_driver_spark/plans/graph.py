@@ -120,7 +120,8 @@ class ProcessGraph:
     def __init__(self, graph: dict, sf_dir: Optional[str] = None,
                  save_dir: str = "/tmp/spark_graft_results",
                  allow_code_udfs: bool = True,
-                 tiled: bool = False, tile: int = 8):
+                 tiled: bool = False, tile: int = 8,
+                 tiled_store_dir: Optional[str] = None):
         import copy
 
         # Deep copy: the optimizer pre-pass annotates node dicts
@@ -133,6 +134,12 @@ class ProcessGraph:
         self.allow_code_udfs = allow_code_udfs
         self.tiled = tiled
         self.tile = tile
+        # storage-first tiled execution: when set, a tiled-mode
+        # load_collection whose id has a save_tiled store under this
+        # directory READS the packed layout (band partition pruning +
+        # tile/time predicates reaching the parquet scan) instead of
+        # packing the long scan at query time
+        self.tiled_store_dir = tiled_store_dir
         # process_ids that fell through _dispatch_tiled to the long
         # tier this execution (observable graceful degradation)
         self.tiled_demotions: list = []
@@ -523,6 +530,55 @@ class ProcessGraph:
 
     # --- tiled execution ----------------------------------------------------
 
+    def _load_tiled_store(self, args: dict):
+        """Storage-first tiled load: read a ``save_tiled`` store for
+        this collection when one exists under ``tiled_store_dir``, and
+        apply the load's band / temporal / bbox arguments NATIVELY on
+        the packed layout — bands prune hive partitions, the time
+        predicate reaches the parquet scan, and the packing cost is
+        paid once at store-build time instead of per query (SURVEY
+        §1.4's storage tier driving the planner end-to-end). Returns
+        None — fall back to the long scan + query-time pack — when no
+        store exists, a resample is pushed into this load, or a
+        spatial_extent needs row-level trimming (only a whole-scene
+        bbox is a provable no-op on tiles; filter_bbox otherwise
+        changes the grid extent, a long-format concern)."""
+        import os
+
+        if not (self.tiled_store_dir and isinstance(args.get("id"), str)):
+            return None
+        path = os.path.join(self.tiled_store_dir, args["id"])
+        if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
+            return None
+        if args.get("_target_resolution"):
+            return None
+        from ..core import tiled as tl
+
+        tc = tl.load_tiled(self._spark, path)
+        se = args.get("spatial_extent")
+        if se:
+            g = tc.schema.grid
+            if se.get("type") == "Polygon" or se.get("crs") or g is None:
+                return None
+            xmax = g.x0 + g.resx * (tc.n_x - 1)
+            ymin = g.y0 - g.resy * (tc.n_y - 1)
+            covers = (
+                float(se["west"]) <= g.x0 and float(se["east"]) >= xmax
+                and float(se["south"]) <= ymin
+                and float(se["north"]) >= g.y0
+            )
+            if not covers:
+                return None
+        te = args.get("temporal_extent")
+        if te:
+            tc = tl.filter_temporal_tiled(
+                tc, str(te[0])[:19], str(te[1])[:19]
+            )
+        if args.get("bands"):
+            tc = tl.filter_bands_tiled(tc, args["bands"])
+        return tc
+
+
     def _dispatch_tiled(self, pid: str, args: dict, node: dict):
         """Tile-native branch of the dispatch: returns a result for
         processes that can stay on the packed layout, or
@@ -548,6 +604,9 @@ class ProcessGraph:
             return isinstance(self._resolve_raw(args[key]), TiledCube)
 
         if pid == "load_collection":
+            stored = self._load_tiled_store(args)
+            if stored is not None:
+                return stored
             cube = self._dispatch(pid, args, node, long_only=True)
             # action-free planning: the catalog derives the packed
             # scene dims statically (bit-equal to the probe for plain

@@ -1976,6 +1976,51 @@ def _pg_masked_seasonal_tiled(spark, sf_dir):
     return pg.execute(spark).df
 
 
+def _pg_ndvi_tiled_store(spark, sf_dir):
+    """STORAGE-FIRST tiled execution (round 10): the NDVI graph's
+    load_collection reads a SAVED tiled store (save_tiled layout —
+    band-partitioned parquet + sidecar) instead of packing the long
+    scan at query time; bands prune hive partitions and the temporal
+    filter reaches the parquet scan (plan audit in PLANS.md round-10).
+    The store builds once per sf run (atomic rename), then every
+    execution is pack-free. Same oracle as process_graph_ndvi — one
+    oracle, three execution tiers."""
+    from .plans.graph import ProcessGraph
+
+    store = _build_s2_tiled_store(spark)
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/ndvi_median.json",
+        save_dir="/tmp/spark_graft_results/pg_ndvi_ts",
+        tiled=True, tiled_store_dir=store,
+    )
+    return pg.execute(spark).df
+
+
+def _build_s2_tiled_store(spark) -> str:
+    """Build (once) the s2_l2a save_tiled store the storage-first gate
+    rows read: tile=8 pack of the full catalog scene, written to a tmp
+    dir and atomically renamed into place so concurrent callers see
+    either nothing or a complete store."""
+    import os
+    import shutil
+
+    root = "/tmp/spark_graft_tiled_store"
+    path = os.path.join(root, "s2_l2a")
+    if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
+        from .core.tiled import save_tiled, to_tiled
+        from .plans.catalog import load_collection_cube, static_scene_dims
+
+        os.makedirs(root, exist_ok=True)
+        cube = load_collection_cube(spark, "s2_l2a")
+        ny, nx = static_scene_dims("s2_l2a")
+        tmp = path + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        save_tiled(to_tiled(cube, tile=8, n_y=ny, n_x=nx), tmp)
+        if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
+            os.replace(tmp, path) if not os.path.exists(path) else shutil.rmtree(tmp)
+    return root
+
+
 def _register_planner():
     q("process_graph_ndvi", _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi)
     q("process_graph_resample_pushdown", _PG_PUSHDOWN_ORACLE)(_pg_pushdown)
@@ -1987,6 +2032,8 @@ def _register_planner():
     q("process_graph_masked_seasonal_tiled", _PG_MASKED_SEASONAL_ORACLE)(
         _pg_masked_seasonal_tiled
     )
+    q("process_graph_ndvi_tiled_store",
+      _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled_store)
 
 
 _register_planner()

@@ -312,3 +312,34 @@ def test_tiled_zonal_concave_demotes_observably(spark):
                                   check_dtype=False)
     assert "aggregate_spatial" in tiled_pg.tiled_demotions
     assert long_pg.tiled_demotions == []
+
+
+def test_tiled_store_ndvi_storage_first(spark):
+    """Storage-first tiled E2E (round-10 item 4): the NDVI graph's
+    load_collection reads a SAVED tiled store — band prunes hive
+    partitions, the temporal filter reaches the parquet scan — and the
+    result equals the query-time-pack tiled run exactly."""
+    import re
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.registry import _build_s2_tiled_store
+
+    store = _build_s2_tiled_store(spark)
+    kw = dict(save_dir="/tmp/r10_store_test", tiled=True)
+    graph = "tests/process_graphs/ndvi_median.json"
+    packed = ProcessGraph.from_file(graph, **kw)
+    stored = ProcessGraph.from_file(graph, tiled_store_dir=store, **kw)
+
+    cols = ["y", "x", "value"]
+    want = _sorted_long(packed.execute(spark).df, cols)
+    got_cube = stored.execute(spark)
+    got = _sorted_long(got_cube.df, cols)
+    pd.testing.assert_frame_equal(want, got, check_exact=True,
+                                  check_dtype=False)
+
+    plan = got_cube.df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan[^\n]*", plan)
+    assert scans and all("spark_graft_tiled_store" in s for s in scans)
+    assert any("band" in s.split("PartitionFilters")[1].split("PushedFilters")[0]
+               for s in scans if "PartitionFilters" in s)
+    assert any("GreaterThanOrEqual(time" in s for s in scans)
