@@ -1364,8 +1364,10 @@ def aggregate_spatial_tiled(
             staged, zlit, bbox_touch, keys, T, tc, target_dimension,
             interior_too=True,
         )
-        out = px.groupBy(target_dimension, *keys).agg(
-            F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE)
+        out = (
+            px.groupBy(target_dimension, *keys)
+            .agg(F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE))
+            .where(F.col(target_dimension).isNotNull())
         )
         return Cube(out, tc.schema.drop(X).drop(Y))
 
@@ -1450,12 +1452,18 @@ def aggregate_spatial_tiled(
         zlit, bbox_touch, keys, T, tc, target_dimension,
         interior_too=False,
     )
-    boundary = b.groupBy(target_dimension, *keys).agg(
-        F.coalesce(F.sum(VALUE), F.lit(0.0)).alias("_s"),
-        F.coalesce(F.sum(F.col(VALUE) * F.col(VALUE)), F.lit(0.0)).alias("_ss"),
-        F.count(VALUE).alias("_c"),
-        F.min(VALUE).alias("_mn"),
-        F.max(VALUE).alias("_mx"),
+    boundary = (
+        b.groupBy(target_dimension, *keys)
+        .agg(
+            F.coalesce(F.sum(VALUE), F.lit(0.0)).alias("_s"),
+            F.coalesce(
+                F.sum(F.col(VALUE) * F.col(VALUE)), F.lit(0.0)
+            ).alias("_ss"),
+            F.count(VALUE).alias("_c"),
+            F.min(VALUE).alias("_mn"),
+            F.max(VALUE).alias("_mx"),
+        )
+        .where(F.col(target_dimension).isNotNull())
     )
 
     n, s, ss = F.sum("_c"), F.sum("_s"), F.sum("_ss")
@@ -1525,8 +1533,11 @@ def _zonal_pixels(
         f"filter(_tz, z -> {_inside_sql('z', X, Y)})[0].id"
     )
     tag = F.coalesce(F.col("_ig"), pix_tag) if interior_too else pix_tag
-    return (
-        b.withColumn(target_dimension, tag)
-        .where(F.col(target_dimension).isNotNull())
-        .drop("_ig", "_tz")
-    )
+    # NO isNotNull filter here: Catalyst pushes such a filter below the
+    # projection by substituting the alias, so the interpreted per-pixel
+    # HOF tag would evaluate TWICE per pixel (once in the Filter, once
+    # in the Project — measured 2x boundary cost). Untagged pixels ride
+    # into the aggregation as one NULL-keyed group per partition (map-
+    # side combine collapses them) and the CALLER drops that group
+    # after its groupBy.
+    return b.withColumn(target_dimension, tag).drop("_ig", "_tz")

@@ -343,3 +343,42 @@ def test_tiled_store_ndvi_storage_first(spark):
     assert any("band" in s.split("PartitionFilters")[1].split("PushedFilters")[0]
                for s in scans if "PartitionFilters" in s)
     assert any("GreaterThanOrEqual(time" in s for s in scans)
+
+
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_resample_tiled_partial_edge_blocks(spark, impl):
+    """Round-10 ADVICE: scene dims NOT divisible by factor*tile —
+    13x15 px, tile=4, factor=2 → the last row/col blocks pool only
+    their in-scene pixels (1x2 / 2x1 / 1x1 slivers) and padding never
+    leaks in; pinned against an independent pandas block reference,
+    both engines."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.sources.synthetic import CubeSpec
+
+    spec = CubeSpec(ny=13, nx=15, n_times=4)
+    cube = synthetic_cube(spark, spec)
+    g = cube.schema.grid
+    tc = t.to_tiled(cube, tile=4, n_y=13, n_x=15)
+    out = (
+        t.from_tiled(t.resample_spatial_tiled(tc, 2, "mean", impl=impl))
+        .df.toPandas()
+    )
+    assert (t.resample_spatial_tiled(tc, 2, "mean").n_y,
+            t.resample_spatial_tiled(tc, 2, "mean").n_x) == (7, 8)
+
+    longp = cube.df.toPandas()
+    longp["I"] = np.rint((g.y0 - longp["y"]) / g.resy).astype(int) // 2
+    longp["J"] = np.rint((longp["x"] - g.x0) / g.resx).astype(int) // 2
+    ref = (
+        longp.groupby(["band", "time", "I", "J"], as_index=False)["value"]
+        .mean()
+    )
+    ref["y"] = g.y0 - g.resy * 2 * ref["I"]
+    ref["x"] = g.x0 + g.resx * 2 * ref["J"]
+    cols = ["band", "time", "y", "x", "value"]
+    pd.testing.assert_frame_equal(
+        ref[cols].sort_values(cols[:4]).reset_index(drop=True),
+        out[cols].sort_values(cols[:4]).reset_index(drop=True),
+        check_exact=True,
+    )
