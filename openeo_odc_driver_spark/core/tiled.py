@@ -1171,11 +1171,23 @@ def resample_spatial_tiled(
     n_x2 = -(-tc.n_x // k)
     return TiledCube(df, schema, OT, n_y2, n_x2)
 
+def _ccw(poly):
+    """Ring as float pairs, CW reversed to CCW (shoelace) — the shared
+    orientation rule of convex_contains_col, the SQL zones literal and
+    the numpy zonal engine (one normalization, three consumers)."""
+    pts = [(float(x), float(y)) for x, y in poly]
+    n = len(pts)
+    area2 = sum(
+        pts[j][0] * pts[(j + 1) % n][1] - pts[(j + 1) % n][0] * pts[j][1]
+        for j in range(n)
+    )
+    return pts[::-1] if area2 < 0 else pts
+
+
 def _zones_literal_sql(polygons) -> str:
     """The polygon list as ONE SQL literal
     ``array<struct<id, xmin, xmax, ymin, ymax, edges>>`` (rings
-    CW→CCW-normalized exactly like
-    ``functions/geometry.py:convex_contains_col``; ``edges`` carries
+    CW→CCW-normalized via :func:`_ccw`; ``edges`` carries
     (x1, y1, dx, dy) per directed edge so the half-plane test
     ``dx·(y−y1) − dy·(x−x1) ≥ 0`` is a pure HOF lambda). Doubles are
     emitted as ``CAST('<repr>' AS DOUBLE)`` — repr round-trips, so the
@@ -1190,14 +1202,7 @@ def _zones_literal_sql(polygons) -> str:
     ``F.expr`` parse builds the whole thing in a single driver call."""
     zs = []
     for i, poly in enumerate(polygons):
-        pts = [(float(x), float(y)) for x, y in poly]
-        area2 = sum(
-            pts[j][0] * pts[(j + 1) % len(pts)][1]
-            - pts[(j + 1) % len(pts)][0] * pts[j][1]
-            for j in range(len(pts))
-        )
-        if area2 < 0:
-            pts = pts[::-1]
+        pts = _ccw(poly)
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
 
@@ -1246,13 +1251,13 @@ def aggregate_spatial_tiled(
     per TILE, not per pixel, except on the polygon boundary.**
 
     The zone list is ONE plan literal (:func:`_zones_literal_sql`) and
-    every classification step is a bounded higher-order-function
-    expression over it — expression size is O(total vertices) of plan
-    DATA (a single Literal object reference in codegen), never
-    O(|zones|) of generated CODE, and the whole classification is two
-    ``F.expr`` parses regardless of zone count (the round-9 expression
-    build was O(|zones|²), broke the 64 KB codegen limit at 4 fixture
-    polygons, and died in the driver at realistic zone counts):
+    tile classification is bounded higher-order-function expressions
+    over it — expression size is O(total vertices) of plan DATA (a
+    single Literal object reference in codegen), never O(|zones|) of
+    generated CODE, and the whole classification is two ``F.expr``
+    parses regardless of zone count (the round-9 expression build was
+    O(|zones|²), broke the 64 KB codegen limit at 4 fixture polygons,
+    and died in the driver at realistic zone counts):
 
     - **touch** (``exists``, short-circuits): does any zone bbox
       intersect the tile's scene-clipped corner rectangle? Tiles with
@@ -1263,14 +1268,9 @@ def aggregate_spatial_tiled(
       ``z0`` fully contains all 4 corners → every pixel of the tile
       provably first-matches ``z0`` (any earlier zone would bbox-touch
       and come first) → the whole tile folds to (Σ, Σx², count, min,
-      max) partials in one vectorized pass, zero per-pixel geometry.
-    - **boundary**: only these tiles posexplode to pixels; each pixel
-      tags with the first CONTAINING zone from the tile's
-      touching-zone list (``filter(_tz, ...)`` — per-pixel work is
-      O(touching zones), not O(|zones|)). A pixel inside a polygon has
-      that polygon's bbox touching its tile, and the list keeps id
-      order, so first-of-filtered ≡ the long operator's first-match
-      tagging exactly.
+      max) partials with zero per-pixel geometry.
+    - **boundary**: only these tiles run per-pixel geometry, and only
+      against the tile's TOUCHING zones.
 
     At 10^12 px a country-sized polygon has O(area) interior tiles and
     O(perimeter) boundary tiles — the per-pixel geometry work drops by
@@ -1280,25 +1280,30 @@ def aggregate_spatial_tiled(
     long operator exactly: first-match geometry tagging, NULL values
     skipped, all-NULL zones NULL (count 0), pixel-less polygons absent.
 
-    Reducers: mean / sum / min / max / count / sd / variance run on
-    tile-level partials (sd and variance from exact (n, Σx, Σx²) —
-    the long tier's ``reducers.sd_expr`` arithmetic); **median** needs
-    the pixel multiset, so it posexplodes every TOUCHED tile (outside
-    tiles still prune at the scan) with interior pixels tagging by the
-    precomputed tile class — per-pixel geometry still only on the
-    boundary — and feeds exact ``percentile(value, 0.5)``.
+    Reducers: mean / sum / min / max / count / sd / variance combine
+    tile-level partials (sd and variance from exact (n, Σx, Σx²) — the
+    long tier's ``reducers.sd_expr`` arithmetic); **median** needs the
+    pixel multiset, so tagged pixel VALUES flow into one exact
+    ``percentile(value, 0.5)`` exchange instead.
+
+    Two engines behind identical semantics (the ``reduce_time_tiled``
+    dispatch pattern; ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``):
+
+    - ``"sql"`` — interpreted HOF folds and a posexplode boundary
+      tagging path; engine-exact, the pinned oracle mode.
+    - ``"numpy"`` — ONE Arrow-batched ``mapInPandas`` pass over the
+      touched tiles does the interior folds AND the boundary per-pixel
+      tagging vectorized (half-plane tests as array ops against the
+      same CCW edges; first-match by ascending id over untagged
+      pixels), emitting per-(tile, zone) partials — no explode, no
+      per-pixel interpreted lambdas. This is the scale path for BOTH
+      regimes: zones ≫ tile (interior folds dominate) and zones ≪
+      tile (every tile is boundary — measured 33× over the sql
+      explode at 2025 sub-tile zones on 12.6 M px, PLANS.md round-10).
 
     Convex polygons only (the long path's own Catalyst fast path);
     concave → route through ``from_tiled`` + the ray-cast UDF (the
-    planner demotes and records it).
-
-    Interior-fold engines (the :func:`reduce_time_tiled` dispatch
-    pattern): ``"sql"`` — an interpreted HOF fold, oracle mode at
-    small tiles; ``"numpy"`` — a vectorized Arrow-batched partials
-    pass per tile (a pure MAP: one output row per tile, no grouping),
-    the scale path; ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``.
-    ``median`` has a single physical path (the explode) — ``impl`` is
-    accepted and ignored for it."""
+    planner demotes and records it)."""
     from ..functions.geometry import is_convex
 
     if reducer not in _ZONAL_REDUCERS:
@@ -1359,6 +1364,16 @@ def aggregate_spatial_tiled(
         .withColumn("_ig", F.expr(ig_expr))
     )
 
+    if impl == "auto":
+        impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+    if impl == "numpy":
+        return _zonal_numpy(tc, staged, polygons, reducer, target_dimension)
+    if impl != "sql":
+        raise ValueError(
+            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
+
+    # ---- sql engine (interpreted HOFs; the pinned oracle mode) ----
     if reducer == "median":
         px = _zonal_pixels(
             staged, zlit, bbox_touch, keys, T, tc, target_dimension,
@@ -1372,78 +1387,28 @@ def aggregate_spatial_tiled(
         return Cube(out, tc.schema.drop(X).drop(Y))
 
     # interior tiles -> (s, ss, c, mn, mx) partials, one row per tile
-    if impl == "auto":
-        impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
-    interior_src = staged.where(F.col("_ig").isNotNull())
-    if impl == "sql":
-        fold = F.expr(
-            "aggregate(data, named_struct("
-            "'s', CAST(0.0 AS DOUBLE), 'ss', CAST(0.0 AS DOUBLE), "
-            "'c', CAST(0 AS BIGINT), "
-            "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
-            "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
-            "'s', acc.s + v, 'ss', acc.ss + v * v, 'c', acc.c + 1, "
-            "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
-            "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
-            "END)"
+    fold = F.expr(
+        "aggregate(data, named_struct("
+        "'s', CAST(0.0 AS DOUBLE), 'ss', CAST(0.0 AS DOUBLE), "
+        "'c', CAST(0 AS BIGINT), "
+        "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
+        "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
+        "'s', acc.s + v, 'ss', acc.ss + v * v, 'c', acc.c + 1, "
+        "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v ELSE acc.mn END, "
+        "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v ELSE acc.mx END) "
+        "END)"
+    )
+    interior = (
+        staged.where(F.col("_ig").isNotNull())
+        .select(*keys, F.col("_ig").alias(target_dimension),
+                fold.alias("_p"))
+        .select(
+            target_dimension, *keys,
+            F.col("_p.s").alias("_s"), F.col("_p.ss").alias("_ss"),
+            F.col("_p.c").alias("_c"),
+            F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
         )
-        interior = (
-            interior_src
-            .select(*keys, F.col("_ig").alias(target_dimension),
-                    fold.alias("_p"))
-            .select(
-                target_dimension, *keys,
-                F.col("_p.s").alias("_s"), F.col("_p.ss").alias("_ss"),
-                F.col("_p.c").alias("_c"),
-                F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
-            )
-        )
-    elif impl == "numpy":
-        import numpy as np
-        import pandas as pd
-        from typing import Iterator
-
-        key_fields = ", ".join(
-            f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
-        )
-        part_schema = (
-            f"{target_dimension} int, {key_fields}, _s double, _ss double, "
-            "_c bigint, _mn double, _mx double"
-        )
-
-        def partials(
-            batches: "Iterator[pd.DataFrame]",
-        ) -> "Iterator[pd.DataFrame]":
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                a = np.array(
-                    [np.asarray(d, dtype="float64") for d in pdf["data"]]
-                )
-                nan = np.isnan(a)
-                all_nan = nan.all(axis=1)
-                c = (~nan).sum(axis=1)
-                s = np.nansum(a, axis=1)
-                ss = np.nansum(a * a, axis=1)
-                safe = np.where(all_nan[:, None], 0.0, a)
-                mn = np.where(all_nan, np.nan, np.nanmin(safe, axis=1))
-                mx = np.where(all_nan, np.nan, np.nanmax(safe, axis=1))
-                out = pdf[[*keys]].copy()
-                out.insert(0, target_dimension, pdf["_ig"].astype("int32"))
-                out["_s"] = s
-                out["_ss"] = ss
-                out["_c"] = c
-                out["_mn"] = [None if np.isnan(v) else float(v) for v in mn]
-                out["_mx"] = [None if np.isnan(v) else float(v) for v in mx]
-                yield out
-
-        interior = interior_src.select(
-            *keys, "_ig", "data"
-        ).mapInPandas(partials, part_schema)
-    else:
-        raise ValueError(
-            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
-        )
+    )
 
     # boundary tiles: pixels out, exact first-match tagging, then the
     # same partial shape
@@ -1465,7 +1430,18 @@ def aggregate_spatial_tiled(
         )
         .where(F.col(target_dimension).isNotNull())
     )
+    return _zonal_finish(
+        interior.unionByName(boundary), reducer, target_dimension, keys, tc
+    )
 
+
+def _zonal_finish(
+    partials, reducer: str, target_dimension: str, keys, tc: TiledCube
+) -> Cube:
+    """Combine per-(tile, zone) partial rows into the final zonal
+    answer — ONE exchange keyed by (geom, band[, time]), key count
+    independent of raster size. sd/variance use the exact-sums
+    sample formula (``reducers.sd_expr`` arithmetic)."""
     n, s, ss = F.sum("_c"), F.sum("_s"), F.sum("_ss")
     finish = {
         "mean": F.when(n > 0, s / n),
@@ -1473,13 +1449,11 @@ def aggregate_spatial_tiled(
         "min": F.min("_mn"),
         "max": F.max("_mx"),
         "count": n,
-        # exact-sums sample sd/variance — reducers.sd_expr arithmetic
         "sd": F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1)))),
         "variance": F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))),
     }[reducer]
     out = (
-        interior.unionByName(boundary)
-        .groupBy(target_dimension, *keys)
+        partials.groupBy(target_dimension, *keys)
         .agg(finish.alias(VALUE))
     )
     return Cube(out, tc.schema.drop(X).drop(Y))
@@ -1495,7 +1469,8 @@ def _zonal_pixels(
     target_dimension: str,
     interior_too: bool,
 ):
-    """Posexplode the given classified tile rows to tagged pixel rows.
+    """SQL-engine pixel tagging: posexplode the given classified tile
+    rows to tagged pixel rows.
 
     ``_tz`` (the tile's touching-zone list) is materialized per TILE
     row before the Generate — per-pixel tagging then scans only the
@@ -1541,3 +1516,175 @@ def _zonal_pixels(
     # side combine collapses them) and the CALLER drops that group
     # after its groupBy.
     return b.withColumn(target_dimension, tag).drop("_ig", "_tz")
+
+
+def _zonal_numpy(
+    tc: TiledCube,
+    staged,
+    polygons: list,
+    reducer: str,
+    target_dimension: str,
+) -> Cube:
+    """Vectorized zonal engine: ONE ``mapInPandas`` pass over the
+    touched tiles computes interior folds AND boundary per-pixel
+    first-match tagging as numpy array ops (identical doubles to the
+    SQL engine: same CCW edges, same ``x0 + resx·ix`` coordinate
+    arithmetic, same half-plane sign test — pinned ≡ sql by pytest on
+    every reducer). Per tile the cost is
+    O(touching zones · tile²) vectorized flops; no posexplode, no
+    interpreted lambdas, no per-pixel rows except for median, where
+    the tagged pixel VALUES (not coordinates) stream into one exact
+    percentile exchange."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    keys = tc.key_dims
+    T, T2 = tc.tile, tc.tile * tc.tile
+    g = tc.schema.grid
+    n_y, n_x = tc.n_y, tc.n_x
+    x0, y0, resx, resy = g.x0, g.y0, g.resx, g.resy
+    zs = [_ccw(p) for p in polygons]
+    zxmin = np.array([min(x for x, _ in p) for p in zs])
+    zxmax = np.array([max(x for x, _ in p) for p in zs])
+    zymin = np.array([min(y for _, y in p) for p in zs])
+    zymax = np.array([max(y for _, y in p) for p in zs])
+    edges = [
+        [(x1, y1, x2 - x1, y2 - y1)
+         for (x1, y1), (x2, y2) in zip(p, p[1:] + p[:1])]
+        for p in zs
+    ]
+    pos = np.arange(T2)
+    yi0, xi0 = pos // T, pos % T
+
+    def tile_tags(tr: int, tcl: int) -> "np.ndarray":
+        """Per-pixel zone id (−1 untagged) for one boundary tile —
+        first-match by ascending id over still-untagged pixels."""
+        y_idx = tr * T + yi0
+        x_idx = tcl * T + xi0
+        in_scene = (y_idx < n_y) & (x_idx < n_x)
+        x = x0 + resx * x_idx.astype("float64")
+        y = y0 - resy * y_idx.astype("float64")
+        xlo = x0 + resx * (tcl * T)
+        xhi = x0 + resx * min(tcl * T + T - 1, n_x - 1)
+        yhi = y0 - resy * (tr * T)
+        ylo = y0 - resy * min(tr * T + T - 1, n_y - 1)
+        touch = np.where(
+            (zxmin <= xhi) & (zxmax >= xlo)
+            & (zymin <= yhi) & (zymax >= ylo)
+        )[0]
+        tag = np.full(T2, -1, dtype="int64")
+        for zid in touch:
+            cand = (tag < 0) & in_scene
+            if not cand.any():
+                break
+            m = (
+                cand
+                & (x >= zxmin[zid]) & (x <= zxmax[zid])
+                & (y >= zymin[zid]) & (y <= zymax[zid])
+            )
+            if not m.any():
+                continue
+            xm, ym = x[m], y[m]
+            inside = np.ones(len(xm), dtype=bool)
+            for (ex, ey, dx, dy) in edges[zid]:
+                inside &= (dx * (ym - ey) - dy * (xm - ex)) >= 0.0
+            tag[np.where(m)[0][inside]] = zid
+        return tag
+
+    key_fields = ", ".join(
+        f"{k} {staged.schema[k].dataType.simpleString()}" for k in keys
+    )
+
+    if reducer == "median":
+        out_schema = f"{target_dimension} int, {key_fields}, {VALUE} double"
+
+        def emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                datas = pdf["data"].to_numpy()
+                igs = pdf["_ig"].to_numpy()
+                trs = pdf["tile_row"].to_numpy()
+                tcs = pdf["tile_col"].to_numpy()
+                kv = {k: pdf[k].to_numpy() for k in keys}
+                gs, vs, reps = [], [], []
+                for i in range(len(pdf)):
+                    vals = np.asarray(datas[i], dtype="float64")
+                    if not (igs[i] is None or pd.isna(igs[i])):
+                        y_idx = int(trs[i]) * T + yi0
+                        x_idx = int(tcs[i]) * T + xi0
+                        tag = np.where(
+                            (y_idx < n_y) & (x_idx < n_x),
+                            int(igs[i]), -1,
+                        )
+                    else:
+                        tag = tile_tags(int(trs[i]), int(tcs[i]))
+                    sel = tag >= 0
+                    if not sel.any():
+                        continue
+                    v = vals[sel].astype(object)
+                    v[np.isnan(vals[sel])] = None
+                    gs.append(tag[sel])
+                    vs.append(v)
+                    reps.append((i, int(sel.sum())))
+                if not gs:
+                    continue
+                out = {target_dimension: np.concatenate(gs).astype("int32")}
+                for k in keys:
+                    out[k] = np.concatenate(
+                        [np.repeat(kv[k][i], n) for i, n in reps]
+                    )
+                out[VALUE] = np.concatenate(vs)
+                yield pd.DataFrame(out)
+
+        px = staged.mapInPandas(emit, out_schema)
+        out = (
+            px.groupBy(target_dimension, *keys)
+            .agg(F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE))
+        )
+        return Cube(out, tc.schema.drop(X).drop(Y))
+
+    part_schema = (
+        f"{target_dimension} int, {key_fields}, _s double, _ss double, "
+        "_c bigint, _mn double, _mx double"
+    )
+
+    def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            datas = pdf["data"].to_numpy()
+            igs = pdf["_ig"].to_numpy()
+            trs = pdf["tile_row"].to_numpy()
+            tcs = pdf["tile_col"].to_numpy()
+            kv = {k: pdf[k].to_numpy() for k in keys}
+            rows = {target_dimension: [], "_s": [], "_ss": [], "_c": [],
+                    "_mn": [], "_mx": [], **{k: [] for k in keys}}
+
+            def add(i, zid, v):
+                ok = v[~np.isnan(v)]
+                rows[target_dimension].append(zid)
+                for k in keys:
+                    rows[k].append(kv[k][i])
+                rows["_s"].append(float(ok.sum()))
+                rows["_ss"].append(float((ok * ok).sum()))
+                rows["_c"].append(len(ok))
+                rows["_mn"].append(float(ok.min()) if len(ok) else None)
+                rows["_mx"].append(float(ok.max()) if len(ok) else None)
+
+            for i in range(len(pdf)):
+                vals = np.asarray(datas[i], dtype="float64")
+                if not (igs[i] is None or pd.isna(igs[i])):
+                    # interior: padding positions are NULL by
+                    # construction, so no scene mask is needed
+                    add(i, int(igs[i]), vals)
+                else:
+                    tag = tile_tags(int(trs[i]), int(tcs[i]))
+                    for zid in np.unique(tag[tag >= 0]):
+                        add(i, int(zid), vals[tag == zid])
+            if rows["_c"]:
+                yield pd.DataFrame(rows)
+
+    parts = staged.mapInPandas(partials, part_schema)
+    return _zonal_finish(parts, reducer, target_dimension, keys, tc)

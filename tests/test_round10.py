@@ -59,7 +59,10 @@ def test_zonal_tiled_many_zones(spark, m):
     tc = t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
     n_slices = len(DEFAULT_SPEC.bands) * DEFAULT_SPEC.n_times
     want = _expected_counts(zones, n_slices)
-    got_df = t.aggregate_spatial_tiled(tc, zones, "count").df
+    # m=45 runs the vectorized engine (the many-zone scale path); m=15
+    # stays on auto (sql at tile=4) so both engines face a zone swarm
+    impl = "numpy" if m == 45 else "auto"
+    got_df = t.aggregate_spatial_tiled(tc, zones, "count", impl=impl).df
     got = {}
     for row in got_df.groupBy("geom_id").agg(
         F.sum("value").alias("n")
