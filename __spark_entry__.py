@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 item 5): never-checked round-8 queries lead, then queries whose
 # latest green row is r02, r03, ... — so a silent regression in a
 # long-unchecked op surfaces in the next window instead of never.
-# Regenerated for round 8 from CORRECTNESS_r01..r07 with the snippet in
+# Regenerated for round 10 from CORRECTNESS_r01..r09 with the snippet in
 # scratch/verify_local.py's docstring.
 #
 # _GATE_PRIORITY_ASOF records which driver reports the list was derived
@@ -53,58 +53,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 8
+_GATE_PRIORITY_ASOF = 9
 _GATE_PRIORITY = [
-    "mix_epochs",
-    "pack_token_ids_spans",
-    "process_graph_masked_seasonal_tiled",
-    "process_graph_ndvi_tiled",
-    "tiled_apply_math",
-    "tiled_filter_bands_temporal",
-    "tiled_merge_bands",
-    "tiled_merge_resolver",
-    "tiled_resample_spatial",
-    "tiled_zonal_count",
-    "tiled_zonal_mean",
-    "token_fertility_stats",
-    "predict_curve_linear",
-    "process_graph_masked_seasonal",
-    "process_graph_ndvi",
-    "quality_score",
-    "quantiles",
-    "radar_mask",
-    "reduce_time_median",
-    "resample_cube_spatial_bilinear",
-    "resample_cube_temporal",
-    "round",
-    "run_udf_grouped",
-    "simhash_fingerprints",
-    "simhash_near_dup_pairs",
-    "stateful_running_max",
-    "streaming_dedup",
-    "token_count",
-    "aggregate_spatial_mean",
-    "aggregate_spatial_sd",
-    "aggregate_spatial_variance",
-    "aggregate_spatial_window_trim",
-    "aggregate_temporal_period_month",
-    "apply_kernel_reflect",
-    "apply_kernel_replicate",
-    "apply_kernel_tiled",
-    "apply_kernel_wrap",
-    "chunk_documents",
-    "climatological_normal",
-    "decontaminate_exact",
-    "decontaminate_ngram",
-    "events_json_extract",
-    "filter_bbox_crs",
-    "frame_sample",
-    "geocode_linear",
-    "load_collection_decode",
-    "load_collection_polygon",
-    "merge_cubes_bands",
-    "merge_cubes_time",
-    "pipeline_neardedup_sample_chunk_stats",
+    "process_graph_ndvi_tiled_store",
+    "tiled_climatological_normal",
+    "tiled_zonal_median",
+    "tiled_zonal_sd",
     "pipeline_quality_dedup_stats",
     "pq_ann",
     "pq_encode",
@@ -330,6 +284,56 @@ _GATE_PRIORITY = [
     "tiled_reduce_time_sum",
     "tiled_roundtrip",
     "tiled_save_load",
+    "aggregate_spatial_mean",
+    "aggregate_spatial_sd",
+    "aggregate_spatial_variance",
+    "aggregate_spatial_window_trim",
+    "aggregate_temporal_period_month",
+    "apply_kernel_reflect",
+    "apply_kernel_replicate",
+    "apply_kernel_tiled",
+    "apply_kernel_wrap",
+    "chunk_documents",
+    "climatological_normal",
+    "decontaminate_exact",
+    "decontaminate_ngram",
+    "events_json_extract",
+    "filter_bbox_crs",
+    "frame_sample",
+    "geocode_linear",
+    "load_collection_decode",
+    "load_collection_polygon",
+    "merge_cubes_bands",
+    "merge_cubes_time",
+    "mix_epochs",
+    "pack_token_ids_spans",
+    "pipeline_neardedup_sample_chunk_stats",
+    "predict_curve_linear",
+    "process_graph_masked_seasonal",
+    "process_graph_masked_seasonal_tiled",
+    "process_graph_ndvi",
+    "process_graph_ndvi_tiled",
+    "quality_score",
+    "quantiles",
+    "radar_mask",
+    "reduce_time_median",
+    "resample_cube_spatial_bilinear",
+    "resample_cube_temporal",
+    "round",
+    "run_udf_grouped",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "stateful_running_max",
+    "streaming_dedup",
+    "tiled_apply_math",
+    "tiled_filter_bands_temporal",
+    "tiled_merge_bands",
+    "tiled_merge_resolver",
+    "tiled_resample_spatial",
+    "tiled_zonal_count",
+    "tiled_zonal_mean",
+    "token_count",
+    "token_fertility_stats",
 ]
 
 
