@@ -1997,28 +1997,49 @@ def _pg_ndvi_tiled_store(spark, sf_dir):
 
 
 def _build_s2_tiled_store(spark) -> str:
-    """Build (once) the s2_l2a save_tiled store the storage-first gate
-    rows read: tile=8 pack of the full catalog scene, written to a tmp
-    dir and atomically renamed into place so concurrent callers see
-    either nothing or a complete store."""
+    return _build_tiled_store(spark, "s2_l2a")
+
+
+def _build_tiled_store(spark, collection_id: str) -> str:
+    """Build (once) a save_tiled store for a catalog collection, for
+    the storage-first gate rows: tile=8 pack of the full scene, written
+    to a tmp dir and atomically renamed into place so concurrent
+    callers see either nothing or a complete store."""
     import os
     import shutil
 
     root = "/tmp/spark_graft_tiled_store"
-    path = os.path.join(root, "s2_l2a")
+    path = os.path.join(root, collection_id)
     if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
         from .core.tiled import save_tiled, to_tiled
         from .plans.catalog import load_collection_cube, static_scene_dims
 
         os.makedirs(root, exist_ok=True)
-        cube = load_collection_cube(spark, "s2_l2a")
-        ny, nx = static_scene_dims("s2_l2a")
+        cube = load_collection_cube(spark, collection_id)
+        ny, nx = static_scene_dims(collection_id)
         tmp = path + ".build"
         shutil.rmtree(tmp, ignore_errors=True)
         save_tiled(to_tiled(cube, tile=8, n_y=ny, n_x=nx), tmp)
         if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
             os.replace(tmp, path) if not os.path.exists(path) else shutil.rmtree(tmp)
     return root
+
+
+def _pg_masked_seasonal_tiled_store(spark, sf_dir):
+    """The masked-seasonal graph STORAGE-FIRST: the widest tile-
+    resident planner chain (band-expression mask build, mask, calendar
+    resample, apply-clip) with its load reading the save_tiled store of
+    the synthetic collection — pack-free execution end to end, same
+    long oracle."""
+    from .plans.graph import ProcessGraph
+
+    store = _build_tiled_store(spark, "synthetic")
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/masked_seasonal.json",
+        save_dir="/tmp/spark_graft_results/pg_seasonal_ts",
+        tiled=True, tiled_store_dir=store,
+    )
+    return pg.execute(spark).df
 
 
 def _register_planner():
@@ -2034,6 +2055,8 @@ def _register_planner():
     )
     q("process_graph_ndvi_tiled_store",
       _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled_store)
+    q("process_graph_masked_seasonal_tiled_store",
+      _PG_MASKED_SEASONAL_ORACLE)(_pg_masked_seasonal_tiled_store)
 
 
 _register_planner()
