@@ -1184,7 +1184,7 @@ def _ccw(poly):
     return pts[::-1] if area2 < 0 else pts
 
 
-def _zones_literal_sql(polygons) -> str:
+def _zones_literal_sql(polygons, ccw: bool = True) -> str:
     """The polygon list as ONE SQL literal
     ``array<struct<id, xmin, xmax, ymin, ymax, edges>>`` (rings
     CW→CCW-normalized via :func:`_ccw`; ``edges`` carries
@@ -1202,7 +1202,12 @@ def _zones_literal_sql(polygons) -> str:
     ``F.expr`` parse builds the whole thing in a single driver call."""
     zs = []
     for i, poly in enumerate(polygons):
-        pts = _ccw(poly)
+        # CCW for the convex half-plane engine; ORIGINAL vertex order
+        # when any zone is concave, so the crossing test's per-edge
+        # float arithmetic is bit-identical to the long ray-cast UDF
+        # (even-odd is orientation-independent mathematically, but the
+        # interpolated crossing x rounds differently per direction)
+        pts = _ccw(poly) if ccw else [(float(x), float(y)) for x, y in poly]
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
 
@@ -1212,6 +1217,7 @@ def _zones_literal_sql(polygons) -> str:
         n = len(pts)
         edges = ",".join(
             f"named_struct('x1',{d(pts[j][0])},'y1',{d(pts[j][1])},"
+            f"'x2',{d(pts[(j + 1) % n][0])},'y2',{d(pts[(j + 1) % n][1])},"
             f"'dx',{d(pts[(j + 1) % n][0] - pts[j][0])},"
             f"'dy',{d(pts[(j + 1) % n][1] - pts[j][1])})"
             for j in range(n)
@@ -1231,6 +1237,18 @@ def _inside_sql(z: str, xc: str, yc: str) -> str:
     return (
         f"forall({z}.edges, e -> "
         f"e.dx * ({yc} - e.y1) - e.dy * ({xc} - e.x1) >= 0)"
+    )
+
+
+# even-odd ray cast of (xc, yc) against zone lambda-var z — the SAME
+# per-edge float arithmetic as operators/filters._ray_cast_contains
+# (xint = x1 + (y - y1) / (y2 - y1) * (x2 - x1)), as a boolean XOR fold
+def _crossing_sql(z: str, xc: str, yc: str) -> str:
+    return (
+        f"aggregate({z}.edges, false, (acc, e) -> "
+        f"CASE WHEN (({yc} < e.y1) != ({yc} < e.y2)) AND "
+        f"{xc} < e.x1 + ({yc} - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1) "
+        "THEN NOT acc ELSE acc END)"
     )
 
 
@@ -1301,21 +1319,19 @@ def aggregate_spatial_tiled(
       tile (every tile is boundary — measured 33× over the sql
       explode at 2025 sub-tile zones on 12.6 M px, PLANS.md round-10).
 
-    Convex polygons only (the long path's own Catalyst fast path);
-    concave → route through ``from_tiled`` + the ray-cast UDF (the
-    planner demotes and records it)."""
+    Concave polygons are native (round 10): the long operator switches
+    ALL polygons to the even-odd ray-cast rule when any is concave, so
+    the tiled tier mirrors it exactly — no interior claims (the
+    4-corner proof is a convex property), every touched tile runs the
+    per-pixel crossing test (:func:`_crossing_sql` / the UDF's own
+    numpy arithmetic), and outside tiles still prune at the scan."""
     from ..functions.geometry import is_convex
 
     if reducer not in _ZONAL_REDUCERS:
         raise ValueError(
             f"reducer must be one of {_ZONAL_REDUCERS}, got {reducer!r}"
         )
-    if not all(is_convex(p) for p in polygons):
-        raise NotImplementedError(
-            "aggregate_spatial_tiled handles convex polygons (the "
-            "half-plane fast path); concave polygons run long-format "
-            "via from_tiled + the ray-cast UDF"
-        )
+    all_cvx = all(is_convex(p) for p in polygons)
     if target_dimension in tc.df.columns:
         raise ValueError(
             f"target_dimension {target_dimension!r} collides with a "
@@ -1341,7 +1357,7 @@ def aggregate_spatial_tiled(
         (F.lit(g.y0) - F.lit(g.resy) * py_hi).alias("_ylo"),  # south edge
         (F.lit(g.y0) - F.lit(g.resy) * py_lo).alias("_yhi"),  # north edge
     )
-    zlit = _zones_literal_sql(polygons)
+    zlit = _zones_literal_sql(polygons, ccw=all_cvx)
     bbox_touch = (
         "z.xmin <= _xhi AND z.xmax >= _xlo "
         "AND z.ymin <= _yhi AND z.ymax >= _ylo"
@@ -1359,15 +1375,23 @@ def aggregate_spatial_tiled(
         f"transform(array(filter({zlit}, z -> {bbox_touch})), "
         f"tz -> CASE WHEN {inside4} THEN tz[0].id END)[0]"
     )
-    staged = (
-        corner.where(F.expr(any_touch))
-        .withColumn("_ig", F.expr(ig_expr))
+    # the 4-corner interior proof is a CONVEX property; with any
+    # concave zone in the list the long operator switches every
+    # polygon to the ray-cast rule, so the tiled tier mirrors it:
+    # no interior claims (all touched tiles run per-pixel crossing
+    # tests — outside tiles still prune at the scan) and the
+    # crossing arithmetic matches the UDF bit-for-bit
+    staged = corner.where(F.expr(any_touch)).withColumn(
+        "_ig",
+        F.expr(ig_expr) if all_cvx else F.lit(None).cast("int"),
     )
 
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
     if impl == "numpy":
-        return _zonal_numpy(tc, staged, polygons, reducer, target_dimension)
+        return _zonal_numpy(
+            tc, staged, polygons, reducer, target_dimension, all_cvx
+        )
     if impl != "sql":
         raise ValueError(
             f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
@@ -1377,7 +1401,7 @@ def aggregate_spatial_tiled(
     if reducer == "median":
         px = _zonal_pixels(
             staged, zlit, bbox_touch, keys, T, tc, target_dimension,
-            interior_too=True,
+            interior_too=True, all_cvx=all_cvx,
         )
         out = (
             px.groupBy(target_dimension, *keys)
@@ -1415,7 +1439,7 @@ def aggregate_spatial_tiled(
     b = _zonal_pixels(
         staged.where(F.col("_ig").isNull()),
         zlit, bbox_touch, keys, T, tc, target_dimension,
-        interior_too=False,
+        interior_too=False, all_cvx=all_cvx,
     )
     boundary = (
         b.groupBy(target_dimension, *keys)
@@ -1468,6 +1492,7 @@ def _zonal_pixels(
     tc: TiledCube,
     target_dimension: str,
     interior_too: bool,
+    all_cvx: bool = True,
 ):
     """SQL-engine pixel tagging: posexplode the given classified tile
     rows to tagged pixel rows.
@@ -1504,8 +1529,9 @@ def _zonal_pixels(
         (F.lit(g.x0) + F.lit(g.resx) * x_idx).alias(X),
         VALUE,
     )
+    contains = _inside_sql if all_cvx else _crossing_sql
     pix_tag = F.expr(
-        f"filter(_tz, z -> {_inside_sql('z', X, Y)})[0].id"
+        f"filter(_tz, z -> {contains('z', X, Y)})[0].id"
     )
     tag = F.coalesce(F.col("_ig"), pix_tag) if interior_too else pix_tag
     # NO isNotNull filter here: Catalyst pushes such a filter below the
@@ -1524,6 +1550,7 @@ def _zonal_numpy(
     polygons: list,
     reducer: str,
     target_dimension: str,
+    all_cvx: bool = True,
 ) -> Cube:
     """Vectorized zonal engine: ONE ``mapInPandas`` pass over the
     touched tiles computes interior folds AND boundary per-pixel
@@ -1544,7 +1571,12 @@ def _zonal_numpy(
     g = tc.schema.grid
     n_y, n_x = tc.n_y, tc.n_x
     x0, y0, resx, resy = g.x0, g.y0, g.resx, g.resy
-    zs = [_ccw(p) for p in polygons]
+    # CCW for half-planes; ORIGINAL order under any concavity so the
+    # even-odd interpolation rounds exactly like the long ray-cast UDF
+    zs = [
+        _ccw(p) if all_cvx else [(float(x), float(y)) for x, y in p]
+        for p in polygons
+    ]
     zxmin = np.array([min(x for x, _ in p) for p in zs])
     zxmax = np.array([max(x for x, _ in p) for p in zs])
     zymin = np.array([min(y for _, y in p) for p in zs])
@@ -1586,9 +1618,14 @@ def _zonal_numpy(
             if not m.any():
                 continue
             xm, ym = x[m], y[m]
-            inside = np.ones(len(xm), dtype=bool)
-            for (ex, ey, dx, dy) in edges[zid]:
-                inside &= (dx * (ym - ey) - dy * (xm - ex)) >= 0.0
+            if all_cvx:
+                inside = np.ones(len(xm), dtype=bool)
+                for (ex, ey, dx, dy) in edges[zid]:
+                    inside &= (dx * (ym - ey) - dy * (xm - ex)) >= 0.0
+            else:
+                from ..operators.filters import _ray_cast_contains
+
+                inside = _ray_cast_contains(xm, ym, zs[zid])
             tag[np.where(m)[0][inside]] = zid
         return tag
 

@@ -103,3 +103,38 @@ def geom_id_case_sql(polys=None, xcol: str = "x", ycol: str = "y") -> str:
         for i, p in enumerate(polys)
     )
     return f"CASE {whens} END"
+
+
+def raycast_contains_sql(poly, xcol: str = "x", ycol: str = "y") -> str:
+    """Even-odd ray-cast containment as portable SQL — the SAME
+    per-edge float arithmetic as the engine's ray-cast UDF
+    (operators/filters._ray_cast_contains) and the tiled crossing HOF
+    (core/tiled._crossing_sql): crossing iff (y < y1) != (y < y2) and
+    x < x1 + (y - y1) / (y2 - y1) * (x2 - x1), XOR-folded as an odd
+    crossing COUNT (both engines evaluate IEEE doubles left-to-right,
+    so the oracle matches bit-for-bit away from degenerate on-edge
+    pixels — fixture vertices sit at .5 offsets to guarantee that).
+    Vertex order is the ORIGINAL ring order, not CCW-normalized, to
+    round identically to the UDF."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = float(poly[i][0]), float(poly[i][1])
+        x2, y2 = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        terms.append(
+            f"(CASE WHEN (({ycol} < {y1!r}) != ({ycol} < {y2!r})) AND "
+            f"{xcol} < {x1!r} + ({ycol} - {y1!r}) / ({y2!r} - {y1!r}) "
+            f"* ({x2!r} - {x1!r}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def raycast_geom_id_case_sql(polys, xcol: str = "x", ycol: str = "y") -> str:
+    """First-match geom_id CASE over ray-cast containment — the oracle
+    twin of the concave tagging path (ALL polygons use the crossing
+    rule when any is concave, exactly like polygon_contains_udf)."""
+    whens = " ".join(
+        f"WHEN {raycast_contains_sql(p, xcol, ycol)} THEN {i}"
+        for i, p in enumerate(polys)
+    )
+    return f"CASE {whens} END"

@@ -695,11 +695,12 @@ class ProcessGraph:
                 )
             return NotImplemented
         if pid == "aggregate_spatial" and is_tiled("data"):
-            from ..functions.geometry import is_convex
-
             named = _single_named_reducer(args["reducer"]["process_graph"])
             polys = _geojson_polygons(args["geometries"])
-            if named in tl._ZONAL_REDUCERS and all(is_convex(p) for p in polys):
+            # concave polygons are native since round 10 (even-odd
+            # crossing tests mirroring the long ray-cast UDF); only an
+            # unsupported reducer (e.g. product) demotes
+            if named in tl._ZONAL_REDUCERS:
                 return tl.aggregate_spatial_tiled(
                     self._resolve_raw(args["data"]), polys, named,
                     target_dimension=args.get("target_dimension", "result"),

@@ -22,7 +22,11 @@ from typing import Callable, Dict, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .core.cube import BAND, TIME, VALUE, X, Y, Cube, CubeSchema, GridSpec
-from .functions.geometry import FIXTURE_POLYGONS, geom_id_case_sql
+from .functions.geometry import (
+    FIXTURE_POLYGONS,
+    geom_id_case_sql,
+    raycast_geom_id_case_sql,
+)
 from .functions.pivot import bands_wide
 from .operators import math as om
 from .operators.aggregates import (
@@ -1133,6 +1137,46 @@ def _tiled_clim(spark, sf_dir):
 
     return from_tiled(
         climatological_normal_tiled(_tiled_fixture(spark), impl="sql")
+    ).df
+
+
+_CONCAVE_ZONES = [
+    # L-shape (concave: notch removes the upper-right quadrant) + an
+    # overlapping rectangle — first-match under the ray-cast rule
+    [(5.5, 5.5), (145.5, 5.5), (145.5, 75.5),
+     (75.5, 75.5), (75.5, 145.5), (5.5, 145.5)],
+    [(65.5, 65.5), (125.5, 65.5), (125.5, 125.5), (65.5, 125.5)],
+]
+
+
+@q(
+    "tiled_zonal_concave",
+    f"WITH cube AS ({CUBE_D}), tagged AS ("
+    "SELECT {} AS geom_id, band, time, value FROM cube) "
+    "SELECT geom_id, band, time, avg(value) AS value FROM tagged "
+    "WHERE geom_id IS NOT NULL GROUP BY geom_id, band, time".format(
+        raycast_geom_id_case_sql([
+            [(5.5, 5.5), (145.5, 5.5), (145.5, 75.5),
+             (75.5, 75.5), (75.5, 145.5), (5.5, 145.5)],
+            [(65.5, 65.5), (125.5, 65.5), (125.5, 125.5), (65.5, 125.5)],
+        ])
+    ),
+)
+def _tiled_zonal_concave(spark, sf_dir):
+    """Round-10: CONCAVE zonal natively on tiles — with any concave
+    polygon the long operator switches every polygon to the even-odd
+    ray-cast rule, and the tiled tier mirrors it (no interior claims,
+    per-pixel crossing tests only on touched tiles, outside tiles
+    still pruned at the scan). The oracle is the same crossing
+    arithmetic in DuckDB (functions/geometry.raycast_geom_id_case_sql)
+    — identical IEEE evaluation order, .5-offset vertices keep pixels
+    off every edge. Oracle mode pins the sql engine."""
+    from .core.tiled import aggregate_spatial_tiled
+    from .functions.geometry import is_convex
+
+    assert not all(is_convex(p) for p in _CONCAVE_ZONES)
+    return aggregate_spatial_tiled(
+        _tiled_fixture(spark), _CONCAVE_ZONES, "mean", impl="sql",
     ).df
 
 

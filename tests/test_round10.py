@@ -261,19 +261,17 @@ def test_climatological_normal_tiled_matches_long(spark, impl):
                                   check_dtype=False)
 
 
-def test_tiled_zonal_concave_demotes_observably(spark):
-    """A concave zonal polygon cannot take the tile fast path; in tiled
-    mode the graph still answers (long tier, ray-cast UDF) and the
-    demotion is RECORDED on the plan — no silent fall-through, no
-    error (round-10 item 5)."""
+def test_tiled_zonal_unsupported_reducer_demotes_observably(spark):
+    """A zonal reducer without a tile path (product) still answers in
+    tiled mode (long tier) and the demotion is RECORDED on the plan —
+    no silent fall-through, no error (round-10 item 5)."""
     import json
     import os
 
     from openeo_odc_driver_spark.plans.graph import ProcessGraph
 
-    concave = [
-        [0.5, 0.5], [100.5, 0.5], [100.5, 100.5], [60.5, 100.5],
-        [60.5, 40.5], [40.5, 40.5], [40.5, 100.5], [0.5, 100.5],
+    ring = [
+        [0.5, 0.5], [100.5, 0.5], [100.5, 100.5], [0.5, 100.5],
         [0.5, 0.5],
     ]
     graph = {
@@ -287,12 +285,12 @@ def test_tiled_zonal_concave_demotes_observably(spark):
                 "arguments": {
                     "data": {"from_node": "load"},
                     "geometries": {
-                        "type": "Polygon", "coordinates": [concave],
+                        "type": "Polygon", "coordinates": [ring],
                     },
                     "reducer": {
                         "process_graph": {
                             "m": {
-                                "process_id": "mean",
+                                "process_id": "product",
                                 "arguments": {
                                     "data": {"from_parameter": "data"}
                                 },
@@ -385,3 +383,35 @@ def test_resample_tiled_partial_edge_blocks(spark, impl):
         out[cols].sort_values(cols[:4]).reset_index(drop=True),
         check_exact=True,
     )
+
+
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_zonal_tiled_concave_native(spark, impl):
+    """Round-10: concave polygons natively on tiles — the long operator
+    switches ALL polygons to the even-odd ray-cast rule when any is
+    concave, and the tiled crossing test mirrors its float arithmetic
+    bit-for-bit. L-shape (notch excluded) + overlapping rectangle,
+    first-match, every reducer class, both engines."""
+    from openeo_odc_driver_spark.operators.aggregates import aggregate_spatial
+
+    ell = [
+        (5.5, 5.5), (145.5, 5.5), (145.5, 75.5),
+        (75.5, 75.5), (75.5, 145.5), (5.5, 145.5),
+    ]
+    rect = [(65.5, 65.5), (125.5, 65.5), (125.5, 125.5), (65.5, 125.5)]
+    zones = [ell, rect]
+    cube = synthetic_cube(spark)
+    tc = t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
+    cols = ["geom_id", "band", "time", "value"]
+    for reducer in ("count", "mean", "median"):
+        want = (
+            aggregate_spatial(cube, zones, reducer)
+            .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+        got = (
+            t.aggregate_spatial_tiled(tc, zones, reducer, impl=impl)
+            .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            want, got, check_exact=True, check_dtype=False
+        )

@@ -279,12 +279,8 @@ def test_zonal_tiled_classifies_interior_tiles(spark):
         t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "product")
     with pytest.raises(ValueError, match="collides"):
         t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "mean", "band")
-    with pytest.raises(NotImplementedError, match="convex"):
-        t.aggregate_spatial_tiled(
-            tc,
-            [[(0.0, 0.0), (40.0, 0.0), (10.0, 10.0), (40.0, 40.0), (0.0, 40.0)]],
-            "mean",
-        )
+    # concave polygons are NATIVE since round 10 (crossing tests) —
+    # parity pinned in test_round10.test_zonal_tiled_concave_native
 
 
 @pytest.mark.parametrize("reducer", ["mean", "sum", "min", "max", "count"])
