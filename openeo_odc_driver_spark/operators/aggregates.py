@@ -17,6 +17,12 @@ from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
 from .filters import polygon_contains_udf
 from .reducers import REDUCERS
 
+# long-format zonal tagging: per-polygon CASE chains are codegen-friendly
+# and join-free up to this many zones; beyond it the chain is O(|zones|)
+# of generated code (64 KB whole-stage-codegen limit) and O(|zones|) py4j
+# round-trips to BUILD, so the zones-literal HOF path takes over
+_TAG_CHAIN_MAX = 16
+
 # openEO period -> date_trunc unit (reference maps to pandas freqs,
 # openeo_odc_driver.py:923: hour/day/week/month/season→QS/year).
 # dekad / tropical-season / decade are unsupported there too (:921,924-925).
@@ -183,7 +189,38 @@ def aggregate_spatial(
         )
     group = [d for d in cube.key_dims if d not in (X, Y)]
     if all(is_convex(p) for p in polygons):
-        tag = geom_id_col(polygons, X, Y)
+        if len(polygons) <= _TAG_CHAIN_MAX:
+            tag = geom_id_col(polygons, X, Y)
+        else:
+            # many-zone regime: the per-polygon CASE chain is O(|zones|)
+            # of GENERATED CODE (the 64 KB whole-stage-codegen limit,
+            # plus one py4j round-trip per half-plane term) — switch to
+            # the tiled tier's zones-literal + filter HOF, which is the
+            # same half-plane doubles as ONE plan literal and two
+            # bounded expressions (core/tiled.py round-10 design)
+            from ..core.tiled import _zones_literal_sql
+
+            zlit = _zones_literal_sql(polygons)
+            inz = (
+                f"z.xmin <= {X} AND z.xmax >= {X} "
+                f"AND z.ymin <= {Y} AND z.ymax >= {Y} AND "
+                f"forall(z.edges, e -> "
+                f"e.dx * ({Y} - e.y1) - e.dy * ({X} - e.x1) >= 0)"
+            )
+            # short-circuiting exists drops untagged pixels (usually
+            # the majority) in ONE zone scan; only surviving pixels pay
+            # the first-match filter — and a pixel that passed exists
+            # always tags, so no NULL group reaches the aggregation
+            out = (
+                cube.df.where(F.expr(f"exists({zlit}, z -> {inz})"))
+                .withColumn(
+                    target_dimension,
+                    F.expr(f"filter({zlit}, z -> {inz})[0].id"),
+                )
+                .groupBy(target_dimension, *group)
+                .agg(REDUCERS[reducer]().alias(VALUE))
+            )
+            return Cube(out, cube.schema.drop(X).drop(Y))
     else:
         tag = polygon_contains_udf(polygons)(F.col(X), F.col(Y))
     out = (

@@ -415,3 +415,47 @@ def test_zonal_tiled_concave_native(spark, impl):
         pd.testing.assert_frame_equal(
             want, got, check_exact=True, check_dtype=False
         )
+
+
+def test_long_zonal_many_zones_hof_path(spark):
+    """The LONG tier's many-zone regime (round-10 hardening): above
+    _TAG_CHAIN_MAX the per-polygon CASE chain (O(|zones|) generated
+    code + py4j build) switches to the zones-literal HOF tag — same
+    half-plane doubles, bounded codegen — pinned against analytic
+    counts at 225 zones and against the CASE chain at 25."""
+    from openeo_odc_driver_spark.operators.aggregates import (
+        _TAG_CHAIN_MAX,
+        aggregate_spatial,
+    )
+
+    assert 225 > _TAG_CHAIN_MAX
+    cube = synthetic_cube(spark)
+    zones = _square_zones(15)
+    n_slices = len(DEFAULT_SPEC.bands) * DEFAULT_SPEC.n_times
+    want = _expected_counts(zones, n_slices)
+    got = {
+        r["geom_id"]: int(r["n"])
+        for r in aggregate_spatial(cube, zones, "count")
+        .df.groupBy("geom_id").agg(F.sum("value").alias("n")).collect()
+    }
+    assert got == want
+    # 25 zones ride the chain path; the HOF path must agree exactly
+    small = _square_zones(5)
+    cols = ["geom_id", "band", "time", "value"]
+    chain = (
+        aggregate_spatial(cube, small, "mean")
+        .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    import openeo_odc_driver_spark.operators.aggregates as agg_mod
+
+    orig = agg_mod._TAG_CHAIN_MAX
+    try:
+        agg_mod._TAG_CHAIN_MAX = 0  # force the HOF path for 25 zones
+        hof = (
+            aggregate_spatial(cube, small, "mean")
+            .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+        )
+    finally:
+        agg_mod._TAG_CHAIN_MAX = orig
+    pd.testing.assert_frame_equal(chain, hof, check_exact=True,
+                                  check_dtype=False)
