@@ -192,35 +192,19 @@ def aggregate_spatial(
         if len(polygons) <= _TAG_CHAIN_MAX:
             tag = geom_id_col(polygons, X, Y)
         else:
-            # many-zone regime: the per-polygon CASE chain is O(|zones|)
-            # of GENERATED CODE (the 64 KB whole-stage-codegen limit,
-            # plus one py4j round-trip per half-plane term) — switch to
-            # the tiled tier's zones-literal + filter HOF, which is the
-            # same half-plane doubles as ONE plan literal and two
-            # bounded expressions (core/tiled.py round-10 design)
-            from ..core.tiled import _zones_literal_sql
+            # many-zone regime: the per-polygon CASE chain is
+            # O(|zones|) of GENERATED CODE (the 64 KB whole-stage-
+            # codegen limit, plus one py4j round-trip per half-plane
+            # term) — switch to the vectorized half-plane UDF: same
+            # doubles and closed comparisons, bbox prefilter +
+            # shrinking untagged mask make the per-pixel cost
+            # O(touching zones). (The zones-literal HOF spelling hits
+            # a Spark 4.1 lambda-pruning bug on generated sources —
+            # see convex_geom_id_udf's docstring; the tiled tier keeps
+            # the HOF, whose packed frames are unaffected.)
+            from .filters import convex_geom_id_udf
 
-            zlit = _zones_literal_sql(polygons)
-            inz = (
-                f"z.xmin <= {X} AND z.xmax >= {X} "
-                f"AND z.ymin <= {Y} AND z.ymax >= {Y} AND "
-                f"forall(z.edges, e -> "
-                f"e.dx * ({Y} - e.y1) - e.dy * ({X} - e.x1) >= 0)"
-            )
-            # short-circuiting exists drops untagged pixels (usually
-            # the majority) in ONE zone scan; only surviving pixels pay
-            # the first-match filter — and a pixel that passed exists
-            # always tags, so no NULL group reaches the aggregation
-            out = (
-                cube.df.where(F.expr(f"exists({zlit}, z -> {inz})"))
-                .withColumn(
-                    target_dimension,
-                    F.expr(f"filter({zlit}, z -> {inz})[0].id"),
-                )
-                .groupBy(target_dimension, *group)
-                .agg(REDUCERS[reducer]().alias(VALUE))
-            )
-            return Cube(out, cube.schema.drop(X).drop(Y))
+            tag = convex_geom_id_udf(polygons)(F.col(X), F.col(Y))
     else:
         tag = polygon_contains_udf(polygons)(F.col(X), F.col(Y))
     out = (

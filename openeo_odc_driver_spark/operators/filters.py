@@ -121,6 +121,65 @@ def _ray_cast_contains(xs, ys, poly: list[tuple[float, float]]):
     return inside
 
 
+def convex_geom_id_udf(polygons: list[list[tuple[float, float]]]):
+    """First-match geom_id for MANY convex polygons: vectorized numpy
+    half-plane tests — the SAME doubles and closed comparisons as
+    ``geom_id_col``'s CASE chain (CW→CCW normalized identically), with
+    a per-polygon bbox prefilter and a shrinking untagged mask so the
+    per-pixel cost is O(touching polygons), not O(|polygons|).
+
+    Why a pandas UDF and not the zones-literal HOF here: Spark 4.1's
+    column pruning loses attributes referenced ONLY inside higher-order
+    -function lambdas for some plan shapes over locally generated
+    (range+project) sources — [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]
+    at BindReferences (parquet-backed scans are unaffected; the tiled
+    tier's packed frames sit behind an Aggregate and are unaffected).
+    The Arrow barrier materializes (x, y) explicitly, which is immune
+    by construction and still vectorized."""
+    from pyspark.sql.types import IntegerType
+
+    norm = []
+    for poly in polygons:
+        pts = [(float(a), float(b)) for a, b in poly]
+        n = len(pts)
+        area2 = sum(
+            pts[j][0] * pts[(j + 1) % n][1]
+            - pts[(j + 1) % n][0] * pts[j][1]
+            for j in range(n)
+        )
+        if area2 < 0:
+            pts = pts[::-1]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        norm.append((min(xs), max(xs), min(ys), max(ys), pts))
+
+    @F.pandas_udf(IntegerType())
+    def tag(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.asarray(xs.values, dtype="float64")
+        y = np.asarray(ys.values, dtype="float64")
+        out = np.full(len(x), -1, dtype="int32")
+        for gid, (xmin, xmax, ymin, ymax, pts) in enumerate(norm):
+            cand = out < 0
+            if not cand.any():
+                break
+            m = cand & (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+            if not m.any():
+                continue
+            xm, ym = x[m], y[m]
+            inside = np.ones(len(xm), dtype=bool)
+            n = len(pts)
+            for k in range(n):
+                x1, y1 = pts[k]
+                x2, y2 = pts[(k + 1) % n]
+                inside &= ((x2 - x1) * (ym - y1) - (y2 - y1) * (xm - x1)) >= 0
+            out[np.where(m)[0][inside]] = gid
+        return pd.Series(out).where(lambda s: s >= 0)
+
+    return tag
+
+
 def polygon_contains_udf(polygons: list[list[tuple[float, float]]]):
     """Pandas UDF: (x, y) -> geom_id of first containing polygon, else NULL.
 
@@ -156,7 +215,15 @@ def filter_spatial(cube: Cube, polygons: list[list[tuple[float, float]]]) -> Cub
     ys = [p[1] for poly in polygons for p in poly]
     pre = filter_bbox(cube, min(xs), max(xs), min(ys), max(ys))
     if all(is_convex(p) for p in polygons):
-        out = pre.df.where(geom_id_col(polygons, X, Y).isNotNull())
+        if len(polygons) <= 16:
+            out = pre.df.where(geom_id_col(polygons, X, Y).isNotNull())
+        else:
+            # many-polygon regime: the CASE chain is O(|polys|) of
+            # generated code (64 KB codegen limit) — switch to the
+            # vectorized half-plane UDF (identical doubles; see its
+            # docstring for why not the zones-literal HOF here)
+            tag = convex_geom_id_udf(polygons)
+            out = pre.df.where(tag(F.col(X), F.col(Y)).isNotNull())
     else:
         contains = polygon_contains_udf(polygons)
         out = pre.df.where(contains(F.col(X), F.col(Y)).isNotNull())

@@ -14,24 +14,29 @@ from openeo_odc_driver_spark.sources.synthetic import synthetic_cube, DEFAULT_SP
 
 
 def _square_zones(m: int, extent: float = 150.0):
-    """m x m disjoint axis-aligned convex squares over [0, extent]^2,
-    vertices offset .25 off the fixture's pixel-center lattice
-    (multiples of 10) so containment is unambiguous in both tiers."""
-    s = extent / m
+    """m x m disjoint axis-aligned convex squares CENTERED on the m-grid
+    over [0, extent]^2 (pitch p = extent/m, half-width p/2 - 0.25).
+    Centering on the lattice keeps zones NON-vacuous — pixel centers
+    sit at multiples of 10, so a zone centered on a lattice point
+    contains it — while the 0.25 margin keeps every center strictly
+    off all zone edges (the first cut of this helper inset cell-aligned
+    squares by .25 and silently contained ZERO pixel centers at m=15/45
+    — the analytic-count asserts passed on empty==empty)."""
+    p = extent / m
     zones = []
     for i in range(m):
         for j in range(m):
-            xlo, xhi = j * s + 0.25, (j + 1) * s - 0.25
-            ylo, yhi = i * s + 0.25, (i + 1) * s - 0.25
-            zones.append([(xlo, ylo), (xhi, ylo), (xhi, yhi), (xlo, yhi)])
+            cx, cy = j * p, i * p
+            h = p / 2 - 0.25
+            zones.append([(cx - h, cy - h), (cx + h, cy - h),
+                          (cx + h, cy + h), (cx - h, cy + h)])
     return zones
 
 
-def _expected_counts(zones, n_slices: int):
-    """Analytic per-zone pixel counts on the 16x16 fixture (pixel
-    centers at multiples of 10 in [0, 150]); fixture values are never
-    NULL, so count = contained centers x slices. First-match is moot:
-    the squares are disjoint."""
+def _zone_centers(zones):
+    """Pixel centers (multiples of 10 in [0, 150]) contained per zone —
+    axis-aligned squares, so containment is the closed bbox test both
+    engines reduce to. Used to assert the fixtures are NON-vacuous."""
     centers = [10.0 * k for k in range(16)]
     out = {}
     for gid, z in enumerate(zones):
@@ -45,7 +50,7 @@ def _expected_counts(zones, n_slices: int):
             if min(ys) <= y <= max(ys)
         )
         if n:
-            out[gid] = n * n_slices
+            out[gid] = n
     return out
 
 
@@ -53,22 +58,30 @@ def _expected_counts(zones, n_slices: int):
 def test_zonal_tiled_many_zones(spark, m):
     """The round-9 build died here (driver-side O(|zones|^2) expression
     + codegen fallback); the literal-array plan must both BUILD fast
-    and answer exactly at hundreds-to-thousands of zones."""
+    and answer exactly at hundreds-to-thousands of zones — pinned
+    frame-exact against the long operator (which takes its own
+    many-zone path, the vectorized half-plane UDF)."""
     zones = _square_zones(m)
+    assert len(_zone_centers(zones)) >= 225  # fixtures must not be vacuous
+    from openeo_odc_driver_spark.operators.aggregates import aggregate_spatial
+
     cube = synthetic_cube(spark)
     tc = t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx)
-    n_slices = len(DEFAULT_SPEC.bands) * DEFAULT_SPEC.n_times
-    want = _expected_counts(zones, n_slices)
     # m=45 runs the vectorized engine (the many-zone scale path); m=15
     # stays on auto (sql at tile=4) so both engines face a zone swarm
     impl = "numpy" if m == 45 else "auto"
-    got_df = t.aggregate_spatial_tiled(tc, zones, "count", impl=impl).df
-    got = {}
-    for row in got_df.groupBy("geom_id").agg(
-        F.sum("value").alias("n")
-    ).collect():
-        got[row["geom_id"]] = int(row["n"])
-    assert got == want
+    cols = ["geom_id", "band", "time", "value"]
+    want = (
+        aggregate_spatial(cube, zones, "count")
+        .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    got = (
+        t.aggregate_spatial_tiled(tc, zones, "count", impl=impl)
+        .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(want, got, check_exact=True,
+                                  check_dtype=False)
 
 
 def test_zonal_tiled_small_grid_parity_vs_long(spark):
@@ -430,17 +443,10 @@ def test_long_zonal_many_zones_hof_path(spark):
 
     assert 225 > _TAG_CHAIN_MAX
     cube = synthetic_cube(spark)
-    zones = _square_zones(15)
-    n_slices = len(DEFAULT_SPEC.bands) * DEFAULT_SPEC.n_times
-    want = _expected_counts(zones, n_slices)
-    got = {
-        r["geom_id"]: int(r["n"])
-        for r in aggregate_spatial(cube, zones, "count")
-        .df.groupBy("geom_id").agg(F.sum("value").alias("n")).collect()
-    }
-    assert got == want
-    # 25 zones ride the chain path; the HOF path must agree exactly
+    # 25 zones ride the chain path; the UDF path must agree exactly
+    # (same half-plane doubles, closed comparisons, CCW normalization)
     small = _square_zones(5)
+    assert len(_zone_centers(small)) == 25
     cols = ["geom_id", "band", "time", "value"]
     chain = (
         aggregate_spatial(cube, small, "mean")
@@ -450,12 +456,41 @@ def test_long_zonal_many_zones_hof_path(spark):
 
     orig = agg_mod._TAG_CHAIN_MAX
     try:
-        agg_mod._TAG_CHAIN_MAX = 0  # force the HOF path for 25 zones
-        hof = (
+        agg_mod._TAG_CHAIN_MAX = 0  # force the UDF path for 25 zones
+        udf = (
             aggregate_spatial(cube, small, "mean")
             .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
         )
     finally:
         agg_mod._TAG_CHAIN_MAX = orig
-    pd.testing.assert_frame_equal(chain, hof, check_exact=True,
+    pd.testing.assert_frame_equal(chain, udf, check_exact=True,
                                   check_dtype=False)
+    # and at 225 zones (UDF path) the result is non-trivial
+    big = aggregate_spatial(cube, _square_zones(15), "count").df
+    n_groups = big.select("geom_id").distinct().count()
+    assert n_groups == 225
+
+
+def test_filter_spatial_many_polygons_hof_path(spark):
+    """filter_spatial's many-polygon regime rides the vectorized
+    half-plane UDF (bounded codegen, Arrow barrier) and keeps exactly
+    the pixels the CASE-chain path keeps."""
+    from openeo_odc_driver_spark.operators.filters import filter_spatial
+
+    cube = synthetic_cube(spark)
+    zones = _square_zones(15)  # 225 > the chain cap
+    got = {
+        (r.x, r.y)
+        for r in filter_spatial(cube, zones).df.select("x", "y")
+        .distinct().collect()
+    }
+    centers = [10.0 * k for k in range(16)]
+    want = set()
+    for z in zones:
+        xs = [p[0] for p in z]
+        ys = [p[1] for p in z]
+        for x in centers:
+            for y in centers:
+                if min(xs) <= x <= max(xs) and min(ys) <= y <= max(ys):
+                    want.add((x, y))
+    assert got == want and len(want) == 225
