@@ -48,6 +48,15 @@ GALLERY = [
      "round 8: pack (one tile-keyed exchange, O(tile^2) gap-fill fold) "
      "-> element-wise time fold per tile -> expansion with zero "
      "further exchanges"),
+    ("tiled_zonal_mean",
+     "round 10: zone classification as ONE literal zones array + "
+     "bounded exists/filter/forall HOFs — plan size independent of "
+     "|zones|, no 64 KB codegen overflow; interior tiles fold to "
+     "partials, only boundary tiles explode"),
+    ("process_graph_ndvi_tiled_store",
+     "round 10: storage-first planner execution — the save_tiled store "
+     "scanned with band partition pruning + temporal pushdown, no "
+     "query-time pack anywhere in the plan"),
 ]
 
 
