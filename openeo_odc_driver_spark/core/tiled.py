@@ -780,11 +780,14 @@ def apply_kernel_tiled_layout(
     border: str | int = 0,
 ) -> TiledCube:
     """2-D convolution natively on tiles (border ``constant 0`` — the
-    reference default) via halo exchange: every tile is shipped to its
-    8 neighbors and itself (shuffle volume exactly 9× the raster, no
-    dependence on kernel size), and one Arrow-batched ``applyInPandas``
-    per target tile lays the ≤9 pieces on a 3T×3T canvas and runs the
-    stencil as k² shifted slice-multiply-adds in numpy.
+    reference default) via HALO-STRIP exchange: every tile ships to
+    itself in full and to each of its 8 neighbors only the (ry, rx)-
+    wide strip that neighbor's stencil can actually read — shuffle
+    volume is (1 + 2(ry+rx)/T + 4·ry·rx/T²)× the raster (≈1.02× at
+    r=1, T=256; round 9 shipped whole tiles 9× regardless of radius).
+    One Arrow-batched ``applyInPandas`` per target tile lays the ≤9
+    pieces on a (T+2ry)×(T+2rx) canvas and runs the stencil as k²
+    shifted slice-multiply-adds in numpy.
 
     Semantics match the long-format :func:`~..operators.kernel.
     apply_kernel` exactly (cross-parity pytest): NULL neighbors and
@@ -793,8 +796,10 @@ def apply_kernel_tiled_layout(
 
     This is the 100 TB kernel plan: the long-format scatter shuffles k²
     weighted rows per pixel, the gather two full exchanges — here the
-    exchange is 9 tile rows per tile regardless of k, and the stencil
-    itself is BLAS-free contiguous numpy."""
+    exchange is barely more than one pass of the raster regardless of
+    k, and the stencil itself is BLAS-free contiguous numpy. Strip
+    extraction is slice()/strided-transform on the packed arrays,
+    scan-fused before the exchange."""
     import numpy as np
     import pandas as pd
 
@@ -821,25 +826,52 @@ def apply_kernel_tiled_layout(
     kmat = np.array([[float(w) for w in row] for row in kernel])
     fac = float(factor)
 
-    # replicate each tile to itself + 8 neighbors, tagged with its
-    # position relative to the TARGET tile
-    drdc = F.expr(
-        "explode(array("
-        + ", ".join(
-            f"struct({dr} AS dr, {dc} AS dc)"
-            for dr in (-1, 0, 1)
-            for dc in (-1, 0, 1)
+    # halo-strip emission: the full tile to itself, and to each
+    # neighbor ONLY the strip its stencil reads. Row-major packing:
+    # top/bottom strips are contiguous slice()s; left/right and corner
+    # strips are strided row slices via transform(sequence(...)).
+    def rows_cols(r0: int, nr: int, c0: int, nc: int) -> str:
+        """SQL for the (nr x nc) sub-block at (r0, c0), row-major."""
+        if nc == T:
+            return f"slice(data, {r0 * T + 1}, {nr * T})"
+        return (
+            f"flatten(transform(sequence({r0}, {r0 + nr - 1}), "
+            f"r -> slice(data, r * {T} + {c0 + 1}, {nc})))"
         )
-        + "))"
-    )
-    pieces = tc.df.select(*keys, "tile_row", "tile_col", "data", drdc.alias("_n")).select(
+
+    entries = ["struct(0 AS dr, 0 AS dc, data AS piece)"]
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if (dr, dc) == (0, 0):
+                continue
+            nr = ry if dr != 0 else T
+            nc = rx if dc != 0 else T
+            if nr == 0 or nc == 0:
+                continue  # 1-D kernels need no strips on that axis
+            # shipping toward dr=+1 means the TARGET below reads this
+            # tile's BOTTOM rows; toward dr=-1 its TOP rows (same for
+            # columns)
+            r0 = T - ry if dr == 1 else 0
+            c0 = T - rx if dc == 1 else 0
+            entries.append(
+                f"struct({dr} AS dr, {dc} AS dc, "
+                f"{rows_cols(r0, nr, c0, nc)} AS piece)"
+            )
+    drdc = F.expr("explode(array(" + ", ".join(entries) + "))")
+    max_tr = (tc.n_y - 1) // T
+    max_tc = (tc.n_x - 1) // T
+    pieces = tc.df.select(
+        *keys, "tile_row", "tile_col", drdc.alias("_n")
+    ).select(
         *keys,
         (F.col("tile_row") + F.col("_n.dr")).alias("_tr"),
         (F.col("tile_col") + F.col("_n.dc")).alias("_tc"),
         (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
         (-F.col("_n.dc")).alias("_pc"),
-        "data",
-    ).where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+        F.col("_n.piece").alias("data"),
+    ).where(
+        F.col("_tr").between(0, max_tr) & F.col("_tc").between(0, max_tc)
+    )
 
     out_fields = ", ".join(
         f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
@@ -854,11 +886,17 @@ def apply_kernel_tiled_layout(
             return pd.DataFrame(
                 columns=[*keys, "tile_row", "tile_col", "data"]
             )
-        canvas = np.full((3 * T, 3 * T), np.nan)
+        canvas = np.full((T + 2 * ry, T + 2 * rx), np.nan)
         for _, r in pdf.iterrows():
-            arr = np.asarray(r["data"], dtype="float64").reshape(T, T)
-            pr, pc = int(r["_pr"]) + 1, int(r["_pc"]) + 1
-            canvas[pr * T:(pr + 1) * T, pc * T:(pc + 1) * T] = arr
+            pr, pc = int(r["_pr"]), int(r["_pc"])
+            nr = T if pr == 0 else ry
+            nc = T if pc == 0 else rx
+            arr = np.asarray(r["data"], dtype="float64").reshape(nr, nc)
+            # piece origin on the halo canvas: a pr=-1 strip sits above
+            # the center block, pr=+1 below (same for columns)
+            y0 = 0 if pr == -1 else (ry if pr == 0 else ry + T)
+            x0 = 0 if pc == -1 else (rx if pc == 0 else rx + T)
+            canvas[y0:y0 + nr, x0:x0 + nc] = arr
         filled = np.nan_to_num(canvas, nan=0.0)
         acc = np.zeros((T, T))
         for dy in range(kh):
@@ -866,11 +904,9 @@ def apply_kernel_tiled_layout(
                 w = kmat[dy, dx]
                 if w == 0.0:
                     continue
-                acc += w * filled[
-                    T + dy - ry:2 * T + dy - ry, T + dx - rx:2 * T + dx - rx
-                ]
+                acc += w * filled[dy:dy + T, dx:dx + T]
         acc *= fac
-        center = canvas[T:2 * T, T:2 * T]
+        center = canvas[ry:ry + T, rx:rx + T]
         acc[np.isnan(center)] = np.nan
         row0 = pdf.iloc[0]
         out = {k: [row0[k]] for k in keys}
