@@ -494,3 +494,35 @@ def test_filter_spatial_many_polygons_hof_path(spark):
                 if min(xs) <= x <= max(xs) and min(ys) <= y <= max(ys):
                     want.add((x, y))
     assert got == want and len(want) == 225
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        [[0.25, 0.5, 0.25]],           # 1x3: ry=0 — no vertical strips
+        [[0.25], [0.5], [0.25]],       # 3x1: rx=0 — no horizontal strips
+        [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]],
+    ],
+)
+def test_tiled_kernel_halo_strips_match_long(spark, kernel):
+    """Round-10 halo-STRIP exchange (neighbors receive only the
+    (ry, rx)-wide strips their stencil reads, not whole tiles): exact
+    parity with the long apply_kernel for 2-D and both degenerate 1-D
+    kernels (a zero radius must skip that axis's strips entirely)."""
+    from openeo_odc_driver_spark.operators.kernel import apply_kernel
+    from openeo_odc_driver_spark.sources.synthetic import CubeSpec
+
+    cube = synthetic_cube(spark, CubeSpec(n_times=2, ny=16, nx=16))
+    cols = ["band", "time", "y", "x", "value"]
+    want = (
+        apply_kernel(cube, kernel).df.toPandas()[cols]
+        .sort_values(cols[:4]).reset_index(drop=True)
+    )
+    got = (
+        t.from_tiled(
+            t.apply_kernel_tiled_layout(
+                t.to_tiled(cube, tile=4, n_y=16, n_x=16), kernel
+            )
+        ).df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True)
