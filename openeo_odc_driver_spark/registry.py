@@ -707,7 +707,7 @@ def _tiled_roundtrip(spark, sf_dir):
     pixel-lossless including NULL nodata."""
     from .core.tiled import from_tiled, to_tiled
 
-    return from_tiled(to_tiled(synthetic_cube(spark), tile=5)).df
+    return from_tiled(to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16)).df
 
 
 @q(
@@ -727,7 +727,7 @@ def _tiled_reduce_time_mean(spark, sf_dir):
 
     return from_tiled(
         reduce_time_mean_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), impl="sql"
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), impl="sql"
         )
     ).df
 
@@ -746,7 +746,7 @@ def _tiled_reduce_time_max(spark, sf_dir):
 
     return from_tiled(
         reduce_time_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), "max", impl="sql"
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), "max", impl="sql"
         )
     ).df
 
@@ -764,7 +764,7 @@ def _tiled_reduce_time_sum(spark, sf_dir):
 
     return from_tiled(
         reduce_time_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), "sum", impl="sql"
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), "sum", impl="sql"
         )
     ).df
 
@@ -785,7 +785,7 @@ def _tiled_filter_bbox(spark, sf_dir):
     from .core.tiled import filter_bbox_tiled, to_tiled
 
     return filter_bbox_tiled(
-        to_tiled(synthetic_cube(spark), tile=8), 20.0, 90.0, 30.0, 120.0
+        to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), 20.0, 90.0, 30.0, 120.0
     ).df
 
 
@@ -798,8 +798,8 @@ def _tiled_mask(spark, sf_dir):
     mask, and missing-tile semantics must agree per pixel."""
     from .core.tiled import from_tiled, mask_tiled, to_tiled
 
-    data = to_tiled(synthetic_cube(spark), tile=8)
-    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8)
+    data = to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8, n_y=16, n_x=16)
     return from_tiled(mask_tiled(data, m)).df
 
 
@@ -841,9 +841,9 @@ def _tiled_pipeline_e2e(spark, sf_dir):
     )
 
     path = tempfile.mkdtemp(prefix="tiled_e2e_") + "/cube"
-    save_tiled(to_tiled(synthetic_cube(spark), tile=8), path)
+    save_tiled(to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), path)
     data = load_tiled(spark, path)
-    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8)
+    m = to_tiled(synthetic_cube(spark, MASK_SPEC), tile=8, n_y=16, n_x=16)
     nd = normalized_difference_tiled(mask_tiled(data, m), "B08", "B04")
     return from_tiled(reduce_time_median_tiled(nd)).df.select(
         Y, X, F.col(VALUE).alias("ndvi_median")
@@ -864,7 +864,7 @@ def _tiled_reduce_bands_mean(spark, sf_dir):
 
     return from_tiled(
         reduce_bands_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), "mean", impl="sql"
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), "mean", impl="sql"
         )
     ).df
 
@@ -889,7 +889,7 @@ def _tiled_atp_season(spark, sf_dir):
 
     return from_tiled(
         aggregate_temporal_period_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), "season", "max",
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), "season", "max",
             impl="sql",
         )
     ).df
@@ -907,7 +907,7 @@ def _tiled_apply_kernel(spark, sf_dir):
 
     return from_tiled(
         apply_kernel_tiled_layout(
-            to_tiled(synthetic_cube(spark), tile=8),
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
             _KERNEL,
             factor=_KERNEL_FACTOR,
         )
@@ -928,7 +928,7 @@ def _tiled_save_load(spark, sf_dir):
     from .core.tiled import from_tiled, load_tiled, save_tiled, to_tiled
 
     path = tempfile.mkdtemp(prefix="tiled_store_") + "/cube"
-    save_tiled(to_tiled(synthetic_cube(spark), tile=8), path)
+    save_tiled(to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), path)
     return from_tiled(load_tiled(spark, path)).df
 
 
@@ -955,7 +955,7 @@ def _tiled_filter_bands_temporal(spark, sf_dir):
     return from_tiled(
         filter_temporal_tiled(
             filter_bands_tiled(
-                to_tiled(synthetic_cube(spark), tile=8), ["B04", "B08"]
+                to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), ["B04", "B08"]
             ),
             "2021-06-01",
             "2022-03-01",
@@ -980,7 +980,7 @@ def _tiled_apply_math(spark, sf_dir):
 
     return from_tiled(
         apply_tiled(
-            to_tiled(synthetic_cube(spark), tile=8),
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
             lambda v: clip_cols(
                 add_cols(multiply_cols(absolute_cols(v), 0.25), 1.0),
                 0.0,
@@ -1004,8 +1004,8 @@ def _tiled_merge_bands(spark, sf_dir):
 
     return from_tiled(
         merge_cubes_tiled(
-            to_tiled(synthetic_cube(spark), tile=8),
-            to_tiled(synthetic_cube(spark, SPEC_B_BANDS), tile=8),
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            to_tiled(synthetic_cube(spark, SPEC_B_BANDS), tile=8, n_y=16, n_x=16),
         )
     ).df
 
@@ -1039,8 +1039,8 @@ def _tiled_merge_resolver(spark, sf_dir):
 
     return from_tiled(
         merge_cubes_tiled(
-            to_tiled(synthetic_cube(spark), tile=8),
-            to_tiled(synthetic_cube(spark, SPEC_C), tile=8),
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            to_tiled(synthetic_cube(spark, SPEC_C), tile=8, n_y=16, n_x=16),
             overlap_resolver=resolver,
         )
     ).df
@@ -1066,7 +1066,7 @@ def _tiled_resample_spatial(spark, sf_dir):
 
     return from_tiled(
         resample_spatial_tiled(
-            to_tiled(synthetic_cube(spark), tile=8), 2, "mean", impl="sql"
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16), 2, "mean", impl="sql"
         )
     ).df
 
@@ -1242,7 +1242,7 @@ def _tiled_ndvi_median(spark, sf_dir):
         to_tiled,
     )
 
-    tc = to_tiled(synthetic_cube(spark), tile=8)
+    tc = to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
     nd = normalized_difference_tiled(tc, "B08", "B04")
     return from_tiled(reduce_time_median_tiled(nd)).df.select(
         Y, X, F.col(VALUE).alias("ndvi_median")
