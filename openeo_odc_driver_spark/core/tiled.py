@@ -1386,7 +1386,27 @@ def aggregate_spatial_tiled(
     px_hi = F.least(px_lo + (T - 1), F.lit(tc.n_x - 1))
     py_lo = F.col("tile_row").cast("long") * T
     py_hi = F.least(py_lo + (T - 1), F.lit(tc.n_y - 1))
-    corner = tc.df.select(
+    # sargable prefilter: the zone list's overall bbox as a raw
+    # tile_row/tile_col range (filter_bbox_tiled's arithmetic). The
+    # exists() classification below is a higher-order function and can
+    # NEVER reach the parquet scan — this BETWEEN does, so on the
+    # stored layout whole row groups outside every zone drop before
+    # any array bytes are read; the exists() still decides exactly.
+    import math
+
+    axs = [float(p[0]) for poly in polygons for p in poly]
+    ays = [float(p[1]) for poly in polygons for p in poly]
+    src = tc.df.where(
+        F.col("tile_col").between(
+            math.floor((min(axs) - g.x0) / g.resx / T),
+            math.floor((max(axs) - g.x0) / g.resx / T),
+        )
+        & F.col("tile_row").between(
+            math.floor((g.y0 - max(ays)) / g.resy / T),
+            math.floor((g.y0 - min(ays)) / g.resy / T),
+        )
+    )
+    corner = src.select(
         *keys, "tile_row", "tile_col", "data",
         (F.lit(g.x0) + F.lit(g.resx) * px_lo).alias("_xlo"),
         (F.lit(g.x0) + F.lit(g.resx) * px_hi).alias("_xhi"),

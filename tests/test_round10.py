@@ -526,3 +526,35 @@ def test_tiled_kernel_halo_strips_match_long(spark, kernel):
         ).df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want, got, check_exact=True)
+
+
+def test_zonal_tiled_prunes_stored_scan(spark, tmp_path):
+    """The zones' overall bbox reaches the STORED layout's parquet scan
+    as a sargable tile_row/tile_col BETWEEN (the exists() HOF itself
+    can never push down) — and the pruned result stays exact."""
+    import re
+
+    from openeo_odc_driver_spark.functions.geometry import FIXTURE_POLYGONS
+    from openeo_odc_driver_spark.operators.aggregates import aggregate_spatial
+
+    cube = synthetic_cube(spark)
+    store = str(tmp_path / "zstore")
+    t.save_tiled(
+        t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny, n_x=DEFAULT_SPEC.nx),
+        store,
+    )
+    tc = t.load_tiled(spark, store)
+    out = t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "count", impl="sql")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert scans and any(
+        "tile_row" in f and "tile_col" in f and "GreaterThanOrEqual" in f
+        for f in scans
+    ), scans
+    cols = ["geom_id", "band", "time", "value"]
+    want = _sorted_long(
+        aggregate_spatial(cube, FIXTURE_POLYGONS, "count").df, cols
+    )
+    got = _sorted_long(out.df, cols)
+    pd.testing.assert_frame_equal(want, got, check_exact=True,
+                                  check_dtype=False)
