@@ -1221,50 +1221,52 @@ def _ccw(poly):
 
 
 def _zones_literal_sql(polygons, ccw: bool = True) -> str:
-    """The polygon list as ONE SQL literal
-    ``array<struct<id, xmin, xmax, ymin, ymax, edges>>`` (rings
-    CW→CCW-normalized via :func:`_ccw`; ``edges`` carries
-    (x1, y1, dx, dy) per directed edge so the half-plane test
-    ``dx·(y−y1) − dy·(x−x1) ≥ 0`` is a pure HOF lambda). Doubles are
-    emitted as ``CAST('<repr>' AS DOUBLE)`` — repr round-trips, so the
-    literal is bit-identical to the Python float.
+    """The polygon list as ONE constant-foldable SQL expression:
+    ``from_json('<zones json>', 'array<struct<id, bbox, edges>>')``.
+    Rings are CW→CCW-normalized via :func:`_ccw` when ``ccw`` (the
+    convex half-plane engine's requirement) and kept in ORIGINAL vertex
+    order otherwise (the crossing test must round like the long
+    ray-cast UDF); ``edges`` carries (x1, y1, x2, y2, dx, dy) per
+    directed edge. Doubles go through json.dumps' shortest-round-trip
+    repr and Jackson's exact parse — bit-identical to the Python float
+    (oracle-pinned).
 
-    Why a literal and not |zones| Column expressions: the array is ONE
-    Literal node — codegen references it as a constant object, so the
-    generated code size is independent of |zones| (the round-9 build
-    inlined every corner coordinate into every half-plane term of an
-    O(|zones|²) first-match chain, blowing the 64 KB codegen limit and
-    costing ~0.8 s of py4j plan construction per call). One
-    ``F.expr`` parse builds the whole thing in a single driver call."""
+    Why from_json and not an array(named_struct(...)) literal: both are
+    plan constants of O(total vertices) DATA with bounded generated
+    code (the round-9 build was O(|zones|²) of py4j-built expression
+    and broke the 64 KB codegen limit), but the ANTLR parse of a
+    2025-zone literal costs ~11 s and its Literal node re-serializes
+    per task, while the JSON string is ONE token — measured 0.9 s to
+    plan and ~3× faster to evaluate (PLANS.md round-10)."""
+    import json
+
     zs = []
     for i, poly in enumerate(polygons):
-        # CCW for the convex half-plane engine; ORIGINAL vertex order
-        # when any zone is concave, so the crossing test's per-edge
-        # float arithmetic is bit-identical to the long ray-cast UDF
-        # (even-odd is orientation-independent mathematically, but the
-        # interpolated crossing x rounds differently per direction)
         pts = _ccw(poly) if ccw else [(float(x), float(y)) for x, y in poly]
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
-
-        def d(v: float) -> str:
-            return f"CAST('{v!r}' AS DOUBLE)"
-
         n = len(pts)
-        edges = ",".join(
-            f"named_struct('x1',{d(pts[j][0])},'y1',{d(pts[j][1])},"
-            f"'x2',{d(pts[(j + 1) % n][0])},'y2',{d(pts[(j + 1) % n][1])},"
-            f"'dx',{d(pts[(j + 1) % n][0] - pts[j][0])},"
-            f"'dy',{d(pts[(j + 1) % n][1] - pts[j][1])})"
-            for j in range(n)
-        )
-        zs.append(
-            f"named_struct('id',{i},"
-            f"'xmin',{d(min(xs))},'xmax',{d(max(xs))},"
-            f"'ymin',{d(min(ys))},'ymax',{d(max(ys))},"
-            f"'edges',array({edges}))"
-        )
-    return "array(" + ",".join(zs) + ")"
+        zs.append({
+            "id": i,
+            "xmin": min(xs), "xmax": max(xs),
+            "ymin": min(ys), "ymax": max(ys),
+            "edges": [
+                {
+                    "x1": pts[j][0], "y1": pts[j][1],
+                    "x2": pts[(j + 1) % n][0], "y2": pts[(j + 1) % n][1],
+                    "dx": pts[(j + 1) % n][0] - pts[j][0],
+                    "dy": pts[(j + 1) % n][1] - pts[j][1],
+                }
+                for j in range(n)
+            ],
+        })
+    js = json.dumps(zs).replace("\\", "\\\\").replace("'", "''")
+    schema = (
+        "array<struct<id:int,xmin:double,xmax:double,ymin:double,"
+        "ymax:double,edges:array<struct<x1:double,y1:double,x2:double,"
+        "y2:double,dx:double,dy:double>>>>"
+    )
+    return f"from_json('{js}', '{schema}')"
 
 
 # half-plane containment of (xc, yc) in zone lambda-var z, as a forall
