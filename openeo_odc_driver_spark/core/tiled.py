@@ -413,9 +413,10 @@ def _fold_groups(
     numpy), collapsing whatever dimension is NOT in ``keys``;
     ``sort_field`` pins the fold order (time for time reductions,
     band label for band reductions)."""
-    if reducer not in _TILE_SQL_REDUCERS:
+    if reducer not in (*_TILE_SQL_REDUCERS, "sd", "variance"):
         raise ValueError(
-            f"reducer must be one of {sorted(_TILE_SQL_REDUCERS)}, "
+            f"reducer must be one of "
+            f"{sorted((*_TILE_SQL_REDUCERS, 'sd', 'variance'))}, "
             f"got {reducer!r} (median has its own op: "
             "reduce_time_median_tiled)"
         )
@@ -427,6 +428,34 @@ def _fold_groups(
     if impl != "sql":
         raise ValueError(
             f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
+    if reducer in ("sd", "variance"):
+        # exact-sums sample sd/variance per position (the long tier's
+        # reducers.sd_expr arithmetic): three element-wise folds
+        # (Σx, Σx², count) combined by a nested zip_with; <2 samples
+        # → NULL, NULL elements skipped
+        core = "(sq.q - sq.s * sq.s / c) / (c - 1)"
+        fin = f"sqrt({core})" if reducer == "sd" else core
+        fold = (
+            f"transform(array(array_sort(collect_list(struct({sort_field}, data)))), "
+            "ds -> zip_with("
+            "  zip_with("
+            f"    aggregate(ds, array_repeat(CAST(0.0 AS DOUBLE), {T2}), "
+            "      (acc, e) -> zip_with(acc, e.data, "
+            "        (a, v) -> a + coalesce(v, CAST(0.0 AS DOUBLE)))), "
+            f"    aggregate(ds, array_repeat(CAST(0.0 AS DOUBLE), {T2}), "
+            "      (acc, e) -> zip_with(acc, e.data, "
+            "        (a, v) -> a + coalesce(v * v, CAST(0.0 AS DOUBLE)))), "
+            "    (s, q) -> named_struct('s', s, 'q', q)), "
+            f"  aggregate(ds, array_repeat(CAST(0 AS BIGINT), {T2}), "
+            "    (acc, e) -> zip_with(acc, e.data, "
+            "      (a, v) -> a + CASE WHEN v IS NULL THEN 0 ELSE 1 END)), "
+            f"  (sq, c) -> CASE WHEN c > 1 THEN {fin} END))[0]"
+        )
+        return (
+            tc.df.groupBy(*keys)
+            .agg(F.expr(fold).alias("data"))
+            .select(*keys, "data")
         )
     merge, finish = _TILE_SQL_REDUCERS[reducer]
     init = (
@@ -464,6 +493,8 @@ def _reduce_time_numpy(
         "sum": np.nansum,
         "min": np.nanmin,
         "max": np.nanmax,
+        "sd": None,   # exact sums below (reducers.sd_expr arithmetic)
+        "variance": None,
     }[reducer]
     int_keys = ("tile_row", "tile_col")
 
@@ -475,7 +506,16 @@ def _reduce_time_numpy(
             [np.asarray(d, dtype="float64") for d in pdf["data"]]
         )
         all_nan = np.isnan(stack).all(axis=0)
-        if reducer == "mean":
+        if reducer in ("sd", "variance"):
+            c = (~np.isnan(stack)).sum(axis=0)
+            sm = np.nansum(stack, axis=0)
+            sq = np.nansum(stack * stack, axis=0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = np.where(
+                    c > 1, (sq - sm * sm / np.maximum(c, 2)) / np.maximum(c - 1, 1), np.nan
+                )
+                out = np.sqrt(var) if reducer == "sd" else var
+        elif reducer == "mean":
             counts = (~np.isnan(stack)).sum(axis=0)
             sums = np.nansum(stack, axis=0)
             with np.errstate(invalid="ignore"):

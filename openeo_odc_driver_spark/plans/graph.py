@@ -653,7 +653,9 @@ class ProcessGraph:
             dim = canonical_dim(args["dimension"])
             child = args["reducer"]["process_graph"]
             named = _single_named_reducer(child)
-            if dim == TIME and named in ("mean", "sum", "min", "max"):
+            if dim == TIME and named in (
+                "mean", "sum", "min", "max", "sd", "variance"
+            ):
                 return tl.reduce_time_tiled(tc, named)
             if dim == TIME and named == "median":
                 return tl.reduce_time_median_tiled(tc)
@@ -661,7 +663,7 @@ class ProcessGraph:
                 return tl.reduce_bands_tiled(tc, named)
             if dim == BAND and named is None:
                 return _reduce_bands_expression_tiled(tc, child)
-            return NotImplemented  # sd/variance/x/y reducers: long path
+            return NotImplemented  # x/y reducers: long path
         if pid == "climatological_normal" and is_tiled("data"):
             if args.get("frequency", "monthly") == "monthly":
                 return tl.climatological_normal_tiled(
@@ -670,7 +672,7 @@ class ProcessGraph:
             return NotImplemented
         if pid == "aggregate_temporal_period" and is_tiled("data"):
             named = _single_named_reducer(args["reducer"]["process_graph"])
-            if named in ("mean", "sum", "min", "max"):
+            if named in ("mean", "sum", "min", "max", "sd", "variance"):
                 return tl.aggregate_temporal_period_tiled(
                     self._resolve_raw(args["data"]), args["period"], named
                 )

@@ -1122,6 +1122,28 @@ def _tiled_fixture(spark):
 
 
 @q(
+    "tiled_reduce_time_sd",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, " + _SD_D + " AS value "
+    "FROM cube GROUP BY band, y, x",
+)
+def _tiled_reduce_sd(spark, sf_dir):
+    """Round-10: sample sd over time natively on tiles — three
+    element-wise folds (Σx, Σx², count) combined per position with the
+    long tier's exact-sums arithmetic (reducers.sd_expr); closes the
+    planner's last named-time-reducer demotion. Oracle mode pins the
+    sql fold engine; shares the long reduce_time_sd oracle shape."""
+    from .core.tiled import from_tiled, reduce_time_tiled, to_tiled
+
+    return from_tiled(
+        reduce_time_tiled(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            "sd", impl="sql",
+        )
+    ).df
+
+
+@q(
     "tiled_climatological_normal",
     f"WITH cube AS ({CUBE_D}) "
     "SELECT band, CAST(month(time) AS INT) AS month, y, x, "

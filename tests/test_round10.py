@@ -558,3 +558,53 @@ def test_zonal_tiled_prunes_stored_scan(spark, tmp_path):
     got = _sorted_long(out.df, cols)
     pd.testing.assert_frame_equal(want, got, check_exact=True,
                                   check_dtype=False)
+
+
+@pytest.mark.parametrize("reducer", ["sd", "variance"])
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_tiled_reduce_time_sd_variance_matches_long(spark, reducer, impl):
+    """Round-10: sd/variance close the tiled named-time-reducer set —
+    exact (n, Σx, Σx²) element-wise folds, both engines, pinned
+    frame-exact against the long reducer."""
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    cube = synthetic_cube(spark)
+    cols = ["band", "y", "x", "value"]
+    want = (
+        reduce_dimension(cube, "time", reducer)
+        .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    got = (
+        t.from_tiled(
+            t.reduce_time_tiled(
+                t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny,
+                           n_x=DEFAULT_SPEC.nx),
+                reducer, impl=impl,
+            )
+        ).df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True)
+
+
+def test_tiled_period_sd_matches_long(spark):
+    """Calendar-period sd on tiles (the shared fold with month keys)."""
+    from openeo_odc_driver_spark.operators.aggregates import (
+        aggregate_temporal_period,
+    )
+
+    cube = synthetic_cube(spark)
+    cols = ["band", "time", "y", "x", "value"]
+    want = (
+        aggregate_temporal_period(cube, "month", "sd")
+        .df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    got = (
+        t.from_tiled(
+            t.aggregate_temporal_period_tiled(
+                t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny,
+                           n_x=DEFAULT_SPEC.nx),
+                "month", "sd", impl="sql",
+            )
+        ).df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True)
