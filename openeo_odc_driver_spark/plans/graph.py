@@ -659,7 +659,9 @@ class ProcessGraph:
                 return tl.reduce_time_tiled(tc, named)
             if dim == TIME and named == "median":
                 return tl.reduce_time_median_tiled(tc)
-            if dim == BAND and named in ("mean", "sum", "min", "max"):
+            if dim == BAND and named in (
+                "mean", "sum", "min", "max", "sd", "variance"
+            ):
                 return tl.reduce_bands_tiled(tc, named)
             if dim == BAND and named is None:
                 return _reduce_bands_expression_tiled(tc, child)

@@ -608,3 +608,25 @@ def test_tiled_period_sd_matches_long(spark):
         ).df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want, got, check_exact=True)
+
+
+def test_tiled_reduce_bands_sd_matches_long(spark):
+    """Band-axis sd on tiles (the shared fold, band-sorted)."""
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    cube = synthetic_cube(spark)
+    cols = ["time", "y", "x", "value"]
+    want = (
+        reduce_dimension(cube, "bands", "sd")
+        .df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    got = (
+        t.from_tiled(
+            t.reduce_bands_tiled(
+                t.to_tiled(cube, tile=4, n_y=DEFAULT_SPEC.ny,
+                           n_x=DEFAULT_SPEC.nx),
+                "sd",
+            )
+        ).df.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_exact=True)
