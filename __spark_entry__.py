@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "process_graph_masked_seasonal_tiled_store",
     "process_graph_ndvi_tiled_store",
     "tiled_climatological_normal",
+    "tiled_reduce_time_sd",
     "tiled_zonal_concave",
     "tiled_zonal_median",
     "tiled_zonal_sd",
