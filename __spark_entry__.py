@@ -55,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 9
 _GATE_PRIORITY = [
+    "multimodal_webp_decode",
     "process_graph_masked_seasonal_tiled_store",
     "process_graph_ndvi_tiled_store",
     "tiled_climatological_normal",

@@ -7,7 +7,8 @@ struct — the same encoder the PNG sink uses), and `attach_png_images`
 synthesizes genuine PNG payloads, and REAL for baseline JPEG:
 `decode_image(fake=False)` dispatches on magic bytes to the pure-numpy
 T.81 codec (`.jpeg` — Annex-K tables, vectorized 8×8 DCT), and
-`attach_jpeg_images` synthesizes genuine JFIF payloads. WebP remains
+`attach_jpeg_images` synthesizes genuine JFIF payloads; round 10 adds
+`attach_webp_images` (real VP8L lossless). Lossy VP8 remains
 the documented library boundary (no PIL/cv2 in this container):
 `fake=True` keeps the deterministic hash-seeded decoder for opaque
 payloads, so the Spark-side plumbing (schema, batch shape, partition
@@ -132,15 +133,55 @@ def attach_jpeg_images(docs: DataFrame, width: int = 32,
     )
 
 
+def synth_webp_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic lossless-WebP payload via the repo's pure-Python
+    VP8L encoder (``.webp.encode_webp``) over the SAME
+    :func:`_synth_rgb` content as the PNG/JPEG twins — *real* RIFF/WEBP
+    bytes any image tool can open. Feature flags vary by seed so the
+    corpus exercises subtract-green, LZ77, color cache and predictor
+    paths of the decoder, not just plain literals."""
+    from .webp import encode_webp
+
+    arr = _synth_rgb(seed, width, height)
+    kw = (
+        {},
+        dict(subtract_green=True),
+        dict(cache_bits=6, lz77=True),
+        dict(predictor_mode=7),
+    )[seed % 4]
+    return encode_webp(arr, **kw)
+
+
+def attach_webp_images(docs: DataFrame, width: int = 32,
+                       height: int = 32) -> DataFrame:
+    """Fixture adapter: a **real** lossless-WebP binary column (pure
+    Python VP8L encoder, seeded by doc_id) + typed metadata."""
+    @F.pandas_udf("binary")
+    def make_webp(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_webp_bytes(int(i), width, height))
+
+    return docs.select(
+        "doc_id",
+        make_webp("doc_id").alias("image"),
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("webp/rgb8-lossless").alias("format"),
+        ).alias("image_meta"),
+    )
+
+
 def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     """binary → decoded pixel stats via mapInPandas (Arrow batches).
 
     ``fake=False`` is a **real decoder**, dispatched on the payload's
-    magic bytes: PNG (``\\x89PNG``, pure-stdlib codec in ``..sinks.png``)
-    and baseline JPEG (``\\xff\\xd8``, pure numpy codec in ``.jpeg``) —
-    no third-party image library needed. WebP remains the documented
-    boundary; ``fake=True`` keeps the hash-seeded deterministic path
-    for opaque payloads.
+    magic bytes: PNG (``\\x89PNG``, pure-stdlib codec in ``..sinks.png``),
+    baseline JPEG (``\\xff\\xd8``, pure numpy codec in ``.jpeg``) and
+    lossless WebP (``RIFF..WEBP``, pure-Python VP8L codec in ``.webp`` —
+    round 10; lossy VP8 remains the one documented non-goal) — no
+    third-party image library anywhere. ``fake=True`` keeps the
+    hash-seeded deterministic path for opaque payloads.
     """
     out_schema = (
         "doc_id long, width int, height int, mean_r double, mean_g double, "
@@ -174,13 +215,18 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
 
 def _decode_rgb(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real codecs: JPEG SOI → pure-numpy
-    T.81 decoder, else PNG (grayscale replicated, alpha dropped).
-    Returns (h, w, 3) uint8."""
+    T.81 decoder, RIFF/WEBP → pure-Python VP8L (lossless; lossy VP8
+    raises its named error), else PNG (grayscale replicated, alpha
+    dropped). Returns (h, w, 3) uint8."""
     from ..sinks.png import decode_png
     from .jpeg import decode_jpeg
 
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     chw = decode_png(payload)
     if chw.shape[0] == 1:
         chw = np.repeat(chw, 3, axis=0)

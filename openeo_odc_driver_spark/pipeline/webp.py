@@ -1,0 +1,1019 @@
+"""Pure-Python/numpy VP8L (lossless WebP) codec — decoder + a test
+encoder, no third-party imaging library.
+
+The reference decodes WebP via OpenCV (``openeo_odc_driver.py:
+1668-1674``, cv2.imread handles the container); this module closes the
+repo's last documented image-decode boundary for the LOSSLESS profile
+(RIFF/WEBP + VP8L chunk, per the public "WebP Lossless Bitstream
+Specification"). Lossy VP8 (a full intra-frame video decoder) stays a
+documented non-goal — :func:`decode_webp` raises a NAMED error for it.
+
+Implemented and ROUND-TRIP-TESTED against the in-repo encoder
+(tests/test_round10_webp.py): the whole entropy layer (simple 1/2-symbol
+codes AND full code-length-coded Huffman with 16/17/18 repeats and the
+max_symbol escape), color cache, LZ77 backward references with plain
+(>120) distance codes, the meta-Huffman group image, and three of the
+four transforms (subtract-green, uniform + per-block predictor, cross
+color) plus the color-indexing (palette) transform including sub-byte
+index packing. The 2-D short-distance map (codes 1..120) is implemented
+from the spec's neighbor table; the test encoder emits only plain
+distance codes, so that table is exercised by unit vectors, not round
+trips — stated here rather than hidden.
+
+Everything is exact integer arithmetic on uint8/uint32 — no float in
+any path, so decode is bit-deterministic across platforms.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit I/O — VP8L uses an LSB-first bitstream; Huffman code bits are
+# written/read most-significant-code-bit first (DEFLATE convention)
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self._d[self._pos >> 3]
+            v |= ((byte >> (self._pos & 7)) & 1) << i
+            self._pos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte = self._d[self._pos >> 3]
+        b = (byte >> (self._pos & 7)) & 1
+        self._pos += 1
+        return b
+
+
+class BitWriter:
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self._bits.append((v >> i) & 1)
+
+    def write_bit(self, b: int) -> None:
+        self._bits.append(b & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self._bits) + 7) // 8)
+        for i, b in enumerate(self._bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman codes (DEFLATE assignment: by length, then symbol)
+
+
+def _canonical(lengths: Iterable[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the canonical code of `lengths`."""
+    lengths = list(lengths)
+    pairs = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        table[(ln, code)] = sym
+        code += 1
+        prev_len = ln
+    return table
+
+
+class _Code:
+    """One prefix code: decode by tree-walk; encode via symbol->bits."""
+
+    def __init__(self, lengths: list[int]):
+        self.lengths = lengths
+        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 1:
+            # 0-bit code: always that symbol
+            self.only = nz[0][0]
+            self.table = {}
+        else:
+            self.only = None
+            self.table = _canonical(lengths)
+        self.enc = {sym: (ln, code) for (ln, code), sym in self.table.items()}
+
+    def read(self, br: BitReader) -> int:
+        if self.only is not None:
+            return self.only
+        code = 0
+        ln = 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            hit = self.table.get((ln, code))
+            if hit is not None:
+                return hit
+            if ln > 15:
+                raise ValueError("corrupt VP8L stream: bad Huffman code")
+
+    def write(self, bw: BitWriter, sym: int) -> None:
+        if self.only is not None:
+            if sym != self.only:
+                raise ValueError("symbol outside 1-symbol code")
+            return
+        ln, code = self.enc[sym]
+        for i in range(ln - 1, -1, -1):
+            bw.write_bit((code >> i) & 1)
+
+
+def _lengths_from_counts(counts: dict[int, int], alphabet: int,
+                         max_len: int = 15) -> list[int]:
+    """Length-limited Huffman code lengths (package-merge-lite via
+    repeated halving — small alphabets only; test-encoder quality)."""
+    import heapq
+
+    items = [(c, s) for s, c in counts.items() if c > 0]
+    if not items:
+        return [0] * alphabet
+    if len(items) == 1:
+        ln = [0] * alphabet
+        ln[items[0][1]] = 1
+        return ln
+    heap = [(c, i, (s,)) for i, (c, s) in enumerate(items)]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, s in items}
+    nxt = len(heap)
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in (*s1, *s2):
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, nxt, (*s1, *s2)))
+        nxt += 1
+    if max(depth.values()) > max_len:
+        # crude flatten: equal lengths
+        import math
+
+        ln_all = max(1, math.ceil(math.log2(len(items))))
+        lengths = [0] * alphabet
+        for _, s in items:
+            lengths[s] = ln_all
+        # canonical requires Kraft <= 1; equal lengths of ceil(log2 n) ok
+        return lengths
+    lengths = [0] * alphabet
+    for s, d in depth.items():
+        lengths[s] = d
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# prefix coding of LZ77 lengths/distances (24 / 40 codes + extra bits)
+
+
+def _prefix_decode(code: int, br: BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + 1 + br.read(extra)
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value -> (code, extra_bits_value, extra_bits_count)"""
+    if value <= 4:
+        return value - 1, 0, 0
+    code = 4
+    while True:
+        extra = (code - 2) >> 1
+        lo = ((2 + (code & 1)) << extra) + 1
+        hi = lo + (1 << extra) - 1
+        if lo <= value <= hi:
+            return code, value - lo, extra
+        code += 1
+
+
+# the spec's 2-D neighbor map for distance codes 1..120: (dx, dy) pairs
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (7, 1), (-7, 1), (5, 5), (-5, 5), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3), (4, 8),
+    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 4), (5, 8), (7, 7), (-7, 7),
+    (8, 5), (8, 6), (8, 7),
+]
+
+
+def _plane_code_to_distance(width: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    dist = dy * width + dx
+    return dist if dist >= 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# Huffman code reading/writing per the spec
+
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _read_code(br: BitReader, alphabet: int) -> _Code:
+    if br.read_bit():  # simple code
+        num_symbols = br.read_bit() + 1
+        first_8bits = br.read_bit()
+        sym0 = br.read(8 if first_8bits else 1)
+        lengths = [0] * alphabet
+        if num_symbols == 1:
+            lengths[sym0] = 1
+            c = _Code(lengths)
+            c.only = sym0
+            return c
+        sym1 = br.read(8)
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Code(lengths)
+    # full code: code-length code first
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _Code(cl_lengths)
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    symbol = 0
+    while symbol < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        code_len = cl_code.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len != 0:
+                prev = code_len
+        else:
+            slot = code_len - 16
+            extra = (2, 3, 7)[slot]
+            base = (3, 3, 11)[slot]
+            repeat = br.read(extra) + base
+            fill = prev if code_len == 16 else 0
+            for _ in range(repeat):
+                if symbol >= alphabet:
+                    break
+                lengths[symbol] = fill
+                symbol += 1
+    return _Code(lengths)
+
+
+def _write_code(bw: BitWriter, code: _Code, alphabet: int) -> None:
+    nz = [(s, l) for s, l in enumerate(code.lengths) if l > 0]
+    if len(nz) <= 2 and all(s <= 255 for s, _ in nz):
+        bw.write_bit(1)  # simple
+        bw.write_bit(len(nz) - 1)
+        s0 = nz[0][0]
+        if s0 <= 1:
+            bw.write_bit(0)
+            bw.write(s0, 1)
+        else:
+            bw.write_bit(1)
+            bw.write(s0, 8)
+        if len(nz) == 2:
+            bw.write(nz[1][0], 8)
+        return
+    bw.write_bit(0)
+    # code-length code: plain 3-bit lengths, no repeats (test encoder)
+    cl_counts: dict[int, int] = {}
+    for ln in code.lengths:
+        cl_counts[ln] = cl_counts.get(ln, 0) + 1
+    cl_lengths = _lengths_from_counts(cl_counts, 19, max_len=7)
+    # the 3-bit fields cap code-length-code lengths at 7
+    cl_code = _Code(cl_lengths)
+    # emit in _CL_ORDER, enough entries to cover every nonzero
+    need = max(
+        (i for i, s in enumerate(_CL_ORDER) if cl_lengths[s] > 0),
+        default=3,
+    ) + 1
+    need = max(need, 4)
+    bw.write(need - 4, 4)
+    for i in range(need):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write_bit(0)  # no max_symbol escape
+    for ln in code.lengths:
+        cl_code.write(bw, ln)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image (the spec's "spatially coded image")
+
+
+def _hash_argb(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_entropy_image(
+    br: BitReader, width: int, height: int, is_main: bool
+) -> np.ndarray:
+    """Returns (height, width) uint32 ARGB."""
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (width + (1 << meta_bits) - 1) >> meta_bits
+        mh = (height + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, is_main=False)
+        meta = (
+            ((meta_img >> 16) & 0xFF) << 8 | ((meta_img >> 8) & 0xFF)
+        ).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_code(br, green_alpha),   # green + length + cache
+            _read_code(br, 256),           # red
+            _read_code(br, 256),           # blue
+            _read_code(br, 256),           # alpha
+            _read_code(br, 40),            # distance
+        ))
+
+    n = width * height
+    out = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        x = pos % width
+        y = pos // width
+        if meta is not None:
+            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        s = g[0].read(br)
+        if s < 256:
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = argb
+            if cache is not None:
+                cache[_hash_argb(argb, cache_bits)] = argb
+            pos += 1
+        elif s < 256 + 24:
+            length = _prefix_decode(s - 256, br)
+            dcode = _prefix_decode(g[4].read(br), br)
+            dist = _plane_code_to_distance(width, dcode)
+            if dist > pos:
+                raise ValueError("corrupt VP8L: LZ77 distance before start")
+            for _ in range(length):
+                if pos >= n:
+                    break
+                argb = int(out[pos - dist])
+                out[pos] = argb
+                if cache is not None:
+                    cache[_hash_argb(argb, cache_bits)] = argb
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("corrupt VP8L: cache hit without cache")
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out.reshape(height, width)
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    r = (r + g) & 0xFF
+    b = (b + g) & 0xFF
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _pred_pixel(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """One predicted ARGB value from neighbors (ints, per-channel)."""
+    def ch(p, s):
+        return (p >> s) & 0xFF
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    out = 0
+    for s in (24, 16, 8, 0):
+        l, t, tl, tr = ch(L, s), ch(T, s), ch(TL, s), ch(TR, s)
+        if mode == 5:
+            v = _avg2(_avg2(l, tr), t)
+        elif mode == 6:
+            v = _avg2(l, tl)
+        elif mode == 7:
+            v = _avg2(l, t)
+        elif mode == 8:
+            v = _avg2(tl, t)
+        elif mode == 9:
+            v = _avg2(t, tr)
+        elif mode == 10:
+            v = _avg2(_avg2(l, tl), _avg2(t, tr))
+        elif mode == 11:
+            # Select: whole-pixel decision, handled by caller; per
+            # channel never reached
+            raise AssertionError
+        elif mode == 12:
+            v = _clamp255(l + t - tl)
+        elif mode == 13:
+            ave = _avg2(l, t)
+            q = ave - tl
+            half = q // 2 if q >= 0 else -((-q) // 2)  # C trunc division
+            v = _clamp255(ave + half)
+        else:
+            raise ValueError(f"bad predictor mode {mode}")
+        out |= v << s
+    return out
+
+
+def _pred_select(L: int, T: int, TL: int) -> int:
+    pl = pt = 0
+    for s in (24, 16, 8, 0):
+        l, t, tl = (L >> s) & 0xFF, (T >> s) & 0xFF, (TL >> s) & 0xFF
+        p = l + t - tl
+        pl += abs(p - l)
+        pt += abs(p - t)
+    return T if pt <= pl else L
+
+
+def _inv_predictor(img: np.ndarray, size_bits: int,
+                   modes: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    out = img.astype(np.int64).copy()
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])  # L
+            elif x == 0:
+                pred = int(out[y - 1, 0])  # T
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                L = int(out[y, x - 1])
+                T = int(out[y - 1, x])
+                TL = int(out[y - 1, x - 1])
+                # x+1 == w wraps to (y-1)*w + w = row y, col 0 — the
+                # current row's first pixel (libwebp's flat indexing)
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(
+                    out[y, 0]
+                )
+                if mode == 11:
+                    pred = _pred_select(L, T, TL)
+                else:
+                    pred = _pred_pixel(mode, L, T, TL, TR)
+            # add residual per channel mod 256
+            v = int(out[y, x])
+            res = 0
+            for s in (24, 16, 8, 0):
+                res |= (((v >> s) + (pred >> s)) & 0xFF) << s
+            out[y, x] = res
+    return out.astype(np.uint32)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8 t * int8 c) >> 5 (arithmetic)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inv_cross_color(img: np.ndarray, size_bits: int,
+                     deltas: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        for x in range(w):
+            d = int(deltas[y >> size_bits, x >> size_bits])
+            # libwebp layout: green_to_red = blue byte, green_to_blue =
+            # green byte, red_to_blue = red byte
+            g2r = d & 0xFF
+            g2b = (d >> 8) & 0xFF
+            r2b = (d >> 16) & 0xFF
+            v = int(out[y, x])
+            a = (v >> 24) & 0xFF
+            r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF
+            b = v & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder entry
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP → (h, w, 3) uint8 RGB. Lossless (VP8L) only; lossy VP8
+    raises a named NotImplementedError (documented non-goal)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            return _decode_vp8l(body)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 intra frame) is out of scope; only the "
+                "lossless VP8L profile decodes in-repo"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container has no VP8L chunk")
+
+
+def _decode_vp8l(stream: bytes) -> np.ndarray:
+    if stream[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = BitReader(stream[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms = []
+    main_w = w
+    while br.read_bit():
+        t = br.read(2)
+        if t == 2:  # subtract green
+            transforms.append(("sub_green",))
+        elif t == 0:  # predictor
+            size_bits = br.read(3) + 2
+            bw_ = (main_w + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw_, bh_, is_main=False)
+            transforms.append(
+                ("predictor", size_bits, (sub >> 8) & 0xFF)
+            )
+        elif t == 1:  # cross color
+            size_bits = br.read(3) + 2
+            bw_ = (main_w + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, bw_, bh_, is_main=False)
+            transforms.append(
+                ("cross_color", size_bits, sub & 0x00FFFFFF)
+            )
+        elif t == 3:  # color indexing (palette)
+            n_colors = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, is_main=False)
+            # palette entries are componentwise delta-coded
+            pal = np.zeros(n_colors, dtype=np.uint32)
+            prev = 0
+            for i in range(n_colors):
+                cur = 0
+                for s in (24, 16, 8, 0):
+                    cur |= (((int(pal_img[0, i]) >> s)
+                             + (prev >> s)) & 0xFF) << s
+                pal[i] = cur
+                prev = cur
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(("palette", pal, width_bits))
+            if width_bits:
+                main_w = (main_w + (1 << width_bits) - 1) >> width_bits
+
+    img = _decode_entropy_image(br, main_w, h, is_main=True)
+
+    for tr in reversed(transforms):
+        if tr[0] == "palette":
+            pal, width_bits = tr[1], tr[2]
+            if width_bits:
+                ppb = 1 << width_bits  # indices per (green) byte
+                ibits = 8 >> width_bits
+                idx = (img >> 8) & 0xFF
+                cols = []
+                for k in range(ppb):
+                    cols.append((idx >> (k * ibits)) & ((1 << ibits) - 1))
+                wide = np.zeros((h, img.shape[1] * ppb), dtype=np.int64)
+                for k in range(ppb):
+                    wide[:, k::ppb] = cols[k]
+                wide = wide[:, :w]
+                img = pal[np.clip(wide, 0, len(pal) - 1)]
+            else:
+                idx = np.clip((img >> 8) & 0xFF, 0, len(pal) - 1)
+                img = pal[idx.astype(np.int64)]
+        elif tr[0] == "sub_green":
+            img = _inv_subtract_green(img)
+        elif tr[0] == "predictor":
+            img = _inv_predictor(img, tr[1], tr[2])
+        elif tr[0] == "cross_color":
+            img = _inv_cross_color(img, tr[1], tr[2])
+
+    r = ((img >> 16) & 0xFF).astype(np.uint8)
+    g = ((img >> 8) & 0xFF).astype(np.uint8)
+    b = (img & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# encoder — exists to ROUND-TRIP-TEST the decoder feature by feature
+# (and as the re-encode path); emits valid VP8L with selectable
+# features, always with plain (>120) distance codes
+
+
+def _encode_code(bw: BitWriter, counts: dict[int, int],
+                 alphabet: int) -> _Code:
+    if not counts:
+        counts = {0: 1}
+    lengths = _lengths_from_counts(counts, alphabet)
+    code = _Code(lengths)
+    nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+    if len(nz) == 1:
+        code.only = nz[0][0]
+    if len(nz) <= 2 and all(s <= 255 for s, _ in nz):
+        # emission order defines simple-code assignment; keep sorted
+        bw.write_bit(1)
+        bw.write_bit(len(nz) - 1)
+        s0 = nz[0][0]
+        if s0 <= 1:
+            bw.write_bit(0)
+            bw.write(s0, 1)
+        else:
+            bw.write_bit(1)
+            bw.write(s0, 8)
+        if len(nz) == 2:
+            bw.write(nz[1][0], 8)
+            code.table = {(1, 0): nz[0][0], (1, 1): nz[1][0]}
+            code.enc = {nz[0][0]: (1, 0), nz[1][0]: (1, 1)}
+        return code
+    _write_code(bw, code, alphabet)
+    return code
+
+
+def _tokenize(flat: np.ndarray, cache_bits: int, lz77: bool):
+    """Simulate the decoder's pixel loop, emitting tokens tagged with
+    their starting position."""
+    n = len(flat)
+    size = 1 << cache_bits if cache_bits else 0
+    cache = [0] * size
+    filled = [False] * size
+    toks = []
+    pos = 0
+    while pos < n:
+        if lz77 and pos > 0:
+            v = int(flat[pos - 1])
+            run = 0
+            while pos + run < n and int(flat[pos + run]) == v and run < 4096:
+                run += 1
+            if run >= 3:
+                toks.append(("copy", pos, run, 1))
+                if cache_bits:
+                    h = _hash_argb(v, cache_bits)
+                    cache[h] = v
+                    filled[h] = True
+                pos += run
+                continue
+        argb = int(flat[pos])
+        if cache_bits:
+            h = _hash_argb(argb, cache_bits)
+            if filled[h] and cache[h] == argb:
+                toks.append(("cache", pos, h))
+                pos += 1
+                continue
+            cache[h] = argb
+            filled[h] = True
+        toks.append(("lit", pos, argb))
+        pos += 1
+    return toks
+
+
+def _encode_entropy_image(
+    bw: BitWriter,
+    img: np.ndarray,  # (h, w) uint32 ARGB
+    is_main: bool,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_bits: int = 0,
+) -> None:
+    h, w = img.shape
+    flat = img.reshape(-1)
+    bw.write_bit(1 if cache_bits else 0)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    meta = None
+    n_groups = 1
+    if is_main:
+        bw.write_bit(1 if meta_bits else 0)
+        if meta_bits:
+            bw.write(meta_bits - 2, 3)
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            # two groups: left half 0, right half 1 (in meta coords)
+            meta = np.zeros((mh, mw), dtype=np.int64)
+            meta[:, mw // 2:] = 1
+            n_groups = 2
+            meta_argb = (
+                np.uint32(0xFF000000)
+                | ((meta >> 8).astype(np.uint32) << 16)
+                | ((meta & 0xFF).astype(np.uint32) << 8)
+            )
+            _encode_entropy_image(bw, meta_argb, is_main=False)
+
+    toks = _tokenize(flat, cache_bits, lz77)
+
+    def group_of(pos: int) -> int:
+        if meta is None:
+            return 0
+        return int(meta[(pos // w) >> meta_bits, (pos % w) >> meta_bits])
+
+    cache_n = (1 << cache_bits) if cache_bits else 0
+    counts = [
+        [dict() for _ in range(5)] for _ in range(n_groups)
+    ]
+
+    def bump(g, i, s):
+        counts[g][i][s] = counts[g][i].get(s, 0) + 1
+
+    for tk in toks:
+        g = group_of(tk[1])
+        if tk[0] == "lit":
+            argb = tk[2]
+            bump(g, 0, (argb >> 8) & 0xFF)
+            bump(g, 1, (argb >> 16) & 0xFF)
+            bump(g, 2, argb & 0xFF)
+            bump(g, 3, (argb >> 24) & 0xFF)
+        elif tk[0] == "copy":
+            lcode, _, _ = _prefix_encode(tk[2])
+            bump(g, 0, 256 + lcode)
+            dcode, _, _ = _prefix_encode(tk[3] + 120)
+            bump(g, 4, dcode)
+        else:
+            bump(g, 0, 256 + 24 + tk[2])
+
+    green_alpha = 256 + 24 + cache_n
+    codes = []
+    for g in range(n_groups):
+        codes.append((
+            _encode_code(bw, counts[g][0], green_alpha),
+            _encode_code(bw, counts[g][1], 256),
+            _encode_code(bw, counts[g][2], 256),
+            _encode_code(bw, counts[g][3], 256),
+            _encode_code(bw, counts[g][4], 40),
+        ))
+
+    for tk in toks:
+        c = codes[group_of(tk[1])]
+        if tk[0] == "lit":
+            argb = tk[2]
+            c[0].write(bw, (argb >> 8) & 0xFF)
+            c[1].write(bw, (argb >> 16) & 0xFF)
+            c[2].write(bw, argb & 0xFF)
+            c[3].write(bw, (argb >> 24) & 0xFF)
+        elif tk[0] == "copy":
+            lcode, lev, len_ = _prefix_encode(tk[2])
+            c[0].write(bw, 256 + lcode)
+            bw.write(lev, len_)
+            dcode, dev, den = _prefix_encode(tk[3] + 120)
+            c[4].write(bw, dcode)
+            bw.write(dev, den)
+        else:
+            c[0].write(bw, 256 + 24 + tk[2])
+
+
+def _fwd_subtract_green(img: np.ndarray) -> np.ndarray:
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    r = (r - g) & 0xFF
+    b = (b - g) & 0xFF
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _fwd_predictor(img: np.ndarray, size_bits: int,
+                   modes: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(img[0, x - 1])
+            elif x == 0:
+                pred = int(img[y - 1, 0])
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                L = int(img[y, x - 1])
+                T = int(img[y - 1, x])
+                TL = int(img[y - 1, x - 1])
+                TR = int(img[y - 1, x + 1]) if x + 1 < w else int(img[y, 0])
+                if mode == 11:
+                    pred = _pred_select(L, T, TL)
+                else:
+                    pred = _pred_pixel(mode, L, T, TL, TR)
+            v = int(img[y, x])
+            r = 0
+            for s in (24, 16, 8, 0):
+                r |= (((v >> s) - (pred >> s)) & 0xFF) << s
+            res[y, x] = r
+    return res
+
+
+def _fwd_cross_color(img: np.ndarray, g2r: int, g2b: int,
+                     r2b: int) -> np.ndarray:
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        for x in range(w):
+            v = int(out[y, x])
+            a = (v >> 24) & 0xFF
+            r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF
+            b = v & 0xFF
+            nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+            nr = (r - _ct_delta(g2r, g)) & 0xFF
+            out[y, x] = (a << 24) | (nr << 16) | (g << 8) | nb
+    return out
+
+
+def encode_webp(
+    arr: np.ndarray,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    predictor_per_block: bool = False,
+    cross_color: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_split: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 → RIFF/WEBP (VP8L lossless) bytes. Feature flags
+    select which bitstream machinery the payload exercises — each maps
+     1:1 to a decoder path (see module docstring)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    img = (
+        np.uint32(0xFF000000)
+        | (arr[:, :, 0].astype(np.uint32) << 16)
+        | (arr[:, :, 1].astype(np.uint32) << 8)
+        | arr[:, :, 2].astype(np.uint32)
+    )
+
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write_bit(0)  # alpha hint
+    bw.write(0, 3)  # version
+
+    # transforms are listed in forward-application order; the decoder
+    # inverts in reverse order of appearance
+    pal = None
+    width_bits = 0
+    if palette:
+        colors = np.unique(img)
+        if len(colors) > 256:
+            raise ValueError("palette mode needs <= 256 colors")
+        pal = colors
+        lut = {int(c): i for i, c in enumerate(pal)}
+        if len(pal) <= 2:
+            width_bits = 3
+        elif len(pal) <= 4:
+            width_bits = 2
+        elif len(pal) <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        bw.write_bit(1)
+        bw.write(3, 2)
+        bw.write(len(pal) - 1, 8)
+        deltas = np.zeros((1, len(pal)), dtype=np.uint32)
+        prev = 0
+        for i, c in enumerate(pal):
+            c = int(c)
+            d = 0
+            for s in (24, 16, 8, 0):
+                d |= (((c >> s) - (prev >> s)) & 0xFF) << s
+            deltas[0, i] = d
+            prev = c
+        _encode_entropy_image(bw, deltas, is_main=False)
+        idx = np.vectorize(lambda v: lut[int(v)])(img).astype(np.int64)
+        if width_bits:
+            ppb = 1 << width_bits
+            ibits = 8 >> width_bits
+            pw = (w + ppb - 1) // ppb
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for k in range(ppb):
+                part = idx[:, k::ppb]
+                packed[:, :part.shape[1]] |= (
+                    part.astype(np.uint32) << (k * ibits)
+                )
+            img = np.uint32(0xFF000000) | (packed << 8)
+        else:
+            img = np.uint32(0xFF000000) | (idx.astype(np.uint32) << 8)
+    if subtract_green:
+        bw.write_bit(1)
+        bw.write(2, 2)
+        img = _fwd_subtract_green(img)
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        size_bits = 2
+        bw.write_bit(1)
+        bw.write(1, 2)
+        bw.write(size_bits - 2, 3)
+        bw_sub = (img.shape[1] + (1 << size_bits) - 1) >> size_bits
+        bh_sub = (h + (1 << size_bits) - 1) >> size_bits
+        sub = np.full(
+            (bh_sub, bw_sub),
+            np.uint32(0xFF000000 | (r2b << 16) | (g2b << 8) | g2r),
+            dtype=np.uint32,
+        )
+        _encode_entropy_image(bw, sub, is_main=False)
+        img = _fwd_cross_color(img, g2r, g2b, r2b)
+    if predictor_mode is not None or predictor_per_block:
+        size_bits = 2
+        bw.write_bit(1)
+        bw.write(0, 2)
+        bw.write(size_bits - 2, 3)
+        bw_sub = (img.shape[1] + (1 << size_bits) - 1) >> size_bits
+        bh_sub = (h + (1 << size_bits) - 1) >> size_bits
+        if predictor_per_block:
+            modes = (
+                (np.add.outer(np.arange(bh_sub), np.arange(bw_sub)) % 14)
+            ).astype(np.int64)
+        else:
+            modes = np.full((bh_sub, bw_sub), int(predictor_mode),
+                            dtype=np.int64)
+        sub = np.uint32(0xFF000000) | (modes.astype(np.uint32) << 8)
+        _encode_entropy_image(bw, sub, is_main=False)
+        img = _fwd_predictor(img, size_bits, modes)
+    bw.write_bit(0)  # end of transforms
+
+    _encode_entropy_image(
+        bw, img, is_main=True, cache_bits=cache_bits, lz77=lz77,
+        meta_bits=2 if meta_split else 0,
+    )
+
+    stream = b"\x2f" + bw.tobytes()
+    chunks = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunks += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    return riff

@@ -685,6 +685,29 @@ def _multimodal_jpeg(spark, sf_dir):
     )
 
 
+@q("multimodal_webp_decode", values_oracle_sql("multimodal_webp_decode"))
+def _multimodal_webp(spark, sf_dir):
+    """REAL lossless-WebP round trip (round 10 — the r9 'one documented
+    library boundary', now closed for the VP8L profile):
+    attach_webp_images synthesizes RIFF/WEBP payloads with the
+    pure-Python VP8L encoder (pipeline/webp.py — canonical Huffman +
+    code-length codes, LZ77, color cache, subtract-green/predictor
+    transforms, seed-varied so the corpus exercises each path), and
+    decode_image(fake=False) dispatches on the RIFF magic and entropy-
+    decodes them back to pixels — no PIL/cv2 anywhere. Lossy VP8 stays
+    a named NotImplementedError. Oracle = fixed expected values on the
+    sf0.01 fixture (pure integer path, bit-deterministic)."""
+    from .pipeline.multimodal import attach_webp_images, decode_image
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 128)
+    out = decode_image(attach_webp_images(docs), fake=False)
+    return out.select(
+        "doc_id", "width", "height",
+        *[F.round(c, 7).alias(c)
+          for c in ("mean_r", "mean_g", "mean_b", "brightness")],
+    )
+
+
 @q("multimodal_resize", values_oracle_sql("multimodal_resize"))
 def _multimodal_resize(spark, sf_dir):
     """Decode → nearest-neighbor resize → re-encode PNG in one

@@ -45,7 +45,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # rFFT audio features (round 7)
          "multimodal_audio_features",
          # perceptual hash over the cross-codec corpus (round 7 late)
-         "multimodal_image_phash"]
+         "multimodal_image_phash",
+         # lossless-WebP real round trip (round 10)
+         "multimodal_webp_decode"]
 
 
 def main() -> int:
