@@ -1247,6 +1247,336 @@ def resample_spatial_tiled(
     n_x2 = -(-tc.n_x // k)
     return TiledCube(df, schema, OT, n_y2, n_x2)
 
+def resample_cube_temporal_tiled(source: TiledCube, target) -> TiledCube:
+    """``resample_cube_temporal`` (nearest-time as-of join, reference
+    ``openeo_odc_driver.py:360-380``) natively on tiles — time is a key
+    column on the tile rows, so the long plan transfers row-for-row at
+    tile²× fewer rows (``operators/resample.py:15`` is the long twin):
+    the target→nearest-source mapping is built from the two tiny
+    distinct time axes (broadcast cross join + rank) and broadcast-
+    equi-joined onto the source tile rows, relabeling time. **The packed
+    arrays never open and the big side never shuffles** — this is the
+    regrid-before-merge alignment every two-collection graph hits,
+    previously a from_tiled demotion (T²× rows through an exchange).
+
+    ``target`` needs only a time axis: a TiledCube or long Cube (both
+    carry ``.df`` with a time column and ``.schema``); tie-break is the
+    earlier source time, as in the long operator."""
+    from pyspark.sql import Window
+
+    if TIME not in source.schema.dims:
+        raise ValueError("resample_cube_temporal_tiled needs a time dimension")
+    src_times = (
+        source.df.select(TIME).distinct().withColumnRenamed(TIME, "_src_t")
+    )
+    tgt_times = (
+        target.df.select(TIME).distinct().withColumnRenamed(TIME, "_tgt_t")
+    )
+    pairs = tgt_times.crossJoin(F.broadcast(src_times))
+    w = Window.partitionBy("_tgt_t").orderBy(
+        F.abs(F.unix_micros("_tgt_t") - F.unix_micros("_src_t")),
+        F.col("_src_t"),
+    )
+    mapping = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_src_t", "_tgt_t")
+    )
+    cols = source.df.columns
+    out = (
+        source.df.join(
+            F.broadcast(mapping), source.df[TIME] == mapping["_src_t"], "inner"
+        )
+        .drop(TIME, "_src_t")
+        .withColumnRenamed("_tgt_t", TIME)
+        .select(*cols)
+    )
+    schema = source.schema.with_time_extent(
+        target.schema.time_extent
+    ).with_time_axis(target.schema.time_axis)
+    return TiledCube(out, schema, source.tile, source.n_y, source.n_x)
+
+
+def tiled_regrid_factor(sg, tg) -> int | None:
+    """The grid relationship :func:`resample_cube_spatial_tiled` can run
+    natively: target resolution an integer multiple k ≥ 1 of the source
+    on BOTH axes with shared origins (the factor-aligned downscale —
+    e.g. 10 m → 20 m Sentinel-2 band alignment). Returns k, or None when
+    the planner should demote to the long snap (upscale, rational
+    factors, shifted origins)."""
+    if sg is None or tg is None:
+        return None
+    kx, ky = tg.resx / sg.resx, tg.resy / sg.resy
+    k = round(kx)
+    if (
+        abs(kx - k) > 1e-9
+        or abs(ky - k) > 1e-9
+        or k < 1
+        or abs(tg.x0 - sg.x0) > 1e-9 * max(1.0, abs(sg.resx))
+        or abs(tg.y0 - sg.y0) > 1e-9 * max(1.0, abs(sg.resy))
+    ):
+        return None
+    return int(k)
+
+
+def resample_cube_spatial_tiled(
+    source: TiledCube, target, method: str = "near"
+) -> TiledCube:
+    """``resample_cube_spatial`` nearest-snap (reference
+    ``openeo_odc_driver.py:342-358``; long twin
+    ``operators/resample.py:53``) natively on tiles for factor-aligned
+    grids — integer arithmetic on tile indices, no coordinate columns
+    ever materialized.
+
+    Semantics (proved identical to the long snap, which floors
+    ``j/k + 0.5`` per source pixel then keeps the min-distance pixel per
+    target cell): with factor k and shared origins, target cell I wins
+    source pixel ``min(k·I, n-1)`` and the output axis has
+    ``floor((n-1)/k + 0.5) + 1`` cells — the trailing cell exists when
+    the last source pixel rounds up past the last exact-multiple cell,
+    and its winner is that last pixel (closest from below; the long
+    window's distance order, no ties since d=0 is unique elsewhere).
+
+    Physical plan, two stages:
+
+    1. **Scan-fused sampling** (``mapInPandas``, zero exchange): each
+       source tile emits the strided sample of its winner pixels as
+       fragments addressed to output tiles — data volume drops k²×
+       BEFORE anything shuffles.
+    2. **One exchange of output-raster bytes** (``applyInPandas`` keyed
+       by output tile): fragments scatter into the target-edge canvas.
+       Winners partition by source tile, so fragments never overlap.
+
+    Upscale / rational factors / shifted origins raise ValueError — the
+    planner checks :func:`tiled_regrid_factor` first and demotes to the
+    long snap (recorded in ``tiled_demotions``); ``bilinear`` likewise
+    stays long (its 4-neighbor gather wants coordinate rows)."""
+    from dataclasses import replace as _dc_replace
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if method not in ("near", "nearest"):
+        raise ValueError("only near/nearest runs natively on tiles")
+    sg, tg = source.schema.grid, target.schema.grid
+    k = tiled_regrid_factor(sg, tg)
+    if k is None:
+        raise ValueError(
+            "resample_cube_spatial_tiled needs factor-aligned grids "
+            "(integer downscale, shared origin); demote to the long snap"
+        )
+    Tt = target.tile if isinstance(target, TiledCube) else source.tile
+    schema = _dc_replace(source.schema, grid=tg)
+    if k == 1:
+        out = TiledCube(source.df, schema, source.tile, source.n_y, source.n_x)
+        return out if source.tile == Tt else retile(out, Tt)
+    T = source.tile
+    n_y, n_x = source.n_y, source.n_x
+    nt_y = int((n_y - 1) // k + (1 if ((n_y - 1) % k) * 2 >= k else 0)) + 1
+    nt_x = int((n_x - 1) // k + (1 if ((n_x - 1) % k) * 2 >= k else 0)) + 1
+    keys = source.key_dims
+
+    def axis_winners(t0: int, n: int, nt: int):
+        """Output indices whose winner pixel lies in tile span
+        [t0, t0+T) of an n-pixel axis, with the winner's local offset."""
+        hi = min(t0 + T, n)
+        lo_i = -(-t0 // k)  # ceil
+        hi_i = (hi - 1) // k
+        idx = list(range(lo_i, hi_i + 1))
+        local = [i * k - t0 for i in idx]
+        if k * (nt - 1) > n - 1 and t0 <= n - 1 < t0 + T:
+            idx.append(nt - 1)
+            local.append(n - 1 - t0)
+        return idx, local
+
+    frag_fields = (
+        "tile_row int, tile_col int, _r0 int, _c0 int, _h int, _w int, "
+        "_frag array<double>"
+    )
+    key_fields = ", ".join(
+        f"{c} {source.df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    frag_schema = f"{key_fields}, {frag_fields}" if keys else frag_fields
+
+    def sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                rec = row._asdict()
+                ri, rl = axis_winners(int(rec["tile_row"]) * T, n_y, nt_y)
+                ci, cl = axis_winners(int(rec["tile_col"]) * T, n_x, nt_x)
+                if not ri or not ci:
+                    continue
+                a = np.asarray(rec["data"], dtype="float64").reshape(T, T)
+                samp = a[np.ix_(rl, cl)]
+                # split the contiguous winner block at output-tile
+                # boundaries (the trailing edge cell may start a new one)
+                rsplit = [
+                    p for p in range(1, len(ri))
+                    if ri[p] // Tt != ri[p - 1] // Tt
+                ]
+                csplit = [
+                    p for p in range(1, len(ci))
+                    if ci[p] // Tt != ci[p - 1] // Tt
+                ]
+                for rblk, rpos in zip(
+                    np.split(samp, rsplit, axis=0),
+                    np.split(np.asarray(ri), rsplit),
+                ):
+                    for blk, cpos in zip(
+                        np.split(rblk, csplit, axis=1),
+                        np.split(np.asarray(ci), csplit),
+                    ):
+                        out_rows.append({
+                            **{c: rec[c] for c in keys},
+                            "tile_row": int(rpos[0] // Tt),
+                            "tile_col": int(cpos[0] // Tt),
+                            "_r0": int(rpos[0] % Tt),
+                            "_c0": int(cpos[0] % Tt),
+                            "_h": blk.shape[0],
+                            "_w": blk.shape[1],
+                            "_frag": [
+                                None if np.isnan(v) else float(v)
+                                for v in blk.reshape(-1)
+                            ],
+                        })
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    frags = source.df.mapInPandas(sample, frag_schema)
+    gkeys = [*keys, "tile_row", "tile_col"]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((Tt, Tt), np.nan)
+        # plain tuples: itertuples RENAMES underscore-prefixed columns
+        for r0, c0, h, w, frag in pdf[
+            ["_r0", "_c0", "_h", "_w", "_frag"]
+        ].itertuples(index=False, name=None):
+            canvas[r0:r0 + h, c0:c0 + w] = np.asarray(
+                frag, dtype="float64"
+            ).reshape(h, w)
+        row0 = pdf.iloc[0]
+        rec = {
+            c: [int(row0[c]) if c in ("tile_row", "tile_col") else row0[c]]
+            for c in gkeys
+        }
+        rec["data"] = [[
+            None if np.isnan(v) else float(v) for v in canvas.reshape(-1)
+        ]]
+        return pd.DataFrame(rec)
+
+    out_fields = ", ".join(
+        f"{c} {source.df.schema[c].dataType.simpleString()}"
+        if c in keys else f"{c} int"
+        for c in gkeys
+    )
+    df = frags.groupBy(*gkeys).applyInPandas(
+        assemble, f"{out_fields}, data array<double>"
+    )
+    return TiledCube(df, schema, Tt, nt_y, nt_x)
+
+
+def retile(tc: TiledCube, new_tile: int) -> TiledCube:
+    """Repack a tiled cube onto a different tile edge — the layout
+    adapter two differently-tiled stores need before
+    :func:`merge_cubes_tiled` (which requires matching layouts). One
+    exchange keyed by destination tile: each source tile splits
+    scan-fused into per-destination fragments (no pixel-row explosion),
+    then fragments scatter into the destination canvas — the same
+    fragment plan as :func:`resample_cube_spatial_tiled` with k=1."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if new_tile < 1:
+        raise ValueError(f"tile must be >= 1, got {new_tile}")
+    if new_tile == tc.tile:
+        return tc
+    T, Tt = tc.tile, new_tile
+    n_y, n_x = tc.n_y, tc.n_x
+    keys = tc.key_dims
+    key_fields = ", ".join(
+        f"{c} {tc.df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    frag_fields = (
+        "tile_row int, tile_col int, _r0 int, _c0 int, _h int, _w int, "
+        "_frag array<double>"
+    )
+    frag_schema = f"{key_fields}, {frag_fields}" if keys else frag_fields
+
+    def split_axis(t0: int, n: int):
+        """[(dest_tile, dest_offset, local_start, length), ...] for the
+        in-scene pixels of span [t0, t0+T)."""
+        out = []
+        g = t0
+        hi = min(t0 + T, n)
+        while g < hi:
+            dt = g // Tt
+            ln = min((dt + 1) * Tt, hi) - g
+            out.append((dt, g % Tt, g - t0, ln))
+            g += ln
+        return out
+
+    def split(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                rec = row._asdict()
+                rspans = split_axis(int(rec["tile_row"]) * T, n_y)
+                cspans = split_axis(int(rec["tile_col"]) * T, n_x)
+                if not rspans or not cspans:
+                    continue
+                a = np.asarray(rec["data"], dtype="float64").reshape(T, T)
+                for dr, r0, sr, h in rspans:
+                    for dc, c0, sc, w in cspans:
+                        blk = a[sr:sr + h, sc:sc + w]
+                        rows.append({
+                            **{c: rec[c] for c in keys},
+                            "tile_row": dr, "tile_col": dc,
+                            "_r0": r0, "_c0": c0, "_h": h, "_w": w,
+                            "_frag": [
+                                None if np.isnan(v) else float(v)
+                                for v in blk.reshape(-1)
+                            ],
+                        })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    frags = tc.df.mapInPandas(split, frag_schema)
+    gkeys = [*keys, "tile_row", "tile_col"]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((Tt, Tt), np.nan)
+        # plain tuples: itertuples RENAMES underscore-prefixed columns
+        for r0, c0, h, w, frag in pdf[
+            ["_r0", "_c0", "_h", "_w", "_frag"]
+        ].itertuples(index=False, name=None):
+            canvas[r0:r0 + h, c0:c0 + w] = np.asarray(
+                frag, dtype="float64"
+            ).reshape(h, w)
+        row0 = pdf.iloc[0]
+        rec = {
+            c: [int(row0[c]) if c in ("tile_row", "tile_col") else row0[c]]
+            for c in gkeys
+        }
+        rec["data"] = [[
+            None if np.isnan(v) else float(v) for v in canvas.reshape(-1)
+        ]]
+        return pd.DataFrame(rec)
+
+    out_fields = ", ".join(
+        f"{c} {tc.df.schema[c].dataType.simpleString()}"
+        if c in keys else f"{c} int"
+        for c in gkeys
+    )
+    df = frags.groupBy(*gkeys).applyInPandas(
+        assemble, f"{out_fields}, data array<double>"
+    )
+    return TiledCube(df, tc.schema, Tt, n_y, n_x)
+
+
 def _ccw(poly):
     """Ring as float pairs, CW reversed to CCW (shoelace) — the shared
     orientation rule of convex_contains_col, the SQL zones literal and

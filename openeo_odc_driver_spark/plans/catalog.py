@@ -39,9 +39,20 @@ S2_L2A_SPEC = CubeSpec(
     resy=0.00390625,
 )
 
+# Coarse twin of the synthetic collection: same origin, 2× the cell
+# size, half the scene — the factor-aligned regrid target every
+# two-collection graph resamples onto (10 m → 20 m band alignment), with
+# a day-shifted time axis so the same graph also exercises the temporal
+# as-of join. Distinct value params make it a visibly different dataset.
+SYNTHETIC_COARSE_SPEC = CubeSpec(
+    ny=8, nx=8, resx=20.0, resy=20.0, day_offset=3,
+    va=11, vb=5, vc=23, vd=3, nm=29,
+)
+
 COLLECTION_SPECS: Dict[str, CubeSpec] = {
     "s2_l2a": S2_L2A_SPEC,
     "synthetic": DEFAULT_SPEC,
+    "synthetic_coarse": SYNTHETIC_COARSE_SPEC,
 }
 
 

@@ -595,8 +595,12 @@ class ProcessGraph:
         sides coerced to tiles), merge_cubes (concat cases),
         apply_kernel (border-0, radius ≤ tile), aggregate_spatial
         (convex + mean/sum/min/max/count → the interior/boundary
-        classified plan, emits long). filter_bbox uses the tile-pruning
-        path, which expands (documented demotion point)."""
+        classified plan, emits long), resample_cube_temporal (broadcast
+        as-of relabel on tile rows), resample_cube_spatial (factor-
+        aligned nearest snap via the fragment repack; bilinear /
+        upscale / shifted origins demote). filter_bbox uses the
+        tile-pruning path, which expands (documented demotion
+        point)."""
         from ..core import tiled as tl
         from ..core.tiled import TiledCube
 
@@ -697,6 +701,26 @@ class ProcessGraph:
                 return tl.apply_kernel_tiled_layout(
                     tc, kernel, factor=args.get("factor", 1.0)
                 )
+            return NotImplemented
+        if pid == "resample_cube_temporal" and is_tiled("data"):
+            # time is a key column on tile rows: the as-of relabel is a
+            # broadcast join against the tiny time mapping — zero data
+            # shuffle, arrays never open (core/tiled.py)
+            return tl.resample_cube_temporal_tiled(
+                self._resolve_raw(args["data"]),
+                self._resolve_raw(args["target"]),
+            )
+        if pid == "resample_cube_spatial" and is_tiled("data"):
+            src = self._resolve_raw(args["data"])
+            tgt = self._resolve_raw(args["target"])
+            method = args.get("method", "near")
+            # factor-aligned nearest snap is integer tile-index
+            # arithmetic; upscale / rational factors / shifted origins /
+            # bilinear demote to the long snap (recorded demotion)
+            if method in ("near", "nearest") and tl.tiled_regrid_factor(
+                src.schema.grid, getattr(tgt.schema, "grid", None)
+            ) is not None:
+                return tl.resample_cube_spatial_tiled(src, tgt, method)
             return NotImplemented
         if pid == "aggregate_spatial" and is_tiled("data"):
             named = _single_named_reducer(args["reducer"]["process_graph"])

@@ -1447,6 +1447,50 @@ def _resample_bilinear(spark, sf_dir):
     ).df
 
 
+@q("tiled_resample_cube_temporal", ORACLE["resample_cube_temporal"])
+def _tiled_resample_cube_temporal(spark, sf_dir):
+    """Nearest-time as-of alignment natively on tiles (core/tiled.py:
+    resample_cube_temporal_tiled) — the target→nearest-source time
+    mapping broadcast-joins onto the source TILE rows (arrays never
+    open, zero data shuffle; the long plan at tile²× fewer rows).
+    Shares resample_cube_temporal's oracle exactly: the regrid-before-
+    merge alignment no longer pays a from_tiled expansion."""
+    from .core.tiled import from_tiled, resample_cube_temporal_tiled, to_tiled
+
+    return from_tiled(
+        resample_cube_temporal_tiled(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            to_tiled(
+                synthetic_cube(spark, SPEC_B_TIMES), tile=8, n_y=16, n_x=16
+            ),
+        )
+    ).df
+
+
+@q("tiled_resample_cube_spatial", ORACLE["resample_cube_spatial"])
+def _tiled_resample_cube_spatial(spark, sf_dir):
+    """Factor-aligned nearest grid snap natively on tiles
+    (core/tiled.py: resample_cube_spatial_tiled): integer tile-index
+    arithmetic — scan-fused k²× sampling per source tile, then ONE
+    exchange of output-raster fragments. Shares resample_cube_spatial's
+    oracle (the floor(j/k+0.5) snap + min-distance winner per cell,
+    including the trailing edge cell the 16-px axis rounds up to);
+    tile=5 exercises partial source tiles under the repack."""
+    from .core.tiled import from_tiled, resample_cube_spatial_tiled, to_tiled
+
+    target = Cube(
+        synthetic_cube(spark).df,
+        CubeSchema(
+            bands=DEFAULT_SPEC.bands, crs="EPSG:32632", grid=_COARSE_GRID
+        ),
+    )
+    return from_tiled(
+        resample_cube_spatial_tiled(
+            to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16), target
+        )
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Curve fitting / UDF (SURVEY §2.9-2.10)
 # ---------------------------------------------------------------------------
@@ -2108,8 +2152,75 @@ def _pg_masked_seasonal_tiled_store(spark, sf_dir):
     return pg.execute(spark).df
 
 
+def _pg_resample_align_oracle() -> str:
+    from .plans.catalog import SYNTHETIC_COARSE_SPEC
+
+    return (
+        f"WITH cube AS ({CUBE_D}), "
+        f"coarse AS ({cube_sql(SYNTHETIC_COARSE_SPEC, 'duckdb')}), "
+        f"snapped0 AS ({_SNAP20}), "
+        "r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY band, time, sx, sy ORDER BY d, x, y) AS rn "
+        "FROM snapped0), "
+        "snapped AS (SELECT band, time, sy AS y, sx AS x, value "
+        "FROM r WHERE rn = 1), "
+        "st AS (SELECT DISTINCT time AS src_t FROM snapped), "
+        "tt AS (SELECT DISTINCT time AS tgt_t FROM coarse), "
+        "m AS (SELECT src_t, tgt_t FROM (SELECT src_t, tgt_t, "
+        "row_number() OVER (PARTITION BY tgt_t "
+        "ORDER BY abs(epoch_us(tgt_t) - epoch_us(src_t)), src_t) AS rn "
+        "FROM tt CROSS JOIN st) WHERE rn = 1) "
+        "SELECT s.band, m.tgt_t AS time, s.y, s.x, s.value AS value "
+        "FROM snapped s JOIN m ON s.time = m.src_t"
+    )
+
+
+def _pg_resample_align(spark, sf_dir):
+    """Two-collection alignment graph — the regrid-before-merge shape
+    every multi-source graph hits (reference
+    openeo_odc_driver.py:342-380): load the 10 m and 20 m twins,
+    nearest-snap the fine cube onto the coarse grid
+    (resample_cube_spatial), then as-of align its time axis to the
+    coarse acquisitions (resample_cube_temporal)."""
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/resample_align.json",
+        save_dir="/tmp/spark_graft_results/pg_align",
+    )
+    return pg.execute(spark).df
+
+
+def _pg_resample_align_tiled(spark, sf_dir):
+    """The alignment graph on the TILED tier: both resamples run
+    natively on tiles (resample_cube_spatial_tiled's fragment repack +
+    resample_cube_temporal_tiled's broadcast relabel). Demotion-free
+    execution is ASSERTED, so a dispatch regression fails loudly
+    instead of silently paying the from_tiled expansion this round
+    removed."""
+    from .plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/resample_align.json",
+        save_dir="/tmp/spark_graft_results/pg_align_t",
+        tiled=True,
+    )
+    out = pg.execute(spark).df
+    if pg.tiled_demotions:
+        raise ValueError(
+            f"resample_align graph demoted to long: {pg.tiled_demotions}"
+        )
+    return out
+
+
 def _register_planner():
     q("process_graph_ndvi", _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi)
+    q("process_graph_resample_align", _pg_resample_align_oracle())(
+        _pg_resample_align
+    )
+    q("process_graph_resample_align_tiled", _pg_resample_align_oracle())(
+        _pg_resample_align_tiled
+    )
     q("process_graph_resample_pushdown", _PG_PUSHDOWN_ORACLE)(_pg_pushdown)
     q("process_graph_masked_seasonal", _PG_MASKED_SEASONAL_ORACLE)(
         _pg_masked_seasonal

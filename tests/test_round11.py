@@ -1,0 +1,193 @@
+"""Round-11 pins: tiled resample_cube_temporal / resample_cube_spatial
+(the regrid-before-merge alignment, previously a from_tiled demotion),
+the retile layout adapter, and the demotion-free alignment graph.
+"""
+import pandas as pd
+import pytest
+
+from openeo_odc_driver_spark.core import tiled as t
+from openeo_odc_driver_spark.core.cube import Cube, CubeSchema, GridSpec
+from openeo_odc_driver_spark.operators.resample import (
+    resample_cube_spatial,
+    resample_cube_temporal,
+)
+from openeo_odc_driver_spark.sources.synthetic import (
+    DEFAULT_SPEC,
+    SPEC_B_TIMES,
+    CubeSpec,
+    synthetic_cube,
+)
+
+
+def _frames_equal(a_df, b_df):
+    cols = sorted(a_df.columns)
+    a = a_df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = b_df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+    return len(a)
+
+
+# --- resample_cube_temporal on tiles ---------------------------------------
+
+
+def test_resample_cube_temporal_tiled_matches_long(spark):
+    src, tgt = synthetic_cube(spark), synthetic_cube(spark, SPEC_B_TIMES)
+    long_df = resample_cube_temporal(src, tgt).df
+    tiled = t.resample_cube_temporal_tiled(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16),
+        t.to_tiled(tgt, tile=8, n_y=16, n_x=16),
+    )
+    n = _frames_equal(long_df, t.from_tiled(tiled).df)
+    assert n == 3 * 24 * 16 * 16
+    # output inherits the TARGET's time metadata (the long rule)
+    assert tiled.schema.time_extent == tgt.schema.time_extent
+
+
+def test_resample_cube_temporal_tiled_accepts_long_target(spark):
+    """The target only contributes a time axis — a long Cube works."""
+    src, tgt = synthetic_cube(spark), synthetic_cube(spark, SPEC_B_TIMES)
+    tiled = t.resample_cube_temporal_tiled(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16), tgt
+    )
+    _frames_equal(resample_cube_temporal(src, tgt).df, t.from_tiled(tiled).df)
+
+
+# --- resample_cube_spatial on tiles ----------------------------------------
+
+
+_COARSE2 = GridSpec(x0=0.0, y0=150.0, resx=20.0, resy=20.0)
+
+
+def _target(src, grid):
+    return Cube(
+        src.df,
+        CubeSchema(bands=DEFAULT_SPEC.bands, crs="EPSG:32632", grid=grid),
+    )
+
+
+def test_resample_cube_spatial_tiled_k2_edge_cell(spark):
+    """k=2 on a 16-px axis: the last source pixel rounds UP past cell 7
+    (floor(15/2+0.5)=8), so the long snap emits a 9th cell per axis whose
+    winner is that last pixel — the tiled op must reproduce it exactly."""
+    src = synthetic_cube(spark)
+    target = _target(src, _COARSE2)
+    tiled = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16), target
+    )
+    assert (tiled.n_y, tiled.n_x) == (9, 9)
+    n = _frames_equal(
+        resample_cube_spatial(src, target).df, t.from_tiled(tiled).df
+    )
+    assert n == 3 * 24 * 9 * 9
+    assert tiled.schema.grid == _COARSE2
+
+
+def test_resample_cube_spatial_tiled_partial_tiles_k4(spark):
+    """tile=5 partial source tiles under a k=4 snap: the edge cell's
+    winner (source pixel 15, not 12) crosses a tile boundary."""
+    src = synthetic_cube(spark)
+    target = _target(src, GridSpec(x0=0.0, y0=150.0, resx=40.0, resy=40.0))
+    tiled = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=5, n_y=16, n_x=16), target
+    )
+    assert (tiled.n_y, tiled.n_x) == (5, 5)
+    _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
+
+
+def test_resample_cube_spatial_tiled_no_edge_cell(spark):
+    """17×13 scene, k=3: the y axis has a sub-half remainder (no extra
+    cell) and the x axis lands exactly — both round-down regimes."""
+    spec = CubeSpec(nx=13, ny=17)
+    src = synthetic_cube(spark, spec)
+    target = Cube(
+        src.df,
+        CubeSchema(
+            bands=spec.bands,
+            crs="EPSG:32632",
+            grid=GridSpec(x0=0.0, y0=150.0, resx=30.0, resy=30.0),
+        ),
+    )
+    tiled = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=8, n_y=17, n_x=13), target
+    )
+    assert (tiled.n_y, tiled.n_x) == (6, 5)
+    _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
+
+
+def test_tiled_regrid_factor_guards():
+    g10 = GridSpec(0.0, 150.0, 10.0, 10.0)
+    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 20.0, 20.0)) == 2
+    assert t.tiled_regrid_factor(g10, g10) == 1
+    # upscale, rational factor, shifted origin → demote to the long snap
+    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 5.0, 5.0)) is None
+    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 15.0, 15.0)) is None
+    assert t.tiled_regrid_factor(g10, GridSpec(1.0, 150.0, 20.0, 20.0)) is None
+    assert t.tiled_regrid_factor(None, g10) is None
+
+
+def test_resample_cube_spatial_tiled_rejects_upscale(spark):
+    src = synthetic_cube(spark)
+    target = _target(src, GridSpec(x0=0.0, y0=150.0, resx=5.0, resy=5.0))
+    with pytest.raises(ValueError, match="factor-aligned"):
+        t.resample_cube_spatial_tiled(
+            t.to_tiled(src, tile=8, n_y=16, n_x=16), target
+        )
+
+
+# --- retile -----------------------------------------------------------------
+
+
+def test_retile_roundtrip(spark):
+    """8 → 5 repack (partial destination tiles) is pixel-lossless."""
+    src = synthetic_cube(spark)
+    rt = t.retile(t.to_tiled(src, tile=8, n_y=16, n_x=16), 5)
+    assert (rt.tile, rt.n_y, rt.n_x) == (5, 16, 16)
+    n = _frames_equal(src.df, t.from_tiled(rt).df)
+    assert n == 3 * 24 * 16 * 16
+
+
+def test_retile_identity_is_free(spark):
+    tc = t.to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    assert t.retile(tc, 8) is tc
+
+
+# --- planner: the alignment graph stays on tiles ----------------------------
+
+
+def test_resample_align_graph_demotion_free(spark):
+    """The two-collection alignment graph (resample_cube_spatial +
+    resample_cube_temporal) executes tiled with ZERO demotions and ONE
+    Generate — the final result expansion, nothing mid-graph."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    pg = ProcessGraph.from_file(
+        "tests/process_graphs/resample_align.json",
+        save_dir="/tmp/pg_align_pytest",
+        tiled=True,
+    )
+    cube = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    plan = cube.df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 1
+
+    long_pg = ProcessGraph.from_file(
+        "tests/process_graphs/resample_align.json",
+        save_dir="/tmp/pg_align_pytest_long",
+    )
+    _frames_equal(long_pg.execute(spark).df, cube.df)
+
+
+def test_resample_bilinear_demotes_not_errors(spark):
+    """bilinear on a tiled input falls through to the long path — a
+    recorded demotion, never an error."""
+    import json
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = json.load(open("tests/process_graphs/resample_align.json"))
+    graph["process_graph"]["snap"]["arguments"]["method"] = "bilinear"
+    del graph["process_graph"]["align"]
+    graph["process_graph"]["snap"]["result"] = True
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_align_bil", tiled=True)
+    pg.execute(spark)
+    assert "resample_cube_spatial" in pg.tiled_demotions
