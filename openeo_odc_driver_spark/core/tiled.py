@@ -291,9 +291,17 @@ def aggregate_temporal_period_tiled(
         tc.n_y,
         tc.n_x,
     )
-    out = _fold_time_groups(
-        relabeled, reducer, impl, extra_keys=[TIME]
-    )
+    if reducer == "median":
+        # the reduce_time_median_tiled multiset path keyed by the
+        # truncated timestamp (numpy-only engine — see its docstring)
+        band = [BAND] if BAND in tc.schema.dims else []
+        out = _median_groups(
+            relabeled, [*band, TIME, "tile_row", "tile_col"]
+        )
+    else:
+        out = _fold_time_groups(
+            relabeled, reducer, impl, extra_keys=[TIME]
+        )
     schema = tc.schema.with_time_extent(None)
     if tc.schema.time_axis is not None:
         schema = schema.with_time_axis(
@@ -388,6 +396,173 @@ def reduce_bands_tiled(
     return TiledCube(
         df, tc.schema.drop(BAND), tc.tile, tc.n_y, tc.n_x
     )
+
+
+_SPATIAL_REDUCERS = ("mean", "sum", "min", "max", "count", "sd", "variance")
+
+
+def reduce_spatial_tiled(
+    tc: TiledCube, dim: str, reducer: str, impl: str = "auto"
+) -> Cube:
+    """Reduce a SPATIAL axis (x or y) natively on tiles — the last
+    reducer dimension without a tile path (reference reduces over x/y
+    too, ``openeo_odc_driver.py:728-733``; long twin
+    ``operators/reducers.py:81``). Emits a LONG cube: the result keeps
+    one spatial axis, already n× smaller than the raster, so long rows
+    are the honest layout (the ``aggregate_spatial_tiled`` precedent).
+
+    Physical plan — within-tile partial fold + cross-tile combine:
+
+    1. **Scan-fused line partials** (zero exchange): each tile folds its
+       reduced axis to T per-line partials ``(Σ, Σx², n, min, max)`` —
+       the raster drops T× BEFORE anything shuffles.
+    2. **One exchange of line-partial rows** keyed by
+       (band[, time], kept index): key count is raster/n_reduced_axis,
+       combine is a plain Catalyst aggregate with map-side combine.
+
+    The demoted plan shuffled the same line partials but only AFTER a
+    from_tiled posexplode fed per-pixel rows through the partial
+    hash-aggregate — the fold here is per-tile arithmetic instead of a
+    T²-row hash probe per tile.
+
+    Engines (the :func:`reduce_time_tiled` dispatch pattern): ``"sql"``
+    — HOF folds, the pinned oracle mode; ``"numpy"`` — vectorized axis
+    reductions per tile, the scale path; ``"auto"`` by
+    ``TILE_VECTORIZE_CELLS``. NULL semantics match the long reducers
+    (NULLs skipped; empty lines → NULL value rows, the long groupBy's
+    behavior on all-NULL lines of a dense cube). ``median``/``product``
+    need the line multiset and stay on the long path (the demotion's
+    posexplode + groupBy IS the shuffle-optimal multiset plan)."""
+    if dim not in (X, Y):
+        raise ValueError(f"dim must be {X!r} or {Y!r}, got {dim!r}")
+    if reducer not in _SPATIAL_REDUCERS:
+        raise ValueError(
+            f"reducer must be one of {_SPATIAL_REDUCERS}, got {reducer!r}"
+        )
+    g = tc.schema.grid
+    if g is None:
+        raise ValueError("reduce_spatial_tiled needs a GridSpec")
+    T = tc.tile
+    T2 = T * T
+    keys = tc.key_dims
+    if impl == "auto":
+        impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+
+    if impl == "sql":
+        # per-line element gather: reducing x folds each ROW slice;
+        # reducing y gathers each COLUMN by strided indexing
+        line_vals = (
+            f"slice(data, r * {T} + 1, {T})" if dim == X
+            else f"transform(sequence(0, {T - 1}), q -> data[q * {T} + r])"
+        )
+        fold = (
+            f"transform(sequence(0, {T - 1}), r -> aggregate({line_vals}, "
+            "named_struct("
+            "'s', CAST(0.0 AS DOUBLE), 'ss', CAST(0.0 AS DOUBLE), "
+            "'c', CAST(0 AS BIGINT), "
+            "'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE)), "
+            "(acc, v) -> CASE WHEN v IS NULL THEN acc ELSE named_struct("
+            "'s', acc.s + v, 'ss', acc.ss + v * v, 'c', acc.c + 1, "
+            "'mn', CASE WHEN acc.mn IS NULL OR v < acc.mn THEN v "
+            "ELSE acc.mn END, "
+            "'mx', CASE WHEN acc.mx IS NULL OR v > acc.mx THEN v "
+            "ELSE acc.mx END) END))"
+        )
+        lines = tc.df.select(
+            *keys, "tile_row", "tile_col",
+            F.posexplode(F.expr(fold)).alias("_lp", "_p"),
+        ).select(
+            *keys, "tile_row", "tile_col", "_lp",
+            F.col("_p.s").alias("_s"), F.col("_p.ss").alias("_ss"),
+            F.col("_p.c").alias("_c"),
+            F.col("_p.mn").alias("_mn"), F.col("_p.mx").alias("_mx"),
+        )
+    elif impl == "numpy":
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        axis = 1 if dim == X else 0
+        key_fields = ", ".join(
+            f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
+        )
+        out_schema = (
+            (f"{key_fields}, " if keys else "")
+            + "tile_row int, tile_col int, _lp int, _s double, _ss double, "
+            "_c bigint, _mn double, _mx double"
+        )
+
+        def partials(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for row in pdf.itertuples(index=False):
+                    rec = row._asdict()
+                    a = np.asarray(rec["data"], dtype="float64").reshape(T, T)
+                    nan = np.isnan(a)
+                    c = (~nan).sum(axis=axis)
+                    s = np.nansum(a, axis=axis)
+                    ss = np.nansum(a * a, axis=axis)
+                    empty = c == 0
+                    safe = np.where(
+                        (empty[:, None] if axis == 1 else empty[None, :]),
+                        0.0, a,
+                    )
+                    mn = np.nanmin(safe, axis=axis)
+                    mx = np.nanmax(safe, axis=axis)
+                    base = {k: rec[k] for k in keys}
+                    base["tile_row"] = int(rec["tile_row"])
+                    base["tile_col"] = int(rec["tile_col"])
+                    for lp in range(T):
+                        out.append({
+                            **base, "_lp": lp,
+                            "_s": float(s[lp]), "_ss": float(ss[lp]),
+                            "_c": int(c[lp]),
+                            "_mn": None if empty[lp] else float(mn[lp]),
+                            "_mx": None if empty[lp] else float(mx[lp]),
+                        })
+                yield pd.DataFrame(out)
+
+        lines = tc.df.mapInPandas(partials, out_schema)
+    else:
+        raise ValueError(
+            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
+
+    if dim == X:
+        idx = F.col("tile_row").cast("long") * T + F.col("_lp")
+        kept, n_kept = Y, tc.n_y
+        coord = F.lit(g.y0) - F.lit(g.resy) * idx
+    else:
+        idx = F.col("tile_col").cast("long") * T + F.col("_lp")
+        kept, n_kept = X, tc.n_x
+        coord = F.lit(g.x0) + F.lit(g.resx) * idx
+    out = (
+        lines.where(idx < n_kept)
+        .select(*keys, coord.alias(kept), "_s", "_ss", "_c", "_mn", "_mx")
+        .groupBy(*keys, kept)
+        .agg(_partial_finish(reducer).alias(VALUE))
+    )
+    return Cube(out, tc.schema.drop(dim))
+
+
+def _partial_finish(reducer: str):
+    """Finisher over ``(_s, _ss, _c, _mn, _mx)`` partial rows — shared
+    by the zonal combine and the spatial-axis reducers; sd/variance use
+    the exact-sums sample formula (``reducers.sd_expr`` arithmetic)."""
+    n, s, ss = F.sum("_c"), F.sum("_s"), F.sum("_ss")
+    return {
+        "mean": F.when(n > 0, s / n),
+        "sum": F.when(n > 0, s),
+        "min": F.min("_mn"),
+        "max": F.max("_mx"),
+        "count": n,
+        "sd": F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1)))),
+        "variance": F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))),
+    }[reducer]
 
 
 def _fold_time_groups(
@@ -776,9 +951,6 @@ def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
     stacked (n_t, tile²) block is the only sensible physical plan, and
     its exactness on the gate fixture is an arithmetic argument, not a
     hope (pinned against the long reducer by oracle + pytest)."""
-    import numpy as np
-    import pandas as pd
-
     if TIME not in tc.schema.dims:
         raise ValueError("reduce_time_median_tiled needs a time dimension")
     # band-less cubes (a band-expression reducer's output) group on the
@@ -786,6 +958,20 @@ def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
     keys = ([BAND] if BAND in tc.schema.dims else []) + [
         "tile_row", "tile_col"
     ]
+    df = _median_groups(tc, keys)
+    return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
+
+
+def _median_groups(tc: TiledCube, keys: list[str]) -> DataFrame:
+    """The element-wise exact-median fold over each key-group's arrays
+    (the :func:`reduce_time_median_tiled` engine, generalized over the
+    group key the way :func:`_fold_groups` is — period median groups by
+    the truncated timestamp too). Key types come from the input schema
+    itself."""
+    import numpy as np
+    import pandas as pd
+
+    int_keys = ("tile_row", "tile_col")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         stack = np.array(
@@ -798,19 +984,17 @@ def reduce_time_median_tiled(tc: TiledCube) -> TiledCube:
         med[all_nan] = np.nan
         row0 = pdf.iloc[0]
         rec = {
-            k: [int(row0[k]) if k in ("tile_row", "tile_col") else row0[k]]
-            for k in keys
+            k: [int(row0[k]) if k in int_keys else row0[k]] for k in keys
         }
         rec["data"] = [[None if np.isnan(v) else float(v) for v in med]]
         return pd.DataFrame(rec)
 
     fields = ", ".join(
-        f"{BAND} string" if k == BAND else f"{k} int" for k in keys
+        f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    df = tc.df.groupBy(*keys).applyInPandas(
+    return tc.df.groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"
     )
-    return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
 
 
 def apply_kernel_tiled_layout(
@@ -1661,7 +1845,7 @@ def _crossing_sql(z: str, xc: str, yc: str) -> str:
 
 
 _ZONAL_REDUCERS = ("mean", "sum", "min", "max", "count", "sd", "variance",
-                   "median")
+                   "median", "product")
 
 
 def aggregate_spatial_tiled(
@@ -1708,9 +1892,11 @@ def aggregate_spatial_tiled(
 
     Reducers: mean / sum / min / max / count / sd / variance combine
     tile-level partials (sd and variance from exact (n, Σx, Σx²) — the
-    long tier's ``reducers.sd_expr`` arithmetic); **median** needs the
-    pixel multiset, so tagged pixel VALUES flow into one exact
-    ``percentile(value, 0.5)`` exchange instead.
+    long tier's ``reducers.sd_expr`` arithmetic); **median** and
+    **product** need the pixel value multiset (exact percentile; the
+    sorted-fold product whose rounding order the long
+    ``reducers.product_expr`` pins), so tagged pixel VALUES flow into
+    one exchange instead.
 
     Two engines behind identical semantics (the ``reduce_time_tiled``
     dispatch pattern; ``"auto"`` picks by ``TILE_VECTORIZE_CELLS``):
@@ -1826,14 +2012,21 @@ def aggregate_spatial_tiled(
         )
 
     # ---- sql engine (interpreted HOFs; the pinned oracle mode) ----
-    if reducer == "median":
+    if reducer in ("median", "product"):
+        # multiset reducers: median needs the pixel value multiset for
+        # the exact percentile; product folds over the SORTED values
+        # (reducers.product_expr — sorting pins the rounding order, so
+        # the tiled fold is bit-identical to the long one)
+        from ..operators.reducers import median_expr, product_expr
+
+        agg = median_expr(VALUE) if reducer == "median" else product_expr(VALUE)
         px = _zonal_pixels(
             staged, zlit, bbox_touch, keys, T, tc, target_dimension,
             interior_too=True, all_cvx=all_cvx,
         )
         out = (
             px.groupBy(target_dimension, *keys)
-            .agg(F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE))
+            .agg(agg.alias(VALUE))
             .where(F.col(target_dimension).isNotNull())
         )
         return Cube(out, tc.schema.drop(X).drop(Y))
@@ -1892,21 +2085,11 @@ def _zonal_finish(
 ) -> Cube:
     """Combine per-(tile, zone) partial rows into the final zonal
     answer — ONE exchange keyed by (geom, band[, time]), key count
-    independent of raster size. sd/variance use the exact-sums
-    sample formula (``reducers.sd_expr`` arithmetic)."""
-    n, s, ss = F.sum("_c"), F.sum("_s"), F.sum("_ss")
-    finish = {
-        "mean": F.when(n > 0, s / n),
-        "sum": F.when(n > 0, s),
-        "min": F.min("_mn"),
-        "max": F.max("_mx"),
-        "count": n,
-        "sd": F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1)))),
-        "variance": F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))),
-    }[reducer]
+    independent of raster size. Finisher shared with the spatial-axis
+    reducers (:func:`_partial_finish`)."""
     out = (
         partials.groupBy(target_dimension, *keys)
-        .agg(finish.alias(VALUE))
+        .agg(_partial_finish(reducer).alias(VALUE))
     )
     return Cube(out, tc.schema.drop(X).drop(Y))
 
@@ -2061,7 +2244,7 @@ def _zonal_numpy(
         f"{k} {staged.schema[k].dataType.simpleString()}" for k in keys
     )
 
-    if reducer == "median":
+    if reducer in ("median", "product"):
         out_schema = f"{target_dimension} int, {key_fields}, {VALUE} double"
 
         def emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -2103,10 +2286,13 @@ def _zonal_numpy(
                 out[VALUE] = np.concatenate(vs)
                 yield pd.DataFrame(out)
 
+        from ..operators.reducers import median_expr, product_expr
+
+        agg = median_expr(VALUE) if reducer == "median" else product_expr(VALUE)
         px = staged.mapInPandas(emit, out_schema)
         out = (
             px.groupBy(target_dimension, *keys)
-            .agg(F.expr(f"percentile({VALUE}, 0.5)").alias(VALUE))
+            .agg(agg.alias(VALUE))
         )
         return Cube(out, tc.schema.drop(X).drop(Y))
 

@@ -669,7 +669,11 @@ class ProcessGraph:
                 return tl.reduce_bands_tiled(tc, named)
             if dim == BAND and named is None:
                 return _reduce_bands_expression_tiled(tc, child)
-            return NotImplemented  # x/y reducers: long path
+            if dim in (X, Y) and named in tl._SPATIAL_REDUCERS:
+                # within-tile line partials + one line-keyed combine;
+                # emits long (the result keeps one spatial axis)
+                return tl.reduce_spatial_tiled(tc, dim, named)
+            return NotImplemented  # x/y median/product & quantiles: long
         if pid == "climatological_normal" and is_tiled("data"):
             if args.get("frequency", "monthly") == "monthly":
                 return tl.climatological_normal_tiled(
@@ -678,7 +682,8 @@ class ProcessGraph:
             return NotImplemented
         if pid == "aggregate_temporal_period" and is_tiled("data"):
             named = _single_named_reducer(args["reducer"]["process_graph"])
-            if named in ("mean", "sum", "min", "max", "sd", "variance"):
+            if named in ("mean", "sum", "min", "max", "sd", "variance",
+                         "median"):
                 return tl.aggregate_temporal_period_tiled(
                     self._resolve_raw(args["data"]), args["period"], named
                 )

@@ -1238,6 +1238,86 @@ def _tiled_zonal_sd(spark, sf_dir):
 
 
 @q(
+    "tiled_zonal_product",
+    _ZONAL_ORACLE.format(red=_PROD_D, label="geom_id"),
+)
+def _tiled_zonal_product(spark, sf_dir):
+    """Round-11: product closes the tiled zonal reducer matrix against
+    the long set (operators/aggregates.py:163). It rides the median
+    multiset path — tagged pixel values into ONE exchange — and
+    finishes with the long tier's reducers.product_expr (fold over the
+    SORTED list, so rounding order is pinned identically in both tiers
+    and the DuckDB twin)."""
+    from .core.tiled import aggregate_spatial_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    return aggregate_spatial_tiled(
+        _tiled_fixture(spark), FIXTURE_POLYGONS, "product", impl="sql",
+    ).df
+
+
+@q("tiled_reduce_x_sum", ORACLE["reduce_x_sum"])
+def _tiled_reduce_x_sum(spark, sf_dir):
+    """Round-11: spatial-axis reducers natively on tiles
+    (core/tiled.py: reduce_spatial_tiled) — within-tile line partials
+    (the raster drops tile× before the exchange) + one line-keyed
+    combine. Shares reduce_x_sum's oracle; oracle mode pins the sql
+    HOF fold (numpy scale path pinned ≡ sql by pytest)."""
+    from .core.tiled import reduce_spatial_tiled
+
+    return reduce_spatial_tiled(_tiled_fixture(spark), "x", "sum",
+                                impl="sql").df
+
+
+@q("tiled_reduce_y_max", ORACLE["reduce_y_max"])
+def _tiled_reduce_y_max(spark, sf_dir):
+    """Round-11: the y-axis twin of tiled_reduce_x_sum (column gather
+    via strided indexing instead of a row slice), sharing
+    reduce_y_max's oracle."""
+    from .core.tiled import reduce_spatial_tiled
+
+    return reduce_spatial_tiled(_tiled_fixture(spark), "y", "max",
+                                impl="sql").df
+
+
+@q(
+    "tiled_reduce_x_sd",
+    f"WITH cube AS ({CUBE_D}) "
+    f"SELECT band, time, y, {_SD_D} AS value FROM cube "
+    "GROUP BY band, time, y",
+)
+def _tiled_reduce_x_sd(spark, sf_dir):
+    """Round-11: the exact-sums (Σ, Σx², n) partial path of the
+    spatial-axis reducers — cross-tile combine must reproduce
+    reducers.sd_expr bit-for-bit."""
+    from .core.tiled import reduce_spatial_tiled
+
+    return reduce_spatial_tiled(_tiled_fixture(spark), "x", "sd",
+                                impl="sql").df
+
+
+@q(
+    "tiled_aggregate_period_median",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "
+    "quantile_cont(value, 0.5) AS value FROM cube GROUP BY 1, 2, 3, 4",
+)
+def _tiled_aggregate_period_median(spark, sf_dir):
+    """Round-11: period median natively on tiles — the
+    reduce_time_median_tiled multiset fold keyed by the date_trunc
+    label (core/tiled.py: aggregate_temporal_period_tiled median
+    branch). Seasons give 3-element groups on the monthly fixture, and
+    the ~4% NULLs shrink some to 2/1/0 — exercising the even-count
+    interpolation and the all-NULL → NULL rule per position."""
+    from .core.tiled import aggregate_temporal_period_tiled, from_tiled
+
+    return from_tiled(
+        aggregate_temporal_period_tiled(_tiled_fixture(spark), "season",
+                                        "median")
+    ).df
+
+
+@q(
     "tiled_ndvi_median",
     f"WITH cube AS ({CUBE_D}), wide AS ("
     "SELECT time, y, x, "
