@@ -560,8 +560,13 @@ def _partial_finish(reducer: str):
         "min": F.min("_mn"),
         "max": F.max("_mx"),
         "count": n,
-        "sd": F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1)))),
-        "variance": F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))),
+        # variance numerator clamped at 0 — same cancellation guard as
+        # reducers.sd_expr and the _SD_D/_VAR_D oracles (one change, all
+        # tiers, ADVICE r10)
+        "sd": F.when(n > 1, F.sqrt(
+            F.greatest(F.lit(0.0), ss - s * s / n) / (n - F.lit(1)))),
+        "variance": F.when(
+            n > 1, F.greatest(F.lit(0.0), ss - s * s / n) / (n - F.lit(1))),
     }[reducer]
 
 
@@ -609,7 +614,9 @@ def _fold_groups(
         # reducers.sd_expr arithmetic): three element-wise folds
         # (Σx, Σx², count) combined by a nested zip_with; <2 samples
         # → NULL, NULL elements skipped
-        core = "(sq.q - sq.s * sq.s / c) / (c - 1)"
+        # greatest(0, .): the sd_expr cancellation clamp
+        core = ("greatest(CAST(0.0 AS DOUBLE), sq.q - sq.s * sq.s / c)"
+                " / (c - 1)")
         fin = f"sqrt({core})" if reducer == "sd" else core
         fold = (
             f"transform(array(array_sort(collect_list(struct({sort_field}, data)))), "
@@ -687,7 +694,10 @@ def _reduce_time_numpy(
             sq = np.nansum(stack * stack, axis=0)
             with np.errstate(invalid="ignore", divide="ignore"):
                 var = np.where(
-                    c > 1, (sq - sm * sm / np.maximum(c, 2)) / np.maximum(c - 1, 1), np.nan
+                    c > 1,
+                    np.maximum(0.0, sq - sm * sm / np.maximum(c, 2))
+                    / np.maximum(c - 1, 1),
+                    np.nan,
                 )
                 out = np.sqrt(var) if reducer == "sd" else var
         elif reducer == "mean":

@@ -25,6 +25,16 @@ FIXTURE_POLYGONS: list[list[tuple[float, float]]] = [
 ]
 
 
+# Long-format zonal/spatial tagging: per-polygon CASE chains are
+# codegen-friendly and join-free up to this many zones; beyond it the
+# chain is O(|zones|) of generated code (64 KB whole-stage-codegen
+# limit) and O(|zones|) py4j round-trips to BUILD, so the vectorized
+# half-plane UDF takes over. ONE switch point shared by
+# aggregate_spatial and filter_spatial (ADVICE r10: the two had
+# drifted into a named constant and a bare 16).
+TAG_CHAIN_MAX = 16
+
+
 def is_convex(poly: list[tuple[float, float]]) -> bool:
     """True when all edge cross-products share a sign (CCW or CW)."""
     n = len(poly)

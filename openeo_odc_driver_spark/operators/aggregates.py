@@ -17,11 +17,9 @@ from ..core.cube import BAND, TIME, VALUE, X, Y, Cube
 from .filters import polygon_contains_udf
 from .reducers import REDUCERS
 
-# long-format zonal tagging: per-polygon CASE chains are codegen-friendly
-# and join-free up to this many zones; beyond it the chain is O(|zones|)
-# of generated code (64 KB whole-stage-codegen limit) and O(|zones|) py4j
-# round-trips to BUILD, so the zones-literal HOF path takes over
-_TAG_CHAIN_MAX = 16
+# long-format zonal tagging switch point — shared with filter_spatial
+# (functions/geometry.py:TAG_CHAIN_MAX, one constant, two call sites)
+from ..functions.geometry import TAG_CHAIN_MAX as _TAG_CHAIN_MAX
 
 # openEO period -> date_trunc unit (reference maps to pandas freqs,
 # openeo_odc_driver.py:923: hour/day/week/month/season→QS/year).
@@ -201,7 +199,10 @@ def aggregate_spatial(
             # O(touching zones). (The zones-literal HOF spelling hits
             # a Spark 4.1 lambda-pruning bug on generated sources —
             # see convex_geom_id_udf's docstring; the tiled tier keeps
-            # the HOF, whose packed frames are unaffected.)
+            # the HOF, whose packed frames are unaffected. The bug is
+            # canaried: when tests/test_round11.py::
+            # test_spark_hof_lambda_pruning_canary stops xfailing, flip
+            # this dispatch to the JVM-side HOF and retire the UDF.)
             from .filters import convex_geom_id_udf
 
             tag = convex_geom_id_udf(polygons)(F.col(X), F.col(Y))

@@ -209,13 +209,13 @@ def filter_spatial(cube: Cube, polygons: list[list[tuple[float, float]]]) -> Cub
     into whole-stage codegen with the scan — zero Python in the row
     path. Concave polygons fall back to the vectorized ray-cast
     pandas UDF. Both behind the same bbox prefilter so the scan prunes."""
-    from ..functions.geometry import geom_id_col, is_convex
+    from ..functions.geometry import TAG_CHAIN_MAX, geom_id_col, is_convex
 
     xs = [p[0] for poly in polygons for p in poly]
     ys = [p[1] for poly in polygons for p in poly]
     pre = filter_bbox(cube, min(xs), max(xs), min(ys), max(ys))
     if all(is_convex(p) for p in polygons):
-        if len(polygons) <= 16:
+        if len(polygons) <= TAG_CHAIN_MAX:
             out = pre.df.where(geom_id_col(polygons, X, Y).isNotNull())
         else:
             # many-polygon regime: the CASE chain is O(|polys|) of

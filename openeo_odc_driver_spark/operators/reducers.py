@@ -37,18 +37,29 @@ from ..core.cube import VALUE, Cube, canonical_dim
 
 
 def sd_expr(col: str = VALUE) -> Column:
-    """Sample stddev from exact sums (bit-parity with DuckDB stddev_samp)."""
+    """Sample stddev from exact sums (bit-parity with DuckDB stddev_samp).
+
+    The Σx² − (Σx)²/n bracket is clamped at 0: catastrophic cancellation
+    on large-offset low-variance data can push it slightly negative,
+    which would make sd sqrt(negative) = NaN where the true sd is ~0.
+    The clamp is applied identically in the tiled folds and the DuckDB
+    oracle twins (_SD_D/_VAR_D) so the cross-tier parity pins hold
+    (ADVICE r10)."""
     n = F.count(col)
     s = F.sum(col)
     ss = F.sum(F.col(col) * F.col(col))
-    return F.when(n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1))))
+    return F.when(
+        n > 1, F.sqrt(F.greatest(F.lit(0.0), ss - s * s / n) / (n - F.lit(1)))
+    )
 
 
 def variance_expr(col: str = VALUE) -> Column:
     n = F.count(col)
     s = F.sum(col)
     ss = F.sum(F.col(col) * F.col(col))
-    return F.when(n > 1, (ss - s * s / n) / (n - F.lit(1)))
+    return F.when(
+        n > 1, F.greatest(F.lit(0.0), ss - s * s / n) / (n - F.lit(1))
+    )
 
 
 def product_expr(col: str = VALUE) -> Column:

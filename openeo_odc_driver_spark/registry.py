@@ -420,14 +420,18 @@ def _interp(spark, sf_dir):
 # Reducers (SURVEY §2.6)
 # ---------------------------------------------------------------------------
 
+# greatest(0, .): the reducers.sd_expr cancellation clamp, mirrored in
+# the oracle twins so the parity pins hold (ADVICE r10)
 _SD_D = (
     "CASE WHEN count(value) > 1 THEN "
-    "sqrt((sum(value * value) - sum(value) * sum(value) / count(value)) "
+    "sqrt(greatest(0.0, sum(value * value) "
+    "- sum(value) * sum(value) / count(value)) "
     "/ (count(value) - 1)) END"
 )
 _VAR_D = (
     "CASE WHEN count(value) > 1 THEN "
-    "(sum(value * value) - sum(value) * sum(value) / count(value)) "
+    "greatest(0.0, sum(value * value) "
+    "- sum(value) * sum(value) / count(value)) "
     "/ (count(value) - 1) END"
 )
 _PROD_D = (

@@ -275,9 +275,11 @@ def test_climatological_normal_tiled_matches_long(spark, impl):
 
 
 def test_tiled_zonal_unsupported_reducer_demotes_observably(spark):
-    """A zonal reducer without a tile path (product) still answers in
-    tiled mode (long tier) and the demotion is RECORDED on the plan —
-    no silent fall-through, no error (round-10 item 5)."""
+    """Round-10 pinned this graph as an OBSERVABLE DEMOTION (product had
+    no tile path); round-11 made zonal product native, so the same
+    graph now pins the opposite: identical values AND an empty demotion
+    list. The demotion MACHINERY stays pinned by
+    test_round11.test_resample_bilinear_demotes_not_errors."""
     import json
     import os
 
@@ -324,7 +326,7 @@ def test_tiled_zonal_unsupported_reducer_demotes_observably(spark):
     got = _sorted_long(tiled_pg.execute(spark).df, cols)
     pd.testing.assert_frame_equal(want, got, check_exact=True,
                                   check_dtype=False)
-    assert "aggregate_spatial" in tiled_pg.tiled_demotions
+    assert tiled_pg.tiled_demotions == []  # product is tile-native now
     assert long_pg.tiled_demotions == []
 
 

@@ -299,3 +299,85 @@ def test_reducer_only_graph_demotion_free(spark):
 
     long_pg = ProcessGraph(graph, save_dir="/tmp/pg_reducer_only_long")
     _frames_equal(long_pg.execute(spark).df, cube.df)
+
+
+# --- Spark 4.1 HOF lambda-pruning canary -------------------------------------
+
+
+def test_spark_hof_lambda_pruning_canary():
+    """Canary for the Spark 4.1 optimizer bug that forces the long
+    tier's >16-zone tagging onto the pandas UDF (PLANS.md round-10):
+    columns referenced ONLY inside higher-order-function lambdas are
+    lost over locally generated (range+project) sources —
+    [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] at BindReferences.
+
+    Round-11 refinement (re-derived repro): the bug triggers ONLY when
+    the tag query is the very FIRST job of a cold JVM — any earlier job
+    in the session "heals" it (state-dependent planner/codegen init),
+    which is exactly why the dispatch cannot rely on the HOF spelling:
+    a correctness-critical path must not depend on session warm-up
+    order. The canary therefore runs the repro in a fresh subprocess
+    JVM. While the bug is present this test xfails; when a Spark
+    upgrade fixes it, it FAILS LOUDLY with instructions: flip
+    aggregate_spatial's >16-zone dispatch (operators/aggregates.py)
+    back to the JVM-side zones-literal HOF and retire
+    convex_geom_id_udf — the workaround must not fossilize."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from openeo_odc_driver_spark.session import get_spark
+from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+from openeo_odc_driver_spark.core.tiled import _zones_literal_sql
+from pyspark.sql import functions as F
+spark = get_spark("canary", cpus="2")
+zones = []
+for i in range(5):
+    for j in range(5):
+        cx, cy, h = j * 30.0, i * 30.0, 14.75
+        zones.append([(cx - h, cy - h), (cx + h, cy - h),
+                      (cx + h, cy + h), (cx - h, cy + h)])
+zlit = _zones_literal_sql(zones)
+tag = ("transform(array(filter(" + zlit + ", z -> x >= z.xmin AND x <= z.xmax "
+       "AND y >= z.ymin AND y <= z.ymax AND forall(z.edges, e -> "
+       "e.dx * (y - e.y1) - e.dy * (x - e.x1) >= 0.0))), "
+       "tz -> CASE WHEN size(tz) > 0 THEN tz[0].id END)[0]")
+agg = (synthetic_cube(spark).df.withColumn("gid", F.expr(tag))
+       .where(F.col("gid").isNotNull())
+       .groupBy("gid", "band", "time").agg(F.avg("value")))
+try:
+    n = agg.count()
+    print("CANARY_RESULT=OK" if n == 25 * 3 * 24 else "CANARY_RESULT=WRONG:" + str(n))
+except Exception as exc:
+    m = str(exc)
+    if "ATTRIBUTE_NOT_FOUND" in m or "Could not find" in m:
+        print("CANARY_RESULT=BUG")
+    else:
+        print("CANARY_RESULT=OTHER:" + m[:200])
+spark.stop()
+""" % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    marker = [
+        line for line in proc.stdout.splitlines()
+        if line.startswith("CANARY_RESULT=")
+    ]
+    assert marker, f"no canary marker; stderr tail: {proc.stderr[-500:]}"
+    result = marker[-1].removeprefix("CANARY_RESULT=")
+    if result == "BUG":
+        pytest.xfail(
+            "Spark 4.1 HOF lambda-pruning bug still present (cold-JVM "
+            "first job, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)"
+        )
+    assert result == "OK", result
+    pytest.fail(
+        "Spark HOF lambda-pruning bug is FIXED: flip aggregate_spatial's "
+        ">16-zone dispatch (operators/aggregates.py) back to the JVM-side "
+        "zones-literal HOF and retire convex_geom_id_udf."
+    )
