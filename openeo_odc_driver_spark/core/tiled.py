@@ -1935,6 +1935,12 @@ def aggregate_spatial_tiled(
         raise ValueError(
             f"reducer must be one of {_ZONAL_REDUCERS}, got {reducer!r}"
         )
+    if not polygons:
+        # the sargable prefilter below would die in min() over an empty
+        # vertex list — name the error instead (ADVICE r10)
+        raise ValueError(
+            "aggregate_spatial_tiled needs at least one polygon"
+        )
     all_cvx = all(is_convex(p) for p in polygons)
     if target_dimension in tc.df.columns:
         raise ValueError(

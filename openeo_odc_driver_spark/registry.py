@@ -2211,11 +2211,25 @@ def _build_tiled_store(spark, collection_id: str) -> str:
         os.makedirs(root, exist_ok=True)
         cube = load_collection_cube(spark, collection_id)
         ny, nx = static_scene_dims(collection_id)
-        tmp = path + ".build"
-        shutil.rmtree(tmp, ignore_errors=True)
-        save_tiled(to_tiled(cube, tile=8, n_y=ny, n_x=nx), tmp)
-        if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
-            os.replace(tmp, path) if not os.path.exists(path) else shutil.rmtree(tmp)
+        # unique tmp per builder: two concurrent callers must not write
+        # the same .build dir (ADVICE r10 TOCTOU)
+        tmp = f"{path}.build.{os.getpid()}"
+        try:
+            save_tiled(to_tiled(cube, tile=8, n_y=ny, n_x=nx), tmp)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                # lost the publish race: another caller's complete
+                # store is already in place — success, drop ours
+                if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
+                    # an INCOMPLETE dir squats on the path (interrupted
+                    # legacy build): clear it and retry once
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.replace(tmp, path)
+        finally:
+            # a failed build (or a lost race) must not leave a stale
+            # .build dir behind
+            shutil.rmtree(tmp, ignore_errors=True)
     return root
 
 
@@ -2234,6 +2248,28 @@ def _pg_masked_seasonal_tiled_store(spark, sf_dir):
         tiled=True, tiled_store_dir=store,
     )
     return pg.execute(spark).df
+
+
+@q(
+    "tiled_zonal_mean_store",
+    _ZONAL_ORACLE.format(red="avg(value)", label="geom_id"),
+)
+def _tiled_zonal_mean_store(spark, sf_dir):
+    """Round-11: zonal statistics reading FROM the save_tiled store —
+    the sargable zones-bbox prefilter (core/tiled.py) is a plain
+    tile_row/tile_col BETWEEN, so on the stored layout it reaches the
+    parquet scan as row-group min/max pruning (PushedFilters pinned by
+    tests/test_round11.py::test_zonal_store_pushes_tile_range). Same
+    long oracle as aggregate_spatial_mean — the storage tier changes
+    the scan, never the answer."""
+    import os
+
+    from .core.tiled import aggregate_spatial_tiled, load_tiled
+    from .functions.geometry import FIXTURE_POLYGONS
+
+    store = _build_tiled_store(spark, "synthetic")
+    tc = load_tiled(spark, os.path.join(store, "synthetic"))
+    return aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "mean").df
 
 
 def _pg_resample_align_oracle() -> str:

@@ -381,3 +381,71 @@ spark.stop()
         ">16-zone dispatch (operators/aggregates.py) back to the JVM-side "
         "zones-literal HOF and retire convex_geom_id_udf."
     )
+
+
+# --- zonal over the stored tiled layout --------------------------------------
+
+
+def test_zonal_store_pushes_tile_range(spark):
+    """The sargable zones-bbox prefilter reaches the PARQUET SCAN of a
+    save_tiled store: a corner polygon's tile_row/tile_col BETWEEN shows
+    up in PushedFilters, so row groups outside the zone's bbox never
+    read their array bytes (VERDICT r10 item 6)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = synthetic_cube(spark)
+    work = tempfile.mkdtemp(prefix="zonal_store_")
+    try:
+        path = os.path.join(work, "store")
+        t.save_tiled(t.to_tiled(src, tile=4, n_y=16, n_x=16), path)
+        tc = t.load_tiled(spark, path)
+        # NW-corner polygon: touches only tile (0..0, 0..0) of the 4×4
+        # tile grid (pixels y in [140,150] / x in [0,10])
+        poly = [(0.0, 140.0), (15.0, 140.0), (15.0, 150.0), (0.0, 150.0)]
+        cube = t.aggregate_spatial_tiled(tc, [poly], "mean")
+        phys = cube.df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in phys
+        pushed = [
+            ln for ln in phys.splitlines() if "PushedFilters" in ln
+        ][0]
+        assert "tile_row" in pushed and "tile_col" in pushed, pushed
+        # and the values still match the long operator
+        from openeo_odc_driver_spark.operators.aggregates import (
+            aggregate_spatial,
+        )
+
+        _frames_equal(aggregate_spatial(src, [poly], "mean").df, cube.df)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_zonal_tiled_empty_polygons_named_error(spark):
+    tc = t.to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    with pytest.raises(ValueError, match="at least one polygon"):
+        t.aggregate_spatial_tiled(tc, [], "mean")
+
+
+def test_build_tiled_store_recovers_from_squatter(spark):
+    """An incomplete directory squatting on the store path (interrupted
+    build) is cleared and rebuilt instead of wedging os.replace
+    (ADVICE r10 TOCTOU item)."""
+    import os
+    import shutil
+
+    from openeo_odc_driver_spark.registry import _build_tiled_store
+
+    root = _build_tiled_store(spark, "synthetic")
+    path = os.path.join(root, "synthetic")
+    meta = os.path.join(path, "_tiled_meta.json")
+    assert os.path.exists(meta)
+    # simulate the interrupted legacy build: dir exists, no meta
+    os.remove(meta)
+    assert not os.path.exists(meta)
+    _build_tiled_store(spark, "synthetic")
+    assert os.path.exists(meta)
+    # idempotent re-entry leaves no .build litter
+    _build_tiled_store(spark, "synthetic")
+    litter = [d for d in os.listdir(root) if ".build" in d]
+    assert litter == []
