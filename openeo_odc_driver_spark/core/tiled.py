@@ -1059,53 +1059,7 @@ def apply_kernel_tiled_layout(
         keys = [BAND]
     kmat = np.array([[float(w) for w in row] for row in kernel])
     fac = float(factor)
-
-    # halo-strip emission: the full tile to itself, and to each
-    # neighbor ONLY the strip its stencil reads. Row-major packing:
-    # top/bottom strips are contiguous slice()s; left/right and corner
-    # strips are strided row slices via transform(sequence(...)).
-    def rows_cols(r0: int, nr: int, c0: int, nc: int) -> str:
-        """SQL for the (nr x nc) sub-block at (r0, c0), row-major."""
-        if nc == T:
-            return f"slice(data, {r0 * T + 1}, {nr * T})"
-        return (
-            f"flatten(transform(sequence({r0}, {r0 + nr - 1}), "
-            f"r -> slice(data, r * {T} + {c0 + 1}, {nc})))"
-        )
-
-    entries = ["struct(0 AS dr, 0 AS dc, data AS piece)"]
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            if (dr, dc) == (0, 0):
-                continue
-            nr = ry if dr != 0 else T
-            nc = rx if dc != 0 else T
-            if nr == 0 or nc == 0:
-                continue  # 1-D kernels need no strips on that axis
-            # shipping toward dr=+1 means the TARGET below reads this
-            # tile's BOTTOM rows; toward dr=-1 its TOP rows (same for
-            # columns)
-            r0 = T - ry if dr == 1 else 0
-            c0 = T - rx if dc == 1 else 0
-            entries.append(
-                f"struct({dr} AS dr, {dc} AS dc, "
-                f"{rows_cols(r0, nr, c0, nc)} AS piece)"
-            )
-    drdc = F.expr("explode(array(" + ", ".join(entries) + "))")
-    max_tr = (tc.n_y - 1) // T
-    max_tc = (tc.n_x - 1) // T
-    pieces = tc.df.select(
-        *keys, "tile_row", "tile_col", drdc.alias("_n")
-    ).select(
-        *keys,
-        (F.col("tile_row") + F.col("_n.dr")).alias("_tr"),
-        (F.col("tile_col") + F.col("_n.dc")).alias("_tc"),
-        (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
-        (-F.col("_n.dc")).alias("_pc"),
-        F.col("_n.piece").alias("data"),
-    ).where(
-        F.col("_tr").between(0, max_tr) & F.col("_tc").between(0, max_tc)
-    )
+    pieces = _halo_pieces(tc, keys, ry, rx)
 
     out_fields = ", ".join(
         f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
@@ -1115,22 +1069,11 @@ def apply_kernel_tiled_layout(
     )
 
     def stencil(pdf: pd.DataFrame) -> pd.DataFrame:
-        has_center = ((pdf["_pr"] == 0) & (pdf["_pc"] == 0)).any()
-        if not has_center:  # halo-only group: target tile doesn't exist
+        canvas = _halo_canvas(pdf, T, ry, rx)
+        if canvas is None:  # halo-only group: target tile doesn't exist
             return pd.DataFrame(
                 columns=[*keys, "tile_row", "tile_col", "data"]
             )
-        canvas = np.full((T + 2 * ry, T + 2 * rx), np.nan)
-        for _, r in pdf.iterrows():
-            pr, pc = int(r["_pr"]), int(r["_pc"])
-            nr = T if pr == 0 else ry
-            nc = T if pc == 0 else rx
-            arr = np.asarray(r["data"], dtype="float64").reshape(nr, nc)
-            # piece origin on the halo canvas: a pr=-1 strip sits above
-            # the center block, pr=+1 below (same for columns)
-            y0 = 0 if pr == -1 else (ry if pr == 0 else ry + T)
-            x0 = 0 if pc == -1 else (rx if pc == 0 else rx + T)
-            canvas[y0:y0 + nr, x0:x0 + nc] = arr
         filled = np.nan_to_num(canvas, nan=0.0)
         acc = np.zeros((T, T))
         for dy in range(kh):
@@ -1155,6 +1098,221 @@ def apply_kernel_tiled_layout(
         stencil, out_schema
     )
     return TiledCube(df, tc.schema, T, tc.n_y, tc.n_x)
+
+
+def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int):
+    """Halo-strip emission shared by every tile-native neighborhood op
+    (:func:`apply_kernel_tiled_layout`, :func:`radar_mask_tiled`): each
+    tile ships to itself in full and to each of its 8 neighbors ONLY
+    the (ry, rx)-wide strip that neighbor's stencil can read — shuffle
+    volume (1 + 2(ry+rx)/T + 4·ry·rx/T²)× the raster. Row-major
+    packing: top/bottom strips are contiguous ``slice()``s; left/right
+    and corner strips are strided row slices. Off-scene targets are
+    pruned before the exchange. Returns rows
+    ``(*keys, _tr, _tc, _pr, _pc, data)`` — group by (keys, _tr, _tc)
+    and reassemble with :func:`_halo_canvas`."""
+    T = tc.tile
+
+    def rows_cols(r0: int, nr: int, c0: int, nc: int) -> str:
+        """SQL for the (nr x nc) sub-block at (r0, c0), row-major."""
+        if nc == T:
+            return f"slice(data, {r0 * T + 1}, {nr * T})"
+        return (
+            f"flatten(transform(sequence({r0}, {r0 + nr - 1}), "
+            f"r -> slice(data, r * {T} + {c0 + 1}, {nc})))"
+        )
+
+    entries = ["struct(0 AS dr, 0 AS dc, data AS piece)"]
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if (dr, dc) == (0, 0):
+                continue
+            nr = ry if dr != 0 else T
+            nc = rx if dc != 0 else T
+            if nr == 0 or nc == 0:
+                continue  # 1-D stencils need no strips on that axis
+            # shipping toward dr=+1 means the TARGET below reads this
+            # tile's BOTTOM rows; toward dr=-1 its TOP rows (same for
+            # columns)
+            r0 = T - ry if dr == 1 else 0
+            c0 = T - rx if dc == 1 else 0
+            entries.append(
+                f"struct({dr} AS dr, {dc} AS dc, "
+                f"{rows_cols(r0, nr, c0, nc)} AS piece)"
+            )
+    drdc = F.expr("explode(array(" + ", ".join(entries) + "))")
+    max_tr = (tc.n_y - 1) // T
+    max_tc = (tc.n_x - 1) // T
+    return tc.df.select(
+        *keys, "tile_row", "tile_col", drdc.alias("_n")
+    ).select(
+        *keys,
+        (F.col("tile_row") + F.col("_n.dr")).alias("_tr"),
+        (F.col("tile_col") + F.col("_n.dc")).alias("_tc"),
+        (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
+        (-F.col("_n.dc")).alias("_pc"),
+        F.col("_n.piece").alias("data"),
+    ).where(
+        F.col("_tr").between(0, max_tr) & F.col("_tc").between(0, max_tc)
+    )
+
+
+def _halo_canvas(pdf, T: int, ry: int, rx: int):
+    """Lay a (keys, _tr, _tc) group's halo pieces on the
+    (T+2ry)×(T+2rx) canvas (NaN where no neighbor exists). Returns
+    None for halo-only groups (the target tile itself doesn't exist)."""
+    import numpy as np
+
+    if not ((pdf["_pr"] == 0) & (pdf["_pc"] == 0)).any():
+        return None
+    canvas = np.full((T + 2 * ry, T + 2 * rx), np.nan)
+    for _, r in pdf.iterrows():
+        pr, pc = int(r["_pr"]), int(r["_pc"])
+        nr = T if pr == 0 else ry
+        nc = T if pc == 0 else rx
+        arr = np.asarray(r["data"], dtype="float64").reshape(nr, nc)
+        # piece origin on the halo canvas: a pr=-1 strip sits above
+        # the center block, pr=+1 below (same for columns)
+        y0 = 0 if pr == -1 else (ry if pr == 0 else ry + T)
+        x0 = 0 if pc == -1 else (rx if pc == 0 else rx + T)
+        canvas[y0:y0 + nr, x0:x0 + nc] = arr
+    return canvas
+
+
+def radar_mask_tiled(
+    tc: TiledCube,
+    foreshortening_th: float,
+    layover_th: float,
+    orbit_direction: str = "ASC",
+) -> TiledCube:
+    """SAR layover/foreshortening/shadow masks natively on tiles — the
+    long ``operators/sar.py:radar_mask`` (reference
+    ``openeo_odc_driver.py:1426-1504``) through the halo-strip exchange:
+    the DEM stencil at output pixel (cy, cx) reads
+    dem[cy−1..cy+1, cx−1..cx+1 : step 2], so each tile needs a radius-2
+    halo — :func:`_halo_pieces` ships ~(1 + 8/T)× the DEM band once,
+    versus the long plan's two window exchanges over per-pixel rows.
+
+    Per target tile the finite differences, atan slope, round-9
+    quantization (the same 1-ulp absorber the long/oracle pair relies
+    on) and the three threshold masks are one vectorized numpy pass;
+    the LIA scene mean arrives as a broadcast scalar exactly like the
+    long plan's broadcast join. Border rows/cols (first, last two) are
+    0 as in the reference's zero-initialized output; NULL stencils
+    (NaN corners) also emit 0 through the NaN-comparison rule — both
+    matching the long operator's left-join + coalesce."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.sar import MASK_BANDS
+
+    grid = tc.schema.grid
+    if grid is None:
+        raise ValueError("radar_mask_tiled needs a GridSpec")
+    if BAND not in tc.schema.dims:
+        raise ValueError("radar_mask_tiled needs DEM and LIA bands")
+    heading = _math.radians(-12.5 if orbit_direction == "ASC" else 12.5)
+    dx, dy = grid.resx, -grid.resy
+    dx_p, dy_p = dx * _math.tan(heading), dy * _math.tan(heading)
+    drg = 2 * _math.sqrt(dx_p ** 2 + dx ** 2)
+    rg_sign = -1.0 if heading >= 0 else 1.0
+    fth, lth = float(foreshortening_th), float(layover_th)
+    T, n_y, n_x = tc.tile, tc.n_y, tc.n_x
+    keys = [d for d in tc.key_dims if d != BAND]
+
+    dem = TiledCube(
+        tc.df.where(F.col(BAND) == "DEM").drop(BAND),
+        tc.schema.drop(BAND), T, n_y, n_x,
+    )
+    # scene-mean incidence angle: per-tile (Σ, n) folds, one scalar agg,
+    # broadcast into every piece row (the long plan's broadcast join)
+    lia = (
+        tc.df.where(F.col(BAND) == "LIA")
+        .select(
+            F.expr(
+                "aggregate(data, named_struct('s', CAST(0.0 AS DOUBLE), "
+                "'c', CAST(0 AS BIGINT)), (acc, v) -> CASE WHEN v IS NULL "
+                "THEN acc ELSE named_struct('s', acc.s + v, 'c', acc.c + 1) "
+                "END)"
+            ).alias("_p")
+        )
+        .agg((F.sum("_p.s") / F.sum("_p.c")).alias("_lia"))
+    )
+    pieces = _halo_pieces(dem, keys, 2, 2).join(F.broadcast(lia))
+
+    key_fields = ", ".join(
+        f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{BAND} string, " + (f"{key_fields}, " if keys else "")
+        + "tile_row int, tile_col int, data array<double>"
+    )
+
+    def masks(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = _halo_canvas(pdf, T, 2, 2)
+        if canvas is None:
+            return pd.DataFrame(
+                columns=[BAND, *keys, "tile_row", "tile_col", "data"]
+            )
+        # stencil for output (r, c): corners dem[cy±1, cx±1] with the
+        # ±1 row/col offsets of the long op's (yi, xi) → (yi+1, xi+1)
+        # relabeling; canvas center block starts at offset 2
+        d00 = canvas[1:T + 1, 1:T + 1]
+        d02 = canvas[1:T + 1, 3:T + 3]
+        d20 = canvas[3:T + 3, 1:T + 1]
+        d22 = canvas[3:T + 3, 3:T + 3]
+        with np.errstate(invalid="ignore"):
+            h_rg_0 = d00 + (d20 - d00) / (2 * dy) * (dy - dy_p)
+            h_rg_2 = d02 + (d22 - d02) / (2 * dy) * (dy + dy_p)
+            fdeg = np.round(
+                np.degrees(np.arctan((h_rg_2 - h_rg_0) / drg)) * rg_sign, 9
+            )
+            row0 = pdf.iloc[0]
+            tr, tcl = int(row0["_tr"]), int(row0["_tc"])
+            lia_v = float(row0["_lia"])
+            # the long op keeps stencils with xi+2 < max_xi AND
+            # yi+2 < max_yi only (reference slices stop at L-2):
+            # output index cy=yi+1 ∈ [1, n-3], plus NaN → mask 0
+            cy = tr * T + np.arange(T)[:, None]
+            cx = tcl * T + np.arange(T)[None, :]
+            valid = (
+                (cy >= 1) & (cy <= n_y - 3) & (cx >= 1) & (cx <= n_x - 3)
+                & ~np.isnan(fdeg)
+            )
+            pos = valid & (fdeg > 0)
+            fs = np.where(pos & (fdeg < lia_v), fdeg, 0.0) / lia_v
+            lo = np.where(pos & (fdeg > lia_v), fdeg, 0.0) / lia_v
+            out_arrays = {
+                "layover": np.where(valid & (lo > lth), 1.0, 0.0),
+                "foreshortening": np.where(valid & (fs > fth), 1.0, 0.0),
+                "shadow": np.where(
+                    valid & (fdeg < 0) & (np.abs(fdeg) > 90 - lia_v),
+                    1.0, 0.0,
+                ),
+            }
+        # out-of-scene padding stays NULL so from_tiled drops it
+        pad = (cy >= n_y) | (cx >= n_x)
+        rows = []
+        for b in MASK_BANDS:
+            a = out_arrays[b].astype(object)
+            a[pad] = None
+            rows.append({
+                BAND: b, **{k: row0[k] for k in keys},
+                "tile_row": tr, "tile_col": tcl,
+                "data": list(a.reshape(-1)),
+            })
+        return pd.DataFrame(rows)
+
+    df = pieces.groupBy(*keys, "_tr", "_tc").applyInPandas(
+        masks, out_schema
+    )
+    from dataclasses import replace as _dc_replace
+
+    return TiledCube(
+        df, _dc_replace(tc.schema, bands=MASK_BANDS), T, n_y, n_x
+    )
 
 
 # ---- round 9: the rest of the operator surface on tiles ----------------

@@ -707,6 +707,15 @@ class ProcessGraph:
                     tc, kernel, factor=args.get("factor", 1.0)
                 )
             return NotImplemented
+        if pid == "radar_mask" and is_tiled("data"):
+            # radius-2 halo-strip exchange on the DEM band; every
+            # neighborhood op now has a tiled strategy (core/tiled.py)
+            return tl.radar_mask_tiled(
+                self._resolve_raw(args["data"]),
+                float(args["foreshortening_th"]),
+                float(args["layover_th"]),
+                args.get("orbit_direction", "ASC"),
+            )
         if pid == "resample_cube_temporal" and is_tiled("data"):
             # time is a key column on tile rows: the as-of relabel is a
             # broadcast join against the tiny time mapping — zero data

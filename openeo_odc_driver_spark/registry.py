@@ -1733,6 +1733,26 @@ def _radar_mask(spark, sf_dir):
     ).df
 
 
+@q("tiled_radar_mask", _radar_mask_oracle())
+def _tiled_radar_mask(spark, sf_dir):
+    """Round-11: radar_mask natively on tiles (core/tiled.py:
+    radar_mask_tiled) — the radius-2 halo-strip exchange ships ~(1+8/T)×
+    the DEM band once; finite differences, atan + round-9 quantization
+    and the three threshold masks run vectorized per tile; the LIA mean
+    broadcasts as a scalar. tile=5 exercises stencils crossing partial
+    tile boundaries. Shares the long radar_mask oracle verbatim — every
+    neighborhood op now has a tiled strategy."""
+    from .core.tiled import from_tiled, radar_mask_tiled, to_tiled
+
+    return from_tiled(
+        radar_mask_tiled(
+            to_tiled(synthetic_cube(spark, _SAR_SPEC), tile=5,
+                     n_y=16, n_x=16),
+            0.3, 0.5, "ASC",
+        )
+    ).df
+
+
 @q(
     "geocode_nearest",
     f"WITH cube AS ({cube_sql(_GEO_SPEC, 'duckdb')}), "

@@ -449,3 +449,63 @@ def test_build_tiled_store_recovers_from_squatter(spark):
     _build_tiled_store(spark, "synthetic")
     litter = [d for d in os.listdir(root) if ".build" in d]
     assert litter == []
+
+
+# --- radar_mask on tiles (halo-strip exchange) --------------------------------
+
+
+def test_radar_mask_tiled_matches_long(spark):
+    from openeo_odc_driver_spark.operators.sar import radar_mask
+
+    sar = CubeSpec(bands=("DEM", "LIA"), n_times=1, vs=0.0)
+    src = synthetic_cube(spark, sar)
+    for orbit in ("ASC", "DESC"):
+        long_df = radar_mask(src, 0.3, 0.5, orbit).df
+        for tile in (8, 5):
+            tiled = t.radar_mask_tiled(
+                t.to_tiled(src, tile=tile, n_y=16, n_x=16), 0.3, 0.5, orbit
+            )
+            assert tiled.schema.bands == (
+                "layover", "foreshortening", "shadow"
+            )
+            _frames_equal(long_df, t.from_tiled(tiled).df)
+
+
+def test_radar_mask_planner_stays_tiled(spark):
+    """A radar_mask graph executes tiled without demotion."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_collection",
+                "arguments": {"id": "synthetic"},
+            },
+            "rm": {
+                "process_id": "radar_mask",
+                "arguments": {
+                    "data": {"from_node": "load"},
+                    "foreshortening_th": 0.3,
+                    "layover_th": 0.5,
+                },
+                "result": True,
+            },
+        }
+    }
+    # the synthetic collection lacks DEM/LIA bands — swap band labels so
+    # the operator finds them (schema-level rename via the catalog is
+    # overkill for a dispatch pin; use the SAR fixture directly instead)
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph as PG
+
+    pg = PG(graph, tiled=True, tile=8, save_dir="/tmp/pg_rm")
+    # dispatch reached the tiled branch iff radar_mask is NOT demoted;
+    # execution itself errors on missing bands either way, so pin the
+    # dispatch on the SAR fixture through the operator call instead
+    sar = CubeSpec(bands=("DEM", "LIA"), n_times=1, vs=0.0)
+    tc = t.to_tiled(synthetic_cube(spark, sar), tile=8, n_y=16, n_x=16)
+    out = pg._dispatch_tiled(
+        "radar_mask",
+        {"data": tc, "foreshortening_th": 0.3, "layover_th": 0.5},
+        {},
+    )
+    assert isinstance(out, t.TiledCube)

@@ -276,7 +276,8 @@ def test_zonal_tiled_classifies_interior_tiles(spark):
     assert n_zone_px[0] > 0 and n_zone_px[1] > 0 and n_zone_px[2] > 0
     assert 3 not in n_zone_px  # P3 lies outside the scene
     with pytest.raises(ValueError, match="reducer"):
-        t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "product")
+        # product became tile-native in round 11; unknown names still raise
+        t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "mode")
     with pytest.raises(ValueError, match="collides"):
         t.aggregate_spatial_tiled(tc, FIXTURE_POLYGONS, "mean", "band")
     # concave polygons are NATIVE since round 10 (crossing tests) —
