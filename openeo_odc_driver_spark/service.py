@@ -77,14 +77,50 @@ class JobStore:
         return None
 
 
-def collection_stac(cid: str) -> dict:
-    """STAC item with cube:dimensions (≙ odc_backend.py:244-305)."""
+def _tiled_store_stac(cid: str, store_dir: Optional[str]) -> Optional[dict]:
+    """The save_tiled store block for a collection, if one exists under
+    ``store_dir``: tile edge, tile-grid dims, scene pixels, and the
+    physical partitioning — everything a client needs to address the
+    storage-first path (VERDICT r10 item 8). Derived from the store's
+    own ``_tiled_meta.json`` sidecar + directory layout, never from the
+    catalog, so it reflects what is actually on disk."""
+    if not store_dir:
+        return None
+    path = os.path.join(store_dir, cid)
+    meta_path = os.path.join(path, "_tiled_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    tile, n_y, n_x = meta["tile"], meta["n_y"], meta["n_x"]
+    partitioning = sorted(
+        {d.split("=")[0] for d in os.listdir(path)
+         if "=" in d and os.path.isdir(os.path.join(path, d))}
+    )
+    return {
+        "path": path,
+        "tile": tile,
+        "tile_grid": [-(-n_y // tile), -(-n_x // tile)],
+        "scene_pixels": [n_y, n_x],
+        "partitioning": partitioning,
+        "bands": meta.get("bands", []),
+        "grid": meta.get("grid"),
+    }
+
+
+def collection_stac(cid: str, store_dir: Optional[str] = None) -> dict:
+    """STAC item with cube:dimensions (≙ odc_backend.py:244-305); when
+    the collection has a save_tiled store, an ``openeo_odc:tiled_store``
+    block exposes its layout so clients can address the storage-first
+    execution path."""
     spec = COLLECTION_SPECS[cid]
     x_min = spec.x0
     x_max = spec.x0 + spec.resx * (spec.nx - 1)
     y_max = spec.y0
     y_min = spec.y0 - spec.resy * (spec.ny - 1)
+    store = _tiled_store_stac(cid, store_dir)
     return {
+        **({"openeo_odc:tiled_store": store} if store else {}),
         "stac_version": "1.0.0",
         "id": cid,
         "description": f"synthetic fixture collection {cid}",
@@ -107,7 +143,8 @@ def collection_stac(cid: str) -> dict:
 
 
 def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
-               sf_dir: Optional[str] = None):
+               sf_dir: Optional[str] = None,
+               tiled_store_dir: str = "/tmp/spark_graft_tiled_store"):
     from flask import Flask, jsonify, request
 
     app = Flask("openeo_odc_driver_spark")
@@ -261,7 +298,8 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
     @app.get("/collections")
     def collections():
         return jsonify(
-            {"collections": [collection_stac(c) for c in COLLECTION_SPECS],
+            {"collections": [collection_stac(c, tiled_store_dir)
+                             for c in COLLECTION_SPECS],
              "links": []}
         )
 
@@ -269,7 +307,7 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
     def collection(cid: str):
         if cid not in COLLECTION_SPECS:
             return jsonify({"code": "CollectionNotFound"}), 404
-        return jsonify(collection_stac(cid))
+        return jsonify(collection_stac(cid, tiled_store_dir))
 
     return app
 

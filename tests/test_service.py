@@ -207,3 +207,30 @@ def test_concurrent_jobs_cancel_one_other_completes(client):
     again = {k: v for k, v in fast_graph.items() if k != "id"}
     r_again = client.post("/graph", json=again)
     assert r_again.status_code == 200
+
+
+def test_collection_exposes_tiled_store_block(spark, tmp_path):
+    """/collections/<id> carries the save_tiled store layout (tile edge,
+    tile grid, scene pixels, band partitioning) when a store exists —
+    and omits the block when none does (VERDICT r10 item 8)."""
+    from openeo_odc_driver_spark.registry import _build_tiled_store
+    from openeo_odc_driver_spark.service import create_app
+
+    store_root = _build_tiled_store(spark, "synthetic")
+    app = create_app(spark, work_dir=str(tmp_path),
+                     tiled_store_dir=store_root)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    body = c.get("/collections/synthetic").get_json()
+    block = body["openeo_odc:tiled_store"]
+    assert block["tile"] == 8
+    assert block["scene_pixels"] == [16, 16]
+    assert block["tile_grid"] == [2, 2]
+    assert block["partitioning"] == ["band"]
+    assert set(block["bands"]) == {"B04", "B08", "SCL"}
+    assert block["grid"]["resx"] == 10.0
+
+    # a collection without a store omits the block
+    body2 = c.get("/collections/synthetic_coarse").get_json()
+    assert "openeo_odc:tiled_store" not in body2
