@@ -9,16 +9,18 @@ Specification"). Lossy VP8 (a full intra-frame video decoder) stays a
 documented non-goal — :func:`decode_webp` raises a NAMED error for it.
 
 Implemented and ROUND-TRIP-TESTED against the in-repo encoder
-(tests/test_round10_webp.py): the whole entropy layer (simple 1/2-symbol
-codes AND full code-length-coded Huffman with 16/17/18 repeats and the
-max_symbol escape), color cache, LZ77 backward references with plain
-(>120) distance codes, the meta-Huffman group image, and three of the
-four transforms (subtract-green, uniform + per-block predictor, cross
-color) plus the color-indexing (palette) transform including sub-byte
-index packing. The 2-D short-distance map (codes 1..120) is implemented
-from the spec's neighbor table; the test encoder emits only plain
-distance codes, so that table is exercised by unit vectors, not round
-trips — stated here rather than hidden.
+(tests/test_round10_webp.py): the entropy layer (simple 1/2-symbol
+codes and full code-length-coded Huffman), color cache, LZ77 backward
+references with plain (>120) distance codes, the meta-Huffman group
+image, and three of the four transforms (subtract-green, uniform +
+per-block predictor, cross color) plus the color-indexing (palette)
+transform including sub-byte index packing. Two decoder surfaces the
+test encoder never emits are exercised by HAND-BUILT bitstream vectors
+instead of round trips — stated here rather than hidden: the 2-D
+short-distance map (codes 1..120, spec neighbor table) and the
+code-length 16/17/18 repeats + max_symbol escape
+(tests/test_round11.py vp8l vectors; real libwebp files use both
+constantly).
 
 Everything is exact integer arithmetic on uint8/uint32 — no float in
 any path, so decode is bit-deterministic across platforms.
@@ -37,23 +39,52 @@ import numpy as np
 
 
 class BitReader:
+    """LSB-first reader with a byte-fed accumulator (round-11
+    throughput item: the original per-bit loop cost ~µs/bit and held
+    decode at ~146 kpx/s/core; the accumulator + table-driven Huffman
+    reads are the two classic wins). ``peek``/``skip`` support the
+    Huffman tables; bits past the stream end peek as 0 (a table peek
+    may overshoot near the last symbol — the consumed length never
+    does, so decoded output is unchanged)."""
+
     def __init__(self, data: bytes):
         self._d = data
-        self._pos = 0  # bit position
+        self._byte = 0      # next byte to feed
+        self._acc = 0       # accumulated bits, LSB = next stream bit
+        self._nbits = 0
+
+    def _fill(self, n: int) -> None:
+        d, b = self._d, self._byte
+        while self._nbits < n:
+            self._acc |= (d[b] if b < len(d) else 0) << self._nbits
+            b += 1
+            self._nbits += 8
+        self._byte = b
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self._d[self._pos >> 3]
-            v |= ((byte >> (self._pos & 7)) & 1) << i
-            self._pos += 1
+        if self._nbits < n:
+            self._fill(n)
+        v = self._acc & ((1 << n) - 1)
+        self._acc >>= n
+        self._nbits -= n
         return v
 
     def read_bit(self) -> int:
-        byte = self._d[self._pos >> 3]
-        b = (byte >> (self._pos & 7)) & 1
-        self._pos += 1
-        return b
+        if not self._nbits:
+            self._fill(1)
+        v = self._acc & 1
+        self._acc >>= 1
+        self._nbits -= 1
+        return v
+
+    def peek(self, n: int) -> int:
+        if self._nbits < n:
+            self._fill(n)
+        return self._acc & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self._acc >>= n
+        self._nbits -= n
 
 
 class BitWriter:
@@ -106,24 +137,36 @@ class _Code:
             # 0-bit code: always that symbol
             self.only = nz[0][0]
             self.table = {}
+            self.lut = None
+            self.maxlen = 0
         else:
             self.only = None
             self.table = _canonical(lengths)
+            # table-driven decode: one peek of maxlen stream bits
+            # indexes (symbol, length) directly — replaces the per-bit
+            # tree walk (round-11 throughput item). Stream bits are
+            # LSB-first; the code's MSB is the FIRST stream bit, so the
+            # index pattern is the code bit-reversed over its length.
+            self.maxlen = max(ln for ln, _ in self.table)
+            lut = [None] * (1 << self.maxlen)
+            for (ln, code), sym in self.table.items():
+                idx = 0
+                for i in range(ln):  # bit i of idx = code bit (ln-1-i)
+                    idx |= ((code >> (ln - 1 - i)) & 1) << i
+                step = 1 << ln
+                for hi in range(idx, 1 << self.maxlen, step):
+                    lut[hi] = (sym, ln)
+            self.lut = lut
         self.enc = {sym: (ln, code) for (ln, code), sym in self.table.items()}
 
     def read(self, br: BitReader) -> int:
         if self.only is not None:
             return self.only
-        code = 0
-        ln = 0
-        while True:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            hit = self.table.get((ln, code))
-            if hit is not None:
-                return hit
-            if ln > 15:
-                raise ValueError("corrupt VP8L stream: bad Huffman code")
+        hit = self.lut[br.peek(self.maxlen)]
+        if hit is None:
+            raise ValueError("corrupt VP8L stream: bad Huffman code")
+        br.skip(hit[1])
+        return hit[0]
 
     def write(self, bw: BitWriter, sym: int) -> None:
         if self.only is not None:

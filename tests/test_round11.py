@@ -509,3 +509,103 @@ def test_radar_mask_planner_stays_tiled(spark):
         {},
     )
     assert isinstance(out, t.TiledCube)
+
+
+# --- VP8L: hand-built vectors for the repeat/escape decoder branches ---------
+# (ADVICE r10: the in-repo encoder never emits 16/17/18 repeats or the
+# max_symbol escape, so these branches had no test vectors; real
+# libwebp files use them constantly.)
+
+
+def _full_code_stream(cl_lengths, emit):
+    """Hand-assemble a VP8L 'full code' bitstream: code-length code with
+    the given 19 lengths, no/with max_symbol escape, then `emit(bw, cl)`
+    writes the code-length symbols."""
+    from openeo_odc_driver_spark.pipeline.webp import (
+        BitWriter, _Code, _CL_ORDER,
+    )
+
+    bw = BitWriter()
+    bw.write_bit(0)  # full (non-simple) code
+    need = max(i for i, s in enumerate(_CL_ORDER) if cl_lengths[s] > 0) + 1
+    need = max(need, 4)
+    bw.write(need - 4, 4)
+    for i in range(need):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    cl = _Code(list(cl_lengths))
+    emit(bw, cl)
+    return bw
+
+
+def _decode(bw, alphabet):
+    from openeo_odc_driver_spark.pipeline.webp import BitReader, _read_code
+
+    return _read_code(BitReader(bw.tobytes()), alphabet).lengths
+
+
+def test_vp8l_repeat16_copies_previous_length():
+    cl_lengths = [0] * 19
+    cl_lengths[2] = 1
+    cl_lengths[16] = 1
+
+    def emit(bw, cl):
+        bw.write_bit(0)  # no max_symbol escape
+        cl.write(bw, 2)        # symbol 0: length 2 (prev := 2)
+        cl.write(bw, 16)       # repeat previous length
+        bw.write(0, 2)         # 2 extra bits: repeat = 3 + 0
+
+    assert _decode(_full_code_stream(cl_lengths, emit), 4) == [2, 2, 2, 2]
+
+
+def test_vp8l_repeat17_short_zero_run():
+    cl_lengths = [0] * 19
+    for s in (0, 1, 2, 17):
+        cl_lengths[s] = 2
+
+    def emit(bw, cl):
+        bw.write_bit(0)
+        cl.write(bw, 1)        # s0: length 1
+        cl.write(bw, 17)       # zero run
+        bw.write(0, 3)         # 3 extra bits: repeat = 3 + 0 (s1..s3 = 0)
+        cl.write(bw, 2)        # s4
+        cl.write(bw, 2)        # s5
+        cl.write(bw, 0)        # s6
+        cl.write(bw, 0)        # s7
+
+    assert _decode(_full_code_stream(cl_lengths, emit), 8) == [
+        1, 0, 0, 0, 2, 2, 0, 0,
+    ]
+
+
+def test_vp8l_repeat18_long_zero_run():
+    cl_lengths = [0] * 19
+    for s in (1, 2, 18):
+        cl_lengths[s] = 2
+
+    def emit(bw, cl):
+        bw.write_bit(0)
+        cl.write(bw, 1)        # s0: length 1
+        cl.write(bw, 18)       # long zero run
+        bw.write(0, 7)         # 7 extra bits: repeat = 11 + 0 (s1..s11)
+        cl.write(bw, 2)        # s12
+        cl.write(bw, 2)        # s13
+
+    want = [1] + [0] * 11 + [2, 2]
+    assert _decode(_full_code_stream(cl_lengths, emit), 14) == want
+
+
+def test_vp8l_max_symbol_escape_truncates_read():
+    cl_lengths = [0] * 19
+    cl_lengths[1] = 1
+    cl_lengths[0] = 1
+
+    def emit(bw, cl):
+        bw.write_bit(1)        # max_symbol escape present
+        bw.write(0, 3)         # length_nbits = 2 + 2*0 = 2
+        bw.write(0, 2)         # max_symbol = 2 + 0 = 2
+        cl.write(bw, 1)        # s0: length 1
+        cl.write(bw, 1)        # s1: length 1
+        # NOTHING else: the remaining 254 symbols come from the escape
+
+    want = [1, 1] + [0] * 254
+    assert _decode(_full_code_stream(cl_lengths, emit), 256) == want
