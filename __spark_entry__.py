@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 item 5): never-checked round-8 queries lead, then queries whose
 # latest green row is r02, r03, ... — so a silent regression in a
 # long-unchecked op surfaces in the next window instead of never.
-# Regenerated for round 10 from CORRECTNESS_r01..r09 with the snippet in
+# Regenerated for round 11 from CORRECTNESS_r01..r10 with the snippet in
 # scratch/verify_local.py's docstring.
 #
 # _GATE_PRIORITY_ASOF records which driver reports the list was derived
@@ -53,58 +53,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 9
+_GATE_PRIORITY_ASOF = 10
 _GATE_PRIORITY = [
-    "multimodal_webp_decode",
-    "process_graph_masked_seasonal_tiled_store",
-    "process_graph_ndvi_tiled_store",
-    "tiled_climatological_normal",
-    "tiled_reduce_time_sd",
-    "tiled_zonal_concave",
-    "tiled_zonal_median",
-    "tiled_zonal_sd",
-    "pipeline_quality_dedup_stats",
-    "pq_ann",
-    "pq_encode",
-    "process_graph_resample_pushdown",
-    "quantiles_q",
-    "reduce_bands_mean",
-    "reduce_time_count",
-    "reduce_time_max",
-    "reduce_time_mean",
-    "reduce_time_min",
-    "reduce_time_product",
-    "reduce_time_sd",
-    "reduce_time_sum",
-    "reduce_time_variance",
-    "reduce_x_sum",
-    "reduce_y_max",
-    "resample_cube_spatial",
-    "run_udf",
-    "sample_stratified",
-    "shuffle_shards",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_static_enrich",
-    "streaming_tumbling_hourly",
-    "tfidf_top_terms",
-    "bigram_logprob",
-    "bloom_decontaminate",
-    "bpe_learn_merges",
-    "bpe_pair_counts",
-    "cdc_chunks",
-    "corpus_shard_layout",
-    "corpus_stats_sketch",
-    "count_min_heavy_grams",
-    "domain_stats",
-    "dsir_importance_weights",
-    "embedding_int8_quantize",
-    "event_anomaly_hours",
-    "event_funnel",
-    "event_retention_cohorts",
-    "event_sessionize",
-    "events_user_type_pivot",
-    "exact_substring_dedup",
+    "process_graph_resample_align",
+    "process_graph_resample_align_tiled",
+    "tiled_aggregate_period_median",
+    "tiled_radar_mask",
+    "tiled_reduce_x_sd",
+    "tiled_reduce_x_sum",
+    "tiled_reduce_y_max",
+    "tiled_resample_cube_spatial",
+    "tiled_resample_cube_temporal",
+    "tiled_zonal_mean_store",
+    "tiled_zonal_product",
     "fit_curve_harmonic",
     "gopher_quality_flags",
     "incremental_corpus_stats",
@@ -338,6 +299,56 @@ _GATE_PRIORITY = [
     "tiled_zonal_mean",
     "token_count",
     "token_fertility_stats",
+    "bigram_logprob",
+    "bloom_decontaminate",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "cdc_chunks",
+    "corpus_shard_layout",
+    "corpus_stats_sketch",
+    "count_min_heavy_grams",
+    "domain_stats",
+    "dsir_importance_weights",
+    "embedding_int8_quantize",
+    "event_anomaly_hours",
+    "event_funnel",
+    "event_retention_cohorts",
+    "event_sessionize",
+    "events_user_type_pivot",
+    "exact_substring_dedup",
+    "multimodal_webp_decode",
+    "pipeline_quality_dedup_stats",
+    "pq_ann",
+    "pq_encode",
+    "process_graph_masked_seasonal_tiled_store",
+    "process_graph_ndvi_tiled_store",
+    "process_graph_resample_pushdown",
+    "quantiles_q",
+    "reduce_bands_mean",
+    "reduce_time_count",
+    "reduce_time_max",
+    "reduce_time_mean",
+    "reduce_time_min",
+    "reduce_time_product",
+    "reduce_time_sd",
+    "reduce_time_sum",
+    "reduce_time_variance",
+    "reduce_x_sum",
+    "reduce_y_max",
+    "resample_cube_spatial",
+    "run_udf",
+    "sample_stratified",
+    "shuffle_shards",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_tumbling_hourly",
+    "tfidf_top_terms",
+    "tiled_climatological_normal",
+    "tiled_reduce_time_sd",
+    "tiled_zonal_concave",
+    "tiled_zonal_median",
+    "tiled_zonal_sd",
 ]
 
 

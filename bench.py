@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     # round 10
     "tiled_zonal_median",
     "tiled_climatological_normal",
+    # round 11
+    "tiled_resample_cube_spatial",
+    "tiled_resample_cube_temporal",
+    "tiled_radar_mask",
+    "tiled_zonal_mean_store",
 ]
 
 

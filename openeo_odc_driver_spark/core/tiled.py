@@ -1780,6 +1780,10 @@ def resample_cube_spatial_tiled(
                         np.split(rblk, csplit, axis=1),
                         np.split(np.asarray(ci), csplit),
                     ):
+                        # NaN rides Arrow as a double (assemble re-NaNs
+                        # via np.asarray anyway); tolist() is C-speed —
+                        # the per-element None comprehension was stage
+                        # A's bottleneck at 12.6M px
                         out_rows.append({
                             **{c: rec[c] for c in keys},
                             "tile_row": int(rpos[0] // Tt),
@@ -1788,10 +1792,7 @@ def resample_cube_spatial_tiled(
                             "_c0": int(cpos[0] % Tt),
                             "_h": blk.shape[0],
                             "_w": blk.shape[1],
-                            "_frag": [
-                                None if np.isnan(v) else float(v)
-                                for v in blk.reshape(-1)
-                            ],
+                            "_frag": blk.reshape(-1).tolist(),
                         })
             if out_rows:
                 yield pd.DataFrame(out_rows)
@@ -1813,9 +1814,12 @@ def resample_cube_spatial_tiled(
             c: [int(row0[c]) if c in ("tile_row", "tile_col") else row0[c]]
             for c in gkeys
         }
-        rec["data"] = [[
-            None if np.isnan(v) else float(v) for v in canvas.reshape(-1)
-        ]]
+        # vectorized NaN→None (the per-element comprehension was ~1/3
+        # of the op's wall at 12.6M px)
+        flat = canvas.reshape(-1)
+        obj = flat.astype(object)
+        obj[np.isnan(flat)] = None
+        rec["data"] = [obj.tolist()]
         return pd.DataFrame(rec)
 
     out_fields = ", ".join(
@@ -1888,10 +1892,8 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
                             **{c: rec[c] for c in keys},
                             "tile_row": dr, "tile_col": dc,
                             "_r0": r0, "_c0": c0, "_h": h, "_w": w,
-                            "_frag": [
-                                None if np.isnan(v) else float(v)
-                                for v in blk.reshape(-1)
-                            ],
+                            # NaN rides Arrow; assemble re-NaNs anyway
+                            "_frag": blk.reshape(-1).tolist(),
                         })
             if rows:
                 yield pd.DataFrame(rows)
@@ -1913,9 +1915,12 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
             c: [int(row0[c]) if c in ("tile_row", "tile_col") else row0[c]]
             for c in gkeys
         }
-        rec["data"] = [[
-            None if np.isnan(v) else float(v) for v in canvas.reshape(-1)
-        ]]
+        # vectorized NaN→None (the per-element comprehension was ~1/3
+        # of the op's wall at 12.6M px)
+        flat = canvas.reshape(-1)
+        obj = flat.astype(object)
+        obj[np.isnan(flat)] = None
+        rec["data"] = [obj.tolist()]
         return pd.DataFrame(rec)
 
     out_fields = ", ".join(

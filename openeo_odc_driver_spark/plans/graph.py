@@ -595,12 +595,17 @@ class ProcessGraph:
         sides coerced to tiles), merge_cubes (concat cases),
         apply_kernel (border-0, radius ≤ tile), aggregate_spatial
         (convex + mean/sum/min/max/count → the interior/boundary
-        classified plan, emits long), resample_cube_temporal (broadcast
+        classified plan, emits long), radar_mask (radius-2 halo-strip
+        exchange on the DEM band), resample_cube_temporal (broadcast
         as-of relabel on tile rows), resample_cube_spatial (factor-
         aligned nearest snap via the fragment repack; bilinear /
         upscale / shifted origins demote). filter_bbox uses the
-        tile-pruning path, which expands (documented demotion
-        point)."""
+        tile-pruning path, which expands (documented demotion point).
+        geocode stays long BY DESIGN: its input positions (per-pixel
+        LON/LAT layer bands) are irregular, so the packed layout's
+        premise — pixel index ≡ grid cell — doesn't hold past the
+        pivot; the long operator already chunk-groups by target tile
+        internally."""
         from ..core import tiled as tl
         from ..core.tiled import TiledCube
 
