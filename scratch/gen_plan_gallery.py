@@ -57,6 +57,29 @@ GALLERY = [
      "round 10: storage-first planner execution — the save_tiled store "
      "scanned with band partition pruning + temporal pushdown, no "
      "query-time pack anywhere in the plan"),
+    ("tiled_resample_cube_temporal",
+     "round 11: nearest-time as-of relabel as a BroadcastHashJoin onto "
+     "tile rows — the packed arrays never open, the big side never "
+     "shuffles; the mapping subplan is two tiny distinct axes + one "
+     "window"),
+    ("tiled_resample_cube_spatial",
+     "round 11: factor-aligned grid snap — scan-fused mapInPandas "
+     "samples k^2-fewer winner pixels per source tile BEFORE the one "
+     "fragment exchange keyed by output tile; no window, no per-pixel "
+     "rows"),
+    ("tiled_radar_mask",
+     "round 11: radius-2 halo-strip exchange on the DEM band only "
+     "(~(1+8/T)x one band shuffled), vectorized stencil per target "
+     "tile, LIA scene mean as a broadcast scalar — vs two per-pixel "
+     "window exchanges on the long tier"),
+    ("tiled_zonal_mean_store",
+     "round 11: zonal stats FROM the save_tiled store — the zones-bbox "
+     "tile-range BETWEEN reaches the parquet scan as PushedFilters; "
+     "interior tiles fold to partials without opening per-pixel rows"),
+    ("tiled_reduce_x_sum",
+     "round 11: spatial-axis reducer — within-tile line partials "
+     "(raster drops tile-x scan-fused) + one line-keyed combine with "
+     "map-side partial aggregation"),
 ]
 
 
