@@ -58,6 +58,8 @@ _GATE_PRIORITY = [
     "process_graph_resample_align",
     "process_graph_resample_align_tiled",
     "tiled_aggregate_period_median",
+    "tiled_array_interpolate",
+    "tiled_quantiles",
     "tiled_radar_mask",
     "tiled_reduce_x_sd",
     "tiled_reduce_x_sum",

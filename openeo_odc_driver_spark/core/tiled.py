@@ -398,6 +398,139 @@ def reduce_bands_tiled(
     )
 
 
+def quantiles_tiled(
+    tc: TiledCube,
+    probabilities: "Sequence[float] | None" = None,
+    q: int | None = None,
+) -> TiledCube:
+    """openEO ``quantiles`` over the TIME axis natively on tiles (long
+    twin ``operators/reducers.py:quantiles``; reference wires it under
+    ``apply_dimension``, ``openeo_odc_driver.py:852-904``): the
+    reduce_time_median_tiled multiset fold generalized to a probability
+    list — per position one vectorized ``np.nanpercentile`` over the
+    stacked arrays, one output tile row PER probability with a ``prob``
+    column riding (``from_tiled`` passes it through exactly like the
+    long operator's exploded prob column). Linear interpolation between
+    closest ranks is the same arithmetic in numpy, Spark ``percentile``
+    and DuckDB ``quantile_cont`` (lower + frac·(higher−lower)), so the
+    tiers stay bit-equal on dyadic inputs; all-NULL positions stay NULL.
+    One tile-keyed exchange — same shape as the median fold."""
+    import numpy as np
+    import pandas as pd
+
+    if (probabilities is None) == (q is None):
+        raise ValueError("exactly one of probabilities/q required")
+    if q is not None:
+        probabilities = [i / q for i in range(1, q)]
+    probs = [float(p) for p in probabilities]
+    if TIME not in tc.schema.dims:
+        raise ValueError("quantiles_tiled needs a time dimension")
+    keys = [BAND] if BAND in tc.schema.dims else []
+    gkeys = [*keys, "tile_row", "tile_col"]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack = np.array(
+            [np.asarray(d, dtype="float64") for d in pdf["data"]]
+        )
+        all_nan = np.isnan(stack).all(axis=0)
+        safe = np.where(all_nan[None, :], 0.0, stack)
+        qs = np.nanpercentile(
+            safe, [p * 100.0 for p in probs], axis=0
+        )  # (len(probs), T2)
+        row0 = pdf.iloc[0]
+        base = {
+            k: row0[k] if k == BAND else int(row0[k]) for k in gkeys
+        }
+        rows = []
+        for i, p in enumerate(probs):
+            arr = qs[i].astype(object)
+            arr[all_nan] = None
+            rows.append({**base, "prob": p, "data": arr.tolist()})
+        return pd.DataFrame(rows)
+
+    fields = ", ".join(
+        f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
+    )
+    df = tc.df.groupBy(*gkeys).applyInPandas(
+        fold, f"{fields}, prob double, data array<double>"
+    )
+    return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
+
+
+def array_interpolate_linear_tiled(tc: TiledCube) -> TiledCube:
+    """Linear gap-fill of NULLs along TIME natively on tiles (long twin
+    ``operators/dimops.py:array_interpolate_linear``; reference
+    ``openeo_odc_driver.py:1326-1337``): per tile group the time stack
+    fills interior NaNs by the coordinate-weighted blend of the
+    previous/next non-NULL sample — fully vectorized via
+    forward/backward ``maximum.accumulate`` index fills +
+    ``take_along_axis`` gathers; ends stay NULL (xarray interpolate_na
+    default). The arithmetic is the long window plan's expression
+    (pv + (coord−pc)/(nc−pc)·(nv−pv), coords = unix micros as double)
+    evaluated in the same order, so the tiers agree bit-for-bit.
+
+    One tile-keyed exchange carrying each tile's time stack — the long
+    plan's two window passes shuffle per-pixel rows twice."""
+    import numpy as np
+    import pandas as pd
+
+    if TIME not in tc.schema.dims:
+        raise ValueError("array_interpolate_linear_tiled needs time")
+    keys = [BAND] if BAND in tc.schema.dims else []
+    gkeys = [*keys, "tile_row", "tile_col"]
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TIME).reset_index(drop=True)
+        stack = np.array(
+            [np.asarray(d, dtype="float64") for d in pdf["data"]]
+        )
+        nt = stack.shape[0]
+        # epoch micros as double — the long plan's coordinate
+        coord = (
+            pdf[TIME].astype("datetime64[us]").astype("int64")
+            .to_numpy().astype("float64")
+        )
+        nan = np.isnan(stack)
+        rows = np.arange(nt)[:, None]
+        fidx = np.maximum.accumulate(np.where(~nan, rows, -1), axis=0)
+        bidx_r = np.maximum.accumulate(
+            np.where(~nan[::-1], rows, -1), axis=0
+        )[::-1]
+        has_b = bidx_r >= 0
+        bidx = np.where(has_b, nt - 1 - bidx_r, 0)
+        has_f = fidx >= 0
+        f_safe = np.maximum(fidx, 0)
+        pv = np.take_along_axis(stack, f_safe, axis=0)
+        nv = np.take_along_axis(stack, bidx, axis=0)
+        pc = coord[f_safe]
+        ncd = coord[bidx]
+        fillable = nan & has_f & has_b
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (coord[:, None] - pc) / (ncd - pc) * (nv - pv)
+        out = np.where(fillable, interp, stack)
+        recs = []
+        row0 = pdf.iloc[0]
+        base = {
+            k: row0[k] if k == BAND else int(row0[k]) for k in gkeys
+        }
+        for i in range(nt):
+            arr = out[i].astype(object)
+            arr[np.isnan(out[i])] = None
+            recs.append({**base, TIME: pdf[TIME].iloc[i],
+                         "data": arr.tolist()})
+        return pd.DataFrame(recs)
+
+    fields = ", ".join(
+        f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
+    )
+    df = tc.df.groupBy(*gkeys).applyInPandas(
+        fill, f"{fields}, {TIME} timestamp, data array<double>"
+    )
+    # column order back to the canonical (keys, time, tiles, data)
+    df = df.select(*keys, TIME, "tile_row", "tile_col", "data")
+    return TiledCube(df, tc.schema, tc.tile, tc.n_y, tc.n_x)
+
+
 _SPATIAL_REDUCERS = ("mean", "sum", "min", "max", "count", "sd", "variance")
 
 

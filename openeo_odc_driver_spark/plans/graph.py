@@ -591,7 +591,9 @@ class ProcessGraph:
         the transform lambda var — same _compile_expr as the long
         path), reduce_dimension (named time reducers mean/sum/min/max/
         median, named band reducers, band EXPRESSIONS via the tiled
-        wide-join compiler), aggregate_temporal_period, mask (both
+        wide-join compiler, x/y partial-fold reducers),
+        apply_dimension (time quantiles), array_interpolate_linear
+        (time), aggregate_temporal_period (incl. median), mask (both
         sides coerced to tiles), merge_cubes (concat cases),
         apply_kernel (border-0, radius ≤ tile), aggregate_spatial
         (convex + mean/sum/min/max/count → the interior/boundary
@@ -679,6 +681,26 @@ class ProcessGraph:
                 # emits long (the result keeps one spatial axis)
                 return tl.reduce_spatial_tiled(tc, dim, named)
             return NotImplemented  # x/y median/product & quantiles: long
+        if pid == "apply_dimension" and is_tiled("data"):
+            child = args["process"]["process_graph"]
+            node_c = next(iter(child.values()))
+            if (
+                len(child) == 1
+                and node_c["process_id"] == "quantiles"
+                and canonical_dim(args.get("dimension", "time")) == TIME
+            ):
+                ca = node_c.get("arguments", {})
+                return tl.quantiles_tiled(
+                    self._resolve_raw(args["data"]),
+                    probabilities=ca.get("probabilities"), q=ca.get("q"),
+                )
+            return NotImplemented  # non-time quantiles: long path
+        if pid == "array_interpolate_linear" and is_tiled("data"):
+            if canonical_dim(args.get("dimension", "time")) == TIME:
+                return tl.array_interpolate_linear_tiled(
+                    self._resolve_raw(args["data"])
+                )
+            return NotImplemented
         if pid == "climatological_normal" and is_tiled("data"):
             if args.get("frequency", "monthly") == "monthly":
                 return tl.climatological_normal_tiled(

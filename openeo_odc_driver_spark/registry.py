@@ -526,6 +526,36 @@ def _quantiles_q(spark, sf_dir):
     return quantiles(synthetic_cube(spark), "time", q=4).df
 
 
+@q("tiled_quantiles", ORACLE["quantiles"])
+def _tiled_quantiles(spark, sf_dir):
+    """Round-11: quantiles over time natively on tiles (core/tiled.py:
+    quantiles_tiled) — the median multiset fold generalized to a prob
+    list, one tile row per probability with the prob column riding
+    through from_tiled. Shares the long quantiles oracle (numpy / Spark
+    percentile / DuckDB quantile_cont all interpolate
+    lower + frac·(higher−lower))."""
+    from .core.tiled import from_tiled, quantiles_tiled
+
+    return from_tiled(
+        quantiles_tiled(_tiled_fixture(spark), probabilities=_QPROBS)
+    ).df
+
+
+@q("tiled_array_interpolate", ORACLE["array_interpolate_linear"])
+def _tiled_array_interpolate(spark, sf_dir):
+    """Round-11: linear NULL gap-fill along time natively on tiles
+    (core/tiled.py: array_interpolate_linear_tiled) — vectorized
+    forward/backward index fills + take_along_axis gathers per tile
+    stack; ends stay NULL. One tile-keyed exchange vs the long plan's
+    two per-pixel window passes; shares the long oracle, so the
+    coordinate-weighted blend must agree bit-for-bit."""
+    from .core.tiled import array_interpolate_linear_tiled, from_tiled
+
+    return from_tiled(
+        array_interpolate_linear_tiled(_tiled_fixture(spark))
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Grouped / windowed aggregations (SURVEY §2.7)
 # ---------------------------------------------------------------------------

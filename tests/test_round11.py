@@ -609,3 +609,86 @@ def test_vp8l_max_symbol_escape_truncates_read():
 
     want = [1, 1] + [0] * 254
     assert _decode(_full_code_stream(cl_lengths, emit), 256) == want
+
+
+# --- quantiles + array_interpolate_linear on tiles ----------------------------
+
+
+def test_quantiles_tiled_matches_long(spark):
+    from openeo_odc_driver_spark.operators.reducers import quantiles
+
+    src = synthetic_cube(spark)
+    for tile in (8, 5):
+        tc = t.to_tiled(src, tile=tile, n_y=16, n_x=16)
+        _frames_equal(
+            quantiles(src, "time", probabilities=[0.25, 0.5, 0.75]).df,
+            t.from_tiled(
+                t.quantiles_tiled(tc, probabilities=[0.25, 0.5, 0.75])
+            ).df,
+        )
+    _frames_equal(
+        quantiles(src, "time", q=4).df,
+        t.from_tiled(
+            t.quantiles_tiled(
+                t.to_tiled(src, tile=8, n_y=16, n_x=16), q=4
+            )
+        ).df,
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        t.quantiles_tiled(
+            t.to_tiled(src, tile=8, n_y=16, n_x=16),
+            probabilities=[0.5], q=4,
+        )
+
+
+def test_array_interpolate_linear_tiled_matches_long(spark):
+    from openeo_odc_driver_spark.operators.dimops import (
+        array_interpolate_linear,
+    )
+
+    src = synthetic_cube(spark)
+    long_df = array_interpolate_linear(src, "time").df
+    for tile in (8, 5):
+        tiled = t.array_interpolate_linear_tiled(
+            t.to_tiled(src, tile=tile, n_y=16, n_x=16)
+        )
+        _frames_equal(long_df, t.from_tiled(tiled).df)
+
+
+def test_apply_dimension_quantiles_graph_stays_tiled(spark):
+    """apply_dimension(quantiles, time) executes tiled demotion-free."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_collection",
+                "arguments": {"id": "synthetic"},
+            },
+            "gaps": {
+                "process_id": "array_interpolate_linear",
+                "arguments": {"data": {"from_node": "load"}},
+            },
+            "qs": {
+                "process_id": "apply_dimension",
+                "arguments": {
+                    "data": {"from_node": "gaps"},
+                    "dimension": "time",
+                    "process": {"process_graph": {"n": {
+                        "process_id": "quantiles",
+                        "arguments": {
+                            "data": {"from_parameter": "data"},
+                            "probabilities": [0.5],
+                        },
+                        "result": True,
+                    }}},
+                },
+                "result": True,
+            },
+        }
+    }
+    pg = ProcessGraph(graph, tiled=True, tile=8, save_dir="/tmp/pg_adq")
+    cube = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    long_pg = ProcessGraph(graph, save_dir="/tmp/pg_adq_long")
+    _frames_equal(long_pg.execute(spark).df, cube.df)
