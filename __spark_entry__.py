@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "tiled_array_interpolate",
     "tiled_quantiles",
     "tiled_radar_mask",
+    "tiled_reduce_x_median",
     "tiled_reduce_x_sd",
     "tiled_reduce_x_sum",
     "tiled_reduce_y_max",

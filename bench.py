@@ -139,6 +139,12 @@ def tiled_layout_compare(spark) -> dict:
         synthetic_cube,
     )
 
+    # same JMH hygiene as the per-query blocks: this runs AFTER ~75
+    # query blocks, and a major GC landing inside it showed as a phantom
+    # 8x tiled regression in the r11 local run (5.4 s in-bench vs 1.3 s
+    # isolated)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
     spec = CubeSpec(n_times=12, ny=512, nx=512)
     cube = synthetic_cube(spark, spec)
     work = tempfile.mkdtemp(prefix="tiled_bench_")

@@ -532,6 +532,7 @@ def array_interpolate_linear_tiled(tc: TiledCube) -> TiledCube:
 
 
 _SPATIAL_REDUCERS = ("mean", "sum", "min", "max", "count", "sd", "variance")
+_SPATIAL_MULTISET = ("median", "product")
 
 
 def reduce_spatial_tiled(
@@ -563,14 +564,20 @@ def reduce_spatial_tiled(
     reductions per tile, the scale path; ``"auto"`` by
     ``TILE_VECTORIZE_CELLS``. NULL semantics match the long reducers
     (NULLs skipped; empty lines → NULL value rows, the long groupBy's
-    behavior on all-NULL lines of a dense cube). ``median``/``product``
-    need the line multiset and stay on the long path (the demotion's
-    posexplode + groupBy IS the shuffle-optimal multiset plan)."""
+    behavior on all-NULL lines of a dense cube).
+
+    ``median``/``product`` need the line MULTISET: stage 1 emits each
+    line's non-NULL values as a compact array (NULL stripping shrinks
+    the exchange below the demotion's per-pixel keyed rows), stage 2
+    explodes AFTER the exchange and finishes with the long
+    ``median_expr``/``product_expr`` verbatim — the sorted-fold product
+    and exact percentile rounding stay tier-identical."""
     if dim not in (X, Y):
         raise ValueError(f"dim must be {X!r} or {Y!r}, got {dim!r}")
-    if reducer not in _SPATIAL_REDUCERS:
+    if reducer not in (*_SPATIAL_REDUCERS, *_SPATIAL_MULTISET):
         raise ValueError(
-            f"reducer must be one of {_SPATIAL_REDUCERS}, got {reducer!r}"
+            f"reducer must be one of "
+            f"{(*_SPATIAL_REDUCERS, *_SPATIAL_MULTISET)}, got {reducer!r}"
         )
     g = tc.schema.grid
     if g is None:
@@ -580,6 +587,8 @@ def reduce_spatial_tiled(
     keys = tc.key_dims
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
+    if reducer in _SPATIAL_MULTISET:
+        return _reduce_spatial_multiset(tc, dim, reducer, impl)
 
     if impl == "sql":
         # per-line element gather: reducing x folds each ROW slice;
@@ -701,6 +710,99 @@ def _partial_finish(reducer: str):
         "variance": F.when(
             n > 1, F.greatest(F.lit(0.0), ss - s * s / n) / (n - F.lit(1))),
     }[reducer]
+
+
+def _reduce_spatial_multiset(
+    tc: TiledCube, dim: str, reducer: str, impl: str
+) -> Cube:
+    """median/product over a spatial axis (see
+    :func:`reduce_spatial_tiled`): per-line non-NULL value arrays out
+    of each tile (sql HOF filter or numpy), one line-keyed exchange of
+    COMPACT arrays, explode after the exchange, finish with the long
+    reducer expressions."""
+    from ..operators.reducers import median_expr, product_expr
+
+    g = tc.schema.grid
+    T = tc.tile
+    keys = tc.key_dims
+    if impl == "sql":
+        line_vals = (
+            f"slice(data, r * {T} + 1, {T})" if dim == X
+            else f"transform(sequence(0, {T - 1}), q -> data[q * {T} + r])"
+        )
+        vals = (
+            f"transform(sequence(0, {T - 1}), "
+            f"r -> filter({line_vals}, v -> v IS NOT NULL))"
+        )
+        lines = tc.df.select(
+            *keys, "tile_row", "tile_col",
+            F.posexplode(F.expr(vals)).alias("_lp", "_vals"),
+        )
+    elif impl == "numpy":
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        axis = 1 if dim == X else 0
+        key_fields = ", ".join(
+            f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
+        )
+        out_schema = (
+            (f"{key_fields}, " if keys else "")
+            + "tile_row int, tile_col int, _lp int, _vals array<double>"
+        )
+
+        def emit(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for row in pdf.itertuples(index=False):
+                    rec = row._asdict()
+                    a = np.asarray(
+                        rec["data"], dtype="float64"
+                    ).reshape(T, T)
+                    if axis == 0:
+                        a = a.T
+                    base = {k: rec[k] for k in keys}
+                    base["tile_row"] = int(rec["tile_row"])
+                    base["tile_col"] = int(rec["tile_col"])
+                    for lp in range(T):
+                        line = a[lp]
+                        out.append({
+                            **base, "_lp": lp,
+                            "_vals": line[~np.isnan(line)].tolist(),
+                        })
+                yield pd.DataFrame(out)
+
+        lines = tc.df.mapInPandas(emit, out_schema)
+    else:
+        raise ValueError(
+            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
+        )
+
+    if dim == X:
+        idx = F.col("tile_row").cast("long") * T + F.col("_lp")
+        kept, n_kept = Y, tc.n_y
+        coord = F.lit(g.y0) - F.lit(g.resy) * idx
+    else:
+        idx = F.col("tile_col").cast("long") * T + F.col("_lp")
+        kept, n_kept = X, tc.n_x
+        coord = F.lit(g.x0) + F.lit(g.resx) * idx
+    agg = median_expr(VALUE) if reducer == "median" else product_expr(VALUE)
+    # explode AFTER the exchange; explode_outer keeps empty (all-NULL)
+    # lines as NULL-value rows so the group exists, like the long
+    # groupBy over a dense cube
+    out = (
+        lines.where(idx < n_kept)
+        .select(*keys, coord.alias(kept),
+                F.explode_outer("_vals").alias(VALUE))
+        .groupBy(*keys, kept)
+        .agg(agg.alias(VALUE))
+    )
+    return Cube(out, tc.schema.drop(dim))
 
 
 def _fold_time_groups(

@@ -676,11 +676,14 @@ class ProcessGraph:
                 return tl.reduce_bands_tiled(tc, named)
             if dim == BAND and named is None:
                 return _reduce_bands_expression_tiled(tc, child)
-            if dim in (X, Y) and named in tl._SPATIAL_REDUCERS:
-                # within-tile line partials + one line-keyed combine;
-                # emits long (the result keeps one spatial axis)
+            if dim in (X, Y) and named in (
+                *tl._SPATIAL_REDUCERS, *tl._SPATIAL_MULTISET
+            ):
+                # within-tile line partials (or compact value multisets
+                # for median/product) + one line-keyed combine; emits
+                # long (the result keeps one spatial axis)
                 return tl.reduce_spatial_tiled(tc, dim, named)
-            return NotImplemented  # x/y median/product & quantiles: long
+            return NotImplemented  # x/y quantiles: long path
         if pid == "apply_dimension" and is_tiled("data"):
             child = args["process"]["process_graph"]
             node_c = next(iter(child.values()))

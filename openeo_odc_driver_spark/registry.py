@@ -1331,6 +1331,23 @@ def _tiled_reduce_x_sd(spark, sf_dir):
 
 
 @q(
+    "tiled_reduce_x_median",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, time, y, quantile_cont(value, 0.5) AS value "
+    "FROM cube GROUP BY band, time, y",
+)
+def _tiled_reduce_x_median(spark, sf_dir):
+    """Round-11: the multiset path of the spatial-axis reducers —
+    per-line non-NULL value arrays out of each tile (compact exchange),
+    exploded after the shuffle into the long median_expr. product
+    shares the path with product_expr (pytest-pinned)."""
+    from .core.tiled import reduce_spatial_tiled
+
+    return reduce_spatial_tiled(_tiled_fixture(spark), "x", "median",
+                                impl="sql").df
+
+
+@q(
     "tiled_aggregate_period_median",
     f"WITH cube AS ({CUBE_D}) "
     "SELECT band, y, x, CAST(date_trunc('quarter', time) AS TIMESTAMP) AS time, "

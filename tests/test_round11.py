@@ -216,10 +216,12 @@ def test_reduce_spatial_tiled_engines_match_long(spark):
             )
 
 
-def test_reduce_spatial_tiled_rejects_multiset_reducers(spark):
+def test_reduce_spatial_tiled_rejects_unknown(spark):
     tc = t.to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    # median/product became native (the multiset path) later in r11;
+    # unknown names and non-spatial dims still raise
     with pytest.raises(ValueError, match="reducer"):
-        t.reduce_spatial_tiled(tc, "x", "median")
+        t.reduce_spatial_tiled(tc, "x", "mode")
     with pytest.raises(ValueError, match="dim"):
         t.reduce_spatial_tiled(tc, "time", "sum")
 
@@ -692,3 +694,20 @@ def test_apply_dimension_quantiles_graph_stays_tiled(spark):
     assert pg.tiled_demotions == []
     long_pg = ProcessGraph(graph, save_dir="/tmp/pg_adq_long")
     _frames_equal(long_pg.execute(spark).df, cube.df)
+
+
+def test_reduce_spatial_multiset_tiled_matches_long(spark):
+    """x/y median and product ride the compact line-multiset path —
+    both engines, partial tiles, exact against the long reducers."""
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    src = synthetic_cube(spark)
+    for dim in ("x", "y"):
+        for red in ("median", "product"):
+            long_df = reduce_dimension(src, dim, red).df
+            for impl, tile in (("sql", 8), ("numpy", 5)):
+                tiled = t.reduce_spatial_tiled(
+                    t.to_tiled(src, tile=tile, n_y=16, n_x=16),
+                    dim, red, impl=impl,
+                )
+                _frames_equal(long_df, tiled.df)
