@@ -1884,26 +1884,60 @@ def resample_cube_temporal_tiled(source: TiledCube, target) -> TiledCube:
     return TiledCube(out, schema, source.tile, source.n_y, source.n_x)
 
 
-def tiled_regrid_factor(sg, tg) -> int | None:
-    """The grid relationship :func:`resample_cube_spatial_tiled` can run
-    natively: target resolution an integer multiple k ≥ 1 of the source
-    on BOTH axes with shared origins (the factor-aligned downscale —
-    e.g. 10 m → 20 m Sentinel-2 band alignment). Returns k, or None when
-    the planner should demote to the long snap (upscale, rational
-    factors, shifted origins)."""
-    if sg is None or tg is None:
-        return None
-    kx, ky = tg.resx / sg.resx, tg.resy / sg.resy
-    k = round(kx)
-    if (
-        abs(kx - k) > 1e-9
-        or abs(ky - k) > 1e-9
-        or k < 1
-        or abs(tg.x0 - sg.x0) > 1e-9 * max(1.0, abs(sg.resx))
-        or abs(tg.y0 - sg.y0) > 1e-9 * max(1.0, abs(sg.resy))
-    ):
-        return None
-    return int(k)
+class TiledRegridUnsupported(ValueError):
+    """The grid pair has no exact tiled nearest-snap representation
+    (upscale gaps, partially-covering target axes) — the planner
+    catches THIS class and demotes to the long snap."""
+
+
+def _axis_winner_map(
+    n_src: int, o_s: float, res_s: float, o_t: float, res_t: float,
+    descending: bool,
+):
+    """Winner SOURCE index per target cell along one axis — the long
+    snap's semantics precomputed as plan data with the SAME IEEE double
+    expressions ``operators/resample.py:resample_cube_spatial``
+    evaluates per row (coordinate, quotient, floor(·+0.5), squared
+    distance — a derived ``off + step·i`` form rounds differently and
+    flips winners near rational-factor ties). Ties break by the long
+    window's ORDER BY coordinate: smaller x (= smaller i, ascending
+    axis), smaller y (= LARGER i, descending axis). The map is strictly
+    increasing (snapper sets are disjoint). Raises
+    :class:`TiledRegridUnsupported` when the long output's cell set is
+    not exactly [0, J_max] (negative or gapped snap image — upscale, or
+    a target origin off the scene): a dense tile array cannot represent
+    absent interior cells without fabricating NULL rows the long
+    operator lacks."""
+    import numpy as np
+
+    i = np.arange(n_src, dtype="float64")
+    if descending:  # y = o_s − res_s·i; sy = o_t − res_t·J
+        c = o_s - res_s * i
+        J = np.floor((o_t - c) / res_t + 0.5).astype("int64")
+        snapped = o_t - res_t * J.astype("float64")
+    else:  # x = o_s + res_s·i; sx = o_t + res_t·J
+        c = o_s + res_s * i
+        J = np.floor((c - o_t) / res_t + 0.5).astype("int64")
+        snapped = o_t + res_t * J.astype("float64")
+    if J[0] != 0:
+        raise TiledRegridUnsupported(
+            "target origin does not anchor the snapped scene "
+            f"(first source pixel snaps to cell {J[0]}, want 0)"
+        )
+    d = (c - snapped) * (c - snapped)
+    nt = int(J[-1]) + 1
+    tb = -i if descending else i
+    order = np.lexsort((tb, d, J))
+    Jo = J[order]
+    first = np.unique(Jo, return_index=True)[1]
+    winners = np.full(nt, -1, dtype="int64")
+    winners[Jo[first]] = order[first]
+    if (winners < 0).any():
+        raise TiledRegridUnsupported(
+            "snap image has interior gaps (target finer than source?); "
+            "the tiled layout cannot represent absent cells"
+        )
+    return winners
 
 
 def resample_cube_spatial_tiled(
@@ -1911,33 +1945,33 @@ def resample_cube_spatial_tiled(
 ) -> TiledCube:
     """``resample_cube_spatial`` nearest-snap (reference
     ``openeo_odc_driver.py:342-358``; long twin
-    ``operators/resample.py:53``) natively on tiles for factor-aligned
-    grids — integer arithmetic on tile indices, no coordinate columns
-    ever materialized.
-
-    Semantics (proved identical to the long snap, which floors
-    ``j/k + 0.5`` per source pixel then keeps the min-distance pixel per
-    target cell): with factor k and shared origins, target cell I wins
-    source pixel ``min(k·I, n-1)`` and the output axis has
-    ``floor((n-1)/k + 0.5) + 1`` cells — the trailing cell exists when
-    the last source pixel rounds up past the last exact-multiple cell,
-    and its winner is that last pixel (closest from below; the long
-    window's distance order, no ties since d=0 is unique elsewhere).
+    ``operators/resample.py:53``) natively on tiles for ANY covering
+    downscale grid pair — integer factors, RATIONAL factors (10 m →
+    15 m), and shifted origins alike: the long snap's winner pixel per
+    target cell is a pure function of the two grids, precomputed per
+    axis as plan data (:func:`_axis_winner_map`), so no coordinate
+    columns ever materialize.
 
     Physical plan, two stages:
 
     1. **Scan-fused sampling** (``mapInPandas``, zero exchange): each
-       source tile emits the strided sample of its winner pixels as
-       fragments addressed to output tiles — data volume drops k²×
-       BEFORE anything shuffles.
+       source tile emits the gathered sample of its winner pixels as
+       fragments addressed to output tiles — data volume drops to the
+       output raster BEFORE anything shuffles.
     2. **One exchange of output-raster bytes** (``applyInPandas`` keyed
        by output tile): fragments scatter into the target-edge canvas.
        Winners partition by source tile, so fragments never overlap.
 
-    Upscale / rational factors / shifted origins raise ValueError — the
-    planner checks :func:`tiled_regrid_factor` first and demotes to the
-    long snap (recorded in ``tiled_demotions``); ``bilinear`` likewise
-    stays long (its 4-neighbor gather wants coordinate rows)."""
+    Grid pairs without an exact dense representation (upscale gaps,
+    off-scene target origins) raise
+    :class:`TiledRegridUnsupported` — the planner catches it and
+    demotes to the long snap (recorded in ``tiled_demotions``);
+    ``bilinear`` likewise stays long (its 4-neighbor gather wants
+    coordinate rows). 2-D cross ties (two candidates with DIFFERENT
+    per-axis distances but equal total distance, where the long
+    ``ORDER BY d, x, y`` could pick a non-separable winner) are not
+    reproduced — they require exact d equality across unequal axis
+    splits, absent from real grid pairs."""
     from dataclasses import replace as _dc_replace
     from typing import Iterator
 
@@ -1947,34 +1981,36 @@ def resample_cube_spatial_tiled(
     if method not in ("near", "nearest"):
         raise ValueError("only near/nearest runs natively on tiles")
     sg, tg = source.schema.grid, target.schema.grid
-    k = tiled_regrid_factor(sg, tg)
-    if k is None:
-        raise ValueError(
-            "resample_cube_spatial_tiled needs factor-aligned grids "
-            "(integer downscale, shared origin); demote to the long snap"
-        )
+    if sg is None or tg is None:
+        raise ValueError("resample_cube_spatial_tiled needs GridSpecs")
     Tt = target.tile if isinstance(target, TiledCube) else source.tile
     schema = _dc_replace(source.schema, grid=tg)
-    if k == 1:
-        out = TiledCube(source.df, schema, source.tile, source.n_y, source.n_x)
-        return out if source.tile == Tt else retile(out, Tt)
     T = source.tile
     n_y, n_x = source.n_y, source.n_x
-    nt_y = int((n_y - 1) // k + (1 if ((n_y - 1) % k) * 2 >= k else 0)) + 1
-    nt_x = int((n_x - 1) // k + (1 if ((n_x - 1) % k) * 2 >= k else 0)) + 1
+    wx = _axis_winner_map(
+        n_x, sg.x0, sg.resx, tg.x0, tg.resx, descending=False
+    )
+    wy = _axis_winner_map(
+        n_y, sg.y0, sg.resy, tg.y0, tg.resy, descending=True
+    )
+    nt_y, nt_x = len(wy), len(wx)
+    if (
+        nt_x == n_x and nt_y == n_y
+        and (wx == np.arange(n_x)).all() and (wy == np.arange(n_y)).all()
+    ):
+        # identity snap (same grid): pure schema swap
+        out = TiledCube(source.df, schema, T, n_y, n_x)
+        return out if T == Tt else retile(out, Tt)
     keys = source.key_dims
 
-    def axis_winners(t0: int, n: int, nt: int):
+    def axis_winners(t0: int, winners) -> tuple:
         """Output indices whose winner pixel lies in tile span
-        [t0, t0+T) of an n-pixel axis, with the winner's local offset."""
-        hi = min(t0 + T, n)
-        lo_i = -(-t0 // k)  # ceil
-        hi_i = (hi - 1) // k
-        idx = list(range(lo_i, hi_i + 1))
-        local = [i * k - t0 for i in idx]
-        if k * (nt - 1) > n - 1 and t0 <= n - 1 < t0 + T:
-            idx.append(nt - 1)
-            local.append(n - 1 - t0)
+        [t0, t0+T), with the winner's local offset — winners is
+        strictly increasing, so the slice is one searchsorted range."""
+        lo = int(np.searchsorted(winners, t0, side="left"))
+        hi = int(np.searchsorted(winners, t0 + T, side="left"))
+        idx = list(range(lo, hi))
+        local = [int(winners[i2]) - t0 for i2 in idx]
         return idx, local
 
     frag_fields = (
@@ -1991,8 +2027,8 @@ def resample_cube_spatial_tiled(
             out_rows = []
             for row in pdf.itertuples(index=False):
                 rec = row._asdict()
-                ri, rl = axis_winners(int(rec["tile_row"]) * T, n_y, nt_y)
-                ci, cl = axis_winners(int(rec["tile_col"]) * T, n_x, nt_x)
+                ri, rl = axis_winners(int(rec["tile_row"]) * T, wy)
+                ci, cl = axis_winners(int(rec["tile_col"]) * T, wx)
                 if not ri or not ci:
                     continue
                 a = np.asarray(rec["data"], dtype="float64").reshape(T, T)

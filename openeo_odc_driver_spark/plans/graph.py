@@ -758,13 +758,14 @@ class ProcessGraph:
             src = self._resolve_raw(args["data"])
             tgt = self._resolve_raw(args["target"])
             method = args.get("method", "near")
-            # factor-aligned nearest snap is integer tile-index
-            # arithmetic; upscale / rational factors / shifted origins /
+            # any covering downscale grid pair runs natively (winner
+            # maps as plan data); upscale gaps / off-scene origins /
             # bilinear demote to the long snap (recorded demotion)
-            if method in ("near", "nearest") and tl.tiled_regrid_factor(
-                src.schema.grid, getattr(tgt.schema, "grid", None)
-            ) is not None:
-                return tl.resample_cube_spatial_tiled(src, tgt, method)
+            if method in ("near", "nearest"):
+                try:
+                    return tl.resample_cube_spatial_tiled(src, tgt, method)
+                except tl.TiledRegridUnsupported:
+                    return NotImplemented
             return NotImplemented
         if pid == "aggregate_spatial" and is_tiled("data"):
             named = _single_named_reducer(args["reducer"]["process_graph"])

@@ -114,24 +114,46 @@ def test_resample_cube_spatial_tiled_no_edge_cell(spark):
     _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
 
 
-def test_tiled_regrid_factor_guards():
-    g10 = GridSpec(0.0, 150.0, 10.0, 10.0)
-    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 20.0, 20.0)) == 2
-    assert t.tiled_regrid_factor(g10, g10) == 1
-    # upscale, rational factor, shifted origin → demote to the long snap
-    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 5.0, 5.0)) is None
-    assert t.tiled_regrid_factor(g10, GridSpec(0.0, 150.0, 15.0, 15.0)) is None
-    assert t.tiled_regrid_factor(g10, GridSpec(1.0, 150.0, 20.0, 20.0)) is None
-    assert t.tiled_regrid_factor(None, g10) is None
-
-
 def test_resample_cube_spatial_tiled_rejects_upscale(spark):
+    """Upscale snap images have interior gaps a dense tile array cannot
+    represent — the dedicated error class is what the planner demotes
+    on."""
     src = synthetic_cube(spark)
     target = _target(src, GridSpec(x0=0.0, y0=150.0, resx=5.0, resy=5.0))
-    with pytest.raises(ValueError, match="factor-aligned"):
+    with pytest.raises(t.TiledRegridUnsupported, match="gaps"):
         t.resample_cube_spatial_tiled(
             t.to_tiled(src, tile=8, n_y=16, n_x=16), target
         )
+    # off-scene target origin: first pixel snaps past cell 0
+    far = _target(src, GridSpec(x0=-500.0, y0=150.0, resx=20.0, resy=20.0))
+    with pytest.raises(t.TiledRegridUnsupported, match="origin"):
+        t.resample_cube_spatial_tiled(
+            t.to_tiled(src, tile=8, n_y=16, n_x=16), far
+        )
+
+
+def test_resample_cube_spatial_tiled_rational_factor(spark):
+    """10 m → 15 m (the Sentinel-2 60 m band mix shape): a RATIONAL
+    factor with real per-axis distance ties (a target center exactly
+    between two source pixels ties to the smaller x / larger row) —
+    winner maps reproduce the long window snap exactly."""
+    src = synthetic_cube(spark)
+    target = _target(src, GridSpec(x0=0.0, y0=150.0, resx=15.0, resy=15.0))
+    tiled = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16), target
+    )
+    _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
+
+
+def test_resample_cube_spatial_tiled_shifted_origin(spark):
+    """A target origin shifted by half a source cell still covers the
+    snapped scene — the winner maps absorb the offset."""
+    src = synthetic_cube(spark)
+    target = _target(src, GridSpec(x0=5.0, y0=145.0, resx=20.0, resy=20.0))
+    tiled = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=5, n_y=16, n_x=16), target
+    )
+    _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
 
 
 # --- retile -----------------------------------------------------------------
