@@ -66,6 +66,7 @@ _GATE_PRIORITY = [
     "tiled_reduce_x_sum",
     "tiled_reduce_y_max",
     "tiled_resample_cube_spatial",
+    "tiled_resample_cube_spatial_bilinear",
     "tiled_resample_cube_temporal",
     "tiled_zonal_mean_store",
     "tiled_zonal_product",

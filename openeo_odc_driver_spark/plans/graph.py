@@ -759,11 +759,18 @@ class ProcessGraph:
             tgt = self._resolve_raw(args["target"])
             method = args.get("method", "near")
             # any covering downscale grid pair runs natively (winner
-            # maps as plan data); upscale gaps / off-scene origins /
-            # bilinear demote to the long snap (recorded demotion)
+            # maps as plan data); upscale gaps / off-scene origins
+            # demote to the long snap (recorded demotion)
             if method in ("near", "nearest"):
                 try:
                     return tl.resample_cube_spatial_tiled(src, tgt, method)
+                except tl.TiledRegridUnsupported:
+                    return NotImplemented
+            if method == "bilinear":
+                try:
+                    return tl.resample_cube_spatial_bilinear_tiled(
+                        src, self._as_tiled(args["target"])
+                    )
                 except tl.TiledRegridUnsupported:
                     return NotImplemented
             return NotImplemented

@@ -1578,6 +1578,36 @@ def _resample_bilinear(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_resample_cube_spatial_bilinear",
+    ORACLE["resample_cube_spatial_bilinear"],
+)
+def _tiled_resample_bilinear(spark, sf_dir):
+    """Round-11: bilinear regrid natively on tiles (core/tiled.py:
+    resample_cube_spatial_bilinear_tiled) — neighbor indices + weights
+    precomputed per axis as plan data with the long operator's literal
+    IEEE arithmetic; source tiles emit window-local fragments to the
+    target tiles that read them (one fragment exchange ≈ the source
+    raster once, vs the long 4×-exploded neighbor join); NULL and
+    out-of-scene neighbors renormalize out exactly like the long
+    left-join drop. Shares the long bilinear oracle verbatim."""
+    from .core.tiled import (
+        from_tiled,
+        resample_cube_spatial_bilinear_tiled,
+        to_tiled,
+    )
+
+    return from_tiled(
+        resample_cube_spatial_bilinear_tiled(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            to_tiled(
+                synthetic_cube(spark, _BILINEAR_TGT_SPEC),
+                tile=5, n_y=10, n_x=10,
+            ),
+        )
+    ).df
+
+
 @q("tiled_resample_cube_temporal", ORACLE["resample_cube_temporal"])
 def _tiled_resample_cube_temporal(spark, sf_dir):
     """Nearest-time as-of alignment natively on tiles (core/tiled.py:

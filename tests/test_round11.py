@@ -199,18 +199,26 @@ def test_resample_align_graph_demotion_free(spark):
     _frames_equal(long_pg.execute(spark).df, cube.df)
 
 
-def test_resample_bilinear_demotes_not_errors(spark):
-    """bilinear on a tiled input falls through to the long path — a
-    recorded demotion, never an error."""
+def test_resample_upscale_demotes_not_errors(spark):
+    """An UPSCALE snap (target finer than source: gapped snap image) on
+    a tiled input falls through to the long path — a recorded demotion,
+    never an error. (bilinear, round-11's earlier demotion example,
+    became tile-native later in the round.)"""
     import json
 
     from openeo_odc_driver_spark.plans.graph import ProcessGraph
 
     graph = json.load(open("tests/process_graphs/resample_align.json"))
-    graph["process_graph"]["snap"]["arguments"]["method"] = "bilinear"
+    # make the target the FINE collection: synthetic_coarse → synthetic
+    graph["process_graph"]["snap"]["arguments"]["data"] = {
+        "from_node": "loadc"
+    }
+    graph["process_graph"]["snap"]["arguments"]["target"] = {
+        "from_node": "loadf"
+    }
     del graph["process_graph"]["align"]
     graph["process_graph"]["snap"]["result"] = True
-    pg = ProcessGraph(graph, save_dir="/tmp/pg_align_bil", tiled=True)
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_align_up", tiled=True)
     pg.execute(spark)
     assert "resample_cube_spatial" in pg.tiled_demotions
 
@@ -733,3 +741,41 @@ def test_reduce_spatial_multiset_tiled_matches_long(spark):
                     dim, red, impl=impl,
                 )
                 _frames_equal(long_df, tiled.df)
+
+
+def test_bilinear_tiled_matches_long(spark):
+    """Bilinear regrid on tiles — gate fixture plus a TRUE edge
+    renormalization (shifted target origin puts cells past the source
+    extent with nonzero out-of-scene neighbor weight: the long join
+    drops those rows and renormalizes over the rest)."""
+    src = synthetic_cube(spark)
+    for spec, ts, tt in (
+        (CubeSpec(resx=15.0, resy=15.0, nx=10, ny=10), 8, 4),
+        (CubeSpec(resx=15.0, resy=15.0, nx=11, ny=11, x0=7.5, y0=142.5),
+         5, 4),
+    ):
+        tgt = synthetic_cube(spark, spec)
+        long_df = resample_cube_spatial(src, tgt, method="bilinear").df
+        tiled = t.resample_cube_spatial_bilinear_tiled(
+            t.to_tiled(src, tile=ts, n_y=16, n_x=16),
+            t.to_tiled(tgt, tile=tt, n_y=spec.ny, n_x=spec.nx),
+        )
+        _frames_equal(long_df, t.from_tiled(tiled).df)
+
+
+def test_bilinear_graph_stays_tiled(spark):
+    """The alignment graph with method=bilinear now runs tile-native —
+    round-11's earlier demotion pin inverted by the new operator."""
+    import json
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = json.load(open("tests/process_graphs/resample_align.json"))
+    graph["process_graph"]["snap"]["arguments"]["method"] = "bilinear"
+    del graph["process_graph"]["align"]
+    graph["process_graph"]["snap"]["result"] = True
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_align_bil2", tiled=True)
+    cube = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    long_pg = ProcessGraph(graph, save_dir="/tmp/pg_align_bil2_long")
+    _frames_equal(long_pg.execute(spark).df, cube.df)
