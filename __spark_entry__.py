@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "process_graph_resample_align_tiled",
     "tiled_aggregate_period_median",
     "tiled_array_interpolate",
+    "tiled_filter_bbox_native",
     "tiled_quantiles",
     "tiled_radar_mask",
     "tiled_reduce_x_median",

@@ -2296,14 +2296,25 @@ def resample_cube_spatial_bilinear_tiled(
     return TiledCube(df, schema, Tt, nt_y, nt_x)
 
 
-def retile(tc: TiledCube, new_tile: int) -> TiledCube:
-    """Repack a tiled cube onto a different tile edge — the layout
-    adapter two differently-tiled stores need before
-    :func:`merge_cubes_tiled` (which requires matching layouts). One
-    exchange keyed by destination tile: each source tile splits
-    scan-fused into per-destination fragments (no pixel-row explosion),
-    then fragments scatter into the destination canvas — the same
-    fragment plan as :func:`resample_cube_spatial_tiled` with k=1."""
+def retile(
+    tc: TiledCube,
+    new_tile: int,
+    row0: int = 0,
+    col0: int = 0,
+    n_y: int | None = None,
+    n_x: int | None = None,
+    grid=None,
+) -> TiledCube:
+    """Repack a tiled cube onto a different tile edge and/or a pixel
+    WINDOW — the layout adapter two differently-tiled stores need
+    before :func:`merge_cubes_tiled`, and the engine behind the native
+    :func:`filter_bbox_tiled_native` slice (window anchored at
+    ``(row0, col0)`` with ``n_y × n_x`` kept pixels and a re-anchored
+    ``grid``). One exchange keyed by destination tile: each source
+    tile splits scan-fused into per-destination fragments (no
+    pixel-row explosion), then fragments scatter into the destination
+    canvas — the same fragment plan as
+    :func:`resample_cube_spatial_tiled` with k=1."""
     from typing import Iterator
 
     import numpy as np
@@ -2311,10 +2322,17 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
 
     if new_tile < 1:
         raise ValueError(f"tile must be >= 1, got {new_tile}")
-    if new_tile == tc.tile:
+    windowed = row0 or col0 or (
+        n_y is not None and n_y != tc.n_y
+    ) or (n_x is not None and n_x != tc.n_x)
+    if new_tile == tc.tile and not windowed:
         return tc
     T, Tt = tc.tile, new_tile
-    n_y, n_x = tc.n_y, tc.n_x
+    n_y = tc.n_y if n_y is None else n_y
+    n_x = tc.n_x if n_x is None else n_x
+    out_schema_obj = tc.schema if grid is None else __import__(
+        "dataclasses"
+    ).replace(tc.schema, grid=grid)
     keys = tc.key_dims
     key_fields = ", ".join(
         f"{c} {tc.df.schema[c].dataType.simpleString()}" for c in keys
@@ -2325,16 +2343,18 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
     )
     frag_schema = f"{key_fields}, {frag_fields}" if keys else frag_fields
 
-    def split_axis(t0: int, n: int):
+    def split_axis(t0: int, off: int, n: int):
         """[(dest_tile, dest_offset, local_start, length), ...] for the
-        in-scene pixels of span [t0, t0+T)."""
+        WINDOW pixels of source span [t0, t0+T): window index
+        w = global − off, kept while 0 ≤ w < n."""
         out = []
-        g = t0
-        hi = min(t0 + T, n)
+        g = max(t0, off)
+        hi = min(t0 + T, off + n)
         while g < hi:
-            dt = g // Tt
-            ln = min((dt + 1) * Tt, hi) - g
-            out.append((dt, g % Tt, g - t0, ln))
+            w = g - off
+            dt = w // Tt
+            ln = min((dt + 1) * Tt - w, hi - g)
+            out.append((dt, w % Tt, g - t0, ln))
             g += ln
         return out
 
@@ -2343,8 +2363,8 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
             rows = []
             for row in pdf.itertuples(index=False):
                 rec = row._asdict()
-                rspans = split_axis(int(rec["tile_row"]) * T, n_y)
-                cspans = split_axis(int(rec["tile_col"]) * T, n_x)
+                rspans = split_axis(int(rec["tile_row"]) * T, row0, n_y)
+                cspans = split_axis(int(rec["tile_col"]) * T, col0, n_x)
                 if not rspans or not cspans:
                     continue
                 a = np.asarray(rec["data"], dtype="float64").reshape(T, T)
@@ -2394,7 +2414,100 @@ def retile(tc: TiledCube, new_tile: int) -> TiledCube:
     df = frags.groupBy(*gkeys).applyInPandas(
         assemble, f"{out_fields}, data array<double>"
     )
-    return TiledCube(df, tc.schema, Tt, n_y, n_x)
+    return TiledCube(df, out_schema_obj, Tt, n_y, n_x)
+
+
+def filter_bbox_tiled_native(
+    tc: TiledCube, west: float, east: float, south: float, north: float
+) -> TiledCube:
+    """``filter_bbox`` that STAYS on tiles: the kept pixel window is
+    exact index arithmetic (candidates corrected against the long
+    filter's own float comparisons, the ``static_scene_dims``
+    discipline), outside tiles prune at the scan, and the window
+    repacks onto tiles anchored at its corner via :func:`retile` — one
+    exchange of the kept window, and downstream tile-native operators
+    keep their layout instead of paying re-pack after the expanding
+    :func:`filter_bbox_tiled`.
+
+    The re-anchored grid must regenerate every kept coordinate
+    BIT-EXACTLY (``x0 + resx·(ix0+i)`` vs ``(x0 + resx·ix0) + resx·i``
+    differ by an ulp on non-dyadic grids) — verified in plan time over
+    the window; a drifting axis raises
+    :class:`TiledRegridUnsupported` and the planner falls back to the
+    expanding slice. An empty window returns an empty 0×0 cube."""
+    import math
+
+    import numpy as np
+
+    from .cube import GridSpec
+
+    g = tc.schema.grid
+    if g is None:
+        raise ValueError("filter_bbox_tiled_native needs a GridSpec")
+    T = tc.tile
+
+    def axis_window_asc(lo_v, hi_v, o, res, n):
+        """[first, last] kept index for coords o + res·i in
+        [lo_v, hi_v] — float-floor candidates corrected against the
+        long between-predicate's own comparisons (the
+        static_scene_dims discipline)."""
+        i0 = max(0, math.floor((lo_v - o) / res))
+        while i0 < n and o + res * i0 < lo_v:
+            i0 += 1
+        while i0 > 0 and o + res * (i0 - 1) >= lo_v:
+            i0 -= 1
+        i1 = min(n - 1, math.floor((hi_v - o) / res))
+        while i1 >= 0 and o + res * i1 > hi_v:
+            i1 -= 1
+        while i1 + 1 <= n - 1 and o + res * (i1 + 1) <= hi_v:
+            i1 += 1
+        return i0, i1
+
+    def axis_window_desc(lo_v, hi_v, o, res, n):
+        """[first, last] kept index for coords o − res·i in
+        [lo_v, hi_v] (descending axis: index 0 is the TOP)."""
+        i0 = max(0, math.floor((o - hi_v) / res))
+        while i0 < n and o - res * i0 > hi_v:
+            i0 += 1
+        while i0 > 0 and o - res * (i0 - 1) <= hi_v:
+            i0 -= 1
+        i1 = min(n - 1, math.floor((o - lo_v) / res))
+        while i1 >= 0 and o - res * i1 < lo_v:
+            i1 -= 1
+        while i1 + 1 <= n - 1 and o - res * (i1 + 1) >= lo_v:
+            i1 += 1
+        return i0, i1
+
+    iy0, iy1 = axis_window_desc(south, north, g.y0, g.resy, tc.n_y)
+    ix0, ix1 = axis_window_asc(west, east, g.x0, g.resx, tc.n_x)
+    if iy0 > iy1 or ix0 > ix1 or iy0 >= tc.n_y or ix0 >= tc.n_x:
+        empty = tc.df.where(F.lit(False))
+        return TiledCube(empty, tc.schema, T, 0, 0)
+    ny_w, nx_w = iy1 - iy0 + 1, ix1 - ix0 + 1
+    x0n = g.x0 + g.resx * ix0
+    y0n = g.y0 - g.resy * iy0
+    # bit-exactness of the re-anchored coordinates over the window
+    i = np.arange(nx_w, dtype="float64")
+    if not np.array_equal(g.x0 + g.resx * (ix0 + i), x0n + g.resx * i):
+        raise TiledRegridUnsupported(
+            "re-anchored x coordinates drift (non-dyadic grid); use the "
+            "expanding filter_bbox_tiled"
+        )
+    i = np.arange(ny_w, dtype="float64")
+    if not np.array_equal(g.y0 - g.resy * (iy0 + i), y0n - g.resy * i):
+        raise TiledRegridUnsupported(
+            "re-anchored y coordinates drift (non-dyadic grid); use the "
+            "expanding filter_bbox_tiled"
+        )
+    pruned = tc.df.where(
+        F.col("tile_col").between(ix0 // T, ix1 // T)
+        & F.col("tile_row").between(iy0 // T, iy1 // T)
+    )
+    return retile(
+        TiledCube(pruned, tc.schema, T, tc.n_y, tc.n_x),
+        T, row0=iy0, col0=ix0, n_y=ny_w, n_x=nx_w,
+        grid=GridSpec(x0=x0n, y0=y0n, resx=g.resx, resy=g.resy),
+    )
 
 
 def _ccw(poly):

@@ -649,10 +649,19 @@ class ProcessGraph:
             )
         if pid == "filter_bbox" and is_tiled("data"):
             e = args.get("extent", args)
-            return tl.filter_bbox_tiled(
-                self._resolve_raw(args["data"]),
-                e["west"], e["east"], e["south"], e["north"],
-            )
+            tc = self._resolve_raw(args["data"])
+            try:
+                # native window slice: stays on tiles (downstream
+                # tile-native operators keep their layout)
+                return tl.filter_bbox_tiled_native(
+                    tc, e["west"], e["east"], e["south"], e["north"]
+                )
+            except tl.TiledRegridUnsupported:
+                # non-dyadic re-anchor drift: the expanding slice
+                # (tile pruning + exact pixel predicate, emits long)
+                return tl.filter_bbox_tiled(
+                    tc, e["west"], e["east"], e["south"], e["north"]
+                )
         if pid == "apply" and is_tiled("data"):
             child = args["process"]["process_graph"]
             return tl.apply_tiled(

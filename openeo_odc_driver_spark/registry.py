@@ -823,6 +823,28 @@ def _tiled_filter_bbox(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_filter_bbox_native",
+    f"WITH cube AS ({CUBE_D}) SELECT * FROM cube "
+    "WHERE x BETWEEN 20.0 AND 90.0 AND y BETWEEN 30.0 AND 120.0",
+)
+def _tiled_filter_bbox_native(spark, sf_dir):
+    """Round-11: the bbox slice that STAYS tiled (core/tiled.py:
+    filter_bbox_tiled_native) — exact kept-index window + tile pruning
+    + window repack onto corner-anchored tiles (one exchange of the
+    kept window, bit-exact re-anchored coordinates verified in plan
+    time). Shares filter_bbox's oracle; tile=5 exercises window edges
+    crossing partial tiles."""
+    from .core.tiled import filter_bbox_tiled_native, from_tiled, to_tiled
+
+    return from_tiled(
+        filter_bbox_tiled_native(
+            to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16),
+            20.0, 90.0, 30.0, 120.0,
+        )
+    ).df
+
+
 @q("tiled_mask", _MASK_ORACLE.format(repl="NULL"))
 def _tiled_mask(spark, sf_dir):
     """openEO mask natively on tiles (core/tiled.py: mask_tiled):

@@ -779,3 +779,68 @@ def test_bilinear_graph_stays_tiled(spark):
     assert pg.tiled_demotions == []
     long_pg = ProcessGraph(graph, save_dir="/tmp/pg_align_bil2_long")
     _frames_equal(long_pg.execute(spark).df, cube.df)
+
+
+# --- native (stay-tiled) filter_bbox ------------------------------------------
+
+
+def test_filter_bbox_tiled_native_matches_long(spark):
+    from openeo_odc_driver_spark.operators.filters import filter_bbox
+
+    src = synthetic_cube(spark)
+    for tile in (8, 5):
+        tc = t.to_tiled(src, tile=tile, n_y=16, n_x=16)
+        for box in (
+            (20.0, 90.0, 30.0, 120.0),
+            (0.0, 150.0, 0.0, 150.0),   # whole scene
+            (95.0, 205.0, -10.0, 45.0),  # clipped at two scene edges
+        ):
+            nat = t.filter_bbox_tiled_native(tc, *box)
+            _frames_equal(filter_bbox(src, *box).df, t.from_tiled(nat).df)
+    # empty window → empty cube, no error
+    empty = t.filter_bbox_tiled_native(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16), 200.0, 300.0, 30.0, 40.0
+    )
+    assert empty.df.count() == 0 and (empty.n_y, empty.n_x) == (0, 0)
+
+
+def test_filter_bbox_native_keeps_downstream_tiled(spark):
+    """A bbox → time-mean graph stays tile-native end to end: the
+    windowed cube's re-anchored grid feeds reduce_time_tiled directly
+    (this was the VERDICT-documented expansion point)."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = {
+        "process_graph": {
+            "load": {
+                "process_id": "load_collection",
+                "arguments": {"id": "synthetic"},
+            },
+            "box": {
+                "process_id": "filter_bbox",
+                "arguments": {
+                    "data": {"from_node": "load"},
+                    "extent": {"west": 20.0, "east": 90.0,
+                               "south": 30.0, "north": 120.0},
+                },
+            },
+            "mean": {
+                "process_id": "reduce_dimension",
+                "arguments": {
+                    "data": {"from_node": "box"},
+                    "dimension": "time",
+                    "reducer": {"process_graph": {"m": {
+                        "process_id": "mean",
+                        "arguments": {"data": {"from_parameter": "data"}},
+                        "result": True,
+                    }}},
+                },
+                "result": True,
+            },
+        }
+    }
+    pg = ProcessGraph(graph, tiled=True, tile=8, save_dir="/tmp/pg_fbn")
+    cube = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    long_pg = ProcessGraph(graph, save_dir="/tmp/pg_fbn_long")
+    _frames_equal(long_pg.execute(spark).df, cube.df)
