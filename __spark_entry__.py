@@ -58,6 +58,8 @@ _GATE_PRIORITY = [
     "process_graph_resample_align",
     "process_graph_resample_align_tiled",
     "tiled_aggregate_period_median",
+    "tiled_apply_kernel_reflect",
+    "tiled_apply_kernel_replicate",
     "tiled_array_interpolate",
     "tiled_filter_bbox_native",
     "tiled_quantiles",

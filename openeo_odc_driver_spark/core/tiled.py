@@ -1272,14 +1272,16 @@ def apply_kernel_tiled_layout(
     import numpy as np
     import pandas as pd
 
-    if border not in (0, "0", "constant"):
-        # named boundary, not a silent constant-0: the long-format
-        # apply_kernel / _apply_kernel_gather cover replicate / reflect
-        # / reflect_pixel / wrap — route those through from_tiled
+    if border not in (0, "0", "constant",
+                      "replicate", "reflect", "reflect_pixel"):
+        # wrap needs the OPPOSITE scene edge on the canvas (cross-scene
+        # strips); the long scatter handles it in ONE shuffle already —
+        # route through from_tiled (recorded demotion)
         raise NotImplementedError(
-            f"apply_kernel_tiled_layout supports border=0 only (got "
-            f"{border!r}); other modes run long-format via from_tiled"
+            f"apply_kernel_tiled_layout: border {border!r} unsupported "
+            "(wrap runs long-format via from_tiled)"
         )
+    edge_mode = border in ("replicate", "reflect", "reflect_pixel")
     kh, kw = len(kernel), len(kernel[0])
     ry, rx = kh // 2, kw // 2
     T = tc.tile
@@ -1303,13 +1305,43 @@ def apply_kernel_tiled_layout(
         f"{out_fields}, tile_row int, tile_col int, data array<double>"
     )
 
+    n_y_s, n_x_s = tc.n_y, tc.n_x
+
+    def _remap(g, m_idx):
+        """Out-of-scene index remap — operators/kernel._remap_idx's
+        numpy twin (same three modes, same arithmetic)."""
+        if border == "replicate":
+            return np.clip(g, 0, m_idx)
+        if border == "reflect":
+            g = np.where(g < 0, -g - 1, g)
+            return np.where(g > m_idx, 2 * m_idx + 1 - g, g)
+        g = np.where(g < 0, -g, g)  # reflect_pixel
+        return np.where(g > m_idx, 2 * m_idx - g, g)
+
     def stencil(pdf: pd.DataFrame) -> pd.DataFrame:
         canvas = _halo_canvas(pdf, T, ry, rx)
         if canvas is None:  # halo-only group: target tile doesn't exist
             return pd.DataFrame(
                 columns=[*keys, "tile_row", "tile_col", "data"]
             )
-        filled = np.nan_to_num(canvas, nan=0.0)
+        if edge_mode:
+            # clamp/mirror borders: re-index out-of-scene canvas cells
+            # to their in-scene images BY INDEX (never by NaN — a NULL
+            # data cell must stay NULL and contribute 0). With r ≤ T
+            # the image row/col is always on this canvas. The center
+            # NULL mask below reads the ORIGINAL canvas.
+            row0 = pdf.iloc[0]
+            g_r = int(row0["_tr"]) * T - ry + np.arange(T + 2 * ry)
+            g_c = int(row0["_tc"]) * T - rx + np.arange(T + 2 * rx)
+            rmap = _remap(g_r, n_y_s - 1) - (g_r[0])
+            cmap = _remap(g_c, n_x_s - 1) - (g_c[0])
+            filled = np.nan_to_num(
+                canvas[np.ix_(np.clip(rmap, 0, canvas.shape[0] - 1),
+                              np.clip(cmap, 0, canvas.shape[1] - 1))],
+                nan=0.0,
+            )
+        else:
+            filled = np.nan_to_num(canvas, nan=0.0)
         acc = np.zeros((T, T))
         for dy in range(kh):
             for dx in range(kw):

@@ -429,7 +429,8 @@ class ProcessGraph:
                                              args["period"], named)
         if pid == "apply_kernel":
             return apply_kernel(self._resolve(args["data"]), args["kernel"],
-                                factor=args.get("factor", 1.0))
+                                factor=args.get("factor", 1.0),
+                                border=args.get("border", 0))
         if pid == "resample_cube_temporal":
             return resample_cube_temporal(self._resolve(args["data"]),
                                           self._resolve(args["target"]))
@@ -740,12 +741,16 @@ class ProcessGraph:
         if pid == "apply_kernel" and is_tiled("data"):
             tc = self._resolve_raw(args["data"])
             kernel = args["kernel"]
+            border = args.get("border", 0)
             r = max(len(kernel) // 2, len(kernel[0]) // 2)
-            if r <= tc.tile:
+            if r <= tc.tile and border in (
+                0, "0", "constant", "replicate", "reflect", "reflect_pixel"
+            ):
                 return tl.apply_kernel_tiled_layout(
-                    tc, kernel, factor=args.get("factor", 1.0)
+                    tc, kernel, factor=args.get("factor", 1.0),
+                    border=border,
                 )
-            return NotImplemented
+            return NotImplemented  # wrap / radius > tile: long path
         if pid == "radar_mask" and is_tiled("data"):
             # radius-2 halo-strip exchange on the DEM band; every
             # neighborhood op now has a tiled strategy (core/tiled.py)

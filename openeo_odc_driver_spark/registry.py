@@ -1468,6 +1468,38 @@ def _apply_kernel_reflect(spark, sf_dir):
     ).df
 
 
+@q("tiled_apply_kernel_replicate", _kernel_border_oracle("replicate"))
+def _tiled_apply_kernel_replicate(spark, sf_dir):
+    """Round-11: clamp/mirror kernel borders natively on the tiled
+    layout — out-of-scene halo-canvas cells re-index BY POSITION to
+    their in-scene images (a NULL data cell stays NULL), same halo-strip
+    exchange as border-0; wrap stays long (needs the opposite scene
+    edge, which the long scatter gets in one shuffle). Shares the long
+    replicate oracle; reflect/reflect_pixel pinned by pytest."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            _KERNEL, factor=_KERNEL_FACTOR, border="replicate",
+        )
+    ).df
+
+
+@q("tiled_apply_kernel_reflect", _kernel_border_oracle("reflect"))
+def _tiled_apply_kernel_reflect(spark, sf_dir):
+    """Round-11: the edge-inclusive mirror border on tiles — tile=5
+    exercises remaps across partial-tile padding."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16),
+            _KERNEL, factor=_KERNEL_FACTOR, border="reflect",
+        )
+    ).df
+
+
 @q("apply_kernel_wrap", _kernel_border_oracle("wrap"))
 def _apply_kernel_wrap(spark, sf_dir):
     """Periodic border on the shift-and-sum path (r2 missing-list item 5;

@@ -844,3 +844,25 @@ def test_filter_bbox_native_keeps_downstream_tiled(spark):
     assert pg.tiled_demotions == []
     long_pg = ProcessGraph(graph, save_dir="/tmp/pg_fbn_long")
     _frames_equal(long_pg.execute(spark).df, cube.df)
+
+
+# --- kernel border modes on tiles ----------------------------------------------
+
+
+def test_apply_kernel_tiled_border_modes_match_long(spark):
+    from openeo_odc_driver_spark.operators.kernel import apply_kernel
+
+    K = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
+    src = synthetic_cube(spark)
+    for mode in ("replicate", "reflect", "reflect_pixel"):
+        long_df = apply_kernel(src, K, factor=2.0, border=mode).df
+        for tile in (8, 5):
+            tiled = t.apply_kernel_tiled_layout(
+                t.to_tiled(src, tile=tile, n_y=16, n_x=16),
+                K, factor=2.0, border=mode,
+            )
+            _frames_equal(long_df, t.from_tiled(tiled).df)
+    with pytest.raises(NotImplementedError, match="wrap"):
+        t.apply_kernel_tiled_layout(
+            t.to_tiled(src, tile=8, n_y=16, n_x=16), K, border="wrap"
+        )
