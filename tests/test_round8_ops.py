@@ -623,8 +623,9 @@ def test_tiled_error_contracts(spark):
     tc = t.to_tiled(cube, tile=2)
     with pytest.raises(ValueError, match="radius"):
         t.apply_kernel_tiled_layout(tc, [[1.0] * 7] * 7)
-    with pytest.raises(NotImplementedError, match="border"):
-        t.apply_kernel_tiled_layout(tc, [[1.0]], border="replicate")
+    # replicate/reflect became tile-native in round 11; wrap still demotes
+    with pytest.raises(NotImplementedError, match="wrap"):
+        t.apply_kernel_tiled_layout(tc, [[1.0]], border="wrap")
     flat = t.reduce_time_mean_tiled(tc)
     with pytest.raises(ValueError, match="time"):
         t.reduce_time_mean_tiled(flat)
