@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "tiled_resample_cube_temporal",
     "tiled_radar_mask",
     "tiled_zonal_mean_store",
+    "tiled_resample_cube_spatial_bilinear",
+    "tiled_apply_kernel_replicate",
 ]
 
 
