@@ -63,6 +63,7 @@ _GATE_PRIORITY = [
     "tiled_array_interpolate",
     "tiled_filter_bbox_native",
     "tiled_quantiles",
+    "tiled_quantiles_x",
     "tiled_radar_mask",
     "tiled_reduce_x_median",
     "tiled_reduce_x_sd",

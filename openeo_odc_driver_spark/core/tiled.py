@@ -712,17 +712,12 @@ def _partial_finish(reducer: str):
     }[reducer]
 
 
-def _reduce_spatial_multiset(
-    tc: TiledCube, dim: str, reducer: str, impl: str
-) -> Cube:
-    """median/product over a spatial axis (see
-    :func:`reduce_spatial_tiled`): per-line non-NULL value arrays out
-    of each tile (sql HOF filter or numpy), one line-keyed exchange of
-    COMPACT arrays, explode after the exchange, finish with the long
-    reducer expressions."""
-    from ..operators.reducers import median_expr, product_expr
-
-    g = tc.schema.grid
+def _spatial_line_values(tc: TiledCube, dim: str, impl: str):
+    """Stage 1 of the spatial-axis multiset path: per-line non-NULL
+    value arrays out of each tile, rows
+    ``(*keys, tile_row, tile_col, _lp, _vals)`` — sql HOF filter
+    (oracle mode) or numpy (scale path). NULL stripping shrinks the
+    line-keyed exchange below per-pixel keyed rows."""
     T = tc.tile
     keys = tc.key_dims
     if impl == "sql":
@@ -734,11 +729,11 @@ def _reduce_spatial_multiset(
             f"transform(sequence(0, {T - 1}), "
             f"r -> filter({line_vals}, v -> v IS NOT NULL))"
         )
-        lines = tc.df.select(
+        return tc.df.select(
             *keys, "tile_row", "tile_col",
             F.posexplode(F.expr(vals)).alias("_lp", "_vals"),
         )
-    elif impl == "numpy":
+    if impl == "numpy":
         import numpy as np
         import pandas as pd
         from typing import Iterator
@@ -777,12 +772,78 @@ def _reduce_spatial_multiset(
                         })
                 yield pd.DataFrame(out)
 
-        lines = tc.df.mapInPandas(emit, out_schema)
-    else:
-        raise ValueError(
-            f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
-        )
+        return tc.df.mapInPandas(emit, out_schema)
+    raise ValueError(f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}")
 
+
+def quantiles_spatial_tiled(
+    tc: TiledCube,
+    dim: str,
+    probabilities: "Sequence[float] | None" = None,
+    q: int | None = None,
+    impl: str = "auto",
+) -> Cube:
+    """openEO ``quantiles`` over a SPATIAL axis natively on tiles — the
+    x/y twin of :func:`quantiles_tiled` (long:
+    ``operators/reducers.py:quantiles``): the spatial-axis line
+    multisets (:func:`_reduce_spatial_multiset`'s stage 1 — compact
+    non-NULL value arrays per line, one line-keyed exchange) finish
+    with the long operator's exact ``percentile(value, array(...))`` +
+    prob explode, so the interpolation rounds identically. Emits a
+    long cube with a ``prob`` column, one row per (line, prob)."""
+    if (probabilities is None) == (q is None):
+        raise ValueError("exactly one of probabilities/q required")
+    if q is not None:
+        probabilities = [i / q for i in range(1, q)]
+    probs = [float(p) for p in probabilities]
+    if dim not in (X, Y):
+        raise ValueError(f"dim must be {X!r} or {Y!r}, got {dim!r}")
+    g = tc.schema.grid
+    if g is None:
+        raise ValueError("quantiles_spatial_tiled needs a GridSpec")
+    T = tc.tile
+    keys = tc.key_dims
+    if impl == "auto":
+        impl = "numpy" if T * T >= TILE_VECTORIZE_CELLS else "sql"
+    lines = _spatial_line_values(tc, dim, impl)
+    if dim == X:
+        idx = F.col("tile_row").cast("long") * T + F.col("_lp")
+        kept, n_kept = Y, tc.n_y
+        coord = F.lit(g.y0) - F.lit(g.resy) * idx
+    else:
+        idx = F.col("tile_col").cast("long") * T + F.col("_lp")
+        kept, n_kept = X, tc.n_x
+        coord = F.lit(g.x0) + F.lit(g.resx) * idx
+    arr = ", ".join(f"{p!r}D" for p in probs)
+    out = (
+        lines.where(idx < n_kept)
+        .select(*keys, coord.alias(kept),
+                F.explode_outer("_vals").alias(VALUE))
+        .groupBy(*keys, kept)
+        .agg(F.expr(f"percentile({VALUE}, array({arr}))").alias("_qs"))
+        .select(*keys, kept, F.posexplode("_qs").alias("_i", VALUE))
+        .withColumn(
+            "prob", F.element_at(F.lit(probs), F.col("_i") + 1)
+        )
+        .drop("_i")
+    )
+    return Cube(out, tc.schema.drop(dim))
+
+
+def _reduce_spatial_multiset(
+    tc: TiledCube, dim: str, reducer: str, impl: str
+) -> Cube:
+    """median/product over a spatial axis (see
+    :func:`reduce_spatial_tiled`): per-line non-NULL value arrays out
+    of each tile (sql HOF filter or numpy), one line-keyed exchange of
+    COMPACT arrays, explode after the exchange, finish with the long
+    reducer expressions."""
+    from ..operators.reducers import median_expr, product_expr
+
+    g = tc.schema.grid
+    T = tc.tile
+    keys = tc.key_dims
+    lines = _spatial_line_values(tc, dim, impl)
     if dim == X:
         idx = F.col("tile_row").cast("long") * T + F.col("_lp")
         kept, n_kept = Y, tc.n_y

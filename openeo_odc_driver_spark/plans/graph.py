@@ -697,17 +697,22 @@ class ProcessGraph:
         if pid == "apply_dimension" and is_tiled("data"):
             child = args["process"]["process_graph"]
             node_c = next(iter(child.values()))
-            if (
-                len(child) == 1
-                and node_c["process_id"] == "quantiles"
-                and canonical_dim(args.get("dimension", "time")) == TIME
-            ):
+            dim = canonical_dim(args.get("dimension", "time"))
+            if len(child) == 1 and node_c["process_id"] == "quantiles":
                 ca = node_c.get("arguments", {})
-                return tl.quantiles_tiled(
-                    self._resolve_raw(args["data"]),
-                    probabilities=ca.get("probabilities"), q=ca.get("q"),
-                )
-            return NotImplemented  # non-time quantiles: long path
+                if dim == TIME:
+                    return tl.quantiles_tiled(
+                        self._resolve_raw(args["data"]),
+                        probabilities=ca.get("probabilities"),
+                        q=ca.get("q"),
+                    )
+                if dim in (X, Y):
+                    return tl.quantiles_spatial_tiled(
+                        self._resolve_raw(args["data"]), dim,
+                        probabilities=ca.get("probabilities"),
+                        q=ca.get("q"),
+                    )
+            return NotImplemented  # band quantiles: long path
         if pid == "array_interpolate_linear" and is_tiled("data"):
             if canonical_dim(args.get("dimension", "time")) == TIME:
                 return tl.array_interpolate_linear_tiled(

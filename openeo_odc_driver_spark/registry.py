@@ -541,6 +541,26 @@ def _tiled_quantiles(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_quantiles_x",
+    f"WITH cube AS ({CUBE_D}), g AS ("
+    f"SELECT band, time, y, quantile_cont(value, {_QPROBS_D}) AS qs, "
+    f"{_QPROBS_D} AS ps FROM cube GROUP BY band, time, y) "
+    "SELECT band, time, y, qs[i] AS value, ps[i] AS prob "
+    f"FROM g, range(1, {len(_QPROBS) + 1}) r(i)",
+)
+def _tiled_quantiles_x(spark, sf_dir):
+    """Round-11: quantiles over a SPATIAL axis on tiles — the compact
+    line-multiset stage feeding the long operator's exact
+    percentile-array + prob explode. Closes the last reducer-family
+    demotion (x/y quantiles)."""
+    from .core.tiled import quantiles_spatial_tiled
+
+    return quantiles_spatial_tiled(
+        _tiled_fixture(spark), "x", probabilities=_QPROBS, impl="sql"
+    ).df
+
+
 @q("tiled_array_interpolate", ORACLE["array_interpolate_linear"])
 def _tiled_array_interpolate(spark, sf_dir):
     """Round-11: linear NULL gap-fill along time natively on tiles

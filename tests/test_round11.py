@@ -866,3 +866,23 @@ def test_apply_kernel_tiled_border_modes_match_long(spark):
         t.apply_kernel_tiled_layout(
             t.to_tiled(src, tile=8, n_y=16, n_x=16), K, border="wrap"
         )
+
+
+def test_quantiles_spatial_tiled_matches_long(spark):
+    from openeo_odc_driver_spark.operators.reducers import quantiles
+
+    src = synthetic_cube(spark)
+    for dim in ("x", "y"):
+        long_df = quantiles(src, dim, probabilities=[0.25, 0.5, 0.75]).df
+        for impl, tile in (("sql", 8), ("numpy", 5)):
+            tiled = t.quantiles_spatial_tiled(
+                t.to_tiled(src, tile=tile, n_y=16, n_x=16),
+                dim, probabilities=[0.25, 0.5, 0.75], impl=impl,
+            )
+            _frames_equal(long_df, tiled.df)
+    _frames_equal(
+        quantiles(src, "y", q=4).df,
+        t.quantiles_spatial_tiled(
+            t.to_tiled(src, tile=8, n_y=16, n_x=16), "y", q=4
+        ).df,
+    )
