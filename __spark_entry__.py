@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "tiled_aggregate_period_median",
     "tiled_apply_kernel_reflect",
     "tiled_apply_kernel_replicate",
+    "tiled_apply_kernel_wrap",
     "tiled_array_interpolate",
     "tiled_filter_bbox_native",
     "tiled_quantiles",

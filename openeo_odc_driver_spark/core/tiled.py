@@ -1334,13 +1334,19 @@ def apply_kernel_tiled_layout(
     import pandas as pd
 
     if border not in (0, "0", "constant",
-                      "replicate", "reflect", "reflect_pixel"):
-        # wrap needs the OPPOSITE scene edge on the canvas (cross-scene
-        # strips); the long scatter handles it in ONE shuffle already —
-        # route through from_tiled (recorded demotion)
+                      "replicate", "reflect", "reflect_pixel", "wrap"):
         raise NotImplementedError(
-            f"apply_kernel_tiled_layout: border {border!r} unsupported "
-            "(wrap runs long-format via from_tiled)"
+            f"apply_kernel_tiled_layout: unknown border {border!r}"
+        )
+    wrap_mode = border == "wrap"
+    if wrap_mode and (tc.n_y % tc.tile or tc.n_x % tc.tile):
+        # partial edge tiles: the opposite-edge strips would carry
+        # padding, not scene rows — the long scatter (one shuffle with
+        # receiving index mod scene) handles it; recorded demotion
+        raise NotImplementedError(
+            "apply_kernel_tiled_layout: border 'wrap' needs the tile "
+            "edge to divide the scene dims (partial edge tiles run "
+            "long-format via from_tiled)"
         )
     edge_mode = border in ("replicate", "reflect", "reflect_pixel")
     kh, kw = len(kernel), len(kernel[0])
@@ -1357,7 +1363,7 @@ def apply_kernel_tiled_layout(
         keys = [BAND]
     kmat = np.array([[float(w) for w in row] for row in kernel])
     fac = float(factor)
-    pieces = _halo_pieces(tc, keys, ry, rx)
+    pieces = _halo_pieces(tc, keys, ry, rx, wrap=wrap_mode)
 
     out_fields = ", ".join(
         f"{k} {'string' if k == BAND else 'timestamp'}" for k in keys
@@ -1428,7 +1434,8 @@ def apply_kernel_tiled_layout(
     return TiledCube(df, tc.schema, T, tc.n_y, tc.n_x)
 
 
-def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int):
+def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int,
+                 wrap: bool = False):
     """Halo-strip emission shared by every tile-native neighborhood op
     (:func:`apply_kernel_tiled_layout`, :func:`radar_mask_tiled`): each
     tile ships to itself in full and to each of its 8 neighbors ONLY
@@ -1471,16 +1478,28 @@ def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int):
     drdc = F.expr("explode(array(" + ", ".join(entries) + "))")
     max_tr = (tc.n_y - 1) // T
     max_tc = (tc.n_x - 1) // T
-    return tc.df.select(
+    if wrap:
+        # periodic boundary: off-scene targets wrap to the opposite
+        # edge tile (valid when T divides both scene dims — every
+        # strip then carries real scene-edge rows, no padding)
+        tr = F.pmod(F.col("tile_row") + F.col("_n.dr"), F.lit(max_tr + 1))
+        tcl = F.pmod(F.col("tile_col") + F.col("_n.dc"), F.lit(max_tc + 1))
+    else:
+        tr = F.col("tile_row") + F.col("_n.dr")
+        tcl = F.col("tile_col") + F.col("_n.dc")
+    out = tc.df.select(
         *keys, "tile_row", "tile_col", drdc.alias("_n")
     ).select(
         *keys,
-        (F.col("tile_row") + F.col("_n.dr")).alias("_tr"),
-        (F.col("tile_col") + F.col("_n.dc")).alias("_tc"),
+        tr.alias("_tr"),
+        tcl.alias("_tc"),
         (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
         (-F.col("_n.dc")).alias("_pc"),
         F.col("_n.piece").alias("data"),
-    ).where(
+    )
+    if wrap:
+        return out
+    return out.where(
         F.col("_tr").between(0, max_tr) & F.col("_tc").between(0, max_tc)
     )
 

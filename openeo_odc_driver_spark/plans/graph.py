@@ -748,14 +748,16 @@ class ProcessGraph:
             kernel = args["kernel"]
             border = args.get("border", 0)
             r = max(len(kernel) // 2, len(kernel[0]) // 2)
-            if r <= tc.tile and border in (
-                0, "0", "constant", "replicate", "reflect", "reflect_pixel"
-            ):
-                return tl.apply_kernel_tiled_layout(
-                    tc, kernel, factor=args.get("factor", 1.0),
-                    border=border,
-                )
-            return NotImplemented  # wrap / radius > tile: long path
+            if r <= tc.tile:
+                try:
+                    return tl.apply_kernel_tiled_layout(
+                        tc, kernel, factor=args.get("factor", 1.0),
+                        border=border,
+                    )
+                except NotImplementedError:
+                    # wrap over partial edge tiles: long scatter path
+                    return NotImplemented
+            return NotImplemented  # radius > tile: long path
         if pid == "radar_mask" and is_tiled("data"):
             # radius-2 halo-strip exchange on the DEM band; every
             # neighborhood op now has a tiled strategy (core/tiled.py)

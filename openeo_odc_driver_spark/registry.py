@@ -1488,6 +1488,23 @@ def _apply_kernel_reflect(spark, sf_dir):
     ).df
 
 
+@q("tiled_apply_kernel_wrap", _kernel_border_oracle("wrap"))
+def _tiled_apply_kernel_wrap(spark, sf_dir):
+    """Round-11: periodic border natively on tiles — off-scene halo
+    targets wrap to the opposite-edge tiles (valid when the tile edge
+    divides the scene, so every strip carries real scene-edge rows;
+    partial tilings demote to the long scatter). Shares the long wrap
+    oracle; every openEO border mode now has a tiled strategy."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            _KERNEL, factor=_KERNEL_FACTOR, border="wrap",
+        )
+    ).df
+
+
 @q("tiled_apply_kernel_replicate", _kernel_border_oracle("replicate"))
 def _tiled_apply_kernel_replicate(spark, sf_dir):
     """Round-11: clamp/mirror kernel borders natively on the tiled

@@ -862,9 +862,11 @@ def test_apply_kernel_tiled_border_modes_match_long(spark):
                 K, factor=2.0, border=mode,
             )
             _frames_equal(long_df, t.from_tiled(tiled).df)
-    with pytest.raises(NotImplementedError, match="wrap"):
+    # wrap became tile-native later in round 11 (exact tilings) —
+    # see test_apply_kernel_tiled_wrap_matches_long; unknown names raise
+    with pytest.raises(NotImplementedError, match="unknown border"):
         t.apply_kernel_tiled_layout(
-            t.to_tiled(src, tile=8, n_y=16, n_x=16), K, border="wrap"
+            t.to_tiled(src, tile=8, n_y=16, n_x=16), K, border="nope"
         )
 
 
@@ -886,3 +888,24 @@ def test_quantiles_spatial_tiled_matches_long(spark):
             t.to_tiled(src, tile=8, n_y=16, n_x=16), "y", q=4
         ).df,
     )
+
+
+def test_apply_kernel_tiled_wrap_matches_long(spark):
+    """Periodic border on exact tilings — including the single-tile
+    scene, where strips wrap onto their own tile; partial tilings
+    raise the named error the planner demotes on."""
+    from openeo_odc_driver_spark.operators.kernel import apply_kernel
+
+    K = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
+    src = synthetic_cube(spark)
+    long_df = apply_kernel(src, K, factor=2.0, border="wrap").df
+    for tile in (8, 4, 16):
+        tiled = t.apply_kernel_tiled_layout(
+            t.to_tiled(src, tile=tile, n_y=16, n_x=16),
+            K, factor=2.0, border="wrap",
+        )
+        _frames_equal(long_df, t.from_tiled(tiled).df)
+    with pytest.raises(NotImplementedError, match="divide"):
+        t.apply_kernel_tiled_layout(
+            t.to_tiled(src, tile=5, n_y=16, n_x=16), K, border="wrap"
+        )

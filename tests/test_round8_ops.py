@@ -623,9 +623,10 @@ def test_tiled_error_contracts(spark):
     tc = t.to_tiled(cube, tile=2)
     with pytest.raises(ValueError, match="radius"):
         t.apply_kernel_tiled_layout(tc, [[1.0] * 7] * 7)
-    # replicate/reflect became tile-native in round 11; wrap still demotes
-    with pytest.raises(NotImplementedError, match="wrap"):
-        t.apply_kernel_tiled_layout(tc, [[1.0]], border="wrap")
+    # every border mode is tile-native since round 11; only unknown
+    # names and wrap-over-partial-tilings raise
+    with pytest.raises(NotImplementedError, match="unknown border"):
+        t.apply_kernel_tiled_layout(tc, [[1.0]], border="nope")
     flat = t.reduce_time_mean_tiled(tc)
     with pytest.raises(ValueError, match="time"):
         t.reduce_time_mean_tiled(flat)
