@@ -1757,12 +1757,16 @@ def merge_cubes_tiled(
     """
     from ..operators.merge import _times_disjoint
 
-    if tc1.tile != tc2.tile or (tc1.n_y, tc1.n_x) != (tc2.n_y, tc2.n_x):
+    if (tc1.n_y, tc1.n_x) != (tc2.n_y, tc2.n_x):
         raise ValueError(
-            f"merge_cubes_tiled: layout mismatch (tile {tc1.tile} vs "
-            f"{tc2.tile}, scene {(tc1.n_y, tc1.n_x)} vs "
-            f"{(tc2.n_y, tc2.n_x)}); re-tile to a common layout first"
+            f"merge_cubes_tiled: scene mismatch {(tc1.n_y, tc1.n_x)} vs "
+            f"{(tc2.n_y, tc2.n_x)}; resample to a common grid first"
         )
+    if tc1.tile != tc2.tile:
+        # same scene, different tile edges (e.g. two stores written with
+        # different layouts): adapt the SECOND side through the
+        # fragment repack — one exchange of cube2 only
+        tc2 = retile(tc2, tc1.tile)
     if set(tc1.schema.dims) != set(tc2.schema.dims):
         raise ValueError("merge_cubes_tiled: dimension mismatch")
     b1, b2 = set(tc1.schema.bands), set(tc2.schema.bands)

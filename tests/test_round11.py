@@ -909,3 +909,27 @@ def test_apply_kernel_tiled_wrap_matches_long(spark):
         t.apply_kernel_tiled_layout(
             t.to_tiled(src, tile=5, n_y=16, n_x=16), K, border="wrap"
         )
+
+
+def test_merge_cubes_tiled_auto_retiles_mismatched_edges(spark):
+    """Two stores written with different tile edges merge directly: the
+    second side adapts through the fragment repack (one exchange of
+    cube2 only) — previously a named error."""
+    from openeo_odc_driver_spark.operators.merge import merge_cubes
+    from openeo_odc_driver_spark.sources.synthetic import SPEC_C
+
+    c1, c2 = synthetic_cube(spark), synthetic_cube(spark, SPEC_C)
+    tc1 = t.to_tiled(c1, tile=8, n_y=16, n_x=16)
+    tc2 = t.to_tiled(c2, tile=5, n_y=16, n_x=16)
+
+    def resolver(a, b):
+        from pyspark.sql import functions as F
+
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+            (a + b) / F.lit(2.0)
+        )
+
+    merged = t.merge_cubes_tiled(tc1, tc2, overlap_resolver=resolver)
+    assert merged.tile == 8
+    long_df = merge_cubes(c1, c2, overlap_resolver=resolver).df
+    _frames_equal(long_df, t.from_tiled(merged).df)

@@ -122,9 +122,11 @@ def test_merge_tiled_decision_table_matches_long(spark):
     )
     with pytest.raises(ValueError, match="partially"):
         t.merge_cubes_tiled(tc1, t.to_tiled(c5, tile=2))
-    # layout mismatch is a named error
-    with pytest.raises(ValueError, match="layout"):
-        t.merge_cubes_tiled(tc1, t.to_tiled(c4, tile=4))
+    # tile-edge mismatch auto-retiles since round 11 (the repack
+    # adapter); a SCENE mismatch is still a named error
+    c6 = synthetic_cube(spark, CubeSpec(bands=("B04",), n_times=4, ny=8, nx=8))
+    with pytest.raises(ValueError, match="scene"):
+        t.merge_cubes_tiled(tc1, t.to_tiled(c6, tile=2))
 
 
 def test_merge_tiled_resolver_sees_null_partner_for_missing_tile(spark):
