@@ -1402,6 +1402,22 @@ def apply_kernel_tiled_layout(
             g_c = int(row0["_tc"]) * T - rx + np.arange(T + 2 * rx)
             rmap = _remap(g_r, n_y_s - 1) - (g_r[0])
             cmap = _remap(g_c, n_x_s - 1) - (g_c[0])
+            # reads within r of a VALID output pixel (g <= scene edge
+            # + r) always remap onto this canvas for r <= T — fail
+            # LOUDLY if that precondition ever loosens instead of
+            # clamping to a wrong-value read (ADVICE r11). Positions
+            # beyond that (partial-tile padding, NaN-masked via the
+            # center block below) may stray off-canvas; the clip for
+            # them is value-irrelevant.
+            live_r = g_r <= n_y_s - 1 + ry
+            live_c = g_c <= n_x_s - 1 + rx
+            if ((live_r & ((rmap < 0) | (rmap >= canvas.shape[0]))).any()
+                    or (live_c & ((cmap < 0)
+                                  | (cmap >= canvas.shape[1]))).any()):
+                raise AssertionError(
+                    "apply_kernel_tiled_layout: border remap of a live "
+                    f"read left the halo canvas (r={ry},{rx} T={T})"
+                )
             filled = np.nan_to_num(
                 canvas[np.ix_(np.clip(rmap, 0, canvas.shape[0] - 1),
                               np.clip(cmap, 0, canvas.shape[1] - 1))],
@@ -1613,9 +1629,16 @@ def radar_mask_tiled(
         with np.errstate(invalid="ignore"):
             h_rg_0 = d00 + (d20 - d00) / (2 * dy) * (dy - dy_p)
             h_rg_2 = d02 + (d22 - d02) / (2 * dy) * (dy + dy_p)
-            fdeg = np.round(
-                np.degrees(np.arctan((h_rg_2 - h_rg_0) / drg)) * rg_sign, 9
-            )
+            # quantize like the long tier's F.round(_, 9) (HALF_UP) so
+            # mask bits are tier-stable before thresholding. np.round is
+            # half-EVEN on the scaled binary value — emulate HALF_UP
+            # sign-aware instead (ADVICE r11). Residual: Spark rounds
+            # the shortest-repr DECIMAL string (BigDecimal.valueOf);
+            # both tiers only diverge when |fdeg·1e9| sits exactly on a
+            # representable binary .5 whose decimal repr disagrees —
+            # and then only if that 1e-9 flips a threshold compare.
+            raw = np.degrees(np.arctan((h_rg_2 - h_rg_0) / drg)) * rg_sign
+            fdeg = np.sign(raw) * np.floor(np.abs(raw) * 1e9 + 0.5) / 1e9
             row0 = pdf.iloc[0]
             tr, tcl = int(row0["_tr"]), int(row0["_tc"])
             lia_v = float(row0["_lia"])
@@ -2442,7 +2465,16 @@ def retile(
         n_y is not None and n_y != tc.n_y
     ) or (n_x is not None and n_x != tc.n_x)
     if new_tile == tc.tile and not windowed:
-        return tc
+        if grid is None:
+            return tc
+        # honor the grid override even on the no-op layout path
+        # (ADVICE r11: a caller passing a re-anchored grid must get it
+        # back regardless of whether any pixels move)
+        return TiledCube(
+            tc.df,
+            __import__("dataclasses").replace(tc.schema, grid=grid),
+            tc.tile, tc.n_y, tc.n_x,
+        )
     T, Tt = tc.tile, new_tile
     n_y = tc.n_y if n_y is None else n_y
     n_x = tc.n_x if n_x is None else n_x

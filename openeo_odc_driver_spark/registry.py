@@ -1450,6 +1450,9 @@ _BORDER_MAP = {
     "replicate": "least(greatest({g}, 0), 15)",
     "reflect": "(CASE WHEN {g} < 0 THEN -({g}) - 1 "
     "WHEN {g} > 15 THEN 31 - ({g}) ELSE {g} END)",
+    # pixel-centered mirror: the edge pixel is NOT repeated
+    "reflect_pixel": "(CASE WHEN {g} < 0 THEN -({g}) "
+    "WHEN {g} > 15 THEN 30 - ({g}) ELSE {g} END)",
     # periodic: double-mod because SQL % keeps the dividend's sign
     "wrap": "((({g}) % 16) + 16) % 16",
 }
@@ -1533,6 +1536,23 @@ def _tiled_apply_kernel_reflect(spark, sf_dir):
         apply_kernel_tiled_layout(
             to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16),
             _KERNEL, factor=_KERNEL_FACTOR, border="reflect",
+        )
+    ).df
+
+
+@q("tiled_apply_kernel_reflect_pixel", _kernel_border_oracle("reflect_pixel"))
+def _tiled_apply_kernel_reflect_pixel(spark, sf_dir):
+    """Round-12: the pixel-centered mirror border (edge pixel not
+    repeated; reference maps it to scipy ``mirror``,
+    openeo_odc_driver.py:1405) on the tiled layout — the last border
+    mode to get its own gate row. Same positional re-index
+    infrastructure as replicate/reflect; tile=8 exact tiling."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16),
+            _KERNEL, factor=_KERNEL_FACTOR, border="reflect_pixel",
         )
     ).df
 
@@ -2402,6 +2422,7 @@ def _build_tiled_store(spark, collection_id: str) -> str:
         # unique tmp per builder: two concurrent callers must not write
         # the same .build dir (ADVICE r10 TOCTOU)
         tmp = f"{path}.build.{os.getpid()}"
+        meta = os.path.join(path, "_tiled_meta.json")
         try:
             save_tiled(to_tiled(cube, tile=8, n_y=ny, n_x=nx), tmp)
             try:
@@ -2409,11 +2430,41 @@ def _build_tiled_store(spark, collection_id: str) -> str:
             except OSError:
                 # lost the publish race: another caller's complete
                 # store is already in place — success, drop ours
-                if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
+                if not os.path.exists(meta):
                     # an INCOMPLETE dir squats on the path (interrupted
-                    # legacy build): clear it and retry once
-                    shutil.rmtree(path, ignore_errors=True)
-                    os.replace(tmp, path)
+                    # legacy build). Serialize the clear+retry behind a
+                    # mkdir lock so two losers can't rmtree each
+                    # other's just-published store (ADVICE r11); the
+                    # retry tolerates a third builder winning.
+                    import time
+
+                    lock = f"{path}.recover.lock"
+                    try:
+                        os.mkdir(lock)
+                        got_lock = True
+                    except OSError:
+                        got_lock = False
+                    if got_lock:
+                        try:
+                            if not os.path.exists(meta):
+                                shutil.rmtree(path, ignore_errors=True)
+                                try:
+                                    os.replace(tmp, path)
+                                except OSError:
+                                    pass
+                        finally:
+                            os.rmdir(lock)
+                    else:
+                        # another recoverer is mid clear+publish: wait
+                        # for a complete store to appear
+                        for _ in range(200):
+                            if os.path.exists(meta):
+                                break
+                            time.sleep(0.05)
+                if not os.path.exists(meta):
+                    raise RuntimeError(
+                        f"tiled store publish failed for {path}"
+                    )
         finally:
             # a failed build (or a lost race) must not leave a stale
             # .build dir behind
