@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 item 5): never-checked round-8 queries lead, then queries whose
 # latest green row is r02, r03, ... — so a silent regression in a
 # long-unchecked op surfaces in the next window instead of never.
-# Regenerated for round 11 from CORRECTNESS_r01..r10 with the snippet in
+# Regenerated for round 12 from CORRECTNESS_r01..r11 with the snippet in
 # scratch/verify_local.py's docstring.
 #
 # _GATE_PRIORITY_ASOF records which driver reports the list was derived
@@ -53,58 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 10
+_GATE_PRIORITY_ASOF = 11
 _GATE_PRIORITY = [
-    "process_graph_resample_align",
-    "process_graph_resample_align_tiled",
-    "tiled_aggregate_period_median",
-    "tiled_apply_kernel_reflect",
-    "tiled_apply_kernel_replicate",
-    "tiled_apply_kernel_wrap",
-    "tiled_array_interpolate",
-    "tiled_filter_bbox_native",
-    "tiled_quantiles",
-    "tiled_quantiles_x",
-    "tiled_radar_mask",
-    "tiled_reduce_x_median",
-    "tiled_reduce_x_sd",
-    "tiled_reduce_x_sum",
-    "tiled_reduce_y_max",
-    "tiled_resample_cube_spatial",
-    "tiled_resample_cube_spatial_bilinear",
-    "tiled_resample_cube_temporal",
-    "tiled_zonal_mean_store",
-    "tiled_zonal_product",
-    "fit_curve_harmonic",
-    "gopher_quality_flags",
-    "incremental_corpus_stats",
-    "intra_doc_dedup",
-    "ivf_pq_ann",
-    "jsonl_roundtrip",
-    "kmeans_train",
-    "minhash_dedup_incremental",
-    "multimodal_audio_decode",
-    "multimodal_decode",
-    "orders_per_nation",
-    "orders_rollup",
-    "pack_sequences",
-    "pack_token_ids",
-    "paragraph_dedup",
-    "pii_scan",
-    "pipeline_rule_model_mix_stats",
-    "priority_sample",
-    "process_graph_fit_curve",
-    "quality_classifier_score",
-    "quality_classifier_train",
-    "repetition_scores",
-    "semantic_dedup_clusters",
-    "streaming_corpus_ingest_stats",
-    "streaming_quality_filter",
-    "temperature_sample_langs",
-    "tokenize_to_ids",
-    "tpch_q1",
-    "tpch_q14_promo_revenue",
-    "tpch_q5_local_supplier_volume",
+    "tiled_apply_kernel_reflect_pixel",
     "unigram_logprob",
     "vocab_top_terms",
     "zorder_bucket_stats",
@@ -358,6 +309,56 @@ _GATE_PRIORITY = [
     "tiled_zonal_concave",
     "tiled_zonal_median",
     "tiled_zonal_sd",
+    "fit_curve_harmonic",
+    "gopher_quality_flags",
+    "incremental_corpus_stats",
+    "intra_doc_dedup",
+    "ivf_pq_ann",
+    "jsonl_roundtrip",
+    "kmeans_train",
+    "minhash_dedup_incremental",
+    "multimodal_audio_decode",
+    "multimodal_decode",
+    "orders_per_nation",
+    "orders_rollup",
+    "pack_sequences",
+    "pack_token_ids",
+    "paragraph_dedup",
+    "pii_scan",
+    "pipeline_rule_model_mix_stats",
+    "priority_sample",
+    "process_graph_fit_curve",
+    "process_graph_resample_align",
+    "process_graph_resample_align_tiled",
+    "quality_classifier_score",
+    "quality_classifier_train",
+    "repetition_scores",
+    "semantic_dedup_clusters",
+    "streaming_corpus_ingest_stats",
+    "streaming_quality_filter",
+    "temperature_sample_langs",
+    "tiled_aggregate_period_median",
+    "tiled_apply_kernel_reflect",
+    "tiled_apply_kernel_replicate",
+    "tiled_apply_kernel_wrap",
+    "tiled_array_interpolate",
+    "tiled_filter_bbox_native",
+    "tiled_quantiles",
+    "tiled_quantiles_x",
+    "tiled_radar_mask",
+    "tiled_reduce_x_median",
+    "tiled_reduce_x_sd",
+    "tiled_reduce_x_sum",
+    "tiled_reduce_y_max",
+    "tiled_resample_cube_spatial",
+    "tiled_resample_cube_spatial_bilinear",
+    "tiled_resample_cube_temporal",
+    "tiled_zonal_mean_store",
+    "tiled_zonal_product",
+    "tokenize_to_ids",
+    "tpch_q1",
+    "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -532,11 +532,74 @@ def _pred_select(L: int, T: int, TL: int) -> int:
     return T if pt <= pl else L
 
 
+# Predictor modes whose neighbors live entirely on the PREVIOUS row
+# (T/TL/TR; mode 0 is the constant) — rows whose mode blocks all fall in
+# this set invert as whole-row numpy expressions instead of the pixel
+# scan (~60% of decode wall was this scan, PLANS.md round-11).
+_ROW_PARALLEL_MODES = frozenset((0, 2, 3, 4, 8, 9))
+_LANE_MASK = np.uint32(0x00FF00FF)
+
+
+def _bytes_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-byte (mod 256) add of packed ARGB words: two 16-bit-lane
+    passes — each lane holds an 8-bit value, sums fit in 9 bits, the
+    mask drops the inter-byte carries."""
+    m = _LANE_MASK
+    lo = ((a & m) + (b & m)) & m
+    hi = ((((a >> np.uint32(8)) & m) + ((b >> np.uint32(8)) & m)) & m)
+    return lo | (hi << np.uint32(8))
+
+
+def _bytes_avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-byte (x + y) >> 1 on packed ARGB words (same lane trick;
+    the post-shift mask drops the bit an upper lane shifts into the
+    gap below it)."""
+    m = _LANE_MASK
+    lo = (((a & m) + (b & m)) >> np.uint32(1)) & m
+    hi = ((((a >> np.uint32(8)) & m) + ((b >> np.uint32(8)) & m))
+          >> np.uint32(1)) & m
+    return lo | (hi << np.uint32(8))
+
+
+def _inv_predictor_row(out: np.ndarray, y: int, size_bits: int,
+                       row_modes: np.ndarray) -> None:
+    """Whole-row predictor inversion for previous-row-only modes:
+    one numpy expression over the row (in place on ``out``)."""
+    w = out.shape[1]
+    # x == 0 always predicts from T = out[y-1, 0] regardless of mode
+    out[y, 0] = _bytes_add(out[y, 0], out[y - 1, 0])
+    if w == 1:
+        return
+    t = out[y - 1, 1:]
+    tl = out[y - 1, :-1]
+    tr = np.empty(w - 1, dtype=np.uint32)
+    tr[:-1] = out[y - 1, 2:]
+    tr[-1] = out[y, 0]  # libwebp flat-index wrap: TR of the last column
+    mode = row_modes[(np.arange(1, w) >> size_bits)]
+    pred = np.full(w - 1, np.uint32(0xFF000000))  # mode 0
+    for mval, expr in (
+        (2, lambda: t), (3, lambda: tr), (4, lambda: tl),
+        (8, lambda: _bytes_avg2(tl, t)), (9, lambda: _bytes_avg2(t, tr)),
+    ):
+        sel = mode == mval
+        if sel.any():
+            np.copyto(pred, expr(), where=sel)
+    out[y, 1:] = _bytes_add(out[y, 1:], pred)
+
+
 def _inv_predictor(img: np.ndarray, size_bits: int,
                    modes: np.ndarray) -> np.ndarray:
     h, w = img.shape
-    out = img.astype(np.int64).copy()
+    out = img.astype(np.uint32).copy()
     for y in range(h):
+        if y > 0:
+            row_modes = modes[y >> size_bits]
+            if all(int(m) in _ROW_PARALLEL_MODES
+                   for m in row_modes[: ((w - 1) >> size_bits) + 1]):
+                _inv_predictor_row(out, y, size_bits, row_modes)
+                continue
+        # sequential scan: row 0 (the L-chain) and any row whose mode
+        # blocks reference the left neighbor (1/5/6/7/10/11/12/13)
         for x in range(w):
             if x == 0 and y == 0:
                 pred = 0xFF000000
@@ -563,8 +626,8 @@ def _inv_predictor(img: np.ndarray, size_bits: int,
             res = 0
             for s in (24, 16, 8, 0):
                 res |= (((v >> s) + (pred >> s)) & 0xFF) << s
-            out[y, x] = res
-    return out.astype(np.uint32)
+            out[y, x] = np.uint32(res)
+    return out
 
 
 def _ct_delta(t: int, c: int) -> int:

@@ -110,3 +110,39 @@ def test_gate_staleness_survives_future_driver_report(tmp_path):
     latest = _staleness_by_query(str(tmp_path), E._GATE_PRIORITY_ASOF)
     assert latest == baseline
     _assert_stalest_first(names, latest)
+
+
+def test_gate_recheck_cycle_stays_bounded():
+    """VERDICT r11 item 7: with stalest-first ordering and the driver's
+    ~50-query window, every registered query is re-verified once per
+    ceil(n_queries / window) rounds. At 304 queries that cycle is 7
+    rounds — the documented ceiling. Registry growth that would push a
+    query's re-check past the ceiling fails HERE, forcing either
+    registry restraint (merge near-duplicate gate rows) or an explicit,
+    reviewed widening of this bound. The empirical half of the claim is
+    checked too: as of _GATE_PRIORITY_ASOF no green query's latest
+    driver row may already be older than the cycle implies."""
+    import os
+
+    import __spark_entry__ as E
+
+    window = 50          # observed driver gate size, stable r01..r11
+    cycle_ceiling = 7    # rounds; raise ONLY with a VERDICT-visible note
+
+    names = list(E.queries())
+    cycle = -(-len(names) // window)  # ceil
+    assert cycle <= cycle_ceiling, (
+        f"{len(names)} registered queries need {cycle} rounds for a full "
+        f"re-check at the driver's ~{window}/round window (ceiling "
+        f"{cycle_ceiling}); merge gate rows or widen the documented bound"
+    )
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    latest = _staleness_by_query(here, E._GATE_PRIORITY_ASOF)
+    stalest = min(latest.values(), default=E._GATE_PRIORITY_ASOF)
+    assert E._GATE_PRIORITY_ASOF - stalest < cycle_ceiling, (
+        f"a query's latest green row is r{stalest:02d}, "
+        f"{E._GATE_PRIORITY_ASOF - stalest} rounds old as of "
+        f"r{E._GATE_PRIORITY_ASOF:02d} — exceeds the {cycle_ceiling}-round "
+        f"re-check cycle"
+    )

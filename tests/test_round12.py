@@ -1,0 +1,67 @@
+"""Round-12 pins.
+
+VP8L predictor vectorization (VERDICT r11 item 4): rows whose mode
+blocks are all previous-row-only (0/2/3/4/8/9) invert as whole-row
+numpy expressions; these tests pin that the fast path is bit-identical
+to the scalar scan it replaces — per-mode round-trips through the real
+bitstream, and the forward/inverse property over random mixed grids
+that interleave vectorized and scalar rows.
+"""
+import numpy as np
+import pytest
+
+from openeo_odc_driver_spark.pipeline.webp import (
+    _ROW_PARALLEL_MODES,
+    _fwd_predictor,
+    _inv_predictor,
+    decode_webp,
+    encode_webp,
+)
+
+RNG_IMG = np.random.default_rng(12).integers(0, 256, (19, 23, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("mode", sorted(_ROW_PARALLEL_MODES))
+def test_vp8l_row_parallel_mode_round_trip(mode):
+    """Uniform previous-row-only predictor → every row but row 0 takes
+    the vectorized path; the full encode/decode round-trip must stay
+    lossless."""
+    payload = encode_webp(RNG_IMG, predictor_mode=mode)
+    out = decode_webp(payload)
+    assert (out == RNG_IMG).all(), f"mode {mode}"
+
+
+def _rand_argb(rng, h, w):
+    return (np.uint32(0xFF000000)
+            | rng.integers(0, 1 << 24, (h, w), dtype=np.uint32))
+
+
+@pytest.mark.parametrize("seed,h,w,size_bits", [
+    (1, 17, 29, 2), (2, 8, 8, 2), (3, 33, 5, 3), (4, 9, 64, 4),
+])
+def test_inv_predictor_inverts_fwd_on_mixed_grids(seed, h, w, size_bits):
+    """Random mode grids mixing row-parallel and left-referencing modes
+    (so vectorized rows sit between scalar rows and read their output):
+    _inv_predictor(_fwd_predictor(img)) == img, alpha included."""
+    rng = np.random.default_rng(seed)
+    img = _rand_argb(rng, h, w)
+    bh = ((h - 1) >> size_bits) + 1
+    bw = ((w - 1) >> size_bits) + 1
+    modes = rng.integers(0, 14, (bh, bw), dtype=np.int64)
+    # force some all-row-parallel block rows so the fast path runs
+    row_par = sorted(_ROW_PARALLEL_MODES)
+    for i in range(0, bh, 2):
+        modes[i] = rng.choice(row_par, bw)
+    res = _fwd_predictor(img, size_bits, modes)
+    back = _inv_predictor(res, size_bits, modes)
+    assert (back == img).all()
+
+
+def test_inv_predictor_row_parallel_only_grid():
+    """A grid drawn purely from the row-parallel set (every row after
+    row 0 vectorizes, including the TR wrap at the last column)."""
+    rng = np.random.default_rng(99)
+    img = _rand_argb(rng, 21, 31)
+    modes = rng.choice(sorted(_ROW_PARALLEL_MODES), (6, 8)).astype(np.int64)
+    res = _fwd_predictor(img, 2, modes)
+    assert (_inv_predictor(res, 2, modes) == img).all()
