@@ -615,6 +615,13 @@ class ProcessGraph:
         def is_tiled(key: str) -> bool:
             return isinstance(self._resolve_raw(args[key]), TiledCube)
 
+        if pid == "save_result":
+            # a sink materializes pixels by definition — expanding the
+            # tiled layout here is the operator's semantics, not a
+            # fallback, so it is NOT a recorded demotion (the telemetry
+            # lists layout degradations only)
+            return self._dispatch(pid, args, node, long_only=True)
+
         if pid == "load_collection":
             stored = self._load_tiled_store(args)
             if stored is not None:

@@ -34,9 +34,16 @@ from .plans.catalog import COLLECTION_SPECS
 from .plans.graph import ProcessGraph
 
 
-def _graph_md5(payload: dict) -> str:
+def _graph_md5(payload: dict, tiled: bool = False, tile: int = 8) -> str:
+    """Cache key: the process graph plus the execution mode — a tiled
+    run and a long run of the same graph are separate cache entries
+    (their telemetry differs, and the artifact equivalence is an oracle
+    property, not a cache assumption)."""
+    body = {"g": payload.get("process_graph", payload)}
+    if tiled:
+        body["mode"] = ["tiled", tile]
     return hashlib.md5(
-        json.dumps(payload.get("process_graph", payload), sort_keys=True).encode()
+        json.dumps(body, sort_keys=True).encode()
     ).hexdigest()
 
 
@@ -50,18 +57,24 @@ class JobStore:
         self.log_csv = os.path.join(root, "jobs_log.csv")
         self._lock = threading.Lock()
 
-    def cache_lookup(self, md5: str) -> Optional[str]:
+    def cache_lookup(self, md5: str):
+        """(artifact_path, execution_meta dict) or None. Rows written
+        before the telemetry column exist with two fields — they read
+        back with empty meta."""
         if not os.path.exists(self.cache_csv):
             return None
         with open(self.cache_csv) as f:
             for row in csv.reader(f):
                 if row and row[0] == md5 and os.path.exists(row[1]):
-                    return row[1]
+                    meta = json.loads(row[2]) if len(row) > 2 and row[2] else {}
+                    return row[1], meta
         return None
 
-    def cache_put(self, md5: str, artifact: str) -> None:
+    def cache_put(self, md5: str, artifact: str, meta: dict | None = None) -> None:
         with self._lock, open(self.cache_csv, "a", newline="") as f:
-            csv.writer(f).writerow([md5, artifact])
+            csv.writer(f).writerow(
+                [md5, artifact, json.dumps(meta) if meta else ""]
+            )
 
     def log_job(self, job_id: str, group: str) -> None:
         with self._lock, open(self.log_csv, "a", newline="") as f:
@@ -156,31 +169,48 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
         job_id = payload.get("id") or hashlib.md5(
             os.urandom(16)
         ).hexdigest()[:12]
-        md5 = _graph_md5(payload)
+        # execution-mode knobs ride the payload next to the graph
+        # (this service's own shape — the reference has no tiled tier)
+        tiled = bool(payload.get("tiled"))
+        tile = int(payload.get("tile", 8))
+        md5 = _graph_md5(payload, tiled=tiled, tile=tile)
         job_dir = os.path.join(store.root, "jobs", job_id)
         os.makedirs(job_dir, exist_ok=True)
 
         cached = store.cache_lookup(md5)
         if cached:  # cache hit: copy artifact, skip execution (:62-85)
-            dest = os.path.join(job_dir, os.path.basename(cached))
-            if os.path.isdir(cached):
-                shutil.copytree(cached, dest, dirs_exist_ok=True)
+            path, meta = cached
+            dest = os.path.join(job_dir, os.path.basename(path))
+            if os.path.isdir(path):
+                shutil.copytree(path, dest, dirs_exist_ok=True)
             else:
-                shutil.copy(cached, dest)
-            return jsonify({"job_id": job_id, "output": dest, "cached": True})
+                shutil.copy(path, dest)
+            return jsonify({"job_id": job_id, "output": dest,
+                            "cached": True, **meta})
 
         group = f"openeo-{job_id}"
         store.log_job(job_id, group)
         spark.sparkContext.setJobGroup(group, f"process graph {job_id}",
                                        interruptOnCancel=True)
         try:
-            pg = ProcessGraph(payload, sf_dir=sf_dir, save_dir=job_dir)
+            pg = ProcessGraph(payload, sf_dir=sf_dir, save_dir=job_dir,
+                              tiled=tiled, tile=tile,
+                              tiled_store_dir=tiled_store_dir
+                              if tiled else None)
             pg.execute(spark)
         except Exception as e:  # openEO error shape
             return jsonify({"id": job_id, "code": type(e).__name__,
                             "message": str(e)}), 400
         finally:
             spark.sparkContext.setJobGroup("", "")
+        # demotion telemetry (VERDICT r11 item 6): which process ids
+        # fell back to the long tier — the observability the reference's
+        # per-node logs give for free (openeo_odc_driver.py:117), as a
+        # response block a client can assert on; cached replays of the
+        # same (graph, mode) return the same block
+        meta = {"tiled": {"tile": tile,
+                          "demotions": list(pg.tiled_demotions)}
+                } if tiled else {}
         artifact = os.path.join(job_dir, pg.result_node)
         for ext in ("", ".tif", ".npy", ".json", ".png"):
             if os.path.exists(artifact + ext):
@@ -190,9 +220,10 @@ def create_app(spark: SparkSession, work_dir: str = "/tmp/spark_graft_service",
             # graph had no save_result terminal: nothing was written —
             # don't record a phantom path in the cache (ADVICE r2)
             return jsonify({"job_id": job_id, "output": None,
-                            "cached": False})
-        store.cache_put(md5, artifact)
-        return jsonify({"job_id": job_id, "output": artifact, "cached": False})
+                            "cached": False, **meta})
+        store.cache_put(md5, artifact, meta)
+        return jsonify({"job_id": job_id, "output": artifact,
+                        "cached": False, **meta})
 
     @app.delete("/stop_job")
     def stop_job():

@@ -234,3 +234,63 @@ def test_collection_exposes_tiled_store_block(spark, tmp_path):
     # a collection without a store omits the block
     body2 = c.get("/collections/synthetic_coarse").get_json()
     assert "openeo_odc:tiled_store" not in body2
+
+
+def _fit_curve_graph():
+    """A graph whose fit_curve node has no tiled branch — the stable
+    demotion example (per-pixel params cube; by-design long)."""
+    return {"process_graph": {
+        "l": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "fit": {
+            "process_id": "fit_curve",
+            "arguments": {
+                "data": {"from_node": "l"},
+                "parameters": [0, 0],
+                "function": {"process_graph": {
+                    "a0": {"process_id": "array_element",
+                           "arguments": {"data": {"from_parameter": "parameters"},
+                                         "index": 0}},
+                    "a1": {"process_id": "array_element",
+                           "arguments": {"data": {"from_parameter": "parameters"},
+                                         "index": 1}},
+                    "lin": {"process_id": "multiply",
+                            "arguments": {"x": {"from_node": "a1"},
+                                          "y": {"from_parameter": "x"}}},
+                    "res": {"process_id": "add",
+                            "arguments": {"x": {"from_node": "a0"},
+                                          "y": {"from_node": "lin"}},
+                            "result": True},
+                }},
+            },
+            "result": True,
+        },
+    }}
+
+
+def test_tiled_post_reports_demotions(client):
+    """VERDICT r11 item 6: a tiled-mode POST exposes which process ids
+    fell back to the long tier — and the cached replay of the same
+    (graph, mode) carries the same telemetry block."""
+    payload = {**_fit_curve_graph(), "tiled": True, "tile": 8}
+    r1 = client.post("/graph", json=payload)
+    assert r1.status_code == 200
+    body1 = r1.get_json()
+    assert body1["cached"] is False
+    assert body1["tiled"]["tile"] == 8
+    assert "fit_curve" in body1["tiled"]["demotions"]
+
+    # long-mode run of the SAME graph: separate cache entry, no block
+    r_long = client.post("/graph", json=_fit_curve_graph())
+    assert r_long.get_json()["cached"] is False
+    assert "tiled" not in r_long.get_json()
+
+
+def test_tiled_demotion_free_graph_reports_empty(client):
+    """The NDVI-median graph stays tile-native end to end — the
+    telemetry block must say so (empty list, not absent)."""
+    payload = {**_graph(), "tiled": True, "tile": 8}
+    r = client.post("/graph", json=payload)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["tiled"]["demotions"] == []
