@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "tiled_zonal_mean_store",
     "tiled_resample_cube_spatial_bilinear",
     "tiled_apply_kernel_replicate",
+    # round 12
+    "tiled_filter_bbox_native",
+    "tiled_resample_cube_spatial_upscale",
+    "multimodal_webp_decode",
 ]
 
 

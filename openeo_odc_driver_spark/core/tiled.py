@@ -2079,6 +2079,69 @@ def _axis_winner_map(
     return winners
 
 
+def _axis_relabel(
+    n_src: int, o_s: float, res_s: float, o_t: float, res_t: float,
+    descending: bool,
+):
+    """UPSCALE (target finer than source) nearest snap along one axis —
+    round-12 item 3. The long operator snaps each SOURCE pixel to its
+    nearest target cell; when the snap is injective (every source pixel
+    its own cell — always true for a genuinely finer target), the long
+    output is a pure RELABEL of the source rows: same values, snapped
+    coordinates, and the in-between fine cells have NO rows at all. A
+    dense tile array can represent that exactly iff the snapped
+    coordinates are affine in the source index — i.e. the occupied
+    cells form a uniform lattice ``x0' + res'·i`` that regenerates
+    every long coordinate BIT-EXACTLY through from_tiled's expression
+    (the filter_bbox_tiled_native drift discipline). Returns
+    ``(origin', res')`` for that lattice or raises
+    :class:`TiledRegridUnsupported` (non-uniform snap stride — e.g.
+    res 1 → 0.7 — or ulp drift)."""
+    import numpy as np
+
+    i = np.arange(n_src, dtype="float64")
+    # the long snap's literal IEEE expressions (floor(q + 0.5))
+    if descending:
+        c = o_s - res_s * i
+        J = np.floor((o_t - c) / res_t + 0.5)
+        snapped = o_t - res_t * J
+    else:
+        c = o_s + res_s * i
+        J = np.floor((c - o_t) / res_t + 0.5)
+        snapped = o_t + res_t * J
+    if n_src > 1 and not (np.diff(J) > 0).all():
+        raise TiledRegridUnsupported(
+            "source pixels collide on target cells (not an injective "
+            "upscale snap)"
+        )
+    if n_src > 1:
+        k = J[1] - J[0]
+        if not (np.diff(J) == k).all():
+            raise TiledRegridUnsupported(
+                "snap stride is non-uniform (non-rational factor); the "
+                "occupied cells form no lattice a dense tile can label"
+            )
+        resp = float(res_t * k)
+    else:
+        resp = float(res_t)
+    origin = float(snapped[0])
+    regen = origin - resp * i if descending else origin + resp * i
+    if not np.array_equal(snapped, regen):
+        raise TiledRegridUnsupported(
+            "relabeled coordinates drift from the affine regeneration "
+            "(ulp mismatch); demoting to the long snap"
+        )
+    if n_src > 1 and not (
+        (np.diff(snapped) < 0).all() if descending
+        else (np.diff(snapped) > 0).all()
+    ):
+        raise TiledRegridUnsupported(
+            "snapped coordinates are not strictly monotone (float "
+            "collapse); the long groupBy would merge rows"
+        )
+    return origin, resp
+
+
 def resample_cube_spatial_tiled(
     source: TiledCube, target, method: str = "near"
 ) -> TiledCube:
@@ -2101,12 +2164,13 @@ def resample_cube_spatial_tiled(
        by output tile): fragments scatter into the target-edge canvas.
        Winners partition by source tile, so fragments never overlap.
 
-    Grid pairs without an exact dense representation (upscale gaps,
-    off-scene target origins) raise
-    :class:`TiledRegridUnsupported` — the planner catches it and
-    demotes to the long snap (recorded in ``tiled_demotions``);
-    ``bilinear`` likewise stays long (its 4-neighbor gather wants
-    coordinate rows). 2-D cross ties (two candidates with DIFFERENT
+    UPSCALE pairs (target finer than source) take the relabel path
+    instead (round 12, :func:`_axis_relabel`): the injective snap is a
+    zero-shuffle grid re-anchor. Grid pairs without an exact dense
+    representation (non-uniform snap strides, off-scene target
+    origins) raise :class:`TiledRegridUnsupported` — the planner
+    catches it and demotes to the long snap (recorded in
+    ``tiled_demotions``). 2-D cross ties (two candidates with DIFFERENT
     per-axis distances but equal total distance, where the long
     ``ORDER BY d, x, y`` could pick a non-separable winner) are not
     reproduced — they require exact d equality across unequal axis
@@ -2126,12 +2190,34 @@ def resample_cube_spatial_tiled(
     schema = _dc_replace(source.schema, grid=tg)
     T = source.tile
     n_y, n_x = source.n_y, source.n_x
-    wx = _axis_winner_map(
-        n_x, sg.x0, sg.resx, tg.x0, tg.resx, descending=False
-    )
-    wy = _axis_winner_map(
-        n_y, sg.y0, sg.resy, tg.y0, tg.resy, descending=True
-    )
+    try:
+        wx = _axis_winner_map(
+            n_x, sg.x0, sg.resx, tg.x0, tg.resx, descending=False
+        )
+        wy = _axis_winner_map(
+            n_y, sg.y0, sg.resy, tg.y0, tg.resy, descending=True
+        )
+    except TiledRegridUnsupported:
+        # UPSCALE (round-12 item 3): an injective snap is a pure
+        # relabel — same tile arrays, a re-anchored grid over the
+        # occupied lattice (the long twin's grid metadata names the
+        # fine target lattice; the ROW SET is identical, which is what
+        # the shared oracle compares). Zero data movement, no shuffle.
+        # Mixed down/up pairs fail both paths and demote as before.
+        from .cube import GridSpec
+
+        x0p, resxp = _axis_relabel(
+            n_x, sg.x0, sg.resx, tg.x0, tg.resx, descending=False
+        )
+        y0p, resyp = _axis_relabel(
+            n_y, sg.y0, sg.resy, tg.y0, tg.resy, descending=True
+        )
+        schema_up = _dc_replace(
+            source.schema,
+            grid=GridSpec(x0=x0p, y0=y0p, resx=resxp, resy=resyp),
+        )
+        out = TiledCube(source.df, schema_up, T, n_y, n_x)
+        return out if T == Tt else retile(out, Tt)
     nt_y, nt_x = len(wy), len(wx)
     if (
         nt_x == n_x and nt_y == n_y
@@ -2435,6 +2521,170 @@ def resample_cube_spatial_bilinear_tiled(
     return TiledCube(df, schema, Tt, nt_y, nt_x)
 
 
+def _retile_same_edge_jvm(
+    tc: TiledCube, row0: int, col0: int, n_y: int, n_x: int, out_schema
+) -> TiledCube:
+    """Window repack at an UNCHANGED tile edge, entirely JVM-side.
+
+    Because source and destination share the edge T, the shift
+    ``(dy, dx) = (row0 % T, col0 % T)`` is the same for every tile:
+    each destination canvas is a fixed ≤4-way stencil of source
+    fragments (top-left h1×w1, top-right h1×dx, bottom-left dy×w1,
+    bottom-right dy×dx with h1 = T−dy, w1 = T−dx) — all geometry is
+    plan constants. Each source tile therefore emits its ≤4 fragments
+    as array ``slice``/``flatten`` expressions (shuffle bytes = the
+    kept window, like the Python fragment plan it replaces), one
+    groupBy pivots them into role columns, and a ``transform`` over
+    the T² cell indices assembles the canvas — no Arrow/pandas
+    boundary, which was the fixed ~0.5–1 s the native filter_bbox
+    paid per 12.6 M px (PLANS.md round-11 A/B).
+
+    The aligned case (dy = dx = 0) degenerates to a pure projection:
+    tile indices shift, out-of-range tiles prune, and only the window's
+    edge tiles rewrite their array (beyond-window cells → NULL, the
+    same padding discipline to_tiled uses past the scene edge)."""
+    T = tc.tile
+    q_r, dy = divmod(row0, T)
+    q_c, dx = divmod(col0, T)
+    h1, w1 = T - dy, T - dx
+    nd_y, nd_x = -(-n_y // T), -(-n_x // T)
+    keys = tc.key_dims
+
+    def in_range(df):
+        return df.where(
+            (F.col("tile_row") >= 0) & (F.col("tile_row") < nd_y)
+            & (F.col("tile_col") >= 0) & (F.col("tile_col") < nd_x)
+        )
+
+    # valid pixel counts of a DEST tile (≤ T only on the window's last
+    # row/column of tiles) — all array work below is per-ROW bulk
+    # slice/concat: a per-ELEMENT CASE/element_at transform was measured
+    # 6× SLOWER than the Python repack it replaced (interpreted HOF
+    # lambdas cost ~µs/element; array copies are tight JVM loops)
+    vh = f"least({T}, {n_y} - tile_row * {T})"
+    vw = f"least({T}, {n_x} - tile_col * {T})"
+    nulls = "CAST(NULL AS DOUBLE)"
+
+    def pad_expr(src_row: str) -> str:
+        """One canvas ROW with the beyond-window tail nulled; src_row
+        is an expression for the unpadded row array (length T)."""
+        return (
+            f"CASE WHEN {vw} >= {T} THEN {src_row} "
+            f"ELSE concat(slice({src_row}, 1, {vw}), "
+            f"array_repeat({nulls}, {T} - {vw})) END"
+        )
+
+    def rows_expr(row_of_r: str) -> str:
+        """Assemble the T×T canvas from per-row expressions: NULL rows
+        past the window, padded tail on the last tile column."""
+        return (
+            f"flatten(transform(sequence(0, {T - 1}), r -> "
+            f"CASE WHEN r >= {vh} THEN array_repeat({nulls}, {T}) "
+            f"ELSE {pad_expr(row_of_r)} END))"
+        )
+
+    if dy == 0 and dx == 0:
+        proj = in_range(tc.df.select(
+            *keys,
+            (F.col("tile_row") - F.lit(q_r)).alias("tile_row"),
+            (F.col("tile_col") - F.lit(q_c)).alias("tile_col"),
+            F.col("data"),
+        ))
+        # full-interior tiles pass their array through untouched
+        df = proj.select(
+            *keys, "tile_row", "tile_col",
+            F.when(
+                ((F.col("tile_row") + 1) * T <= n_y)
+                & ((F.col("tile_col") + 1) * T <= n_x),
+                F.col("data"),
+            ).otherwise(
+                F.expr(rows_expr(f"slice(data, r * {T} + 1, {T})"))
+            ).alias("data"),
+        )
+        return TiledCube(df, out_schema, T, n_y, n_x)
+
+    # roles: (b, g) ∈ {top, bottom} × {left, right}; absent shifts drop
+    # their roles at plan time (dy == 0 → no bottom row of fragments)
+    roles = []  # (role_id, b, g, row_start, h, col_start, w)
+    rid = 0
+    for b in ((0, 1) if dy else (0,)):
+        for g in ((0, 1) if dx else (0,)):
+            rs, h = (dy, h1) if b == 0 else (0, dy)
+            cs, w = (dx, w1) if g == 0 else (0, dx)
+            roles.append((rid, b, g, rs, h, cs, w))
+            rid += 1
+
+    def frag_expr(rs: int, h: int, cs: int, w: int):
+        if cs == 0 and w == T:
+            return F.slice(F.col("data"), rs * T + 1, h * T)
+        return F.expr(
+            f"flatten(transform(sequence({rs}, {rs + h - 1}), "
+            f"r -> slice(data, r * {T} + {cs} + 1, {w})))"
+        )
+
+    # ONE scan: all ≤4 fragments are computed in a single projection
+    # (the generator input is evaluated once per source row — no
+    # re-evaluation through the Generate) and exploded into addressed
+    # fragment rows. Four union legs would decode the parquet arrays
+    # four times — measured as the dominant repack cost at 12.6 M px.
+    frag_structs = F.array(*[
+        F.struct(
+            (F.col("tile_row") - F.lit(q_r + b)).alias("tile_row"),
+            (F.col("tile_col") - F.lit(q_c + g)).alias("tile_col"),
+            F.lit(role_id).alias("_role"),
+            frag_expr(rs, h, cs, w).alias("_frag"),
+        )
+        for role_id, b, g, rs, h, cs, w in roles
+    ])
+    frags = in_range(
+        tc.df.select(*keys, F.explode(frag_structs).alias("_e"))
+        .select(*keys, "_e.tile_row", "_e.tile_col", "_e._role",
+                "_e._frag")
+    )
+    rid_of = {(b, g): role_id for role_id, b, g, *_ in roles}
+    grouped = frags.groupBy(*keys, "tile_row", "tile_col").agg(*[
+        F.first(F.when(F.col("_role") == role_id, F.col("_frag")),
+                ignorenulls=True).alias(f"_f{role_id}")
+        for role_id, *_ in roles
+    ])
+    # a fragment missing at the window/scene edge contributes NULLs —
+    # coalesce once per tile so the row concat never sees a NULL array
+    # (concat(NULL, x) would nullify the whole row)
+    filled = grouped.select(
+        *keys, "tile_row", "tile_col", *[
+            F.coalesce(
+                F.col(f"_f{role_id}"),
+                F.expr(f"array_repeat({nulls}, {h * w})"),
+            ).alias(f"_f{role_id}")
+            for role_id, b, g, rs, h, cs, w in roles
+        ]
+    )
+
+    def row_slice(b: int, g: int) -> str:
+        """Role (b,g)'s contribution to canvas row r: one bulk slice
+        of its fragment (row index r for top roles, r − h1 for
+        bottom)."""
+        role_id = rid_of[(b, g)]
+        w = w1 if g == 0 else dx
+        r_loc = "r" if b == 0 else f"(r - {h1})"
+        return f"slice(_f{role_id}, {r_loc} * {w} + 1, {w})"
+
+    if dy and dx:
+        base = (f"CASE WHEN r < {h1} THEN "
+                f"concat({row_slice(0, 0)}, {row_slice(0, 1)}) "
+                f"ELSE concat({row_slice(1, 0)}, {row_slice(1, 1)}) END")
+    elif dy:
+        base = (f"CASE WHEN r < {h1} THEN {row_slice(0, 0)} "
+                f"ELSE {row_slice(1, 0)} END")
+    else:
+        base = f"concat({row_slice(0, 0)}, {row_slice(0, 1)})"
+    df = filled.select(
+        *keys, "tile_row", "tile_col",
+        F.expr(rows_expr(base)).alias("data"),
+    )
+    return TiledCube(df, out_schema, T, n_y, n_x)
+
+
 def retile(
     tc: TiledCube,
     new_tile: int,
@@ -2481,6 +2731,36 @@ def retile(
     out_schema_obj = tc.schema if grid is None else __import__(
         "dataclasses"
     ).replace(tc.schema, grid=grid)
+    if Tt == T:
+        # same-edge window: the fragment plan degenerates to a fixed
+        # ≤4-way stencil — expressible entirely JVM-side (VERDICT r11
+        # item 2); _retile_python remains for genuine tile-edge changes
+        return _retile_same_edge_jvm(tc, row0, col0, n_y, n_x,
+                                     out_schema_obj)
+    return _retile_python(tc, new_tile, row0, col0, n_y, n_x,
+                          out_schema_obj)
+
+
+def _retile_python(
+    tc: TiledCube,
+    new_tile: int,
+    row0: int,
+    col0: int,
+    n_y: int,
+    n_x: int,
+    out_schema_obj,
+) -> TiledCube:
+    """The general tile-edge-changing repack: Python fragment split
+    (mapInPandas) + canvas assembly (applyInPandas). Kept for Tt != T
+    (merge_cubes auto-retile, cross-edge resample); the same-edge
+    window case dispatches to :func:`_retile_same_edge_jvm` (also the
+    scratch/filter_bbox_ab.py A/B's slow leg)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    T, Tt = tc.tile, new_tile
     keys = tc.key_dims
     key_fields = ", ".join(
         f"{c} {tc.df.schema[c].dataType.simpleString()}" for c in keys

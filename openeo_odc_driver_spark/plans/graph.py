@@ -600,10 +600,13 @@ class ProcessGraph:
         (convex + mean/sum/min/max/count → the interior/boundary
         classified plan, emits long), radar_mask (radius-2 halo-strip
         exchange on the DEM band), resample_cube_temporal (broadcast
-        as-of relabel on tile rows), resample_cube_spatial (factor-
-        aligned nearest snap via the fragment repack; bilinear /
-        upscale / shifted origins demote). filter_bbox uses the
-        tile-pruning path, which expands (documented demotion point).
+        as-of relabel on tile rows), resample_cube_spatial (any
+        covering downscale via the fragment repack, bilinear via the
+        window-fragment gather, uniform-stride upscale as a
+        zero-shuffle relabel; non-uniform strides / off-scene origins
+        demote). filter_bbox stays tiled through the JVM window repack
+        (non-dyadic re-anchor drift falls back to the expanding
+        slice).
         geocode stays long BY DESIGN: its input positions (per-pixel
         LON/LAT layer bands) are irregular, so the packed layout's
         premise — pixel index ≡ grid cell — doesn't hold past the
@@ -787,8 +790,10 @@ class ProcessGraph:
             tgt = self._resolve_raw(args["target"])
             method = args.get("method", "near")
             # any covering downscale grid pair runs natively (winner
-            # maps as plan data); upscale gaps / off-scene origins
-            # demote to the long snap (recorded demotion)
+            # maps as plan data) and any uniform-stride UPSCALE
+            # relabels with zero data movement (round 12); non-uniform
+            # strides / off-scene origins demote to the long snap
+            # (recorded demotion)
             if method in ("near", "nearest"):
                 try:
                     return tl.resample_cube_spatial_tiled(src, tgt, method)

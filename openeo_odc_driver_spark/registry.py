@@ -1763,6 +1763,47 @@ def _tiled_resample_cube_spatial(spark, sf_dir):
     ).df
 
 
+_UPSCALE_GRID = GridSpec(x0=2.5, y0=152.5, resx=5.0, resy=5.0)
+
+
+@q(
+    "tiled_resample_cube_spatial_upscale",
+    f"WITH cube AS ({CUBE_D}), snapped AS ("
+    "SELECT band, time, y, x, value, "
+    "2.5 + 5.0 * floor((x - 2.5) / 5.0 + 0.5) AS sx, "
+    "152.5 - 5.0 * floor((152.5 - y) / 5.0 + 0.5) AS sy, "
+    "(x - (2.5 + 5.0 * floor((x - 2.5) / 5.0 + 0.5))) * (x - (2.5 + 5.0 * floor((x - 2.5) / 5.0 + 0.5))) "
+    "+ (y - (152.5 - 5.0 * floor((152.5 - y) / 5.0 + 0.5))) * (y - (152.5 - 5.0 * floor((152.5 - y) / 5.0 + 0.5))) AS d "
+    "FROM cube), r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY band, time, sx, sy ORDER BY d, x, y) AS rn FROM snapped) "
+    "SELECT band, time, sy AS y, sx AS x, value FROM r WHERE rn = 1",
+)
+def _tiled_resample_upscale(spark, sf_dir):
+    """UPSCALE nearest snap natively on tiles (round-12 item 3;
+    core/tiled.py: _axis_relabel): a target FINER than the source snaps
+    every source pixel to its own cell — the long output is a pure
+    relabel of the source rows (gap cells have no rows at all), so the
+    tiled path is a zero-shuffle grid re-anchor over the occupied
+    lattice, bit-exactness of every regenerated coordinate checked at
+    plan time. Target res 5 at origin 2.5/152.5 over the res-10 cube:
+    a genuinely shifted re-anchor (snapped coords differ from source
+    coords by 2.5). Shares the long operator's oracle shape (the
+    row_number winner is degenerate — every group has one row)."""
+    from .core.tiled import from_tiled, resample_cube_spatial_tiled, to_tiled
+
+    target = Cube(
+        synthetic_cube(spark).df,
+        CubeSchema(
+            bands=DEFAULT_SPEC.bands, crs="EPSG:32632", grid=_UPSCALE_GRID
+        ),
+    )
+    return from_tiled(
+        resample_cube_spatial_tiled(
+            to_tiled(synthetic_cube(spark), tile=5, n_y=16, n_x=16), target
+        )
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Curve fitting / UDF (SURVEY §2.9-2.10)
 # ---------------------------------------------------------------------------

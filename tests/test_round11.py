@@ -114,19 +114,32 @@ def test_resample_cube_spatial_tiled_no_edge_cell(spark):
     _frames_equal(resample_cube_spatial(src, target).df, t.from_tiled(tiled).df)
 
 
-def test_resample_cube_spatial_tiled_rejects_upscale(spark):
-    """Upscale snap images have interior gaps a dense tile array cannot
-    represent — the dedicated error class is what the planner demotes
-    on."""
+def test_resample_cube_spatial_tiled_upscale_relabels(spark):
+    """Round 12 flips this pin: an upscale snap is an injective
+    RELABEL (gap cells have no rows in the long output either), so the
+    tiled path re-anchors the grid with zero data movement and matches
+    the long operator exactly (`tiled_resample_cube_spatial_upscale`
+    gate row shares the long oracle). The uncoverable demotion moved to
+    NON-UNIFORM strides (test_resample_nonuniform_stride_demotes…)."""
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
     src = synthetic_cube(spark)
     target = _target(src, GridSpec(x0=0.0, y0=150.0, resx=5.0, resy=5.0))
-    with pytest.raises(t.TiledRegridUnsupported, match="gaps"):
-        t.resample_cube_spatial_tiled(
-            t.to_tiled(src, tile=8, n_y=16, n_x=16), target
-        )
-    # off-scene target origin: first pixel snaps past cell 0
+    tc = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=8, n_y=16, n_x=16), target
+    )
+    # zero data movement: the tile DataFrame is the input's, unchanged
+    assert tc.tile == 8 and (tc.n_y, tc.n_x) == (16, 16)
+    _frames_equal(
+        t.from_tiled(tc).df, resample_cube_spatial(src, target).df
+    )
+
+    # off-scene target origin: still a demotion (winner map rejects the
+    # anchor, relabel rejects the colliding downscale snap)
     far = _target(src, GridSpec(x0=-500.0, y0=150.0, resx=20.0, resy=20.0))
-    with pytest.raises(t.TiledRegridUnsupported, match="origin"):
+    with pytest.raises(t.TiledRegridUnsupported):
         t.resample_cube_spatial_tiled(
             t.to_tiled(src, tile=8, n_y=16, n_x=16), far
         )
@@ -199,11 +212,12 @@ def test_resample_align_graph_demotion_free(spark):
     _frames_equal(long_pg.execute(spark).df, cube.df)
 
 
-def test_resample_upscale_demotes_not_errors(spark):
-    """An UPSCALE snap (target finer than source: gapped snap image) on
-    a tiled input falls through to the long path — a recorded demotion,
-    never an error. (bilinear, round-11's earlier demotion example,
-    became tile-native later in the round.)"""
+def test_resample_upscale_stays_tiled(spark):
+    """Round 12 (VERDICT item 3): an UPSCALE snap (target finer than
+    source) is an injective relabel — the tiled path re-anchors the
+    grid with ZERO data movement instead of demoting, and matches the
+    long plan exactly. (This test asserted the demotion until round 12
+    removed it; non-uniform snap strides still demote — next test.)"""
     import json
 
     from openeo_odc_driver_spark.plans.graph import ProcessGraph
@@ -219,8 +233,34 @@ def test_resample_upscale_demotes_not_errors(spark):
     del graph["process_graph"]["align"]
     graph["process_graph"]["snap"]["result"] = True
     pg = ProcessGraph(graph, save_dir="/tmp/pg_align_up", tiled=True)
-    pg.execute(spark)
-    assert "resample_cube_spatial" in pg.tiled_demotions
+    tiled_out = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    long_pg = ProcessGraph(graph, save_dir="/tmp/pg_align_up_long")
+    _frames_equal(tiled_out.df, long_pg.execute(spark).df)
+
+
+def test_resample_nonuniform_stride_demotes_not_errors(spark):
+    """A snap whose stride is NON-uniform (res 10 → 4: J = floor(2.5i
+    + 0.5) steps 3,2,3,2…) has no lattice a dense tile can label — it
+    demotes to the long snap, never errors."""
+    from dataclasses import replace
+
+    from openeo_odc_driver_spark.core.cube import Cube, CubeSchema, GridSpec
+    from openeo_odc_driver_spark.core.tiled import (
+        TiledRegridUnsupported,
+        resample_cube_spatial_tiled,
+        to_tiled,
+    )
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    cube = synthetic_cube(spark)
+    tgt = Cube(cube.df, replace(
+        cube.schema, grid=GridSpec(x0=0.0, y0=150.0, resx=4.0, resy=4.0)
+    ))
+    with pytest.raises(TiledRegridUnsupported):
+        resample_cube_spatial_tiled(
+            to_tiled(cube, tile=8, n_y=16, n_x=16), tgt
+        )
 
 
 # --- x/y reducers, period median, zonal product on tiles ---------------------

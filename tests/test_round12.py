@@ -65,3 +65,41 @@ def test_inv_predictor_row_parallel_only_grid():
     modes = rng.choice(sorted(_ROW_PARALLEL_MODES), (6, 8)).astype(np.int64)
     res = _fwd_predictor(img, 2, modes)
     assert (_inv_predictor(res, 2, modes) == img).all()
+
+
+# --- JVM same-edge window repack (VERDICT r11 item 2) ------------------------
+
+
+def _window_cases():
+    # (row0, col0, n_y, n_x) windows over a 16x16 scene, tile 4:
+    # unaligned both axes / rows-aligned / cols-aligned / aligned
+    # interior / sub-tile window / scene-edge-hugging window
+    return [
+        (3, 5, 9, 7),
+        (4, 5, 8, 7),
+        (3, 8, 9, 8),
+        (4, 8, 8, 4),
+        (1, 2, 3, 2),
+        (6, 7, 10, 9),
+    ]
+
+
+@pytest.mark.parametrize("row0,col0,n_y,n_x", _window_cases())
+def test_retile_same_edge_jvm_matches_python(spark, row0, col0, n_y, n_x):
+    """The Catalyst same-edge window repack is row-for-row identical to
+    the round-11 Python fragment machinery it replaced — across shift
+    classes (dy/dx zero and non-zero), sub-tile windows, and windows
+    ending at the scene edge."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    tc = t.to_tiled(synthetic_cube(spark), tile=4, n_y=16, n_x=16)
+    jvm = t._retile_same_edge_jvm(tc, row0, col0, n_y, n_x, tc.schema)
+    py = t._retile_python(tc, 4, row0, col0, n_y, n_x, tc.schema)
+    assert (jvm.tile, jvm.n_y, jvm.n_x) == (py.tile, py.n_y, py.n_x)
+    cols = ["band", "time", "tile_row", "tile_col"]
+    a = jvm.df.toPandas().sort_values(cols).reset_index(drop=True)
+    b = py.df.toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
