@@ -97,6 +97,7 @@ def to_tiled(
     tile: int = 256,
     n_y: int | None = None,
     n_x: int | None = None,
+    impl: str = "auto",
 ) -> TiledCube:
     """Long → tiled: one aggregation keyed by (band, time, tile_row,
     tile_col); each group assembles its dense row-major pixel array via
@@ -105,12 +106,26 @@ def to_tiled(
     them to keep the plan action-free — sources that know their grid
     statically should).
 
+    Two physical engines behind one semantics (the ``assign_impl``
+    dispatch pattern): ``"sql"`` — collect_list + array_sort + a
+    gap-filling HOF fold, engine-exact and oracle-mode for small tiles
+    — and ``"numpy"`` — Arrow-batched ``applyInPandas`` position
+    scatter per tile group, the scale path (the round-12 probe
+    measured the interpreted per-element HOF at ~200k cells/s/32cores:
+    63 s to pack 12.6 M cells that the scatter does in ~2 s). ``auto``
+    picks numpy at/above ``TILE_VECTORIZE_CELLS`` (gate fixtures at
+    tile ≤ 8 stay on the sql path their oracles pin). Values pass
+    through untouched in both — bit-exact either way; both raise the
+    same named error on duplicate pixel keys.
+
     Scale shape: the groupBy is the ONLY exchange, its key count is
     pixels/tile² (e.g. 10^12 px → 15 M rows at tile=256), and each
     group's state is one fixed-size array — no skew (every tile has
     exactly tile² candidate cells)."""
     if tile < 1:
         raise ValueError(f"tile must be >= 1, got {tile}")
+    if impl == "auto":
+        impl = "numpy" if tile * tile >= TILE_VECTORIZE_CELLS else "sql"
     x_idx, y_idx = _indices(cube)
     if n_y is None or n_x is None:
         ext = cube.df.agg(
@@ -154,6 +169,42 @@ def to_tiled(
         "raise_error('to_tiled: duplicate pixel keys within a tile "
         "(one row per (band, time, y, x) required)') END)[0]"
     )
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        T2n = tile * tile
+        gkeys = [*keys, "tile_row", "tile_col"]
+
+        def scatter(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pos = pdf["_pos"].to_numpy()
+            if len(np.unique(pos)) != len(pos):
+                raise ValueError(
+                    "to_tiled: duplicate pixel keys within a tile "
+                    "(one row per (band, time, y, x) required)"
+                )
+            arr = np.full(T2n, np.nan)
+            arr[pos] = pdf[VALUE].to_numpy(dtype="float64")
+            obj = arr.astype(object)
+            obj[np.isnan(arr)] = None
+            row0 = pdf.iloc[0]
+            rec = {
+                c: [int(row0[c]) if c in ("tile_row", "tile_col")
+                    else row0[c]]
+                for c in gkeys
+            }
+            rec["data"] = [obj.tolist()]
+            return pd.DataFrame(rec)
+
+        out_fields = ", ".join(
+            f"{c} {cube.df.schema[c].dataType.simpleString()}"
+            if c in keys else f"{c} int"
+            for c in gkeys
+        )
+        df = staged.groupBy(*gkeys).applyInPandas(
+            scatter, f"{out_fields}, data array<double>"
+        )
+        return TiledCube(df, cube.schema, tile, n_y, n_x)
     df = (
         staged.groupBy(*keys, "tile_row", "tile_col")
         .agg(F.expr(assemble).alias("data"))

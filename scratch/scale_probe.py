@@ -107,9 +107,87 @@ def spec_for(cid, sf):
     raise ValueError(cid)
 
 
+def fast_tiled(spark, spec):
+    """The synthetic cube synthesized DIRECTLY as tile rows — numpy
+    mapInPandas over (band, time, tile_row, tile_col) keys evaluating
+    the CubeSpec value/NULL formulas per 256² block. Bit-identical to
+    to_tiled(synthetic_cube(...)) (asserted at sf=1 by --check), but
+    build cost is embarrassingly parallel instead of the long
+    crossjoin + per-element HOF assembly (hours at 1.26G cells)."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.cube import CubeSchema, GridSpec
+    from openeo_odc_driver_spark.core.tiled import TiledCube
+    from openeo_odc_driver_spark.sources.synthetic import (
+        ALL_DIMS,
+        spec_time_extent,
+        spec_times,
+    )
+
+    nby, nbx = -(-spec.ny // TILE), -(-spec.nx // TILE)
+    nb, nt = len(spec.bands), spec.n_times
+    keys = spark.range(nb * nt * nby * nbx).selectExpr(
+        f"CAST(id div {nt * nby * nbx} AS INT) AS b",
+        f"CAST((id div {nby * nbx}) % {nt} AS INT) AS ti",
+        f"CAST((id div {nbx}) % {nby} AS INT) AS tile_row",
+        f"CAST(id % {nbx} AS INT) AS tile_col",
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4)
+    bands = list(spec.bands)
+    unit = spec.time_unit.upper()
+    t0 = pd.Timestamp(spec.t0)
+    times = [
+        (t0 + (pd.DateOffset(months=int(i)) if unit == "MONTH"
+               else pd.DateOffset(days=int(i)))
+         + pd.DateOffset(days=spec.day_offset)).to_datetime64()
+        for i in range(nt)
+    ]
+    P = dict(va=spec.va, vb=spec.vb, vc=spec.vc, vd=spec.vd,
+             vm=spec.vm, vs=spec.vs, na=spec.na, nb=spec.nb,
+             nc=spec.nc, nd=spec.nd, nm=spec.nm, ny=spec.ny,
+             nx=spec.nx)
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for b, ti, tr, tc_ in pdf[
+                ["b", "ti", "tile_row", "tile_col"]
+            ].itertuples(index=False, name=None):
+                yi = tr * TILE + np.arange(TILE)[:, None]
+                xi = tc_ * TILE + np.arange(TILE)[None, :]
+                v = ((b * P["va"] + ti * P["vb"] + yi * P["vc"]
+                      + xi * P["vd"]) % P["vm"]) / 8.0 - P["vs"]
+                nul = ((b * P["na"] + ti * P["nb"] + yi * P["nc"]
+                        + xi * P["nd"]) % P["nm"]) == 0
+                nul |= (yi >= P["ny"]) | (xi >= P["nx"])
+                arr = v.astype(object)
+                arr[nul] = None
+                out.append({
+                    "band": bands[b], "time": times[ti],
+                    "tile_row": tr, "tile_col": tc_,
+                    "data": arr.reshape(-1).tolist(),
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    df = keys.mapInPandas(
+        gen,
+        "band string, time timestamp, tile_row int, tile_col int, "
+        "data array<double>",
+    )
+    schema = CubeSchema(
+        dims=ALL_DIMS, bands=spec.bands,
+        crs="EPSG:32632" if spec.resx >= 1 else "EPSG:4326",
+        grid=GridSpec(x0=spec.x0, y0=spec.y0, resx=spec.resx,
+                      resy=spec.resy),
+        time_extent=spec_time_extent(spec), time_axis=spec_times(spec),
+    )
+    return TiledCube(df, schema, TILE, spec.ny, spec.nx)
+
+
 def build_stores(spark, sf):
-    from openeo_odc_driver_spark.core.tiled import save_tiled, to_tiled
-    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+    from openeo_odc_driver_spark.core.tiled import save_tiled
 
     root = f"{BASE}/sf{sf}"
     for cid in ("synthetic", "synthetic_coarse", "s2_l2a"):
@@ -118,14 +196,31 @@ def build_stores(spark, sf):
             continue
         spec = spec_for(cid, sf)
         t0 = time.time()
-        save_tiled(
-            to_tiled(synthetic_cube(spark, spec), tile=TILE,
-                     n_y=spec.ny, n_x=spec.nx),
-            path,
-        )
+        save_tiled(fast_tiled(spark, spec), path)
         print(f"built {path} ({spec.ny}x{spec.nx}) in "
               f"{time.time() - t0:.0f}s", flush=True)
     return root
+
+
+def check_fast_build(spark):
+    """sf=1 equivalence: the fast tile synthesis must be row-identical
+    to the to_tiled(synthetic_cube) route the engine uses."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.tiled import to_tiled
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    for cid in ("synthetic", "synthetic_coarse", "s2_l2a"):
+        spec = spec_for(cid, 1)
+        a = fast_tiled(spark, spec).df
+        b = to_tiled(synthetic_cube(spark, spec), tile=TILE,
+                     n_y=spec.ny, n_x=spec.nx).df
+        cols = ["band", "time", "tile_row", "tile_col"]
+        pa = a.toPandas().sort_values(cols).reset_index(drop=True)
+        pb = b.toPandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa, pb, check_exact=True)
+        print(f"fast build == to_tiled for {cid} "
+              f"({len(pa)} tile rows)", flush=True)
 
 
 def graphs(sf):
@@ -161,9 +256,13 @@ def graphs(sf):
 
 
 def main():
-    sfs = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    args = [a for a in sys.argv[1:]]
     spark = get_spark_ui()
     spark.sparkContext.setLogLevel("WARN")
+    if "--check" in args:
+        check_fast_build(spark)
+        args.remove("--check")
+    sfs = [int(a) for a in args] or [1, 10, 100]
     from openeo_odc_driver_spark.plans.graph import ProcessGraph
 
     results = []

@@ -103,3 +103,41 @@ def test_retile_same_edge_jvm_matches_python(spark, row0, col0, n_y, n_x):
     a = jvm.df.toPandas().sort_values(cols).reset_index(drop=True)
     b = py.df.toPandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_to_tiled_numpy_impl_matches_sql(spark):
+    """to_tiled's scale engine (numpy position scatter) is row-identical
+    to the sql HOF assembly the oracles pin — including NULL cells,
+    edge-tile padding, and the duplicate-pixel named error."""
+    import pandas as pd
+    import pytest as _pt
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    cube = synthetic_cube(spark)
+    a = t.to_tiled(cube, tile=5, n_y=16, n_x=16, impl="numpy").df
+    b = t.to_tiled(cube, tile=5, n_y=16, n_x=16, impl="sql").df
+    cols = ["band", "time", "tile_row", "tile_col"]
+    pa = a.toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb, check_exact=True)
+
+    # duplicate pixel keys raise the same named error in both engines
+    dup = cube.df.unionAll(cube.df.limit(1))
+    from openeo_odc_driver_spark.core.cube import Cube
+
+    for impl in ("numpy", "sql"):
+        with _pt.raises(Exception, match="duplicate pixel keys"):
+            t.to_tiled(
+                Cube(dup, cube.schema), tile=5, n_y=16, n_x=16, impl=impl
+            ).df.collect()
+
+
+def test_to_tiled_auto_picks_numpy_at_scale_tiles():
+    """The dispatch constant: tile=256 -> numpy, fixture tiles -> sql
+    (the oracle-pinned path)."""
+    from openeo_odc_driver_spark.core.tiled import TILE_VECTORIZE_CELLS
+
+    assert 256 * 256 >= TILE_VECTORIZE_CELLS
+    assert 8 * 8 < TILE_VECTORIZE_CELLS
