@@ -55,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 11
 _GATE_PRIORITY = [
+    "tiled_quantiles_bands",
     "tiled_resample_cube_spatial_upscale",
     "tiled_apply_kernel_reflect_pixel",
     "unigram_logprob",

@@ -453,6 +453,7 @@ def quantiles_tiled(
     tc: TiledCube,
     probabilities: "Sequence[float] | None" = None,
     q: int | None = None,
+    dim: str = TIME,
 ) -> TiledCube:
     """openEO ``quantiles`` over the TIME axis natively on tiles (long
     twin ``operators/reducers.py:quantiles``; reference wires it under
@@ -465,7 +466,12 @@ def quantiles_tiled(
     closest ranks is the same arithmetic in numpy, Spark ``percentile``
     and DuckDB ``quantile_cont`` (lower + frac·(higher−lower)), so the
     tiers stay bit-equal on dyadic inputs; all-NULL positions stay NULL.
-    One tile-keyed exchange — same shape as the median fold."""
+    One tile-keyed exchange — same shape as the median fold.
+
+    ``dim`` picks the reduced axis: TIME (default) stacks a pixel's
+    time slices, BAND (round 12 — closes the last quantiles-family
+    demotion) stacks its band rows; the fold is identical (percentile
+    is order-free over the stack)."""
     import numpy as np
     import pandas as pd
 
@@ -474,9 +480,11 @@ def quantiles_tiled(
     if q is not None:
         probabilities = [i / q for i in range(1, q)]
     probs = [float(p) for p in probabilities]
-    if TIME not in tc.schema.dims:
-        raise ValueError("quantiles_tiled needs a time dimension")
-    keys = [BAND] if BAND in tc.schema.dims else []
+    if dim not in (TIME, BAND):
+        raise ValueError(f"quantiles_tiled reduces time or band, got {dim!r}")
+    if dim not in tc.schema.dims:
+        raise ValueError(f"quantiles_tiled needs a {dim} dimension")
+    keys = [d for d in (BAND, TIME) if d in tc.schema.dims and d != dim]
     gkeys = [*keys, "tile_row", "tile_col"]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -490,7 +498,9 @@ def quantiles_tiled(
         )  # (len(probs), T2)
         row0 = pdf.iloc[0]
         base = {
-            k: row0[k] if k == BAND else int(row0[k]) for k in gkeys
+            k: row0[k] if k == BAND else
+            (int(row0[k]) if k in ("tile_row", "tile_col") else row0[k])
+            for k in gkeys
         }
         rows = []
         for i, p in enumerate(probs):
@@ -505,7 +515,7 @@ def quantiles_tiled(
     df = tc.df.groupBy(*gkeys).applyInPandas(
         fold, f"{fields}, prob double, data array<double>"
     )
-    return TiledCube(df, tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x)
+    return TiledCube(df, tc.schema.drop(dim), tc.tile, tc.n_y, tc.n_x)
 
 
 def array_interpolate_linear_tiled(tc: TiledCube) -> TiledCube:

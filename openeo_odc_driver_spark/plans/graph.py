@@ -722,7 +722,15 @@ class ProcessGraph:
                         probabilities=ca.get("probabilities"),
                         q=ca.get("q"),
                     )
-            return NotImplemented  # band quantiles: long path
+                if dim == BAND:
+                    # round 12: the time fold with the band axis
+                    # stacked instead — closes the quantiles family
+                    return tl.quantiles_tiled(
+                        self._resolve_raw(args["data"]),
+                        probabilities=ca.get("probabilities"),
+                        q=ca.get("q"), dim=BAND,
+                    )
+            return NotImplemented
         if pid == "array_interpolate_linear" and is_tiled("data"):
             if canonical_dim(args.get("dimension", "time")) == TIME:
                 return tl.array_interpolate_linear_tiled(

@@ -576,6 +576,28 @@ def _tiled_array_interpolate(spark, sf_dir):
     ).df
 
 
+@q(
+    "tiled_quantiles_bands",
+    f"WITH cube AS ({CUBE_D}), g AS ("
+    f"SELECT time, y, x, quantile_cont(value, {_QPROBS_D}) AS qs, "
+    f"{_QPROBS_D} AS ps FROM cube GROUP BY time, y, x) "
+    "SELECT time, y, x, qs[i] AS value, ps[i] AS prob "
+    f"FROM g, range(1, {len(_QPROBS) + 1}) r(i)",
+)
+def _tiled_quantiles_bands(spark, sf_dir):
+    """Round-12: quantiles over the BAND axis on tiles — the time fold
+    (quantiles_tiled) with the band rows stacked instead, closing the
+    last quantiles-family demotion. Same exchange shape (one tile-keyed
+    groupBy), same lower + frac*(higher-lower) interpolation across
+    numpy / Spark percentile / DuckDB quantile_cont."""
+    from .core.tiled import from_tiled, quantiles_tiled
+
+    return from_tiled(
+        quantiles_tiled(_tiled_fixture(spark), probabilities=_QPROBS,
+                        dim="band")
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # Grouped / windowed aggregations (SURVEY §2.7)
 # ---------------------------------------------------------------------------

@@ -141,3 +141,42 @@ def test_to_tiled_auto_picks_numpy_at_scale_tiles():
 
     assert 256 * 256 >= TILE_VECTORIZE_CELLS
     assert 8 * 8 < TILE_VECTORIZE_CELLS
+
+
+def test_band_quantiles_stay_tiled(spark):
+    """apply_dimension(quantiles, dimension=bands) in tiled mode stays
+    on tiles (round 12) and matches the long plan exactly."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = {"process_graph": {
+        "l": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "qs": {
+            "process_id": "apply_dimension",
+            "arguments": {
+                "data": {"from_node": "l"},
+                "dimension": "bands",
+                "process": {"process_graph": {
+                    "p": {"process_id": "quantiles",
+                          "arguments": {
+                              "data": {"from_parameter": "data"},
+                              "probabilities": [0.25, 0.5, 0.75],
+                          },
+                          "result": True},
+                }},
+            },
+            "result": True,
+        },
+    }}
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_bq_tiled", tiled=True)
+    tiled_out = pg.execute(spark)
+    assert pg.tiled_demotions == []
+    long_out = ProcessGraph(
+        graph, save_dir="/tmp/pg_bq_long"
+    ).execute(spark)
+    cols = sorted(tiled_out.df.columns)
+    a = tiled_out.df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = long_out.df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
