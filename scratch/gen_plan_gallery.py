@@ -62,6 +62,10 @@ GALLERY = [
      "tile rows — the packed arrays never open, the big side never "
      "shuffles; the mapping subplan is two tiny distinct axes + one "
      "window"),
+    ("tiled_filter_bbox_native",
+     "round 12: JVM window repack - one scan, fragment explode, one tile-keyed exchange, no Python"),
+    ("tiled_resample_cube_spatial_upscale",
+     "round 12: upscale relabel - zero-shuffle schema swap; plan is the store scan + from_tiled only"),
     ("tiled_resample_cube_spatial",
      "round 11: factor-aligned grid snap — scan-fused mapInPandas "
      "samples k^2-fewer winner pixels per source tile BEFORE the one "

@@ -180,3 +180,127 @@ def test_band_quantiles_stay_tiled(spark):
     a = tiled_out.df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     b = long_out.df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+
+
+# --- numpy twin of the band-expression compiler (round 12) -------------------
+
+
+def _band_graph(pid_tree):
+    """Tiny helper: build an openEO reducer sub-graph from a nested
+    spec; leaves are band labels or numbers."""
+    counter = [0]
+    nodes = {}
+
+    def emit(spec):
+        if isinstance(spec, str):  # band label
+            counter[0] += 1
+            nid = f"n{counter[0]}"
+            nodes[nid] = {"process_id": "array_element",
+                          "arguments": {"data": {"from_parameter": "data"},
+                                        "label": spec}}
+            return {"from_node": nid}
+        if isinstance(spec, (int, float)):
+            return spec
+        pid, *args = spec
+        counter[0] += 1
+        nid = f"n{counter[0]}"
+        if pid in ("clip",):
+            nodes[nid] = {"process_id": pid, "arguments": {
+                "x": emit(args[0]), "min": args[1], "max": args[2]}}
+        elif pid == "linear_scale_range":
+            nodes[nid] = {"process_id": pid, "arguments": {
+                "x": emit(args[0]), "inputMin": args[1],
+                "inputMax": args[2], "outputMin": args[3],
+                "outputMax": args[4]}}
+        elif pid == "log":
+            nodes[nid] = {"process_id": pid, "arguments": {
+                "x": emit(args[0]), "base": args[1]}}
+        elif len(args) == 1:
+            nodes[nid] = {"process_id": pid,
+                          "arguments": {"x": emit(args[0])}}
+        else:
+            nodes[nid] = {"process_id": pid, "arguments": {
+                "x": emit(args[0]), "y": emit(args[1])}}
+        return {"from_node": nid}
+
+    ref = emit(pid_tree)
+    nodes[ref["from_node"]]["result"] = True
+    return nodes
+
+
+_TWIN_GRAPHS = {
+    "ndvi_spelled": ("divide", ("subtract", "B08", "B04"),
+                     ("add", "B08", "B04")),
+    "normdiff": ("normalized_difference", "B08", "B04"),
+    "div_by_band_with_zeros": ("divide", "B08", "SCL"),
+    "mod_bands": ("mod", "B08", "B04"),
+    "clip_null_to_lo": ("clip", "B04", -1.0, 2.5),
+    "lsr": ("linear_scale_range", "B08", -6.0, 6.0, 0.0, 255.0),
+    "floor_ceil_int": ("add", ("floor", "B04"),
+                       ("subtract", ("ceil", "B08"), ("int", "SCL"))),
+    "const_mix": ("add", ("multiply", "B08", 2.0), 3.5),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TWIN_GRAPHS))
+def test_band_expr_numpy_twin_matches_sql(spark, name):
+    """Every numpy-twin primitive against the zip_with/transform engine
+    it replaces, on the fixture's mixed data (negatives, zeros, ~4%
+    NULLs): exact frame equality. Pins the empirically-verified
+    non-ANSI corners — x/0 → NULL, ln/log(≤0) → NULL, clip(NULL) → lo,
+    mod via composed floor-divide."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.tiled import to_tiled, from_tiled
+    from openeo_odc_driver_spark.plans.graph import (
+        _reduce_bands_expression_tiled,
+    )
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    child = _band_graph(_TWIN_GRAPHS[name])
+    tc = to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    a = from_tiled(
+        _reduce_bands_expression_tiled(tc, child, impl="numpy")
+    ).df
+    b = from_tiled(
+        _reduce_bands_expression_tiled(tc, child, impl="sql")
+    ).df
+    cols = sorted(a.columns)
+    pa = a.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pb = b.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb, check_exact=True)
+
+
+def test_band_expr_twin_unsupported_falls_back(spark):
+    """sqrt produces NaN VALUES from valid inputs (sqrt(−1)) — outside
+    the twin's NaN≡NULL subset — so auto dispatch at a scale tile must
+    fall back to the sql engine, never error, and stay exact."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core.tiled import to_tiled, from_tiled
+    from openeo_odc_driver_spark.plans.graph import (
+        _TwinUnsupported,
+        _compile_expr_numpy,
+        _reduce_bands_expression_tiled,
+    )
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    # sqrt (NaN values from valid inputs) and ALL transcendentals
+    # (last-ulp libm/JVM divergence - measured on ln(1.25)) are out
+    for tree in (("sqrt", ("add", "B04", "B08")), ("ln", "B04"),
+                 ("log", ("absolute", "B08"), 10.0),
+                 ("arctan", ("exp", ("multiply", "B04", 0.25)))):
+        with pytest.raises(_TwinUnsupported):
+            _compile_expr_numpy(_band_graph(tree), {"data": lambda a: 0.0})
+    child = _band_graph(("sqrt", ("add", "B04", "B08")))
+    tc = to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    a = from_tiled(
+        _reduce_bands_expression_tiled(tc, child, impl="numpy")
+    ).df  # falls back internally
+    b = from_tiled(
+        _reduce_bands_expression_tiled(tc, child, impl="sql")
+    ).df
+    cols = sorted(a.columns)
+    pa = a.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pb = b.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb, check_exact=True)
