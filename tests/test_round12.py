@@ -304,3 +304,48 @@ def test_band_expr_twin_unsupported_falls_back(spark):
     pa = a.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     pb = b.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb, check_exact=True)
+
+
+def test_filter_bbox_native_store_pushes_tile_range(spark):
+    """The JVM stay-tiled filter_bbox over a save_tiled STORE: the
+    tile-range prune reaches the parquet scan (PushedFilters carries
+    tile_row/tile_col), so row groups outside the box never read their
+    array bytes — the storage-first pruning claim of the round-12
+    repack, pinned on real explain output. Values verified against the
+    long filter + reducer."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.operators.filters import filter_bbox
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+
+    src = synthetic_cube(spark)
+    work = tempfile.mkdtemp(prefix="fb_store_")
+    try:
+        path = os.path.join(work, "store")
+        t.save_tiled(t.to_tiled(src, tile=4, n_y=16, n_x=16), path)
+        tc = t.load_tiled(spark, path)
+        # SE-quadrant box: pixels x in [90,150], y in [0,60] -> tiles
+        # (2..3, 2..3) of the 4x4 grid
+        win = t.filter_bbox_tiled_native(tc, 90.0, 150.0, 0.0, 60.0)
+        red = t.reduce_time_tiled(win, "mean")
+        phys = red.df._jdf.queryExecution().executedPlan().toString()
+        pushed = [ln for ln in phys.splitlines() if "PushedFilters" in ln]
+        assert pushed, phys[:2000]
+        assert any("tile_row" in ln and "tile_col" in ln
+                   for ln in pushed), pushed
+        long_df = reduce_dimension(
+            filter_bbox(src, 90.0, 150.0, 0.0, 60.0), "time", "mean"
+        ).df
+        cols = sorted(long_df.columns)
+        a = t.from_tiled(red).df.toPandas()[cols].sort_values(
+            cols).reset_index(drop=True)
+        b = long_df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
