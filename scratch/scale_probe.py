@@ -6,10 +6,11 @@ on local[32], and records wall time, total shuffle bytes, and peak
 JVM memory per graph — the scaling exponent is the deliverable
 (PLANS.md round-12 table).
 
-Store building (one-time, cached under /tmp/r12_scale) goes through
-the real pipeline: synthetic_cube (lazy range cross-join SQL) ->
-to_tiled -> save_tiled, with collection ids the planner resolves via
-tiled_store_dir. The graphs mirror tests/process_graphs/*.json with
+Store building (one-time, cached under /tmp/r12_scale) synthesizes
+tile rows directly (fast_tiled: numpy mapInPandas over tile keys,
+asserted bit-identical to the to_tiled(synthetic_cube) route at sf=1
+by --check) and writes them with save_tiled; the planner resolves the
+collection ids via tiled_store_dir. The graphs mirror tests/process_graphs/*.json with
 whole-scene extents and WITHOUT the save_result sink (the probe
 measures the query plan; sink encoders are driver-side by design and
 scale separately). Each graph's result is reduced with count+sum so
