@@ -77,6 +77,32 @@ class TiledCube:
         return [d for d in (BAND, TIME) if d in self.schema.dims]
 
 
+def _require_same_grid(
+    op: str, a: "TiledCube", b: "TiledCube", check_scene: bool = False
+) -> None:
+    """Guard for binary tiled operators that equi-join on tile indices:
+    a tile index names a GEOGRAPHIC footprint only relative to the
+    cube's grid, so joining two cubes on different grids silently pairs
+    misaligned tiles (e.g. the zero-shuffle upscale RELABEL re-anchors
+    its grid onto the occupied coarse lattice — round-13 fix for the
+    r12 advisory). Raises :class:`TiledRegridUnsupported`, which the
+    planner catches and demotes to the long tier (correct result,
+    recorded demotion) — never a hard error where the long plan
+    succeeds. Grids unknown on either side (handle-built cubes without
+    a GridSpec) keep the legacy same-scene contract."""
+    ga, gb = a.schema.grid, b.schema.grid
+    if ga is not None and gb is not None and ga != gb:
+        raise TiledRegridUnsupported(
+            f"{op}: tile-index join across different grids "
+            f"({ga} vs {gb}); demoting to the long tier"
+        )
+    if check_scene and (a.n_y, a.n_x) != (b.n_y, b.n_x):
+        raise TiledRegridUnsupported(
+            f"{op}: scene mismatch {(a.n_y, a.n_x)} vs "
+            f"{(b.n_y, b.n_x)}; demoting to the long tier"
+        )
+
+
 def _indices(cube: Cube):
     grid = cube.schema.grid
     if grid is None:
@@ -114,9 +140,18 @@ def to_tiled(
     measured the interpreted per-element HOF at ~200k cells/s/32cores:
     63 s to pack 12.6 M cells that the scatter does in ~2 s). ``auto``
     picks numpy at/above ``TILE_VECTORIZE_CELLS`` (gate fixtures at
-    tile ≤ 8 stay on the sql path their oracles pin). Values pass
-    through untouched in both — bit-exact either way; both raise the
-    same named error on duplicate pixel keys.
+    tile ≤ 8 stay on the sql path their oracles pin).
+
+    **Tiled-boundary convention (round 13)**: the packed array's ONLY
+    missing-value representation is NULL — a float NaN input VALUE
+    folds to NULL on pack in BOTH engines (the Arrow float64 transfer
+    the numpy engine rides cannot distinguish them, so the sql engine
+    folds explicitly to match; fragment shuffles already round-trip
+    NULL↔NaN the same way). With that convention the engines are
+    bit-exact on every packable input. Both raise on duplicate pixel
+    keys with the SAME message, though the exception class differs
+    (Python ``ValueError`` from the pandas scatter vs Spark's
+    ``raise_error`` runtime exception from the HOF).
 
     Scale shape: the groupBy is the ONLY exchange, its key count is
     pixels/tile² (e.g. 10^12 px → 15 M rows at tile=256), and each
@@ -162,7 +197,8 @@ def to_tiled(
         "    array_repeat(CAST(NULL AS DOUBLE), "
         "      es[k]._pos - CASE WHEN k = 0 THEN -1 "
         "      ELSE es[k - 1]._pos END - 1), "
-        "    array(es[k].value)))), "
+        "    array(CASE WHEN isnan(es[k].value) THEN CAST(NULL AS DOUBLE) "
+        "      ELSE es[k].value END)))), "
         f"  array_repeat(CAST(NULL AS DOUBLE), "
         f"    {T2} - 1 - es[size(es) - 1]._pos))), "
         f"d -> CASE WHEN size(d) = {T2} THEN d ELSE "
@@ -1201,11 +1237,13 @@ def mask_tiled(
     rows for 1-band masks) + ONE left equi-join on (time, tile) + a
     zip_with — join key count is tiles, not pixels, and the mask side
     is tile²× smaller than the long plan's per-pixel mask rows."""
+    _require_same_grid("mask_tiled", data_tc, mask_tc)
     T = data_tc.tile
     if mask_tc.tile != T:
-        raise ValueError(
-            f"mask tile ({mask_tc.tile}) must match data tile ({T})"
-        )
+        # same grid, different tile edges (e.g. a stored scene written
+        # with another layout): adapt the mask side through the
+        # fragment repack — one exchange of the (tile²× smaller) mask
+        mask_tc = retile(mask_tc, T)
     T2 = T * T
     # key rule pinned to the long operator (operators/mask.py, parity
     # tests in test_round8_ops/test_round10): multi-band masks align
@@ -1841,11 +1879,7 @@ def merge_cubes_tiled(
     """
     from ..operators.merge import _times_disjoint
 
-    if (tc1.n_y, tc1.n_x) != (tc2.n_y, tc2.n_x):
-        raise ValueError(
-            f"merge_cubes_tiled: scene mismatch {(tc1.n_y, tc1.n_x)} vs "
-            f"{(tc2.n_y, tc2.n_x)}; resample to a common grid first"
-        )
+    _require_same_grid("merge_cubes_tiled", tc1, tc2, check_scene=True)
     if tc1.tile != tc2.tile:
         # same scene, different tile edges (e.g. two stores written with
         # different layouts): adapt the SECOND side through the

@@ -752,15 +752,25 @@ class ProcessGraph:
                 )
             return NotImplemented
         if pid == "mask" and (is_tiled("data") or is_tiled("mask")):
-            return tl.mask_tiled(
-                self._as_tiled(args["data"]),
-                self._as_tiled(args["mask"]),
-                args.get("replacement"),
-            )
+            try:
+                return tl.mask_tiled(
+                    self._as_tiled(args["data"]),
+                    self._as_tiled(args["mask"]),
+                    args.get("replacement"),
+                )
+            except tl.TiledRegridUnsupported:
+                # tile-index joins require a shared grid: a re-anchored
+                # relabel cube (upscale snap) vs a target-grid cube
+                # demotes to the long per-pixel join (round 13)
+                return NotImplemented
         if pid == "merge_cubes" and (is_tiled("cube1") or is_tiled("cube2")):
-            return tl.merge_cubes_tiled(
-                self._as_tiled(args["cube1"]), self._as_tiled(args["cube2"])
-            )
+            try:
+                return tl.merge_cubes_tiled(
+                    self._as_tiled(args["cube1"]),
+                    self._as_tiled(args["cube2"]),
+                )
+            except tl.TiledRegridUnsupported:
+                return NotImplemented
         if pid == "apply_kernel" and is_tiled("data"):
             tc = self._resolve_raw(args["data"])
             kernel = args["kernel"]
@@ -1058,7 +1068,13 @@ def _compile_expr_numpy(child: dict, params: Dict[str, Any]):
             return p
         if isinstance(v, bool) or v is None:
             raise _TwinUnsupported(f"operand {v!r}")
-        return float(v)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            # non-numeric literal (string label, list): not this twin's
+            # dialect — fall back to the interpreted path, don't escape
+            # the compile-time probe as a bare ValueError
+            raise _TwinUnsupported(f"operand {v!r}")
 
     def build(nid: str):
         if nid in memo:
@@ -1069,10 +1085,11 @@ def _compile_expr_numpy(child: dict, params: Dict[str, Any]):
         if pid == "array_element":
             out = params["data"](args)
         elif pid in binary:
-            x, y = args.get("x"), args.get("y")
-            if pid == "log":
-                x, y = args.get("x"), args.get("base", 10.0)
-            out = binary[pid](resolve(x, args), resolve(y, args))
+            # NB: power/log never reach here — transcendentals are not
+            # in `binary` by design (they raise _TwinUnsupported below)
+            out = binary[pid](
+                resolve(args.get("x"), args), resolve(args.get("y"), args)
+            )
         elif pid in unary:
             out = unary[pid](resolve(args.get("x", args.get("data")), args))
         elif pid == "pi":

@@ -38,10 +38,15 @@ def _graph_md5(payload: dict, tiled: bool = False, tile: int = 8) -> str:
     """Cache key: the process graph plus the execution mode — a tiled
     run and a long run of the same graph are separate cache entries
     (their telemetry differs, and the artifact equivalence is an oracle
-    property, not a cache assumption)."""
-    body = {"g": payload.get("process_graph", payload)}
-    if tiled:
-        body["mode"] = ["tiled", tile]
+    property, not a cache assumption).
+
+    Long-mode keys keep the ORIGINAL bare-graph serialization so cache
+    rows written before the tiled mode existed still hit (round 13 —
+    the r12 ``{"g": graph}`` wrapper silently invalidated every
+    pre-existing row); only tiled runs use the wrapped shape, which by
+    construction can never collide with a bare-graph hash."""
+    graph = payload.get("process_graph", payload)
+    body = {"g": graph, "mode": ["tiled", tile]} if tiled else graph
     return hashlib.md5(
         json.dumps(body, sort_keys=True).encode()
     ).hexdigest()

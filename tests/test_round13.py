@@ -1,0 +1,187 @@
+"""Round-13 pins.
+
+1. Grid guards on tile-index joins (the r12 advisory's HIGH finding):
+   the zero-shuffle upscale RELABEL re-anchors its grid onto the
+   occupied coarse lattice, so a downstream binary tiled op keyed by
+   tile indices would silently pair geographically misaligned tiles
+   (mask) or hard-error where the long plan succeeds (merge). Both now
+   raise :class:`TiledRegridUnsupported`, which the planner catches and
+   demotes to the long tier — correct result, recorded demotion.
+"""
+import json
+
+import pandas as pd
+import pytest
+
+from openeo_odc_driver_spark.core import tiled as t
+from openeo_odc_driver_spark.core.cube import Cube, CubeSchema, GridSpec
+from openeo_odc_driver_spark.sources.synthetic import (
+    DEFAULT_SPEC,
+    CubeSpec,
+    synthetic_cube,
+)
+
+
+def _frames_equal(a_df, b_df):
+    cols = sorted(a_df.columns)
+    a = a_df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = b_df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+    return len(a)
+
+
+_COARSE_SPEC = CubeSpec(ny=8, nx=8, resx=20.0, resy=20.0,
+                        va=11, vb=5, vc=23, vd=3, nm=29)
+
+
+def _relabel_cube(spark):
+    """An upscale-relabel TiledCube: 8×8 @ res 20 snapped onto the fine
+    res-10 lattice — the tile DataFrame is untouched (zero shuffle) and
+    the grid is re-anchored to the occupied COARSE lattice, NOT the
+    fine target grid (core/tiled.py resample_cube_spatial_tiled)."""
+    src = synthetic_cube(spark, _COARSE_SPEC)
+    target = Cube(
+        src.df,
+        CubeSchema(
+            bands=DEFAULT_SPEC.bands, crs="EPSG:32632",
+            grid=GridSpec(x0=0.0, y0=150.0, resx=10.0, resy=10.0),
+        ),
+    )
+    tc = t.resample_cube_spatial_tiled(
+        t.to_tiled(src, tile=8, n_y=8, n_x=8), target
+    )
+    assert (tc.n_y, tc.n_x) == (8, 8)  # relabel: source scene dims
+    assert tc.schema.grid.resx == 20.0  # occupied lattice, not res 10
+    return tc
+
+
+def test_mask_tiled_grid_mismatch_demotes(spark):
+    """mask_tiled on a relabel cube vs a fine-grid mask must NOT join
+    tile indices across different lattices (tile (0,0) covers 160 m on
+    one side, 80 m on the other) — it raises the demotion signal."""
+    relabel = _relabel_cube(spark)
+    fine_mask = t.to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    with pytest.raises(t.TiledRegridUnsupported):
+        t.mask_tiled(relabel, fine_mask)
+
+
+def test_merge_cubes_tiled_grid_mismatch_demotes_not_errors(spark):
+    """merge_cubes_tiled used to raise ValueError('scene mismatch')
+    where the long plan succeeds — breaking demote-never-error. Both
+    the grid and the scene check now raise TiledRegridUnsupported."""
+    relabel = _relabel_cube(spark)
+    fine = t.to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    with pytest.raises(t.TiledRegridUnsupported):
+        t.merge_cubes_tiled(relabel, fine)
+
+
+def test_mask_tiled_retiles_mismatched_mask_edge(spark):
+    """Same grid, different tile edges (two stores with different
+    layouts): the mask side adapts through the fragment repack instead
+    of erroring — result identical to the same-edge join."""
+    from openeo_odc_driver_spark.sources.synthetic import MASK_SPEC
+
+    data = synthetic_cube(spark)
+    mask = synthetic_cube(spark, MASK_SPEC)
+    same = t.mask_tiled(
+        t.to_tiled(data, tile=8, n_y=16, n_x=16),
+        t.to_tiled(mask, tile=8, n_y=16, n_x=16),
+    )
+    mixed = t.mask_tiled(
+        t.to_tiled(data, tile=8, n_y=16, n_x=16),
+        t.to_tiled(mask, tile=5, n_y=16, n_x=16),
+    )
+    _frames_equal(t.from_tiled(same).df, t.from_tiled(mixed).df)
+
+
+def test_upscale_then_mask_graph_demotes_and_matches_long(spark):
+    """Planner E2E for the advisory's exact pattern: resample a coarse
+    collection onto the fine grid (upscale relabel), align its time
+    axis, then mask with a band of the fine collection. Tiled mode must
+    demote the mask (recorded) and match the long plan exactly."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    graph = {"process_graph": {
+        "loadf": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic",
+                                "bands": ["B04", "B08", "SCL"]}},
+        "loadc": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic_coarse"}},
+        "snap": {"process_id": "resample_cube_spatial",
+                 "arguments": {"data": {"from_node": "loadc"},
+                               "target": {"from_node": "loadf"},
+                               "method": "near"}},
+        "align": {"process_id": "resample_cube_temporal",
+                  "arguments": {"data": {"from_node": "snap"},
+                                "target": {"from_node": "loadf"}}},
+        "mband": {"process_id": "filter_bands",
+                  "arguments": {"data": {"from_node": "loadf"},
+                                "bands": ["SCL"]}},
+        "masked": {"process_id": "mask",
+                   "arguments": {"data": {"from_node": "align"},
+                                 "mask": {"from_node": "mband"}},
+                   "result": True},
+    }}
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_upmask_tiled", tiled=True)
+    tiled_out = pg.execute(spark)
+    assert "mask" in pg.tiled_demotions
+    long_pg = ProcessGraph(graph, save_dir="/tmp/pg_upmask_long")
+    long_out = long_pg.execute(spark)
+    n = _frames_equal(tiled_out.df, long_out.df)
+    assert n > 0
+    # non-degenerate: the align step gave the coarse cube the fine
+    # cube's timestamps, so some pixels survive the mask
+    surv = tiled_out.df.where("value IS NOT NULL").count()
+    assert surv > 0
+
+
+def test_to_tiled_nan_folds_to_null_both_engines(spark):
+    """Tiled-boundary convention (round 13): a float NaN input VALUE
+    folds to NULL on pack in BOTH engines — the Arrow float64 transfer
+    cannot distinguish NaN from NULL, so the sql HOF folds explicitly
+    to stay bit-exact with the numpy scatter."""
+    from pyspark.sql import functions as F
+
+    src = synthetic_cube(spark)
+    df = src.df.withColumn(
+        "value",
+        F.when((F.col("x") < 20) & F.col("value").isNotNull(),
+               F.lit(float("nan"))).otherwise(F.col("value")),
+    )
+    cube = Cube(df, src.schema)
+    a = t.to_tiled(cube, tile=8, n_y=16, n_x=16, impl="sql")
+    b = t.to_tiled(cube, tile=8, n_y=16, n_x=16, impl="numpy")
+    keys = ["band", "time", "tile_row", "tile_col"]
+    pa = a.df.toPandas().sort_values(keys).reset_index(drop=True)
+    pb = b.df.toPandas().sort_values(keys).reset_index(drop=True)
+    assert len(pa) == 3 * 24 * 4  # 2x2 tiles per (band, time)
+    pd.testing.assert_frame_equal(
+        pa[sorted(pa.columns)], pb[sorted(pb.columns)],
+        check_exact=True, check_dtype=False,
+    )
+    # and no NaN survives into the packed arrays
+    nan_tiles = a.df.where(
+        "exists(data, v -> isnan(v))"
+    ).count()
+    assert nan_tiles == 0
+
+
+def test_graph_md5_legacy_long_mode_keys(spark):
+    """Long-mode cache keys use the ORIGINAL bare-graph serialization
+    (pre-tiled rows still hit); tiled keys are mode-wrapped and
+    distinct."""
+    import hashlib
+
+    from openeo_odc_driver_spark.service import _graph_md5
+
+    payload = {"process_graph": {"n": {"process_id": "load_collection",
+                                       "arguments": {"id": "synthetic"},
+                                       "result": True}}}
+    legacy = hashlib.md5(
+        json.dumps(payload["process_graph"], sort_keys=True).encode()
+    ).hexdigest()
+    assert _graph_md5(payload) == legacy
+    assert _graph_md5(payload, tiled=True) != legacy
+    assert _graph_md5(payload, tiled=True, tile=16) != _graph_md5(
+        payload, tiled=True, tile=8
+    )
