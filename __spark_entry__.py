@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 item 5): never-checked round-8 queries lead, then queries whose
 # latest green row is r02, r03, ... — so a silent regression in a
 # long-unchecked op surfaces in the next window instead of never.
-# Regenerated for round 12 from CORRECTNESS_r01..r11 with the snippet in
+# Regenerated for round 13 from CORRECTNESS_r01..r12 with the snippet in
 # scratch/verify_local.py's docstring.
 #
 # _GATE_PRIORITY_ASOF records which driver reports the list was derived
@@ -53,62 +53,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 11
+_GATE_PRIORITY_ASOF = 12
 _GATE_PRIORITY = [
-    "tiled_quantiles_bands",
-    "tiled_resample_cube_spatial_upscale",
-    "tiled_apply_kernel_reflect_pixel",
-    "unigram_logprob",
-    "vocab_top_terms",
-    "zorder_bucket_stats",
-    "absolute",
-    "add",
-    "add_cubes",
-    "add_dimension",
-    "aggregate_spatial_max",
-    "aggregate_spatial_min",
-    "aggregate_spatial_product",
-    "aggregate_spatial_sum",
-    "and",
-    "ann_recall_trained",
-    "arctan",
-    "array_element_index",
-    "array_element_label",
-    "between",
-    "clip",
-    "cos",
-    "divide",
-    "eq",
-    "exact_substring_dedup_salted",
-    "exp",
-    "filter_bands",
-    "filter_bbox",
-    "filter_spatial",
-    "filter_temporal",
-    "floor",
-    "gt",
-    "gte",
-    "if",
-    "is_nodata",
-    "ivf_pq_ann_trained",
-    "linear_scale_range",
-    "ln",
-    "load_collection_lineitem",
-    "load_result_roundtrip",
-    "log",
-    "lt",
-    "lte",
-    "mask_nodata",
-    "mask_replacement",
-    "minhash_lsh_pairs_tuned",
-    "mod",
-    "multimodal_image_features",
-    "multimodal_jpeg_decode",
-    "multimodal_resize",
-    "multiply",
-    "neq",
+    "aggregate_spatial_sweep",
+    "apply_kernel_border_sweep",
+    "math_sweep_arith",
+    "math_sweep_logic",
+    "math_sweep_rounding",
+    "math_sweep_transcendental",
+    "reduce_time_sweep",
+    "tiled_apply_kernel_border_sweep",
+    "tiled_reduce_time_sweep",
+    "tiled_reduce_x_sweep",
+    "tiled_zonal_sweep",
     "normalized_difference",
-    "not",
     "process_graph_predict_harmonic",
     "semantic_dedup_trained",
     "bm25_scores",
@@ -133,11 +91,8 @@ _GATE_PRIORITY = [
     "multimodal_audio_features",
     "multimodal_image_phash",
     "multimodal_phash_near_dup",
-    "or",
-    "pi_multiply",
     "pii_redact",
     "pipeline_release_stats",
-    "power",
     "rename_labels_bands",
     "script_census",
     "select_token_budget",
@@ -161,7 +116,6 @@ _GATE_PRIORITY = [
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "train_split_census",
-    "aggregate_spatial_median",
     "aggregate_spatial_window",
     "aggregate_temporal_period_season",
     "ann_recall",
@@ -169,7 +123,6 @@ _GATE_PRIORITY = [
     "apply_kernel",
     "array_interpolate_linear",
     "brute_force_topk",
-    "ceil",
     "copurchase_pagerank_shuffle",
     "dedup_keep_first",
     "doc_fingerprint",
@@ -180,7 +133,6 @@ _GATE_PRIORITY = [
     "fit_curve_linear",
     "flagship_ndvi",
     "geocode_nearest",
-    "int",
     "ivf_flat_ann",
     "lang_id",
     "lsh_bucket_ann",
@@ -194,11 +146,7 @@ _GATE_PRIORITY = [
     "phash_recall_tiers",
     "rename_labels_time",
     "semantic_dedup_auto",
-    "sin",
-    "sqrt",
-    "subtract",
     "synthetic_cube",
-    "tan",
     "tiled_aggregate_temporal_season",
     "tiled_apply_kernel",
     "tiled_filter_bbox",
@@ -206,20 +154,11 @@ _GATE_PRIORITY = [
     "tiled_ndvi_median",
     "tiled_pipeline_e2e",
     "tiled_reduce_bands_mean",
-    "tiled_reduce_time_max",
-    "tiled_reduce_time_mean",
-    "tiled_reduce_time_sum",
     "tiled_roundtrip",
     "tiled_save_load",
-    "aggregate_spatial_mean",
-    "aggregate_spatial_sd",
-    "aggregate_spatial_variance",
     "aggregate_spatial_window_trim",
     "aggregate_temporal_period_month",
-    "apply_kernel_reflect",
-    "apply_kernel_replicate",
     "apply_kernel_tiled",
-    "apply_kernel_wrap",
     "chunk_documents",
     "climatological_normal",
     "decontaminate_exact",
@@ -243,10 +182,8 @@ _GATE_PRIORITY = [
     "quality_score",
     "quantiles",
     "radar_mask",
-    "reduce_time_median",
     "resample_cube_spatial_bilinear",
     "resample_cube_temporal",
-    "round",
     "run_udf_grouped",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
@@ -257,8 +194,6 @@ _GATE_PRIORITY = [
     "tiled_merge_bands",
     "tiled_merge_resolver",
     "tiled_resample_spatial",
-    "tiled_zonal_count",
-    "tiled_zonal_mean",
     "token_count",
     "token_fertility_stats",
     "bigram_logprob",
@@ -287,14 +222,6 @@ _GATE_PRIORITY = [
     "process_graph_resample_pushdown",
     "quantiles_q",
     "reduce_bands_mean",
-    "reduce_time_count",
-    "reduce_time_max",
-    "reduce_time_mean",
-    "reduce_time_min",
-    "reduce_time_product",
-    "reduce_time_sd",
-    "reduce_time_sum",
-    "reduce_time_variance",
     "reduce_x_sum",
     "reduce_y_max",
     "resample_cube_spatial",
@@ -307,10 +234,7 @@ _GATE_PRIORITY = [
     "streaming_tumbling_hourly",
     "tfidf_top_terms",
     "tiled_climatological_normal",
-    "tiled_reduce_time_sd",
     "tiled_zonal_concave",
-    "tiled_zonal_median",
-    "tiled_zonal_sd",
     "fit_curve_harmonic",
     "gopher_quality_flags",
     "incremental_corpus_stats",
@@ -340,27 +264,45 @@ _GATE_PRIORITY = [
     "streaming_quality_filter",
     "temperature_sample_langs",
     "tiled_aggregate_period_median",
-    "tiled_apply_kernel_reflect",
-    "tiled_apply_kernel_replicate",
-    "tiled_apply_kernel_wrap",
     "tiled_array_interpolate",
     "tiled_filter_bbox_native",
     "tiled_quantiles",
     "tiled_quantiles_x",
     "tiled_radar_mask",
-    "tiled_reduce_x_median",
-    "tiled_reduce_x_sd",
-    "tiled_reduce_x_sum",
     "tiled_reduce_y_max",
     "tiled_resample_cube_spatial",
     "tiled_resample_cube_spatial_bilinear",
     "tiled_resample_cube_temporal",
     "tiled_zonal_mean_store",
-    "tiled_zonal_product",
     "tokenize_to_ids",
     "tpch_q1",
     "tpch_q14_promo_revenue",
     "tpch_q5_local_supplier_volume",
+    "add_cubes",
+    "add_dimension",
+    "aggregate_spatial_product",
+    "ann_recall_trained",
+    "array_element_index",
+    "array_element_label",
+    "exact_substring_dedup_salted",
+    "filter_bands",
+    "filter_bbox",
+    "filter_spatial",
+    "filter_temporal",
+    "ivf_pq_ann_trained",
+    "load_collection_lineitem",
+    "load_result_roundtrip",
+    "mask_nodata",
+    "mask_replacement",
+    "minhash_lsh_pairs_tuned",
+    "multimodal_image_features",
+    "multimodal_jpeg_decode",
+    "multimodal_resize",
+    "tiled_quantiles_bands",
+    "tiled_resample_cube_spatial_upscale",
+    "unigram_logprob",
+    "vocab_top_terms",
+    "zorder_bucket_stats",
 ]
 
 

@@ -44,11 +44,11 @@ GALLERY = [
      "tile-keyed equi-join for the band math (key count = tiles, not "
      "pixels), zip_with fused, one tile-grouped Arrow stage for the "
      "exact median, scan-fused expansion"),
-    ("tiled_reduce_time_mean",
+    ("tiled_reduce_time_sweep",
      "round 8: pack (one tile-keyed exchange, O(tile^2) gap-fill fold) "
      "-> element-wise time fold per tile -> expansion with zero "
      "further exchanges"),
-    ("tiled_zonal_mean",
+    ("tiled_zonal_sweep",
      "round 10: zone classification as ONE literal zones array + "
      "bounded exists/filter/forall HOFs — plan size independent of "
      "|zones|, no 64 KB codegen overflow; interior tiles fold to "
@@ -80,7 +80,7 @@ GALLERY = [
      "round 11: zonal stats FROM the save_tiled store — the zones-bbox "
      "tile-range BETWEEN reaches the parquet scan as PushedFilters; "
      "interior tiles fold to partials without opening per-pixel rows"),
-    ("tiled_reduce_x_sum",
+    ("tiled_reduce_x_sweep",
      "round 11: spatial-axis reducer — within-tile line partials "
      "(raster drops tile-x scan-fused) + one line-keyed combine with "
      "map-side partial aggregation"),

@@ -1,7 +1,7 @@
 """Compare the generated-data benches at sf0.1 vs sf1.0 (same generator,
 10x rows) and print the per-query scaling ratio table for PLANS.md.
 
-Queries on the synthetic cube (flagship_ndvi, reduce_time_median,
+Queries on the synthetic cube (flagship_ndvi, reduce_time_sweep,
 apply_kernel, streaming_*) are SF-INDEPENDENT — their ratio is pure
 measurement noise and is labeled as such.
 """
@@ -9,7 +9,7 @@ measurement noise and is labeled as such.
 import json
 
 SF_INDEPENDENT = {
-    "flagship_ndvi", "reduce_time_median", "apply_kernel",
+    "flagship_ndvi", "reduce_time_sweep", "apply_kernel",
     "streaming_tumbling_hourly",
 }
 

@@ -21,7 +21,7 @@ def test_spot_query_runs_and_matches_oracle(spark, sf_dir):
     import duckdb
     import pandas as pd
 
-    name = "reduce_time_mean"
+    name = "reduce_time_sweep"
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     con = duckdb.connect()
     ddf = con.execute(ORACLE[name]).df()

@@ -520,10 +520,18 @@ def test_tiled_mask_matches_long_including_replacement(spark):
         (SF.col("y") > 150.0 - 5 * 10.0) & (SF.col("x") < 5 * 10.0)
     ).select("value").distinct().collect()
     assert [r.value for r in hole_vals] == [None]
-    import pytest
-
-    with pytest.raises(ValueError, match="tile"):
-        t.mask_tiled(dt, t.to_tiled(mc, tile=8))
+    # round 13 flipped this pin: a mismatched mask tile edge no longer
+    # errors — the mask side adapts through the fragment repack
+    # (demote-never-error); result identical to the same-edge join
+    mixed = (
+        t.from_tiled(t.mask_tiled(dt, t.to_tiled(mc, tile=8)))
+        .df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    same = (
+        t.from_tiled(t.mask_tiled(dt, mt))
+        .df.toPandas()[cols].sort_values(cols[:4]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mixed, same, check_exact=True)
 
 
 def test_tiled_temporal_period_matches_long_across_engines(spark):
