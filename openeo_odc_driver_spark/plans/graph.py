@@ -619,10 +619,27 @@ class ProcessGraph:
             return isinstance(self._resolve_raw(args[key]), TiledCube)
 
         if pid == "save_result":
-            # a sink materializes pixels by definition — expanding the
-            # tiled layout here is the operator's semantics, not a
-            # fallback, so it is NOT a recorded demotion (the telemetry
-            # lists layout degradations only)
+            # GTiff from a tile-resident, time-free cube rides the
+            # DISTRIBUTED tiled writer (round 13 — sinks/gtiff_tiled.py:
+            # executors pwrite tiles at static offsets, driver writes
+            # only the IFD; no 50 M-px collect ceiling). Other formats
+            # (and time-bearing cubes, which need the squeeze rules)
+            # stay on the long sink — a sink materializes pixels by
+            # definition, so that expansion is the operator's
+            # semantics, not a recorded demotion.
+            fmt = str(args.get("format", "PARQUET")).upper()
+            if fmt in ("GTIFF", "GTIFF_") and is_tiled("data"):
+                tc = self._resolve_raw(args["data"])
+                if TIME not in tc.schema.dims and tc.schema.grid is not None:
+                    import os
+
+                    from ..sinks.gtiff_tiled import save_gtiff_tiled
+
+                    os.makedirs(self.save_dir, exist_ok=True)
+                    save_gtiff_tiled(
+                        tc, f"{self.save_dir}/{self.result_node}"
+                    )
+                    return tc
             return self._dispatch(pid, args, node, long_only=True)
 
         if pid == "load_collection":

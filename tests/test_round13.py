@@ -166,6 +166,148 @@ def test_to_tiled_nan_folds_to_null_both_engines(spark):
     assert nan_tiles == 0
 
 
+def _banded_grid_cube(spark, spec=None):
+    """Time-reduced (band, y, x) cube — the GTiff-writable shape."""
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    return reduce_dimension(
+        synthetic_cube(spark, spec) if spec else synthetic_cube(spark),
+        "time", "mean",
+    )
+
+
+def test_gtiff_tiled_matches_driver_writer(spark, tmp_path):
+    """The distributed tiled writer (executors pwrite tiles at static
+    offsets, zero driver pixels) decodes to the SAME raster and geo
+    tags as the driver-side single-strip writer (sinks/save.py)."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        decode_tiff,
+        save_gtiff_tiled,
+    )
+    from openeo_odc_driver_spark.sinks.save import save_gtiff
+
+    cube = _banded_grid_cube(spark)
+    long_path = save_gtiff(cube, str(tmp_path / "long"))
+    tc = t.to_tiled(cube, tile=8, n_y=16, n_x=16)  # retiles to 16 inside
+    dist_path = save_gtiff_tiled(tc, str(tmp_path / "dist"))
+    a, ma = decode_tiff(long_path)
+    b, mb = decode_tiff(dist_path)
+    assert mb["tiled"] and not ma["tiled"]
+    assert a.shape == b.shape == (3, 16, 16)
+    assert np.array_equal(a, b, equal_nan=True)
+    assert ma["pixel_scale"] == mb["pixel_scale"]
+    assert ma["tiepoint"] == mb["tiepoint"]
+    assert ma["geo_keys"] == mb["geo_keys"]
+
+
+def test_gtiff_tiled_partial_edge_tiles(spark, tmp_path):
+    """A scene that is not a tile multiple (18×13, T=16): padding lives
+    only in the file's edge tiles and the decode drops it — pixel-equal
+    to the driver-side writer."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        decode_tiff,
+        save_gtiff_tiled,
+    )
+    from openeo_odc_driver_spark.sinks.save import save_gtiff
+
+    spec = CubeSpec(ny=18, nx=13)
+    cube = _banded_grid_cube(spark, spec)
+    long_path = save_gtiff(cube, str(tmp_path / "long"))
+    tc = t.to_tiled(cube, tile=16, n_y=18, n_x=13)
+    dist_path = save_gtiff_tiled(tc, str(tmp_path / "dist"))
+    a, _ = decode_tiff(long_path)
+    b, mb = decode_tiff(dist_path)
+    assert a.shape == b.shape == (3, 18, 13)
+    assert np.array_equal(a, b, equal_nan=True)
+    assert not mb["bigtiff"]
+
+
+def test_gtiff_tiled_bigtiff_roundtrip(spark, tmp_path):
+    """force_bigtiff exercises the 8-byte-offset layout end to end (the
+    auto switch fires above the 4 GiB pixel region — a 1.26 G-px scene —
+    which this decodes at miniature scale)."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        decode_tiff,
+        save_gtiff_tiled,
+    )
+
+    cube = _banded_grid_cube(spark)
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    p_small = save_gtiff_tiled(tc, str(tmp_path / "classic"))
+    p_big = save_gtiff_tiled(tc, str(tmp_path / "big"), force_bigtiff=True)
+    a, ma = decode_tiff(p_small)
+    b, mb = decode_tiff(p_big)
+    assert not ma["bigtiff"] and mb["bigtiff"]
+    assert np.array_equal(a, b, equal_nan=True)
+    assert ma["tiepoint"] == mb["tiepoint"]
+
+
+def test_gtiff_tiled_sparse_scene_nan_fills(spark, tmp_path):
+    """Missing tiles (sparse cube) read back as NaN, not zeros — the
+    driver's streaming pre-fill covers exactly the untouched ranges."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        decode_tiff,
+        save_gtiff_tiled,
+    )
+
+    spec = CubeSpec(ny=32, nx=32)
+    cube = _banded_grid_cube(spark, spec)
+    tc = t.to_tiled(cube, tile=16, n_y=32, n_x=32)
+    holey = t.TiledCube(
+        tc.df.where(~((F.col("tile_row") == 1) & (F.col("tile_col") == 0))),
+        tc.schema, tc.tile, tc.n_y, tc.n_x,
+    )
+    path = save_gtiff_tiled(holey, str(tmp_path / "sparse"))
+    arr, _ = decode_tiff(path)
+    assert np.isnan(arr[:, 16:32, 0:16]).all()      # the dropped tile
+    assert not np.isnan(arr[:, 0:16, 0:16]).all()   # present tiles intact
+
+
+def test_planner_tiled_gtiff_sink_distributed(spark, tmp_path):
+    """Planner E2E: the NDVI-median graph's GTiff sink in tiled mode
+    rides the distributed tiled writer (no driver pixel collect) and
+    its artifact decodes pixel-equal to the long plan's single-strip
+    GTiff."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import decode_tiff
+
+    pg = ProcessGraph.from_file(
+        "tests/process_graphs/ndvi_median.json",
+        save_dir=str(tmp_path / "tiled"), tiled=True,
+    )
+    pg.execute(spark)
+    long_pg = ProcessGraph.from_file(
+        "tests/process_graphs/ndvi_median.json",
+        save_dir=str(tmp_path / "long"),
+    )
+    long_pg.execute(spark)
+    a, ma = decode_tiff(str(tmp_path / "tiled" / "save.tif"))
+    b, mb = decode_tiff(str(tmp_path / "long" / "save.tif"))
+    assert ma["tiled"] and not mb["tiled"]
+    assert a.shape == b.shape
+    assert np.array_equal(a, b, equal_nan=True)
+    assert ma["tiepoint"] == mb["tiepoint"]
+
+
+def test_gtiff_tiled_time_rejected(spark, tmp_path):
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import save_gtiff_tiled
+
+    tc = t.to_tiled(synthetic_cube(spark), tile=16, n_y=16, n_x=16)
+    with pytest.raises(ValueError, match="reduce time first"):
+        save_gtiff_tiled(tc, str(tmp_path / "nope"))
+
+
 def test_graph_md5_legacy_long_mode_keys(spark):
     """Long-mode cache keys use the ORIGINAL bare-graph serialization
     (pre-tiled rows still hit); tiled keys are mode-wrapped and
