@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "brute_force_topk",
     "lsh_bucket_ann",
     "embedding_cosine_dup_pairs",
-    "reduce_time_median",
+    "reduce_time_sweep",
     "apply_kernel",
     "streaming_tumbling_hourly",
     "tfidf_top_terms",
@@ -99,16 +99,15 @@ BENCH_QUERIES = [
     "semantic_dedup_auto",
     "phash_recall_tiers",
     "tiled_roundtrip",
-    "tiled_reduce_time_mean",
+    "tiled_reduce_time_sweep",
     "tiled_apply_kernel",
     "tiled_ndvi_median",
     "tiled_pipeline_e2e",
     # round 9
-    "tiled_zonal_mean",
+    "tiled_zonal_sweep",
     "tiled_resample_spatial",
     "tiled_merge_resolver",
     # round 10
-    "tiled_zonal_median",
     "tiled_climatological_normal",
     # round 11
     "tiled_resample_cube_spatial",
@@ -116,7 +115,7 @@ BENCH_QUERIES = [
     "tiled_radar_mask",
     "tiled_zonal_mean_store",
     "tiled_resample_cube_spatial_bilinear",
-    "tiled_apply_kernel_replicate",
+    "tiled_apply_kernel_border_sweep",
     # round 12
     "tiled_filter_bbox_native",
     "tiled_resample_cube_spatial_upscale",
@@ -258,10 +257,50 @@ def main() -> None:
             except ValueError:
                 pass
 
+    # --- anchor calibration (round 13, VERDICT r12 item 2) ------------
+    # This box drifts ±50% across batches and ±3x within long sessions
+    # (PLANS.md), so raw cross-round walls cannot adjudicate perf. A
+    # FIXED calibration query — pure JVM codegen + one shuffle, no
+    # parquet, no Python workers, content-independent of the registry —
+    # runs best-of-3 at the start, after every K query blocks, and at
+    # the end. Its samples measure the box's effective throughput UNDER
+    # THIS RUN's contention; `value / anchor_median` is the
+    # drift-normalized headline, and the sample spread bounds how much
+    # in-run weather any per-query delta must exceed before it means
+    # anything. Anchor-normalized comparison starts r13→r14 (earlier
+    # rounds carry no anchor).
+    def _anchor_once() -> float:
+        runs = []
+        for _ in range(3):
+            spark._jvm.System.gc()
+            t0 = time.time()
+            (
+                spark.range(0, 20_000_000)
+                .selectExpr(
+                    "id % 97 AS k",
+                    "CAST(id % 1021 AS DOUBLE) AS v",
+                )
+                .groupBy("k")
+                .agg({"v": "sum"})
+                .selectExpr("sum(`sum(v)`)")
+                .write.format("noop").mode("overwrite").save()
+            )
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    ANCHOR_EVERY = 10
+    anchor_samples: list[float] = [_anchor_once()]
+
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi and qi % ANCHOR_EVERY == 0:
+            anchor_samples.append(_anchor_once())
+            print(
+                f"[bench] anchor@{qi}: {anchor_samples[-1]:.3f}",
+                file=sys.stderr,
+            )
         fn = QUERIES[name]
         runs = []
         # a single broken query must not zero the whole bench (BENCH_r03
@@ -315,8 +354,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    anchor_samples.append(_anchor_once())
     tiled = tiled_layout_compare(spark)
     total = round(sum(times.values()), 3)
+    a_sorted = sorted(anchor_samples)
+    anchor_median = round(
+        (a_sorted[len(a_sorted) // 2]
+         if len(a_sorted) % 2
+         else (a_sorted[len(a_sorted) // 2 - 1]
+               + a_sorted[len(a_sorted) // 2]) / 2), 3
+    )
     # FIELD ORDER IS LOAD-BEARING: the driver archives only the LAST ~2KB
     # of stdout as BENCH_r{N}.json's "tail", so fields serialize in
     # ascending order of diagnostic value. For three rounds the tail began
@@ -349,6 +396,20 @@ def main() -> None:
         # fixture-scale stages (measured: repetition_scores 0.9s at load
         # 0.4 vs 2.0s at load 3.8, see PLANS.md) — stamp it for forensics
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # drift calibration (round 13): a FIXED pure-JVM query sampled
+        # at the start, every 10 query blocks, and at the end. The box
+        # drifts ±50% across batches (PLANS.md), so cross-round claims
+        # quote value_per_anchor (total / anchor_median, dimensionless)
+        # and any per-query delta smaller than anchor_spread is weather
+        "anchor": {
+            "samples_sec": anchor_samples,
+            "median_sec": anchor_median,
+            "spread": round(max(anchor_samples) / max(min(anchor_samples),
+                                                      1e-9), 2),
+            "every_k": ANCHOR_EVERY,
+            "def": "range(20M) mod-key groupBy sum, best-of-3",
+        },
+        "value_per_anchor": round(total / max(anchor_median, 1e-9), 1),
         # measurement regime, stamped explicitly (round-8 task #5): the
         # headline numbers are warm-JVM best-of-N minima with the Spark
         # cache CLEARED before every query block — reproducible and

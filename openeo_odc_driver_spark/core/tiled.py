@@ -1438,15 +1438,25 @@ def apply_kernel_tiled_layout(
             f"apply_kernel_tiled_layout: unknown border {border!r}"
         )
     wrap_mode = border == "wrap"
-    if wrap_mode and (tc.n_y % tc.tile or tc.n_x % tc.tile):
-        # partial edge tiles: the opposite-edge strips would carry
-        # padding, not scene rows — the long scatter (one shuffle with
-        # receiving index mod scene) handles it; recorded demotion
-        raise NotImplementedError(
-            "apply_kernel_tiled_layout: border 'wrap' needs the tile "
-            "edge to divide the scene dims (partial edge tiles run "
-            "long-format via from_tiled)"
-        )
+    if wrap_mode:
+        # Partial edge tiles are native since round 13: crossing strips
+        # slice the last VALID rows/cols (not the padding) and land
+        # adjacent to the target's valid region (_halo_pieces/_halo_
+        # canvas wrap geometry). The residual demotion is a radius
+        # larger than the last tile's valid span (the crossing strip
+        # would straddle two source tiles) or than the scene itself
+        # (multi-wrap reads) — rare shapes; the long scatter handles
+        # them (recorded demotion).
+        kh_, kw_ = len(kernel), len(kernel[0])
+        ry_, rx_ = kh_ // 2, kw_ // 2
+        vh_last = tc.n_y - (tc.n_y - 1) // tc.tile * tc.tile
+        vw_last = tc.n_x - (tc.n_x - 1) // tc.tile * tc.tile
+        if ry_ > vh_last or rx_ > vw_last or 2 * ry_ >= tc.n_y \
+                or 2 * rx_ >= tc.n_x:
+            raise NotImplementedError(
+                "apply_kernel_tiled_layout: wrap radius exceeds the "
+                "last tile's valid span (or the scene) — long scatter"
+            )
     edge_mode = border in ("replicate", "reflect", "reflect_pixel")
     kh, kw = len(kernel), len(kernel[0])
     ry, rx = kh // 2, kw // 2
@@ -1485,7 +1495,13 @@ def apply_kernel_tiled_layout(
         return np.where(g > m_idx, 2 * m_idx - g, g)
 
     def stencil(pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas = _halo_canvas(pdf, T, ry, rx)
+        if wrap_mode:
+            r0w = pdf.iloc[0]
+            vh_t = min(T, n_y_s - int(r0w["_tr"]) * T)
+            vw_t = min(T, n_x_s - int(r0w["_tc"]) * T)
+            canvas = _halo_canvas(pdf, T, ry, rx, vh_t, vw_t)
+        else:
+            canvas = _halo_canvas(pdf, T, ry, rx)
         if canvas is None:  # halo-only group: target tile doesn't exist
             return pd.DataFrame(
                 columns=[*keys, "tile_row", "tile_col", "data"]
@@ -1534,6 +1550,12 @@ def apply_kernel_tiled_layout(
         acc *= fac
         center = canvas[ry:ry + T, rx:rx + T]
         acc[np.isnan(center)] = np.nan
+        if wrap_mode:
+            # crossed wrap strips overwrite padding positions of the
+            # center block with real scene rows — re-null the padding
+            # cells explicitly so the tiled padding discipline holds
+            acc[vh_t:, :] = np.nan
+            acc[:, vw_t:] = np.nan
         row0 = pdf.iloc[0]
         out = {k: [row0[k]] for k in keys}
         out["tile_row"] = [int(row0["_tr"])]
@@ -1562,17 +1584,22 @@ def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int,
     ``(*keys, _tr, _tc, _pr, _pc, data)`` — group by (keys, _tr, _tc)
     and reassemble with :func:`_halo_canvas`."""
     T = tc.tile
+    max_tr = (tc.n_y - 1) // T
+    max_tc = (tc.n_x - 1) // T
+    vh_last = tc.n_y - max_tr * T  # valid rows in the last tile row
+    vw_last = tc.n_x - max_tc * T
 
-    def rows_cols(r0: int, nr: int, c0: int, nc: int) -> str:
-        """SQL for the (nr x nc) sub-block at (r0, c0), row-major."""
+    def rows_cols(r0, nr: int, c0, nc: int) -> str:
+        """SQL for the (nr x nc) sub-block at (r0, c0), row-major;
+        r0/c0 may be SQL expressions (wrap's conditional offsets)."""
         if nc == T:
-            return f"slice(data, {r0 * T + 1}, {nr * T})"
+            return f"slice(data, ({r0}) * {T} + 1, {nr * T})"
         return (
-            f"flatten(transform(sequence({r0}, {r0 + nr - 1}), "
-            f"r -> slice(data, r * {T} + {c0 + 1}, {nc})))"
+            f"flatten(transform(sequence({r0}, ({r0}) + {nr - 1}), "
+            f"r -> slice(data, r * {T} + ({c0}) + 1, {nc})))"
         )
 
-    entries = ["struct(0 AS dr, 0 AS dc, data AS piece)"]
+    entries = ["struct(0 AS dr, 0 AS dc, 0 AS wr, 0 AS wc, data AS piece)"]
     for dr in (-1, 0, 1):
         for dc in (-1, 0, 1):
             if (dr, dc) == (0, 0):
@@ -1584,19 +1611,37 @@ def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int,
             # shipping toward dr=+1 means the TARGET below reads this
             # tile's BOTTOM rows; toward dr=-1 its TOP rows (same for
             # columns)
-            r0 = T - ry if dr == 1 else 0
-            c0 = T - rx if dc == 1 else 0
+            r0: object = T - ry if dr == 1 else 0
+            c0: object = T - rx if dc == 1 else 0
+            wr_e, wc_e = "0", "0"
+            if wrap:
+                # crossing the scene boundary (round 13, partial
+                # tilings): a dr=+1 strip leaving the LAST tile row
+                # wraps to row 0 and must carry the last VALID rows
+                # (vh_last − ry .. vh_last), not the padding tail; a
+                # dr=−1 strip leaving row 0 keeps its slice but lands
+                # adjacent to the target's valid region (wr flag →
+                # placement in _halo_canvas)
+                if dr == 1:
+                    r0 = (f"CASE WHEN tile_row = {max_tr} "
+                          f"THEN {vh_last - ry} ELSE {T - ry} END")
+                    wr_e = f"CASE WHEN tile_row = {max_tr} THEN 1 ELSE 0 END"
+                elif dr == -1:
+                    wr_e = "CASE WHEN tile_row = 0 THEN 1 ELSE 0 END"
+                if dc == 1:
+                    c0 = (f"CASE WHEN tile_col = {max_tc} "
+                          f"THEN {vw_last - rx} ELSE {T - rx} END")
+                    wc_e = f"CASE WHEN tile_col = {max_tc} THEN 1 ELSE 0 END"
+                elif dc == -1:
+                    wc_e = "CASE WHEN tile_col = 0 THEN 1 ELSE 0 END"
             entries.append(
-                f"struct({dr} AS dr, {dc} AS dc, "
-                f"{rows_cols(r0, nr, c0, nc)} AS piece)"
+                f"struct({dr} AS dr, {dc} AS dc, {wr_e} AS wr, "
+                f"{wc_e} AS wc, {rows_cols(r0, nr, c0, nc)} AS piece)"
             )
     drdc = F.expr("explode(array(" + ", ".join(entries) + "))")
-    max_tr = (tc.n_y - 1) // T
-    max_tc = (tc.n_x - 1) // T
     if wrap:
         # periodic boundary: off-scene targets wrap to the opposite
-        # edge tile (valid when T divides both scene dims — every
-        # strip then carries real scene-edge rows, no padding)
+        # edge tile
         tr = F.pmod(F.col("tile_row") + F.col("_n.dr"), F.lit(max_tr + 1))
         tcl = F.pmod(F.col("tile_col") + F.col("_n.dc"), F.lit(max_tc + 1))
     else:
@@ -1610,6 +1655,8 @@ def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int,
         tcl.alias("_tc"),
         (-F.col("_n.dr")).alias("_pr"),  # piece offset relative to target
         (-F.col("_n.dc")).alias("_pc"),
+        F.col("_n.wr").alias("_wr"),     # crossed the scene boundary
+        F.col("_n.wc").alias("_wc"),
         F.col("_n.piece").alias("data"),
     )
     if wrap:
@@ -1619,24 +1666,40 @@ def _halo_pieces(tc: TiledCube, keys: list[str], ry: int, rx: int,
     )
 
 
-def _halo_canvas(pdf, T: int, ry: int, rx: int):
+def _halo_canvas(pdf, T: int, ry: int, rx: int,
+                 vh: int | None = None, vw: int | None = None):
     """Lay a (keys, _tr, _tc) group's halo pieces on the
     (T+2ry)×(T+2rx) canvas (NaN where no neighbor exists). Returns
-    None for halo-only groups (the target tile itself doesn't exist)."""
+    None for halo-only groups (the target tile itself doesn't exist).
+
+    Wrap pieces that CROSSED the scene boundary (``_wr``/``_wc`` set)
+    land adjacent to the target's VALID region (row base ``ry + vh``
+    instead of ``ry + T`` for a bottom strip on a partial tile) and
+    are written LAST so real wrapped scene rows overwrite the NaN
+    padding that non-crossing pieces carry in the same positions."""
     import numpy as np
 
     if not ((pdf["_pr"] == 0) & (pdf["_pc"] == 0)).any():
         return None
+    has_flags = "_wr" in pdf.columns
     canvas = np.full((T + 2 * ry, T + 2 * rx), np.nan)
-    for _, r in pdf.iterrows():
+    rows = list(pdf.iterrows())
+    if has_flags:
+        rows.sort(key=lambda kv: int(kv[1]["_wr"]) + int(kv[1]["_wc"]))
+    for _, r in rows:
         pr, pc = int(r["_pr"]), int(r["_pc"])
+        crossed_r = has_flags and int(r["_wr"]) == 1
+        crossed_c = has_flags and int(r["_wc"]) == 1
         nr = T if pr == 0 else ry
         nc = T if pc == 0 else rx
         arr = np.asarray(r["data"], dtype="float64").reshape(nr, nc)
         # piece origin on the halo canvas: a pr=-1 strip sits above
-        # the center block, pr=+1 below (same for columns)
-        y0 = 0 if pr == -1 else (ry if pr == 0 else ry + T)
-        x0 = 0 if pc == -1 else (rx if pc == 0 else rx + T)
+        # the center block, pr=+1 below (same for columns); a crossed
+        # bottom/right strip sits right after the valid span
+        y_plus = ry + (vh if crossed_r and vh is not None else T)
+        x_plus = rx + (vw if crossed_c and vw is not None else T)
+        y0 = 0 if pr == -1 else (ry if pr == 0 else y_plus)
+        x0 = 0 if pc == -1 else (rx if pc == 0 else x_plus)
         canvas[y0:y0 + nr, x0:x0 + nc] = arr
     return canvas
 
@@ -2832,8 +2895,115 @@ def retile(
         # item 2); _retile_python remains for genuine tile-edge changes
         return _retile_same_edge_jvm(tc, row0, col0, n_y, n_x,
                                      out_schema_obj)
+    if not windowed and (
+        (T % Tt == 0 and T // Tt <= 16) or (Tt % T == 0 and Tt // T <= 16)
+    ):
+        # integer-ratio edge change, full scene (round 13, VERDICT r12
+        # item 4): the fragment geometry is periodic in lcm(T, Tt) = the
+        # larger edge, so the stencil is plan constants — no
+        # Arrow/pandas boundary. The ratio cap keeps the unrolled
+        # expression count bounded; beyond it the Python fragment plan
+        # remains.
+        return _retile_integer_ratio_jvm(tc, Tt, out_schema_obj)
     return _retile_python(tc, new_tile, row0, col0, n_y, n_x,
                           out_schema_obj)
+
+
+def _retile_integer_ratio_jvm(tc: TiledCube, Tt: int, out_schema_obj):
+    """Tile-edge-CHANGING repack for integer edge ratios, entirely
+    JVM-side (the general case rides :func:`_retile_python`'s
+    Arrow/pandas fragment plan — measured as the dominant repack cost
+    at 12.6 M px, PLANS.md round-13 A/B).
+
+    **SPLIT** (``Tt`` divides ``T``, k = T/Tt): every destination tile
+    lies inside exactly ONE source tile, so the repack is a pure
+    scan-fused projection — each source tile emits its k² sub-tiles as
+    bulk ``slice``/``flatten`` expressions in one Generate. **ZERO
+    exchange** (the Python plan shuffled the full raster); this is the
+    direction ``merge_cubes_tiled`` auto-retile takes when adapting a
+    coarser-tiled store down to the finer layout.
+
+    **MERGE** (``T`` divides ``Tt``, k = Tt/T): each destination tile
+    is a k×k block of source tiles — tag each source tile with its
+    destination index and (b, c) block role, pivot the k² roles into
+    columns with one tile-keyed groupBy (join keys = tiles, arrays
+    never open), and assemble the Tt² canvas as an unrolled concat of
+    per-row-band bulk slices. One exchange of the raster, no
+    Arrow/pandas boundary.
+
+    NULL padding of partial edge tiles flows through slices unchanged
+    (missing source tiles in the merge case coalesce to NULL blocks),
+    so the padding discipline matches :func:`to_tiled` exactly."""
+    T = tc.tile
+    n_y, n_x = tc.n_y, tc.n_x
+    keys = tc.key_dims
+    nd_y, nd_x = -(-n_y // Tt), -(-n_x // Tt)
+    nulls = "CAST(NULL AS DOUBLE)"
+
+    if T % Tt == 0:  # SPLIT: zero-shuffle projection
+        k = T // Tt
+        frag_structs = F.array(*[
+            F.struct(
+                (F.col("tile_row") * k + i).alias("tile_row"),
+                (F.col("tile_col") * k + j).alias("tile_col"),
+                F.expr(
+                    f"flatten(transform(sequence(0, {Tt - 1}), r -> "
+                    f"slice(data, ({i * Tt} + r) * {T} + {j * Tt} + 1, "
+                    f"{Tt})))"
+                ).alias("data"),
+            )
+            for i in range(k) for j in range(k)
+        ])
+        df = (
+            tc.df.select(*keys, F.explode(frag_structs).alias("_e"))
+            .select(*keys, "_e.tile_row", "_e.tile_col", "_e.data")
+            .where(
+                (F.col("tile_row") < nd_y) & (F.col("tile_col") < nd_x)
+            )
+        )
+        return TiledCube(df, out_schema_obj, Tt, n_y, n_x)
+
+    k = Tt // T  # MERGE: k² roles, one tile-keyed exchange
+    tagged = tc.df.select(
+        *keys,
+        (F.col("tile_row") / k).cast("int").alias("_dr"),
+        (F.col("tile_col") / k).cast("int").alias("_dc"),
+        ((F.col("tile_row") % k) * k + F.col("tile_col") % k).alias("_role"),
+        "data",
+    )
+    grouped = tagged.groupBy(*keys, "_dr", "_dc").agg(*[
+        F.first(F.when(F.col("_role") == b * k + c, F.col("data")),
+                ignorenulls=True).alias(f"_f{b}_{c}")
+        for b in range(k) for c in range(k)
+    ])
+    filled = grouped.select(
+        *keys,
+        F.col("_dr").alias("tile_row"), F.col("_dc").alias("tile_col"),
+        *[
+            F.coalesce(
+                F.col(f"_f{b}_{c}"),
+                F.expr(f"array_repeat({nulls}, {T * T})"),
+            ).alias(f"_f{b}_{c}")
+            for b in range(k) for c in range(k)
+        ],
+    )
+    # canvas: per source-row-band b, T rows of width Tt (concat of the
+    # band's k role slices per row), bands concatenated — all constants
+    band_exprs = []
+    for b in range(k):
+        row = ", ".join(
+            f"slice(_f{b}_{c}, r * {T} + 1, {T})" for c in range(k)
+        )
+        band_exprs.append(
+            f"flatten(transform(sequence(0, {T - 1}), r -> "
+            f"concat({row})))"
+        )
+    canvas = "concat(" + ", ".join(band_exprs) + ")" if k > 1 else \
+        band_exprs[0]
+    df = filled.select(
+        *keys, "tile_row", "tile_col", F.expr(canvas).alias("data"),
+    )
+    return TiledCube(df, out_schema_obj, Tt, n_y, n_x)
 
 
 def _retile_python(

@@ -800,7 +800,9 @@ class ProcessGraph:
                         border=border,
                     )
                 except NotImplementedError:
-                    # wrap over partial edge tiles: long scatter path
+                    # wrap with a radius beyond the last tile's valid
+                    # span (or the scene): long scatter path — partial
+                    # tilings themselves are native since round 13
                     return NotImplemented
             return NotImplemented  # radius > tile: long path
         if pid == "radar_mask" and is_tiled("data"):

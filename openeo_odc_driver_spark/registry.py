@@ -1450,6 +1450,48 @@ def _apply_kernel_border_sweep(spark, sf_dir):
     return out.join(w, ["band", "time", "y", "x"])
 
 
+_CUBE_18x13_D = cube_sql(CubeSpec(ny=18, nx=13), "duckdb")
+
+
+@q(
+    "tiled_apply_kernel_wrap_partial",
+    f"WITH cube AS ({_CUBE_18x13_D}), idx AS ("
+    "SELECT band, time, y, x, value, "
+    "CAST((150.0 - y) / 10.0 AS BIGINT) AS yi, "
+    "CAST((x - 0.0) / 10.0 AS BIGINT) AS xi FROM cube), "
+    "offs(dy, dx, w) AS (VALUES (-1, 0, 0.25), (0, -1, 0.25), "
+    "(0, 0, -1.0), (0, 1, 0.25), (1, 0, 0.25)) "
+    "SELECT i.band, i.time, i.y, i.x, "
+    "CASE WHEN i.value IS NOT NULL THEN sum(coalesce(s.value, 0.0) * o.w) "
+    "* 2.0 END AS value "
+    "FROM idx i CROSS JOIN offs o "
+    "JOIN idx s ON s.band = i.band AND s.time = i.time "
+    "AND s.yi = (((i.yi - o.dy) % 18) + 18) % 18 "
+    "AND s.xi = (((i.xi - o.dx) % 13) + 13) % 13 "
+    "GROUP BY i.band, i.time, i.y, i.x, i.value",
+)
+def _tiled_apply_kernel_wrap_partial(spark, sf_dir):
+    """Round 13 (VERDICT r12 item 7): the periodic border natively on
+    tiles over a PARTIAL tiling (18×13 scene, tile=8 — partial on both
+    axes; was the most user-visible tiled demotion). Crossing halo
+    strips slice the last VALID rows/cols (never the padding) and land
+    adjacent to the target's valid region; crossed pieces overwrite the
+    padding non-crossing strips carry (core/tiled.py: _halo_pieces /
+    _halo_canvas wrap geometry). Oracle: the same double-mod periodic
+    convolution in DuckDB."""
+    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+
+    return from_tiled(
+        apply_kernel_tiled_layout(
+            to_tiled(
+                synthetic_cube(spark, CubeSpec(ny=18, nx=13)),
+                tile=8, n_y=18, n_x=13,
+            ),
+            _KERNEL, factor=_KERNEL_FACTOR, border="wrap",
+        )
+    ).df
+
+
 @q(
     "tiled_apply_kernel_border_sweep",
     _kernel_border_sweep_oracle(
