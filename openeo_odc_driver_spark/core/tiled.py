@@ -1107,7 +1107,9 @@ def _reduce_time_numpy(
         rec = {
             k: [int(row0[k]) if k in int_keys else row0[k]] for k in keys
         }
-        rec["data"] = [[None if np.isnan(v) else float(v) for v in out]]
+        obj = out.astype(object)
+        obj[np.isnan(out)] = None  # vectorized NaN->None (r13 profile)
+        rec["data"] = [obj.tolist()]
         return pd.DataFrame(rec)
 
     # key types come from the input schema itself (a derived label like
@@ -1391,7 +1393,9 @@ def _median_groups(tc: TiledCube, keys: list[str]) -> DataFrame:
         rec = {
             k: [int(row0[k]) if k in int_keys else row0[k]] for k in keys
         }
-        rec["data"] = [[None if np.isnan(v) else float(v) for v in med]]
+        obj = med.astype(object)
+        obj[np.isnan(med)] = None  # vectorized NaN->None (r13 profile)
+        rec["data"] = [obj.tolist()]
         return pd.DataFrame(rec)
 
     fields = ", ".join(
@@ -1560,9 +1564,10 @@ def apply_kernel_tiled_layout(
         out = {k: [row0[k]] for k in keys}
         out["tile_row"] = [int(row0["_tr"])]
         out["tile_col"] = [int(row0["_tc"])]
-        out["data"] = [
-            [None if np.isnan(v) else float(v) for v in acc.reshape(-1)]
-        ]
+        flat = acc.reshape(-1)
+        obj = flat.astype(object)
+        obj[np.isnan(flat)] = None  # vectorized NaN->None (r13 profile)
+        out["data"] = [obj.tolist()]
         return pd.DataFrame(out)
 
     df = pieces.groupBy(*keys, "_tr", "_tc").applyInPandas(
@@ -2114,10 +2119,10 @@ def resample_spatial_tiled(
                             )
                             out = op(safe, axis=(1, 3))
                             out = np.where(all_nan, np.nan, out)
-                    pooled.append(
-                        [None if np.isnan(v) else float(v)
-                         for v in out.reshape(-1)]
-                    )
+                    flat = out.reshape(-1)
+                    obj = flat.astype(object)
+                    obj[np.isnan(flat)] = None
+                    pooled.append(obj.tolist())
                 yield pdf.assign(data=pooled)
 
         df = tc.df.mapInPandas(pool_batch, tc.df.schema)

@@ -88,6 +88,49 @@ def peak_jvm_heap():
     return max(peaks or [0])
 
 
+class HeapSampler:
+    """Round-13 item 8: a TRUE per-graph peak instead of the
+    session-cumulative high-water `peakMemoryMetrics` reading. The
+    runner forces GC before each graph (baseline = live set), then this
+    thread samples used heap every 250 ms through its own py4j
+    connection while the graph runs. peak_used includes collectible
+    garbage (the JVM doesn't GC under a roomy heap — that's the honest
+    caveat); retained_after is the GC-forced live set when the graph
+    finishes, i.e. what the graph actually keeps."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._stop = False
+        self.peak = 0
+        import threading
+
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _used(self):
+        rt = self._spark.sparkContext._jvm.Runtime.getRuntime()
+        return rt.totalMemory() - rt.freeMemory()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                self.peak = max(self.peak, self._used())
+            except Exception:
+                pass
+            time.sleep(0.25)
+
+    def __enter__(self):
+        self.baseline = self._used()
+        self.peak = self.baseline
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        self._t.join(timeout=2)
+        self._spark.sparkContext._jvm.System.gc()
+        self.retained = self._used()
+
+
 def spec_for(cid, sf):
     from openeo_odc_driver_spark.sources.synthetic import CubeSpec
 
@@ -256,6 +299,36 @@ def graphs(sf):
     return out
 
 
+def profile_graph(spark, sf: int, graph_name: str):
+    """Round-13 item 5: per-stage wall attribution for one graph at one
+    SF point — which stage owns the 100x wall (the r12 probe left
+    ndvi_median's 0.86 exponent unexplained)."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    root = build_stores(spark, sf)
+    g = graphs(sf)[graph_name]
+    seen = {s["stageId"] for s in rest("stages")}
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.time()
+    pg = ProcessGraph(g, save_dir="/tmp/r12_probe_out", tiled=True,
+                      tile=TILE, tiled_store_dir=root)
+    cube = pg.execute(spark)
+    cube.df.agg(F.count(F.lit(1)), F.sum("value")).collect()
+    wall = time.time() - t0
+    stages = [s for s in rest("stages?status=complete")
+              if s["stageId"] not in seen]
+    stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+    print(f"\n{graph_name} @ sf{sf}: wall {wall:.1f}s, "
+          f"{len(stages)} stages (top by executor time):")
+    for s in stages[:10]:
+        print(f"  run={s.get('executorRunTime', 0)/1000:7.1f}s "
+              f"tasks={s.get('numCompleteTasks', 0):4d} "
+              f"in={s.get('inputBytes', 0)/1e6:8.1f}MB "
+              f"sw={s.get('shuffleWriteBytes', 0)/1e6:7.1f}MB "
+              f"sr={s.get('shuffleReadBytes', 0)/1e6:7.1f}MB  "
+              f"{s.get('name', '')[:70]}", flush=True)
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     spark = get_spark_ui()
@@ -263,6 +336,12 @@ def main():
     if "--check" in args:
         check_fast_build(spark)
         args.remove("--check")
+    if "--profile" in args:
+        i = args.index("--profile")
+        graph_name = args[i + 1]
+        sf = int(args[i + 2]) if len(args) > i + 2 else 10
+        profile_graph(spark, sf, graph_name)
+        return
     sfs = [int(a) for a in args] or [1, 10, 100]
     from openeo_odc_driver_spark.plans.graph import ProcessGraph
 
@@ -276,11 +355,12 @@ def main():
             pg = ProcessGraph(g, save_dir=f"/tmp/r12_probe_out",
                               tiled=True, tile=TILE,
                               tiled_store_dir=root)
-            cube = pg.execute(spark)
-            agg = cube.df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("value").cast("string").alias("s"),
-            ).collect()[0]
+            with HeapSampler(spark) as hs:
+                cube = pg.execute(spark)
+                agg = cube.df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").cast("string").alias("s"),
+                ).collect()[0]
             wall = time.time() - t0
             w1, r1 = shuffle_totals()
             rec = dict(
@@ -288,6 +368,9 @@ def main():
                 shuffle_write_mb=round((w1 - w0) / 1e6, 1),
                 shuffle_read_mb=round((r1 - r0) / 1e6, 1),
                 peak_jvm_heap_gb=round(peak_jvm_heap() / 1e9, 2),
+                heap_baseline_gb=round(hs.baseline / 1e9, 2),
+                heap_peak_used_gb=round(hs.peak / 1e9, 2),
+                heap_retained_gb=round(hs.retained / 1e9, 2),
                 rows=int(agg["n"]), value_sum=agg["s"],
                 demotions=list(pg.tiled_demotions),
             )
