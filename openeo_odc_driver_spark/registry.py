@@ -1450,6 +1450,37 @@ def _apply_kernel_border_sweep(spark, sf_dir):
     return out.join(w, ["band", "time", "y", "x"])
 
 
+@q(
+    "gtiff_store_roundtrip",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT band, y, x, max(value) AS value FROM cube GROUP BY band, y, x",
+)
+def _gtiff_store_roundtrip(spark, sf_dir):
+    """Round 13: the distributed GeoTIFF pair as a STORAGE TIER —
+    `save_gtiff_tiled` (executors pwrite float32 tiles at static
+    offsets, driver writes only the IFD) then `load_gtiff_tiled`
+    (executors pread tiles back, zero shuffle) round-trips the
+    time-max cube bit-exactly against the long reducer oracle: the
+    dyadic fixture values are float32-representable, NULL↔NaN folds at
+    the boundary, and the grid re-derives from
+    ModelPixelScale/Tiepoint. (max, not mean — a mean of 24 values is
+    not f32-representable, which would honestly fail the exact hash.)"""
+    import tempfile
+
+    from .core.tiled import from_tiled, to_tiled
+    from .operators.reducers import reduce_dimension
+    from .sinks.gtiff_tiled import load_gtiff_tiled, save_gtiff_tiled
+
+    cube = reduce_dimension(synthetic_cube(spark), "time", "max")
+    tc = to_tiled(cube, tile=16, n_y=16, n_x=16)
+    path = save_gtiff_tiled(
+        tc, tempfile.mkdtemp(prefix="gtiff_rt_") + "/scene"
+    )
+    return from_tiled(
+        load_gtiff_tiled(spark, path, bands=cube.schema.bands)
+    ).df
+
+
 _CUBE_18x13_D = cube_sql(CubeSpec(ny=18, nx=13), "duckdb")
 
 

@@ -279,6 +279,152 @@ def save_gtiff_tiled(tc, path: str, force_bigtiff: bool = False) -> str:
     return out
 
 
+def _parse_tags(head: bytes) -> tuple[dict, bool]:
+    """Parse the tag directory from the file's leading bytes (classic or
+    BigTIFF). Raises IndexError/struct.error if a referenced payload
+    lies beyond ``head`` — callers grow the window and retry."""
+    assert head[:2] == b"II", "not little-endian TIFF"
+    (version,) = struct.unpack_from("<H", head, 2)
+    if version == 43:
+        (ifd_off,) = struct.unpack_from("<Q", head, 8)
+        (n,) = struct.unpack_from("<Q", head, ifd_off)
+        base, entry_sz, inline, cnt_fmt = ifd_off + 8, 20, 8, "Q"
+    else:
+        assert version == 42, f"unknown TIFF version {version}"
+        (ifd_off,) = struct.unpack_from("<I", head, 4)
+        (n,) = struct.unpack_from("<H", head, ifd_off)
+        base, entry_sz, inline, cnt_fmt = ifd_off + 2, 12, 4, "I"
+    tags = {}
+    for i in range(int(n)):
+        tag, typ = struct.unpack_from("<HH", head, base + i * entry_sz)
+        (count,) = struct.unpack_from(f"<{cnt_fmt}", head,
+                                      base + i * entry_sz + 4)
+        loc = base + i * entry_sz + entry_sz - inline
+        size = _SZ[typ] * count
+        if size > inline:
+            (off,) = struct.unpack_from(f"<{cnt_fmt}", head, loc)
+            if off + size > len(head):
+                raise IndexError("tag payload beyond header window")
+            buf = head[off: off + size]
+        else:
+            buf = head[loc: loc + size]
+        tags[tag] = list(struct.unpack(f"<{count}{_FMT[typ]}", buf))
+    return tags, version == 43
+
+
+def _read_tags(path: str) -> tuple[dict, bool]:
+    """Tag directory without loading the pixel region: read a growing
+    head window until every referenced payload fits (our writer puts
+    all metadata before the data region; 4 MiB covers ~250k tiles)."""
+    size = os.path.getsize(path)
+    window = 1 << 22
+    with open(path, "rb") as f:
+        while True:
+            f.seek(0)
+            head = f.read(min(window, size))
+            try:
+                return _parse_tags(head)
+            except (IndexError, struct.error):
+                if window >= size:
+                    raise
+                window *= 4
+
+
+def load_gtiff_tiled(spark, path: str, bands=None):
+    """Distributed GeoTIFF SOURCE — the sink's symmetric half: executors
+    ``pread`` their tiles straight out of a tiled (Big)TIFF written by
+    :func:`save_gtiff_tiled` (or any uncompressed float32 tiled TIFF
+    with planar multi-band layout), yielding a TiledCube with zero
+    driver pixel bytes and zero shuffle. Tile offsets come from the
+    tag directory (a bounded driver read); a ``spark.range`` over the
+    global tile index fans the preads across executors.
+
+    float32 NaN (the format's nodata) folds to NULL array elements —
+    the tiled boundary convention (:func:`core.tiled.to_tiled`).
+    ``bands`` names the planes (default ``b1..bn``); grid geometry and
+    CRS come from ModelPixelScale/ModelTiepoint/GeoKeyDirectory."""
+    import pandas as pd
+
+    from ..core.cube import CubeSchema, GridSpec
+    from ..core.tiled import TiledCube
+
+    tags, big = _read_tags(path)
+    if 322 not in tags:
+        raise ValueError("load_gtiff_tiled needs a TILED TIFF "
+                         "(strip layout: use the long readers)")
+    if tags.get(259, [1])[0] != 1 or tags.get(339, [3])[0] != 3 \
+            or tags.get(258, [32])[0] != 32:
+        raise ValueError("only uncompressed float32 tiles are supported")
+    w, h = tags[256][0], tags[257][0]
+    tw, tl = tags[322][0], tags[323][0]
+    if tw != tl:
+        raise ValueError("non-square tiles unsupported")
+    planes = tags.get(277, [1])[0]
+    if planes > 1 and tags.get(284, [1])[0] != 2:
+        raise ValueError("chunky multi-band tiles unsupported (planar only)")
+    offsets = tags[324]
+    tiles_x, tiles_y = -(-w // tw), -(-h // tl)
+    per_plane = tiles_x * tiles_y
+    if len(offsets) != planes * per_plane:
+        raise ValueError("tile count mismatch")
+    band_names = list(bands) if bands else [f"b{i+1}" for i in range(planes)]
+    if len(band_names) != planes:
+        raise ValueError(f"{planes} planes but {len(band_names)} band names")
+
+    scale = tags.get(_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tie = tags.get(_MODEL_TIEPOINT, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    # tiepoint anchors the upper-left pixel CORNER; grid x0/y0 are the
+    # first pixel CENTER (the save_gtiff convention, inverted)
+    grid = GridSpec(
+        x0=tie[3] + scale[0] / 2, y0=tie[4] - scale[1] / 2,
+        resx=float(scale[0]), resy=float(scale[1]),
+    )
+    crs = None
+    gk = tags.get(_GEO_KEY_DIRECTORY)
+    if gk:
+        keys = {gk[i]: gk[i + 3] for i in range(4, len(gk), 4)}
+        epsg = keys.get(3072) or keys.get(2048)
+        if epsg:
+            crs = f"EPSG:{epsg}"
+
+    T2 = tw * tw
+
+    def read_batches(batches):
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            for pdf in batches:
+                out_rows = []
+                for gidx in pdf["id"]:
+                    plane, rem = divmod(int(gidx), per_plane)
+                    trow, tcol = divmod(rem, tiles_x)
+                    raw = os.pread(fd, T2 * 4, offsets[int(gidx)])
+                    a = np.frombuffer(raw, dtype="<f4").astype("float64")
+                    obj = a.astype(object)
+                    obj[np.isnan(a)] = None  # NaN == nodata == NULL
+                    out_rows.append((band_names[plane], trow, tcol,
+                                     obj.tolist()))
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["band", "tile_row", "tile_col", "data"],
+                )
+        finally:
+            os.close(fd)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    df = (
+        spark.range(planes * per_plane)
+        .repartition(min(planes * per_plane, cpus * 4))
+        .mapInPandas(
+            read_batches,
+            "band string, tile_row int, tile_col int, data array<double>",
+        )
+    )
+    schema = CubeSchema(
+        dims=(BAND, "y", "x"), bands=tuple(band_names), crs=crs, grid=grid,
+    )
+    return TiledCube(df, schema, tw, h, w)
+
+
 def decode_tiff(path_or_bytes) -> tuple[np.ndarray, dict]:
     """Decode the TIFF subset this package writes — classic or BigTIFF,
     strip or tile layout, chunky or planar float32 — for round-trip

@@ -272,6 +272,52 @@ def test_gtiff_tiled_sparse_scene_nan_fills(spark, tmp_path):
     assert not np.isnan(arr[:, 0:16, 0:16]).all()   # present tiles intact
 
 
+def test_gtiff_tiled_source_roundtrip(spark, tmp_path):
+    """load_gtiff_tiled (distributed pread source) round-trips the
+    distributed sink pixel- and coordinate-exactly: NULL→NaN(f32)→NULL,
+    grid recovered from ModelPixelScale/Tiepoint, CRS from GeoKeys."""
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    # max keeps the fixture's dyadic values — float32-exact through the
+    # file (mean of 24 values is NOT f32-representable)
+    cube = reduce_dimension(
+        synthetic_cube(spark, CubeSpec(ny=18, nx=13)), "time", "max"
+    )
+    tc = t.to_tiled(cube, tile=16, n_y=18, n_x=13)
+    path = save_gtiff_tiled(tc, str(tmp_path / "scene"))
+    back = load_gtiff_tiled(spark, path, bands=cube.schema.bands)
+    assert back.tile == 16 and (back.n_y, back.n_x) == (18, 13)
+    assert back.schema.crs == "EPSG:32632"
+    assert back.schema.grid == cube.schema.grid
+    n = _frames_equal(t.from_tiled(back).df, t.from_tiled(tc).df)
+    assert n == 3 * 18 * 13
+    # zero shuffle: the source plan has no exchange
+    plan = back.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan or "range" in plan.lower()
+
+
+def test_gtiff_tiled_source_bigtiff_and_default_bands(spark, tmp_path):
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    cube = _banded_grid_cube(spark)
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    path = save_gtiff_tiled(tc, str(tmp_path / "big"), force_bigtiff=True)
+    back = load_gtiff_tiled(spark, path)
+    assert back.schema.bands == ("b1", "b2", "b3")
+    got = t.from_tiled(back).df.groupBy("band").count().collect()
+    assert {r["band"]: r["count"] for r in got} == {
+        "b1": 256, "b2": 256, "b3": 256
+    }
+
+
 def test_planner_tiled_gtiff_sink_distributed(spark, tmp_path):
     """Planner E2E: the NDVI-median graph's GTiff sink in tiled mode
     rides the distributed tiled writer (no driver pixel collect) and
