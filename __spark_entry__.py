@@ -55,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 12
 _GATE_PRIORITY = [
+    "process_graph_merge_resolver",
     "gtiff_store_roundtrip",
     "tiled_apply_kernel_wrap_partial",
     "aggregate_spatial_sweep",

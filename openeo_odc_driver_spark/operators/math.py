@@ -46,6 +46,17 @@ def subtract_cols(x: Operand, y: Operand) -> Column:
     return _c(x) - _c(y)
 
 
+def max_cols(x: Operand, y: Operand) -> Column:
+    """Binary max — the scalar shape openEO overlap resolvers and
+    apply sub-graphs use (greatest skips NULLs, matching the openEO
+    ignore_nodata default)."""
+    return F.greatest(_c(x), _c(y))
+
+
+def min_cols(x: Operand, y: Operand) -> Column:
+    return F.least(_c(x), _c(y))
+
+
 def multiply_cols(x: Operand, y: Operand) -> Column:
     # MultiplicandMissing check happens at plan build (planner)
     return _c(x) * _c(y)

@@ -68,6 +68,10 @@ _BINARY = {
     "and": om.and_cols,
     "or": om.or_cols,
     "normalized_difference": om.normalized_difference_cols,
+    # binary scalar max/min (the overlap-resolver / apply shape; the
+    # ARRAY max/min over `data` stay reducer territory)
+    "max": om.max_cols,
+    "min": om.min_cols,
 }
 _UNARY = {
     "not": om.not_cols,
@@ -420,8 +424,21 @@ class ProcessGraph:
                 self._resolve(args["data"]), args.get("dimension", "time")
             )
         if pid == "merge_cubes":
-            return merge_cubes(self._resolve(args["cube1"]),
-                               self._resolve(args["cube2"]))
+            c1, c2 = self._resolve(args["cube1"]), self._resolve(args["cube2"])
+            fn = _overlap_resolver_fn(args)
+            if fn is not None:
+                return merge_cubes(c1, c2, overlap_resolver=fn)
+            try:
+                return merge_cubes(c1, c2)
+            except ValueError as e:
+                ov = args.get("overlap_resolver")
+                if ("overlap_resolver" in str(e)
+                        and isinstance(ov, dict) and "from_node" in ov):
+                    # reference quirk parity (openeo_odc_driver.py:
+                    # 1181-1187): the resolver is a SIBLING NODE whose
+                    # already-evaluated result merge_cubes forwards
+                    return self._resolve(ov)
+                raise
         if pid == "aggregate_temporal_period":
             child = args["reducer"]["process_graph"]
             named = _single_named_reducer(child)
@@ -785,8 +802,15 @@ class ProcessGraph:
                 return tl.merge_cubes_tiled(
                     self._as_tiled(args["cube1"]),
                     self._as_tiled(args["cube2"]),
+                    overlap_resolver=_overlap_resolver_fn(args),
                 )
             except tl.TiledRegridUnsupported:
+                return NotImplemented
+            except ValueError:
+                # overlapping keys without a compilable child-graph
+                # resolver: the long branch owns the remaining cases
+                # (the reference's from_node forwarding quirk, or the
+                # faithful OverlapResolverMissing error)
                 return NotImplemented
         if pid == "apply_kernel" and is_tiled("data"):
             tc = self._resolve_raw(args["data"])
@@ -1224,6 +1248,20 @@ def _geojson_polygons(gj: dict) -> list:
     return out
 
 
+def _overlap_resolver_fn(args: dict):
+    """Compile merge_cubes' ``overlap_resolver`` child process graph
+    (openEO standard shape: parameters ``x``/``y``) into a binary
+    Column builder for the operators' resolver hook — works for both
+    the long full-outer join and the tiled ``zip_with`` lambda.
+    Returns None when the argument is absent or is the reference's
+    from_node quirk (handled by the caller)."""
+    ov = args.get("overlap_resolver")
+    if isinstance(ov, dict) and "process_graph" in ov:
+        child = ov["process_graph"]
+        return lambda x, y: _compile_expr(child, {"x": x, "y": y})
+    return None
+
+
 def _single_named_reducer(child: dict) -> Optional[str]:
     """A sub-graph that is exactly one named reducer node over
     from_parameter data → its name (ref tag-string folding,
@@ -1279,7 +1317,11 @@ def _compile_expr(child: dict, params: Dict[str, Any]) -> Column:
         if pid == "array_element":
             p = params["data"]
             col = p(args) if callable(p) and not isinstance(p, Column) else p
-        elif pid in _BINARY:
+        elif pid in _BINARY and not (
+            pid in ("max", "min") and "data" in args
+        ):
+            # max/min with a `data` ARRAY arg are reducers, not the
+            # binary scalar shape — fall through to the named error
             x, y = (args.get("x"), args.get("y"))
             if pid == "power":
                 x, y = args.get("base"), args.get("p")

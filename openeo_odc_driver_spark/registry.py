@@ -1451,6 +1451,42 @@ def _apply_kernel_border_sweep(spark, sf_dir):
 
 
 @q(
+    "process_graph_merge_resolver",
+    f"WITH cube AS ({CUBE_D}) SELECT band, time, y, x, value FROM cube",
+)
+def _pg_merge_resolver(spark, sf_dir):
+    """Round 13: merge_cubes with an openEO-standard ``overlap_resolver``
+    child graph THROUGH THE PLANNER (previously the planner ignored the
+    argument and raised OverlapResolverMissing where reference graphs
+    succeed). Two loads of the same collection fully overlap; resolver
+    max(x, y) over identical values is the identity — oracle is the raw
+    cube. The reference's from_node-forwarding quirk
+    (openeo_odc_driver.py:1181-1187) is pytest-pinned separately."""
+    from .plans.graph import ProcessGraph
+
+    graph = {"process_graph": {
+        "a": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "b": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "m": {"process_id": "merge_cubes",
+              "arguments": {
+                  "cube1": {"from_node": "a"},
+                  "cube2": {"from_node": "b"},
+                  "overlap_resolver": {"process_graph": {
+                      "r": {"process_id": "max",
+                            "arguments": {"x": {"from_parameter": "x"},
+                                          "y": {"from_parameter": "y"}},
+                            "result": True}}},
+              },
+              "result": True},
+    }}
+    pg = ProcessGraph(graph,
+                      save_dir="/tmp/spark_graft_results/pg_merge_res")
+    return pg.execute(spark).df
+
+
+@q(
     "gtiff_store_roundtrip",
     f"WITH cube AS ({CUBE_D}) "
     "SELECT band, y, x, max(value) AS value FROM cube GROUP BY band, y, x",

@@ -135,6 +135,84 @@ def test_upscale_then_mask_graph_demotes_and_matches_long(spark):
     assert surv > 0
 
 
+def _overlap_merge_graph(resolver):
+    """Two same-band same-time collections merged — requires a
+    resolver. `resolver` plugs into the merge node's arguments."""
+    return {"process_graph": {
+        "a": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "b": {"process_id": "load_collection",
+              "arguments": {"id": "synthetic"}},
+        "m": {"process_id": "merge_cubes",
+              "arguments": {"cube1": {"from_node": "a"},
+                            "cube2": {"from_node": "b"},
+                            **resolver},
+              "result": True},
+    }}
+
+
+def test_planner_merge_overlap_resolver_child_graph(spark):
+    """openEO-standard resolver: a child process graph over parameters
+    x/y compiles into the operators' binary resolver hook (round 13 —
+    the planner previously ignored the argument and errored)."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    resolver = {"overlap_resolver": {"process_graph": {
+        "r": {"process_id": "max",
+              "arguments": {"x": {"from_parameter": "x"},
+                            "y": {"from_parameter": "y"}},
+              "result": True},
+    }}}
+    pg = ProcessGraph(_overlap_merge_graph(resolver),
+                      save_dir="/tmp/pg_mr_long")
+    out = pg.execute(spark)
+    # max(v, v) over two identical collections == the collection
+    n = _frames_equal(out.df, synthetic_cube(spark).df)
+    assert n == 3 * 24 * 16 * 16
+
+    tpg = ProcessGraph(_overlap_merge_graph(resolver),
+                       save_dir="/tmp/pg_mr_tiled", tiled=True)
+    tiled_out = tpg.execute(spark)
+    assert tpg.tiled_demotions == []
+    _frames_equal(tiled_out.df, out.df)
+
+
+def test_planner_merge_overlap_resolver_from_node_quirk(spark):
+    """Reference quirk parity (openeo_odc_driver.py:1181-1187): when
+    the resolver is a from_node pointing at a sibling NODE, merge
+    forwards that node's already-evaluated result."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    g = _overlap_merge_graph({"overlap_resolver": {"from_node": "rv"}})
+    g["process_graph"]["rv"] = {
+        "process_id": "reduce_dimension",
+        "arguments": {"data": {"from_node": "a"}, "dimension": "bands",
+                      "reducer": {"process_graph": {
+                          "mx": {"process_id": "max",
+                                 "arguments": {
+                                     "data": {"from_parameter": "data"}},
+                                 "result": True}}}},
+    }
+    pg = ProcessGraph(g, save_dir="/tmp/pg_mr_quirk")
+    out = pg.execute(spark)
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+
+    expected = reduce_dimension(synthetic_cube(spark), "bands", "max").df
+    _frames_equal(out.df, expected)
+
+
+def test_planner_merge_overlap_missing_resolver_still_errors(spark):
+    """Without any resolver, overlapping cubes keep the reference's
+    OverlapResolverMissing-shaped error in BOTH modes."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    for tiled in (False, True):
+        pg = ProcessGraph(_overlap_merge_graph({}),
+                          save_dir="/tmp/pg_mr_err", tiled=tiled)
+        with pytest.raises(ValueError, match="overlap_resolver"):
+            pg.execute(spark)
+
+
 def test_to_tiled_nan_folds_to_null_both_engines(spark):
     """Tiled-boundary convention (round 13): a float NaN input VALUE
     folds to NULL on pack in BOTH engines — the Arrow float64 transfer
