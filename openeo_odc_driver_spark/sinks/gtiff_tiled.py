@@ -82,20 +82,26 @@ def _geo_payloads(grid, crs: str):
 
 def _build_header(
     w: int, h: int, tile: int, planes: int, grid, crs: str,
-    force_bigtiff: bool = False,
-) -> tuple[bytes, int, int]:
-    """TIFF header + IFD with STATIC tile offsets. Returns
-    ``(header_bytes, data_start, tile_bytes)`` — the distributed writer
-    needs only those two integers."""
+    force_bigtiff: bool = False, counts=None,
+) -> tuple[bytes, int, object]:
+    """TIFF header + IFD. With ``counts=None`` (uncompressed), every
+    tile is ``tile²·4`` bytes and offsets are STATIC — returns
+    ``(header, data_start, tile_bytes)`` so executors can write with no
+    coordination. With an explicit per-tile ``counts`` list (DEFLATE),
+    offsets are the prefix sums — returns
+    ``(header, data_start, offsets_list)``."""
     tiles_x = -(-w // tile)
     tiles_y = -(-h // tile)
     ntiles = planes * tiles_y * tiles_x
     tile_bytes = tile * tile * 4  # float32, one sample per plane tile
+    data_bytes = (
+        ntiles * tile_bytes if counts is None else sum(counts)
+    )
 
     geo_keys, scale_vals, tie_vals = _geo_payloads(grid, crs)
 
     # decide the format from a classic-layout size estimate
-    classic_est = 8 + (2 + 17 * 12 + 4) + 4096 + ntiles * 8 + ntiles * tile_bytes
+    classic_est = 8 + (2 + 17 * 12 + 4) + 4096 + ntiles * 8 + data_bytes
     big = bool(force_bigtiff) or classic_est > _CLASSIC_LIMIT
 
     off_t = _T_LONG8 if big else _T_LONG
@@ -103,14 +109,15 @@ def _build_header(
         (256, _T_LONG, 1, [w]),
         (257, _T_LONG, 1, [h]),
         (258, _T_SHORT, planes, [32] * planes),
-        (259, _T_SHORT, 1, [1]),                    # uncompressed
+        (259, _T_SHORT, 1, [1 if counts is None else 8]),  # none / DEFLATE
         (262, _T_SHORT, 1, [1]),                    # minisblack
         (277, _T_SHORT, 1, [planes]),
         (284, _T_SHORT, 1, [2 if planes > 1 else 1]),  # planar for multi-band
         (322, _T_LONG, 1, [tile]),                  # TileWidth
         (323, _T_LONG, 1, [tile]),                  # TileLength
         (324, off_t, ntiles, None),                 # TileOffsets (patched)
-        (325, _T_LONG, ntiles, [tile_bytes] * ntiles),
+        (325, _T_LONG, ntiles,
+         [tile_bytes] * ntiles if counts is None else list(counts)),
         (339, _T_SHORT, planes, [3] * planes),      # IEEE float
         (_MODEL_PIXEL_SCALE, _T_DOUBLE, 3, scale_vals),
         (_MODEL_TIEPOINT, _T_DOUBLE, 6, tie_vals),
@@ -120,11 +127,11 @@ def _build_header(
     n = len(tags)
 
     if big:
-        head_sz, entry_sz, inline, cnt_fmt = 16, 20, 8, "Q"
+        entry_sz, inline, cnt_fmt = 20, 8, "Q"
         ifd_off = 16
         ifd_size = 8 + n * entry_sz + 8
     else:
-        head_sz, entry_sz, inline, cnt_fmt = 8, 12, 4, "I"
+        entry_sz, inline, cnt_fmt = 12, 4, "I"
         ifd_off = 8
         ifd_size = 2 + n * entry_sz + 4
 
@@ -140,7 +147,13 @@ def _build_header(
     data_start = overflow_off + overflow_size
     data_start += (-data_start) % 16  # align tile data
 
-    offsets = [data_start + i * tile_bytes for i in range(ntiles)]
+    if counts is None:
+        offsets = [data_start + i * tile_bytes for i in range(ntiles)]
+    else:
+        offsets, acc = [], data_start
+        for c in counts:
+            offsets.append(acc)
+            acc += c
 
     overflow = bytearray()
     entries = b""
@@ -165,16 +178,37 @@ def _build_header(
         out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
     out += bytes(overflow)
     out += b"\0" * (data_start - len(out))
-    return bytes(out), data_start, tile_bytes
+    return bytes(out), data_start, (tile_bytes if counts is None
+                                    else offsets)
 
 
-def save_gtiff_tiled(tc, path: str, force_bigtiff: bool = False) -> str:
-    """Write a TiledCube as a tiled GeoTIFF WITHOUT collecting pixels:
-    driver writes header + IFD, executors ``pwrite`` their tiles at
-    statically known offsets. Multi-band cubes write planar
-    (PlanarConfiguration=2), one sample plane per band in
-    ``schema.bands`` order. Time must already be reduced/squeezed
-    (same contract as the driver-side GTiff sink's squeeze rules)."""
+def save_gtiff_tiled(
+    tc, path: str, force_bigtiff: bool = False, compress: str | None = None,
+) -> str:
+    """Write a TiledCube as a tiled GeoTIFF WITHOUT collecting pixels.
+
+    ``compress=None`` (default): driver writes header + IFD with
+    STATIC offsets, executors ``pwrite`` raw float32 tiles in place —
+    one pass, zero staging, zero shuffle.
+
+    ``compress="deflate"``: the standard COG codec. Tile sizes become
+    data-dependent, so the plan gains one bounded gather: executors
+    zlib-compress their tiles into per-partition STAGING blobs and
+    return only the (tile index, part, offset, nbytes) INDEX rows —
+    the driver collects that index (one small row per tile, never
+    pixels), lays out the IFD from the gathered byte counts, and
+    streams the staged blobs into final position (driver IO is
+    O(file), driver memory O(tile)). Missing tiles of a sparse scene
+    each get a tiny compressed all-NaN blob (~a few hundred bytes).
+    On an object store the stream-concat becomes a multipart compose —
+    same shape.
+
+    Multi-band cubes write planar (PlanarConfiguration=2), one sample
+    plane per band in ``schema.bands`` order. Time must already be
+    reduced/squeezed (same contract as the driver-side GTiff sink's
+    squeeze rules)."""
+    if compress not in (None, "deflate"):
+        raise ValueError(f"unsupported compression {compress!r}")
     from ..core.tiled import TiledCube, retile
 
     if not isinstance(tc, TiledCube):
@@ -208,10 +242,15 @@ def save_gtiff_tiled(tc, path: str, force_bigtiff: bool = False) -> str:
     tiles_y = -(-h // T)
     per_plane = tiles_y * tiles_x
 
+    out = path if path.endswith(".tif") else path + ".tif"
+    if compress == "deflate":
+        return _save_deflate(
+            tc, out, w, h, T, planes, per_plane, tiles_x, grid,
+            force_bigtiff,
+        )
     header, data_start, tile_bytes = _build_header(
         w, h, T, planes, grid, tc.schema.crs, force_bigtiff
     )
-    out = path if path.endswith(".tif") else path + ".tif"
     total = data_start + planes * per_plane * tile_bytes
     with open(out, "wb") as f:
         f.write(header)
@@ -276,6 +315,98 @@ def save_gtiff_tiled(tc, path: str, force_bigtiff: bool = False) -> str:
         raise RuntimeError(
             f"distributed GTiff write dropped tiles: {written}/{n_rows}"
         )
+    return out
+
+
+def _save_deflate(
+    tc, out: str, w: int, h: int, T: int, planes: int, per_plane: int,
+    tiles_x: int, grid, force_bigtiff: bool,
+) -> str:
+    """The compressed (COG-standard DEFLATE) write path — see
+    :func:`save_gtiff_tiled`. One bounded index gather, zero pixel
+    bytes through the driver."""
+    import shutil
+    import uuid
+    import zlib
+
+    import pandas as pd
+
+    bands = list(tc.schema.bands) if BAND in tc.schema.dims else []
+    plane_of = {b: i for i, b in enumerate(bands)}
+    T2 = T * T
+    stage = out + ".stage"
+    os.makedirs(stage, exist_ok=True)
+
+    def compress_batches(batches):
+        part = f"part-{uuid.uuid4().hex}.bin"
+        fh, off, rows = None, 0, []
+        try:
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    plane = (plane_of[pdf[BAND].iloc[i]] if plane_of
+                             else 0)
+                    gidx = (plane * per_plane
+                            + int(pdf["tile_row"].iloc[i]) * tiles_x
+                            + int(pdf["tile_col"].iloc[i]))
+                    a = np.asarray(pdf["data"].iloc[i], dtype="float64")
+                    if a.size != T2:
+                        raise ValueError(
+                            f"tile array has {a.size} cells, expected {T2}"
+                        )
+                    blob = zlib.compress(a.astype("<f4").tobytes(), 6)
+                    if fh is None:
+                        fh = open(os.path.join(stage, part), "wb")
+                    fh.write(blob)
+                    rows.append((gidx, part, off, len(blob)))
+                    off += len(blob)
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame(
+            rows, columns=["gidx", "part", "off", "nbytes"]
+        )
+
+    cols = ([BAND] if plane_of else []) + ["tile_row", "tile_col", "data"]
+    index = (
+        tc.df.select(*cols)
+        .mapInPandas(compress_batches,
+                     "gidx long, part string, off long, nbytes long")
+        .collect()  # bounded: ONE small row per tile, never pixels
+    )
+    bymap = {int(r["gidx"]): (r["part"], int(r["off"]), int(r["nbytes"]))
+             for r in index}
+    if len(bymap) != len(index):
+        raise RuntimeError("duplicate tile indices in the deflate index")
+    ntiles = planes * per_plane
+    nan_blob = (
+        zlib.compress(np.full(T2, np.nan, dtype="<f4").tobytes(), 6)
+        if len(bymap) < ntiles else b""
+    )
+    counts = [bymap[g][2] if g in bymap else len(nan_blob)
+              for g in range(ntiles)]
+    header, _, _ = _build_header(
+        w, h, T, planes, grid, tc.schema.crs, force_bigtiff, counts=counts
+    )
+    handles: dict = {}
+    try:
+        with open(out, "wb") as f:
+            f.write(header)
+            for g in range(ntiles):
+                if g in bymap:
+                    part, off, n = bymap[g]
+                    fh = handles.get(part)
+                    if fh is None:
+                        fh = handles[part] = open(
+                            os.path.join(stage, part), "rb"
+                        )
+                    fh.seek(off)
+                    f.write(fh.read(n))
+                else:
+                    f.write(nan_blob)
+    finally:
+        for fh in handles.values():
+            fh.close()
+        shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
@@ -352,9 +483,12 @@ def load_gtiff_tiled(spark, path: str, bands=None):
     if 322 not in tags:
         raise ValueError("load_gtiff_tiled needs a TILED TIFF "
                          "(strip layout: use the long readers)")
-    if tags.get(259, [1])[0] != 1 or tags.get(339, [3])[0] != 3 \
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 8) or tags.get(339, [3])[0] != 3 \
             or tags.get(258, [32])[0] != 32:
-        raise ValueError("only uncompressed float32 tiles are supported")
+        raise ValueError(
+            "only float32 tiles, uncompressed or DEFLATE, are supported"
+        )
     w, h = tags[256][0], tags[257][0]
     tw, tl = tags[322][0], tags[323][0]
     if tw != tl:
@@ -363,6 +497,7 @@ def load_gtiff_tiled(spark, path: str, bands=None):
     if planes > 1 and tags.get(284, [1])[0] != 2:
         raise ValueError("chunky multi-band tiles unsupported (planar only)")
     offsets = tags[324]
+    counts = tags[325]
     tiles_x, tiles_y = -(-w // tw), -(-h // tl)
     per_plane = tiles_x * tiles_y
     if len(offsets) != planes * per_plane:
@@ -390,6 +525,8 @@ def load_gtiff_tiled(spark, path: str, bands=None):
     T2 = tw * tw
 
     def read_batches(batches):
+        import zlib
+
         fd = os.open(path, os.O_RDONLY)
         try:
             for pdf in batches:
@@ -397,7 +534,10 @@ def load_gtiff_tiled(spark, path: str, bands=None):
                 for gidx in pdf["id"]:
                     plane, rem = divmod(int(gidx), per_plane)
                     trow, tcol = divmod(rem, tiles_x)
-                    raw = os.pread(fd, T2 * 4, offsets[int(gidx)])
+                    raw = os.pread(fd, counts[int(gidx)],
+                                   offsets[int(gidx)])
+                    if comp == 8:
+                        raw = zlib.decompress(raw)
                     a = np.frombuffer(raw, dtype="<f4").astype("float64")
                     obj = a.astype(object)
                     obj[np.isnan(a)] = None  # NaN == nodata == NULL
@@ -462,7 +602,10 @@ def decode_tiff(path_or_bytes) -> tuple[np.ndarray, dict]:
     planes = tags.get(277, [1])[0]
     planar = tags.get(284, [1])[0]
     arr = np.full((planes, h, w), np.nan, dtype="float32")
+    comp = tags.get(259, [1])[0]
     if 322 in tags:  # tiled layout
+        import zlib
+
         tw, tl = tags[322][0], tags[323][0]
         tiles_x, tiles_y = -(-w // tw), -(-h // tl)
         per_plane = tiles_x * tiles_y
@@ -471,7 +614,10 @@ def decode_tiff(path_or_bytes) -> tuple[np.ndarray, dict]:
         for gidx, (off, cnt) in enumerate(zip(offsets, counts)):
             plane, rem = divmod(gidx, per_plane)
             ty, tx = divmod(rem, tiles_x)
-            t = np.frombuffer(data[off : off + cnt], dtype="<f4").reshape(tl, tw)
+            raw = data[off : off + cnt]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            t = np.frombuffer(raw, dtype="<f4").reshape(tl, tw)
             y0, x0 = ty * tl, tx * tw
             arr[plane, y0 : min(y0 + tl, h), x0 : min(x0 + tw, w)] = t[
                 : min(tl, h - y0), : min(tw, w - x0)
@@ -488,5 +634,6 @@ def decode_tiff(path_or_bytes) -> tuple[np.ndarray, dict]:
         "bits": tags.get(258),
         "bigtiff": version == 43,
         "tiled": 322 in tags,
+        "compression": comp,
     }
     return arr, meta
