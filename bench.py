@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "tiled_filter_bbox_native",
     "tiled_resample_cube_spatial_upscale",
     "multimodal_webp_decode",
+    # round 13
+    "gtiff_store_roundtrip",
+    "tiled_apply_kernel_wrap_partial",
+    "process_graph_merge_resolver",
 ]
 
 

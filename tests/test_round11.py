@@ -931,24 +931,23 @@ def test_quantiles_spatial_tiled_matches_long(spark):
 
 
 def test_apply_kernel_tiled_wrap_matches_long(spark):
-    """Periodic border on exact tilings — including the single-tile
-    scene, where strips wrap onto their own tile; partial tilings
-    raise the named error the planner demotes on."""
+    """Periodic border — exact tilings (including the single-tile
+    scene, where strips wrap onto their own tile) and, since round 13,
+    partial tilings too."""
     from openeo_odc_driver_spark.operators.kernel import apply_kernel
 
     K = [[0.0, 0.25, 0.0], [0.25, -1.0, 0.25], [0.0, 0.25, 0.0]]
     src = synthetic_cube(spark)
     long_df = apply_kernel(src, K, factor=2.0, border="wrap").df
-    for tile in (8, 4, 16):
+    # round 13 flipped the tile=5 pin: PARTIAL tilings are native now
+    # (crossing strips slice the last valid rows — test_round13 covers
+    # the geometry; the residual demotion is radius > valid span)
+    for tile in (8, 4, 16, 5):
         tiled = t.apply_kernel_tiled_layout(
             t.to_tiled(src, tile=tile, n_y=16, n_x=16),
             K, factor=2.0, border="wrap",
         )
         _frames_equal(long_df, t.from_tiled(tiled).df)
-    with pytest.raises(NotImplementedError, match="divide"):
-        t.apply_kernel_tiled_layout(
-            t.to_tiled(src, tile=5, n_y=16, n_x=16), K, border="wrap"
-        )
 
 
 def test_merge_cubes_tiled_auto_retiles_mismatched_edges(spark):
