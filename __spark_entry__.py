@@ -223,7 +223,6 @@ _GATE_PRIORITY = [
     "process_graph_masked_seasonal_tiled_store",
     "process_graph_ndvi_tiled_store",
     "process_graph_resample_pushdown",
-    "quantiles_q",
     "reduce_bands_mean",
     "reduce_x_sum",
     "reduce_y_max",

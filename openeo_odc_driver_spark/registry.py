@@ -549,30 +549,37 @@ _QPROBS = [0.25, 0.5, 0.75]
 _QPROBS_D = "[" + ", ".join(str(p) for p in _QPROBS) + "]"
 
 
-@q(
-    "quantiles",
+_QUANTILES_ORACLE = (
     f"WITH cube AS ({CUBE_D}), g AS ("
     f"SELECT band, y, x, quantile_cont(value, {_QPROBS_D}) AS qs, "
     f"{_QPROBS_D} AS ps FROM cube GROUP BY band, y, x) "
     "SELECT band, y, x, qs[i] AS value, ps[i] AS prob "
-    f"FROM g, range(1, {len(_QPROBS) + 1}) r(i)",
+    f"FROM g, range(1, {len(_QPROBS) + 1}) r(i)"
 )
-def _quantiles(spark, sf_dir):
-    return quantiles(synthetic_cube(spark), "time", probabilities=_QPROBS).df
 
 
 @q(
-    "quantiles_q",
-    f"WITH cube AS ({CUBE_D}), g AS ("
-    "SELECT band, y, x, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs, "
-    "[0.25, 0.5, 0.75] AS ps FROM cube GROUP BY band, y, x) "
-    "SELECT band, y, x, qs[i] AS value, ps[i] AS prob FROM g, range(1, 4) r(i)",
+    "quantiles",
+    _QUANTILES_ORACLE.replace(
+        "qs[i] AS value, ps[i] AS prob",
+        "qs[i] AS value, ps[i] AS prob, qs[i] AS value_q",
+    ),
 )
-def _quantiles_q(spark, sf_dir):
-    return quantiles(synthetic_cube(spark), "time", q=4).df
+def _quantiles(spark, sf_dir):
+    """Both quantiles entry points in one gate row (round-13
+    consolidation): the explicit ``probabilities`` list and the
+    spec's ``q=4`` quartile count resolve to the SAME probability set,
+    so the two operator invocations equi-join on (band, y, x, prob)
+    into `value` / `value_q` columns against one oracle."""
+    a = quantiles(synthetic_cube(spark), "time", probabilities=_QPROBS).df
+    b = quantiles(synthetic_cube(spark), "time", q=4).df
+    return a.join(
+        b.withColumnRenamed("value", "value_q"),
+        ["band", "y", "x", "prob"],
+    )
 
 
-@q("tiled_quantiles", ORACLE["quantiles"])
+@q("tiled_quantiles", _QUANTILES_ORACLE)
 def _tiled_quantiles(spark, sf_dir):
     """Round-11: quantiles over time natively on tiles (core/tiled.py:
     quantiles_tiled) — the median multiset fold generalized to a prob
