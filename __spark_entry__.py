@@ -55,6 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 12
 _GATE_PRIORITY = [
+    "rename_labels_sweep",
+    "resample_spatial_warp",
     "process_graph_merge_resolver",
     "gtiff_store_roundtrip",
     "tiled_apply_kernel_wrap_partial",
@@ -96,7 +98,6 @@ _GATE_PRIORITY = [
     "multimodal_phash_near_dup",
     "pii_redact",
     "pipeline_release_stats",
-    "rename_labels_bands",
     "script_census",
     "select_token_budget",
     "select_token_budget_by",
@@ -147,7 +148,6 @@ _GATE_PRIORITY = [
     "ngram_jaccard_pairs",
     "orders_topk_per_customer",
     "phash_recall_tiers",
-    "rename_labels_time",
     "semantic_dedup_auto",
     "synthetic_cube",
     "tiled_aggregate_temporal_season",

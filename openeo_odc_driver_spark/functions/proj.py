@@ -74,6 +74,55 @@ def wgs84_to_utm(lon: float, lat: float, epsg: str | int) -> tuple[float, float]
     return easting, northing
 
 
+def utm_to_wgs84_np(easting, northing, epsg: str | int):
+    """Inverse transverse Mercator (Snyder 1987, eqs. 8-17..8-25,
+    WGS84), VECTORIZED over numpy arrays — the per-pixel half of the
+    `resample_spatial` projection warp (round 13). The scalar forward
+    above handles query constants; the warp needs target-center →
+    lon/lat for every output pixel, so this runs inside the Arrow
+    batch. Round-trips the forward to <1e-6° (≈9 cm, series truncation
+    at extreme latitudes; ≪1 cm at mid-latitudes) — sub-pixel for any
+    realistic grid, pytest-pinned."""
+    import numpy as np
+
+    zone, north = utm_zone_from_epsg(epsg)
+    lam0 = math.radians(zone * 6 - 183)
+    x = np.asarray(easting, dtype="float64") - 500000.0
+    y = np.asarray(northing, dtype="float64")
+    if not north:
+        y = y - 10000000.0
+    m = y / _K0
+    e4, e6 = _E2 * _E2, _E2 * _E2 * _E2
+    mu = m / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = _EP2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = _A / np.sqrt(1 - _E2 * sin1 * sin1)
+    r1 = _A * (1 - _E2) / (1 - _E2 * sin1 * sin1) ** 1.5
+    d = x / (n1 * _K0)
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * _EP2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1
+           - 252 * _EP2 - 3 * c1 * c1) * d**6 / 720
+    )
+    lam = lam0 + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1
+           + 8 * _EP2 + 24 * t1 * t1) * d**5 / 120
+    ) / cos1
+    return np.degrees(lam), np.degrees(phi)
+
+
 def bbox_to_cube_crs(
     west: float, east: float, south: float, north: float, cube_crs: str
 ) -> tuple[float, float, float, float]:

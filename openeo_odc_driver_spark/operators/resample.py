@@ -162,3 +162,126 @@ def resample_cube_spatial_bilinear(source: Cube, target: Cube) -> Cube:
 
     return Cube(out, replace(source.schema, grid=target.schema.grid))
 
+
+
+def resample_spatial_warp(
+    cube: Cube, projection, resolution: float, method: str = "near"
+) -> Cube:
+    """``resample_spatial`` with a PROJECTION change — the reference
+    passes the EPSG int straight to ODC's reprojecting loader
+    (``openeo_odc_driver.py:191-199``); here the warp is its own
+    distributed operator for the 4326 → UTM pair (the practical remote-
+    sensing case; the reference's own TODO caps it at EPSG ints too).
+
+    Physical plan (nearest):
+
+    1. **Target grid from query constants**: the source bbox (one tiny
+       4-value aggregate) forward-projects corner+edge points
+       driver-side (``functions/proj.py`` Snyder TM) and the target
+       lattice anchors on ``resolution`` multiples covering it — all
+       plan constants after one scalar job.
+    2. **Per-target-pixel inverse projection**: ``spark.range`` over
+       the target raster → Arrow-batched numpy inverse TM
+       (``utm_to_wgs84_np``, vectorized Snyder 8-17..8-25) → nearest
+       source pixel index via the engine's standard
+       ``floor(q + 0.5)`` snap. Embarrassingly parallel, no data read.
+    3. **One equi-join on the source pixel index** — the raster moves
+       through exactly one exchange, like every other regrid in this
+       engine. Target cells whose nearest source pixel is off-scene
+       are ABSENT (no fabricated NULL rows), matching the relabel
+       conventions elsewhere.
+
+    Output coordinates are the target UTM pixel centers; schema gets
+    the target grid + ``EPSG:<code>`` CRS."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.proj import utm_to_wgs84_np, wgs84_to_utm
+
+    if method not in ("near", "nearest"):
+        raise NotImplementedError(
+            f"resample_spatial projection warp supports nearest only, "
+            f"got {method!r}"
+        )
+    if not str(cube.schema.crs or "").endswith("4326"):
+        raise NotImplementedError(
+            "projection warp implemented for EPSG:4326 sources "
+            f"(cube is {cube.schema.crs!r})"
+        )
+    g = cube.schema.grid
+    if g is None:
+        raise ValueError("resample_spatial warp needs a GridSpec")
+    epsg = int(str(projection).split(":")[-1])
+    res = float(resolution)
+
+    ext = cube.df.agg(
+        F.min(X).alias("x0"), F.max(X).alias("x1"),
+        F.min(Y).alias("y0"), F.max(Y).alias("y1"),
+    ).collect()[0]
+    lon0, lon1 = float(ext.x0), float(ext.x1)
+    lat0, lat1 = float(ext.y0), float(ext.y1)
+    n_x = int(round((lon1 - lon0) / g.resx)) + 1
+    n_y = int(round((lat1 - lat0) / g.resy)) + 1
+    # corner + edge-midpoint sample: a projected graticule edge bows, so
+    # corners alone under-cover the footprint
+    pts = [
+        (lo, la)
+        for lo in (lon0, (lon0 + lon1) / 2, lon1)
+        for la in (lat0, (lat0 + lat1) / 2, lat1)
+    ]
+    es, ns = zip(*[wgs84_to_utm(lo, la, epsg) for lo, la in pts])
+    import math
+
+    e_min = math.floor(min(es) / res) * res
+    n_max = math.ceil(max(ns) / res) * res
+    nxt = int(math.ceil((max(es) - e_min) / res)) + 1
+    nyt = int(math.ceil((n_max - min(ns)) / res)) + 1
+    e_c0 = e_min + res / 2        # first target pixel CENTER
+    n_c0 = n_max - res / 2
+    src_x0, src_y0 = g.x0, g.y0
+    resx, resy = g.resx, g.resy
+
+    def snap(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            tyi, txi = np.divmod(idx, nxt)
+            e = e_c0 + txi * res
+            n = n_c0 - tyi * res
+            lon, lat = utm_to_wgs84_np(e, n, epsg)
+            xi = np.floor((lon - src_x0) / resx + 0.5).astype("int64")
+            yi = np.floor((src_y0 - lat) / resy + 0.5).astype("int64")
+            keep = (xi >= 0) & (xi < n_x) & (yi >= 0) & (yi < n_y)
+            yield pd.DataFrame({
+                "_syi": yi[keep], "_sxi": xi[keep],
+                "x": e[keep], "y": n[keep],
+            })
+
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = cube.df.sparkSession
+    targets = (
+        spark.range(nyt * nxt)
+        .repartition(min(max(nyt * nxt // 65536, 1), cpus * 4))
+        .mapInPandas(snap, "_syi long, _sxi long, x double, y double")
+    )
+    keys = [d for d in cube.key_dims if d not in (X, Y)]
+    src = cube.df.select(
+        *keys,
+        F.round((F.col(X) - F.lit(src_x0)) / F.lit(resx)).cast("long")
+        .alias("_sxi"),
+        F.round((F.lit(src_y0) - F.col(Y)) / F.lit(resy)).cast("long")
+        .alias("_syi"),
+        VALUE,
+    )
+    out = targets.join(src, ["_syi", "_sxi"]).select(*keys, Y, X, VALUE)
+    from dataclasses import replace
+
+    schema = replace(
+        cube.schema,
+        grid=GridSpec(x0=e_c0, y0=n_c0, resx=res, resy=res),
+        crs=f"EPSG:{epsg}",
+    )
+    return Cube(out, schema)

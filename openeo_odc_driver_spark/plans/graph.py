@@ -172,6 +172,11 @@ class ProcessGraph:
         for nid, node in self.nodes.items():
             if node["process_id"] != "resample_spatial":
                 continue
+            if node["arguments"].get("projection") is not None:
+                # a CRS change cannot fold into the scan (the scan has
+                # no reprojecting reader) — it runs as the explicit
+                # warp node (round 13)
+                continue
             cur = node["arguments"].get("data", {}).get("from_node")
             if cur is not None and self.nodes[cur]["process_id"] == "load_collection":
                 up = self.nodes[cur]
@@ -259,6 +264,23 @@ class ProcessGraph:
 
             cube: Cube = self._resolve(args["data"])
             res = args.get("resolution")
+            if args.get("projection") is not None:
+                # CRS change (reference forwards the EPSG int to ODC's
+                # reprojecting loader, openeo_odc_driver.py:191-199):
+                # the distributed 4326→UTM warp (round 13)
+                from ..operators.resample import resample_spatial_warp
+
+                if not res:
+                    raise ValueError(
+                        "resample_spatial with a projection change "
+                        "needs an explicit resolution (meters)"
+                    )
+                return resample_spatial_warp(
+                    cube, args["projection"],
+                    float(res[0] if isinstance(res, (list, tuple))
+                          else res),
+                    args.get("method", "near"),
+                )
             if not res:
                 return cube
             g = cube.schema.grid

@@ -391,18 +391,6 @@ def _add_dimension(spark, sf_dir):
     return add_dimension(array_element(synthetic_cube(spark), label="B08"), "NDVI").df
 
 
-@q(
-    "rename_labels_bands",
-    f"WITH cube AS ({CUBE_D}) "
-    "SELECT CASE band WHEN 'B04' THEN 'red' WHEN 'B08' THEN 'nir' END AS band, "
-    "time, y, x, value FROM cube WHERE band IN ('B04', 'B08')",
-)
-def _rename_labels(spark, sf_dir):
-    return rename_labels(
-        synthetic_cube(spark), "bands", ["red", "nir"], source=["B04", "B08"]
-    ).df
-
-
 _RL_TIME_TARGETS = [
     f"2000-{m:02d}-01 00:00:00" for m in range(1, 13)
 ] + [f"2001-{m:02d}-01 00:00:00" for m in range(1, 13)]
@@ -410,15 +398,31 @@ _RL_TIME_LIST_D = "[" + ", ".join(f"'{t}'" for t in _RL_TIME_TARGETS) + "]"
 
 
 @q(
-    "rename_labels_time",
+    "rename_labels_sweep",
     f"WITH cube AS ({CUBE_D}), "
     "m AS (SELECT time, row_number() OVER (ORDER BY time) - 1 AS i "
     "FROM (SELECT DISTINCT time FROM cube)) "
-    f"SELECT c.band, CAST({_RL_TIME_LIST_D}[m.i + 1] AS TIMESTAMP) AS time, "
+    "SELECT 'bands' AS which, "
+    "CASE band WHEN 'B04' THEN 'red' WHEN 'B08' THEN 'nir' END AS band, "
+    "time, y, x, value FROM cube WHERE band IN ('B04', 'B08') "
+    "UNION ALL "
+    f"SELECT 'time' AS which, c.band, "
+    f"CAST({_RL_TIME_LIST_D}[m.i + 1] AS TIMESTAMP) AS time, "
     "c.y, c.x, c.value FROM cube c JOIN m ON c.time = m.time",
 )
-def _rename_labels_time(spark, sf_dir):
-    return rename_labels(synthetic_cube(spark), "time", _RL_TIME_TARGETS).df
+def _rename_labels_sweep(spark, sf_dir):
+    """Round-13 consolidation (was 2 gate rows): both rename_labels
+    axes — band labels by (target, source) pairs and the full time
+    axis by position — unioned with a `which` discriminator against
+    one two-leg oracle. Two operator invocations as before."""
+    a = rename_labels(
+        synthetic_cube(spark), "bands", ["red", "nir"],
+        source=["B04", "B08"],
+    ).df.select(F.lit("bands").alias("which"), "*")
+    b = rename_labels(
+        synthetic_cube(spark), "time", _RL_TIME_TARGETS
+    ).df.select(F.lit("time").alias("which"), "*")
+    return a.unionByName(b)
 
 
 @q(
@@ -1455,6 +1459,29 @@ def _apply_kernel_border_sweep(spark, sf_dir):
         cube, _KERNEL, factor=_KERNEL_FACTOR, border="wrap"
     ).df.withColumnRenamed(VALUE, "wrap")
     return out.join(w, ["band", "time", "y", "x"])
+
+
+from .fixtures import values_oracle_sql  # noqa: E402 (literal oracles)
+
+
+@q("resample_spatial_warp", values_oracle_sql("resample_spatial_warp"))
+def _resample_spatial_warp(spark, sf_dir):
+    """Round 13: ``resample_spatial`` with a PROJECTION change — the
+    4326→UTM warp (reference forwards the EPSG int to ODC's
+    reprojecting loader, openeo_odc_driver.py:191-199; previously the
+    argument was silently ignored). Target grid from forward-projected
+    bbox constants, per-target-pixel inverse TM in Arrow-batched numpy
+    (functions/proj.py), one pixel-keyed equi-join. The projection
+    math is not SQL-expressible, so the oracle is the captured literal
+    (fixtures/); geometric ground truth (metric pixel spacing, forward/
+    inverse identity) and full per-pixel value parity are pytest-pinned
+    (tests/test_round13.py)."""
+    from .operators.resample import resample_spatial_warp
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125)
+    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    return resample_spatial_warp(cube, 32632, 400.0).df
 
 
 @q(

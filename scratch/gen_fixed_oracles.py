@@ -47,7 +47,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # perceptual hash over the cross-codec corpus (round 7 late)
          "multimodal_image_phash",
          # lossless-WebP real round trip (round 10)
-         "multimodal_webp_decode"]
+         "multimodal_webp_decode",
+         # 4326->UTM projection warp (round 13; Snyder TM not in SQL)
+         "resample_spatial_warp"]
 
 
 def main() -> int:

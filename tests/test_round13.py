@@ -213,6 +213,119 @@ def test_planner_merge_overlap_missing_resolver_still_errors(spark):
             pg.execute(spark)
 
 
+_GEO_SPEC_4326 = CubeSpec(
+    resx=0.0078125, resy=0.00390625, x0=11.2890625, y0=46.51953125,
+)
+
+
+def test_proj_inverse_roundtrip():
+    """Vectorized inverse TM round-trips the scalar forward to <1e-6°
+    (sub-pixel for any realistic grid); central-meridian and equator
+    anchors hold independently of the round trip."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        utm_to_wgs84_np,
+        wgs84_to_utm,
+    )
+
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(9.01, 14.99, 300)
+    lats = rng.uniform(-79.0, 84.0, 300)
+    E, N = zip(*[wgs84_to_utm(lo, la, 32632) for lo, la in zip(lons, lats)])
+    lo2, la2 = utm_to_wgs84_np(np.array(E), np.array(N), 32632)
+    assert np.abs(lo2 - lons).max() < 1e-6
+    assert np.abs(la2 - lats).max() < 1e-6
+    # central meridian of zone 32 is exactly lon 9 → easting 500000
+    e, n = wgs84_to_utm(9.0, 0.0, 32632)
+    assert abs(e - 500000.0) < 1e-6 and abs(n) < 1e-6
+    # south zone: same point carries the 10,000 km false northing
+    e_s, n_s = wgs84_to_utm(9.0, -0.001, 32732)
+    assert 9_999_000 < n_s < 10_000_000
+    lo3, la3 = utm_to_wgs84_np(np.array([e_s]), np.array([n_s]), 32732)
+    assert abs(lo3[0] - 9.0) < 1e-9 and abs(la3[0] + 0.001) < 1e-9
+
+
+def test_resample_spatial_warp_values_and_geometry(spark):
+    """The 4326→UTM warp: every output pixel's value equals the source
+    value at the nearest source pixel of its inverse-projected center,
+    and the metric pixel spacing matches ground truth (~111.32 km · cosφ
+    per degree of longitude)."""
+    import math
+
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        utm_to_wgs84_np,
+        wgs84_to_utm,
+    )
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_spatial_warp,
+    )
+
+    cube = synthetic_cube(spark, _GEO_SPEC_4326)
+    assert cube.schema.crs == "EPSG:4326"
+    out = resample_spatial_warp(cube, 32632, 200.0)
+    assert out.schema.crs == "EPSG:32632"
+    assert out.schema.grid.resx == 200.0
+    pdf = out.df.toPandas()
+    assert len(pdf) > 0
+    # independent physics: 0.0078125° of longitude at ~46.5°N ≈ 598.6 m
+    e1, _ = wgs84_to_utm(_GEO_SPEC_4326.x0, _GEO_SPEC_4326.y0, 32632)
+    e2, _ = wgs84_to_utm(_GEO_SPEC_4326.x0 + _GEO_SPEC_4326.resx,
+                         _GEO_SPEC_4326.y0, 32632)
+    expect = 111_320.0 * math.cos(math.radians(46.5)) * 0.0078125
+    assert abs((e2 - e1) - expect) < 2.0
+    # value parity: recompute each output pixel's source index from its
+    # UTM center and compare against the source long frame
+    src = cube.df.toPandas()
+    src["_yi"] = np.rint(
+        (_GEO_SPEC_4326.y0 - src["y"]) / _GEO_SPEC_4326.resy
+    ).astype(int)
+    src["_xi"] = np.rint(
+        (src["x"] - _GEO_SPEC_4326.x0) / _GEO_SPEC_4326.resx
+    ).astype(int)
+    lut = {(b, ts, int(yy), int(xx)): v
+           for b, ts, yy, xx, v in src[
+               ["band", "time", "_yi", "_xi", "value"]
+           ].itertuples(index=False, name=None)}
+    lon, lat = utm_to_wgs84_np(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                               32632)
+    yi = np.floor((_GEO_SPEC_4326.y0 - lat) / _GEO_SPEC_4326.resy
+                  + 0.5).astype(int)
+    xi = np.floor((lon - _GEO_SPEC_4326.x0) / _GEO_SPEC_4326.resx
+                  + 0.5).astype(int)
+    for i in range(len(pdf)):
+        want = lut[(pdf["band"].iloc[i], pdf["time"].iloc[i],
+                    int(yi[i]), int(xi[i]))]
+        got = pdf["value"].iloc[i]
+        assert (got == want) or (
+            got is None and want is None
+        ) or (got != got and want != want)
+
+
+def test_planner_resample_spatial_projection(spark):
+    """Graph-level: resample_spatial with resolution + projection runs
+    the warp (not the silent drop it used to be) and does NOT fold into
+    the scan."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    g = {"process_graph": {
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "s2_l2a"}},
+        "warp": {"process_id": "resample_spatial",
+                 "arguments": {"data": {"from_node": "load"},
+                               "resolution": 500,
+                               "projection": 32632},
+                 "result": True},
+    }}
+    pg = ProcessGraph(g, save_dir="/tmp/pg_warp")
+    out = pg.execute(spark)
+    assert out.schema.crs == "EPSG:32632"
+    assert out.schema.grid.resx == 500.0
+    assert out.df.count() > 0
+
+
 def test_to_tiled_nan_folds_to_null_both_engines(spark):
     """Tiled-boundary convention (round 13): a float NaN input VALUE
     folds to NULL on pack in BOTH engines — the Arrow float64 transfer
