@@ -53,58 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 12
+_GATE_PRIORITY_ASOF = 13
 _GATE_PRIORITY = [
-    "rename_labels_sweep",
-    "resample_spatial_warp",
-    "process_graph_merge_resolver",
-    "gtiff_store_roundtrip",
-    "tiled_apply_kernel_wrap_partial",
-    "aggregate_spatial_sweep",
-    "apply_kernel_border_sweep",
-    "math_sweep_arith",
-    "math_sweep_logic",
-    "math_sweep_rounding",
-    "math_sweep_transcendental",
-    "reduce_time_sweep",
-    "tiled_apply_kernel_border_sweep",
-    "tiled_reduce_time_sweep",
-    "tiled_reduce_x_sweep",
-    "tiled_zonal_sweep",
-    "normalized_difference",
-    "process_graph_predict_harmonic",
-    "semantic_dedup_trained",
-    "bm25_scores",
-    "char_entropy",
-    "copurchase_communities",
-    "copurchase_pagerank",
-    "copurchase_related_parts",
-    "copurchase_triangles",
-    "corpus_datasheet",
-    "corpus_delta",
-    "csv_roundtrip",
-    "decontaminate_semantic",
-    "decontaminate_semantic_lsh",
-    "event_funnel_windowed",
-    "event_session_type_pairs",
-    "event_top_paths",
-    "event_weekly_stickiness",
-    "exact_dedup_normalized",
-    "minhash_dedup_incremental_auto",
-    "minhash_lsh_pairs_auto",
-    "minhash_recall_tiers",
-    "multimodal_audio_features",
-    "multimodal_image_phash",
-    "multimodal_phash_near_dup",
-    "pii_redact",
-    "pipeline_release_stats",
-    "script_census",
-    "select_token_budget",
-    "select_token_budget_by",
-    "semantic_dedup_trained_k160",
-    "semantic_dedup_vectorized_k160",
-    "shingle_containment_pairs",
-    "source_overlap_matrix",
+    "resample_spatial_warp_bilinear",
+    "resample_spatial_warp_utm_wgs84",
     "split_leakage_report",
     "streaming_minhash_dedup",
     "streaming_pii_redact",
@@ -305,6 +257,56 @@ _GATE_PRIORITY = [
     "unigram_logprob",
     "vocab_top_terms",
     "zorder_bucket_stats",
+    "aggregate_spatial_sweep",
+    "apply_kernel_border_sweep",
+    "bm25_scores",
+    "char_entropy",
+    "copurchase_communities",
+    "copurchase_pagerank",
+    "copurchase_related_parts",
+    "copurchase_triangles",
+    "corpus_datasheet",
+    "corpus_delta",
+    "csv_roundtrip",
+    "decontaminate_semantic",
+    "decontaminate_semantic_lsh",
+    "event_funnel_windowed",
+    "event_session_type_pairs",
+    "event_top_paths",
+    "event_weekly_stickiness",
+    "exact_dedup_normalized",
+    "gtiff_store_roundtrip",
+    "math_sweep_arith",
+    "math_sweep_logic",
+    "math_sweep_rounding",
+    "math_sweep_transcendental",
+    "minhash_dedup_incremental_auto",
+    "minhash_lsh_pairs_auto",
+    "minhash_recall_tiers",
+    "multimodal_audio_features",
+    "multimodal_image_phash",
+    "multimodal_phash_near_dup",
+    "normalized_difference",
+    "pii_redact",
+    "pipeline_release_stats",
+    "process_graph_merge_resolver",
+    "process_graph_predict_harmonic",
+    "reduce_time_sweep",
+    "rename_labels_sweep",
+    "resample_spatial_warp",
+    "script_census",
+    "select_token_budget",
+    "select_token_budget_by",
+    "semantic_dedup_trained",
+    "semantic_dedup_trained_k160",
+    "semantic_dedup_vectorized_k160",
+    "shingle_containment_pairs",
+    "source_overlap_matrix",
+    "tiled_apply_kernel_border_sweep",
+    "tiled_apply_kernel_wrap_partial",
+    "tiled_reduce_time_sweep",
+    "tiled_reduce_x_sweep",
+    "tiled_zonal_sweep",
 ]
 
 

@@ -164,84 +164,170 @@ def resample_cube_spatial_bilinear(source: Cube, target: Cube) -> Cube:
 
 
 
+
+def _epsg_of(crs) -> int | None:
+    """Parse 'EPSG:32632' / 32632 / '4326' into an int code (None if absent)."""
+    if crs is None:
+        return None
+    try:
+        return int(str(crs).split(":")[-1])
+    except ValueError:
+        return None
+
+
 def resample_spatial_warp(
     cube: Cube, projection, resolution: float, method: str = "near"
 ) -> Cube:
     """``resample_spatial`` with a PROJECTION change — the reference
     passes the EPSG int straight to ODC's reprojecting loader
-    (``openeo_odc_driver.py:191-199``); here the warp is its own
-    distributed operator for the 4326 → UTM pair (the practical remote-
-    sensing case; the reference's own TODO caps it at EPSG ints too).
+    (``openeo_odc_driver.py:191-199``, with ``resampling=method``);
+    here the warp is its own distributed operator for the practical
+    remote-sensing pairs: **4326→UTM, UTM→4326, and UTM→UTM** (any
+    zone/hemisphere), methods **nearest and bilinear** (round 14 — r13
+    shipped 4326→UTM nearest only).
 
-    Physical plan (nearest):
+    Physical plan:
 
-    1. **Target grid from query constants**: the source bbox (one tiny
-       4-value aggregate) forward-projects corner+edge points
-       driver-side (``functions/proj.py`` Snyder TM) and the target
-       lattice anchors on ``resolution`` multiples covering it — all
-       plan constants after one scalar job.
+    1. **Target grid from query constants**: the source DATA extent
+       (one tiny 4-value aggregate), padded by half a source pixel per
+       side (the extent is pixel CENTERS; the footprint reaches half a
+       pixel further — ADVICE r13), is sampled on a 5×5 corner/quarter-
+       point lattice (a projected graticule edge bows, so corners alone
+       under-cover the footprint) and projected forward driver-side
+       (``functions/proj.py`` Snyder TM). The target lattice anchors on
+       ``resolution`` multiples covering that envelope — all plan
+       constants after one scalar job.
     2. **Per-target-pixel inverse projection**: ``spark.range`` over
-       the target raster → Arrow-batched numpy inverse TM
-       (``utm_to_wgs84_np``, vectorized Snyder 8-17..8-25) → nearest
-       source pixel index via the engine's standard
-       ``floor(q + 0.5)`` snap. Embarrassingly parallel, no data read.
+       the target raster → Arrow-batched numpy inverse/forward TM
+       (``utm_to_wgs84_np`` / ``wgs84_to_utm_np``, vectorized Snyder
+       series; UTM→UTM goes through lon/lat) → fractional source pixel
+       index. ``near`` snaps with the engine's standard
+       ``floor(q + 0.5)``; ``bilinear`` emits the ≤4 surrounding
+       source pixels with (1−w)-style weights. Embarrassingly
+       parallel, no data read.
     3. **One equi-join on the source pixel index** — the raster moves
        through exactly one exchange, like every other regrid in this
-       engine. Target cells whose nearest source pixel is off-scene
-       are ABSENT (no fabricated NULL rows), matching the relabel
-       conventions elsewhere.
+       engine; bilinear adds one groupBy on the target pixel (weights
+       renormalized over non-null joined neighbors, matching
+       :func:`resample_cube_spatial_bilinear`). Off-scene targets are
+       ABSENT (no fabricated NULL rows).
 
-    Output coordinates are the target UTM pixel centers; schema gets
-    the target grid + ``EPSG:<code>`` CRS."""
+    Source-index bounds are anchored at the DATA extent's index window
+    relative to the grid origin (``ix0 + [0, n_x)``), not at the origin
+    itself — a cube cropped by ``filter_bbox`` keeps its GridSpec
+    anchor, so origin-anchored bounds would silently drop the east/
+    south of the scene (ADVICE r13, high).
+
+    Output coordinates are the target pixel centers; schema gets the
+    target grid + ``EPSG:<code>`` CRS."""
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from ..functions.proj import utm_to_wgs84_np, wgs84_to_utm
+    from ..functions.proj import (
+        utm_to_wgs84_np,
+        utm_zone_from_epsg,
+        wgs84_to_utm_np,
+    )
 
-    if method not in ("near", "nearest"):
+    if method in ("near", "nearest"):
+        bilinear = False
+    elif method == "bilinear":
+        bilinear = True
+    else:
         raise NotImplementedError(
-            f"resample_spatial projection warp supports nearest only, "
-            f"got {method!r}"
+            f"resample_spatial projection warp supports nearest and "
+            f"bilinear, got {method!r}"
         )
-    if not str(cube.schema.crs or "").endswith("4326"):
+    src_epsg = _epsg_of(cube.schema.crs)
+    tgt_epsg = _epsg_of(projection)
+    if src_epsg is None:
         raise NotImplementedError(
-            "projection warp implemented for EPSG:4326 sources "
+            "projection warp needs an EPSG-coded source CRS "
             f"(cube is {cube.schema.crs!r})"
         )
+    if tgt_epsg is None:
+        raise NotImplementedError(
+            f"projection warp needs an EPSG target, got {projection!r}"
+        )
+    if src_epsg == tgt_epsg:
+        raise ValueError(
+            "resample_spatial warp called with projection == source CRS; "
+            "the planner routes this to the resolution-only resample"
+        )
+    # fail fast on unsupported CRSs BEFORE firing the extent aggregate
+    # (ADVICE r13: a non-UTM target used to die mid-plan inside
+    # utm_zone_from_epsg with a bare ValueError)
+    for role, code in (("source", src_epsg), ("target", tgt_epsg)):
+        if code != 4326:
+            try:
+                utm_zone_from_epsg(code)
+            except ValueError:
+                raise NotImplementedError(
+                    f"projection warp supports EPSG:4326 and UTM zones "
+                    f"(EPSG:326xx/327xx); {role} CRS EPSG:{code} is neither"
+                ) from None
     g = cube.schema.grid
     if g is None:
         raise ValueError("resample_spatial warp needs a GridSpec")
-    epsg = int(str(projection).split(":")[-1])
     res = float(resolution)
+
+    def to_target_np(sx, sy):
+        """SOURCE-CRS coords → TARGET-CRS coords, vectorized."""
+        if src_epsg == 4326:
+            return wgs84_to_utm_np(sx, sy, tgt_epsg)
+        lon, lat = utm_to_wgs84_np(sx, sy, src_epsg)
+        if tgt_epsg == 4326:
+            return lon, lat
+        return wgs84_to_utm_np(lon, lat, tgt_epsg)
+
+    def to_source_np(tx, ty):
+        """TARGET-CRS coords → SOURCE-CRS coords, vectorized."""
+        if tgt_epsg == 4326:
+            lon, lat = tx, ty
+        else:
+            lon, lat = utm_to_wgs84_np(tx, ty, tgt_epsg)
+        if src_epsg == 4326:
+            return lon, lat
+        return wgs84_to_utm_np(lon, lat, src_epsg)
 
     ext = cube.df.agg(
         F.min(X).alias("x0"), F.max(X).alias("x1"),
         F.min(Y).alias("y0"), F.max(Y).alias("y1"),
     ).collect()[0]
-    lon0, lon1 = float(ext.x0), float(ext.x1)
-    lat0, lat1 = float(ext.y0), float(ext.y1)
-    n_x = int(round((lon1 - lon0) / g.resx)) + 1
-    n_y = int(round((lat1 - lat0) / g.resy)) + 1
-    # corner + edge-midpoint sample: a projected graticule edge bows, so
-    # corners alone under-cover the footprint
-    pts = [
-        (lo, la)
-        for lo in (lon0, (lon0 + lon1) / 2, lon1)
-        for la in (lat0, (lat0 + lat1) / 2, lat1)
-    ]
-    es, ns = zip(*[wgs84_to_utm(lo, la, epsg) for lo, la in pts])
+    sx0, sx1 = float(ext.x0), float(ext.x1)
+    sy0, sy1 = float(ext.y0), float(ext.y1)
+    # the data extent's index window relative to the grid origin — keep
+    # bounds anchor HERE, not at (0, 0) (cropped cubes keep their origin)
+    ix0 = int(round((sx0 - g.x0) / g.resx))
+    iy0 = int(round((g.y0 - sy1) / g.resy))
+    n_x = int(round((sx1 - sx0) / g.resx)) + 1
+    n_y = int(round((sy1 - sy0) / g.resy)) + 1
+    # 5×5 corner/quarter-point sample of the HALF-PIXEL-PADDED footprint
     import math
 
-    e_min = math.floor(min(es) / res) * res
-    n_max = math.ceil(max(ns) / res) * res
-    nxt = int(math.ceil((max(es) - e_min) / res)) + 1
-    nyt = int(math.ceil((n_max - min(ns)) / res)) + 1
+    pad_x0, pad_x1 = sx0 - g.resx / 2, sx1 + g.resx / 2
+    pad_y0, pad_y1 = sy0 - g.resy / 2, sy1 + g.resy / 2
+    fr = (0.0, 0.25, 0.5, 0.75, 1.0)
+    pts_x = np.array([pad_x0 + f * (pad_x1 - pad_x0) for f in fr
+                      for _ in fr])
+    pts_y = np.array([pad_y0 + f2 * (pad_y1 - pad_y0) for _ in fr
+                      for f2 in fr])
+    es, ns = to_target_np(pts_x, pts_y)
+    e_min = math.floor(float(es.min()) / res) * res
+    n_max = math.ceil(float(ns.max()) / res) * res
+    nxt = int(math.ceil((float(es.max()) - e_min) / res)) + 1
+    nyt = int(math.ceil((n_max - float(ns.min())) / res)) + 1
     e_c0 = e_min + res / 2        # first target pixel CENTER
     n_c0 = n_max - res / 2
     src_x0, src_y0 = g.x0, g.y0
     resx, resy = g.resx, g.resy
+
+    if bilinear:
+        snap_schema = "_syi long, _sxi long, x double, y double, _w double"
+    else:
+        snap_schema = "_syi long, _sxi long, x double, y double"
 
     def snap(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -249,14 +335,43 @@ def resample_spatial_warp(
             tyi, txi = np.divmod(idx, nxt)
             e = e_c0 + txi * res
             n = n_c0 - tyi * res
-            lon, lat = utm_to_wgs84_np(e, n, epsg)
-            xi = np.floor((lon - src_x0) / resx + 0.5).astype("int64")
-            yi = np.floor((src_y0 - lat) / resy + 0.5).astype("int64")
-            keep = (xi >= 0) & (xi < n_x) & (yi >= 0) & (yi < n_y)
-            yield pd.DataFrame({
-                "_syi": yi[keep], "_sxi": xi[keep],
-                "x": e[keep], "y": n[keep],
-            })
+            sx, sy = to_source_np(e, n)
+            qx = (sx - src_x0) / resx
+            qy = (src_y0 - sy) / resy
+            if not bilinear:
+                xi = np.floor(qx + 0.5).astype("int64")
+                yi = np.floor(qy + 0.5).astype("int64")
+                keep = (
+                    (xi >= ix0) & (xi < ix0 + n_x)
+                    & (yi >= iy0) & (yi < iy0 + n_y)
+                )
+                yield pd.DataFrame({
+                    "_syi": yi[keep], "_sxi": xi[keep],
+                    "x": e[keep], "y": n[keep],
+                })
+                continue
+            xlo = np.floor(qx)
+            ylo = np.floor(qy)
+            wx = qx - xlo
+            wy = qy - ylo
+            xlo = xlo.astype("int64")
+            ylo = ylo.astype("int64")
+            parts = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi = xlo + dx
+                    yi = ylo + dy
+                    w = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
+                    keep = (
+                        (xi >= ix0) & (xi < ix0 + n_x)
+                        & (yi >= iy0) & (yi < iy0 + n_y)
+                        & (w > 0)
+                    )
+                    parts.append(pd.DataFrame({
+                        "_syi": yi[keep], "_sxi": xi[keep],
+                        "x": e[keep], "y": n[keep], "_w": w[keep],
+                    }))
+            yield pd.concat(parts, ignore_index=True)
 
     import os
 
@@ -265,7 +380,7 @@ def resample_spatial_warp(
     targets = (
         spark.range(nyt * nxt)
         .repartition(min(max(nyt * nxt // 65536, 1), cpus * 4))
-        .mapInPandas(snap, "_syi long, _sxi long, x double, y double")
+        .mapInPandas(snap, snap_schema)
     )
     keys = [d for d in cube.key_dims if d not in (X, Y)]
     src = cube.df.select(
@@ -276,12 +391,26 @@ def resample_spatial_warp(
         .alias("_syi"),
         VALUE,
     )
-    out = targets.join(src, ["_syi", "_sxi"]).select(*keys, Y, X, VALUE)
+    joined = targets.join(src, ["_syi", "_sxi"])
+    if bilinear:
+        v = F.col(VALUE)
+        out = (
+            joined.groupBy(*keys, Y, X)
+            .agg(
+                (
+                    F.sum(F.col("_w") * v)
+                    / F.sum(F.when(v.isNotNull(), F.col("_w")))
+                ).alias(VALUE)
+            )
+            .select(*keys, Y, X, VALUE)
+        )
+    else:
+        out = joined.select(*keys, Y, X, VALUE)
     from dataclasses import replace
 
     schema = replace(
         cube.schema,
         grid=GridSpec(x0=e_c0, y0=n_c0, resx=res, resy=res),
-        crs=f"EPSG:{epsg}",
+        crs=f"EPSG:{tgt_epsg}",
     )
     return Cube(out, schema)

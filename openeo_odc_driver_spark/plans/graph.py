@@ -267,20 +267,27 @@ class ProcessGraph:
             if args.get("projection") is not None:
                 # CRS change (reference forwards the EPSG int to ODC's
                 # reprojecting loader, openeo_odc_driver.py:191-199):
-                # the distributed 4326→UTM warp (round 13)
-                from ..operators.resample import resample_spatial_warp
-
-                if not res:
-                    raise ValueError(
-                        "resample_spatial with a projection change "
-                        "needs an explicit resolution (meters)"
-                    )
-                return resample_spatial_warp(
-                    cube, args["projection"],
-                    float(res[0] if isinstance(res, (list, tuple))
-                          else res),
-                    args.get("method", "near"),
+                # the distributed warp (round 13; directions + bilinear
+                # round 14). projection == the cube's own CRS is NOT a
+                # warp — the reference reprojects trivially there, so it
+                # routes to the resolution-only branch below (ADVICE r13)
+                from ..operators.resample import (
+                    _epsg_of,
+                    resample_spatial_warp,
                 )
+
+                if _epsg_of(args["projection"]) != _epsg_of(cube.schema.crs):
+                    if not res:
+                        raise ValueError(
+                            "resample_spatial with a projection change "
+                            "needs an explicit resolution (meters)"
+                        )
+                    return resample_spatial_warp(
+                        cube, args["projection"],
+                        float(res[0] if isinstance(res, (list, tuple))
+                              else res),
+                        args.get("method", "near"),
+                    )
             if not res:
                 return cube
             g = cube.schema.grid

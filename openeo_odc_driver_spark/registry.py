@@ -1484,6 +1484,41 @@ def _resample_spatial_warp(spark, sf_dir):
     return resample_spatial_warp(cube, 32632, 400.0).df
 
 
+@q("resample_spatial_warp_bilinear",
+   values_oracle_sql("resample_spatial_warp_bilinear"))
+def _resample_spatial_warp_bilinear(spark, sf_dir):
+    """Round 14: the warp's BILINEAR method (reference forwards
+    ``resampling=method`` into the reprojecting load,
+    openeo_odc_driver.py:175-202) — ≤4 surrounding source pixels per
+    inverse-projected target center, weights renormalized over non-null
+    neighbors. Values quantized to 7 decimals (the fixture convention)
+    because the 4-way weighted sum is order-sensitive in the last ulp.
+    Linear-field exactness and constant-field invariance are
+    pytest-pinned (tests/test_round14.py)."""
+    from .operators.resample import resample_spatial_warp
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125)
+    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    out = resample_spatial_warp(cube, 32632, 400.0, method="bilinear").df
+    return out.withColumn(VALUE, F.round(VALUE, 7))
+
+
+@q("resample_spatial_warp_utm_wgs84",
+   values_oracle_sql("resample_spatial_warp_utm_wgs84"))
+def _resample_spatial_warp_utm_wgs84(spark, sf_dir):
+    """Round 14: the UTM→4326 warp DIRECTION (r13 shipped 4326→UTM
+    only; the reference accepts any EPSG pair through ODC) — forward
+    TM per target pixel (``wgs84_to_utm_np``), nearest snap, same
+    single-exchange plan. UTM→UTM (zone pair through lon/lat) is
+    pytest-pinned (tests/test_round14.py::test_warp_utm_to_utm)."""
+    from .operators.resample import resample_spatial_warp
+
+    spec = CubeSpec(x0=676000.0, y0=5153000.0, resx=10.0, resy=10.0)
+    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    return resample_spatial_warp(cube, 4326, 0.0001).df
+
+
 @q(
     "process_graph_merge_resolver",
     f"WITH cube AS ({CUBE_D}) SELECT band, time, y, x, value FROM cube",

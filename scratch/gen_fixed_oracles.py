@@ -49,7 +49,9 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          # lossless-WebP real round trip (round 10)
          "multimodal_webp_decode",
          # 4326->UTM projection warp (round 13; Snyder TM not in SQL)
-         "resample_spatial_warp"]
+         "resample_spatial_warp",
+         # bilinear method + UTM->4326 direction (round 14)
+         "resample_spatial_warp_bilinear", "resample_spatial_warp_utm_wgs84"]
 
 
 def main() -> int:
