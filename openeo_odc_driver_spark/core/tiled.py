@@ -2136,6 +2136,27 @@ def resample_spatial_tiled(
     n_x2 = -(-tc.n_x // k)
     return TiledCube(df, schema, OT, n_y2, n_x2)
 
+def squeeze_time_tiled(tc: TiledCube):
+    """Drop a SINGLETON time dimension tile-natively — the reference's
+    GeoTIFF squeeze rule (openeo_odc_driver.py:1679-1724 drops a
+    length-1 time axis before writing): a pure column projection, zero
+    exchange, zero pixel movement. Returns None when the axis has more
+    than one step (the caller falls back to the long sink's guarded
+    squeeze rules) so the decision is explicit at the plan site."""
+    if TIME not in tc.schema.dims:
+        return tc
+    ax = tc.schema.time_axis
+    if ax is not None:
+        n = len(ax)
+    else:
+        n = tc.df.select(TIME).distinct().limit(2).count()
+    if n != 1:
+        return None
+    return TiledCube(
+        tc.df.drop(TIME), tc.schema.drop(TIME), tc.tile, tc.n_y, tc.n_x
+    )
+
+
 def resample_cube_temporal_tiled(source: TiledCube, target) -> TiledCube:
     """``resample_cube_temporal`` (nearest-time as-of join, reference
     ``openeo_odc_driver.py:360-380``) natively on tiles — time is a key

@@ -676,6 +676,16 @@ class ProcessGraph:
             fmt = str(args.get("format", "PARQUET")).upper()
             if fmt in ("GTIFF", "GTIFF_") and is_tiled("data"):
                 tc = self._resolve_raw(args["data"])
+                if TIME in tc.schema.dims:
+                    # the reference's squeeze rule drops a singleton
+                    # time axis before writing (openeo_odc_driver.py:
+                    # 1679-1724) — do it tile-natively (round 14) so
+                    # NDVI-shaped graphs with a 1-step temporal extent
+                    # still ride the distributed sink; >1 step keeps
+                    # the long sink's guarded multi-band mapping
+                    squeezed = tl.squeeze_time_tiled(tc)
+                    if squeezed is not None:
+                        tc = squeezed
                 if TIME not in tc.schema.dims and tc.schema.grid is not None:
                     import os
 
@@ -1346,6 +1356,21 @@ def _compile_expr(child: dict, params: Dict[str, Any]) -> Column:
         if pid == "array_element":
             p = params["data"]
             col = p(args) if callable(p) and not isinstance(p, Column) else p
+        elif (
+            pid in ("max", "min")
+            and isinstance(args.get("data"), list)
+        ):
+            # the spec-standard resolver/apply shape
+            # ``max(data=[{from_parameter: x}, {from_parameter: y}])``
+            # (openEO processes 1.x define max/min over an ARRAY) — a
+            # small literal list of refs/scalars lowers to the same
+            # greatest/least the binary x/y dialect uses (NULL-skipping
+            # matches the openEO ignore_nodata default). ADVICE r13:
+            # this shape used to hard-error as unsupported-process.
+            items = [resolve(v, args) for v in args["data"]]
+            fn = F.greatest if pid == "max" else F.least
+            cols = [v if isinstance(v, Column) else F.lit(v) for v in items]
+            col = cols[0] if len(cols) == 1 else fn(*cols)
         elif pid in _BINARY and not (
             pid in ("max", "min") and "data" in args
         ):

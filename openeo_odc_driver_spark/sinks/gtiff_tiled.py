@@ -244,10 +244,12 @@ def save_gtiff_tiled(
 
     out = path if path.endswith(".tif") else path + ".tif"
     if compress == "deflate":
-        return _save_deflate(
+        _save_deflate(
             tc, out, w, h, T, planes, per_plane, tiles_x, grid,
             force_bigtiff,
         )
+        _write_sidecar(out, bands, w, h, grid, tc.schema.crs)
+        return out
     header, data_start, tile_bytes = _build_header(
         w, h, T, planes, grid, tc.schema.crs, force_bigtiff
     )
@@ -315,7 +317,28 @@ def save_gtiff_tiled(
         raise RuntimeError(
             f"distributed GTiff write dropped tiles: {written}/{n_rows}"
         )
+    _write_sidecar(out, bands, w, h, grid, tc.schema.crs)
     return out
+
+
+def _write_sidecar(out: str, bands, w: int, h: int, grid, crs) -> None:
+    """The same ``<path>.json`` metadata sidecar the driver-side sink
+    writes (sinks/save.py save_gtiff) — band labels + full axis centers
+    + CRS — so tiled-path artifacts keep metadata parity and
+    :func:`load_gtiff_tiled` round-trips real band names instead of
+    inventing ``b1..bn`` (ADVICE r13, low). Axis lists are O(w + h)
+    floats — bounded driver IO even at gigacell scenes."""
+    import json
+
+    base = out[:-4] if out.endswith(".tif") else out
+    meta = {
+        "bands": [str(b) for b in bands] if bands else ["value"],
+        "ys": [grid.y0 - i * grid.resy for i in range(h)],
+        "xs": [grid.x0 + i * grid.resx for i in range(w)],
+        "crs": crs,
+    }
+    with open(base + ".json", "w") as f:
+        json.dump(meta, f)
 
 
 def _save_deflate(
@@ -502,7 +525,25 @@ def load_gtiff_tiled(spark, path: str, bands=None):
     per_plane = tiles_x * tiles_y
     if len(offsets) != planes * per_plane:
         raise ValueError("tile count mismatch")
-    band_names = list(bands) if bands else [f"b{i+1}" for i in range(planes)]
+    if bands:
+        band_names = list(bands)
+    else:
+        # the sink's metadata sidecar carries the real band labels
+        # (parity with the driver-side sink — ADVICE r13); b1..bn only
+        # for foreign TIFFs with no sidecar
+        band_names = None
+        base = path[:-4] if path.endswith(".tif") else path
+        try:
+            import json as _json
+
+            with open(base + ".json") as f:
+                side = _json.load(f).get("bands")
+            if side and len(side) == planes:
+                band_names = [str(b) for b in side]
+        except (OSError, ValueError):
+            pass
+        if band_names is None:
+            band_names = [f"b{i+1}" for i in range(planes)]
     if len(band_names) != planes:
         raise ValueError(f"{planes} planes but {len(band_names)} band names")
 

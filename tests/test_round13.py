@@ -548,6 +548,13 @@ def test_gtiff_tiled_source_bigtiff_and_default_bands(spark, tmp_path):
     cube = _banded_grid_cube(spark)
     tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
     path = save_gtiff_tiled(tc, str(tmp_path / "big"), force_bigtiff=True)
+    # r14: with the sidecar present the real band names round-trip;
+    # b1..bn is the FOREIGN-TIFF fallback (no sidecar)
+    back = load_gtiff_tiled(spark, path)
+    assert back.schema.bands == ("B04", "B08", "SCL")
+    import os
+
+    os.remove(str(tmp_path / "big.json"))
     back = load_gtiff_tiled(spark, path)
     assert back.schema.bands == ("b1", "b2", "b3")
     got = t.from_tiled(back).df.groupBy("band").count().collect()

@@ -258,3 +258,156 @@ def test_warp_rejects_same_crs_direct_call(spark):
     cube = synthetic_cube(spark, _GEO_SPEC_4326)
     with pytest.raises(ValueError, match="resolution-only"):
         resample_spatial_warp(cube, 4326, 0.001)
+
+
+def test_resolver_standard_array_shape(spark):
+    """ADVICE r13 (medium): the spec-conformant resolver shape
+    ``max(data=[{from_parameter: x}, {from_parameter: y}])`` lowers to
+    the same greatest/least as the binary x/y dialect instead of
+    hard-erroring as an unsupported process — checked through the
+    planner in both modes, plus a direct NULL-semantics unit."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph, _compile_expr
+    from pyspark.sql import functions as F
+
+    def merge_graph(resolver_node):
+        return {"process_graph": {
+            "a": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic"}},
+            "b": {"process_id": "load_collection",
+                  "arguments": {"id": "synthetic"}},
+            "m": {"process_id": "merge_cubes",
+                  "arguments": {"cube1": {"from_node": "a"},
+                                "cube2": {"from_node": "b"},
+                                "overlap_resolver": {
+                                    "process_graph": resolver_node}},
+                  "result": True},
+        }}
+
+    array_max = {"r": {"process_id": "max",
+                       "arguments": {"data": [
+                           {"from_parameter": "x"},
+                           {"from_parameter": "y"}]},
+                       "result": True}}
+    import pandas as pd
+
+    for tiled in (False, True):
+        pg = ProcessGraph(merge_graph(array_max),
+                          save_dir="/tmp/pg_r14_res", tiled=tiled)
+        out = pg.execute(spark)
+        cols = sorted(out.df.columns)
+        a = out.df.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        b = (synthetic_cube(spark).df.toPandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_exact=True,
+                                      check_dtype=False)
+
+    # NULL semantics: greatest/least skip NULLs (openEO ignore_nodata)
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 3.0), (4.0, None), (None, None)],
+        "a double, b double")
+    for pid, fn in (("max", F.greatest), ("min", F.least)):
+        child = {"r": {"process_id": pid,
+                       "arguments": {"data": [
+                           {"from_parameter": "x"},
+                           {"from_parameter": "y"}]},
+                       "result": True}}
+        got = df.select(
+            _compile_expr(child, {"x": F.col("a"), "y": F.col("b")})
+            .alias("v")).toPandas()["v"]
+        want = df.select(fn("a", "b").alias("v")).toPandas()["v"]
+        assert got.equals(want)
+
+
+def test_gtiff_tiled_sidecar_and_band_roundtrip(spark, tmp_path):
+    """ADVICE r13 (low): the tiled GTiff sink writes the same metadata
+    sidecar as the driver-side sink (bands, axes, crs), and
+    load_gtiff_tiled reads real band names back from it instead of
+    inventing b1..bn — for both the uncompressed and DEFLATE paths."""
+    import json
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.operators.reducers import reduce_dimension
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    cube = reduce_dimension(synthetic_cube(spark), "time", "max")
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    for compress in (None, "deflate"):
+        tag = compress or "raw"
+        p = save_gtiff_tiled(tc, str(tmp_path / tag), compress=compress)
+        side = json.loads((tmp_path / f"{tag}.json").read_text())
+        assert side["bands"] == ["B04", "B08", "SCL"]
+        assert side["crs"] == "EPSG:32632"
+        assert len(side["xs"]) == 16 and len(side["ys"]) == 16
+        assert side["ys"][0] == 150.0 and side["xs"][0] == 0.0
+        back = load_gtiff_tiled(spark, p)
+        assert tuple(back.schema.bands) == ("B04", "B08", "SCL")
+        # explicit bands= still wins over the sidecar
+        named = load_gtiff_tiled(spark, p, bands=["r", "g", "b"])
+        assert tuple(named.schema.bands) == ("r", "g", "b")
+
+
+def test_gtiff_tiled_singleton_time_squeeze(spark, tmp_path):
+    """VERDICT r13 item 5: an NDVI-shaped graph whose temporal extent
+    selects exactly ONE time step writes through the DISTRIBUTED tiled
+    sink (squeeze-then-write, zero driver pixel collect) instead of
+    falling back to the long writer — and the artifact is pixel-equal
+    to the long plan's."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import decode_tiff
+
+    def graph():
+        return {"process_graph": {
+            "load": {"process_id": "load_collection",
+                     "arguments": {
+                         "id": "s2_l2a",
+                         "temporal_extent": ["2022-06-03T00:00:00Z",
+                                             "2022-06-04T00:00:00Z"],
+                         "bands": ["B04", "B08"]}},
+            "ndvi": {"process_id": "reduce_dimension",
+                     "arguments": {
+                         "data": {"from_node": "load"},
+                         "dimension": "bands",
+                         "reducer": {"process_graph": {
+                             "nir": {"process_id": "array_element",
+                                     "arguments": {"data": {"from_parameter": "data"},
+                                                   "label": "B08"}},
+                             "red": {"process_id": "array_element",
+                                     "arguments": {"data": {"from_parameter": "data"},
+                                                   "label": "B04"}},
+                             "d": {"process_id": "subtract",
+                                   "arguments": {"x": {"from_node": "nir"},
+                                                 "y": {"from_node": "red"}}},
+                             "s": {"process_id": "add",
+                                   "arguments": {"x": {"from_node": "nir"},
+                                                 "y": {"from_node": "red"}}},
+                             "r": {"process_id": "divide",
+                                   "arguments": {"x": {"from_node": "d"},
+                                                 "y": {"from_node": "s"}},
+                                   "result": True}}}}},
+            "save": {"process_id": "save_result",
+                     "arguments": {"data": {"from_node": "ndvi"},
+                                   "format": "GTiff"},
+                     "result": True},
+        }}
+
+    pg = ProcessGraph(graph(), save_dir=str(tmp_path / "tiled"), tiled=True)
+    pg.execute(spark)
+    long_pg = ProcessGraph(graph(), save_dir=str(tmp_path / "long"))
+    long_pg.execute(spark)
+    a, ma = decode_tiff(str(tmp_path / "tiled" / "save.tif"))
+    b, mb = decode_tiff(str(tmp_path / "long" / "save.tif"))
+    assert ma["tiled"] and not mb["tiled"]  # distributed sink was used
+    assert a.shape == b.shape
+    assert np.array_equal(a, b, equal_nan=True)
+    assert ma["tiepoint"] == mb["tiepoint"]
+    # a multi-step time axis still refuses the tiled sink (long fallback)
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.core.tiled import squeeze_time_tiled
+
+    tc = t.to_tiled(synthetic_cube(spark), tile=16, n_y=16, n_x=16)
+    assert squeeze_time_tiled(tc) is None
