@@ -103,6 +103,63 @@ def _require_same_grid(
         )
 
 
+_EXCHANGE_TARGET_BYTES = 32 << 20  # raw array payload per shuffle task
+# 32 MiB: the Arrow->pandas->python-object fold inflates raw arrays
+# ~6-10x transiently, so 32 MiB/task keeps 32 concurrent tasks' working
+# set ~10 GB — and lands the flagship's 5.1 GB median exchange at ~152
+# partitions, bracketing the 128 that measured exponent 0.67 (PLANS.md)
+_ASSUMED_TIME_STEPS = 32           # conservative stand-in when the axis is unknown
+
+
+def _raster_exchange_width(tc: "TiledCube") -> int | None:
+    """Plan-constant width for the tile-keyed fold exchanges — the
+    round-13 measurement (PLANS.md): ndvi_median at 1.26 G cells is
+    MEMORY-BOUND at the 32-partition session default (69-84 GB transient
+    pinning the heap, 10->100x exponent 1.55), while ordinary deployment
+    sizing (128) restores 0.67 with ~40% lower peaks. Rather than rely on
+    a human setting ``spark.sql.shuffle.partitions``, each raster fold
+    sizes its own exchange from catalog constants: payload = tiles x
+    bands x time-steps x tile^2 x 8 bytes, width = payload /
+    ``_EXCHANGE_TARGET_BYTES`` (64 MiB of raw arrays per task keeps the
+    per-task Arrow+numpy transient far from the heap).
+
+    **Oracle-determinism guard**: returns None (no repartition, plan
+    byte-identical to r13) whenever the computed width does not EXCEED
+    the session default — every sf0.01 gate fixture lands there, so
+    gate hashes cannot move; only genuinely large scenes widen. The
+    group-fold results themselves are partitioning-invariant (each
+    group's rows land in one task either way); this changes WHERE
+    groups run, not what they contain."""
+    spark = tc.df.sparkSession
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        default = 200
+    tiles = (-(-tc.n_y // tc.tile)) * (-(-tc.n_x // tc.tile))
+    bands = max(len(tc.schema.bands), 1) if BAND in tc.schema.dims else 1
+    if TIME in tc.schema.dims:
+        ax = tc.schema.time_axis
+        n_t = len(ax) if ax else _ASSUMED_TIME_STEPS
+    else:
+        n_t = 1
+    payload = tiles * bands * n_t * tc.tile * tc.tile * 8
+    width = -(-payload // _EXCHANGE_TARGET_BYTES)
+    if width <= default:
+        return None
+    return int(min(width, 4096))
+
+
+def _widened(tc: "TiledCube", keys: list[str]) -> DataFrame:
+    """The fold input, pre-clustered on the group keys at the raster-
+    aware width (no-op under the oracle guard). HashPartitioning(keys,
+    w) satisfies the downstream groupBy/applyInPandas ClusteredDistribution,
+    so this REPLACES the default exchange instead of adding one."""
+    w = _raster_exchange_width(tc)
+    if w is None:
+        return tc.df
+    return tc.df.repartition(w, *[F.col(k) for k in keys])
+
+
 def _indices(cube: Cube):
     grid = cube.schema.grid
     if grid is None:
@@ -1028,7 +1085,7 @@ def _fold_groups(
             f"  (sq, c) -> CASE WHEN c > 1 THEN {fin} END))[0]"
         )
         return (
-            tc.df.groupBy(*keys)
+            _widened(tc, keys).groupBy(*keys)
             .agg(F.expr(fold).alias("data"))
             .select(*keys, "data")
         )
@@ -1051,7 +1108,7 @@ def _fold_groups(
         f"  (s, c) -> {finish}))[0]"
     )
     return (
-        tc.df.groupBy(*keys)
+        _widened(tc, keys).groupBy(*keys)
         .agg(F.expr(fold).alias("data"))
         .select(*keys, "data")
     )
@@ -1118,7 +1175,7 @@ def _reduce_time_numpy(
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    return tc.df.groupBy(*keys).applyInPandas(
+    return _widened(tc, keys).groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"
     )
 
@@ -1149,6 +1206,12 @@ def save_tiled(tc: TiledCube, path: str, partition_by_band: bool = True) -> str:
         "grid": None
         if grid is None
         else {"x0": grid.x0, "y0": grid.y0, "resx": grid.resx, "resy": grid.resy},
+        # the time axis is a PLAN CONSTANT downstream (raster-aware
+        # exchange sizing, merge disjointness proofs) — persist it so a
+        # stored scene keeps action-free planning (round 14)
+        "time_axis": None
+        if tc.schema.time_axis is None
+        else [t.isoformat() for t in tc.schema.time_axis],
     }
     w = tc.df.write.mode("overwrite")
     if partition_by_band:
@@ -1172,11 +1235,18 @@ def load_tiled(spark, path: str) -> TiledCube:
     with open(os.path.join(path, "_tiled_meta.json")) as fh:
         meta = json.load(fh)
     g = meta.get("grid")
+    ax = meta.get("time_axis")
+    if ax is not None:
+        from datetime import datetime
+
+        ax = tuple(datetime.fromisoformat(t) for t in ax)
     schema = CubeSchema(
         dims=tuple(meta["dims"]),
         bands=tuple(meta["bands"]),
         crs=meta.get("crs"),
         grid=None if g is None else GridSpec(**g),
+        time_axis=ax,
+        time_extent=(ax[0], ax[-1]) if ax else None,
     )
     df = spark.read.parquet(path)
     return TiledCube(df, schema, meta["tile"], meta["n_y"], meta["n_x"])
@@ -1401,7 +1471,7 @@ def _median_groups(tc: TiledCube, keys: list[str]) -> DataFrame:
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    return tc.df.groupBy(*keys).applyInPandas(
+    return _widened(tc, keys).groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"
     )
 
@@ -2931,6 +3001,24 @@ def retile(
         # expression count bounded; beyond it the Python fragment plan
         # remains.
         return _retile_integer_ratio_jvm(tc, Tt, out_schema_obj)
+    if not windowed:
+        # RATIONAL edge ratio (round 14, VERDICT r13 item 6): neither
+        # edge divides the other, but fragment geometry is periodic in
+        # lcm(T, Tt) — rather than unroll the (lcm/T)²·(lcm/Tt)² phase
+        # stencil, decompose through the gcd: SPLIT T → g (zero-exchange
+        # JVM projection) then MERGE g → Tt (one tile-keyed exchange) —
+        # both the proven integer-ratio paths, raster moves through ONE
+        # exchange total, same as the direct plan would. The g ≥ 16
+        # floor keeps intermediate arrays ≥ 256 elements (bulk slices,
+        # not element-churn); the ratio caps bound the unrolls exactly
+        # as in the integer case. e.g. 256→96: g=32, split k=8,
+        # merge k=3.
+        import math as _math
+
+        g = _math.gcd(T, Tt)
+        if g >= 16 and T // g <= 16 and Tt // g <= 16:
+            mid = _retile_integer_ratio_jvm(tc, g, tc.schema)
+            return _retile_integer_ratio_jvm(mid, Tt, out_schema_obj)
     return _retile_python(tc, new_tile, row0, col0, n_y, n_x,
                           out_schema_obj)
 
