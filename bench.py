@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "gtiff_store_roundtrip",
     "tiled_apply_kernel_wrap_partial",
     "process_graph_merge_resolver",
+    # round 14
+    "resample_spatial_warp",
+    "resample_spatial_warp_bilinear",
 ]
 
 

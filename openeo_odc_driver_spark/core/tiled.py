@@ -160,6 +160,26 @@ def _widened(tc: "TiledCube", keys: list[str]) -> DataFrame:
     return tc.df.repartition(w, *[F.col(k) for k in keys])
 
 
+def _widened_join_sides(
+    big: "TiledCube", big_df: DataFrame, other_df: DataFrame,
+    keys: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Both sides of a tile-keyed binary join pre-clustered at the
+    raster-aware width (mask, band zip, merge resolver — the joins the
+    round-13 heap telemetry shows carrying whole-raster arrays through
+    the 32-partition default at 100×). Same oracle guard as
+    :func:`_widened`: no-op unless the BIG side's payload demands more
+    than the session default; when it does, HashPartitioning(keys, w)
+    on both sides satisfies the join's distribution requirement, so
+    the two repartitions REPLACE the join's own exchanges."""
+    w = _raster_exchange_width(big)
+    if w is None:
+        return big_df, other_df
+    cols = [F.col(k) for k in keys]
+    return (big_df.repartition(w, *cols),
+            other_df.repartition(w, *cols))
+
+
 def _indices(cube: Cube):
     grid = cube.schema.grid
     if grid is None:
@@ -1367,7 +1387,10 @@ def mask_tiled(
         f"{T2})), (v, mv) -> CASE WHEN mv = 0.0 AND mv IS NOT NULL "
         f"THEN v ELSE {repl} END)"
     )
-    df = data_tc.df.join(m, [*keys, "tile_row", "tile_col"], "left").select(
+    d_df, m_df = _widened_join_sides(
+        data_tc, data_tc.df, m, [*keys, "tile_row", "tile_col"]
+    )
+    df = d_df.join(m_df, [*keys, "tile_row", "tile_col"], "left").select(
         *[
             F.expr(apply_mask).alias("data") if c == "data" else F.col(c)
             for c in data_tc.df.columns
@@ -1401,6 +1424,7 @@ def normalized_difference_tiled(
     nd = F.expr(
         "zip_with(_a, _b, (x, y) -> (x - y) / nullif(x + y, CAST(0.0 AS DOUBLE)))"
     )
+    a, b = _widened_join_sides(tc, a, b, [*keys, "tile_row", "tile_col"])
     df = a.join(b, [*keys, "tile_row", "tile_col"]).select(
         F.lit(out_band).alias(BAND),
         *keys,
@@ -2072,6 +2096,7 @@ def merge_cubes_tiled(
         F.coalesce("_d2", null_tile),
         lambda a, b: overlap_resolver(a, b).cast("double"),
     )
+    left, right = _widened_join_sides(tc1, left, right, keys)
     df = (
         left.join(right, keys, "full_outer")
         .select(*keys, resolved.alias("data"))
