@@ -11,7 +11,10 @@ Reported: wall, file size, throughput, driver peak RSS before/after
 (the no-collect claim as a measurement), and exact spot-window
 verification at the four scene corners + center per band.
 
-Usage: python scratch/sink_probe.py [N_edge] (default 20480)
+Usage: python scratch/sink_probe.py [N_edge] [deflate]
+(default 20480 uncompressed; pass "deflate" to probe the compressed
+path — round 14's executor-parallel assembly: flat driver RSS is the
+claim under test there too)
 """
 import os
 import resource
@@ -25,6 +28,19 @@ import numpy as np
 
 TILE = 256
 OUT = "/tmp/r13_sink_probe/scene"
+
+
+ENTROPY = False  # high-entropy values: ~incompressible tiles, so the
+# deflate probe moves REAL gigabytes through the parallel assembly
+
+
+def _values(b, yi, xi):
+    if ENTROPY:
+        # Weyl-sequence hash: decorrelated 31-bit ints -> float32
+        # mantissas with no run structure (zlib ~1.1:1)
+        return (((b * 7 + yi * 13 + xi * 31) * 2654435761) % 2147483647
+                ).astype("float64")
+    return ((b * 7 + yi * 13 + xi * 31) % 97).astype("float64")
 
 
 def build(spark, n_edge):
@@ -47,7 +63,7 @@ def build(spark, n_edge):
             for b, tr, tc in zip(pdf["b"], pdf["tile_row"], pdf["tile_col"]):
                 yi = tr * TILE + np.arange(TILE)[:, None]
                 xi = tc * TILE + np.arange(TILE)[None, :]
-                v = ((int(b) * 7 + yi * 13 + xi * 31) % 97).astype("float64")
+                v = _values(int(b), yi, xi)
                 v[(yi + xi) % 41 == 0] = np.nan  # nodata stripes
                 rows.append((bands[int(b)], int(tr), int(tc),
                              v.reshape(-1)))
@@ -72,12 +88,12 @@ def build(spark, n_edge):
 def expected_tile(b, tr, tc):
     yi = tr * TILE + np.arange(TILE)[:, None]
     xi = tc * TILE + np.arange(TILE)[None, :]
-    v = ((b * 7 + yi * 13 + xi * 31) % 97).astype("float32")
+    v = _values(b, yi, xi).astype("float32")
     v[(yi + xi) % 41 == 0] = np.nan
     return v
 
 
-def verify_windows(path, n_edge):
+def verify_windows(path, n_edge, compress=False):
     """Windowed check: parse the (small) header, pread spot tiles, and
     compare bit-exactly against the formula — no full-file load."""
     from openeo_odc_driver_spark.sinks.gtiff_tiled import _FMT, _SZ
@@ -108,7 +124,13 @@ def verify_windows(path, n_edge):
             for tr, tc in [(0, 0), (0, nt - 1), (nt - 1, 0),
                            (nt - 1, nt - 1), (nt // 2, nt // 2)]:
                 gidx = b * per_plane + tr * nt + tc
-                raw = os.pread(fd, TILE * TILE * 4, offsets[gidx])
+                counts = tags.get(325)
+                raw = os.pread(fd, counts[gidx] if compress else
+                               TILE * TILE * 4, offsets[gidx])
+                if compress:
+                    import zlib
+
+                    raw = zlib.decompress(raw)
                 got = np.frombuffer(raw, dtype="<f4").reshape(TILE, TILE)
                 want = expected_tile(b, tr, tc)
                 assert np.array_equal(got, want, equal_nan=True), (b, tr, tc)
@@ -120,6 +142,9 @@ def verify_windows(path, n_edge):
 
 def main():
     n_edge = int(sys.argv[1]) if len(sys.argv) > 1 else 20480
+    compress = "deflate" if "deflate" in sys.argv[2:] else None
+    global ENTROPY
+    ENTROPY = "entropy" in sys.argv[2:]
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     from openeo_odc_driver_spark.session import get_spark
     from openeo_odc_driver_spark.sinks.gtiff_tiled import save_gtiff_tiled
@@ -129,11 +154,12 @@ def main():
     px = 3 * n_edge * n_edge
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     t0 = time.time()
-    path = save_gtiff_tiled(tc, OUT, force_bigtiff=True)
+    path = save_gtiff_tiled(tc, OUT, force_bigtiff=True,
+                            compress=compress)
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     size = os.path.getsize(path)
-    checked = verify_windows(path, n_edge)
+    checked = verify_windows(path, n_edge, compress=bool(compress))
     print({
         "pixels": px, "wall_sec": round(wall, 1),
         "file_gib": round(size / 2**30, 2),
@@ -141,6 +167,7 @@ def main():
         "driver_rss_gb_before": round(rss0, 2),
         "driver_rss_gb_after": round(rss1, 2),
         "windows_verified": checked,
+        "compress": compress,
     }, flush=True)
 
 
