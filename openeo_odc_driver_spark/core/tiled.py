@@ -149,15 +149,25 @@ def _raster_exchange_width(tc: "TiledCube") -> int | None:
     return int(min(width, 4096))
 
 
+def _widen_df(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
+    """An arbitrary raster-carrying frame (fold input, halo pieces,
+    repack fragments) pre-clustered on the group keys at the
+    raster-aware width (no-op under the oracle guard). The width comes
+    from the HANDLE's metadata — a halo/fragment frame carries a small
+    constant factor more than the raster itself, which the 32 MiB/task
+    target already absorbs."""
+    w = _raster_exchange_width(tc)
+    if w is None:
+        return df
+    return df.repartition(w, *[F.col(k) for k in keys])
+
+
 def _widened(tc: "TiledCube", keys: list[str]) -> DataFrame:
     """The fold input, pre-clustered on the group keys at the raster-
     aware width (no-op under the oracle guard). HashPartitioning(keys,
     w) satisfies the downstream groupBy/applyInPandas ClusteredDistribution,
     so this REPLACES the default exchange instead of adding one."""
-    w = _raster_exchange_width(tc)
-    if w is None:
-        return tc.df
-    return tc.df.repartition(w, *[F.col(k) for k in keys])
+    return _widen_df(tc, tc.df, keys)
 
 
 def _widened_join_sides(
@@ -625,7 +635,7 @@ def quantiles_tiled(
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
     )
-    df = tc.df.groupBy(*gkeys).applyInPandas(
+    df = _widen_df(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
         fold, f"{fields}, prob double, data array<double>"
     )
     return TiledCube(df, tc.schema.drop(dim), tc.tile, tc.n_y, tc.n_x)
@@ -697,7 +707,7 @@ def array_interpolate_linear_tiled(tc: TiledCube) -> TiledCube:
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
     )
-    df = tc.df.groupBy(*gkeys).applyInPandas(
+    df = _widen_df(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
         fill, f"{fields}, {TIME} timestamp, data array<double>"
     )
     # column order back to the canonical (keys, time, tiles, data)
@@ -1373,7 +1383,9 @@ def mask_tiled(
             "WHEN v < a THEN v ELSE a END))"
         )
         m = (
-            mask_tc.df.groupBy(*keys, "tile_row", "tile_col")
+            _widen_df(mask_tc, mask_tc.df,
+                      [*keys, "tile_row", "tile_col"])
+            .groupBy(*keys, "tile_row", "tile_col")
             .agg(F.expr(drop).alias("_m"))
         )
     repl = "CAST(NULL AS DOUBLE)" if replacement is None else repr(
@@ -1664,7 +1676,8 @@ def apply_kernel_tiled_layout(
         out["data"] = [obj.tolist()]
         return pd.DataFrame(out)
 
-    df = pieces.groupBy(*keys, "_tr", "_tc").applyInPandas(
+    df = _widen_df(tc, pieces, [*keys, "_tr", "_tc"]) \
+        .groupBy(*keys, "_tr", "_tc").applyInPandas(
         stencil, out_schema
     )
     return TiledCube(df, tc.schema, T, tc.n_y, tc.n_x)
@@ -1936,7 +1949,8 @@ def radar_mask_tiled(
             })
         return pd.DataFrame(rows)
 
-    df = pieces.groupBy(*keys, "_tr", "_tc").applyInPandas(
+    df = _widen_df(tc, pieces, [*keys, "_tr", "_tc"]) \
+        .groupBy(*keys, "_tr", "_tc").applyInPandas(
         masks, out_schema
     )
     from dataclasses import replace as _dc_replace
