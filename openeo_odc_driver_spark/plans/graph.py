@@ -951,14 +951,24 @@ def _reduce_bands_expression_tiled(tc, child: dict, impl: str = "auto"):
         raise ValueError(
             "band-expression reducer on tiles needs schema band labels"
         )
+    # the band sides pre-cluster at the raster-aware width (round 14 —
+    # the sf100 profile put this stage's interpreted evaluation at half
+    # the graph wall in 32 oversized tasks; same oracle guard as the
+    # folds: no-op at gate scale)
+    from ..core.tiled import _widen_df
+
+    jk = [*keys, "tile_row", "tile_col"]
     wide = None
     for b in bands:
-        side = tc.df.where(F.col(BAND) == b).select(
-            *keys, "tile_row", "tile_col", F.col("data").alias(f"_b_{b}")
+        side = _widen_df(
+            tc,
+            tc.df.where(F.col(BAND) == b).select(
+                *keys, "tile_row", "tile_col",
+                F.col("data").alias(f"_b_{b}"),
+            ),
+            jk,
         )
-        wide = side if wide is None else wide.join(
-            side, [*keys, "tile_row", "tile_col"]
-        )
+        wide = side if wide is None else wide.join(side, jk)
     T2 = tc.tile * tc.tile
     out_schema = tc.schema.drop(BAND).with_bands(())
     if impl == "auto":
