@@ -2266,6 +2266,46 @@ def squeeze_time_tiled(tc: TiledCube):
     )
 
 
+def time_to_planes_tiled(tc: TiledCube):
+    """Map a multi-step TIME axis onto the band/plane axis — the long
+    GTiff sink's other squeeze rule (reference openeo_odc_driver.py:
+    1693-1703: a single-band cube writes one GeoTIFF band per
+    timestamp; sinks/save.py _to_grid does the same driver-side).
+    Tile-native: a single-band band dim drops (column projection),
+    ``time`` relabels to its formatted timestamp as the plane label —
+    zero exchange. Returns None when a MULTI-band band dim is present
+    (band+time together has no 3-D GeoTIFF mapping; the long sink's
+    guarded error stands). Plane order is ascending time — string sort
+    of 'yyyy-MM-dd HH:mm:ss' labels IS chronological, and the labels
+    match the long sidecar's ``str(timestamp)`` exactly."""
+    if TIME not in tc.schema.dims:
+        return tc
+    df = tc.df
+    schema = tc.schema
+    if BAND in schema.dims:
+        if len(schema.bands) != 1:
+            return None
+        df = df.drop(BAND)
+        schema = schema.drop(BAND)
+    ax = schema.time_axis
+    if ax is not None:
+        labels = sorted(str(t) for t in ax)
+    else:
+        labels = sorted(
+            str(r[0]) for r in df.select(TIME).distinct().collect()
+        )
+    df = df.withColumn(
+        BAND, F.date_format(TIME, "yyyy-MM-dd HH:mm:ss")
+    ).drop(TIME)
+    schema = schema.drop(TIME)
+    if BAND not in schema.dims:
+        from dataclasses import replace as _r
+
+        schema = _r(schema, dims=(BAND, *schema.dims))
+    schema = schema.with_bands(tuple(labels))
+    return TiledCube(df, schema, tc.tile, tc.n_y, tc.n_x)
+
+
 def resample_cube_temporal_tiled(source: TiledCube, target) -> TiledCube:
     """``resample_cube_temporal`` (nearest-time as-of join, reference
     ``openeo_odc_driver.py:360-380``) natively on tiles — time is a key

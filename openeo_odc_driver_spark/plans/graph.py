@@ -677,13 +677,16 @@ class ProcessGraph:
             if fmt in ("GTIFF", "GTIFF_") and is_tiled("data"):
                 tc = self._resolve_raw(args["data"])
                 if TIME in tc.schema.dims:
-                    # the reference's squeeze rule drops a singleton
-                    # time axis before writing (openeo_odc_driver.py:
-                    # 1679-1724) — do it tile-natively (round 14) so
-                    # NDVI-shaped graphs with a 1-step temporal extent
-                    # still ride the distributed sink; >1 step keeps
-                    # the long sink's guarded multi-band mapping
+                    # the reference's squeeze rules before a GeoTIFF
+                    # write (openeo_odc_driver.py:1679-1724), both
+                    # tile-native (round 14): a singleton time axis
+                    # DROPS; a multi-step axis on a ≤1-band cube maps
+                    # onto the PLANE axis (one GeoTIFF band per
+                    # timestamp). Multi-band × multi-time keeps the
+                    # long sink's guarded error.
                     squeezed = tl.squeeze_time_tiled(tc)
+                    if squeezed is None:
+                        squeezed = tl.time_to_planes_tiled(tc)
                     if squeezed is not None:
                         tc = squeezed
                 if TIME not in tc.schema.dims and tc.schema.grid is not None:
