@@ -57,6 +57,7 @@ _GATE_PRIORITY_ASOF = 13
 _GATE_PRIORITY = [
     "resample_spatial_warp_bilinear",
     "resample_spatial_warp_utm_wgs84",
+    "gtiff_time_planes_roundtrip",
     "split_leakage_report",
     "streaming_minhash_dedup",
     "streaming_pii_redact",

@@ -1586,6 +1586,37 @@ def _gtiff_store_roundtrip(spark, sf_dir):
     ).df
 
 
+_CUBE_B08_D = cube_sql(CubeSpec(bands=("B08",)), "duckdb")
+
+
+@q(
+    "gtiff_time_planes_roundtrip",
+    f"WITH cube AS ({_CUBE_B08_D}) "
+    "SELECT strftime(time, '%Y-%m-%d %H:%M:%S') AS band, y, x, value "
+    "FROM cube",
+)
+def _gtiff_time_planes_roundtrip(spark, sf_dir):
+    """Round 14: the reference's OTHER GeoTIFF squeeze rule through the
+    distributed storage tier — a single-band multi-step-time cube maps
+    TIME onto the plane axis (one plane per timestamp,
+    openeo_odc_driver.py:1693-1703), writes via the executor-parallel
+    sink, and preads back with the timestamp labels round-tripping
+    through the sidecar. Raw dyadic fixture values are
+    float32-representable, so the storage round trip is exact against
+    the relabeled cube oracle."""
+    import tempfile
+
+    from .core.tiled import from_tiled, time_to_planes_tiled, to_tiled
+    from .sinks.gtiff_tiled import load_gtiff_tiled, save_gtiff_tiled
+
+    cube = synthetic_cube(spark, CubeSpec(bands=("B08",)))
+    tc = time_to_planes_tiled(to_tiled(cube, tile=16, n_y=16, n_x=16))
+    path = save_gtiff_tiled(
+        tc, tempfile.mkdtemp(prefix="gtiff_tp_") + "/scene"
+    )
+    return from_tiled(load_gtiff_tiled(spark, path)).df
+
+
 _CUBE_18x13_D = cube_sql(CubeSpec(ny=18, nx=13), "duckdb")
 
 
