@@ -391,6 +391,24 @@ def resample_spatial_warp(
         .alias("_syi"),
         VALUE,
     )
+    # raster-aware join width from plan constants (the round-14 rule
+    # the tiled folds use): source rows × bands × time-steps plus the
+    # target lattice, ~48 B long rows at 32 MiB/task — widen only past
+    # the session default (gate-scale plans untouched)
+    n_bands = max(len(cube.schema.bands), 1)
+    ax = cube.schema.time_axis
+    n_t = len(ax) if ax else (32 if "time" in cube.schema.dims else 1)
+    est_rows = (n_x * n_y * n_bands * n_t
+                + nyt * nxt * (4 if bilinear else 1))
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        default = 200
+    width = -(-(est_rows * 48) // (32 << 20))
+    if width > default:
+        width = int(min(width, 4096))
+        targets = targets.repartition(width, "_syi", "_sxi")
+        src = src.repartition(width, "_syi", "_sxi")
     joined = targets.join(src, ["_syi", "_sxi"])
     if bilinear:
         v = F.col(VALUE)
