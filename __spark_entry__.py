@@ -55,7 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 13
 _GATE_PRIORITY = [
-    "resample_spatial_warp_bilinear",
+    "mask_sweep",
+    "array_element_sweep",
+    "resample_spatial_warp_sweep",
     "resample_spatial_warp_utm_wgs84",
     "gtiff_time_planes_roundtrip",
     "split_leakage_report",
@@ -237,8 +239,6 @@ _GATE_PRIORITY = [
     "add_dimension",
     "aggregate_spatial_product",
     "ann_recall_trained",
-    "array_element_index",
-    "array_element_label",
     "exact_substring_dedup_salted",
     "filter_bands",
     "filter_bbox",
@@ -247,8 +247,6 @@ _GATE_PRIORITY = [
     "ivf_pq_ann_trained",
     "load_collection_lineitem",
     "load_result_roundtrip",
-    "mask_nodata",
-    "mask_replacement",
     "minhash_lsh_pairs_tuned",
     "multimodal_image_features",
     "multimodal_jpeg_decode",
@@ -294,7 +292,6 @@ _GATE_PRIORITY = [
     "process_graph_predict_harmonic",
     "reduce_time_sweep",
     "rename_labels_sweep",
-    "resample_spatial_warp",
     "script_census",
     "select_token_budget",
     "select_token_budget_by",

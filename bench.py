@@ -125,8 +125,7 @@ BENCH_QUERIES = [
     "tiled_apply_kernel_wrap_partial",
     "process_graph_merge_resolver",
     # round 14
-    "resample_spatial_warp",
-    "resample_spatial_warp_bilinear",
+    "resample_spatial_warp_sweep",
 ]
 
 

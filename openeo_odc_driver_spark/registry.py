@@ -182,16 +182,30 @@ _MASK_ORACLE = (
 )
 
 
-@q("mask_nodata", _MASK_ORACLE.format(repl="NULL"))
-def _mask_nodata(spark, sf_dir):
-    return mask(synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC)).df
+_MASK_SWEEP_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), mc AS ({CUBE_MASK_D}), "
+    "m AS (SELECT time, y, x, min(value) AS mv FROM mc GROUP BY 1, 2, 3) "
+    "SELECT c.band, c.time, c.y, c.x, "
+    "CASE WHEN m.mv = 0 AND m.mv IS NOT NULL THEN c.value END AS nodata, "
+    "CASE WHEN m.mv = 0 AND m.mv IS NOT NULL THEN c.value "
+    "ELSE -999.0 END AS replaced "
+    "FROM cube c LEFT JOIN m ON c.time = m.time AND c.y = m.y AND c.x = m.x"
+)
 
 
-@q("mask_replacement", _MASK_ORACLE.format(repl="-999.0"))
-def _mask_repl(spark, sf_dir):
-    return mask(
-        synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC), replacement=-999.0
-    ).df
+@q("mask_sweep", _MASK_SWEEP_ORACLE)
+def _mask_sweep(spark, sf_dir):
+    """Round-14 consolidation (was mask_nodata + mask_replacement —
+    the r13 family-sweep pattern): BOTH mask modes run through the
+    real operator, each a pinned column of one row, against per-mode
+    CASE columns of the shared left-join oracle."""
+    a = mask(synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC)).df \
+        .withColumnRenamed(VALUE, "nodata")
+    b = mask(
+        synthetic_cube(spark), synthetic_cube(spark, MASK_SPEC),
+        replacement=-999.0,
+    ).df.withColumnRenamed(VALUE, "replaced")
+    return a.join(b, ["band", "time", "y", "x"])
 
 
 # ---------------------------------------------------------------------------
@@ -367,19 +381,22 @@ def _ndiff(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
-    "array_element_label",
-    f"WITH cube AS ({CUBE_D}) SELECT time, y, x, value FROM cube WHERE band = 'B08'",
+    "array_element_sweep",
+    f"WITH cube AS ({CUBE_D}) "
+    "SELECT time, y, x, value AS by_label, value AS by_index "
+    "FROM cube WHERE band = 'B08'",
 )
-def _array_element_label(spark, sf_dir):
-    return array_element(synthetic_cube(spark), label="B08").df
-
-
-@q(
-    "array_element_index",
-    f"WITH cube AS ({CUBE_D}) SELECT time, y, x, value FROM cube WHERE band = 'B08'",
-)
-def _array_element_index(spark, sf_dir):
-    return array_element(synthetic_cube(spark), index=1).df
+def _array_element_sweep(spark, sf_dir):
+    """Round-14 consolidation (was array_element_label +
+    array_element_index — the r13 sweep pattern): BOTH argument forms
+    (openEO label= and index=, openeo_odc_driver.py:1024-1038) run
+    through the real operator and join per pixel; they must agree with
+    each other AND the band-slice oracle."""
+    a = array_element(synthetic_cube(spark), label="B08").df \
+        .withColumnRenamed(VALUE, "by_label")
+    b = array_element(synthetic_cube(spark), index=1).df \
+        .withColumnRenamed(VALUE, "by_index")
+    return a.join(b, ["time", "y", "x"])
 
 
 @q(
@@ -1464,44 +1481,36 @@ def _apply_kernel_border_sweep(spark, sf_dir):
 from .fixtures import values_oracle_sql  # noqa: E402 (literal oracles)
 
 
-@q("resample_spatial_warp", values_oracle_sql("resample_spatial_warp"))
-def _resample_spatial_warp(spark, sf_dir):
-    """Round 13: ``resample_spatial`` with a PROJECTION change — the
-    4326→UTM warp (reference forwards the EPSG int to ODC's
-    reprojecting loader, openeo_odc_driver.py:191-199; previously the
-    argument was silently ignored). Target grid from forward-projected
-    bbox constants, per-target-pixel inverse TM in Arrow-batched numpy
-    (functions/proj.py), one pixel-keyed equi-join. The projection
-    math is not SQL-expressible, so the oracle is the captured literal
-    (fixtures/); geometric ground truth (metric pixel spacing, forward/
-    inverse identity) and full per-pixel value parity are pytest-pinned
-    (tests/test_round13.py)."""
+@q("resample_spatial_warp_sweep",
+   values_oracle_sql("resample_spatial_warp_sweep"))
+def _resample_spatial_warp_sweep(spark, sf_dir):
+    """Rounds 13+14, consolidated (was resample_spatial_warp +
+    resample_spatial_warp_bilinear): ``resample_spatial`` with a
+    PROJECTION change — the 4326→UTM warp (reference forwards the EPSG
+    int + ``resampling=method`` to ODC's reprojecting loader,
+    openeo_odc_driver.py:175-202) — BOTH methods through the real
+    operator onto the SAME 400 m lattice, full-outer-joined per pixel:
+    ``near`` (inverse-TM snap, one pixel-keyed equi-join) and
+    ``bilinear`` (≤4 neighbors, weights renormalized over non-null,
+    quantized to 7 decimals — the 4-way sum is order-sensitive in the
+    last ulp; bilinear covers a slightly wider edge fringe, hence the
+    outer join). Projection math is not SQL-expressible, so the oracle
+    is the captured literal (fixtures/); metric ground truth, cropped-
+    cube parity, per-pixel value parity, and linear-field exactness
+    are pytest-pinned (tests/test_round13.py, tests/test_round14.py)."""
     from .operators.resample import resample_spatial_warp
 
     spec = CubeSpec(resx=0.0078125, resy=0.00390625,
                     x0=11.2890625, y0=46.51953125)
     cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
-    return resample_spatial_warp(cube, 32632, 400.0).df
-
-
-@q("resample_spatial_warp_bilinear",
-   values_oracle_sql("resample_spatial_warp_bilinear"))
-def _resample_spatial_warp_bilinear(spark, sf_dir):
-    """Round 14: the warp's BILINEAR method (reference forwards
-    ``resampling=method`` into the reprojecting load,
-    openeo_odc_driver.py:175-202) — ≤4 surrounding source pixels per
-    inverse-projected target center, weights renormalized over non-null
-    neighbors. Values quantized to 7 decimals (the fixture convention)
-    because the 4-way weighted sum is order-sensitive in the last ulp.
-    Linear-field exactness and constant-field invariance are
-    pytest-pinned (tests/test_round14.py)."""
-    from .operators.resample import resample_spatial_warp
-
-    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
-                    x0=11.2890625, y0=46.51953125)
-    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
-    out = resample_spatial_warp(cube, 32632, 400.0, method="bilinear").df
-    return out.withColumn(VALUE, F.round(VALUE, 7))
+    near = resample_spatial_warp(cube, 32632, 400.0).df \
+        .withColumnRenamed(VALUE, "near")
+    bil = (
+        resample_spatial_warp(cube, 32632, 400.0, method="bilinear").df
+        .withColumn(VALUE, F.round(VALUE, 7))
+        .withColumnRenamed(VALUE, "bilinear")
+    )
+    return near.join(bil, ["band", "y", "x"], "full_outer")
 
 
 @q("resample_spatial_warp_utm_wgs84",

@@ -48,10 +48,10 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          "multimodal_image_phash",
          # lossless-WebP real round trip (round 10)
          "multimodal_webp_decode",
-         # 4326->UTM projection warp (round 13; Snyder TM not in SQL)
-         "resample_spatial_warp",
-         # bilinear method + UTM->4326 direction (round 14)
-         "resample_spatial_warp_bilinear", "resample_spatial_warp_utm_wgs84"]
+         # 4326->UTM projection warp, near+bilinear sweep (rounds 13/14)
+         "resample_spatial_warp_sweep",
+         # UTM->4326 direction (round 14)
+         "resample_spatial_warp_utm_wgs84"]
 
 
 def main() -> int:
