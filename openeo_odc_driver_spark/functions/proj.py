@@ -174,6 +174,85 @@ def utm_to_wgs84_np(easting, northing, epsg: str | int):
     return np.degrees(lam), np.degrees(phi)
 
 
+def make_transforms(src_epsg: int, tgt_epsg: int):
+    """(to_target_np, to_source_np) for a validated warp CRS pair —
+    shared by the long and tiled warps so the geometry cannot drift
+    between tiers. Each transform is vectorized over numpy arrays;
+    UTM→UTM composes through lon/lat."""
+
+    def to_target_np(sx, sy):
+        if src_epsg == 4326:
+            return wgs84_to_utm_np(sx, sy, tgt_epsg)
+        lon, lat = utm_to_wgs84_np(sx, sy, src_epsg)
+        if tgt_epsg == 4326:
+            return lon, lat
+        return wgs84_to_utm_np(lon, lat, tgt_epsg)
+
+    def to_source_np(tx, ty):
+        if tgt_epsg == 4326:
+            lon, lat = tx, ty
+        else:
+            lon, lat = utm_to_wgs84_np(tx, ty, tgt_epsg)
+        if src_epsg == 4326:
+            return lon, lat
+        return wgs84_to_utm_np(lon, lat, src_epsg)
+
+    return to_target_np, to_source_np
+
+
+def validate_warp_pair(src_epsg, tgt_epsg) -> None:
+    """The warp's fail-fast CRS checks (shared by both tiers): each
+    side must be 4326 or a UTM zone, and they must differ."""
+    if src_epsg is None:
+        raise NotImplementedError(
+            "projection warp needs an EPSG-coded source CRS"
+        )
+    if tgt_epsg is None:
+        raise NotImplementedError("projection warp needs an EPSG target")
+    if src_epsg == tgt_epsg:
+        raise ValueError(
+            "resample_spatial warp called with projection == source CRS; "
+            "the planner routes this to the resolution-only resample"
+        )
+    for role, code in (("source", src_epsg), ("target", tgt_epsg)):
+        if code != 4326:
+            try:
+                utm_zone_from_epsg(code)
+            except ValueError:
+                raise NotImplementedError(
+                    f"projection warp supports EPSG:4326 and UTM zones "
+                    f"(EPSG:326xx/327xx); {role} CRS EPSG:{code} is neither"
+                ) from None
+
+
+def warp_target_lattice(
+    to_target_np, sx0: float, sx1: float, sy0: float, sy1: float,
+    resx: float, resy: float, res: float,
+):
+    """The warp's target-lattice constants from the source DATA extent
+    (pixel centers): pad by half a source pixel per side, sample a 5×5
+    corner/quarter-point lattice through the forward transform, anchor
+    on ``res`` multiples covering the envelope. Returns
+    (e_c0, n_c0, nyt, nxt) — first pixel CENTER and scene dims."""
+    import math
+
+    import numpy as np
+
+    pad_x0, pad_x1 = sx0 - resx / 2, sx1 + resx / 2
+    pad_y0, pad_y1 = sy0 - resy / 2, sy1 + resy / 2
+    fr = (0.0, 0.25, 0.5, 0.75, 1.0)
+    pts_x = np.array([pad_x0 + f * (pad_x1 - pad_x0) for f in fr
+                      for _ in fr])
+    pts_y = np.array([pad_y0 + f2 * (pad_y1 - pad_y0) for _ in fr
+                      for f2 in fr])
+    es, ns = to_target_np(pts_x, pts_y)
+    e_min = math.floor(float(es.min()) / res) * res
+    n_max = math.ceil(float(ns.max()) / res) * res
+    nxt = int(math.ceil((float(es.max()) - e_min) / res)) + 1
+    nyt = int(math.ceil((n_max - float(ns.min())) / res)) + 1
+    return e_min + res / 2, n_max - res / 2, nyt, nxt
+
+
 def bbox_to_cube_crs(
     west: float, east: float, south: float, north: float, cube_crs: str
 ) -> tuple[float, float, float, float]:

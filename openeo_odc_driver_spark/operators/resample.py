@@ -226,9 +226,9 @@ def resample_spatial_warp(
     import pandas as pd
 
     from ..functions.proj import (
-        utm_to_wgs84_np,
-        utm_zone_from_epsg,
-        wgs84_to_utm_np,
+        make_transforms,
+        validate_warp_pair,
+        warp_target_lattice,
     )
 
     if method in ("near", "nearest"):
@@ -242,55 +242,15 @@ def resample_spatial_warp(
         )
     src_epsg = _epsg_of(cube.schema.crs)
     tgt_epsg = _epsg_of(projection)
-    if src_epsg is None:
-        raise NotImplementedError(
-            "projection warp needs an EPSG-coded source CRS "
-            f"(cube is {cube.schema.crs!r})"
-        )
-    if tgt_epsg is None:
-        raise NotImplementedError(
-            f"projection warp needs an EPSG target, got {projection!r}"
-        )
-    if src_epsg == tgt_epsg:
-        raise ValueError(
-            "resample_spatial warp called with projection == source CRS; "
-            "the planner routes this to the resolution-only resample"
-        )
     # fail fast on unsupported CRSs BEFORE firing the extent aggregate
     # (ADVICE r13: a non-UTM target used to die mid-plan inside
     # utm_zone_from_epsg with a bare ValueError)
-    for role, code in (("source", src_epsg), ("target", tgt_epsg)):
-        if code != 4326:
-            try:
-                utm_zone_from_epsg(code)
-            except ValueError:
-                raise NotImplementedError(
-                    f"projection warp supports EPSG:4326 and UTM zones "
-                    f"(EPSG:326xx/327xx); {role} CRS EPSG:{code} is neither"
-                ) from None
+    validate_warp_pair(src_epsg, tgt_epsg)
     g = cube.schema.grid
     if g is None:
         raise ValueError("resample_spatial warp needs a GridSpec")
     res = float(resolution)
-
-    def to_target_np(sx, sy):
-        """SOURCE-CRS coords → TARGET-CRS coords, vectorized."""
-        if src_epsg == 4326:
-            return wgs84_to_utm_np(sx, sy, tgt_epsg)
-        lon, lat = utm_to_wgs84_np(sx, sy, src_epsg)
-        if tgt_epsg == 4326:
-            return lon, lat
-        return wgs84_to_utm_np(lon, lat, tgt_epsg)
-
-    def to_source_np(tx, ty):
-        """TARGET-CRS coords → SOURCE-CRS coords, vectorized."""
-        if tgt_epsg == 4326:
-            lon, lat = tx, ty
-        else:
-            lon, lat = utm_to_wgs84_np(tx, ty, tgt_epsg)
-        if src_epsg == 4326:
-            return lon, lat
-        return wgs84_to_utm_np(lon, lat, src_epsg)
+    to_target_np, to_source_np = make_transforms(src_epsg, tgt_epsg)
 
     ext = cube.df.agg(
         F.min(X).alias("x0"), F.max(X).alias("x1"),
@@ -304,23 +264,10 @@ def resample_spatial_warp(
     iy0 = int(round((g.y0 - sy1) / g.resy))
     n_x = int(round((sx1 - sx0) / g.resx)) + 1
     n_y = int(round((sy1 - sy0) / g.resy)) + 1
-    # 5×5 corner/quarter-point sample of the HALF-PIXEL-PADDED footprint
-    import math
-
-    pad_x0, pad_x1 = sx0 - g.resx / 2, sx1 + g.resx / 2
-    pad_y0, pad_y1 = sy0 - g.resy / 2, sy1 + g.resy / 2
-    fr = (0.0, 0.25, 0.5, 0.75, 1.0)
-    pts_x = np.array([pad_x0 + f * (pad_x1 - pad_x0) for f in fr
-                      for _ in fr])
-    pts_y = np.array([pad_y0 + f2 * (pad_y1 - pad_y0) for _ in fr
-                      for f2 in fr])
-    es, ns = to_target_np(pts_x, pts_y)
-    e_min = math.floor(float(es.min()) / res) * res
-    n_max = math.ceil(float(ns.max()) / res) * res
-    nxt = int(math.ceil((float(es.max()) - e_min) / res)) + 1
-    nyt = int(math.ceil((n_max - float(ns.min())) / res)) + 1
-    e_c0 = e_min + res / 2        # first target pixel CENTER
-    n_c0 = n_max - res / 2
+    # half-pixel-padded 5×5 envelope → target lattice (shared helper)
+    e_c0, n_c0, nyt, nxt = warp_target_lattice(
+        to_target_np, sx0, sx1, sy0, sy1, g.resx, g.resy, res
+    )
     src_x0, src_y0 = g.x0, g.y0
     resx, resy = g.resx, g.resy
 

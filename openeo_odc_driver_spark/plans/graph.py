@@ -888,6 +888,34 @@ class ProcessGraph:
                 self._resolve_raw(args["data"]),
                 self._resolve_raw(args["target"]),
             )
+        if pid == "resample_spatial" and is_tiled("data"):
+            # PROJECTION warp natively on tiles (round 14) — the last
+            # raster op that demoted: nearest rides
+            # resample_spatial_warp_tiled (raster stays packed, one
+            # exchange); bilinear and resolution-only keep the long
+            # path (recorded demotion / explicit regrid semantics)
+            if args.get("projection") is not None:
+                from ..operators.resample import _epsg_of
+
+                tcube = self._resolve_raw(args["data"])
+                if (_epsg_of(args["projection"])
+                        != _epsg_of(tcube.schema.crs)):
+                    res = args.get("resolution")
+                    if not res:
+                        raise ValueError(
+                            "resample_spatial with a projection change "
+                            "needs an explicit resolution (meters)"
+                        )
+                    try:
+                        return tl.resample_spatial_warp_tiled(
+                            tcube, args["projection"],
+                            float(res[0] if isinstance(res, (list, tuple))
+                                  else res),
+                            args.get("method", "near"),
+                        )
+                    except tl.TiledRegridUnsupported:
+                        return NotImplemented
+            return NotImplemented
         if pid == "resample_cube_spatial" and is_tiled("data"):
             src = self._resolve_raw(args["data"])
             tgt = self._resolve_raw(args["target"])

@@ -1510,7 +1510,24 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
         .withColumn(VALUE, F.round(VALUE, 7))
         .withColumnRenamed(VALUE, "bilinear")
     )
-    return near.join(bil, ["band", "y", "x"], "full_outer")
+    # third pinned column (round 14): the TILE-NATIVE warp — same
+    # lattice constants by construction (shared warp_target_lattice),
+    # so cross-tier parity is hash-gated every round; its NULL fringe
+    # rows (off-scene targets the packed canvas must carry) appear as
+    # all-NULL rows of the outer join
+    from .core.tiled import (
+        from_tiled,
+        resample_spatial_warp_tiled,
+        to_tiled,
+    )
+
+    tiled = from_tiled(resample_spatial_warp_tiled(
+        to_tiled(cube, tile=16, n_y=16, n_x=16), 32632, 400.0
+    )).df.withColumnRenamed(VALUE, "tiled_near")
+    return (
+        near.join(bil, ["band", "y", "x"], "full_outer")
+        .join(tiled, ["band", "y", "x"], "full_outer")
+    )
 
 
 @q("resample_spatial_warp_utm_wgs84",

@@ -566,3 +566,74 @@ def test_gtiff_tiled_time_as_planes(spark, tmp_path):
 
     tc = t.to_tiled(synthetic_cube(spark), tile=16, n_y=16, n_x=16)
     assert time_to_planes_tiled(tc) is None
+
+
+def test_warp_tiled_matches_long(spark):
+    """The tile-native projection warp (round 14): value parity with
+    the LONG warp on every row the long warp emits, and the tiled
+    tier's only extra rows are the NULL fringe (target cells whose
+    nearest source pixel is off-scene — the packed canvas has no
+    absent-pixel representation)."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.core.tiled import (
+        from_tiled,
+        resample_spatial_warp_tiled,
+    )
+
+    spec = _GEO_SPEC_4326
+    cube = synthetic_cube(spark, spec)
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    tiled_out = resample_spatial_warp_tiled(tc, 32632, 200.0)
+    assert tiled_out.schema.crs == "EPSG:32632"
+    got = from_tiled(tiled_out).df.toPandas()
+    want = resample_spatial_warp(cube, 32632, 200.0).df.toPandas()
+    cols = ["band", "time", "y", "x"]
+    g = got.set_index(cols)["value"].sort_index()
+    w = want.set_index(cols)["value"].sort_index()
+    # every long row exists in the tiled view with the same value
+    pd.testing.assert_series_equal(g.loc[w.index], w, check_exact=True)
+    # the extra tiled rows are all NULL (off-scene fringe)
+    extra = g.drop(w.index)
+    assert extra.isna().all()
+    # and the fringe is thin: well under the interior row count
+    assert len(extra) < len(w)
+
+
+def test_warp_tiled_planner_no_demotion(spark):
+    """Planner E2E in tiled mode: a projection-change resample no
+    longer demotes — and the result matches the long plan's on the
+    long plan's rows."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    def graph():
+        return {"process_graph": {
+            "load": {"process_id": "load_collection",
+                     "arguments": {"id": "s2_l2a", "bands": ["B04"]}},
+            "rs": {"process_id": "resample_spatial",
+                   "arguments": {"data": {"from_node": "load"},
+                                 "resolution": 200.0,
+                                 "projection": 32632},
+                   "result": True},
+        }}
+
+    tpg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_wt", tiled=True)
+    out = tpg.execute(spark)
+    assert "resample_spatial" not in tpg.tiled_demotions
+    long_pg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_wl")
+    want = long_pg.execute(spark).df.toPandas()
+    got = out.df.toPandas()
+    cols = ["band", "time", "y", "x"]
+    import pandas as pd
+
+    g = got.set_index(cols)["value"].sort_index()
+    w = want.set_index(cols)["value"].sort_index()
+    pd.testing.assert_series_equal(g.loc[w.index], w, check_exact=True)
+    # bilinear still demotes (recorded), long fallback stays correct
+    g2 = graph()
+    g2["process_graph"]["rs"]["arguments"]["method"] = "bilinear"
+    tpg2 = ProcessGraph(g2, save_dir="/tmp/pg_r14_wb", tiled=True)
+    out2 = tpg2.execute(spark)
+    assert "resample_spatial" in tpg2.tiled_demotions
+    assert out2.df.count() > 0
