@@ -2280,9 +2280,14 @@ def resample_spatial_warp_tiled(
     inside a tile, so the long warp's absent-row fringe becomes a
     NULL fringe here (pytest pins the exact relationship).
 
-    ``near`` only: bilinear's 4-neighbor renormalized blend would need
-    per-pair weight arrays (4× geometry); it rides the long tier via
-    the planner's recorded demotion until measured to matter."""
+    ``bilinear`` (round 14, late) rides the same three stages with a
+    weight array alongside the positions (≤4 request entries per
+    target pixel) and a renormalizing accumulate in the scatter
+    (Σw·v / Σw over non-NULL joined neighbors — the long warp's exact
+    rule). Fragments sort by source tile before accumulating so the
+    float sums are partitioning-deterministic; cross-tier agreement
+    with the long warp is last-ulp (different summation order),
+    pinned at 1e-9 in pytest."""
     from typing import Iterator
 
     import numpy as np
@@ -2295,10 +2300,14 @@ def resample_spatial_warp_tiled(
     )
     from ..operators.resample import _epsg_of
 
-    if method not in ("near", "nearest"):
+    if method in ("near", "nearest"):
+        bilinear = False
+    elif method == "bilinear":
+        bilinear = True
+    else:
         raise TiledRegridUnsupported(
-            f"tiled projection warp supports nearest (got {method!r}); "
-            "bilinear demotes to the long tier"
+            f"tiled projection warp supports nearest and bilinear, "
+            f"got {method!r}"
         )
     src_epsg = _epsg_of(tc.schema.crs)
     tgt_epsg = _epsg_of(projection)
@@ -2325,6 +2334,8 @@ def resample_spatial_warp_tiled(
         for pdf in batches:
             out = {"st_r": [], "st_c": [], "tt_r": [], "tt_c": [],
                    "spos": [], "tpos": []}
+            if bilinear:
+                out["w"] = []
             for tid in pdf["id"]:
                 ttr, ttc = divmod(int(tid), nt_x)
                 h = min(Tt, nyt - ttr * Tt)
@@ -2337,24 +2348,55 @@ def resample_spatial_warp_tiled(
                     np.broadcast_to(e, (h, w)).ravel(),
                     np.broadcast_to(n, (h, w)).ravel(),
                 )
-                xi = np.floor((sx - src_x0) / resx + 0.5).astype("int64")
-                yi = np.floor((src_y0 - sy) / resy + 0.5).astype("int64")
-                keep = (xi >= 0) & (xi < n_x) & (yi >= 0) & (yi < n_y)
-                if not keep.any():
+                qx = (sx - src_x0) / resx
+                qy = (src_y0 - sy) / resy
+                tpos_full = (np.repeat(ly, w) * Tt + np.tile(lx, h)) \
+                    .astype("int32")
+                if bilinear:
+                    xlo = np.floor(qx)
+                    ylo = np.floor(qy)
+                    wx = qx - xlo
+                    wy = qy - ylo
+                    xi_l, yi_l, tp_l, w_l = [], [], [], []
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            xi4 = xlo.astype("int64") + dx
+                            yi4 = ylo.astype("int64") + dy
+                            w4 = ((wx if dx else 1.0 - wx)
+                                  * (wy if dy else 1.0 - wy))
+                            k4 = ((xi4 >= 0) & (xi4 < n_x)
+                                  & (yi4 >= 0) & (yi4 < n_y) & (w4 > 0))
+                            xi_l.append(xi4[k4])
+                            yi_l.append(yi4[k4])
+                            tp_l.append(tpos_full[k4])
+                            w_l.append(w4[k4])
+                    xi = np.concatenate(xi_l)
+                    yi = np.concatenate(yi_l)
+                    tpos = np.concatenate(tp_l)
+                    wts = np.concatenate(w_l)
+                else:
+                    xi = np.floor(qx + 0.5).astype("int64")
+                    yi = np.floor(qy + 0.5).astype("int64")
+                    keep = (
+                        (xi >= 0) & (xi < n_x) & (yi >= 0) & (yi < n_y)
+                    )
+                    xi, yi, tpos = xi[keep], yi[keep], tpos_full[keep]
+                    wts = None
+                if len(xi) == 0:
                     continue
-                xi, yi = xi[keep], yi[keep]
-                tpos = (
-                    (np.repeat(ly, w) * Tt + np.tile(lx, h))[keep]
-                ).astype("int32")
                 st = yi // T * ((n_x - 1) // T + 1) + xi // T
                 spos = ((yi % T) * T + xi % T).astype("int32")
                 order = np.argsort(st, kind="stable")
                 st_s, spos_s, tpos_s = st[order], spos[order], tpos[order]
+                w_s = wts[order] if wts is not None else None
                 bounds = np.flatnonzero(np.diff(st_s)) + 1
-                for chunk_s, chunk_sp, chunk_tp in zip(
+                splits = zip(
                     np.split(st_s, bounds), np.split(spos_s, bounds),
                     np.split(tpos_s, bounds),
-                ):
+                    (np.split(w_s, bounds) if w_s is not None
+                     else [None] * (len(bounds) + 1)),
+                )
+                for chunk_s, chunk_sp, chunk_tp, chunk_w in splits:
                     st_r, st_c = divmod(int(chunk_s[0]),
                                         (n_x - 1) // T + 1)
                     out["st_r"].append(st_r)
@@ -2363,20 +2405,22 @@ def resample_spatial_warp_tiled(
                     out["tt_c"].append(ttc)
                     out["spos"].append(chunk_sp)
                     out["tpos"].append(chunk_tp)
+                    if bilinear:
+                        out["w"].append(chunk_w)
             yield pd.DataFrame(out)
 
     import os as _os
 
     spark = tc.df.sparkSession
     cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    req_schema = ("st_r int, st_c int, tt_r int, tt_c int, "
+                  "spos array<int>, tpos array<int>")
+    if bilinear:
+        req_schema += ", w array<double>"
     req = (
         spark.range(nt_y * nt_x)
         .repartition(min(max(nt_y * nt_x // 8, 1), cpus * 4))
-        .mapInPandas(
-            requests,
-            "st_r int, st_c int, tt_r int, tt_c int, "
-            "spos array<int>, tpos array<int>",
-        )
+        .mapInPandas(requests, req_schema)
     )
     keys = tc.key_dims
     src = tc.df.select(
@@ -2385,8 +2429,11 @@ def resample_spatial_warp_tiled(
         "data",
     )
     src, req = _widened_join_sides(tc, src, req, ["st_r", "st_c"])
+    frag_cols = [*keys, "tt_r", "tt_c", "spos", "tpos", "data"] + (
+        ["w"] if bilinear else []
+    )
     joined = src.join(req, ["st_r", "st_c"]).select(
-        *keys, "tt_r", "tt_c", "spos", "tpos", "data"
+        *frag_cols, "st_r", "st_c"
     )
 
     def gather(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -2395,28 +2442,49 @@ def resample_spatial_warp_tiled(
                 np.asarray(d, dtype="float64")[np.asarray(sp, dtype="int64")]
                 for d, sp in zip(pdf["data"], pdf["spos"])
             ]
-            rec = {k: pdf[k] for k in (*keys, "tt_r", "tt_c", "tpos")}
+            cols = (*keys, "tt_r", "tt_c", "tpos", "st_r", "st_c") + (
+                ("w",) if bilinear else ()
+            )
+            rec = {k: pdf[k] for k in cols}
             rec["vals"] = vals
             yield pd.DataFrame(rec)
 
     key_fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    frags = joined.mapInPandas(
-        gather,
-        f"{key_fields}, tt_r int, tt_c int, "
-        "tpos array<int>, vals array<double>",
-    )
+    frag_schema = (f"{key_fields}, tt_r int, tt_c int, "
+                   "tpos array<int>, st_r int, st_c int")
+    if bilinear:
+        frag_schema += ", w array<double>"
+    frag_schema += ", vals array<double>"
+    frags = joined.mapInPandas(gather, frag_schema)
 
     T2t = Tt * Tt
 
     def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas = np.full(T2t, np.nan)
-        for tp, vv in zip(pdf["tpos"], pdf["vals"]):
-            canvas[np.asarray(tp, dtype="int64")] = np.asarray(
-                vv, dtype="float64"
-            )
         row0 = pdf.iloc[0]
+        if bilinear:
+            # deterministic accumulation order (float sums): fragments
+            # sort by source tile before Σw·v / Σw
+            pdf = pdf.sort_values(["st_r", "st_c"])
+            num = np.zeros(T2t)
+            den = np.zeros(T2t)
+            for tp, vv, ww in zip(pdf["tpos"], pdf["vals"], pdf["w"]):
+                tp = np.asarray(tp, dtype="int64")
+                vv = np.asarray(vv, dtype="float64")
+                ww = np.asarray(ww, dtype="float64")
+                m = ~np.isnan(vv)
+                np.add.at(num, tp[m], ww[m] * vv[m])
+                np.add.at(den, tp[m], ww[m])
+            with np.errstate(invalid="ignore"):
+                canvas = np.where(den > 0, num / np.where(den > 0, den, 1),
+                                  np.nan)
+        else:
+            canvas = np.full(T2t, np.nan)
+            for tp, vv in zip(pdf["tpos"], pdf["vals"]):
+                canvas[np.asarray(tp, dtype="int64")] = np.asarray(
+                    vv, dtype="float64"
+                )
         rec = {k: [row0[k]] for k in keys}
         rec["tile_row"] = [int(row0["tt_r"])]
         rec["tile_col"] = [int(row0["tt_c"])]

@@ -630,10 +630,54 @@ def test_warp_tiled_planner_no_demotion(spark):
     g = got.set_index(cols)["value"].sort_index()
     w = want.set_index(cols)["value"].sort_index()
     pd.testing.assert_series_equal(g.loc[w.index], w, check_exact=True)
-    # bilinear still demotes (recorded), long fallback stays correct
+    # bilinear is tile-native too (round 14, late): no demotion, and
+    # it agrees with the long bilinear to 1e-9 on the long rows (the
+    # two tiers sum the ≤4-weight blend in different orders)
     g2 = graph()
     g2["process_graph"]["rs"]["arguments"]["method"] = "bilinear"
     tpg2 = ProcessGraph(g2, save_dir="/tmp/pg_r14_wb", tiled=True)
     out2 = tpg2.execute(spark)
-    assert "resample_spatial" in tpg2.tiled_demotions
-    assert out2.df.count() > 0
+    assert "resample_spatial" not in tpg2.tiled_demotions
+    lpg2 = ProcessGraph(g2, save_dir="/tmp/pg_r14_wbl")
+    want2 = lpg2.execute(spark).df.toPandas()
+    got2 = out2.df.toPandas()
+    g2s = got2.set_index(cols)["value"].sort_index()
+    w2s = want2.set_index(cols)["value"].sort_index()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        g2s.loc[w2s.index].to_numpy(dtype=float),
+        w2s.to_numpy(dtype=float), rtol=0, atol=1e-9,
+    )
+
+
+def test_warp_tiled_bilinear_linear_field_exact(spark):
+    """The tiled bilinear warp against the same independent ground
+    truth as the long one: a field linear in (xi, yi) reproduces the
+    plane at every interior target pixel."""
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.core.tiled import (
+        from_tiled,
+        resample_spatial_warp_tiled,
+    )
+    from openeo_odc_driver_spark.functions.proj import utm_to_wgs84_np
+
+    s = _LINEAR_SPEC
+    cube = synthetic_cube(spark, s)
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    out = from_tiled(
+        resample_spatial_warp_tiled(tc, 32632, 100.0, method="bilinear")
+    )
+    pdf = out.df.toPandas()
+    pdf = pdf[pdf["value"].notna()]
+    assert len(pdf) > 100
+    lon, lat = utm_to_wgs84_np(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                               32632)
+    qx = (lon - s.x0) / s.resx
+    qy = (s.y0 - lat) / s.resy
+    inner = (qx >= 0) & (qx <= 15) & (qy >= 0) & (qy <= 15)
+    inner &= ~((qx < 1) & (qy < 1))  # the spec's one NULL pixel corner
+    assert inner.sum() > 50
+    want = -s.vs + (s.vd / 8.0) * qx + (s.vc / 8.0) * qy
+    np.testing.assert_allclose(pdf["value"].to_numpy()[inner],
+                               want[inner], rtol=0, atol=1e-9)
