@@ -915,6 +915,35 @@ class ProcessGraph:
                         )
                     except tl.TiledRegridUnsupported:
                         return NotImplemented
+                # projection == cube CRS: fall through to the
+                # resolution-only native snap below (ADVICE r13)
+            # resolution-only at an explicit plan position (not folded
+            # into the scan): the long branch runs resample_cube_spatial
+            # onto the scaled grid — the same covering-downscale snap
+            # resample_cube_spatial_tiled runs natively (round 14);
+            # unsupported grid pairs demote as usual
+            res = args.get("resolution")
+            if res and str(args.get("method", "near")) in ("near",
+                                                           "nearest"):
+                from dataclasses import replace as _rpl
+
+                tcube = self._resolve_raw(args["data"])
+                g = tcube.schema.grid
+                if g is not None:
+                    r = float(res[0] if isinstance(res, (list, tuple))
+                              else res)
+                    tgt = tl.TiledCube(
+                        tcube.df,
+                        _rpl(tcube.schema,
+                             grid=GridSpec(g.x0, g.y0, r, r)),
+                        tcube.tile, tcube.n_y, tcube.n_x,
+                    )
+                    try:
+                        return tl.resample_cube_spatial_tiled(
+                            tcube, tgt, "near"
+                        )
+                    except tl.TiledRegridUnsupported:
+                        return NotImplemented
             return NotImplemented
         if pid == "resample_cube_spatial" and is_tiled("data"):
             src = self._resolve_raw(args["data"])

@@ -681,3 +681,41 @@ def test_warp_tiled_bilinear_linear_field_exact(spark):
     want = -s.vs + (s.vd / 8.0) * qx + (s.vc / 8.0) * qy
     np.testing.assert_allclose(pdf["value"].to_numpy()[inner],
                                want[inner], rtol=0, atol=1e-9)
+
+
+def test_resample_spatial_resolution_only_tiled_native(spark):
+    """A resolution-only resample_spatial at an explicit plan position
+    (not adjacent to the load, so not folded into the scan) runs the
+    native covering-downscale snap in tiled mode — no demotion — and
+    matches the long plan exactly."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    def graph():
+        return {"process_graph": {
+            "load": {"process_id": "load_collection",
+                     "arguments": {"id": "synthetic"}},
+            "k": {"process_id": "apply",
+                  "arguments": {"data": {"from_node": "load"},
+                                "process": {"process_graph": {
+                                    "a": {"process_id": "absolute",
+                                          "arguments": {"x": {"from_parameter": "x"}},
+                                          "result": True}}}}},
+            "rs": {"process_id": "resample_spatial",
+                   "arguments": {"data": {"from_node": "k"},
+                                 "resolution": 20.0},
+                   "result": True},
+        }}
+
+    tpg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_ro", tiled=True)
+    out = tpg.execute(spark)
+    assert "resample_spatial" not in tpg.tiled_demotions
+    long_pg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_rol")
+    want = long_pg.execute(spark).df.toPandas()
+    got = out.df.toPandas()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True,
+                                  check_dtype=False)
