@@ -597,11 +597,18 @@ class ProcessGraph:
         path = os.path.join(self.tiled_store_dir, args["id"])
         if not os.path.exists(os.path.join(path, "_tiled_meta.json")):
             return None
-        if args.get("_target_resolution"):
-            return None
         from ..core import tiled as tl
 
         tc = tl.load_tiled(self._spark, path)
+        tres = args.get("_target_resolution")
+        if tres and (
+            tc.schema.grid is None
+            or str(args.get("_resample_method", "near"))
+            not in ("near", "nearest")
+        ):
+            # pushed-down resample the tiled snap can't express —
+            # fall back to the long scan (which coarsens in-scan)
+            return None
         se = args.get("spatial_extent")
         if se:
             g = tc.schema.grid
@@ -623,6 +630,26 @@ class ProcessGraph:
             )
         if args.get("bands"):
             tc = tl.filter_bands_tiled(tc, args["bands"])
+        if tres:
+            # a resample pushed into this load used to FORFEIT the
+            # store (long scan + query-time repack of the full-res
+            # scene); round 14 keeps the store and regrids natively —
+            # same bytes read, the covering-downscale snap on tiles,
+            # applied AFTER band/temporal pruning so the snap moves
+            # only the kept slices. Unsupported grid pairs fall back.
+            from dataclasses import replace as _rpl
+
+            g = tc.schema.grid
+            r = float(tres[0] if isinstance(tres, (list, tuple))
+                      else tres)
+            tgt = tl.TiledCube(
+                tc.df, _rpl(tc.schema, grid=GridSpec(g.x0, g.y0, r, r)),
+                tc.tile, tc.n_y, tc.n_x,
+            )
+            try:
+                tc = tl.resample_cube_spatial_tiled(tc, tgt, "near")
+            except tl.TiledRegridUnsupported:
+                return None
         return tc
 
 

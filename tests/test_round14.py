@@ -719,3 +719,48 @@ def test_resample_spatial_resolution_only_tiled_native(spark):
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True,
                                   check_dtype=False)
+
+
+def test_store_load_keeps_store_under_resample_pushdown(spark, tmp_path):
+    """A resample pushed into a stored load no longer forfeits the
+    tiled store: the store is read (band/temporal pruning intact) and
+    the covering-downscale snap runs natively — result identical to
+    the long plan's in-scan coarsening."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    store_root = str(tmp_path)
+    t.save_tiled(
+        t.to_tiled(synthetic_cube(spark), tile=16, n_y=16, n_x=16),
+        f"{store_root}/synthetic",
+    )
+
+    def graph():
+        return {"process_graph": {
+            "load": {"process_id": "load_collection",
+                     "arguments": {"id": "synthetic",
+                                   "bands": ["B04", "B08"]}},
+            "rs": {"process_id": "resample_spatial",
+                   "arguments": {"data": {"from_node": "load"},
+                                 "resolution": 20.0},
+                   "result": True},
+        }}
+
+    tpg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_sp", tiled=True,
+                       tile=16, tiled_store_dir=store_root)
+    out = tpg.execute(spark)
+    # the store was read: the scan's schema is the PACKED layout
+    # (tile_row/tile_col/data), not the long synthetic SQL generator
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "tile_row:int,tile_col:int,data:array<double>" in plan
+    assert tpg.tiled_demotions == []
+    long_pg = ProcessGraph(graph(), save_dir="/tmp/pg_r14_spl")
+    want = long_pg.execute(spark).df.toPandas()
+    got = out.df.toPandas()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True,
+                                  check_dtype=False)
