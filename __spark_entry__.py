@@ -53,58 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json with N > ASOF, so the list stays self-consistent
 # when THIS round's report lands (VERDICT r7 item 1 — the round-boundary
 # breakage class).
-_GATE_PRIORITY_ASOF = 13
+_GATE_PRIORITY_ASOF = 14
 _GATE_PRIORITY = [
-    "mask_sweep",
-    "array_element_sweep",
-    "resample_spatial_warp_sweep",
-    "resample_spatial_warp_utm_wgs84",
-    "gtiff_time_planes_roundtrip",
-    "split_leakage_report",
-    "streaming_minhash_dedup",
-    "streaming_pii_redact",
-    "temperature_sample_domains",
-    "text_content_ann",
-    "text_content_topk",
-    "text_feature_embedding",
-    "token_length_histogram",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "train_split_census",
-    "aggregate_spatial_window",
-    "aggregate_temporal_period_season",
-    "ann_recall",
-    "anomaly",
-    "apply_kernel",
-    "array_interpolate_linear",
-    "brute_force_topk",
-    "copurchase_pagerank_shuffle",
-    "dedup_keep_first",
-    "doc_fingerprint",
-    "drop_dimension",
-    "embedding_cosine_dup_pairs",
-    "events_hourly",
-    "exact_dedup",
-    "fit_curve_linear",
-    "flagship_ndvi",
-    "geocode_nearest",
-    "ivf_flat_ann",
-    "lang_id",
-    "lsh_bucket_ann",
-    "merge_cubes_resolver",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "near_dup_clusters",
-    "near_dup_keep_representative",
-    "ngram_jaccard_pairs",
-    "orders_topk_per_customer",
-    "phash_recall_tiers",
-    "semantic_dedup_auto",
-    "synthetic_cube",
     "tiled_aggregate_temporal_season",
     "tiled_apply_kernel",
     "tiled_filter_bbox",
@@ -305,6 +255,56 @@ _GATE_PRIORITY = [
     "tiled_reduce_time_sweep",
     "tiled_reduce_x_sweep",
     "tiled_zonal_sweep",
+    "aggregate_spatial_window",
+    "aggregate_temporal_period_season",
+    "ann_recall",
+    "anomaly",
+    "apply_kernel",
+    "array_element_sweep",
+    "array_interpolate_linear",
+    "brute_force_topk",
+    "copurchase_pagerank_shuffle",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "drop_dimension",
+    "embedding_cosine_dup_pairs",
+    "events_hourly",
+    "exact_dedup",
+    "fit_curve_linear",
+    "flagship_ndvi",
+    "geocode_nearest",
+    "gtiff_time_planes_roundtrip",
+    "ivf_flat_ann",
+    "lang_id",
+    "lsh_bucket_ann",
+    "mask_sweep",
+    "merge_cubes_resolver",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "near_dup_clusters",
+    "near_dup_keep_representative",
+    "ngram_jaccard_pairs",
+    "orders_topk_per_customer",
+    "phash_recall_tiers",
+    "resample_spatial_warp_sweep",
+    "resample_spatial_warp_utm_wgs84",
+    "semantic_dedup_auto",
+    "split_leakage_report",
+    "streaming_minhash_dedup",
+    "streaming_pii_redact",
+    "synthetic_cube",
+    "temperature_sample_domains",
+    "text_content_ann",
+    "text_content_topk",
+    "text_feature_embedding",
+    "token_length_histogram",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "train_split_census",
 ]
 
 

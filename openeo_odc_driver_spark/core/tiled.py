@@ -120,7 +120,7 @@ def _raster_exchange_width(tc: "TiledCube") -> int | None:
     a human setting ``spark.sql.shuffle.partitions``, each raster fold
     sizes its own exchange from catalog constants: payload = tiles x
     bands x time-steps x tile^2 x 8 bytes, width = payload /
-    ``_EXCHANGE_TARGET_BYTES`` (64 MiB of raw arrays per task keeps the
+    ``_EXCHANGE_TARGET_BYTES`` (32 MiB of raw arrays per task keeps the
     per-task Arrow+numpy transient far from the heap).
 
     **Oracle-determinism guard**: returns None (no repartition, plan
@@ -2557,11 +2557,19 @@ def time_to_planes_tiled(tc: TiledCube):
         schema = schema.drop(BAND)
     ax = schema.time_axis
     if ax is not None:
-        labels = sorted(str(t) for t in ax)
+        times = list(ax)
     else:
-        labels = sorted(
-            str(r[0]) for r in df.select(TIME).distinct().collect()
-        )
+        times = [r[0] for r in df.select(TIME).distinct().collect()]
+    # the data column relabels via date_format('yyyy-MM-dd HH:mm:ss'),
+    # which truncates sub-second precision and cannot render tz-aware
+    # stamps — a label/value mismatch would silently drop tiles at the
+    # sink's plane mapping, so such axes demote to the long sink
+    # (ADVICE r14)
+    for t in times:
+        if (getattr(t, "microsecond", 0) or getattr(t, "nanosecond", 0)
+                or getattr(t, "tzinfo", None) is not None):
+            return None
+    labels = sorted(str(t) for t in times)
     df = df.withColumn(
         BAND, F.date_format(TIME, "yyyy-MM-dd HH:mm:ss")
     ).drop(TIME)

@@ -276,6 +276,16 @@ class ProcessGraph:
                     resample_spatial_warp,
                 )
 
+                if (_epsg_of(args["projection"]) is None
+                        and str(args["projection"]) != str(cube.schema.crs)):
+                    # an explicitly requested reprojection we cannot
+                    # parse must NOT silently fall through to the
+                    # resolution-only branch (None == None) — fail the
+                    # same named way validate_warp_pair does
+                    raise NotImplementedError(
+                        "resample_spatial: unsupported target CRS "
+                        f"{args['projection']!r} (EPSG codes only)"
+                    )
                 if _epsg_of(args["projection"]) != _epsg_of(cube.schema.crs):
                     if not res:
                         raise ValueError(
@@ -917,14 +927,24 @@ class ProcessGraph:
             )
         if pid == "resample_spatial" and is_tiled("data"):
             # PROJECTION warp natively on tiles (round 14) — the last
-            # raster op that demoted: nearest rides
+            # raster op that demoted: nearest AND bilinear both ride
             # resample_spatial_warp_tiled (raster stays packed, one
-            # exchange); bilinear and resolution-only keep the long
-            # path (recorded demotion / explicit regrid semantics)
+            # exchange); resolution-only routes to the native
+            # covering-downscale snap below
             if args.get("projection") is not None:
                 from ..operators.resample import _epsg_of
 
                 tcube = self._resolve_raw(args["data"])
+                if (_epsg_of(args["projection"]) is None
+                        and str(args["projection"])
+                        != str(tcube.schema.crs)):
+                    # same guard as the long branch: an unparseable
+                    # explicit reprojection raises instead of silently
+                    # routing to the resolution-only snap
+                    raise NotImplementedError(
+                        "resample_spatial: unsupported target CRS "
+                        f"{args['projection']!r} (EPSG codes only)"
+                    )
                 if (_epsg_of(args["projection"])
                         != _epsg_of(tcube.schema.crs)):
                     res = args.get("resolution")
@@ -998,8 +1018,9 @@ class ProcessGraph:
             named = _single_named_reducer(args["reducer"]["process_graph"])
             polys = _geojson_polygons(args["geometries"])
             # concave polygons are native since round 10 (even-odd
-            # crossing tests mirroring the long ray-cast UDF); only an
-            # unsupported reducer (e.g. product) demotes
+            # crossing tests mirroring the long ray-cast UDF); the full
+            # reducer set incl. product is native since round 11 — only
+            # a reducer outside _ZONAL_REDUCERS demotes
             if named in tl._ZONAL_REDUCERS:
                 return tl.aggregate_spatial_tiled(
                     self._resolve_raw(args["data"]), polys, named,
