@@ -1210,7 +1210,12 @@ def _reduce_time_numpy(
     )
 
 
-def save_tiled(tc: TiledCube, path: str, partition_by_band: bool = True) -> str:
+def save_tiled(
+    tc: TiledCube,
+    path: str,
+    partition_by_band: bool = True,
+    overviews: tuple = (),
+) -> str:
     """Persist the tiled layout as partitioned parquet + a metadata
     sidecar — the storage tier, not just an in-memory transform.
 
@@ -1221,7 +1226,19 @@ def save_tiled(tc: TiledCube, path: str, partition_by_band: bool = True) -> str:
     DataFrame can't carry (tile edge, scene dims, grid geometry, dims,
     band order, CRS) lands in ``_tiled_meta.json`` next to the files —
     the corpus sink's manifest discipline: the directory is
-    self-describing, a reader needs no side channel."""
+    self-describing, a reader needs no side channel.
+
+    ``overviews`` (round 15): COG-style reduced-resolution levels —
+    each integer factor ``k`` writes a full save_tiled store (nearest
+    covering-downscale snap onto the k·res grid, same origin) under
+    ``path/_overviews/L{k}`` (the underscore prefix keeps the level
+    dirs invisible to the base parquet scan — verified: Spark's hidden
+    file filter skips them during listing). Built levels land in the
+    sidecar's ``overviews`` list — the commit point readers trust.
+    This mirrors the overview tier the reference pushes its coarse
+    loads into (ODC/GDAL overview-reading loader,
+    openeo_odc_driver.py:175-202): at 100 TB a 600 m query must never
+    scan 10 m tiles, and a k× level is k²× fewer bytes."""
     import json
     import os
 
@@ -1246,10 +1263,156 @@ def save_tiled(tc: TiledCube, path: str, partition_by_band: bool = True) -> str:
     w = tc.df.write.mode("overwrite")
     if partition_by_band:
         w = w.partitionBy(BAND)
-    w.parquet(path)
+    w.parquet(path)  # base write first: overwrite clears the dir
+    built = []
+    for k in sorted(set(int(k) for k in overviews)):
+        ov = _build_overview(tc, k)
+        if ov is None:
+            continue
+        save_tiled(ov, os.path.join(path, "_overviews", f"L{k}"),
+                   partition_by_band)
+        built.append(k)
+    if built:
+        meta["overviews"] = built
     with open(os.path.join(path, "_tiled_meta.json"), "w") as fh:
         json.dump(meta, fh)
     return path
+
+
+def _build_overview(tc: TiledCube, k: int):
+    """Level-k overview cube: the nearest covering-downscale snap onto
+    the k·res grid at the SAME origin — i.e. exactly what
+    resample_cube_spatial_tiled would answer for that grid, so a query
+    resolved from the overview can be bit-identical to the full-res
+    plan. Returns None when the snap can't express the pair (k ≥ scene
+    is fine — a 1-cell level; grid-less cubes have no levels)."""
+    from dataclasses import replace as _rpl
+
+    g = tc.schema.grid
+    if g is None or k < 2:
+        return None
+    tgt = TiledCube(
+        tc.df,
+        _rpl(tc.schema,
+             grid=GridSpec(g.x0, g.y0, g.resx * k, g.resy * k)),
+        tc.tile, tc.n_y, tc.n_x,
+    )
+    try:
+        return resample_cube_spatial_tiled(tc, tgt, "near")
+    except TiledRegridUnsupported:
+        return None
+
+
+def ensure_overviews(spark, path: str, levels: tuple = (2, 4, 8)) -> list:
+    """Additively build missing overview levels for an EXISTING
+    save_tiled store (loads the stored base — no recompute of the
+    original scene) and commit them to the sidecar. Returns the
+    store's final level list.
+
+    Concurrency: a mkdir lock serializes builders; a loser returns the
+    CURRENT sidecar levels immediately instead of waiting — overview
+    absence only costs bytes read, never correctness (the loader's
+    selection gate falls back to the base store)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_tiled_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    have = list(meta.get("overviews") or [])
+    want = sorted(set(int(k) for k in levels) - set(have))
+    if not want:
+        return have
+    lock = os.path.join(path, ".ov.lock")
+    try:
+        os.mkdir(lock)
+    except OSError:
+        # a crashed builder must not wedge the store forever: steal
+        # locks older than 5 minutes (gate-scale builds take seconds)
+        import time
+
+        try:
+            stale = time.time() - os.path.getmtime(lock) > 300
+        except OSError:
+            stale = False
+        if not stale:
+            return have
+        try:
+            os.rmdir(lock)
+            os.mkdir(lock)
+        except OSError:
+            return have
+    try:
+        tc = load_tiled(spark, path)
+        for k in want:
+            ov = _build_overview(tc, k)
+            if ov is None:
+                continue
+            save_tiled(ov, os.path.join(path, "_overviews", f"L{k}"))
+            have.append(k)
+        meta["overviews"] = sorted(have)
+        tmp = f"{meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+    finally:
+        os.rmdir(lock)
+    return sorted(have)
+
+
+def _overview_factorizes(
+    n: int, o: float, res: float, k: int, r: float, descending: bool
+) -> bool:
+    """True iff resolving a nearest snap base→target THROUGH the
+    level-k overview picks the same source pixel for every target cell
+    as the direct snap: ``w_k[w_2] == w_direct`` where ``w_k`` is the
+    map the overview was built with and ``w_2`` the overview→target
+    map the loader would run. Pure plan-time numpy over one axis —
+    O(scene width) — so overview use is gated by PROOF, not by a
+    divisibility convention (half-pixel rounding breaks naive
+    factor-divides-ratio rules: e.g. 10 m→80 m via L4 picks pixel
+    k·j+2 ≠ direct's m·i+4)."""
+    import numpy as np
+
+    try:
+        w_direct = _axis_winner_map(n, o, res, o, r, descending)
+        w_k = _axis_winner_map(n, o, res, o, res * k, descending)
+        w_2 = _axis_winner_map(len(w_k), o, res * k, o, r, descending)
+    except TiledRegridUnsupported:
+        return False
+    return len(w_2) == len(w_direct) and bool(
+        (np.asarray(w_k)[np.asarray(w_2)] == np.asarray(w_direct)).all()
+    )
+
+
+def select_overview_level(
+    path: str, grid, n_y: int, n_x: int, resolution: float
+):
+    """Coarsest stored overview level that resolves a nearest
+    resample to ``resolution`` EXACTLY (both axes factorize through
+    the level — :func:`_overview_factorizes`), or None to read the
+    base store. Reads only the sidecar; zero Spark jobs."""
+    import json
+    import os
+
+    if grid is None:
+        return None
+    try:
+        with open(os.path.join(path, "_tiled_meta.json")) as fh:
+            levels = json.load(fh).get("overviews") or []
+    except (OSError, ValueError):
+        return None
+    r = float(resolution)
+    for k in sorted((int(k) for k in levels), reverse=True):
+        if r < grid.resx * k or r < grid.resy * k:
+            continue  # level coarser than the target cannot serve it
+        if _overview_factorizes(
+            n_x, grid.x0, grid.resx, k, r, descending=False
+        ) and _overview_factorizes(
+            n_y, grid.y0, grid.resy, k, r, descending=True
+        ):
+            return k
+    return None
 
 
 def load_tiled(spark, path: str) -> TiledCube:

@@ -147,6 +147,9 @@ class ProcessGraph:
         # process_ids that fell through _dispatch_tiled to the long
         # tier this execution (observable graceful degradation)
         self.tiled_demotions: list = []
+        # (collection_id, level) per stored load served from an
+        # overview pyramid level instead of the full-res base store
+        self.tiled_overview_reads: list = []
         self.result_node = next(
             (nid for nid, n in self.nodes.items() if n.get("result")), None
         )
@@ -633,6 +636,28 @@ class ProcessGraph:
             )
             if not covers:
                 return None
+        if tres:
+            # OVERVIEW PYRAMID (round 15): serve the pushed-down
+            # coarse resample from the coarsest stored level that
+            # resolves it EXACTLY (select_overview_level proves
+            # w_k[w_2] == w_direct per axis from the sidecar + grid
+            # constants — zero Spark jobs). The reference pushes the
+            # same shape into ODC's overview-reading loader
+            # (openeo_odc_driver.py:175-202); at 100 TB this is the
+            # difference between scanning k²× fewer tile bytes and
+            # scanning the full-res scene for a 600 m answer. No
+            # exact level → read the base store as before.
+            r = float(tres[0] if isinstance(tres, (list, tuple))
+                      else tres)
+            lvl = tl.select_overview_level(
+                path, tc.schema.grid, tc.n_y, tc.n_x, r
+            )
+            if lvl is not None:
+                tc = tl.load_tiled(
+                    self._spark,
+                    os.path.join(path, "_overviews", f"L{lvl}"),
+                )
+                self.tiled_overview_reads.append((args["id"], lvl))
         te = args.get("temporal_extent")
         if te:
             tc = tl.filter_temporal_tiled(

@@ -2490,15 +2490,21 @@ def _pg_pushdown(spark, sf_dir):
     return pg.execute(spark).df
 
 
-_SNAP20 = (
-    "SELECT band, time, y, x, value, "
-    "0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5) AS sx, "
-    "150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5) AS sy, "
-    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) * "
-    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) "
-    "+ (y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) * "
-    "(y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) AS d FROM cube"
-)
+def _snap_sql(res: float) -> str:
+    """Nearest-snap CTE body onto the res-meter grid anchored at the
+    synthetic origin (0, 150) — the long resample_spatial semantics in
+    portable SQL (both engines evaluate the identical IEEE doubles)."""
+    r = f"{float(res):.1f}"
+    sx = f"0.0 + {r} * floor((x - 0.0) / {r} + 0.5)"
+    sy = f"150.0 - {r} * floor((150.0 - y) / {r} + 0.5)"
+    return (
+        f"SELECT band, time, y, x, value, {sx} AS sx, {sy} AS sy, "
+        f"(x - ({sx})) * (x - ({sx})) + (y - ({sy})) * (y - ({sy})) AS d "
+        "FROM cube"
+    )
+
+
+_SNAP20 = _snap_sql(20.0)
 
 _PG_PUSHDOWN_ORACLE = (
     f"WITH cube AS ({CUBE_D}), snapped AS ({_SNAP20}), "
@@ -2508,6 +2514,52 @@ _PG_PUSHDOWN_ORACLE = (
     "SELECT band, y, x, quantile_cont(value, 0.5) AS value "
     "FROM coarse GROUP BY band, y, x"
 )
+
+_PG_OVERVIEW_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), snapped AS ({_snap_sql(60.0)}), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY band, time, sx, sy ORDER BY d, x, y) AS rn FROM snapped), "
+    "coarse AS (SELECT band, time, sy AS y, sx AS x, value FROM r WHERE rn = 1) "
+    "SELECT band, y, x, quantile_cont(value, 0.5) AS value "
+    "FROM coarse GROUP BY band, y, x"
+)
+
+
+def _pg_overview(spark, sf_dir):
+    """Round 15: OVERVIEW PYRAMID serve — the pushed-down coarse
+    resample on a STORED collection reads a reduced-resolution tile
+    level instead of the full-res base (the shape the reference pushes
+    into ODC's overview-reading loader, openeo_odc_driver.py:175-202;
+    the r14 policy measurement priced its absence at 10.5 s vs 2.6 s
+    at sf100). save_tiled stores 2×/4×/8× levels under _overviews/
+    (sidecar-committed); the loader picks the coarsest level whose
+    composed winner maps PROVE bit-equality with the direct full-res
+    snap (core/tiled.py select_overview_level — plan-time numpy, zero
+    jobs). 60 m on the 10 m grid factorizes through L2 with a
+    non-identity second snap (L4/L8 provably do not — skipped); the
+    callable hard-asserts the L2 read so a silent base fallback FAILS
+    the gate rather than passing on full-res bytes. Oracle: the long
+    plan's in-scan coarsening SQL — one answer, every tier."""
+    import os
+
+    from .core.tiled import ensure_overviews
+    from .plans.graph import ProcessGraph
+
+    store = _build_tiled_store(spark, "synthetic")
+    ensure_overviews(spark, os.path.join(store, "synthetic"), (2, 4, 8))
+    pg = ProcessGraph.from_file(
+        f"{_PG_DIR}/resample_overview.json",
+        save_dir="/tmp/spark_graft_results/pg_overview",
+        tiled=True, tiled_store_dir=store,
+    )
+    out = pg.execute(spark).df
+    if pg.tiled_overview_reads != [("synthetic", 2)]:
+        raise ValueError(
+            "overview pyramid not served: expected the L2 read, got "
+            f"{pg.tiled_overview_reads!r} (demotions: "
+            f"{pg.tiled_demotions!r})"
+        )
+    return out
 
 
 _PG_MASKED_SEASONAL_ORACLE = (
@@ -2785,6 +2837,7 @@ def _register_planner():
       _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled_store)
     q("process_graph_masked_seasonal_tiled_store",
       _PG_MASKED_SEASONAL_ORACLE)(_pg_masked_seasonal_tiled_store)
+    q("tiled_store_overview", _PG_OVERVIEW_ORACLE)(_pg_overview)
 
 
 _register_planner()
