@@ -55,6 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # breakage class).
 _GATE_PRIORITY_ASOF = 14
 _GATE_PRIORITY = [
+    "resample_spatial_warp_directions_sweep",
+    "process_graph_ndvi_tiers_sweep",
+    "tiled_store_overview",
     "tiled_aggregate_temporal_season",
     "tiled_apply_kernel",
     "tiled_filter_bbox",
@@ -86,7 +89,6 @@ _GATE_PRIORITY = [
     "process_graph_masked_seasonal",
     "process_graph_masked_seasonal_tiled",
     "process_graph_ndvi",
-    "process_graph_ndvi_tiled",
     "quality_score",
     "quantiles",
     "radar_mask",
@@ -126,7 +128,6 @@ _GATE_PRIORITY = [
     "pq_ann",
     "pq_encode",
     "process_graph_masked_seasonal_tiled_store",
-    "process_graph_ndvi_tiled_store",
     "process_graph_resample_pushdown",
     "reduce_bands_mean",
     "reduce_x_sum",
@@ -287,7 +288,6 @@ _GATE_PRIORITY = [
     "orders_topk_per_customer",
     "phash_recall_tiers",
     "resample_spatial_warp_sweep",
-    "resample_spatial_warp_utm_wgs84",
     "semantic_dedup_auto",
     "split_leakage_report",
     "streaming_minhash_dedup",

@@ -174,35 +174,165 @@ def utm_to_wgs84_np(easting, northing, epsg: str | int):
     return np.degrees(lam), np.degrees(phi)
 
 
+# --- Web Mercator (EPSG:3857) -----------------------------------------
+# Spherical "Pseudo-Mercator" on the WGS84 semi-major as sphere radius —
+# the exact published definition (EPSG 3856/3857: method 1024), not an
+# ellipsoidal approximation: x = R·λ, y = R·ln(tan(π/4 + φ/2)).
+
+
+def wgs84_to_webmerc_np(lon, lat):
+    import numpy as np
+
+    lam = np.radians(np.asarray(lon, dtype="float64"))
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    return _A * lam, _A * np.log(np.tan(math.pi / 4 + phi / 2))
+
+
+def webmerc_to_wgs84_np(x, y):
+    import numpy as np
+
+    lam = np.asarray(x, dtype="float64") / _A
+    phi = 2 * np.arctan(np.exp(np.asarray(y, dtype="float64") / _A)) \
+        - math.pi / 2
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- ETRS89-extended LAEA Europe (EPSG:3035) ---------------------------
+# Ellipsoidal Lambert Azimuthal Equal Area (Snyder 1987, eqs. 3-11/3-12
+# and 24-27..24-39), GRS80 ellipsoid, center (52°N, 10°E), false origin
+# (4321000, 3210000). ETRS89≈WGS84 datum (the reference treats them as
+# coincident the same way — ODC hands both to PROJ with no datum shift
+# at this accuracy class).
+_GRS80_F = 1 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2 - _GRS80_F)
+_GRS80_E = math.sqrt(_GRS80_E2)
+_LAEA_LAT0 = math.radians(52.0)
+_LAEA_LON0 = math.radians(10.0)
+_LAEA_FE, _LAEA_FN = 4321000.0, 3210000.0
+
+
+def _laea_q(sin_phi):
+    import numpy as np
+
+    e, e2 = _GRS80_E, _GRS80_E2
+    return (1 - e2) * (
+        sin_phi / (1 - e2 * sin_phi * sin_phi)
+        - (1 / (2 * e)) * np.log((1 - e * sin_phi) / (1 + e * sin_phi))
+    )
+
+
+_LAEA_QP = float(_laea_q(1.0))
+_LAEA_RQ = _A * math.sqrt(_LAEA_QP / 2)
+_LAEA_BETA1 = math.asin(float(_laea_q(math.sin(_LAEA_LAT0))) / _LAEA_QP)
+_LAEA_M1 = math.cos(_LAEA_LAT0) / math.sqrt(
+    1 - _GRS80_E2 * math.sin(_LAEA_LAT0) ** 2
+)
+_LAEA_D = _A * _LAEA_M1 / (_LAEA_RQ * math.cos(_LAEA_BETA1))
+
+
+def wgs84_to_laea_np(lon, lat):
+    """Forward ellipsoidal LAEA (Snyder 24-27..24-34), vectorized."""
+    import numpy as np
+
+    lam = np.radians(np.asarray(lon, dtype="float64")) - _LAEA_LON0
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    beta = np.arcsin(np.clip(_laea_q(np.sin(phi)) / _LAEA_QP, -1, 1))
+    sb1, cb1 = math.sin(_LAEA_BETA1), math.cos(_LAEA_BETA1)
+    sb, cb = np.sin(beta), np.cos(beta)
+    b = _LAEA_RQ * np.sqrt(
+        2 / (1 + sb1 * sb + cb1 * cb * np.cos(lam))
+    )
+    x = b * _LAEA_D * cb * np.sin(lam) + _LAEA_FE
+    y = (b / _LAEA_D) * (cb1 * sb - sb1 * cb * np.cos(lam)) + _LAEA_FN
+    return x, y
+
+
+def laea_to_wgs84_np(x, y):
+    """Inverse ellipsoidal LAEA (Snyder 24-36..24-39 + series 3-18),
+    vectorized. Exact at the projection center (ρ=0 guarded)."""
+    import numpy as np
+
+    xr = (np.asarray(x, dtype="float64") - _LAEA_FE) / _LAEA_D
+    yr = (np.asarray(y, dtype="float64") - _LAEA_FN) * _LAEA_D
+    rho = np.sqrt(xr * xr + yr * yr)
+    sb1, cb1 = math.sin(_LAEA_BETA1), math.cos(_LAEA_BETA1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ce = 2 * np.arcsin(np.clip(rho / (2 * _LAEA_RQ), -1, 1))
+        sc, cc = np.sin(ce), np.cos(ce)
+        qv = _LAEA_QP * (cc * sb1 + np.where(rho == 0, 0.0,
+                                             yr * sc * cb1 / rho))
+        beta = np.arcsin(np.clip(qv / _LAEA_QP, -1, 1))
+        lam = np.arctan2(xr * sc, rho * cb1 * cc - yr * sb1 * sc)
+    e2 = _GRS80_E2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+    lam = np.where(rho == 0, 0.0, lam)
+    phi = np.where(rho == 0, _LAEA_LAT0, phi)
+    return np.degrees(lam + _LAEA_LON0), np.degrees(phi)
+
+
+def _crs_kind(epsg: int) -> str:
+    """'geographic' | 'utm' | 'webmerc' | 'laea' — raises ValueError
+    for anything the warp cannot transform."""
+    if epsg == 4326:
+        return "geographic"
+    if epsg == 3857:
+        return "webmerc"
+    if epsg == 3035:
+        return "laea"
+    utm_zone_from_epsg(epsg)  # raises ValueError if not UTM
+    return "utm"
+
+
+def from_lonlat_np(lon, lat, epsg: int):
+    kind = _crs_kind(epsg)
+    if kind == "geographic":
+        return lon, lat
+    if kind == "webmerc":
+        return wgs84_to_webmerc_np(lon, lat)
+    if kind == "laea":
+        return wgs84_to_laea_np(lon, lat)
+    return wgs84_to_utm_np(lon, lat, epsg)
+
+
+def to_lonlat_np(x, y, epsg: int):
+    kind = _crs_kind(epsg)
+    if kind == "geographic":
+        return x, y
+    if kind == "webmerc":
+        return webmerc_to_wgs84_np(x, y)
+    if kind == "laea":
+        return laea_to_wgs84_np(x, y)
+    return utm_to_wgs84_np(x, y, epsg)
+
+
 def make_transforms(src_epsg: int, tgt_epsg: int):
     """(to_target_np, to_source_np) for a validated warp CRS pair —
     shared by the long and tiled warps so the geometry cannot drift
-    between tiers. Each transform is vectorized over numpy arrays;
-    UTM→UTM composes through lon/lat."""
+    between tiers. Each transform is vectorized over numpy arrays and
+    composes through lon/lat (identity when a side IS 4326); supported
+    sides: 4326, UTM zones, Web Mercator 3857, LAEA Europe 3035."""
 
     def to_target_np(sx, sy):
-        if src_epsg == 4326:
-            return wgs84_to_utm_np(sx, sy, tgt_epsg)
-        lon, lat = utm_to_wgs84_np(sx, sy, src_epsg)
-        if tgt_epsg == 4326:
-            return lon, lat
-        return wgs84_to_utm_np(lon, lat, tgt_epsg)
+        lon, lat = to_lonlat_np(sx, sy, src_epsg)
+        return from_lonlat_np(lon, lat, tgt_epsg)
 
     def to_source_np(tx, ty):
-        if tgt_epsg == 4326:
-            lon, lat = tx, ty
-        else:
-            lon, lat = utm_to_wgs84_np(tx, ty, tgt_epsg)
-        if src_epsg == 4326:
-            return lon, lat
-        return wgs84_to_utm_np(lon, lat, src_epsg)
+        lon, lat = to_lonlat_np(tx, ty, tgt_epsg)
+        return from_lonlat_np(lon, lat, src_epsg)
 
     return to_target_np, to_source_np
 
 
 def validate_warp_pair(src_epsg, tgt_epsg) -> None:
     """The warp's fail-fast CRS checks (shared by both tiers): each
-    side must be 4326 or a UTM zone, and they must differ."""
+    side must be 4326, a UTM zone, Web Mercator (3857), or LAEA Europe
+    (3035) — and they must differ."""
     if src_epsg is None:
         raise NotImplementedError(
             "projection warp needs an EPSG-coded source CRS"
@@ -215,14 +345,15 @@ def validate_warp_pair(src_epsg, tgt_epsg) -> None:
             "the planner routes this to the resolution-only resample"
         )
     for role, code in (("source", src_epsg), ("target", tgt_epsg)):
-        if code != 4326:
-            try:
-                utm_zone_from_epsg(code)
-            except ValueError:
-                raise NotImplementedError(
-                    f"projection warp supports EPSG:4326 and UTM zones "
-                    f"(EPSG:326xx/327xx); {role} CRS EPSG:{code} is neither"
-                ) from None
+        try:
+            _crs_kind(code)
+        except ValueError:
+            raise NotImplementedError(
+                f"projection warp supports EPSG:4326, UTM zones "
+                f"(EPSG:326xx/327xx), Web Mercator (EPSG:3857) and "
+                f"LAEA Europe (EPSG:3035); {role} CRS EPSG:{code} "
+                f"is none of these"
+            ) from None
 
 
 def warp_target_lattice(

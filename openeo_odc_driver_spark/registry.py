@@ -1530,19 +1530,86 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
     )
 
 
-@q("resample_spatial_warp_utm_wgs84",
-   values_oracle_sql("resample_spatial_warp_utm_wgs84"))
-def _resample_spatial_warp_utm_wgs84(spark, sf_dir):
-    """Round 14: the UTM→4326 warp DIRECTION (r13 shipped 4326→UTM
-    only; the reference accepts any EPSG pair through ODC) — forward
-    TM per target pixel (``wgs84_to_utm_np``), nearest snap, same
-    single-exchange plan. UTM→UTM (zone pair through lon/lat) is
-    pytest-pinned (tests/test_round14.py::test_warp_utm_to_utm)."""
+@q("resample_spatial_warp_directions_sweep",
+   values_oracle_sql("resample_spatial_warp_directions_sweep"))
+def _resample_spatial_warp_directions_sweep(spark, sf_dir):
+    """Rounds 14+15, consolidated (absorbs r14's
+    resample_spatial_warp_utm_wgs84 as its ``utm_wgs84`` rows): every
+    warp DIRECTION beyond the sweep row's 4326→UTM, union-tagged by
+    ``proj`` — the reference forwards ANY EPSG pair to ODC/GDAL
+    (openeo_odc_driver.py:175-202); round 15 adds the two most common
+    non-UTM real-world targets as closed-form transforms in
+    functions/proj.py (VERDICT r14 task 3):
+
+    - ``utm_wgs84``: UTM→4326 nearest (r14's row, verbatim — forward
+      TM per target pixel).
+    - ``webmerc``: 4326→3857 (spherical Pseudo-Mercator, the published
+      EPSG:3857 definition) — near + bilinear + TILE-NATIVE near
+      (cross-tier parity hash-gated; NULL-fringe rows are the packed
+      canvas's off-scene targets).
+    - ``laea``: 4326→3035 (ellipsoidal Lambert Azimuthal Equal-Area,
+      Snyder 24-27..24-39 on GRS80) — near; forward pinned against
+      the published EPSG Guidance-Note test point in pytest.
+
+    Projection math is not SQL-expressible → literal captured oracle;
+    metric ground truths (known coordinates, center exactness,
+    round-trip, linear-field bilinear exactness) are pytest-pinned
+    (tests/test_round15.py)."""
+    from .core.tiled import (
+        from_tiled,
+        resample_spatial_warp_tiled,
+        to_tiled,
+    )
     from .operators.resample import resample_spatial_warp
 
-    spec = CubeSpec(x0=676000.0, y0=5153000.0, resx=10.0, resy=10.0)
-    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
-    return resample_spatial_warp(cube, 4326, 0.0001).df
+    utm_spec = CubeSpec(x0=676000.0, y0=5153000.0, resx=10.0, resy=10.0)
+    utm_cube = reduce_dimension(
+        synthetic_cube(spark, utm_spec), "time", "max"
+    )
+    utm_rows = (
+        resample_spatial_warp(utm_cube, 4326, 0.0001).df
+        .withColumnRenamed(VALUE, "near")
+        .withColumn("bilinear", F.lit(None).cast("double"))
+        .withColumn("tiled_near", F.lit(None).cast("double"))
+        .withColumn("proj", F.lit("utm_wgs84"))
+    )
+    geo_spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                        x0=11.2890625, y0=46.51953125)
+    geo_cube = reduce_dimension(
+        synthetic_cube(spark, geo_spec), "time", "max"
+    )
+
+    def tagged(tgt_epsg, res, tag, with_tiled):
+        near = resample_spatial_warp(geo_cube, tgt_epsg, res).df \
+            .withColumnRenamed(VALUE, "near")
+        bil = (
+            resample_spatial_warp(geo_cube, tgt_epsg, res,
+                                  method="bilinear").df
+            .withColumn(VALUE, F.round(VALUE, 7))
+            .withColumnRenamed(VALUE, "bilinear")
+        )
+        out = near.join(bil, ["band", "y", "x"], "full_outer")
+        if with_tiled:
+            tiled = from_tiled(resample_spatial_warp_tiled(
+                to_tiled(geo_cube, tile=16, n_y=16, n_x=16),
+                tgt_epsg, res,
+            )).df.withColumnRenamed(VALUE, "tiled_near")
+        else:
+            tiled = near.select(
+                "band", "y", "x",
+                F.col("near").alias("tiled_near"),
+            ).limit(0)
+        return (
+            out.join(tiled, ["band", "y", "x"], "full_outer")
+            .withColumn("proj", F.lit(tag))
+        )
+
+    cols = ["proj", "band", "y", "x", "near", "bilinear", "tiled_near"]
+    return (
+        utm_rows.select(cols)
+        .unionByName(tagged(3857, 500.0, "webmerc", True).select(cols))
+        .unionByName(tagged(3035, 500.0, "laea", False).select(cols))
+    )
 
 
 @q(
@@ -2590,22 +2657,33 @@ def _pg_masked_seasonal(spark, sf_dir):
     return pg.execute(spark).df
 
 
-def _pg_ndvi_tiled(spark, sf_dir):
-    """The NDVI-median graph executed in the planner's TILED MODE
-    (plans/graph.py: ProcessGraph(tiled=True) → _dispatch_tiled): the
-    same unmodified graph runs on the SURVEY §1.4 packed-tile layout —
-    load packs the pushed-down scan, the band-expression reducer
-    compiles over a per-tile transform lambda (same _compile_expr as
-    the long path, bands joined wide per tile), the time median runs
-    the native tile reducer — against the SAME oracle as
-    process_graph_ndvi. One oracle, two execution tiers."""
+def _pg_ndvi_tiers_sweep(spark, sf_dir):
+    """Round 15, consolidated (was process_graph_ndvi_tiled +
+    process_graph_ndvi_tiled_store — each former row a named pinned
+    column, invoked through the real planner): the NDVI-median graph
+    in the planner's TILED MODE, query-time pack (``value_tiled``) and
+    STORAGE-FIRST against the save_tiled store (``value_store``,
+    r10's pack-free execution — bands prune hive partitions, temporal
+    filter reaches the parquet scan), full-outer-joined per output
+    pixel against the SAME long oracle as process_graph_ndvi. One
+    oracle, three execution tiers across the two rows."""
     from .plans.graph import ProcessGraph
 
     pg = ProcessGraph.from_file(
         f"{_PG_DIR}/ndvi_median.json",
         save_dir="/tmp/spark_graft_results/pg_ndvi_t", tiled=True,
     )
-    return pg.execute(spark).df
+    tiled = pg.execute(spark).df.withColumnRenamed("value", "value_tiled")
+    store = _build_s2_tiled_store(spark)
+    pg_s = ProcessGraph.from_file(
+        f"{_PG_DIR}/ndvi_median.json",
+        save_dir="/tmp/spark_graft_results/pg_ndvi_ts",
+        tiled=True, tiled_store_dir=store,
+    )
+    stored = pg_s.execute(spark).df.withColumnRenamed(
+        "value", "value_store"
+    )
+    return tiled.join(stored, ["y", "x"], "full_outer")
 
 
 def _pg_masked_seasonal_tiled(spark, sf_dir):
@@ -2618,26 +2696,6 @@ def _pg_masked_seasonal_tiled(spark, sf_dir):
     pg = ProcessGraph.from_file(
         f"{_PG_DIR}/masked_seasonal.json",
         save_dir="/tmp/spark_graft_results/pg_seasonal_t", tiled=True,
-    )
-    return pg.execute(spark).df
-
-
-def _pg_ndvi_tiled_store(spark, sf_dir):
-    """STORAGE-FIRST tiled execution (round 10): the NDVI graph's
-    load_collection reads a SAVED tiled store (save_tiled layout —
-    band-partitioned parquet + sidecar) instead of packing the long
-    scan at query time; bands prune hive partitions and the temporal
-    filter reaches the parquet scan (plan audit in PLANS.md round-10).
-    The store builds once per sf run (atomic rename), then every
-    execution is pack-free. Same oracle as process_graph_ndvi — one
-    oracle, three execution tiers."""
-    from .plans.graph import ProcessGraph
-
-    store = _build_s2_tiled_store(spark)
-    pg = ProcessGraph.from_file(
-        f"{_PG_DIR}/ndvi_median.json",
-        save_dir="/tmp/spark_graft_results/pg_ndvi_ts",
-        tiled=True, tiled_store_dir=store,
     )
     return pg.execute(spark).df
 
@@ -2828,13 +2886,14 @@ def _register_planner():
     q("process_graph_masked_seasonal", _PG_MASKED_SEASONAL_ORACLE)(
         _pg_masked_seasonal
     )
-    q("process_graph_ndvi_tiled",
-      _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled)
+    q("process_graph_ndvi_tiers_sweep",
+      "SELECT y, x, value AS value_tiled, value AS value_store FROM ("
+      + _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()) + ")")(
+        _pg_ndvi_tiers_sweep
+    )
     q("process_graph_masked_seasonal_tiled", _PG_MASKED_SEASONAL_ORACLE)(
         _pg_masked_seasonal_tiled
     )
-    q("process_graph_ndvi_tiled_store",
-      _PG_NDVI_ORACLE_TMPL.format(s2=_s2_duck()))(_pg_ndvi_tiled_store)
     q("process_graph_masked_seasonal_tiled_store",
       _PG_MASKED_SEASONAL_ORACLE)(_pg_masked_seasonal_tiled_store)
     q("tiled_store_overview", _PG_OVERVIEW_ORACLE)(_pg_overview)

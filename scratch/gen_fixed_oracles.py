@@ -50,8 +50,8 @@ NAMES = ["fit_curve_harmonic", "multimodal_decode", "multimodal_audio_decode",
          "multimodal_webp_decode",
          # 4326->UTM projection warp, near+bilinear sweep (rounds 13/14)
          "resample_spatial_warp_sweep",
-         # UTM->4326 direction (round 14)
-         "resample_spatial_warp_utm_wgs84"]
+         # warp directions: UTM->4326 + 4326->3857/3035 (rounds 14/15)
+         "resample_spatial_warp_directions_sweep"]
 
 
 def main() -> int:

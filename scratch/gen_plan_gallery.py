@@ -53,7 +53,7 @@ GALLERY = [
      "bounded exists/filter/forall HOFs — plan size independent of "
      "|zones|, no 64 KB codegen overflow; interior tiles fold to "
      "partials, only boundary tiles explode"),
-    ("process_graph_ndvi_tiled_store",
+    ("process_graph_ndvi_tiers_sweep",
      "round 10: storage-first planner execution — the save_tiled store "
      "scanned with band partition pruning + temporal pushdown, no "
      "query-time pack anywhere in the plan"),

@@ -247,11 +247,12 @@ def test_warp_same_crs_routes_to_resolution_only(spark):
 
 
 def test_warp_non_utm_target_fails_fast(spark):
-    """A non-UTM, non-4326 target raises a NAMED NotImplementedError
-    naming the EPSG — before any Spark job fires."""
+    """An unsupported target raises a NAMED NotImplementedError naming
+    the EPSG — before any Spark job fires. (3035 was the r14 example;
+    it is a real warp target since round 15, so Lambert-93 stands in.)"""
     cube = synthetic_cube(spark, _GEO_SPEC_4326)
-    with pytest.raises(NotImplementedError, match="3035"):
-        resample_spatial_warp(cube, 3035, 100.0)
+    with pytest.raises(NotImplementedError, match="2154"):
+        resample_spatial_warp(cube, 2154, 100.0)
 
 
 def test_warp_rejects_same_crs_direct_call(spark):

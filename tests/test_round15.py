@@ -266,3 +266,190 @@ def test_overview_selection_is_proof_gated():
                     composed_ok = False
                 assert _overview_factorizes(n, o, res, k, r, desc) \
                     == composed_ok
+
+
+# --- Web Mercator (3857) + LAEA Europe (3035) warp targets --------------
+
+
+def test_webmerc_known_values():
+    """Published spherical Pseudo-Mercator values: x is linear in lon
+    (half-circumference 20037508.342789244 at 180°), y(45°) =
+    R·ln(tan(67.5°))."""
+    import math
+
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        webmerc_to_wgs84_np,
+        wgs84_to_webmerc_np,
+    )
+
+    x, y = wgs84_to_webmerc_np(np.array([10.0, 180.0, 0.0]),
+                               np.array([45.0, 0.0, 0.0]))
+    assert abs(x[0] - 20037508.342789244 / 18) < 1e-6
+    assert abs(x[1] - 20037508.342789244) < 1e-6
+    assert abs(y[0] - 6378137.0 * math.log(math.tan(math.radians(67.5)))) \
+        < 1e-6
+    assert y[2] == 0.0 and x[2] == 0.0
+    lon, lat = webmerc_to_wgs84_np(x, y)
+    assert np.abs(lon - [10.0, 180.0, 0.0]).max() < 1e-11
+    assert np.abs(lat - [45.0, 0.0, 0.0]).max() < 1e-11
+
+
+def test_laea_published_test_point():
+    """EPSG Guidance Note 7-2 test point for ETRS89-LAEA (EPSG:3035):
+    50°N 5°E → E 3962799.45, N 2999718.85; the projection center maps
+    to the false origin EXACTLY, both directions."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        laea_to_wgs84_np,
+        wgs84_to_laea_np,
+    )
+
+    e, n = wgs84_to_laea_np(np.array([5.0]), np.array([50.0]))
+    assert abs(e[0] - 3962799.45) < 0.01
+    assert abs(n[0] - 2999718.85) < 0.01
+    e, n = wgs84_to_laea_np(np.array([10.0]), np.array([52.0]))
+    assert e[0] == 4321000.0 and n[0] == 3210000.0
+    lon, lat = laea_to_wgs84_np(np.array([4321000.0]),
+                                np.array([3210000.0]))
+    assert lon[0] == 10.0 and lat[0] == 52.0
+
+
+def test_laea_roundtrip_over_europe():
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        laea_to_wgs84_np,
+        wgs84_to_laea_np,
+    )
+
+    lon = np.linspace(-10, 30, 41)
+    lat = np.linspace(35, 70, 36)
+    lo, la = np.meshgrid(lon, lat)
+    e, n = wgs84_to_laea_np(lo.ravel(), la.ravel())
+    lo2, la2 = laea_to_wgs84_np(e, n)
+    assert np.abs(lo2 - lo.ravel()).max() < 1e-8
+    assert np.abs(la2 - la.ravel()).max() < 1e-8  # <1.2 mm
+
+
+def test_validate_warp_pair_accepts_new_targets():
+    import pytest as _pytest
+
+    from openeo_odc_driver_spark.functions.proj import validate_warp_pair
+
+    validate_warp_pair(4326, 3857)
+    validate_warp_pair(4326, 3035)
+    validate_warp_pair(3857, 32632)  # composes through lon/lat
+    validate_warp_pair(3035, 4326)
+    with _pytest.raises(NotImplementedError, match="2154"):
+        validate_warp_pair(4326, 2154)
+
+
+def test_warp_webmerc_metric_ground_truth(spark):
+    """4326→3857 nearest: every output equals the source value at the
+    nearest source pixel of its inverse-projected center (independent
+    recomputation, the r13/r14 warp-pin pattern)."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import webmerc_to_wgs84_np
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_spatial_warp,
+    )
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125, n_times=3)
+    cube = synthetic_cube(spark, spec)
+    out = resample_spatial_warp(cube, 3857, 500.0)
+    assert out.schema.crs == "EPSG:3857"
+    pdf = out.df.toPandas()
+    assert len(pdf) > 200
+    src = cube.df.toPandas()
+    lut = {}
+    for b, ts, yy, xx, v in src[
+        ["band", "time", "y", "x", "value"]
+    ].itertuples(index=False, name=None):
+        yi = int(round((spec.y0 - yy) / spec.resy))
+        xi = int(round((xx - spec.x0) / spec.resx))
+        lut[(b, ts, yi, xi)] = v
+    lon, lat = webmerc_to_wgs84_np(pdf["x"].to_numpy(),
+                                   pdf["y"].to_numpy())
+    xi = np.floor((lon - spec.x0) / spec.resx + 0.5).astype(int)
+    yi = np.floor((spec.y0 - lat) / spec.resy + 0.5).astype(int)
+    for i in range(len(pdf)):
+        want = lut[(pdf["band"].iloc[i], pdf["time"].iloc[i],
+                    int(yi[i]), int(xi[i]))]
+        got = pdf["value"].iloc[i]
+        assert (got is None and want is None) or got == want
+
+
+def test_warp_laea_bilinear_linear_field_exact(spark):
+    """Bilinear through 3035 over a field linear in (y, x) reproduces
+    the field at the blended source coordinate to 1e-9 — the
+    independent correctness pin that needs no captured values."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import laea_to_wgs84_np
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_spatial_warp,
+    )
+    from openeo_odc_driver_spark.core.cube import Cube
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125, n_times=1)
+    cube = synthetic_cube(spark, spec)
+    from pyspark.sql import functions as F
+    lin = cube.with_df(
+        cube.df.where("band = 'B04'")
+        .withColumn("value", F.col("x") * 3.0 + F.col("y") * 7.0)
+    )
+    out = resample_spatial_warp(lin, 3035, 400.0, method="bilinear")
+    pdf = out.df.toPandas()
+    assert len(pdf) > 200
+    lon, lat = laea_to_wgs84_np(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+    # interior targets only (edge cells renormalize over fewer
+    # neighbors, which changes the blend of a LINEAR field)
+    inside = (
+        (lon >= spec.x0) & (lon <= spec.x0 + spec.resx * 15)
+        & (lat <= spec.y0) & (lat >= spec.y0 - spec.resy * 15)
+    )
+    assert inside.sum() > 100
+    want = lon[inside] * 3.0 + lat[inside] * 7.0
+    got = pdf["value"].to_numpy()[inside]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_warp_webmerc_tiled_matches_long(spark):
+    """Cross-tier parity for the 3857 target: tiled warp values equal
+    the long warp on every long row; extra tiled rows are NULL fringe."""
+    from openeo_odc_driver_spark.core.tiled import (
+        from_tiled,
+        resample_spatial_warp_tiled,
+        to_tiled,
+    )
+    from openeo_odc_driver_spark.operators.reducers import (
+        reduce_dimension,
+    )
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_spatial_warp,
+    )
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125)
+    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    long_pdf = resample_spatial_warp(cube, 3857, 500.0).df.toPandas()
+    tiled_pdf = from_tiled(resample_spatial_warp_tiled(
+        to_tiled(cube, tile=16, n_y=16, n_x=16), 3857, 500.0
+    )).df.toPandas()
+    key = ["band", "y", "x"]
+    merged = long_pdf.merge(tiled_pdf, on=key, how="outer",
+                            suffixes=("_l", "_t"), indicator=True)
+    both = merged[merged["_merge"] == "both"]
+    assert len(both) == len(long_pdf)
+    import numpy as np
+    lv, tv = both["value_l"].to_numpy(), both["value_t"].to_numpy()
+    assert ((lv == tv) | (np.isnan(lv.astype(float))
+                          & np.isnan(tv.astype(float)))).all()
+    only_tiled = merged[merged["_merge"] == "right_only"]
+    assert only_tiled["value_t"].isna().all()
