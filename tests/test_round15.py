@@ -381,7 +381,9 @@ def test_warp_webmerc_metric_ground_truth(spark):
         want = lut[(pdf["band"].iloc[i], pdf["time"].iloc[i],
                     int(yi[i]), int(xi[i]))]
         got = pdf["value"].iloc[i]
-        assert (got is None and want is None) or got == want
+        assert (got == want) or (got is None and want is None) or (
+            got != got and want != want
+        )
 
 
 def test_warp_laea_bilinear_linear_field_exact(spark):
