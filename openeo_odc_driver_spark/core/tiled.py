@@ -2595,7 +2595,16 @@ def resample_spatial_warp_tiled(
     frag_cols = [*keys, "tt_r", "tt_c", "spos", "tpos", "data"] + (
         ["w"] if bilinear else []
     )
-    joined = src.join(req, ["st_r", "st_c"]).select(
+    # NEVER broadcast the request side: Catalyst estimates it from its
+    # spark.range parent (tiny), but the position/weight arrays scale
+    # with the OUTPUT RASTER — a broadcast ships the whole request
+    # table through the driver and to every executor (found live in
+    # round 15: the bilinear 42 M px A/B died on
+    # spark.driver.maxResultSize at ~1 GiB of request arrays; nearest
+    # at the same scale had been silently paying a ~340 MB broadcast).
+    # shuffle_hash co-partitions both sides on the tile key — the build
+    # side is per-partition, nothing crosses the driver.
+    joined = src.join(req.hint("shuffle_hash"), ["st_r", "st_c"]).select(
         *frag_cols, "st_r", "st_c"
     )
 

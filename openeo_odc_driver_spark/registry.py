@@ -1497,7 +1497,10 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
     outer join). Projection math is not SQL-expressible, so the oracle
     is the captured literal (fixtures/); metric ground truth, cropped-
     cube parity, per-pixel value parity, and linear-field exactness
-    are pytest-pinned (tests/test_round13.py, tests/test_round14.py)."""
+    are pytest-pinned (tests/test_round13.py, tests/test_round14.py).
+    Round 15: the ``tiled_bilinear`` column hash-gates the tile-native
+    bilinear warp (r14-late) against the long bilinear the same way
+    ``tiled_near`` gates the nearest tier."""
     from .operators.resample import resample_spatial_warp
 
     spec = CubeSpec(resx=0.0078125, resy=0.00390625,
@@ -1510,23 +1513,36 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
         .withColumn(VALUE, F.round(VALUE, 7))
         .withColumnRenamed(VALUE, "bilinear")
     )
-    # third pinned column (round 14): the TILE-NATIVE warp — same
-    # lattice constants by construction (shared warp_target_lattice),
-    # so cross-tier parity is hash-gated every round; its NULL fringe
-    # rows (off-scene targets the packed canvas must carry) appear as
-    # all-NULL rows of the outer join
+    # third + fourth pinned columns (rounds 14/15): the TILE-NATIVE
+    # warp, near AND bilinear — same lattice constants by construction
+    # (shared warp_target_lattice), so cross-tier parity is hash-gated
+    # every round; NULL fringe rows (off-scene targets the packed
+    # canvas must carry) appear as all-NULL rows of the outer join.
+    # Bilinear quantizes to 7 decimals on BOTH tiers (the 4-way
+    # weighted sum is order-sensitive in the last ulp; the tiled
+    # scatter accumulates in source-tile order, the long plan in join
+    # order), so the hash gate compares the same quantization.
     from .core.tiled import (
         from_tiled,
         resample_spatial_warp_tiled,
         to_tiled,
     )
 
+    tcube = to_tiled(cube, tile=16, n_y=16, n_x=16)
     tiled = from_tiled(resample_spatial_warp_tiled(
-        to_tiled(cube, tile=16, n_y=16, n_x=16), 32632, 400.0
+        tcube, 32632, 400.0
     )).df.withColumnRenamed(VALUE, "tiled_near")
+    tiled_bil = (
+        from_tiled(resample_spatial_warp_tiled(
+            tcube, 32632, 400.0, method="bilinear"
+        )).df
+        .withColumn(VALUE, F.round(VALUE, 7))
+        .withColumnRenamed(VALUE, "tiled_bilinear")
+    )
     return (
         near.join(bil, ["band", "y", "x"], "full_outer")
         .join(tiled, ["band", "y", "x"], "full_outer")
+        .join(tiled_bil, ["band", "y", "x"], "full_outer")
     )
 
 

@@ -455,3 +455,28 @@ def test_warp_webmerc_tiled_matches_long(spark):
                           & np.isnan(tv.astype(float)))).all()
     only_tiled = merged[merged["_merge"] == "right_only"]
     assert only_tiled["value_t"].isna().all()
+
+
+def test_warp_tiled_gather_join_never_broadcasts(spark):
+    """The warp's request table scales with the OUTPUT raster, but
+    Catalyst estimates it from its spark.range parent (tiny) and would
+    broadcast it — through the driver (found live: bilinear at 42 M px
+    died on spark.driver.maxResultSize). The gather join must be a
+    shuffled join on the tile key at every scale."""
+    from openeo_odc_driver_spark.core.tiled import (
+        resample_spatial_warp_tiled,
+        to_tiled,
+    )
+    from openeo_odc_driver_spark.operators.reducers import (
+        reduce_dimension,
+    )
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=11.2890625, y0=46.51953125)
+    cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    tc = to_tiled(cube, tile=16, n_y=16, n_x=16)
+    for method in ("near", "bilinear"):
+        out = resample_spatial_warp_tiled(tc, 32632, 400.0, method)
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, method
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
