@@ -123,6 +123,10 @@ def _tiled_store_stac(cid: str, store_dir: Optional[str]) -> Optional[dict]:
         "partitioning": partitioning,
         "bands": meta.get("bands", []),
         "grid": meta.get("grid"),
+        # COG-style reduced-resolution levels (round 15): clients (and
+        # the planner's resample pushdown) can see which coarse factors
+        # the store can serve without a full-res scan
+        "overviews": meta.get("overviews", []),
     }
 
 

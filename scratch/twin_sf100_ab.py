@@ -8,9 +8,15 @@ same-session. Verdict rule from the VERDICT: twin wins >=2x -> auto
 dispatch above a catalog-constant cell threshold (same oracle guard);
 tie again -> record the negative and close the question.
 
-Legs alternate sql/numpy on the masked_seasonal graph (the widest
-band-expression consumer: 3 bands x 1.26 G cells through the SCL mask
-build), System.gc between runs, best-of-N, checksums asserted equal.
+Target note (r15): masked_seasonal's expression stage is a COMPARISON
+(SCL > 4), which is OUTSIDE the twin's exactness subset (three-valued
+NULL logic has no NaN analogue — r12 decision), so both legs would run
+the sql engine and measure nothing. The in-subset flagship expression
+is NDVI's normalized_difference, profiled at ~half the graph wall in
+r12 — legs alternate sql/numpy on ndvi_median at sf100 (1.26 G cells
+through the band-expression reducer), System.gc between runs,
+best-of-N, checksums asserted equal; the numpy leg asserts the twin
+actually compiled (call counter).
 
 Usage: python scratch/twin_sf100_ab.py [legs]
 """
@@ -35,8 +41,16 @@ def main():
     from openeo_odc_driver_spark.plans import graph as G
 
     root = sp.build_stores(spark, 100)
-    g = sp.graphs(100)["masked_seasonal"]
+    g = sp.graphs(100)["ndvi_median"]
     real = G._reduce_bands_expression_tiled
+    real_numpy_compile = G._compile_expr_numpy
+    numpy_compiles = []
+
+    def counting_compile(*a, **k):
+        numpy_compiles.append(1)
+        return real_numpy_compile(*a, **k)
+
+    G._compile_expr_numpy = counting_compile
     walls = {"sql": [], "numpy": []}
     sums = {}
 
@@ -67,9 +81,10 @@ def main():
         run("sql")
         run("numpy")
     assert sums["sql"] == sums["numpy"], f"engines disagree: {sums}"
+    assert numpy_compiles, "numpy legs never reached the twin compiler"
     best = {k: min(v) for k, v in walls.items()}
     print(json.dumps({
-        "graph": "masked_seasonal@sf100",
+        "graph": "ndvi_median@sf100",
         "walls": walls, "best": best,
         "ratio_sql_over_numpy": round(best["sql"] / best["numpy"], 2),
         "checksum": str(sums["sql"]),
