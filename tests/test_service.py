@@ -230,15 +230,20 @@ def test_collection_exposes_tiled_store_block(spark, tmp_path):
     assert block["partitioning"] == ["band"]
     assert set(block["bands"]) == {"B04", "B08", "SCL"}
     assert block["grid"]["resx"] == 10.0
-    # overview levels surface from the sidecar (round 15) — empty list
-    # for a store without them, the built levels after ensure_overviews
-    assert block["overviews"] == []
+    # overview levels surface from the sidecar (round 15); the shared
+    # store may already carry levels from the tiled_store_overview gate
+    # row, so assert the endpoint mirrors the sidecar after an ensure
+    import json as _json
+
     from openeo_odc_driver_spark.core.tiled import ensure_overviews
 
-    ensure_overviews(spark, f"{store_root}/synthetic", (2,))
+    levels = ensure_overviews(spark, f"{store_root}/synthetic", (2,))
+    assert 2 in levels
     block = c.get("/collections/synthetic").get_json()[
         "openeo_odc:tiled_store"]
-    assert block["overviews"] == [2]
+    assert block["overviews"] == levels
+    side = _json.load(open(f"{store_root}/synthetic/_tiled_meta.json"))
+    assert side["overviews"] == levels
 
     # a collection without a store omits the block
     body2 = c.get("/collections/synthetic_coarse").get_json()
