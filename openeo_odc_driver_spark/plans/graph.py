@@ -165,13 +165,33 @@ class ProcessGraph:
     # --- optimizer pre-pass -------------------------------------------------
 
     def _pushdown_resample(self) -> None:
-        """Fold resample_spatial into the load_collection scan it DIRECTLY
-        follows (ref openeo_odc_driver.py:175-202 applies the rewrite only
-        for adjacent nodes): the load gains a `_target_resolution` option
-        and the node becomes identity. A resample with other operators in
-        between is NOT folded — coarsening before, e.g., an apply_kernel
-        would change its result — it executes as an explicit regrid node
-        instead (see `_dispatch`)."""
+        """Fold resample_spatial into the load_collection scan it
+        follows (ref openeo_odc_driver.py:175-202): the load gains a
+        `_target_resolution` option and the node becomes identity.
+
+        Round 15: the fold now walks THROUGH intervening
+        ``filter_bands`` / ``filter_temporal`` nodes — they only drop
+        whole (band, time) slices and the spatial snap acts per slice,
+        so selection and coarsening commute EXACTLY (same winner
+        pixels, same values); the filters then run on the coarse cube.
+        This is the rewrite that lets `load → filter_* → resample`
+        graphs hit the store's overview levels. Nothing else commutes:
+        a spatial filter changes which pixels exist (winners may lie
+        outside the bbox), and any value-transforming op (apply,
+        kernel, mask) would read different inputs — the walk stops at
+        the first such node and the resample executes as an explicit
+        regrid there (see `_dispatch`)."""
+        # consumer map: a node shared by another branch must NOT have a
+        # coarsening folded into it (the other branch would silently
+        # read the coarse cube). Counts every from_node reference in
+        # every argument position.
+        consumers: Dict[str, int] = {}
+        for n in self.nodes.values():
+            for v in n.get("arguments", {}).values():
+                if isinstance(v, dict) and "from_node" in v:
+                    consumers[v["from_node"]] = (
+                        consumers.get(v["from_node"], 0) + 1
+                    )
         for nid, node in self.nodes.items():
             if node["process_id"] != "resample_spatial":
                 continue
@@ -181,7 +201,18 @@ class ProcessGraph:
                 # warp node (round 13)
                 continue
             cur = node["arguments"].get("data", {}).get("from_node")
-            if cur is not None and self.nodes[cur]["process_id"] == "load_collection":
+            while (
+                cur is not None
+                and self.nodes[cur]["process_id"] in ("filter_bands",
+                                                      "filter_temporal")
+                and consumers.get(cur, 0) == 1
+            ):
+                cur = self.nodes[cur]["arguments"].get(
+                    "data", {}
+                ).get("from_node")
+            if (cur is not None
+                    and self.nodes[cur]["process_id"] == "load_collection"
+                    and consumers.get(cur, 0) == 1):
                 up = self.nodes[cur]
                 up["arguments"]["_target_resolution"] = node["arguments"].get(
                     "resolution"

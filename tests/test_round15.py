@@ -480,3 +480,99 @@ def test_warp_tiled_gather_join_never_broadcasts(spark):
         plan = out.df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan, method
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pushdown_folds_through_band_temporal_filters(spark, tmp_path):
+    """Round 15: the resample fold walks through filter_bands /
+    filter_temporal (selection and spatial coarsening commute exactly
+    — filters only drop (band, time) slices and the snap acts per
+    slice), so `load → filter_* → resample` graphs hit the store's
+    overview levels; result equals the explicit unfolded plan."""
+    import pandas as pd
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    root = _store_with_overviews(spark, tmp_path)
+
+    graph = {"process_graph": {
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "synthetic"}},
+        "fb": {"process_id": "filter_bands",
+               "arguments": {"data": {"from_node": "load"},
+                             "bands": ["B04", "B08"]}},
+        "ft": {"process_id": "filter_temporal",
+               "arguments": {"data": {"from_node": "fb"},
+                             "extent": ["2021-02-01", "2021-06-01"]}},
+        "rs": {"process_id": "resample_spatial",
+               "arguments": {"data": {"from_node": "ft"},
+                             "resolution": 60.0},
+               "result": True},
+    }}
+    tpg = ProcessGraph(graph, save_dir="/tmp/pg_r15_foldf", tiled=True,
+                       tiled_store_dir=root)
+    got = tpg.execute(spark).df.toPandas()
+    assert tpg.tiled_overview_reads == [("synthetic", 2)]
+
+    # explicit unfolded reference through the long operators
+    from dataclasses import replace
+
+    from openeo_odc_driver_spark.core.cube import Cube, GridSpec
+    from openeo_odc_driver_spark.operators.filters import (
+        filter_bands,
+        filter_temporal,
+    )
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    cube = filter_temporal(
+        filter_bands(synthetic_cube(spark), ["B04", "B08"]),
+        "2021-02-01", "2021-06-01",
+    )
+    g = cube.schema.grid
+    tgt = Cube(cube.df,
+               replace(cube.schema, grid=GridSpec(g.x0, g.y0, 60.0, 60.0)))
+    want = resample_cube_spatial(cube, tgt, "near").df.toPandas()
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True, check_dtype=False,
+    )
+
+
+def test_pushdown_fold_respects_shared_consumers(spark, tmp_path):
+    """A load (or intermediate filter) feeding ANOTHER branch must not
+    have the coarsening folded into it — the other branch would read
+    the coarse cube. The resample runs as an explicit node instead and
+    the sibling branch stays full-resolution."""
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+
+    root = _store_with_overviews(spark, tmp_path)
+    graph = {"process_graph": {
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "synthetic",
+                               "bands": ["B04"]}},
+        "rs": {"process_id": "resample_spatial",
+               "arguments": {"data": {"from_node": "load"},
+                             "resolution": 60.0}},
+        "sibling": {"process_id": "reduce_dimension",
+                    "arguments": {
+                        "data": {"from_node": "load"},
+                        "dimension": "t",
+                        "reducer": {"process_graph": {
+                            "m": {"process_id": "mean",
+                                  "arguments": {"data":
+                                                {"from_parameter": "data"}},
+                                  "result": True}}}},
+                    "result": True},
+    }}
+    pg = ProcessGraph(graph, save_dir="/tmp/pg_r15_shared",
+                      tiled=True, tiled_store_dir=root)
+    assert "_target_resolution" not in \
+        pg.nodes["load"]["arguments"], "fold must not fire"
+    out = pg.execute(spark)
+    df = out.df if hasattr(out, "df") else out
+    # the sibling branch kept full resolution: 16x16 grid x values
+    xs = {r[0] for r in df.select("x").distinct().collect()}
+    assert 10.0 in xs  # a full-res-only coordinate (60m grid: 0,60,..)
