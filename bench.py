@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "process_graph_merge_resolver",
     # round 14
     "resample_spatial_warp_sweep",
+    # round 15
+    "tiled_store_overview",
+    "resample_spatial_warp_directions_sweep",
 ]
 
 
