@@ -1664,21 +1664,49 @@ def _pg_merge_resolver(spark, sf_dir):
     return pg.execute(spark).df
 
 
-@q(
-    "gtiff_store_roundtrip",
-    f"WITH cube AS ({CUBE_D}) "
-    "SELECT band, y, x, max(value) AS value FROM cube GROUP BY band, y, x",
+_GTIFF_RT_SNAP20 = (
+    "SELECT band, y, x, value, "
+    "0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5) AS sx, "
+    "150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5) AS sy, "
+    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) * "
+    "(x - (0.0 + 20.0 * floor((x - 0.0) / 20.0 + 0.5))) "
+    "+ (y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) * "
+    "(y - (150.0 - 20.0 * floor((150.0 - y) / 20.0 + 0.5))) AS d "
+    "FROM mx"
 )
+
+_GTIFF_RT_ORACLE = (
+    f"WITH cube AS ({CUBE_D}), "
+    "mx AS (SELECT band, y, x, max(value) AS value FROM cube "
+    "GROUP BY band, y, x), "
+    f"snapped AS ({_GTIFF_RT_SNAP20}), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY band, sx, sy ORDER BY d, x, y) AS rn FROM snapped), "
+    "l2 AS (SELECT band, sy AS y, sx AS x, value FROM r WHERE rn = 1) "
+    "SELECT 'base' AS lvl, band, y, x, value FROM mx "
+    "UNION ALL SELECT 'L2' AS lvl, band, y, x, value FROM l2"
+)
+
+
+@q("gtiff_store_roundtrip", _GTIFF_RT_ORACLE)
 def _gtiff_store_roundtrip(spark, sf_dir):
-    """Round 13: the distributed GeoTIFF pair as a STORAGE TIER —
+    """Rounds 13+15: the distributed GeoTIFF pair as a STORAGE TIER —
     `save_gtiff_tiled` (executors pwrite float32 tiles at static
-    offsets, driver writes only the IFD) then `load_gtiff_tiled`
+    offsets, driver writes only the IFD chain) then `load_gtiff_tiled`
     (executors pread tiles back, zero shuffle) round-trips the
     time-max cube bit-exactly against the long reducer oracle: the
     dyadic fixture values are float32-representable, NULL↔NaN folds at
     the boundary, and the grid re-derives from
     ModelPixelScale/Tiepoint. (max, not mean — a mean of 24 values is
-    not f32-representable, which would honestly fail the exact hash.)"""
+    not f32-representable, which would honestly fail the exact hash.)
+
+    Round 15: the file is now a REAL COG — reduced-resolution overview
+    IFDs chain after the main image (NewSubfileType=1, own geo tags),
+    each level the engine's covering-downscale snap written through
+    the same executor-pwrite path. The ``L2`` rows read the 2× level
+    back through `load_gtiff_tiled(level=2)` and compare against the
+    PORTABLE SQL snap of the max cube (the floor(+0.5) winner idiom) —
+    the overview content itself is oracle-gated, not just pinned."""
     import tempfile
 
     from .core.tiled import from_tiled, to_tiled
@@ -1688,11 +1716,17 @@ def _gtiff_store_roundtrip(spark, sf_dir):
     cube = reduce_dimension(synthetic_cube(spark), "time", "max")
     tc = to_tiled(cube, tile=16, n_y=16, n_x=16)
     path = save_gtiff_tiled(
-        tc, tempfile.mkdtemp(prefix="gtiff_rt_") + "/scene"
+        tc, tempfile.mkdtemp(prefix="gtiff_rt_") + "/scene",
+        overviews=(2,),
     )
-    return from_tiled(
+    base = from_tiled(
         load_gtiff_tiled(spark, path, bands=cube.schema.bands)
-    ).df
+    ).df.withColumn("lvl", F.lit("base"))
+    l2 = from_tiled(
+        load_gtiff_tiled(spark, path, bands=cube.schema.bands, level=2)
+    ).df.withColumn("lvl", F.lit("L2"))
+    cols = ["lvl", "band", "y", "x", "value"]
+    return base.select(cols).unionByName(l2.select(cols))
 
 
 _CUBE_B08_D = cube_sql(CubeSpec(bands=("B08",)), "duckdb")

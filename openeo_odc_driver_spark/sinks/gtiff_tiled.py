@@ -80,30 +80,16 @@ def _geo_payloads(grid, crs: str):
     return geo_keys, scale, tie
 
 
-def _build_header(
-    w: int, h: int, tile: int, planes: int, grid, crs: str,
-    force_bigtiff: bool = False, counts=None,
-) -> tuple[bytes, int, object]:
-    """TIFF header + IFD. With ``counts=None`` (uncompressed), every
-    tile is ``tile²·4`` bytes and offsets are STATIC — returns
-    ``(header, data_start, tile_bytes)`` so executors can write with no
-    coordination. With an explicit per-tile ``counts`` list (DEFLATE),
-    offsets are the prefix sums — returns
-    ``(header, data_start, offsets_list)``."""
+def _level_tags(w, h, tile, planes, grid, crs, counts, reduced, big):
+    """Tag list for one IFD (main image or a reduced-resolution
+    overview level — the COG structure: overview IFDs chain after the
+    main IFD with NewSubfileType=1). Offsets (324) are patched at
+    serialization time."""
     tiles_x = -(-w // tile)
     tiles_y = -(-h // tile)
     ntiles = planes * tiles_y * tiles_x
     tile_bytes = tile * tile * 4  # float32, one sample per plane tile
-    data_bytes = (
-        ntiles * tile_bytes if counts is None else sum(counts)
-    )
-
     geo_keys, scale_vals, tie_vals = _geo_payloads(grid, crs)
-
-    # decide the format from a classic-layout size estimate
-    classic_est = 8 + (2 + 17 * 12 + 4) + 4096 + ntiles * 8 + data_bytes
-    big = bool(force_bigtiff) or classic_est > _CLASSIC_LIMIT
-
     off_t = _T_LONG8 if big else _T_LONG
     tags = [
         (256, _T_LONG, 1, [w]),
@@ -123,67 +109,152 @@ def _build_header(
         (_MODEL_TIEPOINT, _T_DOUBLE, 6, tie_vals),
         (_GEO_KEY_DIRECTORY, _T_SHORT, len(geo_keys), geo_keys),
     ]
+    if reduced:
+        tags.append((254, _T_LONG, 1, [1]))  # NewSubfileType: ReducedImage
     tags.sort(key=lambda e: e[0])
-    n = len(tags)
+    return tags, ntiles, tile_bytes
+
+
+def _build_headers(
+    levels, force_bigtiff: bool = False
+) -> tuple[bytes, list]:
+    """TIFF header with a CHAINED IFD per level (COG layout: all IFDs
+    before any pixel data; overview IFDs carry NewSubfileType=1 and
+    their own geo tags, so each level is self-describing). ``levels``
+    is a list of dicts ``{w, h, tile, planes, grid, crs, counts}``;
+    the first is the full-resolution image, the rest reduced levels.
+
+    Returns ``(header_bytes, per_level)`` where each per_level entry is
+    ``(data_start, tile_bytes)`` for uncompressed levels (static
+    offsets — executors pwrite with no coordination) or
+    ``(data_start, offsets_list)`` when that level has explicit
+    ``counts`` (DEFLATE prefix sums)."""
+    specs = []
+    data_bytes_total = 0
+    est_ntiles = 0
+    for lv in levels:
+        tiles_x = -(-lv["w"] // lv["tile"])
+        tiles_y = -(-lv["h"] // lv["tile"])
+        ntiles = lv["planes"] * tiles_y * tiles_x
+        tb = lv["tile"] * lv["tile"] * 4
+        data_bytes_total += (
+            ntiles * tb if lv.get("counts") is None
+            else sum(lv["counts"])
+        )
+        est_ntiles += ntiles
+    classic_est = (8 + len(levels) * (2 + 18 * 12 + 4) + 4096
+                   + est_ntiles * 8 + data_bytes_total)
+    big = bool(force_bigtiff) or classic_est > _CLASSIC_LIMIT
+
+    for i, lv in enumerate(levels):
+        tags, ntiles, tile_bytes = _level_tags(
+            lv["w"], lv["h"], lv["tile"], lv["planes"], lv["grid"],
+            lv["crs"], lv.get("counts"), reduced=(i > 0), big=big,
+        )
+        specs.append({"tags": tags, "ntiles": ntiles,
+                      "tile_bytes": tile_bytes,
+                      "counts": lv.get("counts")})
 
     if big:
         entry_sz, inline, cnt_fmt = 20, 8, "Q"
-        ifd_off = 16
-        ifd_size = 8 + n * entry_sz + 8
+        first_ifd = 16
+        ifd_size = lambda n: 8 + n * entry_sz + 8  # noqa: E731
     else:
         entry_sz, inline, cnt_fmt = 12, 4, "I"
-        ifd_off = 8
-        ifd_size = 2 + n * entry_sz + 4
+        first_ifd = 8
+        ifd_size = lambda n: 2 + n * entry_sz + 4  # noqa: E731
 
-    overflow_off = ifd_off + ifd_size
-    # two passes: size the overflow area (offsets tag needs data_start,
-    # which needs the overflow size — a fixpoint, resolved because the
-    # offsets payload size is known up front)
-    overflow_size = 0
-    for tag, typ, count, vals in tags:
-        size = _SZ[typ] * count
-        if size > inline:
-            overflow_size += size
-    data_start = overflow_off + overflow_size
-    data_start += (-data_start) % 16  # align tile data
+    # pass 1: fix IFD offsets (sequential), size the shared overflow
+    ifd_offs = []
+    off = first_ifd
+    for sp in specs:
+        ifd_offs.append(off)
+        off += ifd_size(len(sp["tags"]))
+    overflow_off = off
+    overflow_size = sum(
+        _SZ[typ] * count
+        for sp in specs
+        for tag, typ, count, vals in sp["tags"]
+        if _SZ[typ] * count > inline
+    )
+    data_start0 = overflow_off + overflow_size
+    data_start0 += (-data_start0) % 16  # align tile data
 
-    if counts is None:
-        offsets = [data_start + i * tile_bytes for i in range(ntiles)]
-    else:
-        offsets, acc = [], data_start
-        for c in counts:
-            offsets.append(acc)
-            acc += c
-
-    overflow = bytearray()
-    entries = b""
-    for tag, typ, count, vals in tags:
-        if tag == 324:
-            vals = offsets
-        payload = struct.pack(f"<{count}{_FMT[typ]}", *vals)
-        size = _SZ[typ] * count
-        if size > inline:
-            loc = struct.pack(f"<{cnt_fmt}", overflow_off + len(overflow))
-            overflow.extend(payload)
+    # pass 2: per-level data regions (sequential, 16-aligned) + offsets
+    per_level = []
+    acc = data_start0
+    for sp in specs:
+        acc += (-acc) % 16
+        sp["data_start"] = acc
+        if sp["counts"] is None:
+            sp["offsets"] = [acc + i * sp["tile_bytes"]
+                             for i in range(sp["ntiles"])]
+            per_level.append((acc, sp["tile_bytes"]))
+            acc += sp["ntiles"] * sp["tile_bytes"]
         else:
-            loc = payload.ljust(inline, b"\0")
-        entries += struct.pack(f"<HH{cnt_fmt}", tag, typ, count) + loc
+            offs = []
+            for c in sp["counts"]:
+                offs.append(acc)
+                acc += c
+            sp["offsets"] = offs
+            per_level.append((sp["data_start"], offs))
+
+    # pass 3: serialize IFD chain + overflow
+    overflow = bytearray()
+    ifds = bytearray()
+    for i, sp in enumerate(specs):
+        entries = b""
+        for tag, typ, count, vals in sp["tags"]:
+            if tag == 324:
+                vals = sp["offsets"]
+            payload = struct.pack(f"<{count}{_FMT[typ]}", *vals)
+            size = _SZ[typ] * count
+            if size > inline:
+                loc = struct.pack(f"<{cnt_fmt}",
+                                  overflow_off + len(overflow))
+                overflow.extend(payload)
+            else:
+                loc = payload.ljust(inline, b"\0")
+            entries += struct.pack(f"<HH{cnt_fmt}", tag, typ, count) + loc
+        nxt = ifd_offs[i + 1] if i + 1 < len(specs) else 0
+        n = len(sp["tags"])
+        if big:
+            ifds += struct.pack("<Q", n) + entries + struct.pack("<Q", nxt)
+        else:
+            ifds += struct.pack("<H", n) + entries + struct.pack("<I", nxt)
 
     out = bytearray()
     if big:
-        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
-        out += struct.pack("<Q", n) + entries + struct.pack("<Q", 0)
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, first_ifd)
     else:
-        out += struct.pack("<2sHI", b"II", 42, ifd_off)
-        out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
+        out += struct.pack("<2sHI", b"II", 42, first_ifd)
+    out += bytes(ifds)
     out += bytes(overflow)
-    out += b"\0" * (data_start - len(out))
-    return bytes(out), data_start, (tile_bytes if counts is None
-                                    else offsets)
+    out += b"\0" * (specs[0]["data_start"] - len(out))
+    return bytes(out), per_level
+
+
+def _build_header(
+    w: int, h: int, tile: int, planes: int, grid, crs: str,
+    force_bigtiff: bool = False, counts=None,
+) -> tuple[bytes, int, object]:
+    """Single-IFD convenience wrapper over :func:`_build_headers` —
+    the DEFLATE path and single-level writes use it unchanged. With
+    ``counts=None`` (uncompressed) returns ``(header, data_start,
+    tile_bytes)``; with counts (DEFLATE) returns
+    ``(header, data_start, offsets_list)``."""
+    header, per_level = _build_headers(
+        [{"w": w, "h": h, "tile": tile, "planes": planes,
+          "grid": grid, "crs": crs, "counts": counts}],
+        force_bigtiff,
+    )
+    data_start, payload = per_level[0]
+    return header, data_start, payload
 
 
 def save_gtiff_tiled(
     tc, path: str, force_bigtiff: bool = False, compress: str | None = None,
+    overviews: tuple = (),
 ) -> str:
     """Write a TiledCube as a tiled GeoTIFF WITHOUT collecting pixels.
 
@@ -206,9 +277,25 @@ def save_gtiff_tiled(
     Multi-band cubes write planar (PlanarConfiguration=2), one sample
     plane per band in ``schema.bands`` order. Time must already be
     reduced/squeezed (same contract as the driver-side GTiff sink's
-    squeeze rules)."""
+    squeeze rules).
+
+    ``overviews`` (round 15): integer reduction factors written as
+    CHAINED reduced-resolution IFDs (NewSubfileType=1) — the structure
+    that makes a COG cloud-optimized, and what the reference's
+    ODC/GDAL loader reads for coarse requests. Each level is the
+    engine's own nearest covering-downscale snap of the full cube
+    (``core.tiled._build_overview``) written through the same
+    executor-pwrite path; levels that the snap cannot express are
+    skipped. Uncompressed writes only (a named error with DEFLATE —
+    the compressed assembly would need per-level count gathers)."""
     if compress not in (None, "deflate"):
         raise ValueError(f"unsupported compression {compress!r}")
+    if overviews and compress is not None:
+        raise NotImplementedError(
+            "GeoTIFF overview levels are only supported for "
+            "uncompressed writes (deflate assembly gathers per-tile "
+            "counts for one IFD only)"
+        )
     from ..core.tiled import TiledCube, retile
 
     if not isinstance(tc, TiledCube):
@@ -250,78 +337,115 @@ def save_gtiff_tiled(
         )
         _write_sidecar(out, bands, w, h, grid, tc.schema.crs)
         return out
-    header, data_start, tile_bytes = _build_header(
-        w, h, T, planes, grid, tc.schema.crs, force_bigtiff
-    )
-    total = data_start + planes * per_plane * tile_bytes
+    # overview levels: the engine's own covering-downscale snap of the
+    # full cube; skip any factor the snap can't express
+    from ..core.tiled import _build_overview
+
+    level_cubes = [(None, tc)]
+    for k in sorted(set(int(k) for k in overviews)):
+        ov = _build_overview(tc, k)
+        if ov is not None:
+            level_cubes.append((k, ov))
+
+    level_specs = [
+        {"w": lc.n_x, "h": lc.n_y, "tile": lc.tile, "planes": planes,
+         "grid": lc.schema.grid, "crs": lc.schema.crs}
+        for _k, lc in level_cubes
+    ]
+    header, per_level = _build_headers(level_specs, force_bigtiff)
+    last_start, last_tb = per_level[-1]
+    lv_last = level_specs[-1]
+    last_tiles = (planes * (-(-lv_last["h"] // lv_last["tile"]))
+                  * (-(-lv_last["w"] // lv_last["tile"])))
+    total = last_start + last_tiles * last_tb
     with open(out, "wb") as f:
         f.write(header)
         f.truncate(total)
 
-    n_rows = tc.df.count()
-    if n_rows < planes * per_plane:
-        # sparse scene: missing tiles must read as nodata, not zeros —
-        # stream the NaN pattern in bounded chunks (driver IO, no memory)
-        nan_chunk = np.full(1 << 20, np.nan, dtype="<f4").tobytes()  # 4 MiB
-        remaining = planes * per_plane * tile_bytes
-        with open(out, "r+b") as f:
-            f.seek(data_start)
-            while remaining > 0:
-                f.write(nan_chunk[: min(len(nan_chunk), remaining)])
-                remaining -= len(nan_chunk)
+    for (lv_k, lv_tc), spec, (data_start, tile_bytes) in zip(
+        level_cubes, level_specs, per_level
+    ):
+        lv_T = lv_tc.tile
+        lv_tiles_x = -(-lv_tc.n_x // lv_T)
+        lv_tiles_y = -(-lv_tc.n_y // lv_T)
+        lv_per_plane = lv_tiles_x * lv_tiles_y
 
-    plane_of = {b: i for i, b in enumerate(bands)}
-    T2 = T * T
+        n_rows = lv_tc.df.count()
+        if n_rows < planes * lv_per_plane:
+            # sparse scene: missing tiles must read as nodata, not
+            # zeros — stream the NaN pattern in bounded chunks
+            nan_chunk = np.full(1 << 20, np.nan,
+                                dtype="<f4").tobytes()  # 4 MiB
+            remaining = planes * lv_per_plane * tile_bytes
+            with open(out, "r+b") as f:
+                f.seek(data_start)
+                while remaining > 0:
+                    f.write(nan_chunk[: min(len(nan_chunk), remaining)])
+                    remaining -= len(nan_chunk)
 
-    def write_batches(batches):
-        # Arrow batch transfer: array<double> NULL elements arrive as
-        # float64 NaN — exactly the nodata encoding — so the hot loop is
-        # one astype + one pwrite per TILE, no per-element Python.
-        import os as _os
+        plane_of = {b: i for i, b in enumerate(bands)}
+        T2 = lv_T * lv_T
+        _ds, _tb, _ppp, _tx = data_start, tile_bytes, lv_per_plane, \
+            lv_tiles_x
 
-        import numpy as _np
-        import pandas as _pd
+        def write_batches(batches, _ds=_ds, _tb=_tb, _ppp=_ppp,
+                          _tx=_tx, _T2=T2, _plane_of=plane_of):
+            # Arrow batch transfer: array<double> NULL elements arrive
+            # as float64 NaN — exactly the nodata encoding — so the hot
+            # loop is one astype + one pwrite per TILE, no per-element
+            # Python.
+            import os as _os
 
-        fd = _os.open(out, _os.O_WRONLY)
-        wrote = 0
-        try:
-            for pdf in batches:
-                if plane_of:
-                    planes_col = pdf[BAND].map(plane_of).to_numpy("int64")
-                else:
-                    planes_col = _np.zeros(len(pdf), dtype="int64")
-                gidx = (planes_col * per_plane
-                        + pdf["tile_row"].to_numpy("int64") * tiles_x
-                        + pdf["tile_col"].to_numpy("int64"))
-                for i in range(len(pdf)):
-                    a = _np.asarray(pdf["data"].iloc[i], dtype="float64")
-                    if a.size != T2:
-                        raise ValueError(
-                            f"tile array has {a.size} cells, expected {T2}"
-                        )
-                    _os.pwrite(fd, a.astype("<f4").tobytes(),
-                               data_start + int(gidx[i]) * tile_bytes)
-                wrote += len(pdf)
-        finally:
-            _os.close(fd)
-        yield _pd.DataFrame({"n": [wrote]})
+            import numpy as _np
+            import pandas as _pd
 
-    cols = ([BAND] if has_band else []) + ["tile_row", "tile_col", "data"]
-    written = (
-        tc.df.select(*cols)
-        .mapInPandas(write_batches, "n long")
-        .agg({"n": "sum"})
-        .collect()[0][0]
-    )
-    if written != n_rows:
-        raise RuntimeError(
-            f"distributed GTiff write dropped tiles: {written}/{n_rows}"
+            fd = _os.open(out, _os.O_WRONLY)
+            wrote = 0
+            try:
+                for pdf in batches:
+                    if _plane_of:
+                        planes_col = pdf[BAND].map(
+                            _plane_of).to_numpy("int64")
+                    else:
+                        planes_col = _np.zeros(len(pdf), dtype="int64")
+                    gidx = (planes_col * _ppp
+                            + pdf["tile_row"].to_numpy("int64") * _tx
+                            + pdf["tile_col"].to_numpy("int64"))
+                    for i in range(len(pdf)):
+                        a = _np.asarray(pdf["data"].iloc[i],
+                                        dtype="float64")
+                        if a.size != _T2:
+                            raise ValueError(
+                                f"tile array has {a.size} cells, "
+                                f"expected {_T2}"
+                            )
+                        _os.pwrite(fd, a.astype("<f4").tobytes(),
+                                   _ds + int(gidx[i]) * _tb)
+                    wrote += len(pdf)
+            finally:
+                _os.close(fd)
+            yield _pd.DataFrame({"n": [wrote]})
+
+        cols = ([BAND] if has_band else []) + ["tile_row", "tile_col",
+                                               "data"]
+        written = (
+            lv_tc.df.select(*cols)
+            .mapInPandas(write_batches, "n long")
+            .agg({"n": "sum"})
+            .collect()[0][0]
         )
-    _write_sidecar(out, bands, w, h, grid, tc.schema.crs)
+        if written != n_rows:
+            raise RuntimeError(
+                f"distributed GTiff write dropped tiles "
+                f"(level {lv_k or 'base'}): {written}/{n_rows}"
+            )
+    _write_sidecar(out, bands, w, h, grid, tc.schema.crs,
+                   overviews=[k for k, _ in level_cubes[1:]])
     return out
 
 
-def _write_sidecar(out: str, bands, w: int, h: int, grid, crs) -> None:
+def _write_sidecar(out: str, bands, w: int, h: int, grid, crs,
+                   overviews=None) -> None:
     """The same ``<path>.json`` metadata sidecar the driver-side sink
     writes (sinks/save.py save_gtiff) — band labels + full axis centers
     + CRS — so tiled-path artifacts keep metadata parity and
@@ -337,6 +461,8 @@ def _write_sidecar(out: str, bands, w: int, h: int, grid, crs) -> None:
         "xs": [grid.x0 + i * grid.resx for i in range(w)],
         "crs": crs,
     }
+    if overviews:
+        meta["overviews"] = list(overviews)
     with open(base + ".json", "w") as f:
         json.dump(meta, f)
 
@@ -480,43 +606,58 @@ def _save_deflate(
     return out
 
 
-def _parse_tags(head: bytes) -> tuple[dict, bool]:
-    """Parse the tag directory from the file's leading bytes (classic or
-    BigTIFF). Raises IndexError/struct.error if a referenced payload
-    lies beyond ``head`` — callers grow the window and retry."""
+def _parse_ifd_chain(head: bytes) -> tuple[list, bool]:
+    """Parse EVERY IFD in the chain (classic or BigTIFF) from the
+    file's leading bytes — the main image plus any reduced-resolution
+    overview IFDs (COG layout puts the whole chain before pixel data).
+    Raises IndexError/struct.error if a referenced payload lies beyond
+    ``head`` — callers grow the window and retry."""
     assert head[:2] == b"II", "not little-endian TIFF"
     (version,) = struct.unpack_from("<H", head, 2)
     if version == 43:
         (ifd_off,) = struct.unpack_from("<Q", head, 8)
-        (n,) = struct.unpack_from("<Q", head, ifd_off)
-        base, entry_sz, inline, cnt_fmt = ifd_off + 8, 20, 8, "Q"
+        entry_sz, inline, cnt_fmt, n_fmt, n_sz = 20, 8, "Q", "Q", 8
     else:
         assert version == 42, f"unknown TIFF version {version}"
         (ifd_off,) = struct.unpack_from("<I", head, 4)
-        (n,) = struct.unpack_from("<H", head, ifd_off)
-        base, entry_sz, inline, cnt_fmt = ifd_off + 2, 12, 4, "I"
-    tags = {}
-    for i in range(int(n)):
-        tag, typ = struct.unpack_from("<HH", head, base + i * entry_sz)
-        (count,) = struct.unpack_from(f"<{cnt_fmt}", head,
-                                      base + i * entry_sz + 4)
-        loc = base + i * entry_sz + entry_sz - inline
-        size = _SZ[typ] * count
-        if size > inline:
-            (off,) = struct.unpack_from(f"<{cnt_fmt}", head, loc)
-            if off + size > len(head):
-                raise IndexError("tag payload beyond header window")
-            buf = head[off: off + size]
-        else:
-            buf = head[loc: loc + size]
-        tags[tag] = list(struct.unpack(f"<{count}{_FMT[typ]}", buf))
-    return tags, version == 43
+        entry_sz, inline, cnt_fmt, n_fmt, n_sz = 12, 4, "I", "H", 2
+    chain = []
+    while ifd_off:
+        (n,) = struct.unpack_from(f"<{n_fmt}", head, ifd_off)
+        base = ifd_off + n_sz
+        tags = {}
+        for i in range(int(n)):
+            tag, typ = struct.unpack_from("<HH", head,
+                                          base + i * entry_sz)
+            (count,) = struct.unpack_from(f"<{cnt_fmt}", head,
+                                          base + i * entry_sz + 4)
+            loc = base + i * entry_sz + entry_sz - inline
+            size = _SZ[typ] * count
+            if size > inline:
+                (off,) = struct.unpack_from(f"<{cnt_fmt}", head, loc)
+                if off + size > len(head):
+                    raise IndexError("tag payload beyond header window")
+                buf = head[off: off + size]
+            else:
+                buf = head[loc: loc + size]
+            tags[tag] = list(struct.unpack(f"<{count}{_FMT[typ]}", buf))
+        chain.append(tags)
+        (ifd_off,) = struct.unpack_from(f"<{cnt_fmt}", head,
+                                        base + int(n) * entry_sz)
+    return chain, version == 43
 
 
-def _read_tags(path: str) -> tuple[dict, bool]:
-    """Tag directory without loading the pixel region: read a growing
-    head window until every referenced payload fits (our writer puts
-    all metadata before the data region; 4 MiB covers ~250k tiles)."""
+def _parse_tags(head: bytes) -> tuple[dict, bool]:
+    """First (main-image) IFD only — the historical interface."""
+    chain, big = _parse_ifd_chain(head)
+    return chain[0], big
+
+
+def _read_ifd_chain(path: str) -> tuple[list, bool]:
+    """Every IFD's tag directory without loading the pixel region:
+    read a growing head window until every referenced payload fits
+    (our writer puts all metadata before the data region; 4 MiB covers
+    ~250k tiles)."""
     size = os.path.getsize(path)
     window = 1 << 22
     with open(path, "rb") as f:
@@ -524,14 +665,19 @@ def _read_tags(path: str) -> tuple[dict, bool]:
             f.seek(0)
             head = f.read(min(window, size))
             try:
-                return _parse_tags(head)
+                return _parse_ifd_chain(head)
             except (IndexError, struct.error):
                 if window >= size:
                     raise
                 window *= 4
 
 
-def load_gtiff_tiled(spark, path: str, bands=None):
+def _read_tags(path: str) -> tuple[dict, bool]:
+    chain, big = _read_ifd_chain(path)
+    return chain[0], big
+
+
+def load_gtiff_tiled(spark, path: str, bands=None, level=None):
     """Distributed GeoTIFF SOURCE — the sink's symmetric half: executors
     ``pread`` their tiles straight out of a tiled (Big)TIFF written by
     :func:`save_gtiff_tiled` (or any uncompressed float32 tiled TIFF
@@ -543,13 +689,38 @@ def load_gtiff_tiled(spark, path: str, bands=None):
     float32 NaN (the format's nodata) folds to NULL array elements —
     the tiled boundary convention (:func:`core.tiled.to_tiled`).
     ``bands`` names the planes (default ``b1..bn``); grid geometry and
-    CRS come from ModelPixelScale/ModelTiepoint/GeoKeyDirectory."""
+    CRS come from ModelPixelScale/ModelTiepoint/GeoKeyDirectory.
+
+    ``level`` (round 15): an integer reduction factor selects the
+    matching reduced-resolution IFD from the COG overview chain (the
+    level whose width is the main width decimated by that factor —
+    self-describing, no sidecar needed); None reads the full-res
+    image as before."""
     import pandas as pd
 
     from ..core.cube import CubeSchema, GridSpec
     from ..core.tiled import TiledCube
 
-    tags, big = _read_tags(path)
+    chain, big = _read_ifd_chain(path)
+    tags = chain[0]
+    if level is not None:
+        # select by resolution: the level's ModelPixelScale is exactly
+        # main_scale * k (the same float product the writer computed),
+        # so the match is bit-exact and self-describing
+        main_scale = chain[0].get(_MODEL_PIXEL_SCALE, [1.0])[0]
+        want = main_scale * int(level)
+        sel = None
+        for ifd in chain[1:]:
+            if (ifd.get(254, [0])[0] == 1
+                    and ifd.get(_MODEL_PIXEL_SCALE, [None])[0] == want):
+                sel = ifd
+                break
+        if sel is None:
+            raise ValueError(
+                f"no overview level {level} in {path} "
+                f"(chain holds {len(chain) - 1} reduced IFDs)"
+            )
+        tags = sel
     if 322 not in tags:
         raise ValueError("load_gtiff_tiled needs a TILED TIFF "
                          "(strip layout: use the long readers)")

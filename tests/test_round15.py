@@ -576,3 +576,96 @@ def test_pushdown_fold_respects_shared_consumers(spark, tmp_path):
     # the sibling branch kept full resolution: 16x16 grid x values
     xs = {r[0] for r in df.select("x").distinct().collect()}
     assert 10.0 in xs  # a full-res-only coordinate (60m grid: 0,60,..)
+
+
+# --- COG overview IFDs in the GeoTIFF storage tier ----------------------
+
+
+def test_gtiff_cog_overviews_roundtrip(spark, tmp_path):
+    """save_gtiff_tiled(overviews=...) writes CHAINED reduced-resolution
+    IFDs (NewSubfileType=1, own geo tags — real COG structure); the
+    base image round-trips unchanged and each level reads back
+    bit-equal to the engine's own covering-downscale snap."""
+    from dataclasses import replace
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.core.cube import GridSpec
+    from openeo_odc_driver_spark.operators.reducers import (
+        reduce_dimension,
+    )
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        _read_ifd_chain,
+        decode_tiff,
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    cube = reduce_dimension(synthetic_cube(spark), "time", "max")
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    path = save_gtiff_tiled(tc, str(tmp_path / "scene"),
+                            overviews=(2, 4))
+    chain, _big = _read_ifd_chain(path)
+    assert len(chain) == 3
+    assert [c.get(254, [0])[0] for c in chain] == [0, 1, 1]
+    # snap extents: floor(15/k + 0.5) + 1
+    assert [c[256][0] for c in chain] == [16, 9, 5]
+
+    cols = ["band", "y", "x", "value"]
+
+    def norm(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    want = t.from_tiled(tc).df.toPandas()
+    base = t.from_tiled(
+        load_gtiff_tiled(spark, path, bands=cube.schema.bands)
+    ).df.toPandas()
+    pd.testing.assert_frame_equal(norm(base), norm(want),
+                                  check_exact=True, check_dtype=False)
+
+    g = tc.schema.grid
+    for k in (2, 4):
+        tgt = t.TiledCube(
+            tc.df,
+            replace(tc.schema,
+                    grid=GridSpec(g.x0, g.y0, 10.0 * k, 10.0 * k)),
+            tc.tile, tc.n_y, tc.n_x,
+        )
+        snap = t.from_tiled(
+            t.resample_cube_spatial_tiled(tc, tgt, "near")
+        ).df.toPandas()
+        lv = t.from_tiled(
+            load_gtiff_tiled(spark, path, bands=cube.schema.bands,
+                             level=k)
+        ).df.toPandas()
+        pd.testing.assert_frame_equal(norm(lv), norm(snap),
+                                      check_exact=True,
+                                      check_dtype=False)
+    # IFD0 consumers (decode_tiff) are unaffected by the chain
+    arr, _meta = decode_tiff(path)
+    assert arr.shape == (3, 16, 16)
+
+
+def test_gtiff_cog_overview_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.operators.reducers import (
+        reduce_dimension,
+    )
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    cube = reduce_dimension(
+        synthetic_cube(spark, CubeSpec(n_times=2)), "time", "max"
+    )
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        save_gtiff_tiled(tc, str(tmp_path / "x"), compress="deflate",
+                         overviews=(2,))
+    path = save_gtiff_tiled(tc, str(tmp_path / "y"), overviews=(2,))
+    with _pytest.raises(ValueError, match="no overview level 8"):
+        load_gtiff_tiled(spark, path, level=8)
