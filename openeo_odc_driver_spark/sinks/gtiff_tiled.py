@@ -286,16 +286,11 @@ def save_gtiff_tiled(
     engine's own nearest covering-downscale snap of the full cube
     (``core.tiled._build_overview``) written through the same
     executor-pwrite path; levels that the snap cannot express are
-    skipped. Uncompressed writes only (a named error with DEFLATE —
-    the compressed assembly would need per-level count gathers)."""
+    skipped. Works with both codecs — uncompressed (static offsets)
+    and DEFLATE (per-level count gathers feed one multi-IFD header;
+    a single executor copy pass assembles every level)."""
     if compress not in (None, "deflate"):
         raise ValueError(f"unsupported compression {compress!r}")
-    if overviews and compress is not None:
-        raise NotImplementedError(
-            "GeoTIFF overview levels are only supported for "
-            "uncompressed writes (deflate assembly gathers per-tile "
-            "counts for one IFD only)"
-        )
     from ..core.tiled import TiledCube, retile
 
     if not isinstance(tc, TiledCube):
@@ -331,11 +326,12 @@ def save_gtiff_tiled(
 
     out = path if path.endswith(".tif") else path + ".tif"
     if compress == "deflate":
-        _save_deflate(
+        _out, built = _save_deflate(
             tc, out, w, h, T, planes, per_plane, tiles_x, grid,
-            force_bigtiff,
+            force_bigtiff, overviews=overviews,
         )
-        _write_sidecar(out, bands, w, h, grid, tc.schema.crs)
+        _write_sidecar(out, bands, w, h, grid, tc.schema.crs,
+                       overviews=built)
         return out
     # overview levels: the engine's own covering-downscale snap of the
     # full cube; skip any factor the snap can't express
@@ -469,73 +465,105 @@ def _write_sidecar(out: str, bands, w: int, h: int, grid, crs,
 
 def _save_deflate(
     tc, out: str, w: int, h: int, T: int, planes: int, per_plane: int,
-    tiles_x: int, grid, force_bigtiff: bool,
+    tiles_x: int, grid, force_bigtiff: bool, overviews: tuple = (),
 ) -> str:
     """The compressed (COG-standard DEFLATE) write path — see
-    :func:`save_gtiff_tiled`. One bounded index gather, zero pixel
-    bytes through the driver."""
+    :func:`save_gtiff_tiled`. One bounded index gather per level, zero
+    pixel bytes through the driver. With ``overviews`` the output is a
+    full COG: every level compresses and stages in parallel, ONE
+    multi-IFD header lays out every level's offsets from the gathered
+    counts, and a SINGLE executor copy pass pwrites all levels' staged
+    blobs at their global destinations."""
     import shutil
     import uuid
     import zlib
 
     import pandas as pd
 
+    from ..core.tiled import _build_overview
+
     bands = list(tc.schema.bands) if BAND in tc.schema.dims else []
     plane_of = {b: i for i, b in enumerate(bands)}
-    T2 = T * T
     stage = out + ".stage"
     os.makedirs(stage, exist_ok=True)
 
-    def compress_batches(batches):
-        part = f"part-{uuid.uuid4().hex}.bin"
-        fh, off, rows = None, 0, []
-        try:
-            for pdf in batches:
-                for i in range(len(pdf)):
-                    plane = (plane_of[pdf[BAND].iloc[i]] if plane_of
-                             else 0)
-                    gidx = (plane * per_plane
-                            + int(pdf["tile_row"].iloc[i]) * tiles_x
-                            + int(pdf["tile_col"].iloc[i]))
-                    a = np.asarray(pdf["data"].iloc[i], dtype="float64")
-                    if a.size != T2:
-                        raise ValueError(
-                            f"tile array has {a.size} cells, expected {T2}"
-                        )
-                    blob = zlib.compress(a.astype("<f4").tobytes(), 6)
-                    if fh is None:
-                        fh = open(os.path.join(stage, part), "wb")
-                    fh.write(blob)
-                    rows.append((gidx, part, off, len(blob)))
-                    off += len(blob)
-        finally:
-            if fh is not None:
-                fh.close()
-        yield pd.DataFrame(
-            rows, columns=["gidx", "part", "off", "nbytes"]
-        )
+    level_cubes = [(None, tc)]
+    for k in sorted(set(int(k) for k in overviews)):
+        ov = _build_overview(tc, k)
+        if ov is not None:
+            level_cubes.append((k, ov))
 
-    cols = ([BAND] if plane_of else []) + ["tile_row", "tile_col", "data"]
-    index = (
-        tc.df.select(*cols)
-        .mapInPandas(compress_batches,
-                     "gidx long, part string, off long, nbytes long")
-        .collect()  # bounded: ONE small row per tile, never pixels
-    )
-    bymap = {int(r["gidx"]): (r["part"], int(r["off"]), int(r["nbytes"]))
-             for r in index}
-    if len(bymap) != len(index):
-        raise RuntimeError("duplicate tile indices in the deflate index")
-    ntiles = planes * per_plane
-    nan_blob = (
-        zlib.compress(np.full(T2, np.nan, dtype="<f4").tobytes(), 6)
-        if len(bymap) < ntiles else b""
-    )
-    counts = [bymap[g][2] if g in bymap else len(nan_blob)
-              for g in range(ntiles)]
-    header, data_start, offsets = _build_header(
-        w, h, T, planes, grid, tc.schema.crs, force_bigtiff, counts=counts
-    )
+    def compress_level(lc):
+        lv_T = lc.tile
+        lv_tiles_x = -(-lc.n_x // lv_T)
+        lv_per_plane = lv_tiles_x * (-(-lc.n_y // lv_T))
+        lv_T2 = lv_T * lv_T
+
+        def compress_batches(batches, _pp=lv_per_plane, _tx=lv_tiles_x,
+                             _T2=lv_T2, _plane_of=plane_of):
+            part = f"part-{uuid.uuid4().hex}.bin"
+            fh, off, rows = None, 0, []
+            try:
+                for pdf in batches:
+                    for i in range(len(pdf)):
+                        plane = (_plane_of[pdf[BAND].iloc[i]]
+                                 if _plane_of else 0)
+                        gidx = (plane * _pp
+                                + int(pdf["tile_row"].iloc[i]) * _tx
+                                + int(pdf["tile_col"].iloc[i]))
+                        a = np.asarray(pdf["data"].iloc[i],
+                                       dtype="float64")
+                        if a.size != _T2:
+                            raise ValueError(
+                                f"tile array has {a.size} cells, "
+                                f"expected {_T2}"
+                            )
+                        blob = zlib.compress(a.astype("<f4").tobytes(), 6)
+                        if fh is None:
+                            fh = open(os.path.join(stage, part), "wb")
+                        fh.write(blob)
+                        rows.append((gidx, part, off, len(blob)))
+                        off += len(blob)
+            finally:
+                if fh is not None:
+                    fh.close()
+            yield pd.DataFrame(
+                rows, columns=["gidx", "part", "off", "nbytes"]
+            )
+
+        cols = ([BAND] if plane_of else []) + ["tile_row", "tile_col",
+                                               "data"]
+        index = (
+            lc.df.select(*cols)
+            .mapInPandas(compress_batches,
+                         "gidx long, part string, off long, nbytes long")
+            .collect()  # bounded: ONE small row per tile, never pixels
+        )
+        bymap = {int(r["gidx"]): (r["part"], int(r["off"]),
+                                  int(r["nbytes"]))
+                 for r in index}
+        if len(bymap) != len(index):
+            raise RuntimeError(
+                "duplicate tile indices in the deflate index"
+            )
+        ntiles = planes * lv_per_plane
+        nan_blob = (
+            zlib.compress(np.full(lv_T2, np.nan,
+                                  dtype="<f4").tobytes(), 6)
+            if len(bymap) < ntiles else b""
+        )
+        counts = [bymap[g][2] if g in bymap else len(nan_blob)
+                  for g in range(ntiles)]
+        return bymap, counts, nan_blob, ntiles
+
+    per_level_data = [compress_level(lc) for _k, lc in level_cubes]
+    level_specs = [
+        {"w": lc.n_x, "h": lc.n_y, "tile": lc.tile, "planes": planes,
+         "grid": lc.schema.grid, "crs": lc.schema.crs, "counts": cnts}
+        for (_k, lc), (_bm, cnts, _nb, _nt) in zip(level_cubes,
+                                                   per_level_data)
+    ]
+    header, per_level = _build_headers(level_specs, force_bigtiff)
     # PARALLEL assembly (round 14 — VERDICT r13 item 2): the gathered
     # byte counts fix every tile's final offset driver-side, so the
     # driver writes only header + the tiny NaN blobs of missing tiles;
@@ -543,16 +571,25 @@ def _save_deflate(
     # serial driver stream-copy, total compressed bytes never flow
     # through one process (matching the uncompressed path's flat-RSS
     # property; on an object store this step is a multipart compose).
+    last_start, last_offsets = per_level[-1]
+    total = last_offsets[-1] + per_level_data[-1][1][-1] \
+        if per_level_data[-1][1] else last_start
     try:
         with open(out, "wb") as f:
             f.write(header)
-            f.truncate(data_start + sum(counts))
-            for g in range(ntiles):
-                if g not in bymap:
-                    f.seek(offsets[g])
-                    f.write(nan_blob)
+            f.truncate(total)
+            for (bymap, counts, nan_blob, ntiles), (ds, offsets) in zip(
+                per_level_data, per_level
+            ):
+                for g in range(ntiles):
+                    if g not in bymap:
+                        f.seek(offsets[g])
+                        f.write(nan_blob)
         rows = [
             (part, off, nb, int(offsets[g]))
+            for (bymap, _c, _nb, _nt), (_ds, offsets) in zip(
+                per_level_data, per_level
+            )
             for g, (part, off, nb) in bymap.items()
         ]
         if rows:
@@ -603,7 +640,7 @@ def _save_deflate(
                 )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return out
+    return out, [k for k, _ in level_cubes[1:]]
 
 
 def _parse_ifd_chain(head: bytes) -> tuple[list, bool]:

@@ -647,7 +647,7 @@ def test_gtiff_cog_overviews_roundtrip(spark, tmp_path):
     assert arr.shape == (3, 16, 16)
 
 
-def test_gtiff_cog_overview_errors(spark, tmp_path):
+def test_gtiff_cog_overview_missing_level_error(spark, tmp_path):
     import pytest as _pytest
 
     from openeo_odc_driver_spark.core import tiled as t
@@ -663,9 +663,48 @@ def test_gtiff_cog_overview_errors(spark, tmp_path):
         synthetic_cube(spark, CubeSpec(n_times=2)), "time", "max"
     )
     tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
-    with _pytest.raises(NotImplementedError, match="uncompressed"):
-        save_gtiff_tiled(tc, str(tmp_path / "x"), compress="deflate",
-                         overviews=(2,))
     path = save_gtiff_tiled(tc, str(tmp_path / "y"), overviews=(2,))
     with _pytest.raises(ValueError, match="no overview level 8"):
         load_gtiff_tiled(spark, path, level=8)
+
+
+def test_gtiff_cog_overviews_deflate(spark, tmp_path):
+    """DEFLATE + overviews = the full COG: per-level count gathers
+    feed one multi-IFD header, a single executor copy pass assembles
+    every level; both levels read back bit-equal to the uncompressed
+    COG's levels."""
+    import json
+
+    import pandas as pd
+
+    from openeo_odc_driver_spark.core import tiled as t
+    from openeo_odc_driver_spark.operators.reducers import (
+        reduce_dimension,
+    )
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        _read_ifd_chain,
+        load_gtiff_tiled,
+        save_gtiff_tiled,
+    )
+
+    cube = reduce_dimension(synthetic_cube(spark), "time", "max")
+    tc = t.to_tiled(cube, tile=16, n_y=16, n_x=16)
+    raw = save_gtiff_tiled(tc, str(tmp_path / "raw"), overviews=(2, 4))
+    dfl = save_gtiff_tiled(tc, str(tmp_path / "dfl"),
+                           compress="deflate", overviews=(2, 4))
+    chain, _big = _read_ifd_chain(dfl)
+    assert len(chain) == 3
+    assert [c.get(259, [1])[0] for c in chain] == [8, 8, 8]  # DEFLATE
+    side = json.load(open(str(tmp_path / "dfl") + ".json"))
+    assert side["overviews"] == [2, 4]
+    cols = ["band", "y", "x", "value"]
+    for lv in (None, 2, 4):
+        a = t.from_tiled(load_gtiff_tiled(
+            spark, raw, bands=cube.schema.bands, level=lv)).df.toPandas()
+        b = t.from_tiled(load_gtiff_tiled(
+            spark, dfl, bands=cube.schema.bands, level=lv)).df.toPandas()
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True),
+            check_exact=True, check_dtype=False,
+        )
