@@ -788,8 +788,20 @@ class ProcessGraph:
                     from ..sinks.gtiff_tiled import save_gtiff_tiled
 
                     os.makedirs(self.save_dir, exist_ok=True)
+                    # openEO save_result options: COG controls (round
+                    # 15) — "overviews": [2, 4, ...] writes chained
+                    # reduced-resolution IFDs; "compression": "deflate"
+                    # selects the COG-standard codec
+                    opts = args.get("options") or {}
+                    comp = opts.get("compression")
+                    if comp is not None:
+                        comp = str(comp).lower()
+                        if comp in ("none", ""):
+                            comp = None
                     save_gtiff_tiled(
-                        tc, f"{self.save_dir}/{self.result_node}"
+                        tc, f"{self.save_dir}/{self.result_node}",
+                        compress=comp,
+                        overviews=tuple(opts.get("overviews") or ()),
                     )
                     return tc
             return self._dispatch(pid, args, node, long_only=True)

@@ -708,3 +708,43 @@ def test_gtiff_cog_overviews_deflate(spark, tmp_path):
             b[cols].sort_values(cols).reset_index(drop=True),
             check_exact=True, check_dtype=False,
         )
+
+
+def test_save_result_options_write_cog(spark, tmp_path):
+    """openEO save_result options {overviews, compression} reach the
+    distributed GeoTIFF sink through the planner — the artifact is a
+    DEFLATE COG with the requested levels."""
+    import json
+
+    from openeo_odc_driver_spark.plans.graph import ProcessGraph
+    from openeo_odc_driver_spark.sinks.gtiff_tiled import (
+        _read_ifd_chain,
+    )
+
+    graph = {"process_graph": {
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "synthetic", "bands": ["B04"]}},
+        "red": {"process_id": "reduce_dimension",
+                "arguments": {"data": {"from_node": "load"},
+                              "dimension": "t",
+                              "reducer": {"process_graph": {
+                                  "m": {"process_id": "max",
+                                        "arguments": {"data":
+                                                      {"from_parameter":
+                                                       "data"}},
+                                        "result": True}}}}},
+        "save": {"process_id": "save_result",
+                 "arguments": {"data": {"from_node": "red"},
+                               "format": "GTiff",
+                               "options": {"overviews": [2, 4],
+                                           "compression": "deflate"}},
+                 "result": True},
+    }}
+    pg = ProcessGraph(graph, save_dir=str(tmp_path), tiled=True)
+    pg.execute(spark)
+    path = str(tmp_path / "save.tif")
+    chain, _big = _read_ifd_chain(path)
+    assert len(chain) == 3
+    assert [c.get(259, [1])[0] for c in chain] == [8, 8, 8]
+    side = json.loads((tmp_path / "save.json").read_text())
+    assert side["overviews"] == [2, 4]
