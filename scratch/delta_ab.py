@@ -17,7 +17,11 @@ weather. Protocol: ONE session, the bench's anchor query interleaved,
 System.gc between runs, best-of-N; verdict per query = best wall and
 anchor-normalized value vs the bench readings.
 
-Usage: python scratch/delta_ab.py [rounds]
+Usage: python scratch/delta_ab.py [rounds] [name ...]
+(extra args replace the default query list — round-15 close-out used
+it for the three untouched-code deltas at/above the clean bench's own
+1.96x spread: tiled_pipeline_e2e 2.11x, tiled_merge_resolver 2.06x,
+tiled_filter_bbox_native 2.03x)
 """
 import json
 import sys
@@ -46,6 +50,9 @@ BENCH = {
 
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    global NAMES
+    if len(sys.argv) > 2:
+        NAMES = sys.argv[2:]
     from openeo_odc_driver_spark.registry import QUERIES
     from openeo_odc_driver_spark.session import get_spark
 
@@ -87,9 +94,11 @@ def main() -> int:
     for n in NAMES:
         best = min(walls[n])
         out[n] = {"walls": walls[n], "best": best,
-                  "per_anchor": round(best / a, 2),
-                  "vs_r14_bench": round(best / BENCH["r14"][n], 2),
-                  "vs_r12_bench": round(best / BENCH["r12"][n], 2)}
+                  "per_anchor": round(best / a, 2)}
+        if n in BENCH["r14"]:
+            out[n]["vs_r14_bench"] = round(best / BENCH["r14"][n], 2)
+        if n in BENCH["r12"]:
+            out[n]["vs_r12_bench"] = round(best / BENCH["r12"][n], 2)
     print(json.dumps(out))
     return 0
 
