@@ -2821,6 +2821,15 @@ def _build_tiled_store(spark, collection_id: str) -> str:
             # a failed build (or a lost race) must not leave a stale
             # .build dir behind
             shutil.rmtree(tmp, ignore_errors=True)
+    # a real store carries its overview pyramid (round 15) — additive,
+    # lock-guarded, and best-effort: a concurrent builder or failure
+    # only costs coarse queries their level serve, never correctness
+    try:
+        from .core.tiled import ensure_overviews
+
+        ensure_overviews(spark, path, (2, 4, 8))
+    except Exception:  # noqa: BLE001 — overview absence is not an error
+        pass
     return root
 
 
