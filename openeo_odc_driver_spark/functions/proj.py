@@ -276,6 +276,95 @@ def laea_to_wgs84_np(x, y):
     return np.degrees(lam + _LAEA_LON0), np.degrees(phi)
 
 
+# --- Polar Stereographic variant B (EPSG:3031 / 3413) ------------------
+# Snyder 1987 eqs. 15-32..15-39 + series 3-5, WGS84 ellipsoid. 3031 is
+# the Antarctic Polar Stereographic (south aspect, standard parallel
+# 71°S, λ0=0); 3413 the NSIDC Sea Ice Polar Stereographic North (north
+# aspect, standard parallel 70°N, λ0=−45). Both use FE=FN=0.
+_WGS_E = math.sqrt(_E2)
+
+_POLAR = {
+    3031: {"south": True, "lat_ts": -71.0, "lon0": 0.0},
+    3413: {"south": False, "lat_ts": 70.0, "lon0": -45.0},
+}
+
+
+def _polar_t(phi):
+    """Snyder 15-9: isometric colatitude factor t(φ) for the NORTH
+    aspect (φ in radians, vectorized)."""
+    import numpy as np
+
+    e = _WGS_E
+    sp = np.sin(phi)
+    return (np.tan(math.pi / 4 - phi / 2)
+            / ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+
+
+def _polar_consts(epsg: int):
+    p = _POLAR[epsg]
+    phi_f = math.radians(abs(p["lat_ts"]))
+    e = _WGS_E
+    m_f = math.cos(phi_f) / math.sqrt(1 - _E2 * math.sin(phi_f) ** 2)
+    t_f = float(_polar_t(phi_f))
+    return p, m_f, t_f
+
+
+def wgs84_to_polar_np(lon, lat, epsg: int):
+    """Forward ellipsoidal polar stereographic variant B, vectorized:
+    ρ = a·m_F·t/t_F (true scale at the standard parallel — checked in
+    pytest against the parallel's own radius N(φ_F)·cosφ_F), x = ρ·sinθ,
+    with the south aspect mapped through the north formulas by negating
+    latitude and longitude (Snyder p.161 convention: x east, y north
+    toward λ0+180° for south)."""
+    import numpy as np
+
+    p, m_f, t_f = _polar_consts(epsg)
+    lam = np.radians(np.asarray(lon, dtype="float64")) \
+        - math.radians(p["lon0"])
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    if p["south"]:
+        phi = -phi
+        lam = -lam
+    t = _polar_t(phi)
+    rho = _A * m_f * t / t_f
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)  # north aspect: y axis toward λ0+180
+    if p["south"]:
+        x, y = -x, -y
+    return x, y
+
+
+def polar_to_wgs84_np(x, y, epsg: int):
+    """Inverse (Snyder 15-39 + the 3-5 χ series), vectorized; exact at
+    the pole (ρ=0 guarded)."""
+    import numpy as np
+
+    p, m_f, t_f = _polar_consts(epsg)
+    xr = np.asarray(x, dtype="float64")
+    yr = np.asarray(y, dtype="float64")
+    if p["south"]:
+        xr, yr = -xr, -yr
+    rho = np.hypot(xr, yr)
+    t = rho * t_f / (_A * m_f)
+    chi = math.pi / 2 - 2 * np.arctan(t)
+    e2 = _E2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240) * np.sin(4 * chi)
+        + (7 * e6 / 120) * np.sin(6 * chi)
+    )
+    with np.errstate(invalid="ignore"):
+        lam = np.arctan2(xr, -yr)
+    lam = np.where(rho == 0, 0.0, lam)
+    if p["south"]:
+        phi = -phi
+        lam = -lam
+    return (np.degrees(lam) + p["lon0"],
+            np.degrees(phi))
+
+
 def _crs_kind(epsg: int) -> str:
     """'geographic' | 'utm' | 'webmerc' | 'laea' — raises ValueError
     for anything the warp cannot transform."""
@@ -285,6 +374,8 @@ def _crs_kind(epsg: int) -> str:
         return "webmerc"
     if epsg == 3035:
         return "laea"
+    if epsg in _POLAR:
+        return "polar"
     utm_zone_from_epsg(epsg)  # raises ValueError if not UTM
     return "utm"
 
@@ -297,6 +388,8 @@ def from_lonlat_np(lon, lat, epsg: int):
         return wgs84_to_webmerc_np(lon, lat)
     if kind == "laea":
         return wgs84_to_laea_np(lon, lat)
+    if kind == "polar":
+        return wgs84_to_polar_np(lon, lat, epsg)
     return wgs84_to_utm_np(lon, lat, epsg)
 
 
@@ -308,6 +401,8 @@ def to_lonlat_np(x, y, epsg: int):
         return webmerc_to_wgs84_np(x, y)
     if kind == "laea":
         return laea_to_wgs84_np(x, y)
+    if kind == "polar":
+        return polar_to_wgs84_np(x, y, epsg)
     return utm_to_wgs84_np(x, y, epsg)
 
 
@@ -331,8 +426,8 @@ def make_transforms(src_epsg: int, tgt_epsg: int):
 
 def validate_warp_pair(src_epsg, tgt_epsg) -> None:
     """The warp's fail-fast CRS checks (shared by both tiers): each
-    side must be 4326, a UTM zone, Web Mercator (3857), or LAEA Europe
-    (3035) — and they must differ."""
+    side must be 4326, a UTM zone, Web Mercator (3857), LAEA Europe
+    (3035), or Polar Stereographic 3031/3413 — and they must differ."""
     if src_epsg is None:
         raise NotImplementedError(
             "projection warp needs an EPSG-coded source CRS"
@@ -350,8 +445,9 @@ def validate_warp_pair(src_epsg, tgt_epsg) -> None:
         except ValueError:
             raise NotImplementedError(
                 f"projection warp supports EPSG:4326, UTM zones "
-                f"(EPSG:326xx/327xx), Web Mercator (EPSG:3857) and "
-                f"LAEA Europe (EPSG:3035); {role} CRS EPSG:{code} "
+                f"(EPSG:326xx/327xx), Web Mercator (EPSG:3857), "
+                f"LAEA Europe (EPSG:3035) and Polar Stereographic "
+                f"(EPSG:3031/3413); {role} CRS EPSG:{code} "
                 f"is none of these"
             ) from None
 

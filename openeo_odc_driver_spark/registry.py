@@ -1566,6 +1566,11 @@ def _resample_spatial_warp_directions_sweep(spark, sf_dir):
     - ``laea``: 4326→3035 (ellipsoidal Lambert Azimuthal Equal-Area,
       Snyder 24-27..24-39 on GRS80) — near; forward pinned against
       the published EPSG Guidance-Note test point in pytest.
+    - ``antarctic``: 4326→3031 (ellipsoidal Polar Stereographic
+      variant B, Snyder 15-32..15-39; the standard Antarctic EO grid)
+      over an Antarctic-footprint cube — near; invariants (pole
+      exactness, ρ(std parallel)=N·cosφ, rotation invariance, McMurdo
+      position) pytest-pinned, 3413 Arctic shares the code path.
 
     Projection math is not SQL-expressible → literal captured oracle;
     metric ground truths (known coordinates, center exactness,
@@ -1620,11 +1625,24 @@ def _resample_spatial_warp_directions_sweep(spark, sf_dir):
             .withColumn("proj", F.lit(tag))
         )
 
+    antarctic_spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                              x0=10.0, y0=-70.5)
+    antarctic_cube = reduce_dimension(
+        synthetic_cube(spark, antarctic_spec), "time", "max"
+    )
+    antarctic = (
+        resample_spatial_warp(antarctic_cube, 3031, 400.0).df
+        .withColumnRenamed(VALUE, "near")
+        .withColumn("bilinear", F.lit(None).cast("double"))
+        .withColumn("tiled_near", F.lit(None).cast("double"))
+        .withColumn("proj", F.lit("antarctic"))
+    )
     cols = ["proj", "band", "y", "x", "near", "bilinear", "tiled_near"]
     return (
         utm_rows.select(cols)
         .unionByName(tagged(3857, 500.0, "webmerc", True).select(cols))
         .unionByName(tagged(3035, 500.0, "laea", False).select(cols))
+        .unionByName(antarctic.select(cols))
     )
 
 

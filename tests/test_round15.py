@@ -343,6 +343,9 @@ def test_validate_warp_pair_accepts_new_targets():
     validate_warp_pair(4326, 3035)
     validate_warp_pair(3857, 32632)  # composes through lon/lat
     validate_warp_pair(3035, 4326)
+    validate_warp_pair(4326, 3031)
+    validate_warp_pair(3413, 4326)
+    validate_warp_pair(3031, 3413)  # pole-to-pole, through lon/lat
     with _pytest.raises(NotImplementedError, match="2154"):
         validate_warp_pair(4326, 2154)
 
@@ -748,3 +751,88 @@ def test_save_result_options_write_cog(spark, tmp_path):
     assert [c.get(259, [1])[0] for c in chain] == [8, 8, 8]
     side = json.loads((tmp_path / "save.json").read_text())
     assert side["overviews"] == [2, 4]
+
+
+def test_polar_stereographic_invariants():
+    """EPSG:3031 / 3413 (the standard Antarctic / Arctic EO grids):
+    pole maps to the origin exactly, round-trip < 1e-9°, the radius at
+    the standard parallel equals the parallel's true radius N·cosφ
+    (scale-true by construction — a real check of the t/t_F math), the
+    projection is exactly azimuthal (rotation invariance), and McMurdo
+    lands at its known 3031 position."""
+    import math
+
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import (
+        _A,
+        _polar_consts,
+        polar_to_wgs84_np,
+        wgs84_to_polar_np,
+    )
+
+    for epsg, pole, lats in (
+        (3031, -90.0, np.linspace(-89.5, -60, 40)),
+        (3413, 90.0, np.linspace(60, 89.5, 40)),
+    ):
+        x, y = wgs84_to_polar_np(np.array([0.0, 123.0]),
+                                 np.array([pole, pole]), epsg)
+        assert np.abs(x).max() == 0.0 and np.abs(y).max() == 0.0
+        lons = np.linspace(-180, 179, 41)
+        lo, la = np.meshgrid(lons, lats)
+        xx, yy = wgs84_to_polar_np(lo.ravel(), la.ravel(), epsg)
+        lo2, la2 = polar_to_wgs84_np(xx, yy, epsg)
+        dlon = (np.asarray(lo2) - lo.ravel() + 180) % 360 - 180
+        assert np.abs(dlon).max() < 1e-9
+        assert np.abs(la2 - la.ravel()).max() < 1e-8
+        p, m_f, _t_f = _polar_consts(epsg)
+        x1, y1 = wgs84_to_polar_np(np.array([p["lon0"]]),
+                                   np.array([p["lat_ts"]]), epsg)
+        rho = math.hypot(float(x1[0]), float(y1[0]))
+        assert abs(rho - _A * m_f) < 1e-6
+        x2, y2 = wgs84_to_polar_np(np.array([p["lon0"] + 37.0]),
+                                   np.array([p["lat_ts"]]), epsg)
+        assert abs(math.hypot(float(x2[0]), float(y2[0])) - rho) < 1e-6
+    x, y = wgs84_to_polar_np(np.array([166.668]),
+                             np.array([-77.846]), 3031)
+    assert abs(float(x[0]) - 305613) < 5
+    assert abs(float(y[0]) + 1289618) < 5
+
+
+def test_warp_polar_metric_ground_truth(spark):
+    """4326→3031 nearest over an Antarctic-footprint cube: every
+    output equals the source value at the nearest source pixel of its
+    inverse-projected center."""
+    import numpy as np
+
+    from openeo_odc_driver_spark.functions.proj import polar_to_wgs84_np
+    from openeo_odc_driver_spark.operators.resample import (
+        resample_spatial_warp,
+    )
+
+    spec = CubeSpec(resx=0.0078125, resy=0.00390625,
+                    x0=10.0, y0=-70.5, n_times=2)
+    cube = synthetic_cube(spark, spec)
+    out = resample_spatial_warp(cube, 3031, 400.0)
+    assert out.schema.crs == "EPSG:3031"
+    pdf = out.df.toPandas()
+    assert len(pdf) > 100
+    src = cube.df.toPandas()
+    lut = {}
+    for b, ts, yy, xx, v in src[
+        ["band", "time", "y", "x", "value"]
+    ].itertuples(index=False, name=None):
+        yi = int(round((spec.y0 - yy) / spec.resy))
+        xi = int(round((xx - spec.x0) / spec.resx))
+        lut[(b, ts, yi, xi)] = v
+    lon, lat = polar_to_wgs84_np(pdf["x"].to_numpy(),
+                                 pdf["y"].to_numpy(), 3031)
+    xi = np.floor((lon - spec.x0) / spec.resx + 0.5).astype(int)
+    yi = np.floor((spec.y0 - lat) / spec.resy + 0.5).astype(int)
+    for i in range(len(pdf)):
+        want = lut[(pdf["band"].iloc[i], pdf["time"].iloc[i],
+                    int(yi[i]), int(xi[i]))]
+        got = pdf["value"].iloc[i]
+        assert (got == want) or (got is None and want is None) or (
+            got != got and want != want
+        )
