@@ -28,6 +28,7 @@ def pagerank_integer(
     iterations: int = 3,
     join_impl: str = "auto",
     broadcast_max_nodes: int = 5_000_000,
+    materialize: str = "local",
 ) -> DataFrame:
     """Weighted PageRank over directed ``(src, dst, w)`` edges in exact
     integer micro-unit arithmetic, fixed ``iterations`` rounds.
@@ -73,8 +74,30 @@ def pagerank_integer(
         raise ValueError(
             f"join_impl must be auto|broadcast|shuffle, got {join_impl!r}"
         )
+    if materialize not in ("local", "none"):
+        raise ValueError(
+            f"materialize must be local|none, got {materialize!r}"
+        )
+    # Iterative-algorithm lineage discipline (round-15 optimization):
+    # every reference to `e` / `nodes` inside the unrolled loop embeds
+    # its whole upstream subtree into the plan — for a derived edge
+    # table (e.g. copurchase_edges' distinct + self-join) the 3-round
+    # plan re-plans that subtree dozens of times (measured: 287
+    # physical operators, 150 Exchanges, zero ReusedExchange).
+    # localCheckpoint materializes the loop invariants ONCE per call —
+    # values are unchanged (all rank arithmetic is exact integer math)
+    # and each bench/oracle invocation still computes them fresh from
+    # the inputs (a checkpoint is tied to this DataFrame, not to a
+    # plan-keyed cache, so repeated calls cannot reuse it).
+    # ``materialize="none"`` keeps the pure-lineage plan (A/B leg).
+    _mat = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if materialize == "local"
+        else (lambda df: df)
+    )
+    edges = _mat(edges)
     deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("d"))
-    nodes = (
+    nodes = _mat(
         edges.select(F.col("src").alias("pk"))
         .union(edges.select(F.col("dst").alias("pk")))
         .distinct()
@@ -83,6 +106,14 @@ def pagerank_integer(
         join_impl = (
             "broadcast" if nodes.count() <= broadcast_max_nodes else "shuffle"
         )
+    # NOTE: `e` stays LAZY in both regimes. Checkpointing it was A/B'd
+    # and REGRESSED the shuffle regime 2.8× (35.1 s vs 12.6 s best,
+    # interleaved): a localCheckpoint scan has no outputPartitioning, so
+    # every round re-shuffled the E-sized table, while the lazy form's
+    # per-round exchanges are identical subtrees that runtime exchange
+    # reuse materializes once. With edges/nodes checkpointed above, the
+    # lazy `e` subtree is one shallow groupBy+join over an in-memory
+    # scan — the lineage blow-up is already gone.
     if join_impl == "broadcast":
         e = edges.join(F.broadcast(deg), "src")
         _small = F.broadcast  # the build side of each round's two joins
@@ -144,7 +175,9 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, materialize: str = "local"
+) -> DataFrame:
     """Synchronous label-propagation community detection over directed
     weighted ``(src, dst, w)`` edges, fixed ``iterations`` rounds,
     fully deterministic: a node adopts the label with the greatest
@@ -171,12 +204,24 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if materialize not in ("local", "none"):
+        raise ValueError(
+            f"materialize must be local|none, got {materialize!r}"
+        )
+    # same loop-invariant materialization as pagerank_integer (see its
+    # comment): edges + the initial label table are referenced by every
+    # unrolled round; checkpointing them keeps the per-round plan
+    # shallow. Values unchanged (integer votes, deterministic argmax).
+    if materialize == "local":
+        edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("pk"))
         .union(edges.select(F.col("dst").alias("pk")))
         .distinct()
         .select("pk", F.col("pk").alias("label"))
     )
+    if materialize == "local":
+        labels = labels.localCheckpoint(eager=True)
     w_top = Window.partitionBy("dst").orderBy(
         F.desc("_wsum"), F.asc("label")
     )

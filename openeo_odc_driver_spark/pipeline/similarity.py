@@ -485,6 +485,7 @@ def ivf_pq_ann(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    argmin_impl: str = "agg",
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ shape, no-residual variant): the
     corpus is partitioned into inverted lists by nearest centroid AND
@@ -507,6 +508,10 @@ def ivf_pq_ann(
     shuffle is candidate-sized (× nprobe/n_centroids of the corpus),
     never corpus-sized.
     """
+    if argmin_impl not in ("agg", "window"):
+        raise ValueError(
+            f"argmin_impl must be agg|window, got {argmin_impl!r}"
+        )
     if centroids is None:
         centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
@@ -514,7 +519,16 @@ def ivf_pq_ann(
     cents = centroids.withColumn("c_norm", norm_expr("c_emb"))
 
     # corpus: nearest list per vector (one pass), then PQ-encode carrying
-    # the list id — no corpus-side join between assignment and codes
+    # the list id — no corpus-side join between assignment and codes.
+    # Round-15 optimization: both corpus-side argselects run as
+    # partial-aggregated max_by/min_by (the kmeans_train / ivf_flat_ann
+    # / pq_encode argmax discipline) instead of row_number windows — the
+    # window form shuffled the n×k scored crossJoin (embedding arrays
+    # embedded, ×k) and the n×PQ_K×M code expansion; the agg form's
+    # exchanges carry n and n×M rows after map-side combine. Same floats
+    # and tie-breaks (struct ordering: NULL sorts smallest ≡
+    # desc-nulls-last; -cent_id ≡ cent_id asc / min dist ties → lowest
+    # code). ``argmin_impl="window"`` keeps the old plan (A/B leg).
     scored = embeddings.withColumn("e_norm", norm_expr("embedding")).crossJoin(
         F.broadcast(cents)
     ).withColumn(
@@ -522,12 +536,31 @@ def ivf_pq_ann(
         dot_expr("embedding", "c_emb")
         / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
     )
-    w1 = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
-    )
+    if argmin_impl == "agg":
+        best = F.max_by(
+            F.struct(F.col("cent_id"), F.col("embedding")),
+            F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(best.alias("_b"))
+            .select(
+                "vec_id",
+                F.col("_b.embedding").alias("embedding"),
+                F.col("_b.cent_id").alias("list_id"),
+            )
+        )
+    else:
+        w1 = Window.partitionBy("vec_id").orderBy(
+            F.col("_cs").desc(), F.col("cent_id")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") == 1)
+            .select(
+                "vec_id", "embedding", F.col("cent_id").alias("list_id")
+            )
+        )
     cb = _pq_codebook(embeddings)
     sub = (
         assigned.crossJoin(F.broadcast(cb))
@@ -541,12 +574,32 @@ def ivf_pq_ann(
         )
         .withColumn("dist", _sub_l2_expr("embedding", "c_emb", "s"))
     )
-    w2 = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
-    codes = (
-        sub.withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "list_id", F.col("s").cast("int").alias("s"), "code")
-    )
+    if argmin_impl == "agg":
+        codes = (
+            sub.groupBy("vec_id", "s")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("code"), F.col("list_id")),
+                    F.struct(F.col("dist"), F.col("code")),
+                ).alias("_b")
+            )
+            .select(
+                "vec_id",
+                F.col("_b.list_id").alias("list_id"),
+                F.col("s").cast("int").alias("s"),
+                F.col("_b.code").alias("code"),
+            )
+        )
+    else:
+        w2 = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+        codes = (
+            sub.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") == 1)
+            .select(
+                "vec_id", "list_id", F.col("s").cast("int").alias("s"),
+                "code",
+            )
+        )
 
     # queries: nprobe nearest lists + the ADC lookup table, both broadcast
     q = queries.select(
@@ -839,6 +892,7 @@ def kmeans_train(
     iters: int = 3,
     quant: int = 6,
     assign_impl: str = "auto",
+    materialize: str = "local",
 ) -> DataFrame:
     """Spherical k-means (Lloyd) centroid training — the real-centroid
     path that :func:`ivf_flat_ann` / :func:`semantic_dedup_clusters`
@@ -877,6 +931,20 @@ def kmeans_train(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if materialize not in ("local", "none"):
+        raise ValueError(
+            f"materialize must be local|none, got {materialize!r}"
+        )
+    # Iterative-algorithm lineage discipline (round-15 optimization,
+    # same as pagerank_integer): the Lloyd loop references the corpus
+    # iters times (plus the dim probe and the init collect), so a
+    # derived embeddings table re-executes its upstream subtree once
+    # per reference. localCheckpoint materializes it ONCE per call —
+    # values unchanged (same rows in, and every downstream aggregate is
+    # order-quantized), and each invocation still computes fresh from
+    # the inputs. ``materialize="none"`` keeps pure lineage (A/B leg).
+    if materialize == "local":
+        embeddings = embeddings.localCheckpoint(eager=True)
     spark = embeddings.sparkSession
     dim = len(
         embeddings.where(F.col("vec_id") < 1).select("embedding").first()[0]
