@@ -51,7 +51,7 @@ the origin would need floor-division index math.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -147,6 +147,67 @@ def _raster_exchange_width(tc: "TiledCube") -> int | None:
     if width <= default:
         return None
     return int(min(width, 4096))
+
+
+def _tile_group_count(tc: "TiledCube") -> int:
+    """Catalog-constant estimate of the (keys, tile) group count — the
+    same constants :func:`_raster_exchange_width` sizes bytes from."""
+    tiles = (-(-tc.n_y // tc.tile)) * (-(-tc.n_x // tc.tile))
+    bands = max(len(tc.schema.bands), 1) if BAND in tc.schema.dims else 1
+    if TIME in tc.schema.dims:
+        ax = tc.schema.time_axis
+        n_t = len(ax) if ax else _ASSUMED_TIME_STEPS
+    else:
+        n_t = 1
+    return tiles * bands * n_t
+
+
+def _py_stage_width(tc: "TiledCube") -> int | None:
+    """Partition width for an Arrow/pandas tile stage (applyInPandas):
+    the raster-aware BYTE sizing when the scene is large enough to
+    trip it, else a PARALLELISM floor. Rationale (round-15
+    optimization, guide §2.2/§4): AQE coalesces post-shuffle
+    partitions by bytes, but a pandas stage's cost is per-GROUP Python
+    work — at gate/bench scale the whole stencil stage coalesced to
+    ONE task walking every tile group serially (measured on one
+    kernel leg: 3.31 s → 2.13 s with coalescing disabled). An explicit
+    ``repartition(width, keys)`` REPLACES the groupBy exchange
+    (HashPartitioning on the group keys satisfies the downstream
+    ClusteredDistribution) and AQE leaves user-numbered repartitions
+    alone. Width = min(defaultParallelism, group count) — both
+    cluster- and data-adaptive, never a local[32] constant. Group
+    results are partitioning-invariant (each group lands whole in one
+    task either way), so gate values cannot move."""
+    w = _raster_exchange_width(tc)
+    if w is not None:
+        return w
+    dp = tc.df.sparkSession.sparkContext.defaultParallelism
+    width = min(int(dp), _tile_group_count(tc))
+    return width if width > 1 else None
+
+
+def _widen_py(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
+    """Pre-cluster a pandas-stage input on its group keys at
+    :func:`_py_stage_width` (byte-sized at scale, parallelism floor at
+    small scale)."""
+    w = _py_stage_width(tc)
+    if w is None:
+        return df
+    return df.repartition(w, *[F.col(k) for k in keys])
+
+
+def materialize_tiled(tc: "TiledCube") -> "TiledCube":
+    """Evaluate a tiled cube's lineage once and reuse the rows across
+    several consumers (round-15 optimization, guide §3.3/§5): sweep
+    plans that fan N operator legs out of one packed fixture re-embed
+    the whole ``to_tiled`` subtree per leg — the pack's Python stage
+    nodes never canonicalize equal, so exchange reuse cannot fire, and
+    the pack recomputes N times. A localCheckpoint is tied to THIS
+    DataFrame, so every fresh invocation still computes the pack from
+    its inputs (nothing persists across runs); the fixture's dyadic
+    values make all downstream folds order-free, so results cannot
+    move."""
+    return _dc_replace(tc, df=tc.df.localCheckpoint(eager=True))
 
 
 def _widen_df(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
@@ -1839,7 +1900,7 @@ def apply_kernel_tiled_layout(
         out["data"] = [obj.tolist()]
         return pd.DataFrame(out)
 
-    df = _widen_df(tc, pieces, [*keys, "_tr", "_tc"]) \
+    df = _widen_py(tc, pieces, [*keys, "_tr", "_tc"]) \
         .groupBy(*keys, "_tr", "_tc").applyInPandas(
         stencil, out_schema
     )
@@ -2112,7 +2173,7 @@ def radar_mask_tiled(
             })
         return pd.DataFrame(rows)
 
-    df = _widen_df(tc, pieces, [*keys, "_tr", "_tc"]) \
+    df = _widen_py(tc, pieces, [*keys, "_tr", "_tc"]) \
         .groupBy(*keys, "_tr", "_tc").applyInPandas(
         masks, out_schema
     )

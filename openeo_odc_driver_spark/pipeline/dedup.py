@@ -840,7 +840,8 @@ def _bloom_positions(gh: F.Column) -> list:
 
 
 def bloom_decontaminate(
-    docs: DataFrame, reference: DataFrame, n: int = 8
+    docs: DataFrame, reference: DataFrame, n: int = 8,
+    materialize: str = "local",
 ) -> DataFrame:
     """Decontamination with a **Bloom-filter pre-filter**: the reference
     n-gram set is compressed to its set bit positions (≤ BLOOM_M rows —
@@ -860,8 +861,26 @@ def bloom_decontaminate(
     bloom_filter_agg is not SQL-exposed, and this form keeps the DuckDB
     twin expressible.
     """
-    ref_grams = _token_ngram_hashes(reference, n).select("gh").distinct()
-    bit_set = (
+    if materialize not in ("local", "none"):
+        raise ValueError(
+            f"materialize must be local|none, got {materialize!r}"
+        )
+    # Round-15 optimization (guide §3.3/§5): the K broadcast builds of
+    # `bit_set` plus the exact-verify join each re-embedded the
+    # reference n-gram subtree (tokenize + md5 per gram, 4 runs at
+    # K=3). Both tables are bounded by design (ref_grams by the eval
+    # suite, bit_set ≤ BLOOM_M ints), so localCheckpoint evaluates the
+    # reference side once per call; output identical (pure
+    # re-reference), every invocation still computes from the inputs.
+    _mat = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if materialize == "local"
+        else (lambda df: df)
+    )
+    ref_grams = _mat(
+        _token_ngram_hashes(reference, n).select("gh").distinct()
+    )
+    bit_set = _mat(
         ref_grams.select(F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("pos"))
         .distinct()
     )

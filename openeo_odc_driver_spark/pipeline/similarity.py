@@ -771,6 +771,7 @@ def semantic_dedup_clusters(
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     assign_impl: str = "auto",
+    materialize: str = "local",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication census: partition vectors by
     nearest pseudo-centroid, then inside each cluster drop any vector
@@ -853,6 +854,21 @@ def semantic_dedup_clusters(
                 F.col("_b.cent_id").alias("cluster_id"),
             )
         )
+    if materialize not in ("local", "none"):
+        raise ValueError(
+            f"materialize must be local|none, got {materialize!r}"
+        )
+    # Round-15 optimization (guide §3.3/§5, the pagerank/kmeans
+    # discipline): `members` feeds BOTH sides of the pairwise self-join
+    # AND the final census join — three references, each re-running the
+    # corpus-wide centroid assignment (22 Exchanges, 0 ReusedExchange
+    # before; assignment subtrees with fold expressions never
+    # canonicalize equal across aliases). localCheckpoint evaluates the
+    # assignment once per call; floats unchanged (same rows), and each
+    # invocation still computes fresh from the inputs.
+    # ``materialize="none"`` keeps pure lineage (A/B leg).
+    if materialize == "local":
+        members = members.localCheckpoint(eager=True)
     a = members.select(
         "cluster_id", F.col("vec_id").alias("vid_a"),
         F.col("embedding").alias("emb_a"), F.col("e_norm").alias("norm_a"),

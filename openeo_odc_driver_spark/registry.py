@@ -522,9 +522,20 @@ def _register_reducers():
     )
 
     def fn(spark, sf_dir):
+        # round-15 optimization (guide §2.1): pre-cluster the cube ONCE
+        # on the sweep's group keys — every reducer leg's groupBy and
+        # every equi-join then reuses that distribution instead of its
+        # own exchange (before: 90 Exchanges / 16 SortMergeJoins, 0
+        # reuse), and the single pure-SQL repartition subtree
+        # canonicalizes, so ReuseExchange fires across legs. No pinned
+        # width: AQE sizes the exchange by bytes (scale-adaptive).
+        # Values identical — dyadic fixture values make every reducer
+        # order-free. Interleaved A/B: 5.80 -> 3.46 s best-of-3.
+        cube = synthetic_cube(spark)
+        cube = cube.with_df(cube.df.repartition("band", "y", "x"))
         out = None
         for red in REDUCER_DUCK:
-            d = reduce_dimension(synthetic_cube(spark), "time", red).df
+            d = reduce_dimension(cube, "time", red).df
             d = d.withColumnRenamed(VALUE, red)
             out = d if out is None else out.join(d, ["band", "y", "x"])
         return out
@@ -873,12 +884,17 @@ def _tiled_reduce_time_sweep(spark, sf_dir):
     ≡ sql by pytest."""
     from .core.tiled import (
         from_tiled,
+        materialize_tiled,
         reduce_time_mean_tiled,
         reduce_time_tiled,
         to_tiled,
     )
 
-    tc = to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    # round-15: the four reducer legs shared `tc` only lazily — each
+    # re-ran the pack (48 Exchanges, 0 ReusedExchange); materialize once.
+    tc = materialize_tiled(
+        to_tiled(synthetic_cube(spark), tile=8, n_y=16, n_x=16)
+    )
     out = from_tiled(reduce_time_mean_tiled(tc, impl="sql")).df
     out = out.withColumnRenamed(VALUE, "mean")
     for red in ("max", "sum", "sd"):
@@ -1233,13 +1249,17 @@ def _tiled_zonal_sweep(spark, sf_dir):
     tile classes; 5 operator invocations equi-joined on
     (geom_id, band, time) against one GROUP BY oracle (first-match
     tagging; product folds the SORTED list — reducers.product_expr)."""
-    from .core.tiled import aggregate_spatial_tiled
+    from .core.tiled import aggregate_spatial_tiled, materialize_tiled
     from .functions.geometry import FIXTURE_POLYGONS
 
+    # round-15: pack the shared fixture ONCE (materialize_tiled) — the
+    # five legs each re-embedded the to_tiled subtree (plan: 80
+    # Exchanges, 0 ReusedExchange), so the pack ran five times.
+    tc = materialize_tiled(_tiled_fixture(spark))
     out = None
     for red in ("mean", "count", "median", "sd", "product"):
         d = aggregate_spatial_tiled(
-            _tiled_fixture(spark), FIXTURE_POLYGONS, red, impl="sql",
+            tc, FIXTURE_POLYGONS, red, impl="sql",
         ).df.withColumnRenamed(VALUE, red)
         out = d if out is None else out.join(d, ["geom_id", "band", "time"])
     return out
@@ -1506,6 +1526,9 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
     spec = CubeSpec(resx=0.0078125, resy=0.00390625,
                     x0=11.2890625, y0=46.51953125)
     cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
+    # round-15: the four warp legs each re-embedded the reduced-cube
+    # subtree (74 Exchanges, 0 ReusedExchange) — evaluate it once.
+    cube = cube.with_df(cube.df.localCheckpoint(eager=True))
     near = resample_spatial_warp(cube, 32632, 400.0).df \
         .withColumnRenamed(VALUE, "near")
     bil = (
@@ -1524,11 +1547,12 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
     # order), so the hash gate compares the same quantization.
     from .core.tiled import (
         from_tiled,
+        materialize_tiled,
         resample_spatial_warp_tiled,
         to_tiled,
     )
 
-    tcube = to_tiled(cube, tile=16, n_y=16, n_x=16)
+    tcube = materialize_tiled(to_tiled(cube, tile=16, n_y=16, n_x=16))
     tiled = from_tiled(resample_spatial_warp_tiled(
         tcube, 32632, 400.0
     )).df.withColumnRenamed(VALUE, "tiled_near")
@@ -1599,6 +1623,11 @@ def _resample_spatial_warp_directions_sweep(spark, sf_dir):
     geo_cube = reduce_dimension(
         synthetic_cube(spark, geo_spec), "time", "max"
     )
+    # round-15: geo_cube feeds five warp legs (106 Exchanges, 0
+    # ReusedExchange before) — evaluate the reduced cube once. The
+    # single-reference cubes (utm, antarctic) stay lazy: a checkpoint
+    # there only adds a barrier.
+    geo_cube = geo_cube.with_df(geo_cube.df.localCheckpoint(eager=True))
 
     def tagged(tgt_epsg, res, tag, with_tiled):
         near = resample_spatial_warp(geo_cube, tgt_epsg, res).df \
@@ -1837,17 +1866,30 @@ def _tiled_apply_kernel_border_sweep(spark, sf_dir):
     tile=5 to keep the partial-tile padding remap covered; the others
     at tile=8. Four operator invocations joined per pixel against
     per-mode convolution CTEs."""
-    from .core.tiled import apply_kernel_tiled_layout, from_tiled, to_tiled
+    from .core.tiled import (
+        apply_kernel_tiled_layout,
+        from_tiled,
+        materialize_tiled,
+        to_tiled,
+    )
 
+    # round-15: pack each tile size ONCE (materialize_tiled) — three of
+    # the four legs share the tile=8 pack but re-ran it per leg (48
+    # Exchanges, 0 ReusedExchange: pandas pack stages never canonicalize
+    # equal).
     cube = synthetic_cube(spark)
+    packs: dict[int, object] = {}
     out = None
     for mode, tile in (
         ("wrap", 8), ("replicate", 8), ("reflect", 5), ("reflect_pixel", 8)
     ):
+        if tile not in packs:
+            packs[tile] = materialize_tiled(
+                to_tiled(cube, tile=tile, n_y=16, n_x=16)
+            )
         d = from_tiled(
             apply_kernel_tiled_layout(
-                to_tiled(cube, tile=tile, n_y=16, n_x=16),
-                _KERNEL, factor=_KERNEL_FACTOR, border=mode,
+                packs[tile], _KERNEL, factor=_KERNEL_FACTOR, border=mode,
             )
         ).df.withColumnRenamed(VALUE, mode)
         out = d if out is None else out.join(d, ["band", "time", "y", "x"])

@@ -61,6 +61,35 @@ def _ivf_pq_trained(impl):
     return build
 
 
+def _semdedup(materialize):
+    def build(spark):
+        from openeo_odc_driver_spark import registry_pipeline as rp
+        from openeo_odc_driver_spark.pipeline import similarity as psim
+
+        return psim.semantic_dedup_clusters(
+            rp._embs(spark, SF_DIR), n_centroids=rp._SEM_NC,
+            threshold=rp._SEM_TAU, materialize=materialize,
+        )
+
+    return build
+
+
+def _bloom(materialize):
+    def build(spark):
+        from openeo_odc_driver_spark import registry_pipeline as rp
+        from openeo_odc_driver_spark.pipeline import dedup as pdedup
+        from pyspark.sql import functions as F
+
+        docs = rp._docs(spark, SF_DIR)
+        return pdedup.bloom_decontaminate(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0),
+            n=rp._BLOOM_N, materialize=materialize,
+        )
+
+    return build
+
+
 def _lpa(materialize):
     def build(spark):
         from openeo_odc_driver_spark.pipeline.graph import (
@@ -81,8 +110,119 @@ def _lpa(materialize):
     return build
 
 
+def _reduce_sweep(variant: str):
+    def build(spark):
+        from openeo_odc_driver_spark.operators.reducers import (
+            reduce_dimension,
+        )
+        from openeo_odc_driver_spark.registry import REDUCER_DUCK, VALUE
+        from openeo_odc_driver_spark.sources.synthetic import synthetic_cube
+        from pyspark.sql import functions as F
+
+        cube = synthetic_cube(spark)
+        if variant == "repart":
+            # pre-cluster ONCE on the group keys: every reducer leg's
+            # groupBy and every join is then exchange-free, and the one
+            # repartition subtree is pure SQL so ReuseExchange fires
+            cube = cube.with_df(cube.df.repartition("band", "y", "x"))
+        elif variant == "checkpoint":
+            cube = cube.with_df(cube.df.localCheckpoint(eager=True))
+        out = None
+        for red in REDUCER_DUCK:
+            d = reduce_dimension(cube, "time", red).df
+            d = d.withColumnRenamed(VALUE, red)
+            out = d if out is None else out.join(d, ["band", "y", "x"])
+        return out
+
+    return build
+
+
+def _kernel_sweep(py_floor: bool):
+    def build(spark):
+        from openeo_odc_driver_spark.core import tiled
+        from openeo_odc_driver_spark.registry import QUERIES
+
+        orig = tiled._py_stage_width
+        if not py_floor:
+            # old behavior: pandas stages use only the raster byte
+            # sizing (None at this scale -> AQE coalesces the stage)
+            tiled._py_stage_width = tiled._raster_exchange_width
+        try:
+            return QUERIES["tiled_apply_kernel_border_sweep"](spark, SF_DIR)
+        finally:
+            tiled._py_stage_width = orig
+
+    return build
+
+
+def _radar_tiled(py_floor: bool):
+    def build(spark):
+        from openeo_odc_driver_spark.core import tiled
+        from openeo_odc_driver_spark.registry import QUERIES
+
+        orig = tiled._py_stage_width
+        if not py_floor:
+            tiled._py_stage_width = tiled._raster_exchange_width
+        try:
+            return QUERIES["tiled_radar_mask"](spark, SF_DIR)
+        finally:
+            tiled._py_stage_width = orig
+
+    return build
+
+
+def _sweep_share(qname, enabled):
+    def build(spark):
+        from pyspark.sql import DataFrame
+
+        from openeo_odc_driver_spark.core import tiled
+        from openeo_odc_driver_spark.registry import QUERIES
+
+        if enabled:
+            return QUERIES[qname](spark, SF_DIR)
+        # old leg: disable every fixture materialization (identity
+        # checkpoint) so the sweep re-embeds its subtrees per leg
+        orig_lc = DataFrame.localCheckpoint
+        orig_mt = tiled.materialize_tiled
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+        tiled.materialize_tiled = lambda tc: tc
+        try:
+            return QUERIES[qname](spark, SF_DIR)
+        finally:
+            DataFrame.localCheckpoint = orig_lc
+            tiled.materialize_tiled = orig_mt
+
+    return build
+
+
 PAIRS = {
     "lpa": (_lpa("none"), _lpa("local")),
+    "zonal_sweep_share": (
+        _sweep_share("tiled_zonal_sweep", False),
+        _sweep_share("tiled_zonal_sweep", True),
+    ),
+    "warp_sweep_share": (
+        _sweep_share("resample_spatial_warp_sweep", False),
+        _sweep_share("resample_spatial_warp_sweep", True),
+    ),
+    "warp_dirs_share": (
+        _sweep_share("resample_spatial_warp_directions_sweep", False),
+        _sweep_share("resample_spatial_warp_directions_sweep", True),
+    ),
+    "kernel_sweep_share": (
+        _sweep_share("tiled_apply_kernel_border_sweep", False),
+        _sweep_share("tiled_apply_kernel_border_sweep", True),
+    ),
+    "treduce_share": (
+        _sweep_share("tiled_reduce_time_sweep", False),
+        _sweep_share("tiled_reduce_time_sweep", True),
+    ),
+    "kernel_sweep": (_kernel_sweep(False), _kernel_sweep(True)),
+    "reduce_sweep_repart": (_reduce_sweep("plain"), _reduce_sweep("repart")),
+    "semdedup": (_semdedup("none"), _semdedup("local")),
+    "bloom": (_bloom("none"), _bloom("local")),
+    "reduce_sweep_ckpt": (_reduce_sweep("plain"), _reduce_sweep("checkpoint")),
+    "radar_tiled": (_radar_tiled(False), _radar_tiled(True)),
     "pagerank_broadcast": (_pagerank("broadcast", "none"),
                            _pagerank("broadcast", "local")),
     "pagerank_shuffle": (_pagerank("shuffle", "none"),
