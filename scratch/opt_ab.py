@@ -155,6 +155,22 @@ def _kernel_sweep(py_floor: bool):
     return build
 
 
+def _kernel_single(py_floor: bool):
+    def build(spark):
+        from openeo_odc_driver_spark.core import tiled
+        from openeo_odc_driver_spark.registry import QUERIES
+
+        orig = tiled._py_stage_width
+        if not py_floor:
+            tiled._py_stage_width = tiled._raster_exchange_width
+        try:
+            return QUERIES["tiled_apply_kernel"](spark, SF_DIR)
+        finally:
+            tiled._py_stage_width = orig
+
+    return build
+
+
 def _radar_tiled(py_floor: bool):
     def build(spark):
         from openeo_odc_driver_spark.core import tiled
@@ -218,6 +234,7 @@ PAIRS = {
         _sweep_share("tiled_reduce_time_sweep", True),
     ),
     "kernel_sweep": (_kernel_sweep(False), _kernel_sweep(True)),
+    "kernel_single": (_kernel_single(False), _kernel_single(True)),
     "reduce_sweep_repart": (_reduce_sweep("plain"), _reduce_sweep("repart")),
     "semdedup": (_semdedup("none"), _semdedup("local")),
     "bloom": (_bloom("none"), _bloom("local")),
