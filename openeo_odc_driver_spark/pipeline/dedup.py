@@ -897,7 +897,11 @@ def bloom_decontaminate(
         .select("doc_id")
         .distinct()
     )
-    return docs.join(contaminated, "doc_id", "left_anti")
+    # The checkpointed reference side carries no stats, which poisons
+    # the size estimate of `contaminated` and demoted this anti-join to
+    # sort-merge (shuffling the full corpus). The candidate-id set is
+    # bounded by the Bloom screen, so broadcast it explicitly.
+    return docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
 
 def exact_substring_dedup(
