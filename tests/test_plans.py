@@ -191,14 +191,27 @@ def test_semantic_dedup_no_cartesian_pairing(spark):
     assert "CartesianProduct" not in plan
     # the pair join partitions by cluster_id (equi), threshold fused in
     assert re.search(r"SortMergeJoin \[cluster_id#\d+L\], \[cluster_id#\d+L\], Inner", plan)
+    # the declared query materializes the centroid assignment
+    # (localCheckpoint, round 15) so its plan truncates at Scan
+    # ExistingRDD; the assignment-stage shape is pinned on the
+    # pure-lineage leg (materialize="none"), which shares every operator
+    # with the shipped path up to the checkpoint
+    from openeo_odc_driver_spark import registry_pipeline as RP
+    from openeo_odc_driver_spark.pipeline import similarity as psim
+
+    lineage = psim.semantic_dedup_clusters(
+        RP._embs(spark, SF), n_centroids=RP._SEM_NC, threshold=RP._SEM_TAU,
+        materialize="none",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lineage
     # nested-loop joins are only the 16-row centroid broadcasts
     assert all(
-        "BuildRight, Cross" in plan[m.start():m.start() + 60]
-        for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
+        "BuildRight, Cross" in lineage[m.start():m.start() + 60]
+        for m in re.finditer(r"BroadcastNestedLoopJoin", lineage)
     )
     # nearest-centroid pick is a max_by aggregation (partial map-side,
     # n-row exchange), not a window over the n×k scored crossJoin
-    assert "max_by" in plan and "WindowGroupLimit" not in plan
+    assert "max_by" in lineage and "WindowGroupLimit" not in lineage
 
 
 def test_unigram_logprob_model_broadcasts_corpus_stays(spark):

@@ -436,9 +436,15 @@ def test_assign_impl_auto_dispatches_on_k(spark):
         "vec_id long, embedding array<double>",
     )
 
-    small = semantic_dedup_clusters(e, n_centroids=8, threshold=0.95)
+    # materialize="none" keeps the assignment lineage visible in the
+    # physical plan (the shipped default localCheckpoints it, truncating
+    # the plan at Scan ExistingRDD); dispatch is identical on both legs
+    small = semantic_dedup_clusters(
+        e, n_centroids=8, threshold=0.95, materialize="none"
+    )
     large = semantic_dedup_clusters(
-        e, n_centroids=VECTORIZE_K_THRESHOLD, threshold=0.95
+        e, n_centroids=VECTORIZE_K_THRESHOLD, threshold=0.95,
+        materialize="none",
     )
     # the dispatch is visible in the physical plan: fold = pure JVM
     # expressions, vectorized = one ArrowEvalPython/mapInPandas stage
