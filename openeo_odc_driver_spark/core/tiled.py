@@ -224,11 +224,20 @@ def _widen_df(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _widened(tc: "TiledCube", keys: list[str]) -> DataFrame:
-    """The fold input, pre-clustered on the group keys at the raster-
-    aware width (no-op under the oracle guard). HashPartitioning(keys,
-    w) satisfies the downstream groupBy/applyInPandas ClusteredDistribution,
-    so this REPLACES the default exchange instead of adding one."""
-    return _widen_df(tc, tc.df, keys)
+    """The fold input, pre-clustered on the group keys at
+    :func:`_py_stage_width` (raster byte sizing at scale — unchanged —
+    plus the small-scale parallelism floor; round-15 optimization
+    continuation, guide §2.2/§4): a fold group's cost is per-GROUP
+    work — an interpreted HOF aggregate or a pandas stage — which
+    byte-based AQE coalescing cannot see, exactly the kernel-stage
+    pathology `_widen_py` fixed. Every fold consumer is order-pinned
+    (the sql folds array_sort their collect_list; the numpy fold sorts
+    its group by the collapsed axis; median/percentile are order-free),
+    so re-partitioning cannot move a value. HashPartitioning(keys, w)
+    satisfies the downstream groupBy/applyInPandas
+    ClusteredDistribution, so this REPLACES the default exchange
+    instead of adding one."""
+    return _widen_py(tc, tc.df, keys)
 
 
 def _widened_join_sides(
@@ -385,12 +394,24 @@ def to_tiled(
             if c in keys else f"{c} int"
             for c in gkeys
         )
-        df = staged.groupBy(*gkeys).applyInPandas(
+        # round-15 continuation (guide §2.2/§4): the pack is per-GROUP
+        # work — a position scatter here, an interpreted HOF assembly
+        # on the sql branch — invisible to byte-based AQE coalescing;
+        # pre-cluster at the pandas-stage width. Both engines are
+        # order-pinned (array_sort / position-keyed scatter), so the
+        # repartition cannot move a value.
+        _w_handle = TiledCube(staged, cube.schema, tile, n_y, n_x)
+        df = _widen_py(_w_handle, staged, gkeys).groupBy(
+            *gkeys
+        ).applyInPandas(
             scatter, f"{out_fields}, data array<double>"
         )
         return TiledCube(df, cube.schema, tile, n_y, n_x)
+    _w_handle = TiledCube(staged, cube.schema, tile, n_y, n_x)
+    pack_keys = [*keys, "tile_row", "tile_col"]
     df = (
-        staged.groupBy(*keys, "tile_row", "tile_col")
+        _widen_py(_w_handle, staged, pack_keys)
+        .groupBy(*pack_keys)
         .agg(F.expr(assemble).alias("data"))
     )
     return TiledCube(df, cube.schema, tile, n_y, n_x)
@@ -696,7 +717,7 @@ def quantiles_tiled(
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
     )
-    df = _widen_df(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
+    df = _widen_py(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
         fold, f"{fields}, prob double, data array<double>"
     )
     return TiledCube(df, tc.schema.drop(dim), tc.tile, tc.n_y, tc.n_x)
@@ -768,7 +789,7 @@ def array_interpolate_linear_tiled(tc: TiledCube) -> TiledCube:
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in gkeys
     )
-    df = _widen_df(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
+    df = _widen_py(tc, tc.df, gkeys).groupBy(*gkeys).applyInPandas(
         fill, f"{fields}, {TIME} timestamp, data array<double>"
     )
     # column order back to the canonical (keys, time, tiles, data)
@@ -1145,7 +1166,7 @@ def _fold_groups(
     if impl == "auto":
         impl = "numpy" if T2 >= TILE_VECTORIZE_CELLS else "sql"
     if impl == "numpy":
-        return _reduce_time_numpy(tc, reducer, keys)
+        return _reduce_time_numpy(tc, reducer, keys, sort_field)
     if impl != "sql":
         raise ValueError(
             f"impl must be 'auto', 'sql' or 'numpy', got {impl!r}"
@@ -1206,7 +1227,7 @@ def _fold_groups(
 
 
 def _reduce_time_numpy(
-    tc: TiledCube, reducer: str, keys: list[str]
+    tc: TiledCube, reducer: str, keys: list[str], sort_field: str
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -1222,6 +1243,13 @@ def _reduce_time_numpy(
     int_keys = ("tile_row", "tile_col")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pin the stack order by the collapsed axis: the sql fold's
+        # array_sort does exactly this, and nansum's pairwise summation
+        # is permutation-sensitive in the last ulp on non-dyadic data —
+        # without the sort, a partitioning change upstream could move a
+        # sum result (round-15 continuation; enables _widened's
+        # parallelism floor unconditionally)
+        pdf = pdf.sort_values(sort_field)
         # np.asarray(dtype=float64) maps None -> nan in C — never walk
         # the 65k elements in Python (measured: the comprehension cost
         # more than the reduction)
@@ -1607,7 +1635,7 @@ def mask_tiled(
             "WHEN v < a THEN v ELSE a END))"
         )
         m = (
-            _widen_df(mask_tc, mask_tc.df,
+            _widen_py(mask_tc, mask_tc.df,
                       [*keys, "tile_row", "tile_col"])
             .groupBy(*keys, "tile_row", "tile_col")
             .agg(F.expr(drop).alias("_m"))
@@ -2729,7 +2757,7 @@ def resample_spatial_warp_tiled(
     out_tc = TiledCube(
         frags, tc.schema, Tt, nyt, nxt  # placeholder schema for width calc
     )
-    df = _widen_df(out_tc, frags, [*keys, "tt_r", "tt_c"]) \
+    df = _widen_py(out_tc, frags, [*keys, "tt_r", "tt_c"]) \
         .groupBy(*keys, "tt_r", "tt_c") \
         .applyInPandas(
             scatter,
@@ -3165,7 +3193,11 @@ def resample_cube_spatial_tiled(
         if c in keys else f"{c} int"
         for c in gkeys
     )
-    df = frags.groupBy(*gkeys).applyInPandas(
+    # round-15 continuation: the canvas scatter is per-GROUP Python
+    # work (order-free — fragments land in disjoint windows), so the
+    # output-raster exchange takes the pandas-stage width
+    _w_handle = TiledCube(frags, schema, Tt, nt_y, nt_x)
+    df = _widen_py(_w_handle, frags, gkeys).groupBy(*gkeys).applyInPandas(
         assemble, f"{out_fields}, data array<double>"
     )
     return TiledCube(df, schema, Tt, nt_y, nt_x)
@@ -3356,10 +3388,15 @@ def resample_cube_spatial_bilinear_tiled(
         if k in keys else f"{k} int"
         for k in gkeys
     )
-    df = frags.groupBy(*gkeys).applyInPandas(
+    # round-15 continuation: canvas assembly + blend is per-GROUP
+    # Python work (order-free — disjoint-window scatter, then a
+    # deterministic dy/dx accumulation), so the output-raster exchange
+    # takes the pandas-stage width
+    schema = _dc_replace(source.schema, grid=tg)
+    _w_handle = TiledCube(frags, schema, Tt, nt_y, nt_x)
+    df = _widen_py(_w_handle, frags, gkeys).groupBy(*gkeys).applyInPandas(
         blend, f"{out_fields}, data array<double>"
     )
-    schema = _dc_replace(source.schema, grid=tg)
     return TiledCube(df, schema, Tt, nt_y, nt_x)
 
 
@@ -3806,7 +3843,10 @@ def _retile_python(
         if c in keys else f"{c} int"
         for c in gkeys
     )
-    df = frags.groupBy(*gkeys).applyInPandas(
+    # round-15 continuation: per-GROUP canvas scatter (order-free,
+    # disjoint windows) — pandas-stage width on the assembly exchange
+    _w_handle = TiledCube(frags, out_schema_obj, Tt, n_y, n_x)
+    df = _widen_py(_w_handle, frags, gkeys).groupBy(*gkeys).applyInPandas(
         assemble, f"{out_fields}, data array<double>"
     )
     return TiledCube(df, out_schema_obj, Tt, n_y, n_x)

@@ -362,7 +362,9 @@ BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram ML estimate
 BIGRAM_UNI_W = 0.3
 
 
-def bigram_logprob(docs: DataFrame, top_m: int = 50_000) -> DataFrame:
+def bigram_logprob(
+    docs: DataFrame, top_m: int = 50_000, model_build: str = "rollup"
+) -> DataFrame:
     """Interpolated-bigram LM quality proxy — the step up from
     :func:`unigram_logprob` toward the KenLM filter: each document
     scored by its mean token log-prob under the corpus's own bigram
@@ -377,14 +379,27 @@ def bigram_logprob(docs: DataFrame, top_m: int = 50_000) -> DataFrame:
     micro-units before summing (order-free exact integer aggregation).
 
     Plan: one pass builds (prev, cur) pairs INSIDE the token array (no
-    self-join of the token stream for adjacency); two vocab-sized model
-    aggregates; unigram totals by an unpartitioned window over the
-    model; bigram pruning by TakeOrdered. Both models broadcast back —
-    the corpus pair stream reaches the per-doc aggregate with zero
-    shuffles.
+    self-join of the token stream for adjacency); ONE corpus-pass
+    (a, b) pair-count rollup feeds BOTH models (round-15 optimization,
+    guide §2.3 "aggregate before you shuffle" / §2.4: the unigram
+    model is an exact re-aggregation of the bigram counts —
+    n_term(b) = Σ_a n(a,b) including the NULL-a first-token rows — so
+    the second corpus tokenize+explode pass disappears; the pair-count
+    table is localCheckpointed once per call because both model
+    reductions and nothing else read it, and it is vocab²-bounded —
+    never corpus-scale). Unigram totals by an unpartitioned window
+    over the model; bigram pruning by TakeOrdered. Both models
+    broadcast back — the corpus pair stream reaches the per-doc
+    aggregate with zero shuffles. Counts are exact integers either
+    way, so the rollup cannot move a value. ``model_build="twopass"``
+    keeps the old two-corpus-pass model build (A/B leg).
     """
     from pyspark.sql import Window
 
+    if model_build not in ("rollup", "twopass"):
+        raise ValueError(
+            f"model_build must be rollup|twopass, got {model_build!r}"
+        )
     staged = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("_toks")
     )
@@ -396,18 +411,39 @@ def bigram_logprob(docs: DataFrame, top_m: int = 50_000) -> DataFrame:
     stream = staged.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
-    uni = (
-        stream.groupBy(F.col("b").alias("term"))
-        .agg(F.count(F.lit(1)).alias("n_term"))
-        .withColumn("n_total", F.sum("n_term").over(Window.partitionBy()))
-    )
-    bi = (
-        stream.where(F.col("a").isNotNull())
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .orderBy(F.desc("n_ab"), "a", "b")
-        .limit(top_m)
-    )
+    if model_build == "rollup":
+        pair_counts = (
+            stream.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .localCheckpoint(eager=True)
+        )
+        uni = (
+            pair_counts.groupBy(F.col("b").alias("term"))
+            .agg(F.sum("n_ab").alias("n_term"))
+            .withColumn(
+                "n_total", F.sum("n_term").over(Window.partitionBy())
+            )
+        )
+        bi = (
+            pair_counts.where(F.col("a").isNotNull())
+            .orderBy(F.desc("n_ab"), "a", "b")
+            .limit(top_m)
+        )
+    else:
+        uni = (
+            stream.groupBy(F.col("b").alias("term"))
+            .agg(F.count(F.lit(1)).alias("n_term"))
+            .withColumn(
+                "n_total", F.sum("n_term").over(Window.partitionBy())
+            )
+        )
+        bi = (
+            stream.where(F.col("a").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .orderBy(F.desc("n_ab"), "a", "b")
+            .limit(top_m)
+        )
     lam = F.lit(float(BIGRAM_LAMBDA))
     p_uni = F.col("n_term").cast("double") / F.col("n_total").cast("double")
     p_bi = F.coalesce(

@@ -187,6 +187,37 @@ def _radar_tiled(py_floor: bool):
     return build
 
 
+def _py_floor_q(qname, py_floor: bool):
+    """Round-15 CONTINUATION legs: the pandas-stage floor extended to
+    the pack / folds / median / canvas assemblies (old = raster byte
+    sizing only, i.e. no repartition at this scale)."""
+    def build(spark):
+        from openeo_odc_driver_spark.core import tiled
+        from openeo_odc_driver_spark.registry import QUERIES
+
+        orig = tiled._py_stage_width
+        if not py_floor:
+            tiled._py_stage_width = tiled._raster_exchange_width
+        try:
+            return QUERIES[qname](spark, SF_DIR)
+        finally:
+            tiled._py_stage_width = orig
+
+    return build
+
+
+def _bigram(model_build):
+    def build(spark):
+        from openeo_odc_driver_spark import registry_pipeline as rp
+        from openeo_odc_driver_spark.pipeline import text as ptext
+
+        return ptext.bigram_logprob(
+            rp._docs(spark, SF_DIR), model_build=model_build
+        )
+
+    return build
+
+
 def _sweep_share(qname, enabled):
     def build(spark):
         from pyspark.sql import DataFrame
@@ -246,6 +277,25 @@ PAIRS = {
                          _pagerank("shuffle", "local")),
     "ivf_pq_trained": (_ivf_pq_trained(("none", "window")),
                        _ivf_pq_trained(("local", "agg"))),
+    # --- round-15 continuation pairs ---
+    "bigram_rollup": (_bigram("twopass"), _bigram("rollup")),
+    "floor_rcs": (_py_floor_q("tiled_resample_cube_spatial", False),
+                  _py_floor_q("tiled_resample_cube_spatial", True)),
+    "floor_rcs_bilinear": (
+        _py_floor_q("tiled_resample_cube_spatial_bilinear", False),
+        _py_floor_q("tiled_resample_cube_spatial_bilinear", True)),
+    "floor_treduce": (_py_floor_q("tiled_reduce_time_sweep", False),
+                      _py_floor_q("tiled_reduce_time_sweep", True)),
+    "floor_ndvi": (_py_floor_q("tiled_ndvi_median", False),
+                   _py_floor_q("tiled_ndvi_median", True)),
+    "floor_roundtrip": (_py_floor_q("tiled_roundtrip", False),
+                        _py_floor_q("tiled_roundtrip", True)),
+    "floor_zonal": (_py_floor_q("tiled_zonal_sweep", False),
+                    _py_floor_q("tiled_zonal_sweep", True)),
+    "floor_climnorm": (_py_floor_q("tiled_climatological_normal", False),
+                       _py_floor_q("tiled_climatological_normal", True)),
+    "floor_pipeline_e2e": (_py_floor_q("tiled_pipeline_e2e", False),
+                           _py_floor_q("tiled_pipeline_e2e", True)),
 }
 
 
