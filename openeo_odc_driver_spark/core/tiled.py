@@ -224,20 +224,21 @@ def _widen_df(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _widened(tc: "TiledCube", keys: list[str]) -> DataFrame:
-    """The fold input, pre-clustered on the group keys at
-    :func:`_py_stage_width` (raster byte sizing at scale — unchanged —
-    plus the small-scale parallelism floor; round-15 optimization
-    continuation, guide §2.2/§4): a fold group's cost is per-GROUP
-    work — an interpreted HOF aggregate or a pandas stage — which
-    byte-based AQE coalescing cannot see, exactly the kernel-stage
-    pathology `_widen_py` fixed. Every fold consumer is order-pinned
-    (the sql folds array_sort their collect_list; the numpy fold sorts
-    its group by the collapsed axis; median/percentile are order-free),
-    so re-partitioning cannot move a value. HashPartitioning(keys, w)
-    satisfies the downstream groupBy/applyInPandas
-    ClusteredDistribution, so this REPLACES the default exchange
-    instead of adding one."""
-    return _widen_py(tc, tc.df, keys)
+    """The fold input, pre-clustered on the group keys at the raster-
+    aware width (no-op under the oracle guard). HashPartitioning(keys,
+    w) satisfies the downstream groupBy/applyInPandas ClusteredDistribution,
+    so this REPLACES the default exchange instead of adding one.
+
+    Round-15 continuation, measured NEGATIVE recorded: extending the
+    pandas-stage parallelism floor here (and to the sql pack) was
+    interleaved-A/B'd and REGRESSED the sql-fold consumers at bench
+    scale (tiled_zonal_sweep 0.78, tiled_climatological_normal 0.84,
+    tiled_pipeline_e2e 0.56 old/new) — tiny JVM HOF groups pay more in
+    task/scheduling overhead than the serialization they avoid. The
+    floor stays restricted to applyInPandas stages (``_widen_py``),
+    whose per-group PYTHON cost is what byte-based AQE cannot see;
+    the numpy fold/median engines take it at their call sites."""
+    return _widen_df(tc, tc.df, keys)
 
 
 def _widened_join_sides(
@@ -394,12 +395,12 @@ def to_tiled(
             if c in keys else f"{c} int"
             for c in gkeys
         )
-        # round-15 continuation (guide §2.2/§4): the pack is per-GROUP
-        # work — a position scatter here, an interpreted HOF assembly
-        # on the sql branch — invisible to byte-based AQE coalescing;
-        # pre-cluster at the pandas-stage width. Both engines are
-        # order-pinned (array_sort / position-keyed scatter), so the
-        # repartition cannot move a value.
+        # round-15 continuation (guide §2.2/§4): the numpy pack is
+        # per-GROUP Python work invisible to byte-based AQE
+        # coalescing; pre-cluster at the pandas-stage width. The
+        # scatter is position-keyed (order-free), so the repartition
+        # cannot move a value. The sql branch deliberately stays
+        # unfloored — measured negative, see _widened's docstring.
         _w_handle = TiledCube(staged, cube.schema, tile, n_y, n_x)
         df = _widen_py(_w_handle, staged, gkeys).groupBy(
             *gkeys
@@ -407,11 +408,11 @@ def to_tiled(
             scatter, f"{out_fields}, data array<double>"
         )
         return TiledCube(df, cube.schema, tile, n_y, n_x)
-    _w_handle = TiledCube(staged, cube.schema, tile, n_y, n_x)
-    pack_keys = [*keys, "tile_row", "tile_col"]
+    # sql pack branch: NO parallelism floor — measured negative, see
+    # _widened's docstring (tiny JVM HOF groups; the floor regressed
+    # the sweep/e2e rows at bench scale)
     df = (
-        _widen_py(_w_handle, staged, pack_keys)
-        .groupBy(*pack_keys)
+        staged.groupBy(*keys, "tile_row", "tile_col")
         .agg(F.expr(assemble).alias("data"))
     )
     return TiledCube(df, cube.schema, tile, n_y, n_x)
@@ -1294,7 +1295,7 @@ def _reduce_time_numpy(
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    return _widened(tc, keys).groupBy(*keys).applyInPandas(
+    return _widen_py(tc, tc.df, keys).groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"
     )
 
@@ -1635,7 +1636,7 @@ def mask_tiled(
             "WHEN v < a THEN v ELSE a END))"
         )
         m = (
-            _widen_py(mask_tc, mask_tc.df,
+            _widen_df(mask_tc, mask_tc.df,
                       [*keys, "tile_row", "tile_col"])
             .groupBy(*keys, "tile_row", "tile_col")
             .agg(F.expr(drop).alias("_m"))
@@ -1759,7 +1760,7 @@ def _median_groups(tc: TiledCube, keys: list[str]) -> DataFrame:
     fields = ", ".join(
         f"{k} {tc.df.schema[k].dataType.simpleString()}" for k in keys
     )
-    return _widened(tc, keys).groupBy(*keys).applyInPandas(
+    return _widen_py(tc, tc.df, keys).groupBy(*keys).applyInPandas(
         fold, f"{fields}, data array<double>"
     )
 
