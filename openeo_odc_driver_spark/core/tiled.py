@@ -206,8 +206,12 @@ def materialize_tiled(tc: "TiledCube") -> "TiledCube":
     DataFrame, so every fresh invocation still computes the pack from
     its inputs (nothing persists across runs); the fixture's dyadic
     values make all downstream folds order-free, so results cannot
-    move."""
-    return _dc_replace(tc, df=tc.df.localCheckpoint(eager=True))
+    move. eager=False (round-16, guide §5): the plan collapses to a
+    LogicalRDD either way, but the lazy form materializes the pack
+    inside the first consuming action instead of a separate
+    per-invocation barrier job (the r15 eager barrier cost
+    tiled_reduce_time_sweep ~1 s at sf0.1, driver best-of-n)."""
+    return _dc_replace(tc, df=tc.df.localCheckpoint(eager=False))
 
 
 def _widen_df(tc: "TiledCube", df: DataFrame, keys: list[str]) -> DataFrame:
@@ -1354,19 +1358,103 @@ def save_tiled(
     if partition_by_band:
         w = w.partitionBy(BAND)
     w.parquet(path)  # base write first: overwrite clears the dir
-    built = []
-    for k in sorted(set(int(k) for k in overviews)):
-        ov = _build_overview(tc, k)
-        if ov is None:
-            continue
-        save_tiled(ov, os.path.join(path, "_overviews", f"L{k}"),
-                   partition_by_band)
-        built.append(k)
-    if built:
-        meta["overviews"] = built
+    # base sidecar BEFORE the level builds (round 16): the levels are
+    # built from the JUST-WRITTEN store via load_tiled — a parquet scan
+    # of exactly tc's rows — instead of re-executing tc's whole pack
+    # lineage once per level (guide §6/§5: the r15 form recomputed the
+    # pack N times for N levels).
     with open(os.path.join(path, "_tiled_meta.json"), "w") as fh:
         json.dump(meta, fh)
+    built = _build_overview_levels(
+        tc.df.sparkSession, path, overviews, partition_by_band
+    )
+    if built:
+        meta["overviews"] = built
+        with open(os.path.join(path, "_tiled_meta.json"), "w") as fh:
+            json.dump(meta, fh)
     return path
+
+
+def _build_overview_levels(
+    spark, path: str, levels, partition_by_band: bool = True,
+    existing=(),
+) -> list:
+    """Build overview stores under ``path/_overviews/L{k}`` from the
+    STORED base, cascading level k from the COARSEST finer level j
+    (just built or already stored, ``existing``) whenever the composed
+    winner maps PROVE bit-equality with the direct base→k snap
+    (round 16, guide §6): level k via level j reads j²× fewer bytes
+    than via the base, and the proof (:func:`_overview_factorizes`
+    with r = base_res·k per axis) is the same plan-time numpy gate the
+    serving side trusts — cascade by PROOF, never by divisibility
+    convention. Levels the proof rejects fall back to the stored base,
+    so content is bit-identical either way. Returns the newly built
+    level list (sidecar commit is the caller's)."""
+    import os
+
+    want = sorted(set(int(k) for k in levels))
+    if not want:
+        return []
+    base = load_tiled(spark, path)
+    g = base.schema.grid
+    if g is None:
+        return []
+    built: list = []
+    sources: dict = {int(j): None for j in existing}  # factor -> cube
+    for k in want:
+        if k < 2 or k in sources:
+            continue
+        src = base
+        for j in sorted((j for j in sources if j < k), reverse=True):
+            if _overview_cascade_ok(g, base.n_y, base.n_x, j, k):
+                if sources[j] is None:
+                    sources[j] = load_tiled(
+                        spark, os.path.join(path, "_overviews", f"L{j}")
+                    )
+                src = sources[j]
+                break
+        ov = _build_overview_onto(src, g, k)
+        if ov is None and src is not base:
+            ov = _build_overview_onto(base, g, k)  # defensive fallback
+        if ov is None:
+            continue
+        lv_path = os.path.join(path, "_overviews", f"L{k}")
+        save_tiled(ov, lv_path, partition_by_band)
+        built.append(k)
+        sources[k] = None
+    return built
+
+
+def _overview_cascade_ok(g, n_y: int, n_x: int, j: int, k: int) -> bool:
+    """True iff building level k FROM level j picks the same base
+    pixel for every level-k cell as building it from the base:
+    ``w_j[w_{j→k}] == w_{direct}`` on both axes — exactly
+    :func:`_overview_factorizes` with the served resolution set to the
+    level-k grid."""
+    return _overview_factorizes(
+        n_x, g.x0, g.resx, j, g.resx * k, descending=False
+    ) and _overview_factorizes(
+        n_y, g.y0, g.resy, j, g.resy * k, descending=True
+    )
+
+
+def _build_overview_onto(src: "TiledCube", base_grid, k: int):
+    """Level-k overview built from ``src`` (the base store or a finer
+    level), targeting the k·base_res grid at the base origin. Returns
+    None when the snap can't express the pair."""
+    from dataclasses import replace as _rpl
+
+    tgt = TiledCube(
+        src.df,
+        _rpl(src.schema,
+             grid=GridSpec(base_grid.x0, base_grid.y0,
+                           base_grid.resx * k, base_grid.resy * k)),
+        src.tile, src.n_y, src.n_x,
+    )
+    try:
+        return resample_cube_spatial_tiled(src, tgt, "near")
+    except TiledRegridUnsupported:
+        return None
 
 
 def _build_overview(tc: TiledCube, k: int):
@@ -1433,13 +1521,12 @@ def ensure_overviews(spark, path: str, levels: tuple = (2, 4, 8)) -> list:
         except OSError:
             return have
     try:
-        tc = load_tiled(spark, path)
-        for k in want:
-            ov = _build_overview(tc, k)
-            if ov is None:
-                continue
-            save_tiled(ov, os.path.join(path, "_overviews", f"L{k}"))
-            have.append(k)
+        # round 16: shared cascade builder — new levels build from the
+        # coarsest PROVEN finer level (stored or just built) instead of
+        # always re-reading the full-res base (guide §6).
+        have.extend(
+            _build_overview_levels(spark, path, want, existing=have)
+        )
         meta["overviews"] = sorted(have)
         tmp = f"{meta_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:

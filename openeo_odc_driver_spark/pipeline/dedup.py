@@ -872,8 +872,11 @@ def bloom_decontaminate(
     # suite, bit_set ≤ BLOOM_M ints), so localCheckpoint evaluates the
     # reference side once per call; output identical (pure
     # re-reference), every invocation still computes from the inputs.
+    # eager=False: both reference-side tables materialize inside the
+    # first screen join's broadcast build instead of two separate
+    # barrier jobs per invocation (round-16, guide §5).
     _mat = (
-        (lambda df: df.localCheckpoint(eager=True))
+        (lambda df: df.localCheckpoint(eager=False))
         if materialize == "local"
         else (lambda df: df)
     )

@@ -89,9 +89,14 @@ def pagerank_integer(
     # and each bench/oracle invocation still computes them fresh from
     # the inputs (a checkpoint is tied to this DataFrame, not to a
     # plan-keyed cache, so repeated calls cannot reuse it).
+    # eager=False (round-16, guide §5): the plan is truncated to a
+    # LogicalRDD either way, but the LAZY form materializes inside the
+    # first action that needs it instead of paying a separate barrier
+    # job per invariant per invocation — the r15 eager barriers cost
+    # ~2x warm wall on this pair at sf0.1 (driver best-of-n).
     # ``materialize="none"`` keeps the pure-lineage plan (A/B leg).
     _mat = (
-        (lambda df: df.localCheckpoint(eager=True))
+        (lambda df: df.localCheckpoint(eager=False))
         if materialize == "local"
         else (lambda df: df)
     )
@@ -212,8 +217,10 @@ def label_propagation(
     # comment): edges + the initial label table are referenced by every
     # unrolled round; checkpointing them keeps the per-round plan
     # shallow. Values unchanged (integer votes, deterministic argmax).
+    # eager=False: materialize inside the first action, not as a
+    # separate per-invocation barrier job (round-16, guide §5).
     if materialize == "local":
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("pk"))
         .union(edges.select(F.col("dst").alias("pk")))
@@ -221,7 +228,7 @@ def label_propagation(
         .select("pk", F.col("pk").alias("label"))
     )
     if materialize == "local":
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
     w_top = Window.partitionBy("dst").orderBy(
         F.desc("_wsum"), F.asc("label")
     )

@@ -13,6 +13,9 @@ order in both Spark and DuckDB so doubles match bit-for-bit
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -736,6 +739,127 @@ def assign_nearest_centroid_vectorized(
     return embeddings.select(id_col, emb_col).mapInPandas(assign, out_schema)
 
 
+def assign_nearest_centroid_foldexact(
+    embeddings: DataFrame,
+    centroid_rows: list,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out_col: str = "cluster_id",
+    with_norm: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment with the FOLD path's exact float
+    semantics, executed as vectorized numpy instead of interpreted
+    per-(row, centroid) lambda evaluations (round-16 optimization,
+    guide §4.2: the Lloyd loop pays the interpreted fold every
+    iteration — measured ~1 s/iteration at 2000×16×64 on the sf0.1
+    fixture, ~6 µs per interpreted 64-dim dot).
+
+    Boundary discipline: ONLY the winning ``cent_id`` (a long) crosses
+    back from Python — a scalar Arrow pandas_udf ADDS the column while
+    the embedding array itself never round-trips (pandas→JVM coerces
+    NaN to NULL, both top-level and inside arrays — measured — so any
+    float column emitted from Python could corrupt NaN payloads).
+    ``e_norm`` stays the JVM ``norm_expr`` fold — exact SQL floats at
+    1/k of the old per-(row, centroid) fold cost.
+
+    Bit-identity argument for the argmax decision (this is NOT the
+    BLAS matmul of :func:`assign_nearest_centroid_vectorized`, whose
+    pairwise summation can flip last-ulp ties):
+
+    - dot: ``aggregate(zip_with(e, c, (x,y) -> double(x)*double(y)),
+      0.0d, (acc,v) -> acc+v)`` is a SEQUENTIAL left fold. The numpy
+      loop accumulates ``acc += e[:, d] * c[:, d]`` in the same dim
+      order over float64 — each product and each addition is one
+      correctly-rounded IEEE op in the identical order, so every
+      partial sum is bit-identical.
+    - norms: ``sqrt(dot(a, a))`` with the same sequential sum; sqrt is
+      correctly rounded in both engines.
+    - cosine: one multiply (e_norm·c_norm) and one divide — identical.
+    - NULL semantics: a zero denominator yields NULL in SQL, which the
+      max_by struct order sorts SMALLEST; here those cells become
+      -inf, which loses to every finite cosine. If a row's cosines are
+      ALL NULL (zero embedding), max_by falls to the -cent_id
+      tie-break and picks the lowest cent_id; all--inf argmax likewise
+      returns the first (lowest) cent_id.
+    - ties/NaN: argmax returns the FIRST maximum — the lowest cent_id,
+      matching the max_by ``struct(_cs, -cent_id)`` tie-break; a NaN
+      cosine sorts largest in Spark's double order and ``np.argmax``
+      returns the first NaN index, which is again the lowest cent_id
+      holding NaN. A NULL embedding ELEMENT (arrives in Python as NaN)
+      poisons that row's k cosines equally — SQL all-NULL and numpy
+      all-NaN both resolve to the lowest cent_id.
+    - centroid arrays must be NULL-free: a NULL-element centroid would
+      give a NULL cosine column in SQL (always loses) but a NaN column
+      here (always wins) — rejected loudly below instead of silently
+      diverging; every caller's centroids are collected corpus rows or
+      quantized Python floats, which cannot carry NULL elements.
+
+    ``centroid_rows`` is a collected list of (cent_id, c_emb) (the
+    centroid table is k rows and gets collected/broadcast either way).
+    ``with_norm`` additionally emits the JVM-fold ``e_norm`` column.
+    Bit-parity with the SQL fold is pinned by
+    tests/test_round16_opt.py on random float64/float32 data and on
+    adversarial tie/zero/NaN cases.
+    """
+    import numpy as np
+
+    if not centroid_rows:
+        raise ValueError("assign_nearest_centroid_foldexact: empty "
+                         "centroid table")
+    for r in centroid_rows:
+        if r[1] is None or any(v is None for v in r[1]):
+            raise ValueError(
+                "assign_nearest_centroid_foldexact: centroid "
+                f"{r[0]} carries NULL elements — the SQL fold and the "
+                "numpy path diverge on NULL-element centroids"
+            )
+    spark = embeddings.sparkSession
+    cent_ids = np.array([int(r[0]) for r in centroid_rows], dtype="int64")
+    cmat = np.array([list(r[1]) for r in centroid_rows], dtype="float64")
+    order = np.argsort(cent_ids, kind="stable")
+    cent_ids, cmat = cent_ids[order], cmat[order]
+    # c_norm by the same sequential fold the SQL side evaluates
+    c_acc = np.zeros(cmat.shape[0], dtype="float64")
+    for d in range(cmat.shape[1]):
+        c_acc = c_acc + cmat[:, d] * cmat[:, d]
+    c_norm = np.sqrt(c_acc)
+    b = spark.sparkContext.broadcast((cent_ids, cmat, c_norm))
+
+    @F.pandas_udf("long")
+    def _nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        ids, cm, cn = b.value
+        k, cdim = cm.shape
+        for s in batches:
+            if s.empty:
+                yield pd.Series([], dtype="int64")
+                continue
+            emb = np.array([list(v) for v in s], dtype="float64")
+            n, dim = emb.shape
+            if dim != cdim:
+                raise ValueError(
+                    f"embedding dim {dim} != centroid dim {cdim}"
+                )
+            dots = np.zeros((n, k), dtype="float64")
+            e_acc = np.zeros(n, dtype="float64")
+            for d in range(dim):
+                ed = emb[:, d]
+                dots = dots + ed[:, None] * cm[None, :, d]
+                e_acc = e_acc + ed * ed
+            e_norm = np.sqrt(e_acc)
+            denom = e_norm[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cs = dots / denom
+            cs[denom == 0.0] = -np.inf  # NULL cosine sorts smallest
+            best = np.argmax(cs, axis=1)  # first max = lowest cent_id
+            yield pd.Series(ids[best])
+
+    cols = [F.col(id_col), F.col(emb_col)]
+    if with_norm:
+        cols.append(norm_expr(emb_col).alias("e_norm"))
+    cols.append(_nearest(F.col(emb_col)).alias(out_col))
+    return embeddings.select(*cols)
+
+
 VECTORIZE_K_THRESHOLD = 64  # auto assign dispatch: fold below, matmul at/above
 
 
@@ -829,30 +953,17 @@ def semantic_dedup_clusters(
     if assign_impl == "vectorized":
         members = assign_nearest_centroid_vectorized(embeddings, centroids)
     else:
-        cents = centroids.withColumn("c_norm", norm_expr("c_emb"))
-        scored = embeddings.withColumn(
-            "e_norm", norm_expr("embedding")
-        ).crossJoin(F.broadcast(cents)).withColumn(
-            "_cs",
-            dot_expr("embedding", "c_emb")
-            / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
-        )
-        # max_by argmax (not a window): same floats and tie-break, but
-        # the exchange carries n assigned rows after map-side partial
-        # aggregation instead of the n×k scored crossJoin.
-        best = F.max_by(
-            F.struct(F.col("cent_id"), F.col("embedding"), F.col("e_norm")),
-            F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
-        )
-        members = (
-            scored.groupBy("vec_id")
-            .agg(best.alias("_b"))
-            .select(
-                "vec_id",
-                F.col("_b.embedding").alias("embedding"),
-                F.col("_b.e_norm").alias("e_norm"),
-                F.col("_b.cent_id").alias("cluster_id"),
-            )
+        # fold SEMANTICS, numpy execution (round-16, guide §4.2): the
+        # interpreted per-(row, centroid) fold dominated the small-k
+        # assignment (~1 s at 2000×16×64);
+        # assign_nearest_centroid_foldexact reproduces the fold's
+        # sequential-sum cosines, e_norm, NULL handling and argmax
+        # tie-break bit-for-bit (tests/test_round16_opt.py), so the
+        # DuckDB twins that re-state the fold floats cannot move.
+        members = assign_nearest_centroid_foldexact(
+            embeddings,
+            centroids.select("cent_id", "c_emb").collect(),
+            with_norm=True,
         )
     if materialize not in ("local", "none"):
         raise ValueError(
@@ -865,10 +976,14 @@ def semantic_dedup_clusters(
     # before; assignment subtrees with fold expressions never
     # canonicalize equal across aliases). localCheckpoint evaluates the
     # assignment once per call; floats unchanged (same rows), and each
-    # invocation still computes fresh from the inputs.
+    # invocation still computes fresh from the inputs. eager=False
+    # (round-16, guide §5): the plan is truncated either way, but the
+    # lazy form materializes inside the first action instead of a
+    # separate per-invocation barrier job (the r15 eager barrier cost
+    # semantic_dedup_auto ~1.6 s at sf0.1, driver best-of-n).
     # ``materialize="none"`` keeps pure lineage (A/B leg).
     if materialize == "local":
-        members = members.localCheckpoint(eager=True)
+        members = members.localCheckpoint(eager=False)
     a = members.select(
         "cluster_id", F.col("vec_id").alias("vid_a"),
         F.col("embedding").alias("emb_a"), F.col("e_norm").alias("norm_a"),
@@ -958,9 +1073,11 @@ def kmeans_train(
     # per reference. localCheckpoint materializes it ONCE per call —
     # values unchanged (same rows in, and every downstream aggregate is
     # order-quantized), and each invocation still computes fresh from
-    # the inputs. ``materialize="none"`` keeps pure lineage (A/B leg).
+    # the inputs. eager=False: materialize inside the first action (the
+    # dim probe), not as a separate barrier job (round-16, guide §5).
+    # ``materialize="none"`` keeps pure lineage (A/B leg).
     if materialize == "local":
-        embeddings = embeddings.localCheckpoint(eager=True)
+        embeddings = embeddings.localCheckpoint(eager=False)
     spark = embeddings.sparkSession
     dim = len(
         embeddings.where(F.col("vec_id") < 1).select("embedding").first()[0]
@@ -1000,40 +1117,25 @@ def kmeans_train(
             f"got {assign_impl!r}"
         )
 
-    def _assign_fold():
-        scored = emb_n.crossJoin(
-            F.broadcast(cents_df())
-        ).withColumn(
-            "_cs",
-            dot_expr("embedding", "c_emb")
-            / F.nullif(F.col("e_norm") * F.col("c_norm"), F.lit(0.0)),
-        )
-        # argmax via max_by, not a window: identical floats and
-        # tie-break (struct ordering: NULL cosine sorts smallest ≡
-        # desc-nulls-last; -cent_id ≡ cent_id asc), but partial
-        # aggregation shrinks the per-iteration exchange from the n×k
-        # scored crossJoin (with embedded arrays) to n rows.
-        best = F.max_by(
-            F.struct(F.col("cent_id"), F.col("embedding")),
-            F.struct(F.col("_cs"), (-F.col("cent_id")).alias("_nc")),
-        )
-        return (
-            scored.groupBy("vec_id")
-            .agg(best.alias("_b"))
-            .select(
-                "vec_id",
-                F.col("_b.embedding").alias("embedding"),
-                F.col("_b.cent_id").alias("cent_id"),
-            )
-        )
-
     for _ in range(iters):
         if assign_impl == "vectorized":
             assigned = assign_nearest_centroid_vectorized(
                 emb_n, cents_df(), out_col="cent_id"
             ).select("vec_id", "embedding", "cent_id")
         else:
-            assigned = _assign_fold()
+            # fold SEMANTICS, numpy execution (round-16, guide §4.2):
+            # the interpreted per-(row, centroid) fold cost ~1 s per
+            # Lloyd iteration at fixture scale;
+            # assign_nearest_centroid_foldexact reproduces the fold's
+            # sequential-sum floats, NULL handling and argmax
+            # tie-break bit-for-bit (pinned by
+            # tests/test_round16_opt.py), so the trained centroids —
+            # and every snapshot oracle downstream — cannot move.
+            assigned = assign_nearest_centroid_foldexact(
+                embeddings,
+                [(i, c) for i, c in enumerate(cents)],
+                out_col="cent_id",
+            ).select("vec_id", "embedding", "cent_id")
         # member count rides the same aggregation (the dim-0 row's count
         # IS the cluster size), so the final sizes need no extra
         # assignment pass over the corpus after the loop

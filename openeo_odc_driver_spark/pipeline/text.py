@@ -412,10 +412,14 @@ def bigram_logprob(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
     if model_build == "rollup":
+        # eager=False (round-16, ADVICE r15): constructing the
+        # DataFrame no longer runs a corpus-scale job at call time —
+        # the pair-count table materializes inside the first action
+        # and both model tables then read the persisted rows.
         pair_counts = (
             stream.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_ab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         uni = (
             pair_counts.groupBy(F.col("b").alias("term"))

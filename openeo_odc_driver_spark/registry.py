@@ -1528,7 +1528,7 @@ def _resample_spatial_warp_sweep(spark, sf_dir):
     cube = reduce_dimension(synthetic_cube(spark, spec), "time", "max")
     # round-15: the four warp legs each re-embedded the reduced-cube
     # subtree (74 Exchanges, 0 ReusedExchange) — evaluate it once.
-    cube = cube.with_df(cube.df.localCheckpoint(eager=True))
+    cube = cube.with_df(cube.df.localCheckpoint(eager=False))
     near = resample_spatial_warp(cube, 32632, 400.0).df \
         .withColumnRenamed(VALUE, "near")
     bil = (
@@ -1627,7 +1627,7 @@ def _resample_spatial_warp_directions_sweep(spark, sf_dir):
     # ReusedExchange before) — evaluate the reduced cube once. The
     # single-reference cubes (utm, antarctic) stay lazy: a checkpoint
     # there only adds a barrier.
-    geo_cube = geo_cube.with_df(geo_cube.df.localCheckpoint(eager=True))
+    geo_cube = geo_cube.with_df(geo_cube.df.localCheckpoint(eager=False))
 
     def tagged(tgt_epsg, res, tag, with_tiled):
         near = resample_spatial_warp(geo_cube, tgt_epsg, res).df \

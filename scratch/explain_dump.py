@@ -1,5 +1,5 @@
 """Dump .explain('formatted') for a set of registered queries to
-plans/r15/<query>_<tag>.txt. Usage:
+plans/$PLANS_DIR/<query>_<tag>.txt (default r16). Usage:
 
     python scratch/explain_dump.py <tag> [query ...]
 
@@ -28,7 +28,7 @@ def main() -> None:
         names = list(BENCH_QUERIES)
     spark = get_spark("explain-dump", cpus="8")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", os.environ.get("PLANS_DIR", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:

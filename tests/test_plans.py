@@ -189,8 +189,18 @@ def test_semantic_dedup_no_cartesian_pairing(spark):
     never an unconditioned product of the corpus."""
     plan = _plan(spark, "semantic_dedup_clusters")
     assert "CartesianProduct" not in plan
-    # the pair join partitions by cluster_id (equi), threshold fused in
-    assert re.search(r"SortMergeJoin \[cluster_id#\d+L\], \[cluster_id#\d+L\], Inner", plan)
+    # the pair join is an EQUI join on cluster_id with the threshold
+    # fused in. Round 16: the checkpointed members table carries origin
+    # stats from the new scalar-UDF assignment plan, so at FIXTURE
+    # scale the planner may broadcast one side (BuildRight over ~2k
+    # rows) instead of sort-merging — size-adaptive, and still keyed by
+    # cluster_id; at corpus scale the estimate exceeds the broadcast
+    # threshold and the join shuffles by cluster_id as before.
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) "
+        r"\[cluster_id#\d+L\], \[cluster_id#\d+L\], Inner",
+        plan,
+    )
     # the declared query materializes the centroid assignment
     # (localCheckpoint, round 15) so its plan truncates at Scan
     # ExistingRDD; the assignment-stage shape is pinned on the
@@ -209,9 +219,11 @@ def test_semantic_dedup_no_cartesian_pairing(spark):
         "BuildRight, Cross" in lineage[m.start():m.start() + 60]
         for m in re.finditer(r"BroadcastNestedLoopJoin", lineage)
     )
-    # nearest-centroid pick is a max_by aggregation (partial map-side,
-    # n-row exchange), not a window over the n×k scored crossJoin
-    assert "max_by" in lineage and "WindowGroupLimit" not in lineage
+    # nearest-centroid pick is one Arrow-batched numpy stage (round 16:
+    # fold semantics via assign_nearest_centroid_foldexact, a scalar
+    # pandas_udf — ArrowEvalPython), never a window over an n×k scored
+    # crossJoin
+    assert "ArrowEvalPython" in lineage and "WindowGroupLimit" not in lineage
 
 
 def test_unigram_logprob_model_broadcasts_corpus_stays(spark):

@@ -446,11 +446,15 @@ def test_assign_impl_auto_dispatches_on_k(spark):
         e, n_centroids=VECTORIZE_K_THRESHOLD, threshold=0.95,
         materialize="none",
     )
-    # the dispatch is visible in the physical plan: fold = pure JVM
-    # expressions, vectorized = one ArrowEvalPython/mapInPandas stage
-    assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString() \
-        and "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in large._jdf.queryExecution().executedPlan().toString()
+    # round 16: BOTH engines are Arrow-batched numpy stages now, but the
+    # dispatch stays visible in the plan — the small-k fold semantics
+    # execute via assign_nearest_centroid_foldexact, a SCALAR pandas_udf
+    # (ArrowEvalPython node, only cent_id crosses back); the large-k
+    # matmul stays the mapInPandas stage (MapInPandas node)
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    large_plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in small_plan and "MapInPandas" not in small_plan
+    assert "MapInPandas" in large_plan
 
     # both engines agree with the auto choice at each k
     for k in (8, VECTORIZE_K_THRESHOLD):
